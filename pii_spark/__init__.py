@@ -1,0 +1,25 @@
+"""pii_spark — PySpark-native code-corpus quality-filter + PII-scrub engine.
+
+A from-scratch Spark-first re-expression of the capabilities of
+``bunseokbot/pii-redactor`` (reference at /root/reference, a Go Kubernetes
+operator).  The engine operates on an Iceberg-style table of source-code
+files ``(repo, path, commit, lang, content)`` and provides:
+
+- a compiled multi-pattern PII/secret detection bank (36 builtin patterns,
+  reference ``internal/detector/patterns/builtin.go``),
+- checksum validators (Luhn / Korean RRN / Korean business number / IBAN,
+  reference ``internal/detector/validator/validator.go``),
+- masking strategies (full/partial/hash/tokenize,
+  reference ``internal/redactor/redactor.go``),
+- vectorized pandas/Arrow UDFs for detect + scrub (no per-row Python UDFs),
+- quality filters (language-ID, char-n-gram perplexity, heuristics,
+  toxicity) for training-data pipelines,
+- policy algebra (selector filters, severity gating, dedup windows,
+  rate caps — reference ``api/v1alpha1/piipolicy_types.go``),
+- an end-to-end checkpointed, skew-aware batch pipeline.
+"""
+
+__version__ = "0.1.0"
+
+from pii_spark.patterns import PatternBank, PIIPatternSpec, PatternRule, MaskingStrategy  # noqa: F401
+from pii_spark.engine import Engine, DetectionResult, RedactResult  # noqa: F401

@@ -1,0 +1,204 @@
+"""Detection + redaction core.
+
+Reproduces the reference's detection and redaction semantics:
+
+- **Detect** (``/root/reference/internal/detector/engine.go:168-216``):
+  for each enabled pattern, for each of its regex rules, find all
+  leftmost non-overlapping matches (Go ``FindAllStringIndex(text, -1)``
+  ≡ Python ``re.finditer``).  Overlaps *across* rules/patterns are all
+  kept — there is no global dedup.  If the pattern names a validator and
+  validation is enabled, matches failing the checksum are dropped
+  (engine.go:192-198).  One ``DetectionResult`` per surviving match.
+
+- **Redact** (``/root/reference/internal/redactor/redactor.go:35-77``):
+  detect, then sort detections by start offset *descending* and splice
+  each masked value into the text end-to-first so earlier offsets stay
+  valid (redactor.go:52-68).  Same-span double matches re-mask
+  (idempotent for length-preserving masks); ``redacted_count`` counts
+  every detection.  The reference's ``sort.Slice`` is unstable on ties —
+  we pin the deterministic order ``(-start, -end, pattern_name)``
+  (SURVEY §7.4).
+
+Offsets are Python character offsets (the reference's are Go byte
+offsets; identical on ASCII — see SURVEY §7.4 divergence notes).
+
+This module is pure Python + stdlib: it is both the executor-side body
+of the vectorized scrub UDF (driven over Arrow record batches) and the
+driver-side engine for one-off scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pii_spark import validators
+from pii_spark.masking import apply_masking
+from pii_spark.patterns import BUILTIN_PATTERNS, PatternBank, PIIPatternSpec
+
+
+@dataclass
+class DetectionResult:
+    """One finding (engine.go:25-33)."""
+
+    pattern: str
+    display: str
+    matched: str
+    start: int
+    end: int
+    confidence: str
+    severity: str
+    redacted: str = ""
+
+    def as_dict(self) -> dict:
+        return {
+            "pattern": self.pattern,
+            "display": self.display,
+            "matched": self.matched,
+            "start": self.start,
+            "end": self.end,
+            "confidence": self.confidence,
+            "severity": self.severity,
+            "redacted": self.redacted,
+        }
+
+
+@dataclass
+class RedactResult:
+    """Redaction output (redactor.go:27-32)."""
+
+    original_text: str
+    redacted_text: str
+    detections: list[DetectionResult] = field(default_factory=list)
+
+    @property
+    def redacted_count(self) -> int:
+        return len(self.detections)
+
+
+class Engine:
+    """PII detection engine over a :class:`PatternBank`.
+
+    Mirrors the reference ``detector.Engine`` (engine.go:62-95): holds a
+    bank + validator registry + a validation toggle.  Unlike the
+    reference there is no lock — banks are immutable snapshots per batch.
+    """
+
+    def __init__(self, bank: PatternBank | None = None, validation_enabled: bool = True):
+        self.bank = bank if bank is not None else PatternBank()
+        self.validation_enabled = validation_enabled
+
+    def disable_validation(self) -> None:
+        self.validation_enabled = False
+
+    def enable_validation(self) -> None:
+        self.validation_enabled = True
+
+    def add_pattern(self, name: str, spec: PIIPatternSpec) -> None:
+        self.bank.add_pattern(name, spec)
+
+    def remove_pattern(self, name: str) -> None:
+        self.bank.remove_pattern(name)
+
+    # ------------------------------------------------------------------
+    def _detect_compiled(self, text: str, compiled_patterns) -> list[DetectionResult]:
+        results: list[DetectionResult] = []
+        for cp in compiled_patterns:
+            spec = cp.spec
+            validate = None
+            if self.validation_enabled and spec.validator:
+                validate = validators.get_validator(spec.validator)
+            for regex, confidence in cp.rules:
+                for m in regex.finditer(text):
+                    matched = m.group(0)
+                    if validate is not None and not validate(matched):
+                        continue  # checksum gate (engine.go:192-198)
+                    results.append(
+                        DetectionResult(
+                            pattern=cp.name,
+                            display=spec.display_name,
+                            matched=matched,
+                            start=m.start(),
+                            end=m.end(),
+                            confidence=confidence,
+                            severity=spec.severity,
+                        )
+                    )
+        return results
+
+    def detect(self, text: str) -> list[DetectionResult]:
+        """Scan with all enabled patterns (engine.go:168-216)."""
+        return self._detect_compiled(text, self.bank.iter_enabled())
+
+    def detect_with_patterns(self, text: str, names: list[str]) -> list[DetectionResult]:
+        """Scan with an explicit pattern list; unknown names are skipped
+        (engine.go:219-267).  Disabled patterns *are* used when named
+        explicitly, matching the reference (no Enabled check there)."""
+        compiled = [cp for cp in (self.bank.get_pattern(n) for n in names) if cp is not None]
+        return self._detect_compiled(text, compiled)
+
+    # ------------------------------------------------------------------
+    def _redact_from_detections(
+        self, text: str, detections: list[DetectionResult]
+    ) -> RedactResult:
+        if not detections:
+            return RedactResult(text, text, detections)
+        # end-to-start splice; deterministic tie-break (SURVEY §7.4)
+        detections.sort(key=lambda d: (-d.start, -d.end, d.pattern))
+        redacted_text = text
+        for d in detections:
+            strategy = self.bank.get_masking_strategy(d.pattern)
+            if strategy is None:
+                continue  # redactor.go:59-61
+            masked = apply_masking(d.matched, strategy)
+            d.redacted = masked
+            redacted_text = redacted_text[: d.start] + masked + redacted_text[d.end :]
+        return RedactResult(text, redacted_text, detections)
+
+    def redact(self, text: str) -> RedactResult:
+        """Detect + mask-splice with all enabled patterns
+        (redactor.go:35-77)."""
+        return self._redact_from_detections(text, self.detect(text))
+
+    def redact_with_patterns(self, text: str, names: list[str]) -> RedactResult:
+        """Same, restricted pattern list (redactor.go:80-122)."""
+        return self._redact_from_detections(text, self.detect_with_patterns(text, names))
+
+
+def group_by_pattern(detections: list[DetectionResult]) -> dict[str, list[DetectionResult]]:
+    """CLI text-output grouping (cmd/cli/main.go:373-379)."""
+    groups: dict[str, list[DetectionResult]] = {}
+    for d in detections:
+        groups.setdefault(d.pattern, []).append(d)
+    return groups
+
+
+def validate_bank(specs: dict[str, PIIPatternSpec], test_cases: dict) -> list[str]:
+    """Rule self-test (reference ``cmd/cli/main.go:95-192`` /
+    ``piipattern_controller.go:96-132``): every ``should_match`` string
+    must match ≥1 rule of its pattern; every ``should_not_match`` must
+    match none.  Returns a list of failure messages (empty ⇒ pass).
+
+    ``test_cases``: ``{pattern_name: {"should_match": [...],
+    "should_not_match": [...]}}``.
+    """
+    from pii_spark.patterns import CompiledPattern
+
+    failures: list[str] = []
+    for name, cases in test_cases.items():
+        spec = specs.get(name)
+        if spec is None:
+            failures.append(f"{name}: unknown pattern")
+            continue
+        cp = CompiledPattern(name, spec, strict=True)
+        for s in cases.get("should_match", ()):
+            if not any(r.search(s) for r, _ in cp.rules):
+                failures.append(f"{name}: shouldMatch failed: {s!r}")
+        for s in cases.get("should_not_match", ()):
+            if any(r.search(s) for r, _ in cp.rules):
+                failures.append(f"{name}: shouldNotMatch failed: {s!r}")
+    return failures
+
+
+def builtin_engine(validation: bool = True) -> Engine:
+    """Engine over the full builtin bank (NewEngine, engine.go:70-81)."""
+    return Engine(PatternBank(BUILTIN_PATTERNS), validation_enabled=validation)

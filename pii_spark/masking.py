@@ -1,0 +1,133 @@
+"""Masking strategies: full / partial / hash / tokenize.
+
+Semantics reproduced from the reference redactor
+(``/root/reference/internal/redactor/redactor.go:125-210``):
+
+- ``full``: the ``replacement`` string if set, else ``mask_char * len``.
+- ``partial``: rune-based; show first ``show_first`` + last ``show_last``
+  characters, mask the middle; if ``show_first + show_last >= len`` the
+  whole value is masked (redactor.go:157-159); default mask char ``*``
+  (redactor.go:181-186).
+- ``hash``: ``"[HASH:" + hex(sha256(text))[:16] + "]"`` — first 8 bytes
+  (redactor.go:189-192).
+- ``tokenize``: ``"[TOKEN:" + hex(sha256(text))[:8] + "]"`` — first 4
+  bytes (redactor.go:195-198).
+- unknown strategy type falls back to partial (redactor.go:142-144).
+
+Also provides Spark Column-expression builders for the SQL-expressible
+strategies so masking can run fully JVM-side when the matched value is
+already a column (no Python round-trip).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pii_spark.patterns import MaskingStrategy
+
+
+def _mask_char(strategy: MaskingStrategy) -> str:
+    return strategy.mask_char if strategy.mask_char else "*"
+
+
+def mask_full(text: str, strategy: MaskingStrategy) -> str:
+    if strategy.replacement:
+        return strategy.replacement
+    return _mask_char(strategy) * len(text)
+
+
+def mask_partial(text: str, strategy: MaskingStrategy) -> str:
+    n = len(text)  # Python str indexing is already rune-based
+    show_first, show_last = strategy.show_first, strategy.show_last
+    ch = _mask_char(strategy)
+    if show_first + show_last >= n:
+        return ch * n
+    return text[:show_first] + ch * (n - show_first - show_last) + (
+        text[n - show_last:] if show_last > 0 else ""
+    )
+
+
+def mask_hash(text: str) -> str:
+    return "[HASH:" + hashlib.sha256(text.encode("utf-8")).hexdigest()[:16] + "]"
+
+
+def mask_tokenize(text: str) -> str:
+    return "[TOKEN:" + hashlib.sha256(text.encode("utf-8")).hexdigest()[:8] + "]"
+
+
+def apply_masking(text: str, strategy: MaskingStrategy) -> str:
+    """Strategy dispatch (redactor.go:125-145)."""
+    t = strategy.type
+    if t == "full":
+        return mask_full(text, strategy)
+    if t == "partial":
+        return mask_partial(text, strategy)
+    if t == "hash":
+        return mask_hash(text)
+    if t == "tokenize":
+        return mask_tokenize(text)
+    return mask_partial(text, strategy)  # unknown type → partial
+
+
+def custom_masking(
+    text: str,
+    mask_type: str,
+    show_first: int = 0,
+    show_last: int = 0,
+    mask_char: str = "",
+    replacement: str = "",
+) -> str:
+    """Explicit-parameter masking (redactor.go:201-210)."""
+    return apply_masking(
+        text,
+        MaskingStrategy(
+            type=mask_type,
+            show_first=show_first,
+            show_last=show_last,
+            mask_char=mask_char or "*",
+            replacement=replacement,
+        ),
+    )
+
+
+def truncate(text: str, max_len: int) -> str:
+    """Display truncation ``s[:n-3] + "..."`` (cmd/cli/main.go:194-199)."""
+    if len(text) <= max_len:
+        return text
+    return text[: max_len - 3] + "..."
+
+
+# ---------------------------------------------------------------------------
+# Spark Column-expression builders (JVM-side masking of a string column)
+# ---------------------------------------------------------------------------
+
+def masking_column(col, strategy: MaskingStrategy):
+    """Build a Spark Column applying ``strategy`` to string column ``col``
+    entirely with built-in functions (stays in whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    ch = _mask_char(strategy)
+    if strategy.type == "full":
+        if strategy.replacement:
+            return F.lit(strategy.replacement)
+        return F.repeat(F.lit(ch), F.length(col))
+    if strategy.type == "hash":
+        return F.concat(
+            F.lit("[HASH:"), F.substring(F.sha2(col, 256), 1, 16), F.lit("]")
+        )
+    if strategy.type == "tokenize":
+        return F.concat(
+            F.lit("[TOKEN:"), F.substring(F.sha2(col, 256), 1, 8), F.lit("]")
+        )
+    # partial (also the unknown-type fallback)
+    f, l = strategy.show_first, strategy.show_last
+    n = F.length(col)
+    fully_masked = F.repeat(F.lit(ch), n)
+    parts = []
+    if f > 0:
+        parts.append(F.substring(col, 1, f))
+    parts.append(F.repeat(F.lit(ch), n - F.lit(f) - F.lit(l)))
+    if l > 0:
+        parts.append(col.substr(n - F.lit(l - 1), F.lit(l)))
+    partial = F.concat(*parts)
+    return F.when(F.lit(f + l) >= n, fully_masked).otherwise(partial)

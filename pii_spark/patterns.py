@@ -1,0 +1,463 @@
+"""Builtin PII/secret pattern bank + registry.
+
+Pattern semantics reproduced from the reference pattern bank
+(``/root/reference/internal/detector/patterns/builtin.go:31-483``): 36
+patterns (30 enabled by default), 50 regex rules total, each with a
+confidence level, an optional named checksum validator, a masking
+strategy, a severity and a category.  Regexes are ported verbatim — they
+are RE2 (no lookaround/backrefs) and therefore Python-``re`` compatible.
+
+Compilation notes:
+
+- Go's RE2 character classes ``\\d \\w \\b \\s`` are ASCII; Python's are
+  Unicode by default.  We compile with ``re.ASCII`` to reproduce RE2
+  behavior (e.g. ``\\b\\d{9}\\b`` must break at Hangul the way RE2 does).
+- ``(?i)`` flags in the bank are pattern-leading (Python-legal as-is).
+
+The registry API mirrors the reference engine's pattern management
+surface (``/root/reference/internal/detector/engine.go:127-442``):
+add/remove/enable/disable, category toggles, listings.  Unlike the
+reference (mutable map under an RWMutex, ``engine.go:62-67``) a bank is
+plain-Python and is shipped to Spark executors as an immutable broadcast
+per batch — no locking needed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class PatternRule:
+    """One regex rule with a confidence level (builtin.go:16-19)."""
+
+    regex: str
+    confidence: str = "high"  # high | medium | low
+
+
+@dataclass(frozen=True)
+class MaskingStrategy:
+    """How to mask detected PII (builtin.go:22-28).
+
+    CRD defaults: type=partial, mask_char="*"
+    (``api/v1alpha1/piipattern_types.go:20-40``).
+    """
+
+    type: str = "partial"  # full | partial | hash | tokenize
+    show_first: int = 0
+    show_last: int = 0
+    mask_char: str = "*"
+    replacement: str = ""
+
+
+@dataclass(frozen=True)
+class PIIPatternSpec:
+    """A named PII pattern spec (builtin.go:4-13)."""
+
+    display_name: str
+    description: str = ""
+    category: str = ""  # global | usa | korea | secrets | custom
+    patterns: tuple[PatternRule, ...] = ()
+    validator: str = ""  # name in validators.REGISTRY, or ""
+    masking: MaskingStrategy = field(default_factory=MaskingStrategy)
+    severity: str = "medium"  # low | medium | high | critical
+    enabled: bool = True
+
+
+def _p(display, category, rules, severity, enabled, masking, validator="", description=""):
+    return PIIPatternSpec(
+        display_name=display,
+        description=description,
+        category=category,
+        patterns=tuple(PatternRule(r, c) for r, c in rules),
+        validator=validator,
+        masking=masking,
+        severity=severity,
+        enabled=enabled,
+    )
+
+
+#: The 36 builtin patterns, regexes verbatim from builtin.go:31-483.
+BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
+    # ---- global ----
+    "email": _p(
+        "Email Address", "global",
+        [(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "high")],
+        "medium", True, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    "credit-card": _p(
+        "Credit Card Number", "global",
+        [
+            (r"\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}|6(?:011|5[0-9]{2})[0-9]{12})\b", "high"),
+            (r"\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}", "medium"),
+        ],
+        "critical", True, MaskingStrategy("partial", 4, 4, "*"), validator="luhn",
+    ),
+    "ip-address": _p(
+        "IP Address", "global",
+        [(r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b", "high")],
+        "low", False, MaskingStrategy("full", replacement="[IP_REDACTED]"),
+    ),
+    "ipv6-address": _p(
+        "IPv6 Address", "global",
+        [
+            (r"(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}", "high"),
+            (r"(?:[0-9a-fA-F]{1,4}:){1,7}:", "medium"),
+        ],
+        "low", False, MaskingStrategy("full", replacement="[IPv6_REDACTED]"),
+    ),
+    "iban": _p(
+        "IBAN", "global",
+        [(r"[A-Z]{2}\d{2}[A-Z0-9]{4}\d{7}(?:[A-Z0-9]?){0,16}", "high")],
+        "critical", True, MaskingStrategy("partial", 4, 4, "*"), validator="iban-checksum",
+    ),
+    "mac-address": _p(
+        "MAC Address", "global",
+        [(r"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}", "high")],
+        "low", False, MaskingStrategy("partial", 8, 0, "*"),
+    ),
+    # ---- usa ----
+    "ssn-us": _p(
+        "US Social Security Number", "usa",
+        [(r"\b\d{3}-\d{2}-\d{4}\b", "high"), (r"\b\d{9}\b", "low")],
+        "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+    ),
+    "phone-us": _p(
+        "US Phone Number", "usa",
+        [(r"\b(?:\+1[-.\s]?)?\(?[2-9]\d{2}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b", "high")],
+        "high", True, MaskingStrategy("partial", 3, 4, "*"),
+    ),
+    "driver-license-us": _p(
+        "US Driver License", "usa",
+        [(r"\b[A-Z]{1,2}\d{5,8}\b", "medium")],
+        "critical", False, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    "passport-us": _p(
+        "US Passport Number", "usa",
+        [(r"\b[0-9]{9}\b", "low")],
+        "critical", False, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    "routing-number-us": _p(
+        "US Bank Routing Number", "usa",
+        [(r"\b[0-9]{9}\b", "low")],
+        "high", False, MaskingStrategy("partial", 0, 4, "*"),
+    ),
+    "itin-us": _p(
+        "US ITIN", "usa",
+        [(r"\b9\d{2}-[7-9]\d-\d{4}\b", "high")],
+        "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+    ),
+    "medicare-us": _p(
+        "US Medicare ID", "usa",
+        [(r"\b[1-9][AC-HJKMNP-RT-Y][AC-HJKMNP-RT-Y0-9]\d[AC-HJKMNP-RT-Y][AC-HJKMNP-RT-Y0-9]\d[AC-HJKMNP-RT-Y]{2}\d{2}\b", "high")],
+        "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+    ),
+    "ein-us": _p(
+        "US EIN", "usa",
+        [(r"\b\d{2}-\d{7}\b", "high")],
+        "high", True, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    "dea-us": _p(
+        "US DEA Number", "usa",
+        [(r"\b[A-Z][A-Z9][0-9]{7}\b", "high")],
+        "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    # ---- korea ----
+    "korean-rrn": _p(
+        "Korean Resident Registration Number", "korea",
+        [(r"\d{6}-[1-4]\d{6}", "high"), (r"\d{6}[1-4]\d{6}", "medium")],
+        "critical", True, MaskingStrategy("partial", 6, 0, "*"), validator="rrn-checksum",
+    ),
+    "phone-kr": _p(
+        "Korean Phone Number", "korea",
+        [
+            (r"01[016789]-?\d{3,4}-?\d{4}", "high"),
+            (r"02-?\d{3,4}-?\d{4}", "high"),
+            (r"0[3-6][1-5]-?\d{3,4}-?\d{4}", "high"),
+        ],
+        "high", True, MaskingStrategy("partial", 3, 4, "*"),
+    ),
+    "passport-kr": _p(
+        "Korean Passport Number", "korea",
+        [(r"[A-Z]{1,2}\d{7,8}", "medium")],
+        "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+    "driver-license-kr": _p(
+        "Korean Driver License", "korea",
+        [(r"\d{2}-\d{2}-\d{6}-\d{2}", "high")],
+        "critical", True, MaskingStrategy("partial", 5, 0, "*"),
+    ),
+    "business-number-kr": _p(
+        "Korean Business Registration Number", "korea",
+        [(r"\d{3}-\d{2}-\d{5}", "high")],
+        "high", True, MaskingStrategy("partial", 3, 0, "*"), validator="business-number-checksum",
+    ),
+    "foreign-registration-kr": _p(
+        "Korean Foreign Registration Number", "korea",
+        [(r"\d{6}-[5-8]\d{6}", "high")],
+        "critical", True, MaskingStrategy("partial", 6, 0, "*"),
+    ),
+    # ---- secrets ----
+    "aws-access-key": _p(
+        "AWS Access Key ID", "secrets",
+        [(r"AKIA[0-9A-Z]{16}", "high")],
+        "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+    ),
+    "aws-secret-key": _p(
+        "AWS Secret Access Key", "secrets",
+        [(r"(?i)aws.{0,20}secret.{0,20}['\"][0-9a-zA-Z/+]{40}['\"]", "high")],
+        "critical", True, MaskingStrategy("full", replacement="[AWS_SECRET_REDACTED]"),
+    ),
+    "github-token": _p(
+        "GitHub Token", "secrets",
+        [
+            (r"ghp_[0-9a-zA-Z]{36}", "high"),
+            (r"gho_[0-9a-zA-Z]{36}", "high"),
+            (r"ghu_[0-9a-zA-Z]{36}", "high"),
+            (r"ghs_[0-9a-zA-Z]{36}", "high"),
+            (r"ghr_[0-9a-zA-Z]{36}", "high"),
+        ],
+        "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+    ),
+    "gitlab-token": _p(
+        "GitLab Token", "secrets",
+        [(r"glpat-[0-9a-zA-Z\-_]{20}", "high")],
+        "critical", True, MaskingStrategy("partial", 6, 0, "*"),
+    ),
+    "slack-token": _p(
+        "Slack Token", "secrets",
+        [(r"xox[baprs]-[0-9a-zA-Z]{10,48}", "high")],
+        "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+    ),
+    "google-api-key": _p(
+        "Google API Key", "secrets",
+        [(r"AIza[0-9A-Za-z\-_]{35}", "high")],
+        "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+    ),
+    "api-key": _p(
+        "Generic API Key", "secrets",
+        [(r"(?i)(?:api[_-]?key|apikey|api_secret)['\"]?\s*[:=]\s*['\"]?[0-9a-zA-Z]{16,64}['\"]?", "medium")],
+        "high", True, MaskingStrategy("full", replacement="[API_KEY_REDACTED]"),
+    ),
+    "jwt": _p(
+        "JWT Token", "secrets",
+        [(r"eyJ[a-zA-Z0-9_-]*\.eyJ[a-zA-Z0-9_-]*\.[a-zA-Z0-9_-]*", "high")],
+        "high", True, MaskingStrategy("partial", 10, 0, "*"),
+    ),
+    "private-key": _p(
+        "Private Key", "secrets",
+        [(r"-----BEGIN (?:RSA |DSA |EC |OPENSSH )?PRIVATE KEY-----", "high")],
+        "critical", True, MaskingStrategy("full", replacement="[PRIVATE_KEY_REDACTED]"),
+    ),
+    "password-in-url": _p(
+        "Password in URL", "secrets",
+        [(r"(?i)(?:https?://)[^:]+:([^@]+)@", "high")],
+        "critical", True, MaskingStrategy("full", replacement="[PASSWORD_REDACTED]"),
+    ),
+    "password": _p(
+        "Password", "secrets",
+        [(r"(?i)(?:password|passwd|pwd)['\"]?\s*[:=]\s*['\"]?[^\s'\"]{8,}['\"]?", "medium")],
+        "critical", True, MaskingStrategy("full", replacement="[PASSWORD_REDACTED]"),
+    ),
+    "database-connection": _p(
+        "Database Connection String", "secrets",
+        [(r"(?i)(?:mongodb|postgres|mysql|redis|amqp):\/\/[^:]+:[^@]+@", "high")],
+        "critical", True, MaskingStrategy("full", replacement="[DB_CONNECTION_REDACTED]"),
+    ),
+    "stripe-key": _p(
+        "Stripe API Key", "secrets",
+        [
+            (r"sk_live_[0-9a-zA-Z]{24}", "high"),
+            (r"sk_test_[0-9a-zA-Z]{24}", "high"),
+            (r"pk_live_[0-9a-zA-Z]{24}", "high"),
+            (r"pk_test_[0-9a-zA-Z]{24}", "high"),
+        ],
+        "critical", True, MaskingStrategy("partial", 7, 0, "*"),
+    ),
+    "sendgrid-key": _p(
+        "SendGrid API Key", "secrets",
+        [(r"SG\.[0-9A-Za-z\-_]{22}\.[0-9A-Za-z\-_]{43}", "high")],
+        "critical", True, MaskingStrategy("partial", 3, 0, "*"),
+    ),
+    "twilio-key": _p(
+        "Twilio API Key/SID", "secrets",
+        [(r"AC[0-9a-fA-F]{32}", "high"), (r"SK[0-9a-fA-F]{32}", "high")],
+        "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+    ),
+}
+
+#: Severity ordinals (reference ``internal/notifier/notifier.go:88-101``).
+SEVERITY_LEVEL = {"low": 1, "medium": 2, "high": 3, "critical": 4}
+
+
+class CompiledPattern:
+    """A pattern with its regexes compiled (engine.go:45-54)."""
+
+    __slots__ = ("name", "spec", "rules", "enabled")
+
+    def __init__(self, name: str, spec: PIIPatternSpec, strict: bool = False):
+        self.name = name
+        self.spec = spec
+        self.enabled = spec.enabled
+        self.rules: list[tuple[re.Pattern, str]] = []
+        for rule in spec.patterns:
+            try:
+                # re.ASCII reproduces RE2's ASCII \d/\w/\b/\s semantics.
+                compiled = re.compile(rule.regex, re.ASCII)
+            except re.error:
+                if strict:
+                    # custom patterns error on bad regex (engine.go:137-146)
+                    raise
+                continue  # builtin: silently skip (engine.go:113-115)
+            self.rules.append((compiled, rule.confidence))
+
+
+class PatternBank:
+    """Registry of compiled patterns, mirroring the reference engine's
+    pattern-management API (engine.go:127-442).
+
+    Instances are cheap, picklable (recompile on unpickle), and intended
+    to be broadcast to executors as an immutable snapshot per batch.
+    """
+
+    def __init__(self, specs: dict[str, PIIPatternSpec] | None = None):
+        self._patterns: dict[str, CompiledPattern] = {}
+        for name, spec in (specs if specs is not None else BUILTIN_PATTERNS).items():
+            self._patterns[name] = CompiledPattern(name, spec)
+
+    # -- pickling: ship specs, recompile on the executor --------------
+    def __getstate__(self):
+        return {
+            name: (cp.spec, cp.enabled) for name, cp in self._patterns.items()
+        }
+
+    def __setstate__(self, state):
+        self._patterns = {}
+        for name, (spec, enabled) in state.items():
+            cp = CompiledPattern(name, spec)
+            cp.enabled = enabled
+            self._patterns[name] = cp
+
+    # -- registry API (engine.go:127-160, 300-442) ---------------------
+    def add_pattern(self, name: str, spec: PIIPatternSpec) -> None:
+        """Add a custom pattern; invalid regex raises (engine.go:137-146)."""
+        self._patterns[name] = CompiledPattern(name, spec, strict=True)
+
+    def remove_pattern(self, name: str) -> None:
+        self._patterns.pop(name, None)
+
+    def get_pattern(self, name: str) -> CompiledPattern | None:
+        return self._patterns.get(name)
+
+    def has_pattern(self, name: str) -> bool:
+        return name in self._patterns
+
+    def get_masking_strategy(self, name: str) -> MaskingStrategy | None:
+        cp = self._patterns.get(name)
+        return cp.spec.masking if cp else None
+
+    def enable_pattern(self, name: str) -> bool:
+        cp = self._patterns.get(name)
+        if cp is None:
+            return False
+        cp.enabled = True
+        return True
+
+    def disable_pattern(self, name: str) -> bool:
+        cp = self._patterns.get(name)
+        if cp is None:
+            return False
+        cp.enabled = False
+        return True
+
+    def is_pattern_enabled(self, name: str) -> bool:
+        cp = self._patterns.get(name)
+        return bool(cp and cp.enabled)
+
+    def enable_patterns_by_category(self, category: str) -> int:
+        n = 0
+        for cp in self._patterns.values():
+            if cp.spec.category == category:
+                cp.enabled = True
+                n += 1
+        return n
+
+    def disable_patterns_by_category(self, category: str) -> int:
+        n = 0
+        for cp in self._patterns.values():
+            if cp.spec.category == category:
+                cp.enabled = False
+                n += 1
+        return n
+
+    def disable_all_except(self, keep: list[str]) -> None:
+        """Keep-set intersection (reference aggregator.go:131-142)."""
+        keep_set = set(keep)
+        for name, cp in self._patterns.items():
+            cp.enabled = name in keep_set
+
+    # -- listings (sorted: the reference's Go-map order is
+    #    nondeterministic; we pin name order, SURVEY §7.4) -------------
+    def list_patterns(self) -> list[str]:
+        return sorted(self._patterns)
+
+    def list_enabled_patterns(self) -> list[str]:
+        return sorted(n for n, cp in self._patterns.items() if cp.enabled)
+
+    def list_disabled_patterns(self) -> list[str]:
+        return sorted(n for n, cp in self._patterns.items() if not cp.enabled)
+
+    def list_patterns_by_category(self, category: str) -> list[str]:
+        return sorted(n for n, cp in self._patterns.items() if cp.spec.category == category)
+
+    def get_categories(self) -> list[str]:
+        return sorted({cp.spec.category for cp in self._patterns.values()})
+
+    def get_pattern_spec(self, name: str) -> PIIPatternSpec | None:
+        cp = self._patterns.get(name)
+        return cp.spec if cp else None
+
+    def subset(self, names: list[str]) -> "PatternBank":
+        """A new bank containing only the named patterns, all enabled
+        (pattern-name selection F2, engine.go:219-267)."""
+        bank = PatternBank(specs={})
+        for n in names:
+            cp = self._patterns.get(n)
+            if cp is None:
+                continue
+            bank._patterns[n] = CompiledPattern(n, replace(cp.spec, enabled=True))
+        return bank
+
+    def iter_enabled(self):
+        """Enabled patterns in name-sorted order (deterministic, unlike
+        the reference's Go map iteration engine.go:174)."""
+        for name in sorted(self._patterns):
+            cp = self._patterns[name]
+            if cp.enabled:
+                yield cp
+
+    def __len__(self) -> int:
+        return len(self._patterns)
+
+
+def patterns_catalog_rows() -> list[dict]:
+    """The bank as rows for a `patterns` catalog DataFrame (introspection
+    queries, reference engine.go:278-442 listings)."""
+    rows = []
+    for name in sorted(BUILTIN_PATTERNS):
+        spec = BUILTIN_PATTERNS[name]
+        rows.append(
+            {
+                "name": name,
+                "display_name": spec.display_name,
+                "category": spec.category,
+                "n_rules": len(spec.patterns),
+                "validator": spec.validator,
+                "mask_type": spec.masking.type,
+                "severity": spec.severity,
+                "severity_level": SEVERITY_LEVEL[spec.severity],
+                "enabled": spec.enabled,
+            }
+        )
+    return rows

@@ -1,0 +1,185 @@
+"""Checksum validators for detected PII candidates.
+
+Semantics reproduced from the reference validator registry
+(``/root/reference/internal/detector/validator/validator.go:14-177``):
+``luhn``, ``rrn-checksum``, ``business-number-checksum``,
+``iban-checksum``.  Custom rules reference validators **by name** — the
+registry keeps that indirection.
+
+Each validator is exposed two ways:
+
+- a scalar ``str -> bool`` (used inside the detect UDF on the *matched
+  substrings* — typically a handful per document, so scalar is fine), and
+- a vectorized ``pd.Series[str] -> pd.Series[bool]`` for bulk validation
+  of extracted candidate columns (numpy-based where it pays off).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_NON_DIGIT = re.compile(r"[^0-9]")
+
+# Checksum weight vectors (validator.go:84, validator.go:118).
+_RRN_WEIGHTS = np.array([2, 3, 4, 5, 6, 7, 8, 9, 2, 3, 4, 5], dtype=np.int64)
+_BIZ_WEIGHTS = np.array([1, 3, 7, 1, 3, 7, 1, 3, 5], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# scalar validators
+# ---------------------------------------------------------------------------
+
+def luhn(text: str) -> bool:
+    """Luhn credit-card check (validator.go:31-62): strip non-digits,
+    length 13–19, doubled-alternate digit sum % 10 == 0."""
+    digits = _NON_DIGIT.sub("", text)
+    n = len(digits)
+    if n < 13 or n > 19:
+        return False
+    total = 0
+    alt = False
+    for ch in reversed(digits):
+        d = ord(ch) - 48
+        if alt:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+        alt = not alt
+    return total % 10 == 0
+
+
+def rrn_checksum(text: str) -> bool:
+    """Korean RRN check (validator.go:68-96): strip '-', exactly 13
+    digits, weighted sum, check digit = (11 - sum%11) % 10."""
+    digits = text.replace("-", "")
+    if len(digits) != 13 or not digits.isdigit():
+        return False
+    s = sum((ord(digits[i]) - 48) * int(_RRN_WEIGHTS[i]) for i in range(12))
+    return (ord(digits[12]) - 48) == (11 - (s % 11)) % 10
+
+
+def business_number_checksum(text: str) -> bool:
+    """Korean business-number check (validator.go:102-134): strip '-',
+    10 digits, weights 1,3,7,1,3,7,1,3,5 plus floor(d8*5/10) term,
+    check digit = (10 - sum%10) % 10."""
+    digits = text.replace("-", "")
+    if len(digits) != 10 or not digits.isdigit():
+        return False
+    s = sum((ord(digits[i]) - 48) * int(_BIZ_WEIGHTS[i]) for i in range(9))
+    s += ((ord(digits[8]) - 48) * 5) // 10
+    return (ord(digits[9]) - 48) == (10 - (s % 10)) % 10
+
+
+def iban_checksum(text: str) -> bool:
+    """IBAN mod-97 check (validator.go:140-167): uppercase, strip
+    spaces, length 15–34, rotate first 4 chars to end, letters→10..35,
+    big-number mod 97 == 1."""
+    iban = text.upper().replace(" ", "")
+    if len(iban) < 15 or len(iban) > 34:
+        return False
+    rearranged = iban[4:] + iban[:4]
+    num_parts = []
+    for c in rearranged:
+        if "A" <= c <= "Z":
+            num_parts.append(str(ord(c) - ord("A") + 10))
+        elif "0" <= c <= "9":
+            num_parts.append(c)
+        else:
+            return False
+    # streaming mod-97 (validator.go:170-177) — int() is fine here, the
+    # numeric string is <= 68 chars
+    return int("".join(num_parts)) % 97 == 1
+
+
+#: Named validator registry (validator.go:14-19).
+REGISTRY = {
+    "luhn": luhn,
+    "rrn-checksum": rrn_checksum,
+    "business-number-checksum": business_number_checksum,
+    "iban-checksum": iban_checksum,
+}
+
+
+def get_validator(name: str):
+    """Lookup by name (validator.go:22-25); returns None if absent."""
+    return REGISTRY.get(name)
+
+
+def register_validator(name: str, fn) -> None:
+    """Extension point: custom rules reference validators by name."""
+    REGISTRY[name] = fn
+
+
+# ---------------------------------------------------------------------------
+# vectorized validators (Series[str] -> Series[bool])
+# ---------------------------------------------------------------------------
+
+def _digit_matrix(digits: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rows of per-character digit values for strings of exactly
+    ``width`` digits; returns (matrix, valid_mask over the input)."""
+    ok = digits.str.fullmatch(rf"\d{{{width}}}").fillna(False).to_numpy()
+    if not ok.any():
+        return np.zeros((0, width), dtype=np.int64), ok
+    arr = (
+        digits[ok]
+        .apply(lambda s: [ord(c) - 48 for c in s])
+        .to_list()
+    )
+    return np.asarray(arr, dtype=np.int64), ok
+
+
+def luhn_vec(s: pd.Series) -> pd.Series:
+    digits = s.str.replace(r"[^0-9]", "", regex=True)
+    lengths = digits.str.len()
+    out = np.zeros(len(s), dtype=bool)
+    for n in range(13, 20):
+        mask = (lengths == n).to_numpy()
+        if not mask.any():
+            continue
+        mat = np.asarray(
+            digits[mask].apply(lambda x: [ord(c) - 48 for c in x]).to_list(),
+            dtype=np.int64,
+        )
+        # double every second digit from the right
+        doubled = mat.copy()
+        idx = np.arange(n - 2, -1, -2)  # positions doubled (alt from right)
+        doubled[:, idx] *= 2
+        doubled[doubled > 9] -= 9
+        out[mask] = doubled.sum(axis=1) % 10 == 0
+    return pd.Series(out, index=s.index)
+
+
+def rrn_checksum_vec(s: pd.Series) -> pd.Series:
+    digits = s.str.replace("-", "", regex=False)
+    mat, ok = _digit_matrix(digits, 13)
+    out = np.zeros(len(s), dtype=bool)
+    if mat.size:
+        sums = mat[:, :12] @ _RRN_WEIGHTS
+        out[ok] = mat[:, 12] == (11 - (sums % 11)) % 10
+    return pd.Series(out, index=s.index)
+
+
+def business_number_checksum_vec(s: pd.Series) -> pd.Series:
+    digits = s.str.replace("-", "", regex=False)
+    mat, ok = _digit_matrix(digits, 10)
+    out = np.zeros(len(s), dtype=bool)
+    if mat.size:
+        sums = mat[:, :9] @ _BIZ_WEIGHTS + (mat[:, 8] * 5) // 10
+        out[ok] = mat[:, 9] == (10 - (sums % 10)) % 10
+    return pd.Series(out, index=s.index)
+
+
+def iban_checksum_vec(s: pd.Series) -> pd.Series:
+    return s.apply(iban_checksum)  # few candidates; scalar path
+
+
+REGISTRY_VEC = {
+    "luhn": luhn_vec,
+    "rrn-checksum": rrn_checksum_vec,
+    "business-number-checksum": business_number_checksum_vec,
+    "iban-checksum": iban_checksum_vec,
+}
