@@ -1,0 +1,148 @@
+"""Audit, metrics, lineage and alert outputs.
+
+Relational form of the reference's audit logger
+(``/root/reference/internal/audit/logger.go``), status counters
+(``api/v1alpha1/*_types.go`` status fields) and alert construction
+(``internal/notifier/notifier.go``).  Sinks are DataFrame writes: the
+reference's JSON-lines audit file (logger.go:187-204) becomes
+``df.write.format("json").mode("append")``; HTTP alert sinks
+(slack/pagerduty/webhook/email) become an ``alerts`` table in this
+sandbox (S12) — a ``foreachPartition`` HTTP post in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pii_spark.policy import (
+    DeduplicationConfig,
+    PIIPolicy,
+    dedup_window_batch,
+    rate_cap_batch,
+    severity_gate,
+)
+
+
+# ---------------------------------------------------------------------------
+# audit entries (S10 — logger.go:25-70)
+# ---------------------------------------------------------------------------
+
+def audit_entries(
+    findings: DataFrame,
+    policy_name: str,
+    event_type: str = "pii.detected",
+    action: str = "redact",
+    source: str = "pii_spark",
+    include_text: bool = False,
+) -> DataFrame:
+    """One audit row per finding, shaped like the reference AuditEntry
+    (logger.go:25-70).  ``include_text`` mirrors the reference's
+    optional Original/Redacted text capture."""
+    cols = [
+        F.current_timestamp().alias("timestamp"),
+        F.lit(event_type).alias("event_type"),
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.lit(policy_name).alias("policy_name"),
+        F.col("pattern").alias("pattern_name"),
+        F.col("display").alias("pattern_display_name"),
+        F.col("severity"),
+        F.lit(action).alias("action"),
+        F.lit(source).alias("source"),
+        F.create_map(
+            F.lit("confidence"), F.col("confidence"),
+        ).alias("labels"),
+    ]
+    if include_text:
+        cols += [F.col("matched").alias("original_text"), F.col("redacted").alias("redacted_text")]
+    return findings.select(*cols)
+
+
+def write_json_audit(df: DataFrame, path: str) -> None:
+    """JSON-lines append sink (logger.go:187-204)."""
+    df.write.mode("append").format("json").save(path)
+
+
+def multi_sink(df: DataFrame, writers: list) -> Exception | None:
+    """Fan-out to N sinks, keep last error (MultiLogger.Log,
+    logger.go:265-273).  ``writers``: callables taking the DataFrame.
+    Persists once so each sink reuses the computed result."""
+    df.persist()
+    last_err: Exception | None = None
+    try:
+        for w in writers:
+            try:
+                w(df)
+            except Exception as exc:  # keep last error, continue fan-out
+                last_err = exc
+    finally:
+        df.unpersist()
+    return last_err
+
+
+# ---------------------------------------------------------------------------
+# metrics tables (A2/A4/A5)
+# ---------------------------------------------------------------------------
+
+def findings_by_pattern(findings: DataFrame) -> DataFrame:
+    """Group findings by pattern (A2 — cmd/cli/main.go:373-379)."""
+    return (
+        findings.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("repo", "path").alias("n_files"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def drop_reason_metrics(labeled: DataFrame) -> DataFrame:
+    """Keep/drop lineage metric: counts per drop_reason (north rule's
+    drop-reason metrics table; keep rows appear as reason='kept')."""
+    return (
+        labeled.withColumn(
+            "reason", F.coalesce(F.col("drop_reason"), F.lit("kept"))
+        )
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("reason")
+    )
+
+
+def severity_metrics(findings: DataFrame) -> DataFrame:
+    return (
+        findings.groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("severity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# alerts (S12, F9, U5, T1 — notifier.go:19-64, manager.go:81-89)
+# ---------------------------------------------------------------------------
+
+def build_alerts(
+    findings: DataFrame,
+    policy: PIIPolicy,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Findings → alert rows: severity gate (F9) → windowed dedup (U5)
+    → per-minute rate cap (T1 batch).  The alert ID is a deterministic
+    hash (the reference uses a timestamp id, notifier.go:122-124 —
+    non-reproducible; we pin determinism)."""
+    gated = severity_gate(findings, policy.min_severity)
+    dedup_keys = [k for k in policy.dedup.keys if k in findings.columns]
+    deduped = dedup_window_batch(
+        gated, dedup_keys, ts_col=ts_col, window=policy.dedup.window,
+        order_cols=["pattern", "start"],
+    )
+    capped = rate_cap_batch(
+        deduped, keys=["repo"], ts_col=ts_col,
+        per_minute=policy.rate_limit_per_min, order_cols=["pattern", "path", "start"],
+    )
+    return capped.withColumn(
+        "alert_id",
+        F.sha2(F.concat_ws("/", F.lit(policy.name), "repo", "path", "pattern",
+                           F.col(ts_col).cast("string")), 256),
+    ).withColumn("policy_name", F.lit(policy.name))

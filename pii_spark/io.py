@@ -1,0 +1,76 @@
+"""Table IO abstraction: Iceberg when configured, parquet-dir fallback.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg
+runtime jar (SURVEY §7.1), so :class:`TableIO` presents one API over
+both: ``format("iceberg")`` via a configured Spark catalog when
+``catalog`` is set, else parquet directories under ``root`` emulating
+append/commit semantics.  The pipeline only uses this API, so swapping
+in a real Iceberg catalog is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None,
+                 database: str = "db"):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog  # e.g. "iceberg_cat" → tables `cat.db.name`
+        self.database = database
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.database}.{name}"
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        # flat or one-level-partitioned parquet dirs; a bare _SUCCESS
+        # with no data files (empty partitioned write) is NOT readable
+        for entry in os.listdir(p):
+            full = os.path.join(p, entry)
+            if entry.endswith(".parquet"):
+                return True
+            if os.path.isdir(full) and any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                return True
+        return False
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.format("iceberg").load(self._ident(name))
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self.catalog:
+            writer = df.writeTo(self._ident(name))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "append" and self.spark.catalog.tableExists(self._ident(name)):
+                writer.append()
+            else:
+                writer.createOrReplace()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))

@@ -1,0 +1,211 @@
+"""End-to-end quality-filter + PII-scrub pipeline.
+
+The batch pipeline the north rule describes (BASELINE.json): scan the
+code-file table → selector filter → sampling/size guards → skew-aware
+salted repartition → quality annotation (JVM heuristics + model UDF) →
+PII scrub (vectorized UDF) → keep/drop split → write scrubbed output,
+findings, drop-reason/lineage metrics — with **per-partition checkpoint
++ idempotent resume**.
+
+Scale design notes (local[32] here, 1000-executor cluster in target):
+
+- The scrub/quality stage is embarrassingly parallel; rows are
+  repartitioned on ``bucket`` = ``xxhash64(repo, path) % n_buckets``
+  (+ a salt term), which is uniform by construction — giant repos
+  (``r0`` owns ~40% of files) cannot produce hot partitions the way
+  repo-keyed partitioning would.
+- Aggregations (drop reasons, findings per pattern) are hash
+  aggregates with map-side partial aggregation; AQE handles post-shuffle
+  coalescing and skew-joins (enabled in session conf).
+- Checkpointing: buckets are processed in groups; after each group
+  commits its output (parquet partition dir / Iceberg append), a
+  progress row ``(run_id, bucket, n_files, status)`` is appended.
+  ``resume`` anti-joins completed buckets and processes the rest —
+  re-running a completed run is a no-op, matching the reference's
+  idempotent reconcile model.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pii_spark.audit import drop_reason_metrics, findings_by_pattern
+from pii_spark.detect import explode_findings, scrub_map_in_pandas
+from pii_spark.io import TableIO
+from pii_spark.policy import PIIPolicy, aggregate_patterns, apply_selector
+from pii_spark.quality import with_quality
+
+
+@dataclass
+class PipelineConfig:
+    policy: PIIPolicy = field(default_factory=PIIPolicy)
+    n_buckets: int = 64
+    bucket_group_size: int = 64  # buckets committed per checkpoint group
+    output_partition_cols: tuple = ("bucket",)
+
+
+KEY_COLS = ["repo", "path", "commit", "lang"]
+
+
+def add_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Uniform file-level bucket for checkpointing + repartitioning
+    (the salted-partition strategy: hash of the full file key, never the
+    skewed repo/lang key alone)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)).cast("int")
+    )
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, io: TableIO, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.io = io
+        self.config = config or PipelineConfig()
+        self.agg = aggregate_patterns(self.config.policy)
+        self._bank_bc = spark.sparkContext.broadcast(self.agg.bank)
+
+    # ------------------------------------------------------------------
+    def transform(self, df: DataFrame) -> DataFrame:
+        """The pure transformation: selector → quality → scrub.
+
+        Returns one row per input row with quality columns
+        (keep/drop_reason/scores), scrub columns (scrubbed_text,
+        detections, n_redactions) and ``scrubbed_sha256``.
+        """
+        cfg = self.config
+        df = apply_selector(df, cfg.policy.selector)
+        if cfg.policy.performance.sampling_rate < 100.0:
+            df = df.sample(fraction=cfg.policy.performance.sampling_rate / 100.0, seed=42)
+        df = with_quality(df, content_col="content", declared_lang_col="lang")
+        df = scrub_map_in_pandas(
+            df,
+            self.agg.bank,
+            content_col="content",
+            validation=cfg.policy.validation,
+            spark=self.spark,
+        )
+        return df.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        run_id: str,
+        max_groups: int | None = None,
+    ) -> dict:
+        """Process all not-yet-committed buckets of ``run_id`` in
+        checkpoint groups.  ``max_groups`` limits how many groups commit
+        (for testing resume); returns a summary dict."""
+        cfg = self.config
+        df = add_bucket(df, cfg.n_buckets)
+
+        done = self._completed_buckets(run_id)
+        todo = sorted(set(range(cfg.n_buckets)) - done)
+        groups = [
+            todo[i : i + cfg.bucket_group_size]
+            for i in range(0, len(todo), cfg.bucket_group_size)
+        ]
+        if max_groups is not None:
+            groups = groups[:max_groups]
+
+        parallelism = self.spark.sparkContext.defaultParallelism
+        t0 = time.time()
+        n_files = 0
+        for group in groups:
+            part = df.filter(F.col("bucket").isin(group))
+            # salt-repartition: bucket is a uniform hash → even partitions
+            part = part.repartition(parallelism, F.col("bucket"), F.xxhash64("path"))
+            out = self.transform(part)
+
+            out.persist()
+            try:
+                group_n = out.count()
+                if group_n > 0:
+                    scrubbed_cols = KEY_COLS + [
+                        "bucket", "scrubbed_text", "scrubbed_sha256", "n_redactions",
+                        "keep", "drop_reason",
+                    ]
+                    self.io.write(
+                        out.select(*scrubbed_cols),
+                        "scrubbed_files",
+                        partition_by=list(cfg.output_partition_cols),
+                    )
+                    findings = explode_findings(out, KEY_COLS + ["bucket"])
+                    self.io.write(findings, "findings", partition_by=["bucket"])
+                n_files += group_n
+                # empty groups still commit progress (bucket done, 0 rows)
+                self._commit_progress(run_id, group, out)
+            finally:
+                out.unpersist()
+
+        elapsed = time.time() - t0
+        self._write_run_metrics(run_id)
+        return {
+            "run_id": run_id,
+            "buckets_processed": sum(len(g) for g in groups),
+            "buckets_remaining": len(todo) - sum(len(g) for g in groups),
+            "n_files": n_files,
+            "elapsed_sec": elapsed,
+            "files_per_sec": n_files / elapsed if elapsed > 0 else 0.0,
+        }
+
+    def resume(self, df: DataFrame, run_id: str) -> dict:
+        """Idempotent resume: anti-join committed buckets, process the
+        rest (north rule checkpoint/resume contract)."""
+        return self.run(df, run_id)
+
+    # ------------------------------------------------------------------
+    def _completed_buckets(self, run_id: str) -> set[int]:
+        if not self.io.exists("progress"):
+            return set()
+        rows = (
+            self.io.read("progress")
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("bucket")
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+
+    def _commit_progress(self, run_id: str, buckets: list[int], out: DataFrame) -> None:
+        counts = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rows = [
+            (run_id, int(b), int(counts.get(b, 0)), "done", float(time.time()))
+            for b in buckets
+        ]
+        pdf = self.spark.createDataFrame(
+            rows, "run_id string, bucket int, n_files long, status string, committed_at double"
+        )
+        self.io.write(pdf, "progress")
+
+    def _write_run_metrics(self, run_id: str) -> None:
+        """Lineage + drop-reason metrics over everything committed so far
+        (A5 — the north rule's metrics tables)."""
+        if not self.io.exists("scrubbed_files"):
+            return  # nothing committed (e.g. selector matched no rows)
+        files = self.io.read("scrubbed_files")
+        metrics = drop_reason_metrics(files).withColumn("run_id", F.lit(run_id))
+        self.io.write(metrics, "metrics_drop_reasons", mode="overwrite")
+        if self.io.exists("findings"):
+            fbp = findings_by_pattern(self.io.read("findings")).withColumn(
+                "run_id", F.lit(run_id)
+            )
+            self.io.write(fbp, "metrics_findings", mode="overwrite")
+
+
+def default_spark_conf(builder, shuffle_partitions: int = 32):
+    """Session conf the pipeline assumes: AQE on (post-shuffle coalesce +
+    skew handling), Arrow enabled, bounded Arrow batches (T5)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    )

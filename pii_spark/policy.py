@@ -1,0 +1,267 @@
+"""Policy algebra: selectors, pattern aggregation, gating, dedup, rate caps.
+
+Relational re-expression of the reference's PIIPolicy machinery
+(``/root/reference/api/v1alpha1/piipolicy_types.go``,
+``internal/policy/matcher.go``, ``internal/policy/aggregator.go``,
+``internal/notifier/``).  The reference evaluates selectors against the
+K8s API and mutates a shared engine; here a policy **is plan
+construction**: it produces DataFrame filters, a pattern-bank subset and
+output-stage toggles, and Catalyst pushes the filters into the scan.
+
+Coordinate mapping (SURVEY §1.1): K8s ``Namespace/Pod/Container`` ↔
+corpus provenance ``repo/path/commit``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pii_spark.patterns import SEVERITY_LEVEL, PatternBank, PIIPatternSpec
+
+
+# ---------------------------------------------------------------------------
+# config objects (CRD spec equivalents)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PolicySelector:
+    """PIIPolicy selector (piipolicy_types.go:8-20).
+
+    ``include_repos`` empty ⇒ match all (matcher.go:53-62); excludes are
+    removed afterwards (matcher.go:147-165); ``repo_labels`` matches a
+    ``repo_labels`` map column if present (matcher.go:34-50).
+    """
+
+    include_repos: list[str] = field(default_factory=list)
+    exclude_repos: list[str] = field(default_factory=list)
+    repo_labels: dict[str, str] = field(default_factory=dict)
+    path_glob: str | None = None  # pod-selector analog at file level (F8)
+
+
+@dataclass
+class PerformanceConfig:
+    """PIIPolicy performance knobs + defaults (piipolicy_types.go:102-116)."""
+
+    sampling_rate: float = 100.0  # percent of rows processed (F10)
+    max_size_kb: int = 1024       # skip rows larger than this (F11)
+    batch_size: int = 100         # Arrow batch sizing hint (T5)
+
+
+@dataclass
+class DeduplicationConfig:
+    """Windowed dedup contract (piipolicy_types.go:54-60): suppress
+    duplicate alerts within ``window`` by templated key — default key
+    ``{{.Namespace}}/{{.Pod}}/{{.PatternName}}`` ↔ (repo, path, pattern)."""
+
+    window: str = "5 minutes"
+    keys: list[str] = field(default_factory=lambda: ["repo", "path", "pattern"])
+
+
+@dataclass
+class PolicyActions:
+    """Action toggles (piipolicy_types.go:118-131)."""
+
+    redact: bool = True
+    alert: bool = False
+    audit: bool = True
+
+
+@dataclass
+class PIIPolicy:
+    """The full policy: selector + pattern selection + actions."""
+
+    name: str = "default"
+    selector: PolicySelector = field(default_factory=PolicySelector)
+    builtin_patterns: list[str] = field(default_factory=list)  # empty ⇒ all enabled
+    custom_patterns: dict[str, PIIPatternSpec] = field(default_factory=dict)
+    actions: PolicyActions = field(default_factory=PolicyActions)
+    performance: PerformanceConfig = field(default_factory=PerformanceConfig)
+    dedup: DeduplicationConfig = field(default_factory=DeduplicationConfig)
+    min_severity: str = "low"          # alert gate (F9)
+    rate_limit_per_min: int = 10       # token-bucket default (ratelimiter.go:34)
+    validation: bool = True
+
+
+# ---------------------------------------------------------------------------
+# selector → filters (F5–F8, J1/J2)
+# ---------------------------------------------------------------------------
+
+def selector_predicate(selector: PolicySelector, repo_col: str = "repo") -> Column | None:
+    """Combined selector predicate, or None for match-all.  Expressed as
+    plain Column predicates so Catalyst pushes them into the scan."""
+    preds: list[Column] = []
+    if selector.include_repos:
+        preds.append(F.col(repo_col).isin(selector.include_repos))
+    if selector.exclude_repos:
+        preds.append(~F.col(repo_col).isin(selector.exclude_repos))
+    for k, v in selector.repo_labels.items():
+        preds.append(F.col("repo_labels").getItem(k) == v)
+    if selector.path_glob:
+        # filepath.Match-style glob → anchored regex (F15 analog at F8)
+        import fnmatch
+
+        preds.append(F.col("path").rlike(fnmatch.translate(selector.path_glob)))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def apply_selector(df: DataFrame, selector: PolicySelector) -> DataFrame:
+    pred = selector_predicate(selector)
+    return df if pred is None else df.filter(pred)
+
+
+def apply_performance(df: DataFrame, perf: PerformanceConfig, content_col: str = "content",
+                      seed: int = 42) -> DataFrame:
+    """Sampling (F10) + max-size guard (F11).  Oversized rows are
+    dropped here; the pipeline records them with drop_reason=max_size
+    before this point."""
+    if perf.sampling_rate < 100.0:
+        df = df.sample(fraction=perf.sampling_rate / 100.0, seed=seed)
+    if perf.max_size_kb > 0:
+        df = df.filter(F.length(F.col(content_col)) <= perf.max_size_kb * 1024)
+    return df
+
+
+def match_result(df: DataFrame, selector: PolicySelector, repo_col: str = "repo") -> DataFrame:
+    """Policy match summary (A4, matcher.go:195-220): matched repos +
+    file counts."""
+    return (
+        apply_selector(df, selector)
+        .groupBy(repo_col)
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy(repo_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern aggregation (A3, J3 — aggregator.go:29-115)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PatternAggregation:
+    bank: PatternBank
+    loaded: list[str]
+    errors: list[str]
+
+    @property
+    def total_patterns(self) -> int:
+        return len(self.loaded)
+
+    def has_errors(self) -> bool:
+        return bool(self.errors)
+
+
+def aggregate_patterns(policy: PIIPolicy, base_bank: PatternBank | None = None) -> PatternAggregation:
+    """Resolve builtin/custom pattern selections into a bank subset;
+    missing refs become error entries, valid ones still load
+    (aggregator.go:29-83)."""
+    base = base_bank if base_bank is not None else PatternBank()
+    errors: list[str] = []
+    loaded: list[str] = []
+
+    if policy.builtin_patterns:
+        names = []
+        for n in policy.builtin_patterns:
+            if base.has_pattern(n):
+                names.append(n)
+            else:
+                errors.append(f"built-in pattern not found: {n}")
+        bank = base.subset(names)
+        loaded.extend(names)
+    else:
+        bank = base.subset(base.list_enabled_patterns())
+        loaded.extend(bank.list_patterns())
+
+    for name, spec in policy.custom_patterns.items():
+        try:
+            bank.add_pattern(name, spec)
+            loaded.append(name)
+        except Exception as exc:  # bad regex → error entry (engine.go:137-146)
+            errors.append(f"custom pattern {name}: {exc}")
+
+    return PatternAggregation(bank=bank, loaded=sorted(loaded), errors=errors)
+
+
+# ---------------------------------------------------------------------------
+# severity gate (F9 — notifier.go:88-106)
+# ---------------------------------------------------------------------------
+
+def severity_level_col(col: Column) -> Column:
+    """Severity → ordinal via a when-chain (notifier.go:88-101);
+    unknown severities map to 0 (below 'low'), as in the reference."""
+    expr = F.lit(0)
+    for name, level in SEVERITY_LEVEL.items():
+        expr = F.when(col == name, level).otherwise(expr)
+    return expr
+
+
+def severity_gate(df: DataFrame, min_severity: str, severity_col: str = "severity") -> DataFrame:
+    """Keep findings at or above ``min_severity`` (notifier.go:88-106,
+    applied in manager.go:81-89)."""
+    min_level = SEVERITY_LEVEL.get(min_severity, 0)
+    return df.filter(severity_level_col(F.col(severity_col)) >= min_level)
+
+
+# ---------------------------------------------------------------------------
+# dedup (U1/U5) and rate cap (T1 batch form)
+# ---------------------------------------------------------------------------
+
+def dedup_window_batch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch alert dedup (U5): first row per (keys, time-window) wins.
+
+    ``row_number() over (partition by keys, window(ts, w) order by ts,
+    order_cols)`` — the batch equivalent of the streaming
+    ``dropDuplicatesWithinWatermark`` contract (piipolicy_types.go:54-60).
+    Tumbling windows are epoch-aligned, matching Spark's ``window()``.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(
+        *[F.col(k) for k in keys], F.window(F.col(ts_col), window)["start"]
+    ).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rate_cap_batch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    per_minute: int = 10,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch approximation of the token-bucket rate limiter
+    (ratelimiter.go:32-75, default 10/min): within each (keys,
+    1-minute window), the first ``per_minute`` rows are ``allowed``;
+    the rest are blocked.  Adds an ``allowed`` boolean (the reference
+    tallies allowed/blocked per channel, ratelimiter.go:77-88); the
+    exact streaming bucket lives in :mod:`pii_spark.streaming`."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(
+        *[F.col(k) for k in keys], F.window(F.col(ts_col), "1 minute")["start"]
+    ).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "allowed", F.col("__rn") <= per_minute
+    ).drop("__rn")
+
+
+def rate_cap_stats(df_with_allowed: DataFrame, keys: list[str]) -> DataFrame:
+    """Allowed/blocked tallies per key (ratelimiter.go:77-88, A5)."""
+    return df_with_allowed.groupBy(*keys).agg(
+        F.sum(F.col("allowed").cast("long")).alias("allowed"),
+        F.sum((~F.col("allowed")).cast("long")).alias("blocked"),
+    )

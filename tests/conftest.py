@@ -1,0 +1,20 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master("local[8]").appName("pii-spark-tests"),
+            shuffle_partitions=8,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()

@@ -1,0 +1,146 @@
+"""Pattern bank + registry tests (reference: builtin.go, engine.go
+registry surface, CLI rules-test cmd/cli/main.go:95-192)."""
+
+import pytest
+
+from pii_spark.engine import validate_bank
+from pii_spark.patterns import (
+    BUILTIN_PATTERNS,
+    MaskingStrategy,
+    PatternBank,
+    PatternRule,
+    PIIPatternSpec,
+    patterns_catalog_rows,
+)
+
+
+def test_bank_size_and_defaults():
+    # 36 patterns, 30 enabled by default, 50 regex rules (BASELINE.md)
+    assert len(BUILTIN_PATTERNS) == 36
+    assert sum(s.enabled for s in BUILTIN_PATTERNS.values()) == 30
+    assert sum(len(s.patterns) for s in BUILTIN_PATTERNS.values()) == 50
+
+
+def test_default_disabled_set():
+    # builtin.go: ip-address, ipv6-address, mac-address,
+    # driver-license-us, passport-us, routing-number-us
+    disabled = {n for n, s in BUILTIN_PATTERNS.items() if not s.enabled}
+    assert disabled == {
+        "ip-address", "ipv6-address", "mac-address",
+        "driver-license-us", "passport-us", "routing-number-us",
+    }
+
+
+def test_categories():
+    bank = PatternBank()
+    assert bank.get_categories() == ["global", "korea", "secrets", "usa"]
+    assert set(bank.list_patterns_by_category("korea")) == {
+        "korean-rrn", "phone-kr", "passport-kr", "driver-license-kr",
+        "business-number-kr", "foreign-registration-kr",
+    }
+
+
+def test_enable_disable_roundtrip():
+    bank = PatternBank()
+    assert not bank.is_pattern_enabled("ip-address")
+    assert bank.enable_pattern("ip-address")
+    assert bank.is_pattern_enabled("ip-address")
+    assert bank.disable_pattern("ip-address")
+    assert not bank.is_pattern_enabled("ip-address")
+    assert not bank.enable_pattern("nonexistent")
+
+
+def test_category_toggle_counts():
+    bank = PatternBank()
+    n = bank.disable_patterns_by_category("secrets")
+    assert n == 15
+    assert all(
+        not bank.is_pattern_enabled(p)
+        for p in bank.list_patterns_by_category("secrets")
+    )
+    assert bank.enable_patterns_by_category("secrets") == 15
+
+
+def test_add_custom_pattern_and_bad_regex():
+    bank = PatternBank()
+    spec = PIIPatternSpec(
+        display_name="Employee ID",
+        patterns=(PatternRule(r"EMP-[0-9]{6}", "high"),),
+        masking=MaskingStrategy("partial", 4, 0, "*"),
+        severity="medium",
+    )
+    bank.add_pattern("employee-id", spec)
+    assert bank.has_pattern("employee-id")
+    # custom bad regex raises (engine.go:137-146), unlike builtin skip
+    bad = PIIPatternSpec(display_name="x", patterns=(PatternRule("([", "high"),))
+    with pytest.raises(Exception):
+        bank.add_pattern("bad", bad)
+    bank.remove_pattern("employee-id")
+    assert not bank.has_pattern("employee-id")
+
+
+def test_disable_all_except():
+    bank = PatternBank()
+    bank.disable_all_except(["email", "jwt"])
+    assert bank.list_enabled_patterns() == ["email", "jwt"]
+
+
+def test_subset():
+    bank = PatternBank()
+    sub = bank.subset(["email", "ip-address", "nonexistent"])
+    assert sub.list_patterns() == ["email", "ip-address"]
+    assert sub.is_pattern_enabled("ip-address")  # subset enables all
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    bank = PatternBank()
+    bank.disable_pattern("email")
+    bank2 = pickle.loads(pickle.dumps(bank))
+    assert bank2.list_patterns() == bank.list_patterns()
+    assert not bank2.is_pattern_enabled("email")
+    assert bank2.get_pattern("jwt").rules
+
+
+def test_rule_self_test_reference_fixtures():
+    """Reference sample testCases (config/samples/*.yaml) must pass the
+    self-test (D8, cmd/cli/main.go:95-192)."""
+    cases = {
+        # piipattern_korean_rrn.yaml
+        "korean-rrn": {
+            "should_match": ["920101-1234567", "주민번호: 850515-2345678"],
+            "should_not_match": ["123456-789012", "000000-0000000"],
+        },
+        "email": {
+            "should_match": ["test@example.com"],
+            "should_not_match": ["no email here"],
+        },
+    }
+    assert validate_bank(BUILTIN_PATTERNS, cases) == []
+
+    # EMP custom pattern fixture (pii_v1alpha1_piipattern.yaml)
+    emp = {
+        "employee-id": {
+            "should_match": ["EMP-123456", "Employee: EMP-789012"],
+            "should_not_match": ["EMP-12345"],
+        }
+    }
+    specs = {
+        "employee-id": PIIPatternSpec(
+            display_name="EMP", patterns=(PatternRule(r"EMP-[0-9]{6}"),)
+        )
+    }
+    assert validate_bank(specs, emp) == []
+    # and a failing case reports
+    bad = {"employee-id": {"should_match": ["EMP-12"], "should_not_match": []}}
+    assert validate_bank(specs, bad)
+
+
+def test_catalog_rows():
+    rows = patterns_catalog_rows()
+    assert len(rows) == 36
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["credit-card"]["validator"] == "luhn"
+    assert by_name["credit-card"]["severity_level"] == 4
+    assert by_name["email"]["n_rules"] == 1

@@ -1,0 +1,87 @@
+"""Validator tests — golden cases from reference validator semantics
+(validator.go) and engine_test.go:88-126 (Luhn accept/reject)."""
+
+import pandas as pd
+import pytest
+
+from pii_spark import validators as V
+
+
+LUHN_CASES = [
+    ("4111111111111111", True),   # engine_test.go:97-101
+    ("4111-1111-1111-1111", True),
+    ("1234567890123456", False),  # engine_test.go:107-111
+    ("411111111111", False),      # too short (12 digits)
+    ("41111111111111111111", False),  # too long (20)
+    ("5500005555555559", True),
+    ("378282246310005", True),    # amex 15
+]
+
+RRN_CASES = [
+    ("920101-1234562", True),   # FIXTURES derived: weights → check digit 2
+    ("9201011234562", True),
+    ("920101-1234567", False),
+    ("123456-0000000", False),
+    ("92010112345", False),     # wrong length
+    ("920101-12345ab", False),
+]
+
+BIZ_CASES = [
+    ("123-45-67891", True),   # FIXTURES derived
+    ("1234567891", True),
+    ("123-45-67890", False),
+    ("12-345-6789", False),   # wrong digit count after strip = 9
+]
+
+IBAN_CASES = [
+    ("GB82WEST12345698765432", True),
+    ("GB82 WEST 1234 5698 7654 32", True),  # spaces stripped
+    ("gb82west12345698765432", True),       # uppercased
+    ("GB82WEST12345698765433", False),
+    ("GB82WEST123", False),                 # too short
+    ("DE89370400440532013000", True),
+    ("GB82WEST1234569876543!", False),      # invalid char
+]
+
+
+@pytest.mark.parametrize("value,expected", LUHN_CASES)
+def test_luhn_scalar(value, expected):
+    assert V.luhn(value) is expected
+
+
+@pytest.mark.parametrize("value,expected", RRN_CASES)
+def test_rrn_scalar(value, expected):
+    assert V.rrn_checksum(value) is expected
+
+
+@pytest.mark.parametrize("value,expected", BIZ_CASES)
+def test_biz_scalar(value, expected):
+    assert V.business_number_checksum(value) is expected
+
+
+@pytest.mark.parametrize("value,expected", IBAN_CASES)
+def test_iban_scalar(value, expected):
+    assert V.iban_checksum(value) is expected
+
+
+@pytest.mark.parametrize(
+    "vec_fn,cases",
+    [
+        (V.luhn_vec, LUHN_CASES),
+        (V.rrn_checksum_vec, RRN_CASES),
+        (V.business_number_checksum_vec, BIZ_CASES),
+        (V.iban_checksum_vec, IBAN_CASES),
+    ],
+)
+def test_vectorized_matches_scalar(vec_fn, cases):
+    s = pd.Series([c[0] for c in cases])
+    out = vec_fn(s)
+    assert out.tolist() == [c[1] for c in cases]
+
+
+def test_registry():
+    assert set(V.REGISTRY) == {
+        "luhn", "rrn-checksum", "business-number-checksum", "iban-checksum"
+    }
+    assert V.get_validator("luhn")("4111111111111111")
+    assert V.get_validator("missing") is None
