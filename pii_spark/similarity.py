@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Not present in the reference (its only similarity notion is exact
+string dedup, ``/root/reference/internal/policy/matcher.go:168-180``);
+added because a training-data engine at 100 TB needs ANN as a
+first-class operator (task brief).  Two tiers:
+
+- **brute-force cosine top-k** — the exactness baseline: dot products
+  via JVM-side ``F.zip_with``/``F.aggregate`` (whole-stage codegen, no
+  Python), global top-k via ``ORDER BY ... LIMIT k`` (Spark executes
+  this as per-partition TakeOrdered + driver merge — no full sort).
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (a vectorized pandas UDF, one matmul per Arrow batch), candidates
+  restricted to same-bucket vectors, exact cosine re-ranking of
+  candidates.  Probe cost drops from O(n) to O(n / 2^bits · tables).
+
+An IVF variant (k-means coarse quantizer) is deliberately not included:
+without a native BLAS-backed ANN library the LSH route has the same
+recall/cost trade-off with far less state to manage; the bucketed join
+below is the shape an IVF probe would take (bucket = centroid id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+
+# ---------------------------------------------------------------------------
+# exact cosine (JVM-side expressions)
+# ---------------------------------------------------------------------------
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, fully JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float],
+                    out_col: str = "sim") -> DataFrame:
+    """Cosine similarity of every row's ``vec_col`` to a constant query
+    vector (shipped as a literal array — no join, no broadcast needed)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return df.withColumn(out_col, cosine_col(F.col(vec_col), q))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to ``query``; ties broken by ``id_col`` so
+    the result is deterministic.  ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition heaps + driver merge, no
+    global sort/shuffle."""
+    return (
+        cosine_to_query(df, vec_col, query)
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold) via LSH bucketing:
+    candidates from :func:`lsh_bucket`, exact cosine verification on
+    candidates only."""
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = with_lsh_buckets(df, vec_col, dim, bits=bits, tables=tables, seed=seed)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(tables, bits, dim)).astype(np.float64)
+
+
+def make_lsh_udf(dim: int, bits: int = 8, tables: int = 4, seed: int = 7, table: int = 0):
+    """Pandas UDF ``vec → int`` sign-LSH bucket for one hash table.
+    Whole Arrow batch hashes in a single (batch × dim)·(dim × bits)
+    matmul."""
+    planes = _hyperplanes(dim, bits, tables, seed)[table]  # (bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(IntegerType())
+    def lsh_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        signs = (mat @ planes.T) > 0  # (n, bits)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return lsh_udf
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Explode each row into ``tables`` (table, bucket) assignments.
+
+    One UDF per table keeps the matmuls small; the union is a narrow
+    transformation (no shuffle) and the downstream join shuffles on the
+    (table, bucket) composite key — uniform by construction.
+    """
+    parts = []
+    for t in range(tables):
+        udf = make_lsh_udf(dim, bits, tables, seed, table=t)
+        parts.append(
+            df.withColumn("table", F.lit(t)).withColumn("bucket", udf(F.col(vec_col)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: probe only rows sharing an LSH bucket with the
+    query in any table, then exact cosine re-rank.  Recall is tunable via
+    (bits, tables); falls back to fewer than k rows when the probe set is
+    small — callers wanting guaranteed k re-probe with fewer bits."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, tables, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    q_buckets = [int(((planes[t] @ qv) > 0) @ weights) for t in range(tables)]
+
+    bucketed = with_lsh_buckets(df, vec_col, dim, bits=bits, tables=tables, seed=seed)
+    probe_pred = None
+    for t, bkt in enumerate(q_buckets):
+        p = (F.col("table") == t) & (F.col("bucket") == bkt)
+        probe_pred = p if probe_pred is None else (probe_pred | p)
+    candidates = bucketed.filter(probe_pred).select(df.columns).distinct()
+    return brute_force_topk(candidates, vec_col, query, k=k, id_col=id_col)

@@ -1,0 +1,131 @@
+"""Tests for the training-data dedup + similarity operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark dataframes and shuffles here"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "another unrelated document describing iceberg table snapshot commits"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 1, 2, 4]  # 3 removed, survivor is min id 0
+
+
+def test_exact_dedup_stats(docs):
+    row = dedup.exact_dedup_stats(docs, "text").collect()[0]
+    assert (row.n_docs, row.n_unique, row.n_removed) == (5, 4, 1)
+
+
+def test_shingles_col_matches_python(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f",), ("a b",), ("",)], "text string"
+    )
+    rows = df.select(dedup.shingles_col(F.col("text"), 5).alias("sh")).collect()
+    assert sorted(rows[0].sh) == ["a b c d e", "b c d e f"]
+    assert rows[1].sh == ["a b"]
+    assert rows[2].sh == []
+    # python twin used inside the MinHash UDF agrees
+    assert sorted(dedup._token_shingles("a b c d e f", 5)) == ["a b c d e", "b c d e f"]
+    assert dedup._token_shingles("a b", 5) == ["a b"]
+    assert dedup._token_shingles("", 5) == []
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (1, 3) in pairs
+    assert not any(2 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=32, verify_threshold=0.5
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jac for r in out.collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs
+    assert not any(2 in p or 4 in p for p in pairs)
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([("hello world foo bar baz",)], "text string")
+    udf = dedup.make_minhash_udf(num_hashes=16)
+    a = df.select(udf(F.col("text")).alias("s")).collect()[0].s
+    b = df.select(udf(F.col("text")).alias("s")).collect()[0].s
+    assert a == b and len(a) == 16
+
+
+def test_simhash_pairs(docs):
+    out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, shingle_n=3)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert pairs[(0, 3)] == 0  # identical text → identical fingerprint
+    assert all(h <= 8 for h in pairs.values())
+    assert (0, 2) not in pairs and (0, 4) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    # a planted near-identical pair
+    rows.append((100, rows[0][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    df, rows = vectors
+    q = rows[5][1]
+    out = similarity.brute_force_topk(df, "embedding", q, k=5).collect()
+    mat = np.stack([r[1] for r in rows])
+    sims = mat @ np.asarray(q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    ids = np.array([r[0] for r in rows])
+    order = np.lexsort((ids, -sims))[:5]
+    assert [r.vec_id for r in out] == ids[order].tolist()
+    np.testing.assert_allclose(
+        [r.sim for r in out], sims[order], rtol=1e-9
+    )
+
+
+def test_lsh_ann_finds_identical_vector(vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    out = similarity.ann_topk_lsh(df, "embedding", q, k=3, bits=4, tables=8)
+    got = [r.vec_id for r in out.collect()]
+    # the query vector itself (id 0) and its planted twin (id 100) hash to
+    # the query's bucket in every table → both must be retrieved, sim ≈ 1
+    assert got[:2] == [0, 100]
+
+
+def test_cosine_near_dup_pairs(vectors):
+    df, _ = vectors
+    out = similarity.cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, bits=4, tables=8
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 100)]
+    assert abs(out[0].sim - 1.0) < 1e-9
