@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the end-to-end quality-filter + PII-scrub pass
+(the north rule's files/sec pipeline) over the documents-derived code
+corpus; per-operator timings cover the rest of the surface.  Results are
+forced with a noop sink so Catalyst cannot prune the measured work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink defeats column pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from pii_spark.detect import with_scrub
+    from pii_spark.patterns import PatternBank
+    from pii_spark.pipeline import default_spark_conf
+    from pii_spark.quality import with_quality
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{cpus}]").appName("pii-spark-bench"),
+            shuffle_partitions=cpus,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: end-to-end quality + scrub over the PII-spliced corpus
+    corpus = E._pii_corpus(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("content"),
+    )
+    corpus = corpus.repartition(cpus, F.xxhash64("repo", "path")).persist()
+    n_files = corpus.count()
+
+    def e2e():
+        out = with_scrub(
+            with_quality(corpus, "content", declared_lang_col="lang"),
+            "content",
+            PatternBank(),
+        ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
+        _force(out)
+
+    timed("e2e_filter_scrub", e2e)
+
+    bench_queries = [
+        "detect_by_pattern",
+        "scrub_email_partial",
+        "dedup_exact",
+        "dedup_window",
+        "rate_cap",
+        "ngram_jaccard",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "token_count",
+        "quality_heuristics",
+        "ann_cosine_topk",
+        "langid_distribution",
+    ]
+    qmap = E.queries()
+    for name in bench_queries:
+        timed(name, lambda n=name: _force(qmap[n](spark, sf_dir)))
+
+    corpus.unpersist()
+    e2e_sec = timings["e2e_filter_scrub"]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_filter_scrub_sec",
+                "value": e2e_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_files": n_files,
+                "files_per_sec": round(n_files / e2e_sec, 1) if e2e_sec else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

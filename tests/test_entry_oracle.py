@@ -1,0 +1,68 @@
+"""Replicates the round driver's correctness gate locally: every
+``__spark_entry__.queries()`` entry with an ``oracle_sql()`` twin must
+match DuckDB on row count, column names and (order-insensitive) values
+at sf0.01; rows-only entries must run and return a stable schema."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype({c: "string" for c in df.columns})
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(E.oracle_sql())
+ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = E.queries()[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    want = _normalize(ddb.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (name, got.columns, want.columns)
+    assert len(got) == len(want), (name, len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"reason", "n_files", "n_redactions"} == set(df.columns)
