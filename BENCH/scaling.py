@@ -1,0 +1,183 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule).
+
+No real multi-executor cluster exists in this sandbox, so N vs 4N
+executors is evidenced by running the IDENTICAL job on the IDENTICAL
+input at ``local[8]`` and ``local[32]`` on the 32-core host (protocol in
+BASELINE.md).  Usage::
+
+    python BENCH/scaling.py prepare   # materialize the corpus parquet
+    python BENCH/scaling.py 8         # one JSON line with throughput
+    python BENCH/scaling.py 32
+    python BENCH/scaling.py           # prepare + both runs (subprocesses),
+                                      # prints summary, rewrites BENCH/BASELINE.md
+
+The job is the headline pipeline: quality annotation (JVM heuristics +
+model UDF) + full-bank PII scrub + sha256 of the scrubbed text.  The
+input is a deterministic corpus derived from the sf0.1 ``documents``
+table (replicated ``SCALING_REPS``×, PII spliced per doc_id),
+materialized ONCE as parquet so both runs scan byte-identical input —
+the shape a real cluster job has.  Each run does one un-timed warm pass
+(Python-worker fork + pandas/pyarrow import are one-time per-executor
+costs on a long-lived cluster) and times the steady-state second pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(os.environ.get("SCALING_REPS", "128"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_DIR = os.environ.get("SCALING_CORPUS_DIR", "/tmp/pii_spark_scaling_corpus")
+PARTITIONS = 256
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{cpus}]").appName(f"scaling-{cpus}"),
+            shuffle_partitions=cpus,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prepare() -> None:
+    """Materialize the identical-input corpus parquet (untimed)."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(CORPUS_DIR):
+        shutil.rmtree(CORPUS_DIR)
+    spark = _session(32)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))))
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(
+                F.lit("docs/"), F.col("doc_id").cast("string"), F.lit("/"),
+                F.col("rep").cast("string"),
+            ).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ).alias("content"),
+        )
+        .repartition(PARTITIONS, F.xxhash64("repo", "path"))
+        .write.mode("overwrite").parquet(CORPUS_DIR)
+    )
+    spark.stop()
+
+
+def run_once(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pii_spark.detect import with_scrub
+    from pii_spark.patterns import PatternBank
+    from pii_spark.quality import with_quality
+
+    spark = _session(cpus)
+    corpus = spark.read.parquet(CORPUS_DIR)
+    n = corpus.count()
+
+    out = with_scrub(
+        with_quality(corpus, "content", declared_lang_col="lang"),
+        "content",
+        PatternBank(),
+    ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
+
+    # Two warm passes (Python-worker fork + pandas import, JVM JIT of the
+    # codegen'd stages — one-time costs on a long-lived cluster), then
+    # median of three steady-state passes.
+    out.write.format("noop").mode("overwrite").save()
+    out.write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    sec = sorted(times)[1]
+
+    spark.stop()
+    return {"cpus": cpus, "n_files": n, "sec": round(sec, 2),
+            "passes": [round(t, 2) for t in times],
+            "files_per_sec": round(n / sec, 1)}
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "prepare":
+        prepare()
+        return
+    if len(sys.argv) > 1:
+        print(json.dumps(run_once(int(sys.argv[1]))))
+        return
+
+    prepare()
+    results = {}
+    for cpus in (8, 32):
+        # Pin the whole process tree (JVM + Python workers) to exactly
+        # `cpus` CPUs — the honest stand-in for an N-core cluster slice:
+        # without pinning, a local[8] JVM leaks GC/shuffle/Python-worker
+        # work onto the host's spare 24 cores and deflates the ratio.
+        cmd = [sys.executable, os.path.abspath(__file__), str(cpus)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    summary = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — measured baseline + scaling evidence
+
+Protocol (BASELINE.md): the N→4N executor scaling criterion is evidenced
+by running the identical job on the identical input at `local[8]` and
+`local[32]` on the 32-core host (no real cluster in this sandbox).
+
+Job: quality annotation (langid + char-trigram perplexity + toxicity +
+JVM-side heuristics) + full-bank PII scrub + sha256 over a deterministic
+corpus of {r8['n_files']:,} files ({REPS}× replicated sf0.1 `documents`,
+PII spliced per doc_id), materialized once as parquet in {PARTITIONS}
+hash partitions so both runs scan byte-identical input.  Each run is
+pinned to exactly its core count via `taskset`, does two un-timed warm
+passes (Python-worker fork + pandas import + JVM JIT — one-time costs on
+a long-lived cluster) and reports the median of three steady-state
+passes (measured: {r8.get('passes')} @8, {r32.get('passes')} @32).
+
+| parallelism | wall time (s) | throughput (files/sec) |
+|---|---|---|
+| local[8]  (N)  | {r8['sec']} | {r8['files_per_sec']:,} |
+| local[32] (4N) | {r32['sec']} | {r32['files_per_sec']:,} |
+
+**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json).
+
+Reproduce: `python BENCH/scaling.py` (env: `SCALING_REPS`,
+`SPARK_GRAFT_SF_DIR`, `SCALING_CORPUS_DIR`).
+"""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
