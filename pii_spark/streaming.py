@@ -1,0 +1,207 @@
+"""Structured Streaming forms of the reference's real-time contracts.
+
+The reference is a live log processor; its streaming semantics (SURVEY
+§2.9) map onto Structured Streaming:
+
+- **T1 token-bucket rate limiter** (``/root/reference/internal/notifier/
+  ratelimiter.go:32-75``, registry :135-200, default 10/min :34):
+  per-channel bucket with capacity = rate, refill rate/60 tokens/sec;
+  ``Allow()`` consumes one token; allowed/blocked tallied (:77-88).
+  This is the one genuinely custom stateful operator — implemented with
+  ``applyInPandasWithState`` keyed by channel; the batch approximation
+  lives in :func:`pii_spark.policy.rate_cap_batch`.
+- **T2 dedup window** (``api/v1alpha1/piipolicy_types.go:54-60``):
+  ``withWatermark`` + ``dropDuplicatesWithinWatermark`` on the templated
+  key — late data beyond the watermark is dropped, matching "suppress
+  within window".
+- **T4 config hot-swap** (``engine.go:62-67``): no locks — an immutable
+  bank snapshot per micro-batch via ``foreachBatch`` closure rebuild.
+- **T5 batching knob** (``piipolicy_types.go:113-115``): Arrow batch
+  size / ``maxFilesPerTrigger`` on the source.
+
+The scrub/quality transformations are stateless projections, so the
+batch operators from :mod:`pii_spark.detect` / :mod:`pii_spark.quality`
+apply unchanged to streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+# ---------------------------------------------------------------------------
+# T1: exact token bucket
+# ---------------------------------------------------------------------------
+
+def token_bucket_py(
+    events: Iterable[Tuple[float, Any]],
+    rate_per_min: int,
+    state: Tuple[float, float] | None = None,
+) -> Tuple[list, Tuple[float, float]]:
+    """Pure-Python token bucket (the reference algorithm,
+    ratelimiter.go:48-75): capacity = rate, refill rate/60 per second.
+
+    ``events``: (epoch_sec, payload) in time order.  Returns
+    ``([(payload, allowed)], (tokens, last_ts))``.  Also used as the
+    test oracle for the streaming operator.
+    """
+    rate = float(rate_per_min)
+    refill_per_sec = rate / 60.0
+    tokens, last = state if state is not None else (rate, None)
+    out = []
+    for ts, payload in events:
+        if last is not None and ts > last:
+            tokens = min(rate, tokens + (ts - last) * refill_per_sec)
+        last = ts if last is None else max(last, ts)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            out.append((payload, True))
+        else:
+            out.append((payload, False))
+    return out, (tokens, last)
+
+
+TOKEN_BUCKET_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", DoubleType()),
+        StructField("last_ts", DoubleType()),
+        StructField("allowed_total", LongType()),
+        StructField("blocked_total", LongType()),
+    ]
+)
+
+
+def token_bucket_output_schema(id_type="long") -> StructType:
+    return StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("event_id", LongType() if id_type == "long" else StringType()),
+            StructField("ts", TimestampType()),
+            StructField("allowed", BooleanType()),
+            StructField("allowed_total", LongType()),
+            StructField("blocked_total", LongType()),
+        ]
+    )
+
+
+def token_bucket_stream(
+    df: DataFrame,
+    rate_per_min: int = 10,
+    channel_col: str = "channel",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming token-bucket rate limiter keyed by channel (T1).
+
+    Input: a streaming DataFrame with (channel, event_id, ts).  Output:
+    one row per event with ``allowed`` plus running allowed/blocked
+    tallies (ratelimiter.go:77-88).  Within a micro-batch, events are
+    processed in (ts, event_id) order; bucket state persists across
+    batches in the state store.
+    """
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last_ts, allowed_total, blocked_total = state.get
+            st = (tokens, last_ts if last_ts >= 0 else None)
+        else:
+            st = None
+            allowed_total = blocked_total = 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col], kind="mergesort")
+        ev = [
+            (t.timestamp(), i)
+            for t, i in zip(rows[ts_col], rows[id_col])
+        ]
+        decisions, (tokens, last) = token_bucket_py(ev, rate_per_min, st)
+        allowed = [a for _, a in decisions]
+        allowed_total += sum(allowed)
+        blocked_total += len(allowed) - sum(allowed)
+        state.update((float(tokens), float(last if last is not None else -1.0),
+                      int(allowed_total), int(blocked_total)))
+        yield pd.DataFrame(
+            {
+                "channel": [key[0]] * len(rows),
+                "event_id": rows[id_col].to_numpy(),
+                "ts": rows[ts_col].to_numpy(),
+                "allowed": allowed,
+                "allowed_total": [allowed_total] * len(rows),
+                "blocked_total": [blocked_total] * len(rows),
+            }
+        )
+
+    return (
+        df.groupBy(channel_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=token_bucket_output_schema(),
+            stateStructType=TOKEN_BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: streaming dedup window
+# ---------------------------------------------------------------------------
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Suppress duplicate rows sharing ``keys`` within ``window`` (U5/T2)
+    — ``dropDuplicatesWithinWatermark``: a duplicate arriving within the
+    watermark of the first occurrence is dropped; late data beyond it is
+    dropped by the watermark itself."""
+    return df.withWatermark(ts_col, window).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
+# T4/T5: streaming scrub with per-batch bank snapshot
+# ---------------------------------------------------------------------------
+
+def scrub_stream_writer(
+    stream_df: DataFrame,
+    io,
+    bank_provider,
+    content_col: str = "content",
+    table: str = "scrubbed_stream",
+    checkpoint: str | None = None,
+):
+    """``foreachBatch`` writer applying the scrub with a fresh immutable
+    bank snapshot per micro-batch (T4: the reference hot-swaps its
+    pattern map under an RWMutex, engine.go:62-67; Spark's model makes
+    that a re-broadcast between batches — no locks).
+
+    ``bank_provider``: zero-arg callable returning the current
+    PatternBank.  Returns the started StreamingQuery.
+    """
+    from pii_spark.detect import scrub_map_in_pandas
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bank = bank_provider()
+        out = scrub_map_in_pandas(batch_df, bank, content_col=content_col)
+        io.write(out, table)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,156 @@
+"""Streaming operator tests: token bucket (T1), dedup window (T2),
+foreachBatch scrub with per-batch bank snapshot (T4)."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from pii_spark import streaming as S
+from pii_spark.io import TableIO
+from pii_spark.patterns import PatternBank
+
+
+def test_token_bucket_py_reference_semantics():
+    # capacity 3 (rate 3/min), refill 0.05 tokens/sec
+    ev = [(0.0, "a"), (0.1, "b"), (0.2, "c"), (0.3, "d"), (20.3, "e")]
+    out, (tokens, last) = S.token_bucket_py(ev, 3)
+    # a,b,c consume the full bucket; d blocked; e after 20s refilled 1.0
+    assert [a for _, a in out] == [True, True, True, False, True]
+    assert last == 20.3 and tokens < 1.0
+
+
+def test_token_bucket_py_state_carries_over():
+    out1, st = S.token_bucket_py([(0.0, 1), (0.5, 2)], 2)
+    assert [a for _, a in out1] == [True, True]
+    out2, st2 = S.token_bucket_py([(1.0, 3)], 2, st)
+    assert [a for _, a in out2] == [False]  # only ~0.03 tokens refilled
+
+
+EV_SCHEMA = StructType([
+    StructField("channel", StringType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for ch, eid, ts in rows:
+            f.write(json.dumps({"channel": ch, "event_id": eid, "ts": ts}) + "\n")
+
+
+def test_token_bucket_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # two channels; slack gets 4 events in one minute with rate 2
+    _write_batch(src, "b0.json", [
+        ("slack", 0, "2024-01-01T00:00:00"),
+        ("slack", 1, "2024-01-01T00:00:01"),
+        ("slack", 2, "2024-01-01T00:00:02"),
+        ("email", 3, "2024-01-01T00:00:03"),
+    ])
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = S.token_bucket_stream(stream, rate_per_min=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tb_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch arrives 90s later: refill = 90 * 2/60 = 3 → capped at 2
+        _write_batch(src, "b1.json", [
+            ("slack", 4, "2024-01-01T00:01:32"),
+            ("slack", 5, "2024-01-01T00:01:33"),
+            ("slack", 6, "2024-01-01T00:01:34"),
+        ])
+        q.processAllAvailable()
+        rows = {r.event_id: r for r in spark.sql("SELECT * FROM tb_out").collect()}
+    finally:
+        q.stop()
+
+    assert rows[0].allowed and rows[1].allowed
+    assert not rows[2].allowed          # bucket (capacity 2) exhausted
+    assert rows[3].allowed              # separate channel
+    assert rows[4].allowed and rows[5].allowed  # refilled to cap 2
+    assert not rows[6].allowed
+    assert rows[6].allowed_total == 4 and rows[6].blocked_total == 2
+
+    # oracle agreement on the slack channel, batch boundaries included
+    ev = [(t, i) for i, t in sorted(
+        (r.event_id, r.ts.timestamp()) for r in rows.values()
+        if r.channel == "slack" and r.event_id < 4
+    )]
+    dec1, st = S.token_bucket_py(ev, 2)
+    ev2 = [(t, i) for i, t in sorted(
+        (r.event_id, r.ts.timestamp()) for r in rows.values()
+        if r.channel == "slack" and r.event_id >= 4
+    )]
+    dec2, _ = S.token_bucket_py(ev2, 2, st)
+    want = {p: a for p, a in dec1 + dec2}
+    got = {i: r.allowed for i, r in rows.items() if r.channel == "slack"}
+    assert got == want
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b0.json", [
+        ("a", 1, "2024-01-01T00:00:00"),
+        ("a", 2, "2024-01-01T00:01:00"),  # dup key within window → dropped
+        ("b", 3, "2024-01-01T00:01:30"),
+    ])
+    stream = (
+        spark.readStream.schema(EV_SCHEMA).json(str(src))
+    )
+    out = S.streaming_dedup(stream, ["channel"], ts_col="ts", window="5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.sql("SELECT * FROM dd_out").collect())
+    finally:
+        q.stop()
+    assert got == [1, 3]
+
+
+def test_scrub_stream_foreachbatch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("content", StringType()),
+    ])
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "content": "mail me at a.b@example.com ok"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "content": "nothing here"}) + "\n")
+
+    io = TableIO(spark, str(tmp_path / "tables"))
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = S.scrub_stream_writer(
+        stream, io, PatternBank, content_col="content",
+        checkpoint=str(tmp_path / "ckpt3"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.doc_id: r for r in io.read("scrubbed_stream").collect()}
+    assert rows[1].n_redactions == 1
+    assert "a.b@example.com" not in rows[1].scrubbed_text
+    assert rows[2].scrubbed_text == "nothing here"
