@@ -1,0 +1,540 @@
+"""Community rule sources, cache, subscriptions, semver — the config
+plane of the engine.
+
+Relational/driver-side re-expression of the reference's rule-source
+machinery (all file:line cites vs ``/root/reference/``):
+
+- rule model + 3-way lenient YAML parse — ``internal/source/fetcher.go:
+  23-95``, ``internal/source/git.go:199-215`` (S5)
+- cache keyed ``source/ruleset/pattern`` — ``internal/source/cache.go``
+  (S8), exposed as a catalog DataFrame for introspection queries
+- sha256 content verification — ``internal/source/verifier.go:131`` (S9)
+- semver Version/Constraint (`>= > <= < = ~ ^`, pre-release ordering) —
+  ``internal/subscription/version.go`` (F13, O3)
+- subscription resolution: maturity filter (F12, default
+  {stable, incubating}), category prefix match (F14), glob pattern-name
+  match (F15), per-pattern overrides — ``internal/subscription/
+  manager.go:48-227`` (J4)
+- pending-update detection (major/minor/patch/newPatterns) —
+  ``internal/subscription/updater.go:25-153`` (J5)
+- rule self-tests (shouldMatch/shouldNotMatch) — ``cmd/cli/main.go:
+  95-192``, ``internal/controller/piipattern_controller.go:96-132`` (D8)
+
+Everything here is config-time, driver-side work: the output is a
+:class:`pii_spark.patterns.PatternBank` subset that gets broadcast to
+executors — no per-row cost.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob as globlib
+import hashlib
+import os
+import re
+from dataclasses import dataclass, field
+
+from pii_spark.patterns import MaskingStrategy, PatternBank, PatternRule, PIIPatternSpec
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - yaml is present in this env
+    yaml = None
+
+
+# ---------------------------------------------------------------------------
+# semver (version.go)
+# ---------------------------------------------------------------------------
+
+_SEMVER_RE = re.compile(r"^(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:-(.+))?$")
+
+
+@dataclass(frozen=True)
+class SemVer:
+    major: int
+    minor: int = 0
+    patch: int = 0
+    pre: str = ""
+
+    @classmethod
+    def parse(cls, s: str) -> "SemVer":
+        s = s.removeprefix("v")
+        m = _SEMVER_RE.match(s)
+        if m is None:
+            raise ValueError(f"invalid version format: {s}")
+        return cls(
+            int(m.group(1)), int(m.group(2) or 0), int(m.group(3) or 0),
+            m.group(4) or "",
+        )
+
+    def compare(self, other: "SemVer") -> int:
+        """-1 / 0 / 1; pre-release sorts below release (version.go:68-105)."""
+        for a, b in ((self.major, other.major), (self.minor, other.minor),
+                     (self.patch, other.patch)):
+            if a != b:
+                return -1 if a < b else 1
+        if self.pre and not other.pre:
+            return -1
+        if not self.pre and other.pre:
+            return 1
+        if self.pre != other.pre:
+            return -1 if self.pre < other.pre else 1
+        return 0
+
+    def __str__(self) -> str:
+        base = f"{self.major}.{self.minor}.{self.patch}"
+        return f"{base}-{self.pre}" if self.pre else base
+
+
+@dataclass(frozen=True)
+class Constraint:
+    op: str
+    version: SemVer
+
+    @classmethod
+    def parse(cls, s: str) -> "Constraint | None":
+        """``None`` means no constraint (version.go:115-156)."""
+        s = s.strip()
+        if not s or s == "*":
+            return None
+        for op in (">=", "<=", ">", "<", "~", "^", "="):
+            if s.startswith(op):
+                return cls(op, SemVer.parse(s[len(op):].strip()))
+        return cls("=", SemVer.parse(s))
+
+    def matches(self, v: SemVer) -> bool:
+        """version.go:159-196 — incl. ``~`` (same major.minor) and ``^``
+        (same major; ``^0.x`` degrades to ``~``)."""
+        cmp = v.compare(self.version)
+        if self.op == ">=":
+            return cmp >= 0
+        if self.op == ">":
+            return cmp > 0
+        if self.op == "<=":
+            return cmp <= 0
+        if self.op == "<":
+            return cmp < 0
+        if self.op == "=":
+            return cmp == 0
+        if self.op == "~":
+            return cmp >= 0 and v.major == self.version.major and v.minor == self.version.minor
+        if self.op == "^":
+            if cmp < 0:
+                return False
+            if self.version.major == 0:
+                return v.major == self.version.major and v.minor == self.version.minor
+            return v.major == self.version.major
+        return cmp == 0
+
+
+def parse_constraints(s: str | None) -> list[Constraint]:
+    """Comma/space-separated constraint list; all must match."""
+    if not s:
+        return []
+    out = []
+    for part in re.split(r"[,\s]+", s.strip()):
+        c = Constraint.parse(part)
+        if c is not None:
+            out.append(c)
+    return out
+
+
+def constraints_match(constraints: list[Constraint], version: str) -> bool:
+    if not constraints:
+        return True
+    try:
+        v = SemVer.parse(version)
+    except ValueError:
+        return False
+    return all(c.matches(v) for c in constraints)
+
+
+# ---------------------------------------------------------------------------
+# rule model (fetcher.go:23-95)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TestCases:
+    should_match: list[str] = field(default_factory=list)
+    should_not_match: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PatternDefinition:
+    name: str
+    display_name: str = ""
+    description: str = ""
+    category: str = ""
+    rules: list[PatternRule] = field(default_factory=list)
+    validator: str = ""
+    masking: MaskingStrategy = field(default_factory=lambda: MaskingStrategy("partial"))
+    severity: str = ""
+    enabled: bool = False
+    test_cases: TestCases | None = None
+
+    def to_pattern_spec(self) -> PIIPatternSpec:
+        return PIIPatternSpec(
+            display_name=self.display_name or self.name,
+            description=self.description,
+            category=self.category,
+            patterns=tuple(self.rules),
+            validator=self.validator,
+            masking=self.masking,
+            severity=self.severity or "medium",
+            enabled=self.enabled,
+        )
+
+
+@dataclass
+class RuleSet:
+    name: str
+    version: str = ""
+    description: str = ""
+    category: str = ""
+    maturity: str = ""
+    patterns: list[PatternDefinition] = field(default_factory=list)
+
+
+def _parse_pattern_def(d: dict) -> PatternDefinition:
+    ms = d.get("maskingStrategy") or {}
+    tc = d.get("testCases")
+    return PatternDefinition(
+        name=d.get("name", ""),
+        display_name=d.get("displayName", ""),
+        description=d.get("description", ""),
+        category=d.get("category", ""),
+        rules=[
+            PatternRule(regex=r.get("regex", ""), confidence=r.get("confidence", ""))
+            for r in d.get("patterns", [])
+        ],
+        validator=d.get("validator", ""),
+        masking=MaskingStrategy(
+            type=ms.get("type", "partial"),
+            show_first=ms.get("showFirst", 0),
+            show_last=ms.get("showLast", 0),
+            mask_char=ms.get("maskChar", "*"),
+            replacement=ms.get("replacement", ""),
+        ),
+        severity=d.get("severity", ""),
+        enabled=bool(d.get("enabled", False)),
+        test_cases=TestCases(
+            should_match=list(tc.get("shouldMatch", [])),
+            should_not_match=list(tc.get("shouldNotMatch", [])),
+        ) if isinstance(tc, dict) else None,
+    )
+
+
+def load_rule_file(path: str) -> list[PatternDefinition]:
+    """3-way lenient parse: single pattern / pattern list / rule set
+    (git.go:199-215)."""
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if isinstance(data, dict) and data.get("name") and "patterns" in data:
+        pats = data["patterns"]
+        if pats and isinstance(pats[0], dict) and "regex" in pats[0]:
+            return [_parse_pattern_def(data)]      # single PatternDefinition
+        return [_parse_pattern_def(p) for p in pats]  # RuleSet
+    if isinstance(data, list):
+        return [_parse_pattern_def(p) for p in data]
+    raise ValueError(f"failed to parse pattern file: {path}")
+
+
+def load_rule_set(path: str) -> RuleSet:
+    """Parse a full RuleSet document (name/version/maturity + patterns)."""
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if not isinstance(data, dict):
+        raise ValueError(f"not a rule set: {path}")
+    return RuleSet(
+        name=data.get("name", os.path.basename(path)),
+        version=data.get("version", ""),
+        description=data.get("description", ""),
+        category=data.get("category", ""),
+        maturity=data.get("maturity", ""),
+        patterns=[_parse_pattern_def(p) for p in data.get("patterns", [])],
+    )
+
+
+def load_rule_dir(root: str) -> list[RuleSet]:
+    """Walk ``root`` for ``*.yaml``/``*.yml`` rule-set files, skipping
+    dotfiles (the GitFetcher walk, git.go:150-173)."""
+    out = []
+    for pattern in ("**/*.yaml", "**/*.yml"):
+        for p in sorted(globlib.glob(os.path.join(root, pattern), recursive=True)):
+            if os.path.basename(p).startswith("."):
+                continue
+            out.append(load_rule_set(p))
+    return out
+
+
+def verify_sha256(content: bytes, expected_hex: str) -> bool:
+    """Hash verification of fetched rules (verifier.go:131) — the same
+    sha256-equality primitive the pipeline's per-row invariant uses."""
+    return hashlib.sha256(content).hexdigest() == expected_hex.lower()
+
+
+# ---------------------------------------------------------------------------
+# rule self-tests (D8)
+# ---------------------------------------------------------------------------
+
+def run_rule_tests(defn: PatternDefinition) -> list[str]:
+    """Validate a pattern definition: regexes must compile, every
+    ``shouldMatch`` must match ≥1 rule, every ``shouldNotMatch`` none
+    (cmd/cli/main.go:95-192).  Returns a list of failure messages."""
+    failures: list[str] = []
+    compiled = []
+    for r in defn.rules:
+        try:
+            compiled.append(re.compile(r.regex, re.ASCII))
+        except re.error as exc:
+            failures.append(f"{defn.name}: invalid regex {r.regex!r}: {exc}")
+    if failures or defn.test_cases is None:
+        return failures
+    for s in defn.test_cases.should_match:
+        if not any(c.search(s) for c in compiled):
+            failures.append(f"{defn.name}: shouldMatch failed: {s!r}")
+    for s in defn.test_cases.should_not_match:
+        if any(c.search(s) for c in compiled):
+            failures.append(f"{defn.name}: shouldNotMatch failed: {s!r}")
+    return failures
+
+
+# ---------------------------------------------------------------------------
+# cache (cache.go) + catalog DataFrame
+# ---------------------------------------------------------------------------
+
+class RuleCache:
+    """In-memory source→rulesets cache with a ``source/ruleset/pattern``
+    index (cache.go:57-86, 243-245)."""
+
+    def __init__(self):
+        self._sources: dict[str, list[RuleSet]] = {}
+        self._index: dict[str, PatternDefinition] = {}
+
+    def set_source(self, source_key: str, rulesets: list[RuleSet]) -> None:
+        self._sources[source_key] = rulesets
+        for rs in rulesets:
+            for p in rs.patterns:
+                self._index[f"{source_key}/{rs.name}/{p.name}"] = p
+
+    def get_source(self, source_key: str) -> list[RuleSet] | None:
+        return self._sources.get(source_key)
+
+    def get_pattern(self, key: str) -> PatternDefinition | None:
+        return self._index.get(key)
+
+    def patterns_by_category(self, category: str) -> list[PatternDefinition]:
+        return [p for p in self._index.values() if p.category == category]
+
+    def stats(self) -> dict:
+        return {"sources": len(self._sources), "patterns": len(self._index)}
+
+    def catalog_rows(self) -> list[dict]:
+        rows = []
+        for src, rulesets in sorted(self._sources.items()):
+            for rs in rulesets:
+                for p in rs.patterns:
+                    rows.append({
+                        "source": src, "ruleset": rs.name, "version": rs.version,
+                        "maturity": rs.maturity, "pattern": p.name,
+                        "category": p.category, "severity": p.severity or "medium",
+                        "enabled": p.enabled, "n_rules": len(p.rules),
+                    })
+        return rows
+
+    def catalog_df(self, spark):
+        """The rulesets catalog as a DataFrame (S8) — joins against it
+        replace the reference's per-ref K8s ``Get`` loops (J3/J4)."""
+        return spark.createDataFrame(
+            self.catalog_rows(),
+            "source string, ruleset string, version string, maturity string, "
+            "pattern string, category string, severity string, enabled boolean, "
+            "n_rules int",
+        )
+
+
+# ---------------------------------------------------------------------------
+# subscriptions (manager.go, updater.go)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CategorySubscription:
+    category: str = ""
+    version: str = ""          # constraint string
+    patterns: list[str] = field(default_factory=list)  # globs / exact / "*"
+
+
+@dataclass
+class PatternOverride:
+    severity: str = ""
+    enabled: bool | None = None
+    masking: MaskingStrategy | None = None
+
+
+@dataclass
+class SubscriptionSpec:
+    source_key: str = ""
+    maturity_levels: list[str] = field(default_factory=list)  # default below
+    subscribe: list[CategorySubscription] = field(default_factory=list)
+    overrides: dict[str, PatternOverride] = field(default_factory=dict)
+
+
+@dataclass
+class SubscribedPattern:
+    name: str
+    category: str
+    version: str
+    source: str
+    ruleset: str
+    overridden: bool
+
+
+@dataclass
+class SubscriptionResult:
+    subscribed: list[SubscribedPattern] = field(default_factory=list)
+    errors: list[str] = field(default_factory=list)
+
+    @property
+    def total_patterns(self) -> int:
+        return len(self.subscribed)
+
+
+def matches_category(pattern_category: str, sub_category: str) -> bool:
+    """Exact or ``prefix/``-hierarchical match (manager.go:164-176, F14)."""
+    if not sub_category or sub_category == "*":
+        return True
+    return pattern_category == sub_category or pattern_category.startswith(
+        sub_category + "/"
+    )
+
+
+def matches_pattern_names(name: str, patterns: list[str]) -> bool:
+    """Glob / exact / ``*`` match (manager.go:179-202, F15)."""
+    if not patterns:
+        return True
+    return any(
+        p == "*" or fnmatch.fnmatchcase(name, p) or p == name for p in patterns
+    )
+
+
+def _apply_override(p: PatternDefinition, o: PatternOverride) -> PatternDefinition:
+    from dataclasses import replace
+
+    q = replace(p)
+    if o.severity:
+        q.severity = o.severity
+    if o.enabled is not None:
+        q.enabled = o.enabled
+    if o.masking is not None:
+        q.masking = o.masking
+    return q
+
+
+def subscribe(cache: RuleCache, spec: SubscriptionSpec, bank: PatternBank) -> SubscriptionResult:
+    """Resolve a subscription against the cache and register matching
+    patterns into ``bank`` under ``source/ruleset/pattern`` keys
+    (manager.go:48-112).  Bad patterns become error entries; good ones
+    still load."""
+    result = SubscriptionResult()
+    rulesets = cache.get_source(spec.source_key)
+    if rulesets is None:
+        result.errors.append(f"source not found: {spec.source_key}")
+        return result
+
+    maturity = set(spec.maturity_levels or ["stable", "incubating"])  # F12 default
+
+    for sub in spec.subscribe:
+        constraints = parse_constraints(sub.version)
+        for rs in rulesets:
+            if rs.maturity not in maturity:
+                continue
+            if constraints and not constraints_match(constraints, rs.version):
+                continue
+            for p in rs.patterns:
+                if sub.category and not matches_category(p.category, sub.category):
+                    continue
+                if not matches_pattern_names(p.name, sub.patterns):
+                    continue
+                overridden = p.name in spec.overrides
+                if overridden:
+                    p = _apply_override(p, spec.overrides[p.name])
+                key = f"{spec.source_key}/{rs.name}/{p.name}"
+                try:
+                    bank.add_pattern(key, p.to_pattern_spec())
+                except Exception:
+                    result.errors.append(f"failed to add pattern: {p.name}")
+                    continue
+                result.subscribed.append(SubscribedPattern(
+                    name=p.name, category=p.category, version=rs.version,
+                    source=spec.source_key, ruleset=rs.name, overridden=overridden,
+                ))
+    return result
+
+
+@dataclass
+class PendingUpdate:
+    pattern: str
+    current_version: str
+    available_version: str
+    change_type: str  # majorVersion / minorVersion / patchVersion / newPatterns / unknown
+    description: str
+
+
+def determine_change_type(current: str, available: str) -> str:
+    """updater.go:134-153."""
+    try:
+        c, a = SemVer.parse(current), SemVer.parse(available)
+    except ValueError:
+        return "unknown"
+    if a.major > c.major:
+        return "majorVersion"
+    if a.minor > c.minor:
+        return "minorVersion"
+    if a.patch > c.patch:
+        return "patchVersion"
+    return "unknown"
+
+
+def check_updates(
+    cache: RuleCache,
+    spec: SubscriptionSpec,
+    subscribed: list[SubscribedPattern],
+) -> list[PendingUpdate]:
+    """Pending-update detection (updater.go:25-88, J5): version changes
+    on subscribed patterns + new patterns matching the subscription —
+    relationally a full-outer join of subscribed×available on name."""
+    updates: list[PendingUpdate] = []
+    rulesets = cache.get_source(spec.source_key) or []
+    by_name = {s.name: s for s in subscribed}
+
+    for rs in rulesets:
+        for p in rs.patterns:
+            info = by_name.get(p.name)
+            if info is not None:
+                if rs.version != info.version and info.version:
+                    updates.append(PendingUpdate(
+                        pattern=p.name, current_version=info.version,
+                        available_version=rs.version,
+                        change_type=determine_change_type(info.version, rs.version),
+                        description="Version update available",
+                    ))
+                continue
+            # new pattern: does it match any subscription entry?
+            maturity = set(spec.maturity_levels or ["stable", "incubating"])
+            if rs.maturity not in maturity:
+                continue
+            for sub in spec.subscribe:
+                cons = parse_constraints(sub.version)
+                if cons and not constraints_match(cons, rs.version):
+                    continue
+                if sub.category and not matches_category(p.category, sub.category):
+                    continue
+                if not matches_pattern_names(p.name, sub.patterns):
+                    continue
+                updates.append(PendingUpdate(
+                    pattern=p.name, current_version="",
+                    available_version=rs.version, change_type="newPatterns",
+                    description="New pattern available",
+                ))
+                break
+    return updates

@@ -1,0 +1,221 @@
+"""Rule-source / subscription / semver tests (reference semantics:
+internal/subscription/version_test.go, manager.go, updater.go;
+internal/source/git.go YAML parse; cmd/cli rules test)."""
+
+import textwrap
+
+import pytest
+
+from pii_spark import rulesets as R
+from pii_spark.patterns import PatternBank
+
+
+# ---------------------------------------------------------------------------
+# semver (version.go semantics)
+# ---------------------------------------------------------------------------
+
+def test_semver_parse():
+    assert R.SemVer.parse("1.2.3") == R.SemVer(1, 2, 3)
+    assert R.SemVer.parse("v2.0") == R.SemVer(2, 0, 0)
+    assert R.SemVer.parse("1") == R.SemVer(1, 0, 0)
+    assert R.SemVer.parse("1.2.3-rc.1") == R.SemVer(1, 2, 3, "rc.1")
+    with pytest.raises(ValueError):
+        R.SemVer.parse("not-a-version")
+
+
+def test_semver_compare_prerelease_below_release():
+    a, b = R.SemVer.parse("1.2.3-alpha"), R.SemVer.parse("1.2.3")
+    assert a.compare(b) == -1 and b.compare(a) == 1
+    assert R.SemVer.parse("1.2.3").compare(R.SemVer.parse("1.2.3")) == 0
+    assert R.SemVer.parse("2.0.0").compare(R.SemVer.parse("1.9.9")) == 1
+
+
+@pytest.mark.parametrize("constraint,version,want", [
+    (">=1.2.0", "1.2.0", True), (">=1.2.0", "1.1.9", False),
+    (">1.2.0", "1.2.0", False), (">1.2.0", "1.2.1", True),
+    ("<=2.0.0", "2.0.0", True), ("<2.0.0", "2.0.0", False),
+    ("=1.2.3", "1.2.3", True), ("1.2.3", "1.2.3", True),
+    ("~1.2.3", "1.2.9", True), ("~1.2.3", "1.3.0", False), ("~1.2.3", "1.2.2", False),
+    ("^1.2.3", "1.9.0", True), ("^1.2.3", "2.0.0", False), ("^1.2.3", "1.2.2", False),
+    ("^0.2.3", "0.2.9", True), ("^0.2.3", "0.3.0", False),  # ^0.x degrades to ~
+    ("*", "0.0.1", True),
+])
+def test_constraint_matches(constraint, version, want):
+    cons = R.parse_constraints(constraint)
+    assert R.constraints_match(cons, version) is want
+
+
+def test_determine_change_type():
+    assert R.determine_change_type("1.2.3", "2.0.0") == "majorVersion"
+    assert R.determine_change_type("1.2.3", "1.3.0") == "minorVersion"
+    assert R.determine_change_type("1.2.3", "1.2.4") == "patchVersion"
+    assert R.determine_change_type("bogus", "1.0.0") == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (git.go:199-215 3-way parse)
+# ---------------------------------------------------------------------------
+
+RULESET_YAML = textwrap.dedent("""
+    name: community-secrets
+    version: 1.2.0
+    maturity: stable
+    category: secrets
+    patterns:
+      - name: employee-id
+        displayName: Employee ID
+        category: secrets/internal
+        severity: high
+        enabled: true
+        patterns:
+          - regex: "EMP-[0-9]{6}"
+            confidence: high
+        maskingStrategy:
+          type: partial
+          showFirst: 4
+        testCases:
+          shouldMatch: ["EMP-123456"]
+          shouldNotMatch: ["EMP-12", "EMQ-123456"]
+      - name: badge-id
+        category: secrets/physical
+        severity: medium
+        enabled: true
+        patterns:
+          - regex: "BDG-[0-9]{4}"
+            confidence: medium
+""")
+
+SINGLE_YAML = textwrap.dedent("""
+    name: single-pattern
+    severity: low
+    patterns:
+      - regex: "XX-[0-9]{2}"
+""")
+
+
+@pytest.fixture
+def rule_dir(tmp_path):
+    (tmp_path / "sets").mkdir()
+    (tmp_path / "sets" / "secrets.yaml").write_text(RULESET_YAML)
+    (tmp_path / "sets" / ".hidden.yaml").write_text(RULESET_YAML)
+    return tmp_path / "sets"
+
+
+def test_load_rule_set(rule_dir):
+    rs = R.load_rule_set(str(rule_dir / "secrets.yaml"))
+    assert rs.name == "community-secrets" and rs.version == "1.2.0"
+    assert [p.name for p in rs.patterns] == ["employee-id", "badge-id"]
+    assert rs.patterns[0].masking.show_first == 4
+    assert rs.patterns[0].test_cases.should_match == ["EMP-123456"]
+
+
+def test_load_rule_file_single(tmp_path):
+    p = tmp_path / "one.yaml"
+    p.write_text(SINGLE_YAML)
+    defs = R.load_rule_file(str(p))
+    assert len(defs) == 1 and defs[0].name == "single-pattern"
+
+
+def test_load_rule_dir_skips_dotfiles(rule_dir):
+    sets = R.load_rule_dir(str(rule_dir))
+    assert len(sets) == 1
+
+
+def test_verify_sha256():
+    import hashlib
+    c = b"rules content"
+    assert R.verify_sha256(c, hashlib.sha256(c).hexdigest())
+    assert not R.verify_sha256(c, "00" * 32)
+
+
+def test_run_rule_tests(rule_dir):
+    rs = R.load_rule_set(str(rule_dir / "secrets.yaml"))
+    assert R.run_rule_tests(rs.patterns[0]) == []
+    bad = R.PatternDefinition(
+        name="bad", rules=[R.PatternRule(regex="EMP-[0-9]{6}")],
+        test_cases=R.TestCases(should_match=["NOPE"], should_not_match=["EMP-123456"]),
+    )
+    fails = R.run_rule_tests(bad)
+    assert len(fails) == 2
+
+
+# ---------------------------------------------------------------------------
+# cache + subscription + updates
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def cache(rule_dir):
+    c = R.RuleCache()
+    c.set_source("community", R.load_rule_dir(str(rule_dir)))
+    return c
+
+
+def test_cache_index_and_stats(cache):
+    assert cache.get_pattern("community/community-secrets/badge-id").name == "badge-id"
+    assert cache.stats() == {"sources": 1, "patterns": 2}
+    assert len(cache.patterns_by_category("secrets/internal")) == 1
+
+
+def test_catalog_df(spark, cache):
+    df = cache.catalog_df(spark)
+    rows = {r.pattern: r for r in df.collect()}
+    assert rows["employee-id"].maturity == "stable"
+    assert rows["badge-id"].n_rules == 1
+
+
+def test_subscribe_with_overrides_and_glob(cache):
+    bank = PatternBank()
+    n_before = len(bank)
+    spec = R.SubscriptionSpec(
+        source_key="community",
+        subscribe=[R.CategorySubscription(category="secrets", version=">=1.0.0",
+                                          patterns=["emp*"])],
+        overrides={"employee-id": R.PatternOverride(severity="critical")},
+    )
+    res = R.subscribe(cache, spec, bank)
+    assert res.errors == []
+    assert [s.name for s in res.subscribed] == ["employee-id"]
+    assert res.subscribed[0].overridden
+    cp = bank.get_pattern("community/community-secrets/employee-id")
+    assert cp is not None and cp.spec.severity == "critical"
+    assert len(bank) == n_before + 1
+
+
+def test_subscribe_maturity_filter(cache):
+    # sandbox-only subscription matches nothing (ruleset is stable)
+    spec = R.SubscriptionSpec(
+        source_key="community", maturity_levels=["sandbox"],
+        subscribe=[R.CategorySubscription(category="secrets")],
+    )
+    res = R.subscribe(cache, spec, PatternBank())
+    assert res.total_patterns == 0
+
+
+def test_subscribe_version_constraint_excludes(cache):
+    spec = R.SubscriptionSpec(
+        source_key="community",
+        subscribe=[R.CategorySubscription(category="secrets", version=">=2.0.0")],
+    )
+    assert R.subscribe(cache, spec, PatternBank()).total_patterns == 0
+
+
+def test_subscribe_missing_source():
+    res = R.subscribe(R.RuleCache(), R.SubscriptionSpec(source_key="nope"), PatternBank())
+    assert res.errors == ["source not found: nope"]
+
+
+def test_check_updates_version_and_new_patterns(cache):
+    spec = R.SubscriptionSpec(
+        source_key="community",
+        subscribe=[R.CategorySubscription(category="secrets")],
+    )
+    subscribed = [
+        R.SubscribedPattern(
+            name="employee-id", category="secrets/internal", version="1.0.0",
+            source="community", ruleset="community-secrets", overridden=False,
+        )
+    ]
+    updates = {u.pattern: u for u in R.check_updates(cache, spec, subscribed)}
+    assert updates["employee-id"].change_type == "minorVersion"
+    assert updates["employee-id"].available_version == "1.2.0"
+    assert updates["badge-id"].change_type == "newPatterns"
