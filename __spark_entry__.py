@@ -294,6 +294,43 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (k-gram rolling hash) document fingerprints, JVM-side
+    # k=25/w=16: an 8-char k-gram is a common word pair in any corpus —
+    # real fingerprinting uses k ≈ 25-50 so only substantial shared
+    # substrings (≥ w+k-1 = 40 chars) collide
+    corpus = _neardup_corpus(spark, sf_dir)
+    return dedup.fingerprint_overlap_pairs(
+        corpus, "doc_id", "text3", k=25, w=16, min_shared=5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing: binary payload column → decode-stub features
+    from pii_spark import multimodal as M
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.create_map(
+            F.lit("height"), ((F.col("doc_id") % 16) + 8).cast("string"),
+            F.lit("width"), ((F.col("doc_id") % 8) + 8).cast("string"),
+        ).alias("meta"),
+    )
+    return M.image_features(media).orderBy("media_id")
+
+
+def q_patterns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 registry projections: the pattern bank as an introspectable table
+    from pii_spark.patterns import patterns_catalog_rows
+
+    df = spark.createDataFrame(patterns_catalog_rows())
+    return df.groupBy("category", "enabled").agg(
+        F.count(F.lit(1)).alias("n_patterns")
+    ).orderBy("category", "enabled")
+
+
 def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full quality stack incl. model-based drops (langid/perplexity/toxicity)
     corpus = (
@@ -355,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_pipeline": q_quality_pipeline,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "image_features": q_image_features,
+        "patterns_catalog": q_patterns_catalog,
     }
 
 

@@ -262,6 +262,99 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# document fingerprinting (k-gram rolling hash + winnowing)
+# ---------------------------------------------------------------------------
+
+
+def kgram_hashes_col(text_col, k: int = 8):
+    """All character k-gram hashes of a text column — fully JVM-side:
+    ``transform(sequence(...), i -> xxhash64(substring(text, i, k)))``.
+    The rolling-hash role is played by xxhash64 over each k-gram (Spark
+    has no incremental-hash expression; the plan stays in codegen and the
+    cost is O(n·k) JVM work, no Python)."""
+    n = F.length(text_col)
+    cnt = n - F.lit(k - 1)
+    return F.when(cnt <= 0, F.array(F.xxhash64(text_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.xxhash64(F.substring(text_col, i, k)),
+        )
+    )
+
+
+def winnow_fingerprints_col(text_col, k: int = 8, w: int = 4):
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): the distinct
+    minima of each ``w``-window of k-gram hashes — the standard
+    plagiarism/near-dup fingerprint; guarantees any match of length
+    ≥ w+k-1 shares a fingerprint.
+
+    CAVEAT — short strings only: Catalyst collapses projections, so the
+    per-window ``slice`` re-evaluates the whole k-gram ``transform``
+    (O(n·w·k) per row).  The scale path is
+    :func:`winnow_fingerprints_df`, which posexplodes the k-gram hashes
+    once and takes window minima with an analytic function."""
+    kh = kgram_hashes_col(text_col, k)
+    nwin = F.size(kh) - F.lit(w - 1)
+    windows = F.when(nwin <= 0, F.array(F.array_min(kh))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nwin), lambda j: F.array_min(F.slice(kh, j, w))
+        )
+    )
+    return F.array_distinct(windows)
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprints as rows ``(doc, fp)`` — the scale form:
+    k-gram hashes computed ONCE via ``posexplode``, sliding w-window
+    minima via an analytic ``min() OVER (rows BETWEEN 0 AND w-1)``,
+    distinct minima kept.  One shuffle on the doc id."""
+    kg = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(kgram_hashes_col(F.col(text_col), k)).alias("pos", "h"),
+    )
+    sliding = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("doc")
+    return (
+        kg.withColumn("wmin", F.min("h").over(sliding))
+        .withColumn("npos", F.max("pos").over(per_doc))
+        .filter(
+            (F.col("pos") <= F.col("npos") - (w - 1))
+            | ((F.col("npos") < w - 1) & (F.col("pos") == 0))  # short doc → single whole-doc window
+        )
+        .select("doc", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+) -> DataFrame:
+    """Near-dup pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    same self-join shape as :func:`ngram_jaccard_pairs` but over the much
+    smaller fingerprint sets (|fp| ≈ 2·n/(w+1))."""
+    fp = winnow_fingerprints_df(df, id_col, text_col, k, w)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

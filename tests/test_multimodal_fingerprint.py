@@ -1,0 +1,88 @@
+"""Multimodal plumbing + winnowing fingerprint tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark import dedup, multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"payload-one", {"height": "16", "width": "8"}),
+        (2, "image", b"payload-two", {"height": "4", "width": "4"}),
+        (3, "image", None, {}),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_image_features_shapes_and_sha(media):
+    rows = {r.media_id: r for r in M.image_features(media).collect()}
+    assert (rows[1].height, rows[1].width) == (16, 8)
+    assert (rows[2].height, rows[2].width) == (4, 4)
+    assert rows[1].content_sha256 == hashlib.sha256(b"payload-one").hexdigest()
+    assert 0.0 <= rows[1].mean_pixel <= 255.0
+    # deterministic fake decode: same payload → same stats
+    again = {r.media_id: r for r in M.image_features(media).collect()}
+    assert again[1].mean_pixel == rows[1].mean_pixel
+
+
+def test_resize_images(media):
+    out = {r.media_id: r for r in M.resize_images(media, 8, 8).collect()}
+    assert len(out[1].data) == 64
+    assert out[1].meta["height"] == "8"
+
+
+def test_sample_video_frames(spark):
+    # 10 frames of 4 bytes; sample every 3rd → frames 0,3,6,9
+    data = bytes(range(40))
+    df = spark.createDataFrame(
+        [(7, "video", data, {"frame_size": "4"})], M.MEDIA_SCHEMA
+    )
+    rows = M.sample_video_frames(df, every_n=3).collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    assert bytes(rows[1].frame) == bytes([12, 13, 14, 15])
+
+
+def test_audio_features(spark):
+    df = spark.createDataFrame(
+        [(9, "audio", b"aud", {"sample_rate": "8000", "n_samples": "16000"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.audio_features(df).collect()[0]
+    assert r.sample_rate == 8000 and r.duration_sec == 2.0
+    assert 0.0 < r.rms <= 1.0
+
+
+def test_repartition_media(media):
+    assert M.repartition_media(media, 4).rdd.getNumPartitions() == 4
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_kgram_and_winnow_counts(spark):
+    df = spark.createDataFrame([("abcdefghij",), ("ab",)], "t string")
+    r = df.select(
+        F.size(dedup.kgram_hashes_col(F.col("t"), 4)).alias("nk"),
+        F.size(dedup.winnow_fingerprints_col(F.col("t"), 4, 3)).alias("nw"),
+    ).collect()
+    assert r[0].nk == 7          # 10 - 4 + 1
+    assert 1 <= r[0].nw <= 5     # 5 windows, distinct minima
+    assert r[1].nk == 1          # shorter than k → whole-text hash
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    # docs sharing a long substring must share >= 1 fingerprint (w+k-1 rule)
+    common = "the quick brown fox jumps over the lazy dog" * 2
+    df = spark.createDataFrame(
+        [(1, "PREFIX " + common), (2, common + " SUFFIX"), (3, "zz" * 40)],
+        "doc_id long, t string",
+    )
+    pairs = dedup.fingerprint_overlap_pairs(df, "doc_id", "t", k=8, w=4, min_shared=5)
+    got = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert got == [(1, 2)]
