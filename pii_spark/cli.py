@@ -1,0 +1,129 @@
+"""CLI scanner — the reference's primary UX, Spark-free.
+
+Mirrors ``/root/reference/cmd/cli/main.go``: scan a text literal (S1),
+a file (S2) or stdin (S3) with the builtin bank (optionally a pattern
+subset, optionally validation off), emit the grouped text report or
+pretty JSON (S13); plus ``rules test <file>`` (D8) for rule-fixture
+self-tests.  Single-payload scans don't need a cluster, so this drives
+:class:`pii_spark.engine.Engine` directly — same semantics as the Spark
+UDFs (they share the engine).
+
+Usage::
+
+    python -m pii_spark.cli scan -t "my email is a@b.com" [-p email,jwt]
+        [--no-validate] [-o json]
+    python -m pii_spark.cli scan -f file.txt
+    echo "text" | python -m pii_spark.cli scan
+    python -m pii_spark.cli rules test rules.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pii_spark.engine import Engine, group_by_pattern
+from pii_spark.masking import truncate
+from pii_spark.patterns import PatternBank
+
+
+def _read_input(args) -> str:
+    if args.text is not None:
+        return args.text                      # S1 (cli/main.go:243-245)
+    if args.file is not None:
+        with open(args.file) as f:            # S2 (cli/main.go:246-252)
+            return f.read()
+    return "\n".join(sys.stdin.read().splitlines())  # S3 (cli/main.go:254-262)
+
+
+def output_text(result, out=sys.stdout) -> None:
+    """Grouped-by-pattern report (cli/main.go:359-392, A2)."""
+    if not result.detections:
+        print("No PII detected.", file=out)
+        return
+    print(f"Detected {len(result.detections)} PII instance(s):\n", file=out)
+    for name, dets in sorted(group_by_pattern(result.detections).items()):
+        print(f"[{dets[0].display}] ({len(dets)})", file=out)
+        for d in dets:
+            print(
+                f"  - {truncate(d.matched, 40)} -> {truncate(d.redacted, 40)}"
+                f" (confidence: {d.confidence}, severity: {d.severity})",
+                file=out,
+            )
+    print(f"\nRedacted: {result.redacted_text}", file=out)
+
+
+def output_json(result, out=sys.stdout) -> None:
+    """Pretty JSON (cli/main.go:395-415)."""
+    doc = {
+        "original": result.original_text,
+        "redacted": result.redacted_text,
+        "count": result.redacted_count,
+        "detections": [d.as_dict() for d in result.detections],
+    }
+    json.dump(doc, out, indent=2)
+    out.write("\n")
+
+
+def cmd_scan(args) -> int:
+    engine = Engine(PatternBank(), validation_enabled=not args.no_validate)
+    text = _read_input(args)
+    if args.patterns:
+        result = engine.redact_with_patterns(text, args.patterns.split(","))
+    else:
+        result = engine.redact(text)
+    if args.output == "json":
+        output_json(result)
+    else:
+        output_text(result)
+    return 0
+
+
+def cmd_rules_test(args) -> int:
+    """Rule-fixture self-tests (cli/main.go:95-192): every shouldMatch
+    must hit ≥1 regex, every shouldNotMatch none."""
+    from pii_spark.rulesets import load_rule_file, run_rule_tests
+
+    failures: list[str] = []
+    n = 0
+    for defn in load_rule_file(args.path):
+        n += 1
+        failures.extend(run_rule_tests(defn))
+    if failures:
+        for f in failures:
+            print(f"FAIL: {f}")
+        print(f"{len(failures)} failure(s) across {n} pattern(s)")
+        return 1
+    print(f"OK: {n} pattern(s) passed")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pii-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    scan = sub.add_parser("scan", help="scan text/file/stdin for PII")
+    scan.add_argument("-t", "--text")
+    scan.add_argument("-f", "--file")
+    scan.add_argument("-p", "--patterns", help="comma-separated pattern subset")
+    scan.add_argument("--no-validate", action="store_true")
+    scan.add_argument("-o", "--output", choices=["text", "json"], default="text")
+    scan.set_defaults(fn=cmd_scan)
+
+    rules = sub.add_parser("rules", help="rule-file utilities")
+    rsub = rules.add_subparsers(dest="rules_cmd", required=True)
+    rtest = rsub.add_parser("test", help="run shouldMatch/shouldNotMatch fixtures")
+    rtest.add_argument("path")
+    rtest.set_defaults(fn=cmd_rules_test)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

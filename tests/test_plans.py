@@ -1,0 +1,77 @@
+"""Physical-plan quality gates.
+
+The 100 TB contract is about plans, not just answers: selector filters
+must reach the parquet scan (predicate pushdown), projections must prune
+the scan schema, top-k must compile to TakeOrderedAndProject (no global
+sort), and the quality+scrub chain must cost exactly two Python
+exchanges.  These tests freeze those properties.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.policy import PolicySelector, apply_selector
+from pii_spark.similarity import brute_force_topk
+from pii_spark.detect import with_scrub
+from pii_spark.quality import with_quality
+from pii_spark.patterns import PatternBank
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_selector_filter_pushed_to_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumnRenamed(
+        "source", "repo"
+    )
+    sel = PolicySelector(include_repos=["src1", "src2"], exclude_repos=["src2"])
+    p = plan(apply_selector(docs, sel).select("doc_id"))
+    assert "PushedFilters" in p
+    assert "In(source" in p  # include-list reached the parquet reader
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(docs.select("doc_id", "lang"))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [0.1] * 64
+    p = plan(brute_force_topk(emb, "embedding", q, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort shuffle
+
+
+def test_quality_scrub_chain_has_two_python_exchanges(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content"), F.col("lang")
+    )
+    out = with_scrub(
+        with_quality(docs, "content", declared_lang_col="lang"),
+        "content",
+        PatternBank(),
+    )
+    p = plan(out)
+    n_python = p.count("ArrowEvalPython") + p.count("MapInPandas") + p.count(
+        "PythonMapInArrow"
+    )
+    assert n_python == 2, f"expected 2 Python exchanges, plan has {n_python}"
+    # and no shuffle at all in the scrub path — it's embarrassingly parallel
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_scrub_has_no_shuffle_and_prunes_to_content(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = with_scrub(
+        docs.select(F.col("text").alias("content")), "content", PatternBank()
+    ).select("n_redactions")
+    p = plan(out)
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<text:string>" in p
