@@ -65,6 +65,12 @@ def main() -> None:
     corpus = corpus.repartition(cpus, F.xxhash64("repo", "path")).persist()
     n_files = corpus.count()
 
+    # Warm Python workers (pandas/pyarrow import + fork — a one-time
+    # per-executor cost on a long-lived cluster, not pipeline work).
+    warm = spark.range(cpus * 2).select(F.col("id").cast("string").alias("content"))
+    _force(with_scrub(with_quality(warm, "content", declared_lang_col=None),
+                      "content", PatternBank()))
+
     def e2e():
         out = with_scrub(
             with_quality(corpus, "content", declared_lang_col="lang"),
@@ -88,6 +94,9 @@ def main() -> None:
         "quality_heuristics",
         "ann_cosine_topk",
         "langid_distribution",
+        "fingerprint_overlap",
+        "image_features",
+        "quality_pipeline",
     ]
     qmap = E.queries()
     for name in bench_queries:

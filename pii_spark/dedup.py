@@ -29,6 +29,8 @@ across runs and executors (no ``Date.now``-style nondeterminism).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -100,13 +102,18 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles → self-join on shingle (only
     shingle-sharing pairs materialize) → intersection counts → join per-doc
-    shingle counts (broadcast-eligible aggregate) → Jaccard filter.  The
-    shuffle key is the shingle string; at 100 TB this is preceded by
-    MinHash-LSH candidate pruning (:func:`minhash_lsh_pairs`) —
-    exact Jaccard then runs only on candidates.
+    shingle counts (broadcast-eligible aggregate) → Jaccard filter.
+    Shingles are xxhash64'd before the shuffle so the join key is 8
+    bytes, not the n-word string (collision odds ≈ |shingles|²/2⁶⁴ —
+    negligible).  At 100 TB this is preceded by MinHash-LSH candidate
+    pruning (:func:`minhash_lsh_pairs`) — exact Jaccard then runs only
+    on candidates.
     """
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -172,9 +179,10 @@ def make_minhash_udf(num_hashes: int = 128, shingle_n: int = 5, seed: int = 1):
             if not sh:
                 out.append(empty)
                 continue
-            # stable shingle hashes folded to 32 bits
+            # stable 32-bit shingle hashes (crc32 is C-speed and
+            # process-stable, unlike builtin hash())
             hv = np.array(
-                [_fnv1a64(s.encode("utf-8")) & _MAX_HASH for s in sh], dtype=np.int64
+                [_crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
             )
             sig = (a[:, None] * hv[None, :] + b[:, None]) % _PRIME
             out.append(sig.min(axis=1).astype(np.int64).tolist())
@@ -183,12 +191,13 @@ def make_minhash_udf(num_hashes: int = 128, shingle_n: int = 5, seed: int = 1):
     return minhash_udf
 
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in data:
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _crc32(data: bytes) -> int:
+    return zlib.crc32(data)
+
+
+def _hash64(data: bytes) -> int:
+    """Stable 64-bit hash from two independent crc32 passes (C-speed)."""
+    return zlib.crc32(data) | (zlib.crc32(data, 0x9E3779B9) << 32)
 
 
 def minhash_lsh_pairs(
@@ -370,7 +379,7 @@ def make_simhash_udf(shingle_n: int = 3):
             sh = _token_shingles(t, shingle_n)
             if not sh:
                 continue
-            hv = np.array([_fnv1a64(s.encode("utf-8")) for s in sh], dtype=np.uint64)
+            hv = np.array([_hash64(s.encode("utf-8")) for s in sh], dtype=np.uint64)
             bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (S, 64)
             votes = bits.astype(np.int64).sum(axis=0) * 2 - len(sh)
             fp = np.uint64(0)
