@@ -1,0 +1,127 @@
+"""Alert channels: registry, severity gating, rate limits, sinks.
+
+Relational form of the reference's notifier stack
+(``/root/reference/internal/notifier/``): channels are config rows, the
+severity gate is a filter (manager.go:81-89), the per-channel token
+bucket is the batch window cap (:func:`pii_spark.policy.rate_cap_batch`;
+exact bucket in :mod:`pii_spark.streaming`), and the HTTP senders
+(slack.go/pagerduty.go/webhook.go/email.go) become an ``alerts`` table
+write in this sandbox — production would post per partition via
+``foreachPartition`` (S12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from pii_spark.patterns import SEVERITY_LEVEL
+from pii_spark.policy import rate_cap_batch, severity_gate
+
+
+@dataclass
+class AlertChannel:
+    """PIIAlertChannel spec (api/v1alpha1/piialertchannel_types.go):
+    type ∈ {slack, pagerduty, webhook, email}, severity floor, token
+    bucket rate (default 10/min, ratelimiter.go:34)."""
+
+    name: str
+    type: str = "webhook"
+    min_severity: str = "low"
+    rate_limit_per_min: int = 10
+    enabled: bool = True
+
+
+class NotifierManager:
+    """Channel registry (manager.go:30-65): register/get/remove/list +
+    per-channel stats.  Missing-channel lookups return None — the
+    policy controller records them as config errors (J6)."""
+
+    def __init__(self, channels: list[AlertChannel] | None = None):
+        self._channels: dict[str, AlertChannel] = {}
+        for c in channels or []:
+            self.register(c)
+
+    def register(self, channel: AlertChannel) -> None:
+        self._channels[channel.name] = channel
+
+    def get(self, name: str) -> AlertChannel | None:
+        return self._channels.get(name)
+
+    def remove(self, name: str) -> None:
+        self._channels.pop(name, None)
+
+    def list_channels(self) -> list[str]:
+        return sorted(self._channels)
+
+    def validate_refs(self, names: list[str]) -> list[str]:
+        """Channel existence check per policy ref (J6,
+        piipolicy_controller.go:86-94): returns error strings for
+        missing channels."""
+        return [f"alert channel not found: {n}" for n in names if n not in self._channels]
+
+    def channels_df(self, spark) -> DataFrame:
+        """Channels as a dim table — the J6 semi-join side and the A7
+        stats projection source."""
+        rows = [
+            (c.name, c.type, c.min_severity,
+             SEVERITY_LEVEL.get(c.min_severity, 0), c.rate_limit_per_min, c.enabled)
+            for c in self._channels.values()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "channel string, type string, min_severity string, "
+            "min_severity_level int, rate_limit_per_min int, enabled boolean",
+        )
+
+    # ------------------------------------------------------------------
+    def route_alerts(
+        self,
+        alerts: DataFrame,
+        spark,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Fan alerts out to every enabled channel: cross-join with the
+        channel dim (broadcast — it is tiny), gate by the channel's
+        severity floor, apply the channel's per-minute cap.  Returns one
+        row per (alert, channel) with ``allowed`` (A5/A7 tallies come
+        from :func:`channel_stats`)."""
+        ch = F.broadcast(self.channels_df(spark).filter(F.col("enabled")))
+        from pii_spark.policy import severity_level_col
+
+        fanned = alerts.crossJoin(ch).filter(
+            severity_level_col(F.col("severity")) >= F.col("min_severity_level")
+        )
+        # per-channel cap: the window cap keyed by channel; rate varies
+        # per channel so cap inside via rank <= rate_limit_per_min
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("channel", F.window(F.col(ts_col), "1 minute")["start"])
+            .orderBy(F.col(ts_col), F.col("pattern"))
+        )
+        return (
+            fanned.withColumn("__rn", F.row_number().over(w))
+            .withColumn("allowed", F.col("__rn") <= F.col("rate_limit_per_min"))
+            .drop("__rn")
+        )
+
+    def channel_stats(self, routed: DataFrame) -> DataFrame:
+        """Per-channel allowed/blocked tallies + config echo (A7,
+        manager.go:146-167; ratelimiter.go:77-88)."""
+        return (
+            routed.groupBy("channel", "type", "min_severity", "rate_limit_per_min")
+            .agg(
+                F.sum(F.col("allowed").cast("long")).alias("allowed"),
+                F.sum((~F.col("allowed")).cast("long")).alias("blocked"),
+            )
+            .orderBy("channel")
+        )
+
+
+def write_alerts_table(routed: DataFrame, io, table: str = "alerts") -> None:
+    """The sandbox alert sink (S12): append the allowed alerts to a
+    table; a production deployment swaps this for per-partition HTTP
+    posts to the channel endpoints."""
+    io.write(routed.filter(F.col("allowed")), table)

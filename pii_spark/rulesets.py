@@ -267,6 +267,80 @@ def load_rule_dir(root: str) -> list[RuleSet]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# fetchers (S5 git, S6 http) — driver-side, config-time
+# ---------------------------------------------------------------------------
+
+def fetch_git_rules(url: str, ref: str | None = None, subdir: str = "") -> list[RuleSet]:
+    """Shallow-clone a rules repo and load its YAML rule sets
+    (GitFetcher, git.go:68-218; ``--depth 1`` at git.go:93).  Works with
+    local ``file://``/path URLs — network is a deployment concern."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="pii_rules_git_") as tmp:
+        cmd = ["git", "clone", "--depth", "1"]
+        if ref:
+            cmd += ["--branch", ref]
+        cmd += [url, tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        root = os.path.join(tmp, subdir) if subdir else tmp
+        return load_rule_dir(root)
+
+
+def fetch_http_rules(url: str) -> list[RuleSet]:
+    """GET a rules artifact and dispatch on its type: plain YAML, gzip,
+    tar(.gz) or zip of YAML files (HTTPFetcher.processContent,
+    http.go:65-289).  ``file://`` URLs work for offline/local use."""
+    import gzip
+    import io as iolib
+    import tarfile
+    import urllib.request
+    import zipfile
+
+    with urllib.request.urlopen(url) as resp:
+        data = resp.read()
+
+    def _from_bytes(name: str, payload: bytes) -> list[RuleSet]:
+        docs = yaml.safe_load(payload.decode("utf-8"))
+        if not isinstance(docs, dict):
+            raise ValueError(f"not a rule set: {name}")
+        return [RuleSet(
+            name=docs.get("name", name),
+            version=docs.get("version", ""),
+            description=docs.get("description", ""),
+            category=docs.get("category", ""),
+            maturity=docs.get("maturity", ""),
+            patterns=[_parse_pattern_def(p) for p in docs.get("patterns", [])],
+        )]
+
+    if data[:4] == b"PK\x03\x04":  # zip
+        out: list[RuleSet] = []
+        with zipfile.ZipFile(iolib.BytesIO(data)) as z:
+            for info in sorted(z.namelist()):
+                if info.endswith((".yaml", ".yml")) and not os.path.basename(info).startswith("."):
+                    out.extend(_from_bytes(info, z.read(info)))
+        return out
+    if data[:2] == b"\x1f\x8b":  # gzip — maybe tar.gz
+        try:
+            out = []
+            with tarfile.open(fileobj=iolib.BytesIO(data), mode="r:gz") as t:
+                for m in sorted(t.getmembers(), key=lambda m: m.name):
+                    if m.isfile() and m.name.endswith((".yaml", ".yml")):
+                        out.extend(_from_bytes(m.name, t.extractfile(m).read()))
+            return out
+        except tarfile.TarError:
+            return _from_bytes(url, gzip.decompress(data))
+    if data[:3] == b"ust" or data[257:262] == b"ustar":  # plain tar
+        out = []
+        with tarfile.open(fileobj=iolib.BytesIO(data), mode="r:") as t:
+            for m in sorted(t.getmembers(), key=lambda m: m.name):
+                if m.isfile() and m.name.endswith((".yaml", ".yml")):
+                    out.extend(_from_bytes(m.name, t.extractfile(m).read()))
+        return out
+    return _from_bytes(url, data)
+
+
 def verify_sha256(content: bytes, expected_hex: str) -> bool:
     """Hash verification of fetched rules (verifier.go:131) — the same
     sha256-equality primitive the pipeline's per-row invariant uses."""

@@ -1,0 +1,125 @@
+"""Notifier channel routing (A7/J6/S12) + rule fetchers (S5/S6)."""
+
+import gzip
+import io
+import subprocess
+import tarfile
+import zipfile
+
+import pytest
+
+from pii_spark import rulesets as R
+from pii_spark.notifier import AlertChannel, NotifierManager
+
+RULESET_YAML = """
+name: community-secrets
+version: 1.0.0
+maturity: stable
+patterns:
+  - name: employee-id
+    category: secrets
+    severity: high
+    enabled: true
+    patterns:
+      - regex: "EMP-[0-9]{6}"
+"""
+
+
+# ---------------------------------------------------------------------------
+# notifier
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def manager():
+    return NotifierManager([
+        AlertChannel("slack", "slack", min_severity="high", rate_limit_per_min=2),
+        AlertChannel("email", "email", min_severity="low", rate_limit_per_min=10),
+        AlertChannel("dead", "webhook", enabled=False),
+    ])
+
+
+def test_registry_and_refs(manager):
+    assert manager.list_channels() == ["dead", "email", "slack"]
+    assert manager.get("slack").rate_limit_per_min == 2
+    assert manager.validate_refs(["slack", "nope"]) == ["alert channel not found: nope"]
+
+
+def test_route_alerts_gate_and_cap(spark, manager):
+    rows = [
+        (f"2024-01-01 00:00:{s:02d}", "r", f"p{s}", "pat", sev)
+        for s, sev in [(1, "critical"), (2, "high"), (3, "high"), (4, "low")]
+    ]
+    alerts = spark.createDataFrame(
+        rows, "ts_s string, repo string, path string, pattern string, severity string"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "repo", "path", "pattern", "severity")
+
+    routed = manager.route_alerts(alerts, spark)
+    got = {(r.channel, r.path): r.allowed for r in routed.collect()}
+    # disabled channel gets nothing
+    assert not any(c == "dead" for c, _ in got)
+    # slack (min high): 3 qualifying alerts, cap 2/min → third blocked
+    assert got[("slack", "p1")] and got[("slack", "p2")] and not got[("slack", "p3")]
+    assert ("slack", "p4") not in got  # below severity floor
+    # email (min low, cap 10): all four allowed
+    assert all(got[("email", f"p{s}")] for s in (1, 2, 3, 4))
+
+    stats = {r.channel: r for r in manager.channel_stats(routed).collect()}
+    assert (stats["slack"].allowed, stats["slack"].blocked) == (2, 1)
+    assert (stats["email"].allowed, stats["email"].blocked) == (4, 0)
+
+
+# ---------------------------------------------------------------------------
+# fetchers
+# ---------------------------------------------------------------------------
+
+def test_fetch_git_rules(tmp_path):
+    repo = tmp_path / "rules-repo"
+    repo.mkdir()
+    (repo / "secrets.yaml").write_text(RULESET_YAML)
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "add", "."], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "rules"],
+        cwd=repo, check=True,
+    )
+    sets = R.fetch_git_rules(str(repo))
+    assert len(sets) == 1 and sets[0].name == "community-secrets"
+    assert sets[0].patterns[0].name == "employee-id"
+
+
+def test_fetch_http_plain_yaml(tmp_path):
+    f = tmp_path / "rules.yaml"
+    f.write_text(RULESET_YAML)
+    sets = R.fetch_http_rules(f.as_uri())
+    assert sets[0].version == "1.0.0"
+
+
+def test_fetch_http_gzip(tmp_path):
+    f = tmp_path / "rules.yaml.gz"
+    f.write_bytes(gzip.compress(RULESET_YAML.encode()))
+    sets = R.fetch_http_rules(f.as_uri())
+    assert sets[0].name == "community-secrets"
+
+
+def test_fetch_http_targz(tmp_path):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        data = RULESET_YAML.encode()
+        info = tarfile.TarInfo("sets/secrets.yaml")
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    f = tmp_path / "rules.tar.gz"
+    f.write_bytes(buf.getvalue())
+    sets = R.fetch_http_rules(f.as_uri())
+    assert len(sets) == 1 and sets[0].patterns[0].name == "employee-id"
+
+
+def test_fetch_http_zip(tmp_path):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("secrets.yaml", RULESET_YAML)
+        z.writestr("README.md", "not rules")
+    f = tmp_path / "rules.zip"
+    f.write_bytes(buf.getvalue())
+    sets = R.fetch_http_rules(f.as_uri())
+    assert len(sets) == 1 and sets[0].maturity == "stable"
