@@ -302,6 +302,56 @@ def explode_findings(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def quality_scrub_map_in_pandas(
+    df: DataFrame,
+    bank: PatternBank,
+    content_col: str = "content",
+    pattern_names: list[str] | None = None,
+    validation: bool = True,
+    spark=None,
+) -> DataFrame:
+    """Quality-model scores AND scrub in ONE ``mapInPandas`` pass — the
+    pipeline's hot stage.  Chaining the model UDF and the scrub UDF
+    costs two Python exchanges (two Arrow serializations of every row);
+    computing both per batch halves that, and the trigger pre-filter,
+    langid gates and vectorized perplexity all run on the same
+    in-memory batch."""
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    from pii_spark.quality import model_scores_batch
+
+    bc = spark.sparkContext.broadcast(bank) if spark is not None else None
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("lang_pred", StringType()),
+            StructField("perplexity_bits", DoubleType()),
+            StructField("toxic", BooleanType()),
+            StructField("scrubbed_text", StringType()),
+            StructField("detections", DETECTIONS_TYPE),
+            StructField("n_redactions", IntegerType()),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = bc.value if bc is not None else bank
+        scrubber = BatchScrubber(b, pattern_names, validation)
+        for pdf in batches:
+            model = model_scores_batch(pdf[content_col])
+            res = scrubber.scrub_batch(pdf[content_col])
+            pdf = pdf.copy()
+            pdf["lang_pred"] = model["lang_pred"].values
+            pdf["perplexity_bits"] = model["perplexity_bits"].values
+            pdf["toxic"] = model["toxic"].values
+            pdf["scrubbed_text"] = res["scrubbed"].values
+            pdf["detections"] = res["detections"].values
+            pdf["n_redactions"] = res["n_redactions"].values
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)
+
+
 def scrub_map_in_pandas(
     df: DataFrame,
     bank: PatternBank,

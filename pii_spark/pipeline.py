@@ -33,10 +33,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pii_spark.audit import drop_reason_metrics, findings_by_pattern
-from pii_spark.detect import explode_findings, scrub_map_in_pandas
+from pii_spark.detect import explode_findings, quality_scrub_map_in_pandas
 from pii_spark.io import TableIO
 from pii_spark.policy import PIIPolicy, aggregate_patterns, apply_selector
-from pii_spark.quality import with_quality
+from pii_spark.quality import with_decision, with_heuristics
 
 
 @dataclass
@@ -79,14 +79,17 @@ class Pipeline:
         df = apply_selector(df, cfg.policy.selector)
         if cfg.policy.performance.sampling_rate < 100.0:
             df = df.sample(fraction=cfg.policy.performance.sampling_rate / 100.0, seed=42)
-        df = with_quality(df, content_col="content", declared_lang_col="lang")
-        df = scrub_map_in_pandas(
+        # JVM heuristics + ONE merged Python pass (model scores + scrub)
+        # + JVM decision — a single Arrow exchange for the whole row
+        df = with_heuristics(df, content_col="content")
+        df = quality_scrub_map_in_pandas(
             df,
             self.agg.bank,
             content_col="content",
             validation=cfg.policy.validation,
             spark=self.spark,
         )
+        df = with_decision(df, declared_lang_col="lang")
         return df.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
 
     # ------------------------------------------------------------------
