@@ -294,6 +294,49 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F11 max-size guard: rows over the limit are excluded
+    from pii_spark.policy import PerformanceConfig, apply_performance
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    kept = apply_performance(docs, PerformanceConfig(max_size_kb=1), "content")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R8 display truncation
+    from pii_spark.masking import truncate_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", truncate_col(F.col("text"), 30).alias("t30")
+    ).orderBy("doc_id")
+
+
+def q_severity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2/A5: findings counted per severity ordinal
+    from pii_spark.audit import severity_metrics
+    from pii_spark.policy import severity_level_col
+
+    corpus = _pii_corpus(spark, sf_dir)
+    udf = make_detect_udf(PatternBank(), pattern_names=["email", "phone-us", "aws-access-key"])
+    findings = explode_findings(
+        corpus.withColumn("detections", udf(F.col("content"))), ["doc_id"]
+    )
+    return severity_metrics(findings).withColumn(
+        "sev_level", severity_level_col(F.col("severity"))
+    ).orderBy("severity")
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10 sampling knob — seed-based Bernoulli sample (rows-only check:
+    # Spark's sampler is engine-specific, no SQL oracle)
+    from pii_spark.policy import PerformanceConfig, apply_performance
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    sampled = apply_performance(docs, PerformanceConfig(sampling_rate=25.0), "content")
+    return sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (k-gram rolling hash) document fingerprints, JVM-side
     # k=25/w=16: an 8-char k-gram is a common word pair in any corpus —
@@ -387,6 +430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_heuristics": q_quality_heuristics,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "size_guard": q_size_guard,
+        "truncate": q_truncate,
+        "severity_metrics": q_severity_metrics,
+        "sampling": q_sampling,
         # rows-only (model-based / probabilistic — no SQL oracle)
         "langid_distribution": q_langid_distribution,
         "minhash_near_dup": q_minhash_near_dup,
@@ -522,6 +569,29 @@ def oracle_sql() -> dict[str, str]:
                    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     / length(text)) >= 0.40 AS alpha_ok
             FROM documents ORDER BY doc_id
+        """,
+        "size_guard": """
+            SELECT lang, count(*) AS n_kept FROM documents
+            WHERE length(text) <= 1024 GROUP BY lang ORDER BY lang
+        """,
+        "truncate": """
+            SELECT doc_id,
+                   CASE WHEN length(text) <= 30 THEN text
+                        ELSE substr(text, 1, 27) || '...' END AS t30
+            FROM documents ORDER BY doc_id
+        """,
+        "severity_metrics": f"""
+            WITH corpus AS ({_PII_CORPUS_SQL}),
+            m AS (
+                SELECT 'medium' AS severity, 2 AS sev_level,
+                       unnest(regexp_extract_all(content, '{EMAIL_RE}')) AS v FROM corpus
+                UNION ALL
+                SELECT 'high', 3, unnest(regexp_extract_all(content, '{PHONE_US_RE}')) FROM corpus
+                UNION ALL
+                SELECT 'critical', 4, unnest(regexp_extract_all(content, '{AWS_RE}')) FROM corpus
+            )
+            SELECT severity, count(*) AS n_matches, CAST(sev_level AS INT) AS sev_level
+            FROM m GROUP BY severity, sev_level ORDER BY severity
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)

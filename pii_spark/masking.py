@@ -101,6 +101,15 @@ def truncate(text: str, max_len: int) -> str:
 # Spark Column-expression builders (JVM-side masking of a string column)
 # ---------------------------------------------------------------------------
 
+def truncate_col(col, max_len: int):
+    """Column form of :func:`truncate` (cmd/cli/main.go:194-199, R8)."""
+    from pyspark.sql import functions as F
+
+    return F.when(F.length(col) <= max_len, col).otherwise(
+        F.concat(F.substring(col, 1, max_len - 3), F.lit("..."))
+    )
+
+
 def masking_column(col, strategy: MaskingStrategy):
     """Build a Spark Column applying ``strategy`` to string column ``col``
     entirely with built-in functions (stays in whole-stage codegen)."""
