@@ -49,10 +49,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, passes: int = 1) -> None:
+        """Median of ``passes`` runs — the host shows sporadic multi-second
+        JVM stalls; a single sample would report them as pipeline cost."""
+        times = []
+        for _ in range(passes):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        timings[name] = round(sorted(times)[len(times) // 2], 3)
 
     # headline: end-to-end quality + scrub over the PII-spliced corpus
     corpus = E._pii_corpus(spark, sf_dir).select(
@@ -79,7 +84,7 @@ def main() -> None:
         ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
         _force(out)
 
-    timed("e2e_filter_scrub", e2e)
+    timed("e2e_filter_scrub", e2e, passes=3)
 
     bench_queries = [
         "detect_by_pattern",
