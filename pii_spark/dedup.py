@@ -91,12 +91,22 @@ def shingles_col(text_col, n: int = 5):
     )
 
 
+def _materialize(df: DataFrame, enabled: bool) -> DataFrame:
+    """Eagerly materialize a frame that downstream consumes ≥2 times
+    (``localCheckpoint``): without it each consumer re-derives the frame
+    from the source (Catalyst has no automatic cross-branch reuse except
+    identical exchanges).  Executor-local storage; on a shared cluster
+    with dynamic allocation prefer ``persist(MEMORY_AND_DISK)``."""
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 5,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ``(doc_a < doc_b, jac)``.
 
@@ -115,6 +125,7 @@ def ngram_jaccard_pairs(
             F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
+    sh = _materialize(sh, materialize)  # consumed 3× (sizes + both join sides)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -238,6 +249,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = _materialize(banded, True)  # both sides of the bucket self-join
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -254,7 +266,10 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return cand
     # exact verification restricted to candidates
-    texts = df.select(F.col(id_col).alias("doc"), shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    texts = _materialize(
+        df.select(F.col(id_col).alias("doc"), shingles_col(F.col(text_col), shingle_n).alias("sh")),
+        True,
+    )
     ta = texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")
     tb = texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")
     return (
@@ -352,7 +367,7 @@ def fingerprint_overlap_pairs(
     """Near-dup pairs sharing ≥ ``min_shared`` winnowed fingerprints —
     same self-join shape as :func:`ngram_jaccard_pairs` but over the much
     smaller fingerprint sets (|fp| ≈ 2·n/(w+1))."""
-    fp = winnow_fingerprints_df(df, id_col, text_col, k, w)
+    fp = _materialize(winnow_fingerprints_df(df, id_col, text_col, k, w), True)
     a = fp.alias("a")
     b = fp.alias("b")
     return (
@@ -423,6 +438,7 @@ def simhash_pairs(
     blocks = fp.select(
         "doc", "fp", F.explode(F.array(*block_structs)).alias("b")
     ).select("doc", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    blocks = _materialize(blocks, True)
 
     a = blocks.alias("a")
     b = blocks.alias("b")
