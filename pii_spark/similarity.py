@@ -14,10 +14,11 @@ first-class operator (task brief).  Two tiers:
   restricted to same-bucket vectors, exact cosine re-ranking of
   candidates.  Probe cost drops from O(n) to O(n / 2^bits · tables).
 
-An IVF variant (k-means coarse quantizer) is deliberately not included:
-without a native BLAS-backed ANN library the LSH route has the same
-recall/cost trade-off with far less state to manage; the bucketed join
-below is the shape an IVF probe would take (bucket = centroid id).
+- **IVF (inverted file)** — the alternative scale path: a k-means
+  coarse quantizer trained on a bounded driver-side sample, cells
+  assigned per row by one matmul per Arrow batch, probes restricted to
+  the ``nprobe`` nearest cells.  Recall/cost is tunable like LSH but
+  adapts to the data distribution (centroids follow density).
 """
 
 from __future__ import annotations
@@ -168,6 +169,83 @@ def with_lsh_buckets(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded driver-side sample
+    (normalized vectors, cosine ≙ dot).  The sample is the ONLY
+    driver-side collect — bounded by ``sample_rows`` regardless of table
+    size; at 100 TB train on ``df.limit(sample_rows)`` of a shuffled
+    snapshot instead."""
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def make_ivf_cell_udf(centroids: np.ndarray):
+    """Pandas UDF ``vec → int`` nearest-centroid cell (one matmul per
+    Arrow batch)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(((mat / norms) @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return cell_udf
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: assign every row to its nearest centroid cell
+    (partition-pruned in a cell-partitioned layout), scan only the
+    ``nprobe`` cells nearest the query, exact cosine re-rank.  On a
+    cell-partitioned Iceberg table the ``isin`` filter prunes files —
+    the probe reads ~nprobe/n_cells of the data."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / (np.linalg.norm(qv) or 1.0)
+    probe_cells = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+
+    cell_udf = make_ivf_cell_udf(centroids)
+    assigned = df.withColumn("__cell", cell_udf(F.col(vec_col)))
+    candidates = assigned.filter(
+        F.col("__cell").isin([int(c) for c in probe_cells])
+    ).drop("__cell")
+    return brute_force_topk(candidates, vec_col, query, k=k, id_col=id_col)
 
 
 def ann_topk_lsh(

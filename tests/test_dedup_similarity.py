@@ -129,3 +129,22 @@ def test_cosine_near_dup_pairs(vectors):
     ).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 100)]
     assert abs(out[0].sim - 1.0) < 1e-9
+
+
+def test_ivf_ann_finds_identical_vector(vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    cents = similarity.train_ivf_centroids(df, "embedding", n_cells=8)
+    out = similarity.ann_topk_ivf(
+        df, "embedding", q, k=3, centroids=cents, nprobe=3
+    ).collect()
+    assert [r.vec_id for r in out][:2] == [0, 100]
+    assert abs(out[0].sim - 1.0) < 1e-9
+
+
+def test_ivf_centroids_deterministic(vectors):
+    df, _ = vectors
+    a = similarity.train_ivf_centroids(df, "embedding", n_cells=4)
+    b = similarity.train_ivf_centroids(df, "embedding", n_cells=4)
+    import numpy as np
+    np.testing.assert_array_equal(a, b)
