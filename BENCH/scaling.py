@@ -105,15 +105,15 @@ def run_once(cpus: int) -> dict:
 
     # Two warm passes (Python-worker fork + pandas import, JVM JIT of the
     # codegen'd stages — one-time costs on a long-lived cluster), then
-    # median of three steady-state passes.
+    # median of five steady-state passes.
     out.write.format("noop").mode("overwrite").save()
     out.write.format("noop").mode("overwrite").save()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-    sec = sorted(times)[1]
+    sec = sorted(times)[len(times) // 2]
 
     spark.stop()
     return {"cpus": cpus, "n_files": n, "sec": round(sec, 2),
@@ -160,7 +160,7 @@ PII spliced per doc_id), materialized once as parquet in {PARTITIONS}
 hash partitions so both runs scan byte-identical input.  Each run is
 pinned to exactly its core count via `taskset`, does two un-timed warm
 passes (Python-worker fork + pandas import + JVM JIT — one-time costs on
-a long-lived cluster) and reports the median of three steady-state
+a long-lived cluster) and reports the median of five steady-state
 passes (measured: {r8.get('passes')} @8, {r32.get('passes')} @32).
 
 | parallelism | wall time (s) | throughput (files/sec) |

@@ -149,52 +149,68 @@ class BatchScrubber:
             ]
         self.names = [cp.name for cp in self.compiled]
 
-    def detect_batch(self, texts: pd.Series) -> list[list[dict]]:
-        texts = texts.fillna("")
+    def _mask_matrix(self, texts: pd.Series) -> "tuple":
+        """(P, N) boolean trigger matrix + rows with ≥1 candidate.
+
+        Rows with no triggered pattern are skipped entirely — on clean
+        corpora this removes the per-row Python work completely (the
+        loop below touches only triggered rows)."""
+        import numpy as np
+
         masks = _trigger_masks(texts, self.names)
-        mask_arrays = [
-            (cp, masks[cp.name].to_numpy() if masks[cp.name] is not None else None)
-            for cp in self.compiled
-        ]
-        out: list[list[dict]] = []
+        n = len(texts)
+        mat = np.vstack(
+            [
+                masks[cp.name].to_numpy()
+                if masks[cp.name] is not None
+                else np.ones(n, dtype=bool)
+                for cp in self.compiled
+            ]
+        ) if self.compiled else np.zeros((0, n), dtype=bool)
+        hot = np.nonzero(mat.any(axis=0))[0] if len(mat) else np.array([], dtype=int)
+        return mat, hot
+
+    def detect_batch(self, texts: pd.Series) -> list[list[dict]]:
+        import numpy as np
+
+        texts = texts.fillna("")
+        mat, hot = self._mask_matrix(texts)
+        out: list[list[dict]] = [[] for _ in range(len(texts))]
         detect = self.engine._detect_compiled
-        for i, text in enumerate(texts):
-            cands = [cp for cp, m in mask_arrays if m is None or m[i]]
-            if not cands or not text:
-                out.append([])
+        compiled = self.compiled
+        vals = texts.to_numpy()
+        for i in hot:
+            text = vals[i]
+            if not text:
                 continue
-            out.append([d.as_dict() for d in detect(text, cands)])
+            cands = [compiled[j] for j in np.nonzero(mat[:, i])[0]]
+            out[i] = [d.as_dict() for d in detect(text, cands)]
         return out
 
     def scrub_batch(self, texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         texts = texts.fillna("")
-        masks = _trigger_masks(texts, self.names)
-        mask_arrays = [
-            (cp, masks[cp.name].to_numpy() if masks[cp.name] is not None else None)
-            for cp in self.compiled
-        ]
-        scrubbed: list[str] = []
-        detections: list[list[dict]] = []
-        counts: list[int] = []
+        mat, hot = self._mask_matrix(texts)
+        vals = texts.to_numpy()
+        scrubbed = vals.copy()
+        detections: list[list[dict]] = [[] for _ in range(len(texts))]
+        counts = np.zeros(len(texts), dtype=np.int32)
         detect = self.engine._detect_compiled
         redact = self.engine._redact_from_detections
-        for i, text in enumerate(texts):
-            cands = [cp for cp, m in mask_arrays if m is None or m[i]]
-            if not cands or not text:
-                scrubbed.append(text)
-                detections.append([])
-                counts.append(0)
+        compiled = self.compiled
+        for i in hot:
+            text = vals[i]
+            if not text:
                 continue
+            cands = [compiled[j] for j in np.nonzero(mat[:, i])[0]]
             dets = detect(text, cands)
             if not dets:
-                scrubbed.append(text)
-                detections.append([])
-                counts.append(0)
                 continue
             res = redact(text, dets)
-            scrubbed.append(res.redacted_text)
-            detections.append([d.as_dict() for d in res.detections])
-            counts.append(res.redacted_count)
+            scrubbed[i] = res.redacted_text
+            detections[i] = [d.as_dict() for d in res.detections]
+            counts[i] = res.redacted_count
         return pd.DataFrame(
             {"scrubbed": scrubbed, "detections": detections, "n_redactions": counts}
         )
