@@ -1,0 +1,69 @@
+"""End-to-end pipeline driver for ``spark-submit --py-files``.
+
+Runs the full quality-filter + PII-scrub pipeline on a deterministic
+synthetic corpus, exercises checkpoint/resume, and verifies the output
+against the independent pure-Python oracle (keep/drop agreement and
+scrubbed-sha256 equality must both be 1.0) — the BASELINE.json
+verification protocol.
+
+Usage::
+
+    zip -r pii_spark.zip pii_spark
+    spark-submit --master local[8] --py-files pii_spark.zip \
+        examples/run_pipeline.py [n_files] [output_dir]
+"""
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from pii_spark.io import TableIO
+from pii_spark.pipeline import Pipeline, PipelineConfig, default_spark_conf
+from pii_spark.synth import compute_reference_labels, generate_code_files
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="pii_out_")
+
+    spark = default_spark_conf(
+        SparkSession.builder.appName("pii-spark-pipeline")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pdf = generate_code_files(n_files)
+    labels = compute_reference_labels(pdf)
+    df = spark.createDataFrame(pdf)
+
+    io = TableIO(spark, out_dir)
+    pipe = Pipeline(spark, io, PipelineConfig(n_buckets=8, bucket_group_size=3))
+
+    # partial run → resume → idempotent no-op re-run
+    s1 = pipe.run(df, "run", max_groups=1)
+    s2 = pipe.resume(df, "run")
+    s3 = pipe.resume(df, "run")
+    print(f"run: {s1['buckets_processed']} buckets, "
+          f"resume: {s2['buckets_processed']}, re-run: {s3['buckets_processed']}")
+    assert s3["buckets_processed"] == 0, "resume must be idempotent"
+
+    out = io.read("scrubbed_files").toPandas()
+    m = out.merge(labels, on=["repo", "path", "commit"], suffixes=("", "_ref"))
+    keep_agree = (m["keep"] == m["keep_ref"]).mean()
+    sha_agree = (m["scrubbed_sha256"] == m["scrubbed_sha256_ref"]).mean()
+    print(f"keep agreement: {keep_agree}  scrubbed sha256 agreement: {sha_agree}")
+    print(f"throughput: {s2['files_per_sec']:.0f} files/sec "
+          f"(tiny-scale; see BENCH/BASELINE.md for measured numbers)")
+
+    io.read("metrics_drop_reasons").show(20, False)
+    io.read("metrics_findings").show(20, False)
+    print(f"tables written under: {out_dir}")
+
+    ok = keep_agree == 1.0 and sha_agree == 1.0 and len(m) == n_files
+    print("PIPELINE_OK" if ok else "PIPELINE_MISMATCH")
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -338,18 +338,20 @@ def winnow_fingerprints_df(
     k-gram hashes computed ONCE via ``posexplode``, sliding w-window
     minima via an analytic ``min() OVER (rows BETWEEN 0 AND w-1)``,
     distinct minima kept.  One shuffle on the doc id."""
+    # number of k-gram positions is known from the text length — carry it
+    # through the explode instead of paying a second window function
+    nk = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     kg = df.select(
         F.col(id_col).alias("doc"),
+        nk.alias("nk"),
         F.posexplode(kgram_hashes_col(F.col(text_col), k)).alias("pos", "h"),
     )
     sliding = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
-    per_doc = Window.partitionBy("doc")
     return (
         kg.withColumn("wmin", F.min("h").over(sliding))
-        .withColumn("npos", F.max("pos").over(per_doc))
         .filter(
-            (F.col("pos") <= F.col("npos") - (w - 1))
-            | ((F.col("npos") < w - 1) & (F.col("pos") == 0))  # short doc → single whole-doc window
+            (F.col("pos") <= F.col("nk") - w)
+            | ((F.col("nk") <= w - 1) & (F.col("pos") == 0))  # short doc → single whole-doc window
         )
         .select("doc", F.col("wmin").alias("fp"))
         .distinct()
