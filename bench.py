@@ -86,6 +86,28 @@ def main() -> None:
 
     timed("e2e_filter_scrub", e2e, passes=3)
 
+    # clean corpus (no planted PII): shows the trigger pre-filter payoff —
+    # rows with no candidate pattern cost zero Python scrub work
+    clean = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    ).repartition(cpus, F.xxhash64("repo", "path")).persist()
+    clean.count()
+
+    def e2e_clean():
+        out = with_scrub(
+            with_quality(clean, "content", declared_lang_col="lang"),
+            "content",
+            PatternBank(),
+        ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
+        _force(out)
+
+    timed("e2e_clean_corpus", e2e_clean, passes=3)
+    clean.unpersist()
+
     bench_queries = [
         "detect_by_pattern",
         "scrub_email_partial",
