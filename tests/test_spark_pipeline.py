@@ -216,3 +216,21 @@ def test_pipeline_f1_gate(spark, corpus, tmp_path):
     f1 = 2 * tp / (2 * tp + fp + fn)
     assert f1 >= 0.99
     assert (merged.scrubbed_sha256 == merged.scrubbed_sha256_ref).mean() == 1.0
+
+
+def test_tableio_empty_partitioned_write_not_exists(spark, tmp_path):
+    # regression probe (verify-skill gotcha): a 0-row partitioned write
+    # leaves only _SUCCESS; exists() must treat that as absent so the
+    # pipeline doesn't try to read a schemaless directory
+    from pyspark.sql import functions as F
+    from pii_spark.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    empty = spark.range(0).select(
+        F.col("id").alias("bucket"), F.lit("x").alias("v")
+    )
+    io.write(empty, "t_empty", partition_by=["bucket"])
+    assert not io.exists("t_empty")
+    io.write(spark.range(3).withColumn("bucket", F.col("id")), "t_full",
+             partition_by=["bucket"])
+    assert io.exists("t_full")
