@@ -157,6 +157,76 @@ def token_bucket_stream(
     )
 
 
+def token_bucket_stream_tws(
+    df: DataFrame,
+    rate_per_min: int = 10,
+    channel_col: str = "channel",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` form of the token bucket —
+    same semantics as :func:`token_bucket_stream`, using the
+    StatefulProcessor API (typed ValueState, RocksDB-backed), which is
+    the forward path for custom stateful operators.
+
+    Runtime requires ``protobuf`` (the TWS state-server protocol), which
+    this container lacks — :func:`token_bucket_stream`
+    (applyInPandasWithState) is the dependency-free default; the test
+    for this variant auto-skips when protobuf is absent."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = token_bucket_output_schema()
+
+    class TokenBucketProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("bucket", TOKEN_BUCKET_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                tokens, last_ts, allowed_total, blocked_total = self._state.get()
+                st = (tokens, last_ts if last_ts >= 0 else None)
+            else:
+                st = None
+                allowed_total = blocked_total = 0
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+            ev = [(t.timestamp(), i) for t, i in zip(batch[ts_col], batch[id_col])]
+            decisions, (tokens, last) = token_bucket_py(ev, rate_per_min, st)
+            allowed = [a for _, a in decisions]
+            allowed_total += sum(allowed)
+            blocked_total += len(allowed) - sum(allowed)
+            self._state.update(
+                (float(tokens), float(last if last is not None else -1.0),
+                 int(allowed_total), int(blocked_total))
+            )
+            yield pd.DataFrame(
+                {
+                    "channel": [key[0]] * len(batch),
+                    "event_id": batch[id_col].to_numpy(),
+                    "ts": batch[ts_col].to_numpy(),
+                    "allowed": allowed,
+                    "allowed_total": [allowed_total] * len(batch),
+                    "blocked_total": [blocked_total] * len(batch),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.groupBy(channel_col)
+        .transformWithStateInPandas(
+            statefulProcessor=TokenBucketProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="None",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # T2: streaming dedup window
 # ---------------------------------------------------------------------------

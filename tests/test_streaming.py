@@ -154,3 +154,31 @@ def test_scrub_stream_foreachbatch(spark, tmp_path):
     assert rows[1].n_redactions == 1
     assert "a.b@example.com" not in rows[1].scrubbed_text
     assert rows[2].scrubbed_text == "nothing here"
+
+
+def test_token_bucket_stream_tws(spark, tmp_path):
+    # Spark-4 transformWithStateInPandas variant: same semantics.
+    # TWS speaks protobuf to the state server — absent here, auto-skip.
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "src_tws"
+    src.mkdir()
+    _write_batch(src, "b0.json", [
+        ("slack", 0, "2024-01-01T00:00:00"),
+        ("slack", 1, "2024-01-01T00:00:01"),
+        ("slack", 2, "2024-01-01T00:00:02"),
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).json(str(src))
+    out = S.token_bucket_stream_tws(stream, rate_per_min=2)
+    q = (
+        out.writeStream.format("memory").queryName("tb_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.event_id: r for r in spark.sql("SELECT * FROM tb_tws").collect()}
+    finally:
+        q.stop()
+    assert rows[0].allowed and rows[1].allowed and not rows[2].allowed
+    assert rows[2].allowed_total == 2 and rows[2].blocked_total == 1
