@@ -1,0 +1,96 @@
+"""Audit/metrics/alert construction tests (S10/S11/A2/A5, build_alerts
+= F9 gate → U5 dedup → T1 cap chain)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark import audit
+from pii_spark.policy import DeduplicationConfig, PIIPolicy
+
+
+@pytest.fixture(scope="module")
+def findings(spark):
+    rows = [
+        # ts, repo, path, commit, pattern, display, matched, start, end,
+        # confidence, severity, redacted
+        ("2024-01-01 00:00:01", "r1", "a.py", "c1", "email", "Email", "x@y.co", 0, 6, "high", "medium", "x*****"),
+        ("2024-01-01 00:00:02", "r1", "a.py", "c1", "email", "Email", "z@y.co", 9, 15, "high", "medium", "z*****"),  # dup key within 5m
+        ("2024-01-01 00:00:03", "r1", "b.py", "c2", "aws-access-key", "AWS", "AKIA...", 3, 9, "high", "critical", "AKIA**"),
+        ("2024-01-01 00:07:00", "r1", "a.py", "c1", "email", "Email", "q@y.co", 1, 7, "high", "medium", "q*****"),  # next window
+        ("2024-01-01 00:00:04", "r2", "c.py", "c3", "password", "Password", "pwd=secret11", 0, 12, "medium", "critical", "[PASSWORD_REDACTED]"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ts_s string, repo string, path string, commit string, pattern string, "
+        "display string, matched string, start int, end int, confidence string, "
+        "severity string, redacted string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def test_audit_entries_shape(findings):
+    rows = audit.audit_entries(findings, "pol", include_text=True).collect()
+    assert len(rows) == 5
+    r = rows[0]
+    assert r.policy_name == "pol" and r.event_type == "pii.detected"
+    assert r.labels["confidence"] in ("high", "medium")
+    assert r.original_text is not None and r.redacted_text is not None
+
+
+def test_write_json_audit_roundtrip(spark, findings, tmp_path):
+    path = str(tmp_path / "audit")
+    audit.write_json_audit(audit.audit_entries(findings, "pol"), path)
+    lines = []
+    for f in os.listdir(path):
+        if f.endswith(".json"):
+            lines += [json.loads(l) for l in open(os.path.join(path, f))]
+    assert len(lines) == 5
+    assert {l["pattern_name"] for l in lines} == {"email", "aws-access-key", "password"}
+
+
+def test_multi_sink_keeps_last_error(findings):
+    seen = []
+
+    def ok(df):
+        seen.append(df.count())
+
+    def boom(df):
+        raise RuntimeError("sink down")
+
+    err = audit.multi_sink(findings, [ok, boom, ok])
+    assert isinstance(err, RuntimeError)
+    assert seen == [5, 5]  # fan-out continued past the failure
+    assert audit.multi_sink(findings, [ok]) is None
+
+
+def test_findings_by_pattern(findings):
+    rows = {r.pattern: r for r in audit.findings_by_pattern(findings).collect()}
+    assert rows["email"].n_matches == 3 and rows["email"].n_files == 1
+    assert rows["password"].n_files == 1
+
+
+def test_build_alerts_gate_dedup_cap(findings):
+    policy = PIIPolicy(
+        name="p", min_severity="medium", rate_limit_per_min=10,
+        dedup=DeduplicationConfig(window="5 minutes", keys=["repo", "path", "pattern"]),
+    )
+    alerts = audit.build_alerts(findings, policy).collect()
+    # dup email on (r1, a.py) within the same 5-min window suppressed;
+    # the 00:07 one lands in the next window → kept
+    keys = sorted((r.repo, r.path, r.pattern, str(r.ts)) for r in alerts)
+    assert len(alerts) == 4
+    assert ("r1", "a.py", "email", "2024-01-01 00:00:02") not in [
+        (a, b, c, d) for a, b, c, d in keys
+    ]
+    assert all(r.alert_id and r.policy_name == "p" for r in alerts)
+    # deterministic across runs
+    again = audit.build_alerts(findings, policy).collect()
+    assert sorted(r.alert_id for r in again) == sorted(r.alert_id for r in alerts)
+
+
+def test_build_alerts_severity_floor(findings):
+    policy = PIIPolicy(name="p", min_severity="critical")
+    alerts = audit.build_alerts(findings, policy).collect()
+    assert {r.pattern for r in alerts} == {"aws-access-key", "password"}
