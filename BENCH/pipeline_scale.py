@@ -1,0 +1,86 @@
+"""Full-pipeline throughput INCLUDING sinks and checkpointing.
+
+The scaling evidence in BENCH/BASELINE.md measures the pure transform
+(noop sink).  This harness runs :class:`pii_spark.pipeline.Pipeline`
+end-to-end — selector, salted buckets, merged quality+scrub stage,
+keep/drop split, scrubbed+findings parquet writes, per-group progress
+commits, metrics tables — and reports files/sec at that full contract.
+
+    python BENCH/pipeline_scale.py [n_reps]    # default 64 → 320k files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from pii_spark.io import TableIO
+from pii_spark.pipeline import Pipeline, PipelineConfig, default_spark_conf
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{cpus}]").appName("pipeline-scale"),
+            shuffle_partitions=cpus,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit("/"),
+                     F.col("rep").cast("string")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com")).alias("content"),
+        )
+        .persist()
+    )
+    n = corpus.count()
+
+    out_dir = tempfile.mkdtemp(prefix="pipeline_scale_")
+    try:
+        io = TableIO(spark, out_dir)
+        pipe = Pipeline(spark, io, PipelineConfig(n_buckets=cpus * 4,
+                                                  bucket_group_size=cpus * 4))
+        t0 = time.time()
+        summary = pipe.run(corpus, "bench-run")
+        wall = time.time() - t0
+        n_out = io.read("scrubbed_files").count()
+        assert n_out == n, (n_out, n)
+        print(json.dumps({
+            "metric": "pipeline_files_per_sec_with_sinks",
+            "n_files": n,
+            "wall_sec": round(wall, 2),
+            "files_per_sec": round(n / wall, 1),
+            "buckets": summary["buckets_processed"],
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,17 @@ def main() -> None:
 
     r8, r32 = results[8], results[32]
     eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
-    summary = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3)}
+
+    # full-pipeline (with sinks + checkpointing) throughput at local[32]
+    pipe_out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "pipeline_scale.py"), "64"],
+        capture_output=True, text=True, check=True,
+    )
+    rp = json.loads(pipe_out.stdout.strip().splitlines()[-1])
+
+    summary = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3),
+               "pipeline_with_sinks": rp}
     print(json.dumps(summary))
 
     md = f"""# BENCH — measured baseline + scaling evidence
@@ -170,6 +180,11 @@ passes (measured: {r8.get('passes')} @8, {r32.get('passes')} @32).
 
 **Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff:.3f}**
 (target ≥ 0.8 per BASELINE.json).
+
+Full pipeline INCLUDING sinks (scrubbed + findings parquet writes,
+per-group checkpoint commits, metrics tables; `BENCH/pipeline_scale.py`):
+**{rp['files_per_sec']:,} files/sec** over {rp['n_files']:,} files at
+`local[{rp['cpus']}]` ({rp['wall_sec']}s wall, {rp['buckets']} buckets).
 
 Reproduce: `python BENCH/scaling.py` (env: `SCALING_REPS`,
 `SPARK_GRAFT_SF_DIR`, `SCALING_CORPUS_DIR`).

@@ -44,7 +44,13 @@ class PipelineConfig:
     policy: PIIPolicy = field(default_factory=PIIPolicy)
     n_buckets: int = 64
     bucket_group_size: int = 64  # buckets committed per checkpoint group
-    output_partition_cols: tuple = ("bucket",)
+    # Output is written FLAT with `bucket` as a data column: resume
+    # correctness lives in the progress table, not the file layout, and
+    # a partitionBy("bucket") write from T tasks × B buckets emits T×B
+    # tiny files (measured 8× slower end-to-end).  Set ("bucket",) when
+    # the sink is an Iceberg table whose spec wants explicit partitioning
+    # (Iceberg distributes on write, avoiding the small-file fan-out).
+    output_partition_cols: tuple = ()
 
 
 KEY_COLS = ["repo", "path", "commit", "lang"]
@@ -121,23 +127,28 @@ class Pipeline:
             part = df.filter(F.col("bucket").isin(group))
             # salt-repartition: bucket is a uniform hash → even partitions
             part = part.repartition(parallelism, F.col("bucket"), F.xxhash64("path"))
-            out = self.transform(part)
+            scrubbed_cols = KEY_COLS + [
+                "bucket", "scrubbed_text", "scrubbed_sha256", "n_redactions",
+                "keep", "drop_reason",
+            ]
+            # cache only what the sinks consume — the raw content and
+            # heuristic intermediates would double the cached bytes
+            out = self.transform(part).select(*scrubbed_cols, "detections")
 
             out.persist()
             try:
                 group_n = out.count()
                 if group_n > 0:
-                    scrubbed_cols = KEY_COLS + [
-                        "bucket", "scrubbed_text", "scrubbed_sha256", "n_redactions",
-                        "keep", "drop_reason",
-                    ]
                     self.io.write(
                         out.select(*scrubbed_cols),
                         "scrubbed_files",
                         partition_by=list(cfg.output_partition_cols),
                     )
                     findings = explode_findings(out, KEY_COLS + ["bucket"])
-                    self.io.write(findings, "findings", partition_by=["bucket"])
+                    self.io.write(
+                        findings, "findings",
+                        partition_by=list(cfg.output_partition_cols),
+                    )
                 n_files += group_n
                 # empty groups still commit progress (bucket done, 0 rows)
                 self._commit_progress(run_id, group, out)
