@@ -37,11 +37,19 @@ AWS_RE = r"AKIA[0-9A-Z]{16}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The sf* parquet files are a single row group (~1 MB), so Spark's
+    # scan yields ONE input partition and every UDF/explode upstream of
+    # the first exchange would run on one core.  A deterministic hash
+    # repartition on the key restores parallelism; at real scale the
+    # table arrives with proper file-level partitioning and this shuffle
+    # of (tiny) inputs is noise.
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
 
 
 # ---------------------------------------------------------------------------

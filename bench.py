@@ -127,7 +127,7 @@ def main() -> None:
     ]
     qmap = E.queries()
     for name in bench_queries:
-        timed(name, lambda n=name: _force(qmap[n](spark, sf_dir)))
+        timed(name, lambda n=name: _force(qmap[n](spark, sf_dir)), passes=3)
 
     corpus.unpersist()
     e2e_sec = timings["e2e_filter_scrub"]

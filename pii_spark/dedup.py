@@ -268,9 +268,20 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    # exact verification restricted to candidates
+    cand = _materialize(cand, True)  # consumed 3× (doc set + the pair join)
+    # exact verification restricted to candidates: semi-join the corpus
+    # down to docs that appear in ≥1 candidate pair BEFORE shingling —
+    # at corpus scale candidates are ≪ the corpus, so this skips the
+    # expensive shingle computation for almost every document
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
     texts = _materialize(
-        df.select(F.col(id_col).alias("doc"), shingles_col(F.col(text_col), shingle_n).alias("sh")),
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        .join(cand_docs, "doc", "left_semi")
+        .select("doc", shingles_col(F.col(text_col), shingle_n).alias("sh")),
         True,
     )
     ta = texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")
