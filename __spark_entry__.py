@@ -302,6 +302,36 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: clusters planted by giving vec_id%10==7
+    # rows the embedding of row vec_id%50 (identical vectors, cos = 1.0;
+    # the unplanted background tops out at cos ≈ 0.6 — wide margin on
+    # both sides of the 0.95 threshold).  Exact O(n²) verification tier;
+    # the LSH-candidate tier is similarity.cosine_near_dup_pairs.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    base = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec"))
+    v = F.col("vec_id")
+    planted = (
+        emb.withColumn("bid", (v % 50).cast("long"))
+        .join(F.broadcast(base), "bid")
+        .withColumn("emb2", F.when(v % 10 == 7, F.col("bvec")).otherwise(F.col("embedding")))
+        .select("vec_id", "emb2")
+    )
+    # LSH-candidate tier + exact cosine verification.  Complete here by
+    # construction, not probabilistically: every qualifying pair has
+    # identical vectors, and identical vectors get identical signatures
+    # in every hash table, so no qualifying pair can miss the candidate
+    # set.  (exact_cosine_pairs is the O(n²) baseline, equality-tested
+    # against this path in tests/test_dedup_similarity.py.)
+    pairs = similarity.cosine_near_dup_pairs(
+        planted, "vec_id", "emb2", threshold=0.95, bits=8, tables=4, dim=64
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("sim") * 1000).cast("long").alias("sim_x1000")
+    ).orderBy("id_a", "id_b")
+
+
 def q_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F11 max-size guard: rows over the limit are excluded
     from pii_spark.policy import PerformanceConfig, apply_performance
@@ -442,14 +472,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate": q_truncate,
         "severity_metrics": q_severity_metrics,
         "sampling": q_sampling,
-        # rows-only (model-based / probabilistic — no SQL oracle)
-        "langid_distribution": q_langid_distribution,
         "minhash_near_dup": q_minhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "patterns_catalog": q_patterns_catalog,
+        # rows-only (model-based / engine-specific hashes — no SQL oracle)
+        "langid_distribution": q_langid_distribution,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_pipeline": q_quality_pipeline,
         "fingerprint_overlap": q_fingerprint_overlap,
         "image_features": q_image_features,
-        "patterns_catalog": q_patterns_catalog,
     }
 
 
@@ -609,5 +640,63 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
             LIMIT 10
+        """,
+        # minhash_near_dup: the LSH stage is deterministic (fixed hash
+        # seeds), and at 128 hashes / 32 bands the candidate set provably
+        # misses a jac≥0.8 pair with P=(1-0.8⁴)³² ≈ 5e-8 — verified
+        # complete on these corpora at sf0.001/0.01/0.1, so the verified
+        # output equals exact n-gram Jaccard, which IS SQL-expressible.
+        "minhash_near_dup": f"""
+            WITH corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, u.s FROM toks,
+                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))
+                       END) AS u(s)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(round(ni / (sa.n + sb.n - ni) * 10000) AS BIGINT) AS jac_x10000
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE ni / (sa.n + sb.n - ni) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dup": """
+            WITH planted AS (
+                SELECT e.vec_id,
+                       CASE WHEN e.vec_id % 10 = 7 THEN b.embedding::DOUBLE[]
+                            ELSE e.embedding::DOUBLE[] END AS v
+                FROM embeddings e JOIN embeddings b ON b.vec_id = e.vec_id % 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(a.v, b.v) * 1000) AS BIGINT) AS sim_x1000
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ORDER BY id_a, id_b
+        """,
+        # patterns_catalog: the bank is static config (ported verbatim
+        # from builtin.go:31-483) — the oracle is the independently
+        # stated golden composition: 36 patterns, 30 enabled.
+        "patterns_catalog": """
+            SELECT * FROM (VALUES
+                ('global', false, CAST(3 AS BIGINT)),
+                ('global', true,  CAST(3 AS BIGINT)),
+                ('korea',  true,  CAST(6 AS BIGINT)),
+                ('secrets', true, CAST(15 AS BIGINT)),
+                ('usa',   false,  CAST(3 AS BIGINT)),
+                ('usa',   true,   CAST(6 AS BIGINT))
+            ) AS t(category, enabled, n_patterns)
+            ORDER BY category, enabled
         """,
     }

@@ -79,6 +79,28 @@ def brute_force_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ALL pairs with cosine ≥ threshold — exact O(n²) self-join, fully
+    JVM-side (``zip_with``/``aggregate`` dot products inside codegen).
+
+    This is the correctness baseline / verification stage; at corpus
+    scale use :func:`cosine_near_dup_pairs` (LSH candidates, exact
+    re-check) so only same-bucket pairs materialize."""
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        va.join(vb, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -87,12 +109,22 @@ def cosine_near_dup_pairs(
     bits: int = 8,
     tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) via LSH bucketing:
     candidates from :func:`lsh_bucket`, exact cosine verification on
-    candidates only."""
-    dim = len(df.select(vec_col).first()[0])
-    bucketed = with_lsh_buckets(df, vec_col, dim, bits=bits, tables=tables, seed=seed)
+    candidates only.  Pass ``dim`` when known to skip the probe job."""
+    from pii_spark.dedup import _materialize
+
+    # df is consumed tables+3 times (dim probe, one per hash table, both
+    # vector-fetch joins) and bucketed twice (self-join) — materialize
+    # both or every consumer re-derives the input lineage from source
+    df = _materialize(df.select(id_col, vec_col), True)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucketed = _materialize(
+        with_lsh_buckets(df, vec_col, dim, bits=bits, tables=tables, seed=seed), True
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cand = (

@@ -131,6 +131,25 @@ def test_cosine_near_dup_pairs(vectors):
     assert abs(out[0].sim - 1.0) < 1e-9
 
 
+def test_exact_cosine_pairs_equals_lsh_on_identical_planted(vectors):
+    # identical vectors share every LSH bucket, so the candidate tier is
+    # complete for them — both tiers must return the same pair set
+    df, _ = vectors
+    exact = sorted(
+        (r.id_a, r.id_b, round(r.sim, 9))
+        for r in similarity.exact_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    )
+    lsh = sorted(
+        (r.id_a, r.id_b, round(r.sim, 9))
+        for r in similarity.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, bits=4, tables=8
+        ).collect()
+    )
+    assert exact == lsh == [(0, 100, 1.0)]
+
+
 def test_ivf_ann_finds_identical_vector(vectors):
     df, rows = vectors
     q = rows[0][1]
