@@ -251,6 +251,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text analysis: BPE-ish sub-word token counting (letter runs, digit
+    # runs, single punctuation — JVM-side regexp_extract_all)
+    from pii_spark.quality import bpe_token_count_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def q_quality_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality scoring: alpha ratio (JVM-side column expression)
     t = F.col("text")
@@ -466,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
         "ann_cosine_topk": q_ann_cosine_topk,
         "size_guard": q_size_guard,
@@ -599,6 +610,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality_heuristics": """
