@@ -118,6 +118,17 @@ def main() -> None:
         ).count(),
     )
 
+    # full near-dedup stage: MinHash pairs → connected components →
+    # one survivor per cluster (what a production pipeline actually
+    # materializes — pair enumeration alone is quadratic in cluster size)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc", "text", num_hashes=128, bands=32, verify_threshold=0.8
+    ).localCheckpoint(eager=True)
+    timed(
+        "near_dedup_survivors",
+        lambda: dedup.near_dedup(corpus, pairs, "doc").count(),
+    )
+
     summary = {"n_docs": n, "cpus": CPUS, **results}
     print(json.dumps(summary))
 

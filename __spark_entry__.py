@@ -312,6 +312,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate-cluster assignment: verified MinHash pairs → connected
+    # components (min-label propagation) → cluster sizes
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text3", num_hashes=128, bands=32, verify_threshold=0.8
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: clusters planted by giving vec_id%10==7
     # rows the embedding of row vec_id%50 (identical vectors, cos = 1.0;
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_metrics": q_severity_metrics,
         "sampling": q_sampling,
         "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
         # rows-only (model-based / engine-specific hashes — no SQL oracle)
@@ -688,6 +704,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = db
             WHERE ni / (sa.n + sb.n - ni) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # same pair graph as minhash_near_dup (oracle soundness argued
+        # there); components via a recursive min-label CTE
+        "near_dup_clusters": f"""
+            WITH RECURSIVE corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, u.s FROM toks,
+                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))
+                       END) AS u(s)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT da, db FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+                WHERE ni / (sa.n + sb.n - ni) >= 0.8
+            ),
+            edges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION SELECT db, da FROM pairs),
+            cc(doc, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc
+            )
+            SELECT component, CAST(count(*) AS BIGINT) AS n_docs FROM (
+                SELECT doc, min(lbl) AS component FROM cc GROUP BY doc
+            ) GROUP BY component ORDER BY component
         """,
         "embedding_near_dup": """
             WITH planted AS (

@@ -395,6 +395,87 @@ def fingerprint_overlap_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components) + near-dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assign each doc in the near-dup pair graph its component id (the
+    minimum doc id reachable from it) — ``(doc, component)`` rows.
+
+    Pair *enumeration* is quadratic in cluster size (a 1000-wide
+    boilerplate cluster is 500k pairs); dedup pipelines therefore reduce
+    pairs to clusters and keep one survivor per cluster.  Min-label
+    propagation: every node starts as its own label; each round each
+    node takes the min label in its neighborhood; stop when no label
+    changed.  Rounds needed ≈ graph diameter — near-dup clusters are
+    dense (diameter ≤ ~3), so this converges in 2-4 rounds; the
+    pathological long-chain case is bounded by ``max_iter`` (raise it,
+    or switch to the large-star/small-star variant, for chain-heavy
+    graphs).  Each round is one shuffle of (node, label) + an 8-byte
+    aggregation; lineage is truncated per round so plans stay flat.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = _materialize(edges, True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    labels = _materialize(labels, True)
+    for _ in range(max_iter):
+        # min over {own label} ∪ {neighbors' labels}
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.select("node", "lbl").union(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = _materialize(new_labels, True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Drop near-duplicates: one survivor (the min id) per connected
+    component of ``pairs``; docs in no pair survive untouched.  The
+    full near-dedup stage is then
+    ``near_dedup(df, minhash_lsh_pairs(df, ...), "doc_id")`` —
+    candidate generation O(n·bands), verification O(candidates),
+    survivor selection O(pairs · diameter)."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

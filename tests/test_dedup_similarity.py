@@ -167,3 +167,32 @@ def test_ivf_centroids_deterministic(vectors):
     b = similarity.train_ivf_centroids(df, "embedding", n_cells=4)
     import numpy as np
     np.testing.assert_array_equal(a, b)
+
+
+def test_connected_components_and_near_dedup(spark):
+    pairs = spark.createDataFrame(
+        # cluster {1,2,3} (triangle), {10,11}, chain 20-21-22-23
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r.doc: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+        "doc_id long, text string",
+    )
+    survivors = sorted(
+        r.doc_id for r in dedup.near_dedup(docs, pairs, "doc_id").collect()
+    )
+    # one survivor (min id) per cluster + the untouched doc 99
+    assert survivors == [1, 10, 20, 99]
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert dedup.near_dedup(docs, pairs, "doc_id").count() == 1
