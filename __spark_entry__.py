@@ -312,6 +312,27 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic content-hash sampling: 25% by sha256 bucket of the
+    # doc key — engine-independent membership, mirrored exactly in SQL
+    from pii_spark.curation import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = hash_sample(docs, F.col("doc_id").cast("string"), 0.25)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
+def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixture balancing: at most 5 docs per language, longest first
+    from pii_spark.curation import quota_by_key
+
+    docs = _docs(spark, sf_dir)
+    kept = quota_by_key(
+        docs, ["lang"], [F.desc("n_chars"), F.asc("doc_id")], n=5
+    )
+    return kept.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster assignment: verified MinHash pairs → connected
     # components (min-label propagation) → cluster sizes
@@ -500,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "hash_sample": q_hash_sample,
+        "lang_quota": q_lang_quota,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
         # rows-only (model-based / engine-specific hashes — no SQL oracle)
@@ -704,6 +727,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = db
             WHERE ni / (sa.n + sb.n - ni) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "hash_sample": """
+            SELECT lang, count(*) AS n_kept FROM documents
+            WHERE substr(sha256(doc_id::VARCHAR), 1, 4) < '4000'
+            GROUP BY lang ORDER BY lang
+        """,
+        "lang_quota": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, doc_id
         """,
         # same pair graph as minhash_near_dup (oracle soundness argued
         # there); components via a recursive min-label CTE

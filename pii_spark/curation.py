@@ -1,0 +1,71 @@
+"""Corpus-curation operators: reproducible sampling + mixture quotas.
+
+Not in the reference (its sampling knob, ``PerformanceConfig.
+SamplingRate`` at ``/root/reference/api/v1alpha1/piipolicy_types.go:
+103-107``, is a declared percentage with engine-defined randomness —
+operator F10).  A training-data pipeline needs two stronger forms:
+
+- **Deterministic hash sampling** — membership decided by the sha256 of
+  a key, not by an RNG: the same row is kept in every run, on every
+  engine, at every partitioning, and samples at different rates nest
+  (a 10% sample is a subset of a 20% sample).  This is how web-scale
+  corpora version their subsets; Bernoulli ``df.sample`` can't promise
+  any of it (seed × partitioning dependent).
+- **Per-key quotas** — "at most N docs per language/repo" mixture
+  balancing, as a deterministic window top-N.
+
+Both are pure JVM column expressions (no UDFs, no shuffle beyond the
+quota window's hash partition on the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def hash_bucket_col(key: Column, salt: str = "") -> Column:
+    """First 4 hex chars of ``sha256(key || salt)`` — a uniform
+    0..65535 bucket as a zero-padded hex string.  String comparison is
+    order-consistent with the numeric value (fixed-width lowercase
+    hex), so no hex→int conversion is needed — keeps the expression
+    portable across engines (same trick works verbatim in DuckDB)."""
+    return F.substring(F.sha2(F.concat(key, F.lit(salt)), 256), 1, 4)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` (quantized
+    to 1/65536).  ``salt`` derives independent samples from the same
+    key; identical (key, salt) ⇒ identical membership everywhere.
+
+    Scale: a pure filter — pushed below everything by Catalyst, no
+    shuffle, no state.  Sampling on a *stable row key* (not content)
+    keeps membership stable under content edits; sampling on content
+    makes the sample self-deduplicating.  Nesting: bucket < f1 implies
+    bucket < f2 for f1 ≤ f2, so rate changes only add/remove the
+    margin."""
+    thr = format(min(max(int(fraction * 65536), 0), 65536), "04x")
+    return df.filter(hash_bucket_col(key, salt) < F.lit(thr))
+
+
+def quota_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    n: int,
+) -> DataFrame:
+    """At most ``n`` rows per key, chosen by ``order_cols`` (pass fully
+    deterministic ordering — include a unique id as the last key).
+    One hash-shuffle on the key; rank via ``row_number`` so the output
+    size is exactly ``min(n, group size)`` per key.  For Zipfian keys
+    the quota itself bounds the skew a downstream stage sees."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

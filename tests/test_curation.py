@@ -1,0 +1,50 @@
+"""Tests for corpus-curation operators (deterministic sampling, quotas)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pii_spark.curation import hash_sample, quota_by_key
+
+
+def _keys(rows):
+    return sorted(r.k for r in rows)
+
+
+def test_hash_sample_matches_python_sha256(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(400)], "k string")
+    got = _keys(hash_sample(df, F.col("k"), 0.25).collect())
+    want = sorted(
+        str(i)
+        for i in range(400)
+        if hashlib.sha256(str(i).encode()).hexdigest()[:4] < "4000"
+    )
+    assert got == want
+    # ~25% within binomial noise
+    assert 60 <= len(got) <= 140
+
+
+def test_hash_sample_nesting_and_salt_independence(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(400)], "k string")
+    s10 = set(_keys(hash_sample(df, F.col("k"), 0.10).collect()))
+    s25 = set(_keys(hash_sample(df, F.col("k"), 0.25).collect()))
+    assert s10 <= s25  # samples nest
+    salted = set(_keys(hash_sample(df, F.col("k"), 0.25, salt="v2").collect()))
+    assert salted != s25  # a salt derives an independent sample
+
+
+def test_hash_sample_stable_under_repartitioning(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(400)], "k string")
+    a = _keys(hash_sample(df, F.col("k"), 0.25).collect())
+    b = _keys(hash_sample(df.repartition(7), F.col("k"), 0.25).collect())
+    assert a == b  # unlike df.sample, membership ignores partitioning
+
+
+def test_quota_by_key(spark):
+    rows = [(lang, i, 100 - i) for lang in ("py", "go") for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score long")
+    out = quota_by_key(df, ["lang"], [F.desc("score"), F.asc("doc_id")], n=3)
+    got = sorted((r.lang, r.doc_id) for r in out.collect())
+    # top score = lowest i → docs 0,1,2 per lang
+    assert got == [("go", 0), ("go", 1), ("go", 2), ("py", 0), ("py", 1), ("py", 2)]
+    assert "__rn" not in out.columns
