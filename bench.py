@@ -124,6 +124,11 @@ def main() -> None:
         "fingerprint_overlap",
         "image_features",
         "quality_pipeline",
+        "near_dup_clusters",
+        "embedding_near_dup",
+        "hash_sample",
+        "lang_quota",
+        "token_count_bpe",
     ]
     qmap = E.queries()
     for name in bench_queries:
