@@ -6,11 +6,27 @@ both: ``format("iceberg")`` via a configured Spark catalog when
 ``catalog`` is set, else parquet directories under ``root`` emulating
 append/commit semantics.  The pipeline only uses this API, so swapping
 in a real Iceberg catalog is a config change, not a code change.
+
+**Snapshot commits** (the parquet emulation of Iceberg's atomic
+snapshot append): ``write_snapshot`` writes data files to an
+uncommitted ``snap-<id>/`` directory, then publishes it with ONE
+atomic manifest rename into ``_commits/``.  Readers union only
+manifest-listed directories, so a crash mid-write leaves an orphan
+directory that no reader ever sees, and re-running the same snapshot
+id is a no-op once its manifest exists.  Arbitrary metadata (e.g. the
+bucket list a pipeline group covers) rides inside the manifest —
+data + progress commit in the same atomic rename, which is what makes
+resume exactly-once instead of at-least-once.  With a real Iceberg
+catalog the same contract is native (each append is one snapshot;
+idempotency via the snapshot summary), so this class is the only code
+that changes.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,12 +45,24 @@ class TableIO:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _commits_dir(self, name: str) -> str:
+        return os.path.join(self.path(name), "_commits")
+
+    def _snapshot_dirs(self, name: str) -> list[str]:
+        """Data directories of all committed snapshots, commit order."""
+        dirs: list[str] = []
+        for s in self.snapshots(name):
+            dirs.extend(s["dirs"])
+        return dirs
+
     def exists(self, name: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(self._ident(name))
         p = self.path(name)
         if not os.path.isdir(p):
             return False
+        if os.path.isdir(self._commits_dir(name)):
+            return len(self._snapshot_dirs(name)) > 0
         # flat or one-level-partitioned parquet dirs; a bare _SUCCESS
         # with no data files (empty partitioned write) is NOT readable
         for entry in os.listdir(p):
@@ -50,7 +78,98 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         if self.catalog:
             return self.spark.read.format("iceberg").load(self._ident(name))
+        if os.path.isdir(self._commits_dir(name)):
+            dirs = self._snapshot_dirs(name)
+            if not dirs:
+                raise FileNotFoundError(f"table {name!r} has no committed data")
+            return self.spark.read.parquet(*dirs)
         return self.spark.read.parquet(self.path(name))
+
+    # ------------------------------------------------------------------
+    # snapshot commits (atomic append emulation)
+    # ------------------------------------------------------------------
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Committed snapshot manifests, oldest first."""
+        cd = self._commits_dir(name)
+        if self.catalog:  # Iceberg: native snapshot metadata table
+            return [
+                row.asDict()
+                for row in self.spark.read.format("iceberg")
+                .load(f"{self._ident(name)}.snapshots")
+                .collect()
+            ]
+        if not os.path.isdir(cd):
+            return []
+        out = []
+        for f in sorted(os.listdir(cd)):
+            if f.endswith(".json"):
+                with open(os.path.join(cd, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def snapshot_committed(self, name: str, snapshot_id: str) -> bool:
+        if self.catalog:
+            return any(
+                s.get("summary", {}).get("snapshot-id-app") == snapshot_id
+                for s in self.snapshots(name)
+            )
+        return os.path.isfile(
+            os.path.join(self._commits_dir(name), f"{snapshot_id}.json")
+        )
+
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        name: str,
+        snapshot_id: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> bool:
+        """Atomically append ``df`` as snapshot ``snapshot_id``.
+
+        Idempotent: returns False without writing when the snapshot is
+        already committed.  Data lands in ``snap-<id>/`` (overwrite —
+        a re-run after a mid-write crash replaces the orphan), then the
+        manifest (data dirs + ``meta``) is renamed into ``_commits/``
+        in one atomic step.  An empty ``df`` commits a manifest with no
+        data directory, so progress metadata still lands atomically.
+        """
+        if self.snapshot_committed(name, snapshot_id):
+            return False
+        if self.catalog:
+            w = df.writeTo(self._ident(name))
+            if self.spark.catalog.tableExists(self._ident(name)):
+                w.append()
+            else:
+                w.create()
+            return True
+        snap_dir = os.path.join(self.path(name), f"snap-{snapshot_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(snap_dir)
+        has_data = any(
+            f.endswith(".parquet")
+            or (
+                os.path.isdir(os.path.join(snap_dir, f))
+                and any(g.endswith(".parquet") for g in os.listdir(os.path.join(snap_dir, f)))
+            )
+            for f in os.listdir(snap_dir)
+        )
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "dirs": [snap_dir] if has_data else [],
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        cd = self._commits_dir(name)
+        os.makedirs(cd, exist_ok=True)
+        tmp = os.path.join(cd, f".{snapshot_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
+        return True
 
     def write(
         self,

@@ -138,20 +138,40 @@ class Pipeline:
             out.persist()
             try:
                 group_n = out.count()
-                if group_n > 0:
-                    self.io.write(
-                        out.select(*scrubbed_cols),
-                        "scrubbed_files",
-                        partition_by=list(cfg.output_partition_cols),
-                    )
-                    findings = explode_findings(out, KEY_COLS + ["bucket"])
-                    self.io.write(
-                        findings, "findings",
-                        partition_by=list(cfg.output_partition_cols),
-                    )
+                sid = f"{run_id}-g{group[0]:05d}"
+                # Atomic group commit (exactly-once resume): findings
+                # snapshot first, scrubbed_files snapshot LAST — its
+                # manifest carries the bucket list, so data + progress
+                # publish in one rename and _completed_buckets is
+                # derived from committed manifests.  A crash anywhere
+                # before that rename leaves only orphan dirs readers
+                # never see; the re-run overwrites them under the same
+                # snapshot id.
+                findings = explode_findings(out, KEY_COLS + ["bucket"])
+                self.io.write_snapshot(
+                    findings, "findings", sid,
+                    partition_by=list(cfg.output_partition_cols),
+                )
+                counts = {
+                    r["bucket"]: r["n"]
+                    for r in out.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                self.io.write_snapshot(
+                    out.select(*scrubbed_cols), "scrubbed_files", sid,
+                    meta={
+                        "run_id": run_id,
+                        "buckets": [int(b) for b in group],
+                        "bucket_counts": {str(b): int(counts.get(b, 0)) for b in group},
+                    },
+                    partition_by=list(cfg.output_partition_cols),
+                )
                 n_files += group_n
-                # empty groups still commit progress (bucket done, 0 rows)
-                self._commit_progress(run_id, group, out)
+                # lineage record (audit trail; correctness lives in the
+                # manifest, so duplicate lineage rows after a crashed
+                # re-run are noise, not double-counting)
+                self._append_progress(run_id, group, counts)
             finally:
                 out.unpersist()
 
@@ -173,21 +193,16 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _completed_buckets(self, run_id: str) -> set[int]:
-        if not self.io.exists("progress"):
-            return set()
-        rows = (
-            self.io.read("progress")
-            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-            .select("bucket")
-            .collect()
-        )
-        return {r["bucket"] for r in rows}
+        """Buckets whose group snapshot is committed — read from the
+        scrubbed_files manifests (the atomic source of truth)."""
+        done: set[int] = set()
+        for snap in self.io.snapshots("scrubbed_files"):
+            meta = snap.get("meta", {})
+            if meta.get("run_id") == run_id:
+                done.update(int(b) for b in meta.get("buckets", []))
+        return done
 
-    def _commit_progress(self, run_id: str, buckets: list[int], out: DataFrame) -> None:
-        counts = {
-            r["bucket"]: r["n"]
-            for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+    def _append_progress(self, run_id: str, buckets: list[int], counts: dict) -> None:
         rows = [
             (run_id, int(b), int(counts.get(b, 0)), "done", float(time.time()))
             for b in buckets

@@ -234,3 +234,65 @@ def test_tableio_empty_partitioned_write_not_exists(spark, tmp_path):
     io.write(spark.range(3).withColumn("bucket", F.col("id")), "t_full",
              partition_by=["bucket"])
     assert io.exists("t_full")
+
+
+def test_tableio_snapshot_commit_semantics(spark, tmp_path):
+    """Snapshot commits: atomic visibility, idempotent re-commit,
+    empty-snapshot manifests, crash-window invisibility."""
+    import os
+
+    io = TableIO(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    assert io.write_snapshot(df1, "t", "s1", meta={"buckets": [0, 1]}) is True
+    assert io.exists("t") and io.read("t").count() == 2
+    # idempotent: same snapshot id is a no-op
+    assert io.write_snapshot(df2, "t", "s1") is False
+    assert io.read("t").count() == 2
+    # second snapshot appends
+    assert io.write_snapshot(df2, "t", "s2") is True
+    assert io.read("t").count() == 3
+    assert [s["snapshot_id"] for s in io.snapshots("t")] == ["s1", "s2"]
+    assert io.snapshots("t")[0]["meta"] == {"buckets": [0, 1]}
+
+    # empty snapshot: manifest commits; a 0-row data file (or none, for
+    # partitioned writes) contributes nothing to reads
+    empty = spark.createDataFrame([], "id long, v string")
+    assert io.write_snapshot(empty, "t", "s3") is True
+    assert len(io.snapshots("t")) == 3
+    assert io.read("t").count() == 3
+
+    # crash window: a data dir WITHOUT a manifest is invisible to readers
+    df2.write.mode("overwrite").parquet(os.path.join(io.path("t"), "snap-sX"))
+    assert io.read("t").count() == 3
+    assert not io.snapshot_committed("t", "sX")
+
+
+def test_pipeline_resume_exactly_once_after_data_only_crash(spark, corpus, tmp_path):
+    """A crash after the group's data write but BEFORE the manifest
+    rename must not duplicate rows on resume."""
+    import os
+
+    from pii_spark.pipeline import Pipeline, PipelineConfig
+
+    pdf, _ = corpus
+    df = spark.createDataFrame(pdf)
+    io = TableIO(spark, str(tmp_path / "t4"))
+    pipe = Pipeline(spark, io, PipelineConfig(n_buckets=8, bucket_group_size=3))
+    pipe.run(df, "runC", max_groups=1)
+    n_committed = io.read("scrubbed_files").count()
+
+    # simulate the crash: orphan data dir for the NEXT group, no manifest
+    orphan = os.path.join(io.path("scrubbed_files"), "snap-runC-g00003")
+    io.read("scrubbed_files").limit(5).write.mode("overwrite").parquet(orphan)
+    assert io.read("scrubbed_files").count() == n_committed  # invisible
+
+    pipe.resume(df, "runC")
+    total = io.read("scrubbed_files").count()
+    # every input row exactly once: the orphan was overwritten, not doubled
+    assert total == df.count()
+    assert (
+        io.read("scrubbed_files").groupBy("repo", "path", "commit").count()
+        .filter("count > 1").count() == 0
+    )
