@@ -312,6 +312,32 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frequent-line boilerplate removal: a license header planted on 25%
+    # of docs (doc_freq ≫ threshold → stripped) plus a rare per-doc note
+    # on ~14% (doc_freq ≪ threshold → kept); sha256 of the cleaned text
+    d = F.col("doc_id")
+    header = (
+        "// Copyright Example Corp\n// Licensed under Apache-2.0\n// DO NOT EDIT\n"
+    )
+    content = F.concat(
+        F.when(d % 4 == 0, F.concat(F.lit(header), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("\n// custom note "), (d % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    corpus = _docs(spark, sf_dir).withColumn("content", content)
+    out = dedup.remove_frequent_lines(
+        corpus, "doc_id", "content", min_doc_freq=50, min_line_chars=4
+    )
+    return out.select(
+        "doc_id", F.sha2(F.col("cleaned_text"), 256).alias("clean_sha")
+    ).orderBy("doc_id")
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic content-hash sampling: 25% by sha256 bucket of the
     # doc key — engine-independent membership, mirrored exactly in SQL
@@ -521,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "boilerplate_removal": q_boilerplate_removal,
         "hash_sample": q_hash_sample,
         "lang_quota": q_lang_quota,
         "embedding_near_dup": q_embedding_near_dup,
@@ -727,6 +754,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = db
             WHERE ni / (sa.n + sb.n - ni) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # independent SQL implementation of the same algorithm
+        # (frequency count → anti-join → ordered reassembly)
+        "boilerplate_removal": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '// Copyright Example Corp' || chr(10)
+                                 || '// Licensed under Apache-2.0' || chr(10)
+                                 || '// DO NOT EDIT' || chr(10) || text
+                            ELSE text END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || '// custom note '
+                                    || (doc_id % 100)::VARCHAR
+                               ELSE '' END AS content
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(str_split(content, chr(10))) AS line,
+                       unnest(range(1, len(str_split(content, chr(10))) + 1)) AS pos
+                FROM corpus
+            ),
+            freq AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+                ) WHERE df >= 50 AND length(trim(line)) >= 4
+            ),
+            kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
+            reb AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, sha256(coalesce(r.cleaned, '')) AS clean_sha
+            FROM corpus c LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
         """,
         "hash_sample": """
             SELECT lang, count(*) AS n_kept FROM documents

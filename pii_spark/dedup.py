@@ -395,6 +395,74 @@ def fingerprint_overlap_pairs(
 
 
 # ---------------------------------------------------------------------------
+# frequent-line boilerplate removal (line-granular exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def line_doc_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document frequency of each distinct line — ``(line, doc_freq)``.
+    One explode + one hash aggregate (map-side partial); the shuffle
+    carries distinct (line, doc) pairs only."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
+    )
+    return lines.groupBy("line").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_freq: int = 100,
+    min_line_chars: int = 4,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Strip lines appearing in ≥ ``min_doc_freq`` documents — license
+    headers, generated-file preambles, repeated banners: the
+    line-granular form of cross-document exact-substring dedup used in
+    code-corpus preprocessing.  Lines shorter than ``min_line_chars``
+    after trimming are never removed (blank lines and lone braces are
+    frequent but structural, not boilerplate).
+
+    Plan: doc-frequency aggregate → frequent-line set (tiny by
+    definition: high-frequency ⇒ few distinct) → posexplode + anti-join
+    against it → reassemble per doc with an order-preserving
+    ``sort_array(collect_list(struct(pos, line)))``.  Two shuffles
+    ((line,doc) pairs for the frequency count, (doc) for reassembly);
+    the frequent set joins broadcast.  Docs left with no lines get
+    ``""``.
+    """
+    freq = (
+        line_doc_freq(df, id_col, text_col)
+        .filter(
+            (F.col("doc_freq") >= min_doc_freq)
+            & (F.length(F.trim(F.col("line"))) >= min_line_chars)
+        )
+        .select("line")
+    )
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["doc"], "left")
+        .drop("doc")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate-cluster assignment (connected components) + near-dedup
 # ---------------------------------------------------------------------------
 

@@ -196,3 +196,28 @@ def test_connected_components_empty_pairs(spark):
     assert dedup.connected_components(pairs).count() == 0
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert dedup.near_dedup(docs, pairs, "doc_id").count() == 1
+
+
+def test_remove_frequent_lines(spark):
+    header = "// LICENSE\n// DO NOT EDIT"
+    rows = [(i, f"{header}\nbody line {i}\n{{") for i in range(20)]
+    rows.append((100, "unique doc with no header"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.cleaned_text
+        for r in dedup.remove_frequent_lines(
+            df, "doc_id", "text", min_doc_freq=10, min_line_chars=4
+        ).collect()
+    }
+    # header lines stripped, body + short structural line "{" kept
+    assert out[3] == "body line 3\n{"
+    # untouched doc survives verbatim
+    assert out[100] == "unique doc with no header"
+
+
+def test_remove_frequent_lines_all_removed_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "same line everywhere") for i in range(5)], "doc_id long, text string"
+    )
+    out = dedup.remove_frequent_lines(df, "doc_id", "text", min_doc_freq=5)
+    assert [r.cleaned_text for r in out.collect()] == [""] * 5
