@@ -125,6 +125,7 @@ def main() -> None:
         "image_features",
         "quality_pipeline",
         "near_dup_clusters",
+        "boilerplate_removal",
         "embedding_near_dup",
         "hash_sample",
         "lang_quota",
