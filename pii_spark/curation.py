@@ -48,7 +48,12 @@ def hash_sample(
     makes the sample self-deduplicating.  Nesting: bucket < f1 implies
     bucket < f2 for f1 ≤ f2, so rate changes only add/remove the
     margin."""
-    thr = format(min(max(int(fraction * 65536), 0), 65536), "04x")
+    if fraction >= 1.0:
+        return df
+    # threshold stays 4 hex chars (0..ffff) so the lexicographic compare
+    # is always same-width; fraction==1 must bypass (65536 would format
+    # as 5-char '10000' and mis-compare against 'f…' prefixes)
+    thr = format(min(max(int(fraction * 65536), 0), 65535), "04x")
     return df.filter(hash_bucket_col(key, salt) < F.lit(thr))
 
 

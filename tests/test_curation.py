@@ -48,3 +48,9 @@ def test_quota_by_key(spark):
     # top score = lowest i → docs 0,1,2 per lang
     assert got == [("go", 0), ("go", 1), ("go", 2), ("py", 0), ("py", 1), ("py", 2)]
     assert "__rn" not in out.columns
+
+
+def test_hash_sample_boundary_fractions(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
+    assert hash_sample(df, F.col("k"), 1.0).count() == 50
+    assert hash_sample(df, F.col("k"), 0.0).count() == 0

@@ -221,3 +221,10 @@ def test_remove_frequent_lines_all_removed_yields_empty(spark):
     )
     out = dedup.remove_frequent_lines(df, "doc_id", "text", min_doc_freq=5)
     assert [r.cleaned_text for r in out.collect()] == [""] * 5
+
+
+def test_remove_frequent_lines_identity_below_threshold(spark):
+    rows = [(i, f"header\nbody {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.remove_frequent_lines(df, "doc_id", "text", min_doc_freq=6)
+    assert all(r.cleaned_text == r.text for r in out.collect())
