@@ -261,6 +261,48 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_heuristics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full JVM-side heuristic stack (quality.py column functions)
+    # over a derived multi-line corpus: 2-3 lines per doc, a duplicated
+    # line on doc_id%3==0, an autogen marker on doc_id%11==0
+    from pii_spark.quality import (
+        autogenerated_col,
+        dup_line_ratio_col,
+        hex_blob_ratio_col,
+        lines_col,
+        max_line_length_col,
+        mean_line_length_col,
+        numeric_token_ratio_col,
+    )
+
+    d = F.col("doc_id")
+    first40 = F.substring(F.col("text"), 1, 40)
+    content = F.concat(
+        F.when(d % 11 == 0, F.lit("// DO NOT EDIT\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.lit("\n"),
+        first40,
+        F.when(d % 3 == 0, F.concat(F.lit("\n"), first40)).otherwise(F.lit("")),
+    )
+    c = F.col("content")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("content", content)
+        .select(
+            "doc_id",
+            F.size(lines_col(c)).cast("long").alias("n_lines"),
+            max_line_length_col(c).cast("long").alias("max_line_len"),
+            F.round(mean_line_length_col(c) * 100).cast("long").alias("mean_line_x100"),
+            F.round(alpha_ratio_col(c) * 10000).cast("long").alias("alpha_x10000"),
+            F.round(dup_line_ratio_col(c) * 10000).cast("long").alias("dup_x10000"),
+            autogenerated_col(c).alias("autogen"),
+            F.round(hex_blob_ratio_col(c) * 10000).cast("long").alias("hexblob_x10000"),
+            F.round(numeric_token_ratio_col(c) * 10000).cast("long").alias("numtok_x10000"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality scoring: alpha ratio (JVM-side column expression)
     t = F.col("text")
@@ -540,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
+        "quality_heuristics_full": q_quality_heuristics_full,
         "ann_cosine_topk": q_ann_cosine_topk,
         "size_guard": q_size_guard,
         "truncate": q_truncate,
@@ -683,6 +726,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "quality_heuristics_full": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN '// DO NOT EDIT' || chr(10)
+                            ELSE '' END
+                       || text || chr(10) || substr(text, 1, 40)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || substr(text, 1, 40) ELSE '' END
+                           AS content
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, content,
+                       str_split(content, chr(10)) AS lines,
+                       regexp_split_to_array(trim(content), '\s+') AS toks
+                FROM corpus
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+                       AS max_line_len,
+                   CAST(round(list_sum(list_transform(lines, x -> length(x)))
+                              / len(lines) * 100) AS BIGINT) AS mean_line_x100,
+                   CAST(round(length(regexp_replace(content, '[^A-Za-z]', '', 'g'))
+                              / length(content) * 10000) AS BIGINT) AS alpha_x10000,
+                   CAST(round((1.0 - len(list_distinct(lines)) / len(lines)) * 10000)
+                        AS BIGINT) AS dup_x10000,
+                   regexp_matches(substr(content, 1, 512),
+                       'Code generated by|DO NOT EDIT|@generated|<auto\-generated|Autogenerated by|THIS FILE IS GENERATED')
+                       AS autogen,
+                   CAST(round((length(content)
+                               - length(regexp_replace(content,
+                                        '[A-Za-z0-9+/=]{64,}', '', 'g')))
+                              / length(content) * 10000) AS BIGINT) AS hexblob_x10000,
+                   CAST(round(len(list_filter(toks,
+                                  t -> regexp_matches(t, '^[0-9.,x-]+$')))
+                              / len(toks) * 10000) AS BIGINT) AS numtok_x10000
+            FROM m ORDER BY doc_id
         """,
         "quality_heuristics": """
             SELECT doc_id,
