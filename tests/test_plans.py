@@ -103,3 +103,24 @@ def test_scrub_has_no_shuffle_and_prunes_to_content(spark):
     p = plan(out)
     assert "Exchange" not in p
     assert "ReadSchema: struct<text:string>" in p
+
+
+def test_boilerplate_frequent_set_joins_broadcast(spark):
+    from pii_spark.dedup import remove_frequent_lines
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = remove_frequent_lines(docs, "doc_id", "text", min_doc_freq=50)
+    p = plan(out)
+    # the anti-join against the (tiny) frequent-line set must broadcast,
+    # never shuffle the exploded lines twice
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_hash_sample_is_pure_filter_no_shuffle_no_python(spark):
+    from pii_spark.curation import hash_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_sample(docs, F.col("doc_id").cast("string"), 0.25)
+    p = plan(out)
+    assert "Exchange" not in p  # no shuffle: sampling is row-local
+    assert count_python_nodes(p) == 0  # pure JVM expression
