@@ -275,3 +275,38 @@ def scrub_stream_writer(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def quality_scrub_stream_writer(
+    stream_df: DataFrame,
+    io,
+    bank_provider,
+    content_col: str = "content",
+    declared_lang_col: str | None = None,
+    table: str = "quality_stream",
+    checkpoint: str | None = None,
+):
+    """``foreachBatch`` writer running the FULL batch pipeline stage
+    (JVM heuristics → merged quality+scrub Python pass → keep/drop
+    decision) per micro-batch — the streaming form of
+    ``Pipeline.transform``.  The same operators apply unchanged; the
+    bank snapshot refreshes per batch (T4), and exactly-once delivery
+    comes from the checkpointed batch id (re-delivered batches rewrite
+    the same epoch)."""
+    from pyspark.sql import functions as F
+
+    from pii_spark.detect import quality_scrub_map_in_pandas
+    from pii_spark.quality import with_decision, with_heuristics
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bank = bank_provider()
+        out = with_heuristics(batch_df, content_col=content_col)
+        out = quality_scrub_map_in_pandas(out, bank, content_col=content_col)
+        out = with_decision(out, declared_lang_col=declared_lang_col)
+        out = out.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
+        io.write_snapshot(out, table, f"batch-{batch_id:08d}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

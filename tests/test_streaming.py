@@ -182,3 +182,44 @@ def test_token_bucket_stream_tws(spark, tmp_path):
         q.stop()
     assert rows[0].allowed and rows[1].allowed and not rows[2].allowed
     assert rows[2].allowed_total == 2 and rows[2].blocked_total == 1
+
+
+def test_quality_scrub_stream_foreachbatch(spark, tmp_path):
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("content", StringType()),
+    ])
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "content": "mail me at a.b@example.com for the document today"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "content": "// DO NOT EDIT\ngenerated file body here"}) + "\n")
+
+    io = TableIO(spark, str(tmp_path / "qtables"))
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = S.quality_scrub_stream_writer(
+        stream, io, PatternBank, content_col="content",
+        checkpoint=str(tmp_path / "qckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.doc_id: r for r in io.read("quality_stream").collect()}
+    assert rows[1].n_redactions == 1 and rows[1].keep
+    assert "a.b@example.com" not in rows[1].scrubbed_text
+    assert rows[2].keep is False and rows[2].drop_reason == "autogenerated"
+    # snapshot-committed epochs: batch 0 present exactly once
+    assert len(io.snapshots("quality_stream")) == 1
+
+    # second micro-batch appends a new snapshot; first is untouched
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "content": "clean text with words"}) + "\n")
+    q2 = S.quality_scrub_stream_writer(
+        stream, io, PatternBank, content_col="content",
+        checkpoint=str(tmp_path / "qckpt"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert io.read("quality_stream").count() == 3
