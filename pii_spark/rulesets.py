@@ -292,14 +292,22 @@ def fetch_http_rules(url: str) -> list[RuleSet]:
     """GET a rules artifact and dispatch on its type: plain YAML, gzip,
     tar(.gz) or zip of YAML files (HTTPFetcher.processContent,
     http.go:65-289).  ``file://`` URLs work for offline/local use."""
-    import gzip
-    import io as iolib
-    import tarfile
     import urllib.request
-    import zipfile
 
     with urllib.request.urlopen(url) as resp:
         data = resp.read()
+    return _rulesets_from_artifact(url, data)
+
+
+def _rulesets_from_artifact(name: str, data: bytes) -> list[RuleSet]:
+    """Content-sniffing dispatch shared by the HTTP and OCI fetchers:
+    zip / gzip / tar(.gz) / plain YAML → rule sets."""
+    import gzip
+    import io as iolib
+    import tarfile
+    import zipfile
+
+    url = name
 
     def _from_bytes(name: str, payload: bytes) -> list[RuleSet]:
         docs = yaml.safe_load(payload.decode("utf-8"))
@@ -339,6 +347,52 @@ def fetch_http_rules(url: str) -> list[RuleSet]:
                     out.extend(_from_bytes(m.name, t.extractfile(m).read()))
         return out
     return _from_bytes(url, data)
+
+
+def fetch_oci_rules(
+    registry: str,
+    repository: str,
+    ref: str = "latest",
+    token: str | None = None,
+) -> list[RuleSet]:
+    """Pull a rules artifact from an OCI registry (OCIFetcher,
+    ``/root/reference/internal/source/oci.go:73-257``): GET the
+    manifest at ``/v2/<repo>/manifests/<ref>``, download the first
+    layer blob at ``/v2/<repo>/blobs/<digest>``, then reuse the same
+    tar/gzip/YAML dispatch as the HTTP fetcher (the layer is a
+    tarball of rule files, oci.go:218-257).  ``registry`` includes the
+    scheme (e.g. ``http://localhost:5000``); ``token`` becomes a
+    Bearer header (oci.go:120-126).  Driver-side only — rule sources
+    are config-time, never in the data path."""
+    import json
+    import urllib.request
+
+    def _get(path: str, accept: str | None = None) -> bytes:
+        req = urllib.request.Request(f"{registry}{path}")
+        if accept:
+            req.add_header("Accept", accept)
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        with urllib.request.urlopen(req) as resp:
+            return resp.read()
+
+    manifest = json.loads(
+        _get(
+            f"/v2/{repository}/manifests/{ref}",
+            accept=(
+                "application/vnd.oci.image.manifest.v1+json, "
+                "application/vnd.docker.distribution.manifest.v2+json"
+            ),
+        )
+    )
+    layers = manifest.get("layers", [])
+    if not layers:
+        raise ValueError(f"manifest for {repository}:{ref} has no layers")
+    digest = layers[0]["digest"]
+    blob = _get(f"/v2/{repository}/blobs/{digest}")
+    if not verify_sha256(blob, digest.removeprefix("sha256:")):
+        raise ValueError(f"layer digest mismatch for {digest}")
+    return _rulesets_from_artifact(f"{repository}:{ref}", blob)
 
 
 def verify_sha256(content: bytes, expected_hex: str) -> bool:

@@ -123,3 +123,60 @@ def test_fetch_http_zip(tmp_path):
     f.write_bytes(buf.getvalue())
     sets = R.fetch_http_rules(f.as_uri())
     assert len(sets) == 1 and sets[0].maturity == "stable"
+
+
+def test_fetch_oci_rules(tmp_path):
+    """In-process OCI registry stub: manifest + blob endpoints, Bearer
+    auth checked, layer digest verified by the fetcher."""
+    import hashlib
+    import json
+    import tarfile
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        data = RULESET_YAML.encode()
+        info = tarfile.TarInfo("rules/secrets.yaml")
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    blob = buf.getvalue()
+    digest = "sha256:" + hashlib.sha256(blob).hexdigest()
+    manifest = json.dumps(
+        {"schemaVersion": 2, "layers": [{"mediaType": "application/vnd.oci.image.layer.v1.tar+gzip", "digest": digest}]}
+    ).encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.headers.get("Authorization") != "Bearer tok123":
+                self.send_response(401); self.end_headers(); return
+            if self.path == "/v2/org/pii-rules/manifests/v1":
+                body = manifest
+            elif self.path == f"/v2/org/pii-rules/blobs/{digest}":
+                body = blob
+            else:
+                self.send_response(404); self.end_headers(); return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        sets = R.fetch_oci_rules(
+            f"http://127.0.0.1:{srv.server_port}", "org/pii-rules", "v1", token="tok123"
+        )
+        assert len(sets) == 1 and sets[0].patterns[0].name == "employee-id"
+        # digest tamper → rejected
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            R.fetch_oci_rules(
+                f"http://127.0.0.1:{srv.server_port}", "org/pii-rules", "v1", token="bad"
+            )
+    finally:
+        srv.shutdown()
