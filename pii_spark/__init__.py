@@ -16,7 +16,13 @@ files ``(repo, path, commit, lang, content)`` and provides:
   toxicity) for training-data pipelines,
 - policy algebra (selector filters, severity gating, dedup windows,
   rate caps — reference ``api/v1alpha1/piipolicy_types.go``),
-- an end-to-end checkpointed, skew-aware batch pipeline.
+- training-data dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  winnowing / boilerplate-line removal / duplicate-cluster assignment),
+  similarity search (brute-force, LSH, IVF), corpus curation
+  (deterministic hash sampling, mixture quotas), multimodal plumbing,
+- an end-to-end checkpointed, skew-aware batch pipeline with atomic
+  snapshot commits (exactly-once resume), plus streaming forms of the
+  rate-limit/dedup/scrub contracts.
 """
 
 __version__ = "0.1.0"
