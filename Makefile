@@ -1,0 +1,23 @@
+# Developer entry points (mirrors the reference's Makefile role,
+# /root/reference/Makefile — test/build/run targets for this engine).
+
+.PHONY: test bench scale skew dedup-bench verify
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+scale:            ## N vs 4N scaling evidence → BENCH/BASELINE.md
+	python BENCH/scaling.py
+
+skew:             ## salted vs by-repo layout → BENCH/SKEW.md
+	python BENCH/skew.py
+
+dedup-bench:      ## dedup family at 160k docs → BENCH/DEDUP.md
+	python BENCH/dedup_scale.py
+
+verify:           ## spark-submit end-to-end drive vs the independent oracle
+	rm -f /tmp/pii_spark.zip && zip -qr /tmp/pii_spark.zip pii_spark
+	spark-submit --master 'local[8]' --py-files /tmp/pii_spark.zip examples/run_pipeline.py
