@@ -13,11 +13,14 @@ expressed Spark-first:
 - **n-gram Jaccard**: exact set-similarity via shingle explode +
   self-join on shingle, group-count intersection — no UDFs at all, all
   JVM-side.  Quadratic only within shingle-sharing groups.
-- **MinHash + LSH**: signature via a vectorized pandas UDF (numpy hash
+- **MinHash + LSH** (Broder, "On the resemblance and containment of
+  documents", 1997; banding per Leskovec/Rajaraman/Ullman ch.3):
+  signature via a vectorized pandas UDF (numpy hash
   mixing, one Arrow pass), banding → candidate buckets → bucket join,
   optional exact-Jaccard verification of candidates.  This is the scale
   path: cost is O(n · bands) shuffle instead of O(n²).
-- **SimHash**: 64-bit fingerprint UDF; near-dup = Hamming distance ≤ k,
+- **SimHash** (Charikar, STOC 2002; Manku et al., WWW 2007 pigeonhole
+  blocks): 64-bit fingerprint UDF; near-dup = Hamming distance ≤ k,
   found by pigeonhole banding (split 64 bits into k+1 blocks, join on
   any equal block).
 - **embedding cosine**: near-dup over an ``array<float>`` column via
@@ -420,8 +423,9 @@ def remove_frequent_lines(
 ) -> DataFrame:
     """Strip lines appearing in ≥ ``min_doc_freq`` documents — license
     headers, generated-file preambles, repeated banners: the
-    line-granular form of cross-document exact-substring dedup used in
-    code-corpus preprocessing.  Lines shorter than ``min_line_chars``
+    line-granular form of cross-document exact-substring dedup
+    (cf. Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022) used in code-corpus preprocessing.  Lines shorter than ``min_line_chars``
     after trimming are never removed (blank lines and lone braces are
     frequent but structural, not boilerplate).
 
@@ -474,7 +478,10 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Assign each doc in the near-dup pair graph its component id (the
-    minimum doc id reachable from it) — ``(doc, component)`` rows.
+    minimum doc id reachable from it) — ``(doc, component)`` rows
+    (min-label propagation; the large-star/small-star variant of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014, keeps the same join shape for chain-heavy graphs).
 
     Pair *enumeration* is quadratic in cluster size (a 1000-wide
     boilerplate cluster is 500k pairs); dedup pipelines therefore reduce
