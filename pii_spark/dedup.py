@@ -527,6 +527,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split true clusters (long-chain
+        # graphs) and over-keep survivors downstream — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds it); raise max_iter or use a "
+            "large-star/small-star iteration for chain-heavy graphs"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
 
 

@@ -56,6 +56,11 @@ class TableIO:
         return dirs
 
     def exists(self, name: str) -> bool:
+        """True when the table has READABLE DATA — a snapshot table whose
+        committed snapshots are all empty reports False (its commit
+        state is still visible via :meth:`snapshots` /
+        :meth:`snapshot_committed`; ``read`` needs at least one data
+        file to infer a schema)."""
         if self.catalog:
             return self.spark.catalog.tableExists(self._ident(name))
         p = self.path(name)
@@ -92,13 +97,24 @@ class TableIO:
     def snapshots(self, name: str) -> list[dict]:
         """Committed snapshot manifests, oldest first."""
         cd = self._commits_dir(name)
-        if self.catalog:  # Iceberg: native snapshot metadata table
-            return [
-                row.asDict()
-                for row in self.spark.read.format("iceberg")
+        if self.catalog:  # Iceberg: native snapshot metadata table,
+            # normalized to the manifest shape ({snapshot_id, meta, ...})
+            # from the summary properties write_snapshot stamps
+            out = []
+            for row in (
+                self.spark.read.format("iceberg")
                 .load(f"{self._ident(name)}.snapshots")
                 .collect()
-            ]
+            ):
+                d = row.asDict()
+                summary = dict(d.get("summary") or {})
+                d["snapshot_id"] = summary.get("snapshot-id-app")
+                try:
+                    d["meta"] = json.loads(summary.get("meta-json", "{}"))
+                except ValueError:
+                    d["meta"] = {}
+                out.append(d)
+            return out
         if not os.path.isdir(cd):
             return []
         out = []
@@ -111,8 +127,7 @@ class TableIO:
     def snapshot_committed(self, name: str, snapshot_id: str) -> bool:
         if self.catalog:
             return any(
-                s.get("summary", {}).get("snapshot-id-app") == snapshot_id
-                for s in self.snapshots(name)
+                s.get("snapshot_id") == snapshot_id for s in self.snapshots(name)
             )
         return os.path.isfile(
             os.path.join(self._commits_dir(name), f"{snapshot_id}.json")
@@ -125,20 +140,35 @@ class TableIO:
         snapshot_id: str,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        force: bool = False,
     ) -> bool:
         """Atomically append ``df`` as snapshot ``snapshot_id``.
 
         Idempotent: returns False without writing when the snapshot is
-        already committed.  Data lands in ``snap-<id>/`` (overwrite —
-        a re-run after a mid-write crash replaces the orphan), then the
-        manifest (data dirs + ``meta``) is renamed into ``_commits/``
-        in one atomic step.  An empty ``df`` commits a manifest with no
-        data directory, so progress metadata still lands atomically.
+        already committed (unless ``force``, which rewrites the data dir
+        and replaces the manifest — used to re-commit a derived table
+        consistently when its primary table's group is reprocessed).
+        Data lands in ``snap-<id>/`` (overwrite — a re-run after a
+        mid-write crash replaces the orphan), then the manifest (data
+        dirs + ``meta``) is renamed into ``_commits/`` in one atomic
+        step.  An empty ``df`` commits a manifest with no data files,
+        so progress metadata still lands atomically.
+
+        Catalog mode: one native Iceberg append per call, stamped with
+        ``snapshot-property.snapshot-id-app``/``meta-json`` summary
+        properties so ``snapshot_committed``/``snapshots()`` expose the
+        same contract (force re-commit is not supported there — Iceberg
+        appends are immutable; callers needing it should overwrite-by-
+        filter instead).  Untestable in this sandbox (no Iceberg jar).
         """
-        if self.snapshot_committed(name, snapshot_id):
+        if self.snapshot_committed(name, snapshot_id) and not force:
             return False
         if self.catalog:
-            w = df.writeTo(self._ident(name))
+            w = (
+                df.writeTo(self._ident(name))
+                .option("snapshot-property.snapshot-id-app", snapshot_id)
+                .option("snapshot-property.meta-json", json.dumps(meta or {}))
+            )
             if self.spark.catalog.tableExists(self._ident(name)):
                 w.append()
             else:
@@ -151,11 +181,8 @@ class TableIO:
         w.parquet(snap_dir)
         has_data = any(
             f.endswith(".parquet")
-            or (
-                os.path.isdir(os.path.join(snap_dir, f))
-                and any(g.endswith(".parquet") for g in os.listdir(os.path.join(snap_dir, f)))
-            )
-            for f in os.listdir(snap_dir)
+            for _, _, files in os.walk(snap_dir)
+            for f in files
         )
         manifest = {
             "snapshot_id": snapshot_id,
@@ -168,7 +195,7 @@ class TableIO:
         tmp = os.path.join(cd, f".{snapshot_id}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
+        os.replace(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
         return True
 
     def write(

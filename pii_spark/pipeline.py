@@ -143,14 +143,16 @@ class Pipeline:
                 # snapshot first, scrubbed_files snapshot LAST — its
                 # manifest carries the bucket list, so data + progress
                 # publish in one rename and _completed_buckets is
-                # derived from committed manifests.  A crash anywhere
-                # before that rename leaves only orphan dirs readers
-                # never see; the re-run overwrites them under the same
-                # snapshot id.
+                # derived from committed manifests.  A crash before the
+                # scrubbed rename leaves the group un-done; findings is
+                # force-re-committed on the re-run so a findings
+                # manifest that slipped through before the crash can
+                # never disagree with the freshly computed scrub output.
                 findings = explode_findings(out, KEY_COLS + ["bucket"])
                 self.io.write_snapshot(
                     findings, "findings", sid,
                     partition_by=list(cfg.output_partition_cols),
+                    force=True,
                 )
                 counts = {
                     r["bucket"]: r["n"]

@@ -339,7 +339,7 @@ def _rulesets_from_artifact(name: str, data: bytes) -> list[RuleSet]:
             return out
         except tarfile.TarError:
             return _from_bytes(url, gzip.decompress(data))
-    if data[:3] == b"ust" or data[257:262] == b"ustar":  # plain tar
+    if data[257:262] == b"ustar":  # plain tar (magic lives at offset 257)
         out = []
         with tarfile.open(fileobj=iolib.BytesIO(data), mode="r:") as t:
             for m in sorted(t.getmembers(), key=lambda m: m.name):
@@ -390,7 +390,14 @@ def fetch_oci_rules(
         raise ValueError(f"manifest for {repository}:{ref} has no layers")
     digest = layers[0]["digest"]
     blob = _get(f"/v2/{repository}/blobs/{digest}")
-    if not verify_sha256(blob, digest.removeprefix("sha256:")):
+    # OCI digests are "<algorithm>:<hex>"; verify with the declared
+    # algorithm (registries may serve sha512 etc., not only sha256)
+    import hashlib
+
+    algo, _, expected = digest.partition(":")
+    if hashlib.new(algo).name != algo:
+        raise ValueError(f"unsupported digest algorithm in {digest!r}")
+    if hashlib.new(algo, blob).hexdigest() != expected.lower():
         raise ValueError(f"layer digest mismatch for {digest}")
     return _rulesets_from_artifact(f"{repository}:{ref}", blob)
 

@@ -292,11 +292,18 @@ def quality_scrub_stream_writer(
     ``Pipeline.transform``.  The same operators apply unchanged; the
     bank snapshot refreshes per batch (T4), and exactly-once delivery
     comes from the checkpointed batch id (re-delivered batches rewrite
-    the same epoch)."""
+    the same epoch).  Epoch snapshot ids are prefixed by a hash of the
+    checkpoint location: batch ids are per-checkpoint, so two queries
+    (or a restart with a wiped checkpoint) writing the same table get
+    distinct id spaces instead of silently colliding."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
     from pii_spark.detect import quality_scrub_map_in_pandas
     from pii_spark.quality import with_decision, with_heuristics
+
+    prefix = hashlib.sha256((checkpoint or table).encode()).hexdigest()[:8]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bank = bank_provider()
@@ -304,7 +311,7 @@ def quality_scrub_stream_writer(
         out = quality_scrub_map_in_pandas(out, bank, content_col=content_col)
         out = with_decision(out, declared_lang_col=declared_lang_col)
         out = out.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
-        io.write_snapshot(out, table, f"batch-{batch_id:08d}")
+        io.write_snapshot(out, table, f"{prefix}-batch-{batch_id:08d}")
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:

@@ -228,3 +228,12 @@ def test_remove_frequent_lines_identity_below_threshold(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.remove_frequent_lines(df, "doc_id", "text", min_doc_freq=6)
     assert all(r.cleaned_text == r.text for r in out.collect())
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)

@@ -172,11 +172,47 @@ def test_fetch_oci_rules(tmp_path):
             f"http://127.0.0.1:{srv.server_port}", "org/pii-rules", "v1", token="tok123"
         )
         assert len(sets) == 1 and sets[0].patterns[0].name == "employee-id"
-        # digest tamper → rejected
+        # bad token → 401 surfaces
+        import urllib.error
+
         import pytest as _pytest
-        with _pytest.raises(Exception):
+        with _pytest.raises(urllib.error.HTTPError):
             R.fetch_oci_rules(
                 f"http://127.0.0.1:{srv.server_port}", "org/pii-rules", "v1", token="bad"
             )
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_oci_rules_rejects_tampered_layer(tmp_path):
+    """Blob content not matching the manifest digest must be rejected —
+    exercises the digest-verification path itself (not auth)."""
+    import hashlib
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    blob = b"tampered layer bytes"
+    # manifest declares the digest of DIFFERENT content
+    digest = "sha256:" + hashlib.sha256(b"original layer bytes").hexdigest()
+    manifest = json.dumps({"schemaVersion": 2, "layers": [{"digest": digest}]}).encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = manifest if "manifests" in self.path else blob
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="digest mismatch"):
+            R.fetch_oci_rules(f"http://127.0.0.1:{srv.server_port}", "org/r", "v1")
     finally:
         srv.shutdown()

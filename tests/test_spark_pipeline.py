@@ -296,3 +296,16 @@ def test_pipeline_resume_exactly_once_after_data_only_crash(spark, corpus, tmp_p
         io.read("scrubbed_files").groupBy("repo", "path", "commit").count()
         .filter("count > 1").count() == 0
     )
+
+
+def test_tableio_snapshot_force_recommit_and_nested_partitions(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a", "x")], "id long, a string, b string")
+    df2 = spark.createDataFrame([(2, "a", "y")], "id long, a string, b string")
+    # two-level partitioned write must still detect its data files
+    assert io.write_snapshot(df1, "t", "s1", partition_by=["a", "b"]) is True
+    assert io.read("t").count() == 1
+    # force re-commit replaces the snapshot's data, no duplicates
+    assert io.write_snapshot(df2, "t", "s1", partition_by=["a", "b"], force=True) is True
+    got = io.read("t").collect()
+    assert len(got) == 1 and got[0].id == 2
