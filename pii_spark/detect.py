@@ -115,20 +115,51 @@ _TRIGGERS: dict[str, tuple[str, str] | None] = {
 }
 
 
-def _trigger_masks(texts: pd.Series, pattern_names: list[str]) -> dict[str, pd.Series | None]:
+def _builtin_rule_regexes() -> dict[str, tuple[str, ...]]:
+    """Rule-regex tuples of the builtin bank — the triggers above are
+    derived from (and only sound for) exactly these rules."""
+    global _BUILTIN_RULES
+    if _BUILTIN_RULES is None:
+        from pii_spark.patterns import BUILTIN_PATTERNS
+
+        _BUILTIN_RULES = {
+            name: tuple(r.regex for r in spec.patterns)
+            for name, spec in BUILTIN_PATTERNS.items()
+        }
+    return _BUILTIN_RULES
+
+
+_BUILTIN_RULES: dict[str, tuple[str, ...]] | None = None
+
+
+def _trigger_for(cp) -> tuple[str, str] | None:
+    """The pre-filter trigger for a compiled pattern, or None (always
+    scan).  A trigger is used ONLY when the pattern's rules are exactly
+    the builtin rules it was derived from — a custom pattern registered
+    under a builtin name (engine.add_pattern) must not inherit the stale
+    trigger, or the batch path would silently drop its matches."""
+    trig = _TRIGGERS.get(cp.name)
+    if trig is None:
+        return None
+    if tuple(rx.pattern for rx, _ in cp.rules) != _builtin_rule_regexes().get(cp.name):
+        return None
+    return trig
+
+
+def _trigger_masks(texts: pd.Series, compiled) -> dict[str, pd.Series | None]:
     """One vectorized contains-pass per distinct trigger; returns
     ``{pattern: bool-mask-or-None}`` (None ⇒ always scan)."""
     cache: dict[tuple[str, str], pd.Series] = {}
     masks: dict[str, pd.Series | None] = {}
-    for name in pattern_names:
-        trig = _TRIGGERS.get(name)
+    for cp in compiled:
+        trig = _trigger_for(cp)
         if trig is None:
-            masks[name] = None
+            masks[cp.name] = None
             continue
         if trig not in cache:
             kind, pat = trig
             cache[trig] = texts.str.contains(pat, regex=(kind == "re"), na=False)
-        masks[name] = cache[trig]
+        masks[cp.name] = cache[trig]
     return masks
 
 
@@ -157,7 +188,7 @@ class BatchScrubber:
         loop below touches only triggered rows)."""
         import numpy as np
 
-        masks = _trigger_masks(texts, self.names)
+        masks = _trigger_masks(texts, self.compiled)
         n = len(texts)
         mat = np.vstack(
             [
@@ -190,6 +221,7 @@ class BatchScrubber:
     def scrub_batch(self, texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
+        null_mask = texts.isna().to_numpy()
         texts = texts.fillna("")
         mat, hot = self._mask_matrix(texts)
         vals = texts.to_numpy()
@@ -211,6 +243,11 @@ class BatchScrubber:
             scrubbed[i] = res.redacted_text
             detections[i] = [d.as_dict() for d in res.detections]
             counts[i] = res.redacted_count
+        if null_mask.any():
+            # preserve null provenance: missing content stays missing,
+            # never silently becomes the empty string
+            scrubbed = scrubbed.astype(object)
+            scrubbed[null_mask] = None
         return pd.DataFrame(
             {"scrubbed": scrubbed, "detections": detections, "n_redactions": counts}
         )
@@ -234,11 +271,14 @@ def make_detect_udf(
     """
     bank, bc = _resolve_bank(spark_or_bank, bank)
 
+    state: dict = {}  # one BatchScrubber per python worker, not per batch
+
     @pandas_udf(DETECTIONS_TYPE)
     def detect_udf(content: pd.Series) -> pd.Series:
-        b = bc.value if bc is not None else bank
-        scrubber = BatchScrubber(b, pattern_names, validation)
-        return pd.Series(scrubber.detect_batch(content))
+        if "s" not in state:
+            b = bc.value if bc is not None else bank
+            state["s"] = BatchScrubber(b, pattern_names, validation)
+        return pd.Series(state["s"].detect_batch(content))
 
     return detect_udf
 
@@ -253,24 +293,31 @@ def make_scrub_udf(
     (operators D1/D2 + R1/R2)."""
     bank, bc = _resolve_bank(spark_or_bank, bank)
 
+    state: dict = {}  # one BatchScrubber per python worker, not per batch
+
     @pandas_udf(SCRUB_SCHEMA)
     def scrub_udf(content: pd.Series) -> pd.DataFrame:
-        b = bc.value if bc is not None else bank
-        scrubber = BatchScrubber(b, pattern_names, validation)
-        return scrubber.scrub_batch(content)
+        if "s" not in state:
+            b = bc.value if bc is not None else bank
+            state["s"] = BatchScrubber(b, pattern_names, validation)
+        return state["s"].scrub_batch(content)
 
     return scrub_udf
 
 
 def _resolve_bank(spark_or_bank, bank):
+    # never truth-test a bank: PatternBank defines __len__, so an empty
+    # (explicitly subset) bank is falsy and `or` would silently swap in
+    # the full builtin bank
     from pyspark.sql import SparkSession
 
     if isinstance(spark_or_bank, SparkSession):
         b = bank if bank is not None else PatternBank()
         bc = spark_or_bank.sparkContext.broadcast(b)
         return b, bc
-    b = spark_or_bank if spark_or_bank is not None else PatternBank()
-    return b, None
+    if spark_or_bank is not None:
+        return spark_or_bank, None
+    return (bank if bank is not None else PatternBank()), None
 
 
 # ---------------------------------------------------------------------------
@@ -287,8 +334,7 @@ def with_scrub(
 ) -> DataFrame:
     """Adds ``scrubbed_text``, ``detections``, ``n_redactions`` columns
     (reference RedactResult fields, redactor.go:27-32)."""
-    udf = make_scrub_udf(spark if spark is not None else (bank or PatternBank()),
-                         bank, pattern_names, validation)
+    udf = make_scrub_udf(spark, bank, pattern_names, validation)
     res = F.col("__scrub_res")
     return (
         df.withColumn("__scrub_res", udf(F.col(content_col)))

@@ -121,7 +121,15 @@ def register_validator(name: str, fn) -> None:
 def _digit_matrix(digits: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Rows of per-character digit values for strings of exactly
     ``width`` digits; returns (matrix, valid_mask over the input)."""
-    ok = digits.str.fullmatch(rf"\d{{{width}}}").fillna(False).to_numpy()
+    # route through nullable BooleanDtype: fullmatch on nullable input
+    # yields object dtype, and a plain .fillna there downcasts (warns
+    # today, object-dtype mask breaks numpy indexing under pandas 3)
+    ok = (
+        digits.str.fullmatch(rf"\d{{{width}}}")
+        .astype("boolean")
+        .fillna(False)
+        .to_numpy(dtype=bool)
+    )
     if not ok.any():
         return np.zeros((0, width), dtype=np.int64), ok
     arr = (
@@ -174,7 +182,8 @@ def business_number_checksum_vec(s: pd.Series) -> pd.Series:
 
 
 def iban_checksum_vec(s: pd.Series) -> pd.Series:
-    return s.apply(iban_checksum)  # few candidates; scalar path
+    # few candidates; scalar path — null-tolerant like the other _vec forms
+    return s.apply(lambda t: iban_checksum(t) if isinstance(t, str) else False)
 
 
 REGISTRY_VEC = {

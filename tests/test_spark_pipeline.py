@@ -44,7 +44,11 @@ def test_scrub_udf_matches_engine(spark):
 
     e = builtin_engine()
     for row in out:
-        expected = e.redact(row["content"] or "")
+        if row["content"] is None:
+            # null provenance preserved: missing content stays missing
+            assert row["scrubbed_text"] is None and row["n_redactions"] == 0
+            continue
+        expected = e.redact(row["content"])
         assert row["scrubbed_text"] == expected.redacted_text
         assert row["n_redactions"] == expected.redacted_count
 
@@ -309,3 +313,35 @@ def test_tableio_snapshot_force_recommit_and_nested_partitions(spark, tmp_path):
     assert io.write_snapshot(df2, "t", "s1", partition_by=["a", "b"], force=True) is True
     got = io.read("t").collect()
     assert len(got) == 1 and got[0].id == 2
+
+
+def test_custom_pattern_under_builtin_name_not_trigger_filtered(spark):
+    """A custom rule registered under a builtin name must not inherit
+    the builtin's trigger pre-filter (stale trigger would silently drop
+    its matches in the batch path)."""
+    from pii_spark.patterns import PatternBank, PIIPatternSpec, PatternRule
+
+    bank = PatternBank()
+    bank.add_pattern(
+        "email",
+        PIIPatternSpec(
+            display_name="Spelled email",
+            description="",
+            category="global",
+            patterns=[PatternRule(regex=r"[a-z]+ at [a-z]+ dot [a-z]{2,}", confidence="low")],
+            severity="low",
+        ),
+    )
+    df = spark.createDataFrame([("reach me: bob at example dot com",)], "content string")
+    out = with_scrub(df, bank=bank, pattern_names=["email"]).collect()[0]
+    assert out["n_redactions"] == 1  # engine and batch paths agree
+
+
+def test_empty_bank_subset_scrubs_nothing(spark):
+    from pii_spark.patterns import PatternBank
+
+    bank = PatternBank().subset(["does-not-exist"])
+    df = spark.createDataFrame([("mail a.b@example.com",)], "content string")
+    out = with_scrub(df, bank=bank).collect()[0]
+    # an explicitly empty bank must NOT fall back to the builtin bank
+    assert out["n_redactions"] == 0 and out["scrubbed_text"] == out["content"]

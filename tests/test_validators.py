@@ -85,3 +85,25 @@ def test_registry():
     }
     assert V.get_validator("luhn")("4111111111111111")
     assert V.get_validator("missing") is None
+
+
+def test_vectorized_validators_tolerate_nulls():
+    import pandas as pd
+
+    from pii_spark import validators as V
+
+    s = pd.Series(["GB82WEST12345698765432", None, "4111111111111111", ""])
+    assert V.iban_checksum_vec(s).tolist() == [True, False, False, False]
+    assert V.luhn_vec(s).tolist()[1] is False or V.luhn_vec(s).tolist()[1] == False
+    assert V.rrn_checksum_vec(s).tolist()[1] == False
+    assert V.business_number_checksum_vec(s).tolist()[1] == False
+
+
+def test_digit_matrix_future_pandas_downcasting():
+    import pandas as pd
+
+    from pii_spark import validators as V
+
+    with pd.option_context("future.no_silent_downcasting", True):
+        out = V.rrn_checksum_vec(pd.Series(["920101-1234562", None, "x"]))
+        assert out.tolist() == [True, False, False]
