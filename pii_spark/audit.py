@@ -132,7 +132,14 @@ def build_alerts(
     hash (the reference uses a timestamp id, notifier.go:122-124 —
     non-reproducible; we pin determinism)."""
     gated = severity_gate(findings, policy.min_severity)
-    dedup_keys = [k for k in policy.dedup.keys if k in findings.columns]
+    missing = [k for k in policy.dedup.keys if k not in findings.columns]
+    if missing:
+        # silently dropping keys would degrade to window-only dedup —
+        # one surviving alert per window for the WHOLE corpus
+        raise ValueError(
+            f"dedup keys {missing} not in findings columns {findings.columns}"
+        )
+    dedup_keys = list(policy.dedup.keys)
     deduped = dedup_window_batch(
         gated, dedup_keys, ts_col=ts_col, window=policy.dedup.window,
         order_cols=["pattern", "start"],

@@ -70,7 +70,13 @@ def cmd_scan(args) -> int:
     engine = Engine(PatternBank(), validation_enabled=not args.no_validate)
     text = _read_input(args)
     if args.patterns:
-        result = engine.redact_with_patterns(text, args.patterns.split(","))
+        names = [n.strip() for n in args.patterns.split(",") if n.strip()]
+        unknown = [n for n in names if not engine.bank.has_pattern(n)]
+        if unknown:
+            # silent skips turn '-p "email, jwt"' typos into false
+            # negatives — surface them
+            print(f"warning: unknown pattern(s): {', '.join(unknown)}", file=sys.stderr)
+        result = engine.redact_with_patterns(text, names)
     else:
         result = engine.redact(text)
     if args.output == "json":

@@ -68,9 +68,12 @@ def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
     seed = hashlib.sha256(data if data is not None else b"").digest()
     n = h * w
     blocks = []
+    total = 0  # running count — re-summing the list is O(blocks²)
     counter = 0
-    while sum(len(b) for b in blocks) < n:
-        blocks.append(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+    while total < n:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        blocks.append(block)
+        total += len(block)
         counter += 1
     buf = b"".join(blocks)[:n]
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
@@ -97,8 +100,10 @@ def decode_audio(data: bytes, meta: dict | None) -> tuple[np.ndarray, int]:
     are absent here; the fake derives samples from the payload digest
     and the declared rate/duration."""
     meta = meta or {}
-    rate = int(meta.get("sample_rate", 8000))
-    n = int(meta.get("n_samples", rate))  # default 1 second
+    # untrusted per-row metadata: clamp so one bad row cannot abort the
+    # stage (rate 0 → division by zero downstream)
+    rate = max(int(meta.get("sample_rate", 8000)), 1)
+    n = max(int(meta.get("n_samples", rate)), 0)  # default 1 second
     raw = _fake_pixels(data, 1, n).astype(np.float32).ravel()
     return (raw - 127.5) / 127.5, rate
 
@@ -197,7 +202,9 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
                 meta = meta or {}
-                frame_size = int(meta.get("frame_size", 64))
+                # per-row metadata is untrusted — a zero would abort the
+                # whole stage with ZeroDivisionError
+                frame_size = max(int(meta.get("frame_size", 64)), 1)
                 payload = bytes(data) if data is not None else b""
                 n_frames = len(payload) // frame_size
                 for i in range(0, n_frames, every_n):

@@ -101,10 +101,25 @@ class NotifierManager:
             Window.partitionBy("channel", F.window(F.col(ts_col), "1 minute")["start"])
             .orderBy(F.col(ts_col), F.col("pattern"))
         )
+        # the channel cap must AND with any policy-level decision already
+        # on the alerts (build_alerts' rate cap writes `allowed` too) —
+        # overwriting it would deliver policy-blocked alerts whenever the
+        # channel's own cap has room.  The channel budget counts only
+        # policy-allowed rows (a blocked alert is never sent, so it must
+        # not displace a deliverable one).
+        policy_allowed = (
+            F.col("allowed") if "allowed" in alerts.columns else F.lit(True)
+        )
+        running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return (
-            fanned.withColumn("__rn", F.row_number().over(w))
-            .withColumn("allowed", F.col("__rn") <= F.col("rate_limit_per_min"))
-            .drop("__rn")
+            fanned.withColumn(
+                "__rank", F.sum(policy_allowed.cast("int")).over(running)
+            )
+            .withColumn(
+                "allowed",
+                policy_allowed & (F.col("__rank") <= F.col("rate_limit_per_min")),
+            )
+            .drop("__rank")
         )
 
     def channel_stats(self, routed: DataFrame) -> DataFrame:

@@ -99,10 +99,13 @@ def selector_predicate(selector: PolicySelector, repo_col: str = "repo") -> Colu
     for k, v in selector.repo_labels.items():
         preds.append(F.col("repo_labels").getItem(k) == v)
     if selector.path_glob:
-        # filepath.Match-style glob → anchored regex (F15 analog at F8)
+        # filepath.Match-style glob → anchored regex (F15 analog at F8).
+        # fnmatch.translate ends with \Z but has NO start anchor, and
+        # rlike uses find() semantics — without the explicit '^' the
+        # glob would match any path SUFFIX (src/*.py ⇒ app/src/x.py)
         import fnmatch
 
-        preds.append(F.col("path").rlike(fnmatch.translate(selector.path_glob)))
+        preds.append(F.col("path").rlike("^" + fnmatch.translate(selector.path_glob)))
     if not preds:
         return None
     out = preds[0]

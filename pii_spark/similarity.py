@@ -50,7 +50,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # zero-norm vectors (missing/failed embeddings) define sim = 0.0;
+    # a bare division would abort the whole job under Spark 4's
+    # default ANSI mode (DIVIDE_BY_ZERO)
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)
 
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: list[float],
@@ -121,7 +125,15 @@ def cosine_near_dup_pairs(
     # both or every consumer re-derives the input lineage from source
     df = _materialize(df.select(id_col, vec_col), True)
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:  # empty input → empty pairs, not a crash
+            empty = df.limit(0)
+            return (
+                empty.select(F.col(id_col).alias("id_a"))
+                .crossJoin(empty.select(F.col(id_col).alias("id_b")))
+                .withColumn("sim", F.lit(0.0))
+            )
+        dim = len(row[0])
     bucketed = _materialize(
         with_lsh_buckets(df, vec_col, dim, bits=bits, tables=tables, seed=seed), True
     )

@@ -341,29 +341,12 @@ def compute_reference_labels(df: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for i, rec in enumerate(df.itertuples(index=False)):
         content = rec.content
-        reason = None
-        n = len(content)
-        lines = content.split("\n")
-        if n > Q.MAX_SIZE_BYTES:
-            reason = "max_size"
-        elif any(m in content[:512] for m in Q.AUTOGEN_MARKERS):
-            reason = "autogenerated"
-        elif max((len(l) for l in lines), default=0) > Q.MAX_LINE_LENGTH:
-            reason = "max_line_length"
-        elif n == 0 or sum(c.isascii() and c.isalpha() for c in content) / n < Q.MIN_ALPHA_RATIO:
-            reason = "alpha_ratio"
-        elif lines and 1.0 - len(set(lines)) / len(lines) > Q.MAX_DUP_LINE_RATIO:
-            reason = "repetition"
-        elif (
-            rec.lang in Q.LANG_MARKERS
-            and lang_pred.iloc[i] != "unknown"
-            and lang_pred.iloc[i] != rec.lang
-        ):
-            reason = "langid_mismatch"
-        elif ppl[i] > Q.PERPLEXITY_MAX_BITS:
-            reason = "perplexity"
-        elif Q._TOXICITY_RE.search(content):
-            reason = "toxicity"
+        # ONE priority chain for the whole codebase: the batched
+        # langid/perplexity values feed the same quality_label_py the
+        # unit oracle uses, so the two can never desynchronize
+        _, reason = Q.quality_label_py(
+            content, rec.lang, lang_pred=lang_pred.iloc[i], ppl=float(ppl[i])
+        )
 
         scrubbed, n_red = oracle_scrub(content)
         rows.append(

@@ -237,3 +237,17 @@ def test_connected_components_raises_on_non_convergence(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_cosine_zero_norm_vector_is_zero_not_error(spark):
+    # ANSI mode divide-by-zero guard: zero embeddings define sim = 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = similarity.brute_force_topk(df, "embedding", [1.0, 0.0], k=2).collect()
+    assert [(r.vec_id, round(r.sim, 6)) for r in out] == [(1, 1.0), (2, 0.0)]
+
+
+def test_cosine_near_dup_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.cosine_near_dup_pairs(df, "vec_id", "embedding").count() == 0

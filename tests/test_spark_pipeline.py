@@ -345,3 +345,25 @@ def test_empty_bank_subset_scrubs_nothing(spark):
     out = with_scrub(df, bank=bank).collect()[0]
     # an explicitly empty bank must NOT fall back to the builtin bank
     assert out["n_redactions"] == 0 and out["scrubbed_text"] == out["content"]
+
+
+def test_path_glob_is_anchored(spark):
+    # src/*.py must NOT match deeper paths by suffix (rlike has find()
+    # semantics; the translated glob needs an explicit start anchor)
+    df = spark.createDataFrame(
+        [("r1", "src/main.py"), ("r1", "app/src/evil.py")], "repo string, path string"
+    )
+    got = [r.path for r in apply_selector(df, PolicySelector(path_glob="src/*.py")).collect()]
+    assert got == ["src/main.py"]
+
+
+def test_build_alerts_rejects_unknown_dedup_keys(spark):
+    from pii_spark.audit import build_alerts
+
+    findings = spark.createDataFrame(
+        [("r1", "p", "email", "high", "2024-01-01 00:00:00", 0)],
+        "repo string, path string, pattern string, severity string, ts string, start long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pol = PIIPolicy(dedup=DeduplicationConfig(keys=["namespace", "pod"]))
+    with pytest.raises(ValueError, match="dedup keys"):
+        build_alerts(findings, pol)
