@@ -5,11 +5,14 @@ overhead dominates; this harness measures the dedup family at 32× that
 size so the reported docs/sec reflect real per-doc cost — the number
 that extrapolates to the 10^12-doc path (SCALE.md §3).
 
-Corpus: sf0.1 ``documents`` replicated ``DEDUP_REPS``× with a ``rep``
-suffix spliced into the text (every row unique), plus planted
-near-duplicate clusters per (rep, doc_id%3) — ~96 clusters of ~34 docs
-each at 32 reps, so candidate volume stays realistic instead of the
-replicas themselves forming 32-wide exact-dup cliques.
+Corpus: sf0.1 ``documents`` replicated ``DEDUP_REPS``× with rep tokens
+spliced INTO the text at 1/3 and 2/3 (an appended suffix changes only
+1 of ~40 shingles — cross-rep Jaccard ≈ 0.87 would merge every
+replica; two mid-text insertions break ~10, pushing cross-rep Jaccard
+≈ 0.6, below the 0.8 threshold), plus planted near-duplicate clusters
+per (rep, doc_id%3) — ~96 clusters of ~34 docs each at 32 reps, so
+candidate volume reflects the planted structure instead of replica
+artifacts.
 
 Usage: ``python BENCH/dedup_scale.py`` → one JSON line + BENCH/DEDUP.md.
 """
@@ -56,22 +59,29 @@ def prepare(spark) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d = F.col("doc_id")
     rep = F.col("rep")
+    rtok = F.concat(F.lit(" qq"), rep.cast("string"), F.lit("q "))
     planted = F.concat(
-        F.lit(
-            "shared near duplicate content block alpha beta gamma delta epsilon "
-            "zeta eta theta iota kappa variant "
-        ),
+        F.lit("shared near duplicate content block alpha beta gamma"),
+        rtok,
+        F.lit("delta epsilon zeta eta"),
+        rtok,
+        F.lit("theta iota kappa variant "),
         (d % 3).cast("string"),
-        F.lit(" rep "),
-        rep.cast("string"),
+    )
+    third = (F.length("text") / 3).cast("int")
+    distinct_text = F.concat(
+        F.substring(F.col("text"), 1, third),
+        rtok,
+        F.expr("substring(text, cast(length(text)/3 as int) + 1, "
+               "cast(length(text)/3 as int))"),
+        rtok,
+        F.expr("substring(text, 2 * cast(length(text)/3 as int) + 1, length(text))"),
     )
     (
         docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))))
         .select(
             (d + rep * F.lit(1_000_000)).alias("doc"),
-            F.when(d % 50 == 1, planted)
-            .otherwise(F.concat(F.col("text"), F.lit(" r"), rep.cast("string")))
-            .alias("text"),
+            F.when(d % 50 == 1, planted).otherwise(distinct_text).alias("text"),
         )
         .repartition(256, F.col("doc"))
         .write.mode("overwrite").parquet(CORPUS_DIR)

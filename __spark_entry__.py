@@ -85,6 +85,43 @@ _NEARDUP_CASE = (
     "(doc_id % 3)::VARCHAR ELSE text END"
 )
 
+#: Shared CTE chain: corpus → 5-gram shingles → exact-Jaccard pairs.
+#: ONE copy feeds the ngram_jaccard, minhash_near_dup and
+#: near_dup_clusters oracles — a fix to the shingle construction
+#: cannot silently diverge between them.  (No leading WITH — callers
+#: prepend WITH / WITH RECURSIVE as needed.)
+_JACCARD_PAIRS_CTES = f"""corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, u.s FROM toks,
+                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))
+                       END) AS u(s)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jpairs AS (
+                SELECT da AS doc_a, db AS doc_b,
+                       ni / (sa.n + sb.n - ni) AS jac,
+                       CAST(round(ni / (sa.n + sb.n - ni) * 10000) AS BIGINT)
+                           AS jac_x10000
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+            )"""
+
+_JACCARD_PAIRS_SELECT = """
+            SELECT doc_a, doc_b, jac_x10000 FROM jpairs
+            WHERE jac >= 0.8 ORDER BY doc_a, doc_b
+"""
+
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with planted near-duplicate clusters (doc_id % 50 == 1)."""
@@ -690,32 +727,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
-        "ngram_jaccard": f"""
-            WITH corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
-            toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, u.s FROM toks,
-                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                            ELSE list_transform(range(1, len(w) - 3),
-                                                i -> array_to_string(w[i:i+4], ' '))
-                       END) AS u(s)
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT da AS doc_a, db AS doc_b,
-                   CAST(round(ni / (sa.n + sb.n - ni) * 10000) AS BIGINT) AS jac_x10000
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE ni / (sa.n + sb.n - ni) >= 0.8
-            ORDER BY doc_a, doc_b
-        """,
+        "ngram_jaccard": f"WITH {_JACCARD_PAIRS_CTES}{_JACCARD_PAIRS_SELECT}",
         "token_count": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
@@ -811,32 +823,7 @@ def oracle_sql() -> dict[str, str]:
         # misses a jac≥0.8 pair with P=(1-0.8⁴)³² ≈ 5e-8 — verified
         # complete on these corpora at sf0.001/0.01/0.1, so the verified
         # output equals exact n-gram Jaccard, which IS SQL-expressible.
-        "minhash_near_dup": f"""
-            WITH corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
-            toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, u.s FROM toks,
-                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                            ELSE list_transform(range(1, len(w) - 3),
-                                                i -> array_to_string(w[i:i+4], ' '))
-                       END) AS u(s)
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT da AS doc_a, db AS doc_b,
-                   CAST(round(ni / (sa.n + sb.n - ni) * 10000) AS BIGINT) AS jac_x10000
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE ni / (sa.n + sb.n - ni) >= 0.8
-            ORDER BY doc_a, doc_b
-        """,
+        "minhash_near_dup": f"WITH {_JACCARD_PAIRS_CTES}{_JACCARD_PAIRS_SELECT}",
         # independent SQL implementation of the same algorithm
         # (frequency count → anti-join → ordered reassembly)
         "boilerplate_removal": """
@@ -888,31 +875,10 @@ def oracle_sql() -> dict[str, str]:
         # same pair graph as minhash_near_dup (oracle soundness argued
         # there); components via a recursive min-label CTE
         "near_dup_clusters": f"""
-            WITH RECURSIVE corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
-            toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, u.s FROM toks,
-                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                            ELSE list_transform(range(1, len(w) - 3),
-                                                i -> array_to_string(w[i:i+4], ' '))
-                       END) AS u(s)
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT da, db FROM inter
-                JOIN sizes sa ON sa.doc_id = da
-                JOIN sizes sb ON sb.doc_id = db
-                WHERE ni / (sa.n + sb.n - ni) >= 0.8
-            ),
-            edges AS (SELECT da AS src, db AS dst FROM pairs
-                      UNION SELECT db, da FROM pairs),
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
             cc(doc, lbl) AS (
                 SELECT src, src FROM edges
                 UNION

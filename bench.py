@@ -27,7 +27,10 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # unconventional dir name must not discard the run's output
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as E
@@ -144,7 +147,7 @@ def main() -> None:
                 "value": e2e_sec,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 "n_files": n_files,
                 "files_per_sec": round(n_files / e2e_sec, 1) if e2e_sec else None,
                 "cpus": cpus,

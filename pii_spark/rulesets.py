@@ -226,17 +226,41 @@ def _parse_pattern_def(d: dict) -> PatternDefinition:
 
 def load_rule_file(path: str) -> list[PatternDefinition]:
     """3-way lenient parse: single pattern / pattern list / rule set
-    (git.go:199-215)."""
+    (git.go:199-215).  Malformed shapes raise the documented
+    ValueError, never a shape-specific KeyError/AttributeError."""
     with open(path) as f:
         data = yaml.safe_load(f)
-    if isinstance(data, dict) and data.get("name") and "patterns" in data:
-        pats = data["patterns"]
-        if pats and isinstance(pats[0], dict) and "regex" in pats[0]:
-            return [_parse_pattern_def(data)]      # single PatternDefinition
-        return [_parse_pattern_def(p) for p in pats]  # RuleSet
-    if isinstance(data, list):
-        return [_parse_pattern_def(p) for p in data]
+    try:
+        if isinstance(data, dict) and data.get("name") and "patterns" in data:
+            pats = data["patterns"]
+            if (
+                isinstance(pats, list)
+                and pats
+                and isinstance(pats[0], dict)
+                and "regex" in pats[0]
+            ):
+                return [_parse_pattern_def(data)]      # single PatternDefinition
+            if isinstance(pats, list) and all(isinstance(p, dict) for p in pats):
+                return [_parse_pattern_def(p) for p in pats]  # RuleSet
+            raise ValueError("patterns must be a list of mappings")
+        if isinstance(data, list) and all(isinstance(p, dict) for p in data):
+            return [_parse_pattern_def(p) for p in data]
+    except ValueError:
+        raise ValueError(f"failed to parse pattern file: {path}") from None
     raise ValueError(f"failed to parse pattern file: {path}")
+
+
+def _ruleset_from_dict(default_name: str, data: dict) -> RuleSet:
+    """The one dict→RuleSet mapping — shared by the file loader and the
+    HTTP/OCI artifact dispatch so a new RuleSet field is added once."""
+    return RuleSet(
+        name=data.get("name", default_name),
+        version=data.get("version", ""),
+        description=data.get("description", ""),
+        category=data.get("category", ""),
+        maturity=data.get("maturity", ""),
+        patterns=[_parse_pattern_def(p) for p in data.get("patterns", [])],
+    )
 
 
 def load_rule_set(path: str) -> RuleSet:
@@ -245,14 +269,7 @@ def load_rule_set(path: str) -> RuleSet:
         data = yaml.safe_load(f)
     if not isinstance(data, dict):
         raise ValueError(f"not a rule set: {path}")
-    return RuleSet(
-        name=data.get("name", os.path.basename(path)),
-        version=data.get("version", ""),
-        description=data.get("description", ""),
-        category=data.get("category", ""),
-        maturity=data.get("maturity", ""),
-        patterns=[_parse_pattern_def(p) for p in data.get("patterns", [])],
-    )
+    return _ruleset_from_dict(os.path.basename(path), data)
 
 
 def load_rule_dir(root: str) -> list[RuleSet]:
@@ -307,23 +324,21 @@ def _rulesets_from_artifact(name: str, data: bytes) -> list[RuleSet]:
     import tarfile
     import zipfile
 
-    url = name
-
-    def _from_bytes(name: str, payload: bytes) -> list[RuleSet]:
+    def _from_bytes(member: str, payload: bytes) -> list[RuleSet]:
         docs = yaml.safe_load(payload.decode("utf-8"))
         if not isinstance(docs, dict):
-            raise ValueError(f"not a rule set: {name}")
-        return [RuleSet(
-            name=docs.get("name", name),
-            version=docs.get("version", ""),
-            description=docs.get("description", ""),
-            category=docs.get("category", ""),
-            maturity=docs.get("maturity", ""),
-            patterns=[_parse_pattern_def(p) for p in docs.get("patterns", [])],
-        )]
+            raise ValueError(f"not a rule set: {member}")
+        return [_ruleset_from_dict(member, docs)]
+
+    def _from_tar(t) -> list[RuleSet]:
+        out: list[RuleSet] = []
+        for m in sorted(t.getmembers(), key=lambda m: m.name):
+            if m.isfile() and m.name.endswith((".yaml", ".yml")):
+                out.extend(_from_bytes(m.name, t.extractfile(m).read()))
+        return out
 
     if data[:4] == b"PK\x03\x04":  # zip
-        out: list[RuleSet] = []
+        out = []
         with zipfile.ZipFile(iolib.BytesIO(data)) as z:
             for info in sorted(z.namelist()):
                 if info.endswith((".yaml", ".yml")) and not os.path.basename(info).startswith("."):
@@ -331,22 +346,14 @@ def _rulesets_from_artifact(name: str, data: bytes) -> list[RuleSet]:
         return out
     if data[:2] == b"\x1f\x8b":  # gzip — maybe tar.gz
         try:
-            out = []
             with tarfile.open(fileobj=iolib.BytesIO(data), mode="r:gz") as t:
-                for m in sorted(t.getmembers(), key=lambda m: m.name):
-                    if m.isfile() and m.name.endswith((".yaml", ".yml")):
-                        out.extend(_from_bytes(m.name, t.extractfile(m).read()))
-            return out
+                return _from_tar(t)
         except tarfile.TarError:
-            return _from_bytes(url, gzip.decompress(data))
+            return _from_bytes(name, gzip.decompress(data))
     if data[257:262] == b"ustar":  # plain tar (magic lives at offset 257)
-        out = []
         with tarfile.open(fileobj=iolib.BytesIO(data), mode="r:") as t:
-            for m in sorted(t.getmembers(), key=lambda m: m.name):
-                if m.isfile() and m.name.endswith((".yaml", ".yml")):
-                    out.extend(_from_bytes(m.name, t.extractfile(m).read()))
-        return out
-    return _from_bytes(url, data)
+            return _from_tar(t)
+    return _from_bytes(name, data)
 
 
 def fetch_oci_rules(
@@ -395,9 +402,11 @@ def fetch_oci_rules(
     import hashlib
 
     algo, _, expected = digest.partition(":")
-    if hashlib.new(algo).name != algo:
-        raise ValueError(f"unsupported digest algorithm in {digest!r}")
-    if hashlib.new(algo, blob).hexdigest() != expected.lower():
+    try:
+        h = hashlib.new(algo, blob)
+    except ValueError:  # hashlib.new raises for unknown algorithm names
+        raise ValueError(f"unsupported digest algorithm in {digest!r}") from None
+    if h.hexdigest() != expected.lower():
         raise ValueError(f"layer digest mismatch for {digest}")
     return _rulesets_from_artifact(f"{repository}:{ref}", blob)
 
@@ -447,6 +456,11 @@ class RuleCache:
         self._index: dict[str, PatternDefinition] = {}
 
     def set_source(self, source_key: str, rulesets: list[RuleSet]) -> None:
+        # drop the source's previous index entries first — a re-fetched
+        # source that removed a pattern must not keep resolving it
+        prefix = f"{source_key}/"
+        for k in [k for k in self._index if k.startswith(prefix)]:
+            del self._index[k]
         self._sources[source_key] = rulesets
         for rs in rulesets:
             for p in rs.patterns:
@@ -577,6 +591,7 @@ def subscribe(cache: RuleCache, spec: SubscriptionSpec, bank: PatternBank) -> Su
         return result
 
     maturity = set(spec.maturity_levels or ["stable", "incubating"])  # F12 default
+    seen_keys: set[str] = set()  # a pattern matching 2 subscribe entries registers once
 
     for sub in spec.subscribe:
         constraints = parse_constraints(sub.version)
@@ -594,6 +609,9 @@ def subscribe(cache: RuleCache, spec: SubscriptionSpec, bank: PatternBank) -> Su
                 if overridden:
                     p = _apply_override(p, spec.overrides[p.name])
                 key = f"{spec.source_key}/{rs.name}/{p.name}"
+                if key in seen_keys:
+                    continue
+                seen_keys.add(key)
                 try:
                     bank.add_pattern(key, p.to_pattern_spec())
                 except Exception:
@@ -640,11 +658,14 @@ def check_updates(
     relationally a full-outer join of subscribed×available on name."""
     updates: list[PendingUpdate] = []
     rulesets = cache.get_source(spec.source_key) or []
-    by_name = {s.name: s for s in subscribed}
+    # key by the full source/ruleset/pattern coordinate — bare names
+    # collide across rulesets (an unsubscribed ruleset's same-named
+    # pattern must not generate an update for the subscribed one)
+    by_key = {f"{s.source}/{s.ruleset}/{s.name}": s for s in subscribed}
 
     for rs in rulesets:
         for p in rs.patterns:
-            info = by_name.get(p.name)
+            info = by_key.get(f"{spec.source_key}/{rs.name}/{p.name}")
             if info is not None:
                 if rs.version != info.version and info.version:
                     updates.append(PendingUpdate(
