@@ -182,6 +182,7 @@ def test_fetch_oci_rules(tmp_path):
             )
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_fetch_oci_rules_rejects_tampered_layer(tmp_path):
@@ -216,3 +217,4 @@ def test_fetch_oci_rules_rejects_tampered_layer(tmp_path):
             R.fetch_oci_rules(f"http://127.0.0.1:{srv.server_port}", "org/r", "v1")
     finally:
         srv.shutdown()
+        srv.server_close()

@@ -1,12 +1,11 @@
 """Spark integration tests: UDF parity, policy operators, pipeline
 end-to-end vs the independent oracle, checkpoint/resume."""
 
-import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
 
-from pii_spark.detect import explode_findings, make_scrub_udf, with_scrub
+from pii_spark.detect import explode_findings, with_scrub
 from pii_spark.engine import builtin_engine
 from pii_spark.io import TableIO
 from pii_spark.pipeline import Pipeline, PipelineConfig
@@ -121,7 +120,7 @@ def test_aggregate_patterns_errors():
 
 
 def test_dedup_window(spark):
-    # 10 identical keys within 5m ⇒ 1 survivor; same key after window ⇒ new
+    # 5 identical keys within 5m ⇒ 1 survivor; same key after window ⇒ new
     rows = [("u1", "e", f"2024-01-01 00:0{i}:00") for i in range(5)] + [
         ("u1", "e", "2024-01-01 00:07:00"),
         ("u2", "e", "2024-01-01 00:01:00"),

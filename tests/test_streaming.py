@@ -3,10 +3,8 @@ foreachBatch scrub with per-batch bank snapshot (T4)."""
 
 import json
 import os
-import time
 
 import pytest
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, TimestampType,
 )
