@@ -371,6 +371,7 @@ def quality_scrub_map_in_pandas(
     pattern_names: list[str] | None = None,
     validation: bool = True,
     spark=None,
+    bank_bc=None,
 ) -> DataFrame:
     """Quality-model scores AND scrub in ONE ``mapInPandas`` pass — the
     pipeline's hot stage.  Chaining the model UDF and the scrub UDF
@@ -382,7 +383,12 @@ def quality_scrub_map_in_pandas(
 
     from pii_spark.quality import model_scores_batch
 
-    bc = spark.sparkContext.broadcast(bank) if spark is not None else None
+    # reuse a caller-held broadcast (Pipeline broadcasts once per run,
+    # not once per group) instead of re-broadcasting every call
+    if bank_bc is not None:
+        bc = bank_bc
+    else:
+        bc = spark.sparkContext.broadcast(bank) if spark is not None else None
 
     out_schema = StructType(
         df.schema.fields

@@ -100,6 +100,8 @@ class TableIO:
         if self.catalog:  # Iceberg: native snapshot metadata table,
             # normalized to the manifest shape ({snapshot_id, meta, ...})
             # from the summary properties write_snapshot stamps
+            if not self.spark.catalog.tableExists(self._ident(name)):
+                return []  # first write must be able to create the table
             out = []
             for row in (
                 self.spark.read.format("iceberg")
@@ -163,7 +165,14 @@ class TableIO:
         """
         if self.snapshot_committed(name, snapshot_id) and not force:
             return False
+        if force and self.catalog:
+            raise NotImplementedError(
+                "force re-commit is not supported in catalog mode — Iceberg "
+                "appends are immutable; overwrite-by-filter instead"
+            )
         if self.catalog:
+            from pyspark.sql import functions as F
+
             w = (
                 df.writeTo(self._ident(name))
                 .option("snapshot-property.snapshot-id-app", snapshot_id)
@@ -172,9 +181,22 @@ class TableIO:
             if self.spark.catalog.tableExists(self._ident(name)):
                 w.append()
             else:
+                if partition_by:
+                    w = w.partitionedBy(*[F.col(c) for c in partition_by])
                 w.create()
             return True
-        snap_dir = os.path.join(self.path(name), f"snap-{snapshot_id}")
+        base_dir = os.path.join(self.path(name), f"snap-{snapshot_id}")
+        snap_dir = base_dir
+        if force and os.path.isdir(base_dir):
+            # NEVER rewrite a committed snapshot's directory in place — a
+            # reader holding the old manifest (or a crash mid-rewrite)
+            # would see a committed snapshot with partial data.  Write to
+            # a fresh sibling dir and swap it in via the atomic manifest
+            # replace; the old dir becomes an invisible orphan.
+            n = 1
+            while os.path.isdir(f"{base_dir}-f{n}"):
+                n += 1
+            snap_dir = f"{base_dir}-f{n}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -93,7 +93,7 @@ class Pipeline:
             self.agg.bank,
             content_col="content",
             validation=cfg.policy.validation,
-            spark=self.spark,
+            bank_bc=self._bank_bc,  # broadcast once per Pipeline, reused per group
         )
         df = with_decision(df, declared_lang_col="lang")
         return df.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
@@ -137,7 +137,16 @@ class Pipeline:
 
             out.persist()
             try:
-                group_n = out.count()
+                # one action materializes the cache AND yields the
+                # per-bucket counts; group_n is their sum (no extra
+                # full count() pass over the group)
+                counts = {
+                    r["bucket"]: r["n"]
+                    for r in out.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                group_n = sum(counts.values())
                 sid = f"{run_id}-g{group[0]:05d}"
                 # Atomic group commit (exactly-once resume): findings
                 # snapshot first, scrubbed_files snapshot LAST — its
@@ -152,14 +161,11 @@ class Pipeline:
                 self.io.write_snapshot(
                     findings, "findings", sid,
                     partition_by=list(cfg.output_partition_cols),
-                    force=True,
+                    # force only in the crash-recovery case (findings
+                    # committed, scrubbed_files not) so the re-run's
+                    # findings always match the fresh scrub output
+                    force=self.io.snapshot_committed("findings", sid),
                 )
-                counts = {
-                    r["bucket"]: r["n"]
-                    for r in out.groupBy("bucket")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
                 self.io.write_snapshot(
                     out.select(*scrubbed_cols), "scrubbed_files", sid,
                     meta={

@@ -104,6 +104,7 @@ def token_bucket_stream(
     channel_col: str = "channel",
     id_col: str = "event_id",
     ts_col: str = "ts",
+    id_type: str = "long",
 ) -> DataFrame:
     """Streaming token-bucket rate limiter keyed by channel (T1).
 
@@ -111,7 +112,9 @@ def token_bucket_stream(
     one row per event with ``allowed`` plus running allowed/blocked
     tallies (ratelimiter.go:77-88).  Within a micro-batch, events are
     processed in (ts, event_id) order; bucket state persists across
-    batches in the state store.
+    batches in the state store.  ``id_type='string'`` for non-numeric
+    event ids (e.g. UUIDs) — the output schema must match the id column
+    or the Arrow conversion fails at runtime.
     """
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -149,7 +152,7 @@ def token_bucket_stream(
         df.groupBy(channel_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=token_bucket_output_schema(),
+            outputStructType=token_bucket_output_schema(id_type),
             stateStructType=TOKEN_BUCKET_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -163,6 +166,7 @@ def token_bucket_stream_tws(
     channel_col: str = "channel",
     id_col: str = "event_id",
     ts_col: str = "ts",
+    id_type: str = "long",
 ) -> DataFrame:
     """Spark-4 ``transformWithStateInPandas`` form of the token bucket —
     same semantics as :func:`token_bucket_stream`, using the
@@ -178,7 +182,7 @@ def token_bucket_stream_tws(
         StatefulProcessorHandle,
     )
 
-    out_schema = token_bucket_output_schema()
+    out_schema = token_bucket_output_schema(id_type)
 
     class TokenBucketProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -262,14 +266,21 @@ def scrub_stream_writer(
     that a re-broadcast between batches — no locks).
 
     ``bank_provider``: zero-arg callable returning the current
-    PatternBank.  Returns the started StreamingQuery.
+    PatternBank.  Returns the started StreamingQuery.  Each micro-batch
+    commits as an atomic snapshot keyed by batch id, so a re-delivered
+    batch after a crash is a no-op (exactly-once sink, same contract as
+    :func:`quality_scrub_stream_writer`).
     """
+    import hashlib
+
     from pii_spark.detect import scrub_map_in_pandas
+
+    prefix = hashlib.sha256((checkpoint or table).encode()).hexdigest()[:8]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bank = bank_provider()
         out = scrub_map_in_pandas(batch_df, bank, content_col=content_col)
-        io.write(out, table)
+        io.write_snapshot(out, table, f"{prefix}-batch-{batch_id:08d}")
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:
@@ -285,17 +296,22 @@ def quality_scrub_stream_writer(
     declared_lang_col: str | None = None,
     table: str = "quality_stream",
     checkpoint: str | None = None,
+    validation: bool = True,
+    run_id: str | None = None,
 ):
     """``foreachBatch`` writer running the FULL batch pipeline stage
     (JVM heuristics → merged quality+scrub Python pass → keep/drop
     decision) per micro-batch — the streaming form of
-    ``Pipeline.transform``.  The same operators apply unchanged; the
-    bank snapshot refreshes per batch (T4), and exactly-once delivery
-    comes from the checkpointed batch id (re-delivered batches rewrite
-    the same epoch).  Epoch snapshot ids are prefixed by a hash of the
-    checkpoint location: batch ids are per-checkpoint, so two queries
-    (or a restart with a wiped checkpoint) writing the same table get
-    distinct id spaces instead of silently colliding."""
+    ``Pipeline.transform`` (pass the policy's ``validation`` flag for
+    batch/stream parity).  The bank snapshot refreshes per batch (T4);
+    exactly-once delivery comes from committing each epoch as an atomic
+    snapshot keyed by (run prefix, batch id): with an intact checkpoint
+    a re-delivered batch is a no-op.  The default prefix hashes the
+    checkpoint LOCATION, which cannot distinguish a wiped-and-recreated
+    checkpoint at the same path — when deliberately reprocessing from
+    scratch into the same table, pass a fresh ``run_id`` (or a new
+    table), otherwise the restarted batch 0 would collide with the old
+    run's committed epoch and be skipped."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -303,12 +319,14 @@ def quality_scrub_stream_writer(
     from pii_spark.detect import quality_scrub_map_in_pandas
     from pii_spark.quality import with_decision, with_heuristics
 
-    prefix = hashlib.sha256((checkpoint or table).encode()).hexdigest()[:8]
+    prefix = run_id or hashlib.sha256((checkpoint or table).encode()).hexdigest()[:8]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bank = bank_provider()
         out = with_heuristics(batch_df, content_col=content_col)
-        out = quality_scrub_map_in_pandas(out, bank, content_col=content_col)
+        out = quality_scrub_map_in_pandas(
+            out, bank, content_col=content_col, validation=validation
+        )
         out = with_decision(out, declared_lang_col=declared_lang_col)
         out = out.withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
         io.write_snapshot(out, table, f"{prefix}-batch-{batch_id:08d}")
