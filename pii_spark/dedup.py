@@ -32,6 +32,8 @@ across runs and executors (no ``Date.now``-style nondeterminism).
 
 from __future__ import annotations
 
+import hashlib
+import re
 import zlib
 
 import numpy as np
@@ -168,8 +170,17 @@ def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+#: ASCII whitespace, the same class Spark's Java-regex ``\s`` matches —
+#: ``str.split()`` would additionally split on Unicode whitespace
+#: (NBSP/U+2028), silently desyncing the signature stage from the
+#: JVM-side verify stage (:func:`shingles_col`) on such documents.
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
 def _token_shingles(text: str, n: int) -> list[str]:
-    toks = text.split()
+    # strip only ' ' to mirror shingles_col's F.trim (space-only)
+    t = text.strip(" ")
+    toks = _ASCII_WS_RE.split(t) if t else []
     if len(toks) < n:
         return [" ".join(toks)] if toks else []
     return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
@@ -213,8 +224,18 @@ def _crc32(data: bytes) -> int:
 
 
 def _hash64(data: bytes) -> int:
-    """Stable 64-bit hash from two independent crc32 passes (C-speed)."""
-    return zlib.crc32(data) | (zlib.crc32(data, 0x9E3779B9) << 32)
+    """Stable 64-bit hash = first 8 md5 bytes, little-endian (C-speed).
+
+    md5 (not two crc32 passes): CRC32 is linear over GF(2), so for
+    equal-length inputs any pair of CRC-derived words differs by a
+    content-independent constant — bit j and bit j+32 of such a
+    "64-bit" hash are perfectly correlated and SimHash Hamming
+    distances get double-counted.  md5 bytes are structurally
+    independent.  This exact value is reproducible in DuckDB as
+    ``md5_number_upper(s)`` (verified), which is what makes the
+    SimHash driver query oracle-checkable.
+    """
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
 
 
 def minhash_lsh_pairs(

@@ -124,6 +124,10 @@ class TableIO:
             if f.endswith(".json"):
                 with open(os.path.join(cd, f)) as fh:
                     out.append(json.load(fh))
+        # sorted(listdir) is lexicographic by snapshot id, which is not
+        # commit order for arbitrary ids — order by the commit timestamp
+        # (filename as tie-break) to honour the "oldest first" contract
+        out.sort(key=lambda s: (s.get("committed_at", 0), str(s.get("snapshot_id"))))
         return out
 
     def snapshot_committed(self, name: str, snapshot_id: str) -> bool:

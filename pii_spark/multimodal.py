@@ -90,8 +90,10 @@ def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     except Exception:
         meta = meta or {}
-        h = int(meta.get("height", 32))
-        w = int(meta.get("width", 32))
+        # untrusted per-row metadata: clamp like the audio/video paths
+        # so one bad row (height "0") cannot abort the whole stage
+        h = max(int(meta.get("height", 32)), 1)
+        w = max(int(meta.get("width", 32)), 1)
         return _fake_pixels(data, h, w)
 
 

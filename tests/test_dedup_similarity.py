@@ -74,13 +74,13 @@ def test_minhash_signature_deterministic(spark):
 
 
 def test_simhash_pairs(docs):
-    # measured fingerprint distances on this fixture: (0,1)=12 (one word
-    # changed), (0,2)=32, (0,4)=41 — radius 16 finds the near-dup and
-    # rejects unrelated docs
+    # measured fingerprint distances on this fixture (md5-based hash):
+    # (0,1)=7 (one word changed), (0,2)=37, (0,4)=33 — radius 16 finds
+    # the near-dup and rejects unrelated docs
     out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=16, shingle_n=3)
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
     assert pairs[(0, 3)] == 0  # identical text → identical fingerprint
-    assert pairs[(0, 1)] == 12  # near-dup found (deterministic hashes)
+    assert pairs[(0, 1)] == 7  # near-dup found (deterministic hashes)
     assert (0, 2) not in pairs and (0, 4) not in pairs
 
 
