@@ -364,13 +364,61 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
 
 def q_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # from-scratch language-ID model — no SQL oracle
+    # from-scratch language-ID model; the model is a published marker
+    # table (quality.LANG_MARKERS) scored with plain regex counts, so
+    # the oracle re-implements the same definition independently in
+    # DuckDB SQL (see _langid_oracle_sql)
     scored = _docs(spark, sf_dir).withColumn("m", quality_model_udf(F.col("text")))
     return (
         scored.groupBy(F.col("m")["lang_pred"].alias("lang_pred"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_pred")
     )
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB re-implementation of the langid model: per-language score
+    = Σ weight · non-overlapping regex count over the first
+    LANGID_SAMPLE_CHARS chars, per KB; argmax in marker-table order
+    (ties → first), 'unknown' below LANGID_MIN_SCORE.  Generated from
+    the same model *definition* (the marker table is the model, like
+    the pattern bank) but executed by an independent engine — DuckDB's
+    RE2 + SQL float arithmetic vs pandas str.count + numpy."""
+    from pii_spark.quality import LANGID_MIN_SCORE, LANGID_SAMPLE_CHARS, LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"{w} * len(regexp_extract_all(p, '{pat}'))"
+            for pat, w, _gate in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({terms}) / kb AS s_{lang}")
+    # first lang that is >= all later ones == first index achieving the
+    # max (earlier langs are strictly below the max when branch k fires)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    pick = f"CASE {' '.join(branches)} ELSE '{langs[-1]}' END"
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    return f"""
+        WITH pfx AS (
+            SELECT doc_id, substr(text, 1, {LANGID_SAMPLE_CHARS}) AS p,
+                   greatest(length(substr(text, 1, {LANGID_SAMPLE_CHARS})), 1)
+                       / 1024.0 AS kb
+            FROM documents
+        ),
+        scores AS (SELECT doc_id, {", ".join(score_exprs)} FROM pfx),
+        pred AS (
+            SELECT doc_id,
+                   CASE WHEN {best} < {LANGID_MIN_SCORE} THEN 'unknown'
+                        ELSE {pick} END AS lang_pred
+            FROM scores
+        )
+        SELECT lang_pred, count(*) AS n FROM pred
+        GROUP BY lang_pred ORDER BY lang_pred
+    """
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,6 +433,10 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash fingerprints are seeded md5-derived integer arithmetic —
+    # reproduced exactly in the DuckDB oracle via md5_number_upper; the
+    # pigeonhole banding is provably complete for hamming <= k, so the
+    # banded result equals the oracle's all-pairs scan
     corpus = _neardup_corpus(spark, sf_dir)
     return dedup.simhash_pairs(corpus, "doc_id", "text3", max_hamming=3).orderBy(
         "doc_a", "doc_b"
@@ -517,13 +569,13 @@ def q_severity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F10 sampling knob — seed-based Bernoulli sample (rows-only check:
-    # Spark's sampler is engine-specific, no SQL oracle)
+    # F10 sampling knob — deterministic sha256-bucket membership keyed on
+    # doc_id (engine-independent, so the exact kept set has a SQL oracle)
     from pii_spark.policy import PerformanceConfig, apply_performance
 
     docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     sampled = apply_performance(docs, PerformanceConfig(sampling_rate=25.0), "content")
-    return sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
 
 
 def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,14 +583,24 @@ def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=25/w=16: an 8-char k-gram is a common word pair in any corpus —
     # real fingerprinting uses k ≈ 25-50 so only substantial shared
     # substrings (≥ w+k-1 = 40 chars) collide
+    # portable-hash mode (md5 hex instead of xxhash64) so the whole
+    # winnowing pipeline — k-gram hashing, window minima, distinct,
+    # overlap counting — cross-checks against DuckDB; the production
+    # default stays 8-byte xxhash64 (narrower shuffle keys), which is
+    # equality-tested against this mode in tests
     corpus = _neardup_corpus(spark, sf_dir)
     return dedup.fingerprint_overlap_pairs(
-        corpus, "doc_id", "text3", k=25, w=16, min_shared=5
+        corpus, "doc_id", "text3", k=25, w=16, min_shared=5, hash_fn=F.md5
     ).orderBy("doc_a", "doc_b")
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multimodal plumbing: binary payload column → decode-stub features
+    # multimodal plumbing: binary payload column → decode-stub features.
+    # The query projects the oracle-able columns (ids, declared shape,
+    # payload sha256 — i.e. the distributed plumbing end-to-end); the
+    # stub's pixel statistics (mean/std of a sha256 counter stream) are
+    # not SQL-expressible and stay pytest-verified
+    # (tests/test_multimodal_fingerprint.py).
     from pii_spark import multimodal as M
 
     media = _docs(spark, sf_dir).select(
@@ -550,7 +612,11 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("width"), ((F.col("doc_id") % 8) + 8).cast("string"),
         ).alias("meta"),
     )
-    return M.image_features(media).orderBy("media_id")
+    return (
+        M.image_features(media)
+        .select("media_id", "height", "width", "content_sha256")
+        .orderBy("media_id")
+    )
 
 
 def q_patterns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quota": q_lang_quota,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
-        # rows-only (model-based / engine-specific hashes — no SQL oracle)
         "langid_distribution": q_langid_distribution,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_pipeline": q_quality_pipeline,
@@ -655,9 +720,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pattern, count(*) AS n_matches FROM m GROUP BY pattern ORDER BY pattern
         """,
-        "detect_luhn": """
-            SELECT CAST(2 * count(*) AS BIGINT) AS n_valid
-            FROM documents WHERE doc_id % 2 = 0
+        # independent Luhn in SQL: extract candidates with BOTH
+        # credit-card rules (patterns.py "credit-card", ported from
+        # builtin.go:48-61), then validate the checksum itself —
+        # digit-strip, length 13-19, doubled-alternate digit sum % 10
+        # (validator.go:31-62) — instead of trusting the corpus parity
+        "detect_luhn": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                                    THEN ' card 4111111111111111 ok'
+                                    ELSE ' card 4111111111111112 ok' END AS content
+                FROM documents
+            ),
+            cand AS (
+                SELECT unnest(regexp_extract_all(content,
+                    '\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}|6(?:011|5[0-9]{2})[0-9]{12})\b'))
+                    AS v FROM corpus
+                UNION ALL
+                SELECT unnest(regexp_extract_all(content,
+                    '\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}')) AS v FROM corpus
+            ),
+            digits AS (
+                SELECT regexp_replace(v, '[^0-9]', '', 'g') AS ds FROM cand
+            ),
+            luhn AS (
+                SELECT length(ds) AS l,
+                       list_sum(list_transform(range(1, length(ds) + 1), i ->
+                           CASE WHEN (length(ds) - i) % 2 = 1
+                                THEN CASE WHEN 2 * CAST(ds[i] AS INT) > 9
+                                          THEN 2 * CAST(ds[i] AS INT) - 9
+                                          ELSE 2 * CAST(ds[i] AS INT) END
+                                ELSE CAST(ds[i] AS INT) END)) AS s
+                FROM digits
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_valid
+            FROM luhn WHERE l BETWEEN 13 AND 19 AND s % 10 = 0
         """,
         "scrub_email_partial": """
             SELECT doc_id,
@@ -864,6 +962,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(sha256(doc_id::VARCHAR), 1, 4) < '4000'
             GROUP BY lang ORDER BY lang
         """,
+        # F10 sampling now rides the same sha256-bucket membership as
+        # hash_sample (salted 'f10:<seed>'), so the exact kept set is
+        # engine-independent
+        "sampling": """
+            SELECT lang, count(*) AS n_sampled FROM documents
+            WHERE substr(sha256(doc_id::VARCHAR || 'f10:42'), 1, 4) < '4000'
+            GROUP BY lang ORDER BY lang
+        """,
         "lang_quota": """
             SELECT lang, doc_id, n_chars FROM (
                 SELECT lang, doc_id, n_chars,
@@ -900,6 +1006,110 @@ def oracle_sql() -> dict[str, str]:
             FROM planted a JOIN planted b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.95
             ORDER BY id_a, id_b
+        """,
+        "langid_distribution": _langid_oracle_sql(),
+        # the mapInPandas decode path must round-trip ids, the declared
+        # (clamped) shape, and the payload digest exactly
+        "image_features": """
+            SELECT doc_id AS media_id,
+                   CAST((doc_id % 16) + 8 AS INT) AS height,
+                   CAST((doc_id % 8) + 8 AS INT) AS width,
+                   sha256(text) AS content_sha256
+            FROM documents ORDER BY media_id
+        """,
+        # exact re-implementation of the SimHash fingerprint in SQL:
+        # same 3-gram shingles, same 64-bit hash (md5 first 8 bytes LE =
+        # md5_number_upper), same majority-vote bits; all-pairs scan
+        # instead of pigeonhole banding (banding is complete for
+        # hamming <= max_hamming, so the two agree by construction)
+        "simhash_near_dup": f"""
+            WITH corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, u.s FROM toks,
+                UNNEST(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))
+                       END) AS u(s)
+            ),
+            hv AS (SELECT doc_id, md5_number_upper(s) AS h FROM sh),
+            bits AS (
+                SELECT doc_id, j,
+                       sum(((h >> j) & 1)::BIGINT) AS ones, count(*) AS n
+                FROM hv, UNNEST(range(0, 64)) AS t(j)
+                GROUP BY doc_id, j
+            ),
+            fpu AS (
+                SELECT doc_id,
+                       sum(CASE WHEN 2 * ones > n THEN
+                             CASE WHEN j = 63 THEN 9223372036854775808::HUGEINT
+                                  ELSE (1::BIGINT << j)::HUGEINT END
+                           ELSE 0::HUGEINT END) AS fp_u
+                FROM bits GROUP BY doc_id
+            ),
+            fp AS (
+                SELECT c.doc_id,
+                       (CASE WHEN coalesce(f.fp_u, 0::HUGEINT)
+                                  >= 9223372036854775808::HUGEINT
+                             THEN coalesce(f.fp_u, 0::HUGEINT)
+                                  - 18446744073709551616::HUGEINT
+                             ELSE coalesce(f.fp_u, 0::HUGEINT) END)::BIGINT AS fp
+                FROM corpus c LEFT JOIN fpu f USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # exact re-implementation of winnowing (k=25, w=16) in SQL over
+        # the same portable md5 k-gram hash (hex strings order
+        # identically in both engines): k-gram hash list -> w-window
+        # minima -> distinct fingerprints -> pairs sharing >= 5
+        "fingerprint_overlap": f"""
+            WITH corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+            kg AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) - 24 <= 0 THEN [md5(t)]
+                            ELSE list_transform(range(1, length(t) - 23),
+                                                i -> md5(substr(t, i, 25)))
+                       END AS kh
+                FROM corpus
+            ),
+            fps AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(kh) <= 15 THEN [list_min(kh)]
+                                ELSE list_transform(range(1, len(kh) - 14),
+                                                    j -> list_min(kh[j:j+15]))
+                           END) AS f
+                FROM kg
+            ),
+            fp AS (SELECT doc_id, unnest(f) AS fp FROM fps)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5
+            ORDER BY doc_a, doc_b
+        """,
+        # quality_pipeline: the full stack's only model-bound decision on
+        # this corpus is the char-trigram perplexity gate (the trained
+        # count table is not SQL-expressible); the model is seed-free
+        # and deterministic, so the oracle is the golden distribution at
+        # sf0.01, independently recomputed via the pure-Python label
+        # oracle (pii_spark.quality.quality_label_py — the same
+        # independent path the north-rule F1 check uses): 423 kept / 77
+        # perplexity-dropped.  Every SQL-expressible stage of the stack
+        # is separately oracle-checked (quality_heuristics_full,
+        # langid_distribution).
+        "quality_pipeline": """
+            SELECT * FROM (VALUES
+                ('kept',       CAST(423 AS BIGINT)),
+                ('perplexity', CAST(77 AS BIGINT))
+            ) AS t(reason, n)
+            ORDER BY reason
         """,
         # patterns_catalog: the bank is static config (ported verbatim
         # from builtin.go:31-483) — the oracle is the independently

@@ -328,18 +328,24 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def kgram_hashes_col(text_col, k: int = 8):
+def kgram_hashes_col(text_col, k: int = 8, hash_fn=F.xxhash64):
     """All character k-gram hashes of a text column — fully JVM-side:
     ``transform(sequence(...), i -> xxhash64(substring(text, i, k)))``.
     The rolling-hash role is played by xxhash64 over each k-gram (Spark
     has no incremental-hash expression; the plan stays in codegen and the
-    cost is O(n·k) JVM work, no Python)."""
+    cost is O(n·k) JVM work, no Python).
+
+    ``hash_fn`` swaps the k-gram hash; the default 8-byte ``xxhash64``
+    is the scale path (narrow shuffle keys).  Pass ``F.md5`` for a
+    hash reproducible in external engines (hex strings order and
+    compare identically everywhere) — used by the DuckDB-oracled
+    driver query to cross-verify the whole winnowing pipeline."""
     n = F.length(text_col)
     cnt = n - F.lit(k - 1)
-    return F.when(cnt <= 0, F.array(F.xxhash64(text_col))).otherwise(
+    return F.when(cnt <= 0, F.array(hash_fn(text_col))).otherwise(
         F.transform(
             F.sequence(F.lit(1), cnt),
-            lambda i: F.xxhash64(F.substring(text_col, i, k)),
+            lambda i: hash_fn(F.substring(text_col, i, k)),
         )
     )
 
@@ -371,6 +377,7 @@ def winnow_fingerprints_df(
     text_col: str,
     k: int = 8,
     w: int = 4,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Winnowed fingerprints as rows ``(doc, fp)`` — the scale form:
     k-gram hashes computed ONCE via ``posexplode``, sliding w-window
@@ -382,7 +389,7 @@ def winnow_fingerprints_df(
     kg = df.select(
         F.col(id_col).alias("doc"),
         nk.alias("nk"),
-        F.posexplode(kgram_hashes_col(F.col(text_col), k)).alias("pos", "h"),
+        F.posexplode(kgram_hashes_col(F.col(text_col), k, hash_fn)).alias("pos", "h"),
     )
     sliding = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
     return (
@@ -403,11 +410,12 @@ def fingerprint_overlap_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 10,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs sharing ≥ ``min_shared`` winnowed fingerprints —
     same self-join shape as :func:`ngram_jaccard_pairs` but over the much
     smaller fingerprint sets (|fp| ≈ 2·n/(w+1))."""
-    fp = _materialize(winnow_fingerprints_df(df, id_col, text_col, k, w), True)
+    fp = _materialize(winnow_fingerprints_df(df, id_col, text_col, k, w, hash_fn), True)
     a = fp.alias("a")
     b = fp.alias("b")
     return (

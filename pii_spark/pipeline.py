@@ -84,7 +84,18 @@ class Pipeline:
         cfg = self.config
         df = apply_selector(df, cfg.policy.selector)
         if cfg.policy.performance.sampling_rate < 100.0:
-            df = df.sample(fraction=cfg.policy.performance.sampling_rate / 100.0, seed=42)
+            # deterministic hash-bucket sampling on the stable file key —
+            # membership survives re-runs/repartitioning, so checkpoint
+            # resume reprocesses exactly the same sample (an RNG sample
+            # would re-draw per run and break resume idempotency)
+            from pii_spark.curation import hash_sample
+
+            df = hash_sample(
+                df,
+                F.concat_ws("/", "repo", "path", "commit"),
+                cfg.policy.performance.sampling_rate / 100.0,
+                salt="f10:42",
+            )
         # JVM heuristics + ONE merged Python pass (model scores + scrub)
         # + JVM decision — a single Arrow exchange for the whole row
         df = with_heuristics(df, content_col="content")

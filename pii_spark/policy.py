@@ -120,12 +120,33 @@ def apply_selector(df: DataFrame, selector: PolicySelector) -> DataFrame:
 
 
 def apply_performance(df: DataFrame, perf: PerformanceConfig, content_col: str = "content",
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, sample_key: Column | None = None) -> DataFrame:
     """Sampling (F10) + max-size guard (F11).  Oversized rows are
     dropped here; the pipeline records them with drop_reason=max_size
-    before this point."""
+    before this point.
+
+    Sampling is the deterministic sha256-bucket membership of
+    :func:`pii_spark.curation.hash_sample` keyed by ``sample_key``
+    (default: the row's stable provenance key) — the same row is kept
+    in every run, on every engine, at any partitioning, and samples at
+    different rates nest.  ``seed`` salts the hash, so different seeds
+    still derive independent samples.  (The reference declares the knob
+    only — ``PerformanceConfig.SamplingRate``, piipolicy_types.go:103-107
+    — leaving the mechanism engine-defined; an RNG-based ``df.sample``
+    would make membership partitioning-dependent.)
+    """
     if perf.sampling_rate < 100.0:
-        df = df.sample(fraction=perf.sampling_rate / 100.0, seed=seed)
+        from pii_spark.curation import hash_sample
+
+        if sample_key is None:
+            key_cols = [c for c in ("repo", "path", "commit", "doc_id") if c in df.columns]
+            if not key_cols:
+                raise ValueError(
+                    "deterministic sampling needs a stable row key: pass "
+                    "sample_key= or provide repo/path/commit/doc_id columns"
+                )
+            sample_key = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+        df = hash_sample(df, sample_key, perf.sampling_rate / 100.0, salt=f"f10:{seed}")
     if perf.max_size_kb > 0:
         df = df.filter(F.length(F.col(content_col)) <= perf.max_size_kb * 1024)
     return df

@@ -86,3 +86,24 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     pairs = dedup.fingerprint_overlap_pairs(df, "doc_id", "t", k=8, w=4, min_shared=5)
     got = [(r.doc_a, r.doc_b) for r in pairs.collect()]
     assert got == [(1, 2)]
+
+
+def test_winnow_portable_hash_mode_agrees(spark):
+    # the md5 portable mode (used by the DuckDB-oracled driver query)
+    # and the default 8-byte xxhash64 scale path must discover the same
+    # near-dup pairs.  Exact n_shared differs slightly by design — which
+    # k-gram wins each window depends on the hash ordering (measured 19
+    # vs 20 here) — but the w+k-1 discovery guarantee is hash-independent.
+    common = "shared boilerplate line repeated enough to winnow " * 3
+    df = spark.createDataFrame(
+        [(1, common + "one tail"), (2, common + "two tails"),
+         (3, "entirely unrelated content with its own words here")],
+        "doc_id long, t string",
+    )
+    fast = dedup.fingerprint_overlap_pairs(df, "doc_id", "t", k=8, w=4, min_shared=3)
+    portable = dedup.fingerprint_overlap_pairs(
+        df, "doc_id", "t", k=8, w=4, min_shared=3, hash_fn=F.md5
+    )
+    a = sorted((r.doc_a, r.doc_b) for r in fast.collect())
+    b = sorted((r.doc_a, r.doc_b) for r in portable.collect())
+    assert a == b == [(1, 2)]
