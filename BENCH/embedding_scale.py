@@ -1,0 +1,151 @@
+"""Embedding near-dup at 1M vectors — the auto-sized LSH scale bench.
+
+Corpus: 1,000,000 deterministic 64-dim vectors generated JVM-side
+(``xxhash64(id, j)`` folded into [-1, 1] — no driver-side numpy, no
+RNG), with planted exact-duplicate groups: every ``id % 1000 == 7`` row
+reuses the vector of ``id % 100_000``.  The 1,000 such ids partition
+into 100 groups of 10 identical vectors (the ids < 100_000 map to
+themselves and anchor each group) → C(10,2)·100 = 4,500 qualifying
+pairs; the random background never reaches cosine 0.99 in 64 dims.
+
+What this measures: :func:`pii_spark.similarity.cosine_near_dup_pairs`
+with (bits, tables) auto-sized by ``auto_lsh_params`` — at n=1M,
+threshold 0.99 → bits=17 (mean bucket occupancy ≈ 7.6), tables=4.
+The candidate join is therefore ~n·B/2·tables ≈ 15M narrow rows.  With
+the old fixed ``bits=8`` the same corpus would mean 3,906-row buckets
+and ~2·10⁹ candidate pairs per table — the quadratic blowup the
+auto-sizing exists to prevent (we cite the math rather than run it).
+
+Usage: ``python BENCH/embedding_scale.py`` → one JSON line + BENCH/EMBED.md.
+Env: ``EMBED_N`` (default 1_000_000), ``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("EMBED_N", "1000000"))
+DIM = 64
+THRESHOLD = 0.99
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.environ.get("EMBED_CORPUS_DIR", "/tmp/pii_spark_embed_corpus")
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{CPUS}]").appName("embed-bench"),
+            shuffle_partitions=max(CPUS * 4, 64),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prepare(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(CORPUS_DIR):
+        shutil.rmtree(CORPUS_DIR)
+    ids = spark.range(N).select(F.col("id").alias("vec_id"))
+    # duplicate groups: id%1000==7 rows take the vector of id%100_000
+    src = F.when(
+        F.col("vec_id") % 1000 == 7, F.col("vec_id") % 100_000
+    ).otherwise(F.col("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (F.pmod(F.xxhash64(src, j), F.lit(2001)) - 1000).cast("double")
+        / 1000.0,
+    )
+    (
+        ids.select("vec_id", vec.alias("embedding"))
+        .repartition(max(CPUS * 4, 64), "vec_id")
+        .write.mode("overwrite").parquet(CORPUS_DIR)
+    )
+
+
+def main() -> None:
+    from pii_spark import similarity
+
+    spark = _session()
+    t0 = time.time()
+    prepare(spark)
+    gen_sec = time.time() - t0
+
+    emb = spark.read.parquet(CORPUS_DIR)
+    bits, tables = similarity.auto_lsh_params(N, THRESHOLD, target_bucket_rows=8)
+
+    t0 = time.time()
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=THRESHOLD,
+        bits=bits, tables=tables, dim=DIM,
+    )
+    n_pairs = pairs.count()
+    sec = time.time() - t0
+
+    expected = 100 * (10 * 9 // 2)
+    summary = {
+        "n_vectors": N,
+        "dim": DIM,
+        "threshold": THRESHOLD,
+        "bits": bits,
+        "tables": tables,
+        "mean_bucket_occupancy": round(N / 2**bits, 2),
+        "gen_sec": round(gen_sec, 1),
+        "pairs_sec": round(sec, 1),
+        "vectors_per_sec": round(N / sec, 1),
+        "pairs_found": n_pairs,
+        "pairs_expected": expected,
+        "recall_planted": round(n_pairs / expected, 4),
+        "cpus": CPUS,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/EMBED — embedding near-dup at {N:,} vectors (`local[{CPUS}]`)
+
+{N:,} deterministic {DIM}-dim vectors, 100 planted groups of 10
+identical vectors ({expected:,} qualifying pairs at cosine ≥
+{THRESHOLD}); see `BENCH/embedding_scale.py`.
+
+| metric | value |
+|---|---|
+| auto-sized (bits, tables) | ({bits}, {tables}) |
+| mean bucket occupancy n/2^bits | {summary["mean_bucket_occupancy"]} |
+| corpus generation (s) | {summary["gen_sec"]} |
+| near-dup pairs wall (s) | {summary["pairs_sec"]} |
+| vectors/sec end-to-end | {summary["vectors_per_sec"]:,} |
+| pairs found / expected | {n_pairs:,} / {expected:,} (recall {summary["recall_planted"]}) |
+
+**Bucket-size bound** (`similarity.auto_lsh_params`): bits =
+⌈log₂(n/target)⌉ keeps mean occupancy B ≤ target (2× granularity), so
+expected candidate pairs ≈ n·B/2 per table — **linear in n**.  A fixed
+`bits=8` at this n would mean {N // 256:,}-row buckets and ~{int((N / 256) * N / 2 / 1e9)}·10⁹
+candidate pairs per table: the quadratic blowup the sizing prevents.
+Identical vectors collide in every table, so exact-duplicate recall is
+1.0 by construction at any bits; sub-identical recall is set by the
+tables term (1−(1−p^bits)^T ≥ recall_target).
+
+Reproduce: `python BENCH/embedding_scale.py` (env: `EMBED_N`,
+`SPARK_GRAFT_CPUS`, `EMBED_CORPUS_DIR`).
+"""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "EMBED.md"), "w") as f:
+        f.write(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -521,14 +521,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("emb2", F.when(v % 10 == 7, F.col("bvec")).otherwise(F.col("embedding")))
         .select("vec_id", "emb2")
     )
-    # LSH-candidate tier + exact cosine verification.  Complete here by
-    # construction, not probabilistically: every qualifying pair has
-    # identical vectors, and identical vectors get identical signatures
-    # in every hash table, so no qualifying pair can miss the candidate
-    # set.  (exact_cosine_pairs is the O(n²) baseline, equality-tested
-    # against this path in tests/test_dedup_similarity.py.)
+    # LSH-candidate tier + exact cosine verification, (bits, tables)
+    # auto-sized from the corpus count (similarity.auto_lsh_params — the
+    # 100×-scale knob: bucket occupancy stays constant as n grows).
+    # Complete here by construction, not probabilistically: every
+    # qualifying pair has identical vectors, and identical vectors get
+    # identical signatures in every hash table, so no qualifying pair
+    # can miss the candidate set.  (exact_cosine_pairs is the O(n²)
+    # baseline, equality-tested in tests/test_dedup_similarity.py.)
     pairs = similarity.cosine_near_dup_pairs(
-        planted, "vec_id", "emb2", threshold=0.95, bits=8, tables=4, dim=64
+        planted, "vec_id", "emb2", threshold=0.95, dim=64
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("sim") * 1000).cast("long").alias("sim_x1000")
@@ -629,6 +631,112 @@ def q_patterns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("category", "enabled")
 
 
+# ---------------------------------------------------------------------------
+# config-plane queries (S8, F12-F15, J4, J5) over a deterministic
+# fixture rule catalog — static config, so the oracles are the
+# independently-stated golden rows (same justification as
+# patterns_catalog)
+# ---------------------------------------------------------------------------
+
+def _fixture_rule_cache(bumped: bool = False):
+    """Two community sources; ``bumped`` is the later state (net 1.3.0
+    + one new pattern) used for pending-update detection."""
+    from pii_spark.patterns import PatternRule
+    from pii_spark.rulesets import PatternDefinition, RuleCache, RuleSet
+
+    def pdef(name, cat, sev, nrules=1):
+        return PatternDefinition(
+            name=name, category=cat, severity=sev, enabled=True,
+            rules=[PatternRule(regex=rf"{name}-[0-9]{{{i + 2}}}") for i in range(nrules)],
+        )
+
+    net_version = "1.3.0" if bumped else "1.2.0"
+    net_patterns = [
+        pdef("custom-ipv4", "network", "high"),
+        pdef("custom-mac", "network/hw", "low"),
+        pdef("other-host", "network", "medium"),
+    ]
+    if bumped:
+        net_patterns.append(pdef("custom-ipv6", "network", "high"))
+    cache = RuleCache()
+    cache.set_source("community-a", [
+        RuleSet("net", version=net_version, maturity="stable", patterns=net_patterns),
+        RuleSet("tokens", version="2.0.0", maturity="incubating",
+                patterns=[pdef("vendor-token", "secrets", "critical", nrules=2)]),
+        RuleSet("exp", version="0.9.0", maturity="experimental",
+                patterns=[pdef("exp-scan", "network", "low")]),
+    ])
+    cache.set_source("community-b", [
+        RuleSet("net", version="0.9.1", maturity="stable",
+                patterns=[pdef("legacy-ip", "network", "medium")]),
+    ])
+    return cache
+
+
+def _fixture_subscription():
+    from pii_spark.rulesets import (
+        CategorySubscription,
+        PatternOverride,
+        SubscriptionSpec,
+    )
+
+    return SubscriptionSpec(
+        source_key="community-a",
+        # maturity default {stable, incubating} (F12) excludes "exp"
+        subscribe=[
+            CategorySubscription(category="network", version=">=1.0.0",
+                                 patterns=["custom-*"]),   # F13 + F14 + F15
+            CategorySubscription(category="secrets", patterns=["*"]),
+        ],
+        overrides={"custom-mac": PatternOverride(severity="high")},
+    )
+
+
+def q_rulesets_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S8 rule-set cache as an introspectable catalog table
+    cache = _fixture_rule_cache()
+    return cache.catalog_df(spark).orderBy("source", "ruleset", "pattern")
+
+
+def q_subscription_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4: subscription × cached rulesets through the F12 maturity gate,
+    # F13 semver constraint, F14 hierarchical category, F15 glob, with
+    # a per-pattern override applied
+    from pii_spark.rulesets import subscribe
+
+    cache = _fixture_rule_cache()
+    result = subscribe(cache, _fixture_subscription(), PatternBank())
+    rows = [
+        (s.name, s.category, s.version, s.ruleset, s.overridden)
+        for s in result.subscribed
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, category string, version string, ruleset string, "
+        "overridden boolean",
+    ).orderBy("name")
+
+
+def q_pending_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5: pending-update detection — subscribe against the 1.2.0 state,
+    # check against the bumped 1.3.0 state (version bumps classified,
+    # new matching patterns surfaced)
+    from pii_spark.rulesets import check_updates, subscribe
+
+    spec = _fixture_subscription()
+    subscribed = subscribe(_fixture_rule_cache(), spec, PatternBank()).subscribed
+    updates = check_updates(_fixture_rule_cache(bumped=True), spec, subscribed)
+    rows = [
+        (u.pattern, u.current_version, u.available_version, u.change_type)
+        for u in updates
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pattern string, current_version string, available_version string, "
+        "change_type string",
+    ).orderBy("pattern")
+
+
 def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full quality stack incl. model-based drops (langid/perplexity/toxicity)
     corpus = (
@@ -698,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quota": q_lang_quota,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
+        "rulesets_catalog": q_rulesets_catalog,
+        "subscription_resolve": q_subscription_resolve,
+        "pending_updates": q_pending_updates,
         "langid_distribution": q_langid_distribution,
         "simhash_near_dup": q_simhash_near_dup,
         "quality_pipeline": q_quality_pipeline,
@@ -1114,6 +1225,47 @@ def oracle_sql() -> dict[str, str]:
         # patterns_catalog: the bank is static config (ported verbatim
         # from builtin.go:31-483) — the oracle is the independently
         # stated golden composition: 36 patterns, 30 enabled.
+        # config-plane fixtures are static — golden rows stated
+        # independently of the implementation (like patterns_catalog)
+        "rulesets_catalog": """
+            SELECT * FROM (VALUES
+                ('community-a', 'exp', '0.9.0', 'experimental', 'exp-scan',
+                 'network', 'low', true, CAST(1 AS INT)),
+                ('community-a', 'net', '1.2.0', 'stable', 'custom-ipv4',
+                 'network', 'high', true, CAST(1 AS INT)),
+                ('community-a', 'net', '1.2.0', 'stable', 'custom-mac',
+                 'network/hw', 'low', true, CAST(1 AS INT)),
+                ('community-a', 'net', '1.2.0', 'stable', 'other-host',
+                 'network', 'medium', true, CAST(1 AS INT)),
+                ('community-a', 'tokens', '2.0.0', 'incubating', 'vendor-token',
+                 'secrets', 'critical', true, CAST(2 AS INT)),
+                ('community-b', 'net', '0.9.1', 'stable', 'legacy-ip',
+                 'network', 'medium', true, CAST(1 AS INT))
+            ) AS t(source, ruleset, version, maturity, pattern, category,
+                   severity, enabled, n_rules)
+            ORDER BY source, ruleset, pattern
+        """,
+        # maturity gate drops exp-scan; >=1.0.0 keeps net 1.2.0; the
+        # network category prefix-matches network/hw; custom-* excludes
+        # other-host; the custom-mac override flags overridden=true
+        "subscription_resolve": """
+            SELECT * FROM (VALUES
+                ('custom-ipv4', 'network',    '1.2.0', 'net',    false),
+                ('custom-mac',  'network/hw', '1.2.0', 'net',    true),
+                ('vendor-token', 'secrets',   '2.0.0', 'tokens', false)
+            ) AS t(name, category, version, ruleset, overridden)
+            ORDER BY name
+        """,
+        # net 1.2.0 -> 1.3.0 is a minor bump on both subscribed
+        # patterns; custom-ipv6 is a new pattern matching custom-*
+        "pending_updates": """
+            SELECT * FROM (VALUES
+                ('custom-ipv4', '1.2.0', '1.3.0', 'minorVersion'),
+                ('custom-ipv6', '',      '1.3.0', 'newPatterns'),
+                ('custom-mac',  '1.2.0', '1.3.0', 'minorVersion')
+            ) AS t(pattern, current_version, available_version, change_type)
+            ORDER BY pattern
+        """,
         "patterns_catalog": """
             SELECT * FROM (VALUES
                 ('global', false, CAST(3 AS BIGINT)),

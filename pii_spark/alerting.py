@@ -1,0 +1,366 @@
+"""Alert sender payloads + distributed HTTP poster (S12).
+
+Ports the reference's channel-specific alert bodies verbatim-in-shape:
+
+- Slack attachment message — ``internal/notifier/slack.go:68-122``
+  (severity color map ``slack.go:126-139``, field order, footer).
+- PagerDuty Events API v2 — ``internal/notifier/pagerduty.go:58-120``
+  (dedup key ``pii-<ns>-<pattern>-<id>``, severity mapping
+  ``pagerduty.go:123-136``).
+- Generic webhook — ``internal/notifier/webhook.go:63-119``
+  (camelCase alert object, ``pii.detected`` event, metadata block,
+  ``PII-Redactor/1.0`` user agent).
+- Email subject/body/message — ``internal/notifier/email.go:75-83``
+  builders (``buildSubject``/``buildBody``/``buildMessage``); actual
+  SMTP delivery is out of scope here (no SMTP in the sandbox), the
+  byte-exact message construction is what's ported and tested.
+
+Coordinate mapping (SURVEY §1.1): ``Namespace/Pod/Container`` ↔
+``repo/path/commit``.
+
+Delivery is Spark-shaped: :func:`post_alerts` runs a
+``foreachPartition`` over the routed-alerts DataFrame — one sender per
+partition, payloads built executor-side, POSTs via urllib (stdlib), and
+sent/failed tallies returned through accumulators (the reference tracks
+the same counters per channel, ``ratelimiter.go:77-88``).  Tested
+against a local HTTP stub exactly like the reference's ``httptest``
+suites (``slack_test.go:51``, ``webhook_test.go:51``,
+``pagerduty_test.go:51``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+#: PagerDuty Events API v2 endpoint (pagerduty.go:12).
+PAGERDUTY_EVENTS_API_URL = "https://events.pagerduty.com/v2/enqueue"
+
+#: Slack attachment colors per severity (slack.go:126-139).
+SLACK_SEVERITY_COLOR = {
+    "critical": "#dc3545",
+    "high": "#fd7e14",
+    "medium": "#ffc107",
+    "low": "#17a2b8",
+}
+SLACK_DEFAULT_COLOR = "#6c757d"
+
+#: PagerDuty severity mapping (pagerduty.go:123-136); unknown input
+#: severities fall back to the channel's configured default.
+PAGERDUTY_SEVERITY = {
+    "critical": "critical",
+    "high": "error",
+    "medium": "warning",
+    "low": "info",
+}
+
+
+@dataclass
+class HTTPChannelConfig:
+    """Per-channel sender config (the CRD channel spec's HTTP half:
+    api/v1alpha1/piialertchannel_types.go)."""
+
+    name: str
+    type: str = "webhook"  # slack | pagerduty | webhook | email
+    url: str = ""          # slack/webhook endpoint; pagerduty override (tests)
+    method: str = "POST"   # webhook only: POST or PUT (webhook.go:36-38)
+    headers: dict = field(default_factory=dict)
+    channel: str = ""      # slack channel
+    username: str = "PII Redactor"   # slack.go:31-33 default
+    icon_emoji: str = ":shield:"     # slack.go:34-36 default
+    routing_key: str = ""  # pagerduty
+    severity: str = "critical"       # pagerduty fallback (pagerduty.go:30-32)
+    email_from: str = ""
+    email_to: list[str] = field(default_factory=list)
+
+    def validate(self) -> str | None:
+        """Config check mirroring each notifier's Validate(); returns an
+        error string or None."""
+        if self.type == "slack":
+            if not self.url:
+                return "slack webhook URL is required"
+            if not self.url.startswith("https://"):
+                return "invalid slack webhook URL format"
+        elif self.type == "pagerduty":
+            if not self.routing_key:
+                return "pagerduty routing key is required"
+        elif self.type == "webhook":
+            if not self.url:
+                return "webhook URL is required"
+            if self.method not in ("POST", "PUT"):
+                return "webhook method must be POST or PUT"
+        elif self.type == "email":
+            if not self.email_from:
+                return "from address is required"
+            if not self.email_to:
+                return "at least one recipient is required"
+        else:
+            return f"unknown channel type: {self.type}"
+        return None
+
+
+def _rfc3339(ts) -> str:
+    """Go time.RFC3339; naive timestamps are taken as UTC."""
+    if ts is None:
+        return ""
+    if isinstance(ts, str):
+        return ts
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.isoformat().replace("+00:00", "Z")
+
+
+def _unix(ts) -> int:
+    if ts is None:
+        return 0
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(ts.timestamp())
+
+
+def _get(alert: dict, key: str, default=""):
+    v = alert.get(key)
+    return default if v is None else v
+
+
+# ---------------------------------------------------------------------------
+# payload builders (pure: alert row dict -> payload dict / bytes)
+# ---------------------------------------------------------------------------
+
+def build_slack_message(alert: dict, cfg: HTTPChannelConfig) -> dict:
+    """Slack webhook message (slack.go:142-186 buildMessage): one
+    attachment, severity color, conditional fields in source order."""
+    severity = _get(alert, "severity")
+    pattern = _get(alert, "pattern")
+    display = _get(alert, "display")
+    title = f"PII Detected: {display or pattern}"
+    fields = [
+        {"title": "Severity", "value": severity.upper(), "short": True},
+        {"title": "Pattern", "value": pattern, "short": True},
+        {"title": "Namespace", "value": _get(alert, "repo"), "short": True},
+    ]
+    if _get(alert, "path"):
+        fields.append({"title": "Pod", "value": alert["path"], "short": True})
+    if _get(alert, "commit"):
+        fields.append({"title": "Container", "value": alert["commit"], "short": True})
+    if _get(alert, "policy_name"):
+        fields.append({"title": "Policy", "value": alert["policy_name"], "short": True})
+    fields.append(
+        {"title": "Match Count", "value": str(_get(alert, "match_count", 0)), "short": True}
+    )
+    if _get(alert, "source"):
+        fields.append({"title": "Source", "value": alert["source"], "short": True})
+    attachment = {
+        "color": SLACK_SEVERITY_COLOR.get(severity, SLACK_DEFAULT_COLOR),
+        "title": title,
+        "text": _get(alert, "message"),
+        "fields": fields,
+        "footer": "PII Redactor",
+        "ts": _unix(alert.get("ts")),
+    }
+    return {
+        "channel": cfg.channel,
+        "username": cfg.username,
+        "icon_emoji": cfg.icon_emoji,
+        "attachments": [attachment],
+    }
+
+
+def build_pagerduty_event(alert: dict, cfg: HTTPChannelConfig) -> dict:
+    """PagerDuty Events v2 event (pagerduty.go:139-188 buildEvent)."""
+    pattern = _get(alert, "pattern")
+    display = _get(alert, "display")
+    repo = _get(alert, "repo")
+    summary = f"PII Detected: {display or pattern} in {repo}"
+    source = f"pii-redactor/{repo}" if repo else "pii-redactor"
+    custom = {
+        "pattern_name": pattern,
+        "namespace": repo,
+        "severity": _get(alert, "severity"),
+        "match_count": _get(alert, "match_count", 0),
+    }
+    if _get(alert, "path"):
+        custom["pod"] = alert["path"]
+    if _get(alert, "commit"):
+        custom["container"] = alert["commit"]
+    if _get(alert, "policy_name"):
+        custom["policy"] = alert["policy_name"]
+    if _get(alert, "source"):
+        custom["source"] = alert["source"]
+    if _get(alert, "message"):
+        custom["message"] = alert["message"]
+    return {
+        "routing_key": cfg.routing_key,
+        "event_action": "trigger",
+        "dedup_key": f"pii-{repo}-{pattern}-{_get(alert, 'alert_id')}",
+        "payload": {
+            "summary": summary,
+            "source": source,
+            "severity": PAGERDUTY_SEVERITY.get(_get(alert, "severity"), cfg.severity),
+            "timestamp": _rfc3339(alert.get("ts")),
+            "component": "pii-redactor",
+            "group": repo,
+            "class": "pii-detection",
+            "custom_details": custom,
+        },
+    }
+
+
+def build_webhook_payload(alert: dict) -> dict:
+    """Generic webhook body (webhook.go:122-160 buildPayload)."""
+    return {
+        "event": "pii.detected",
+        "timestamp": _rfc3339(alert.get("ts")),
+        "alert": {
+            "id": _get(alert, "alert_id"),
+            "severity": _get(alert, "severity"),
+            "patternName": _get(alert, "pattern"),
+            "patternDisplayName": _get(alert, "display"),
+            "namespace": _get(alert, "repo"),
+            "pod": _get(alert, "path"),
+            "container": _get(alert, "commit"),
+            "message": _get(alert, "message"),
+            "matchCount": _get(alert, "match_count", 0),
+            "policyName": _get(alert, "policy_name"),
+            "source": _get(alert, "source"),
+            "labels": alert.get("labels") or {},
+        },
+        "metadata": {"version": "1.0", "source": "pii-redactor"},
+    }
+
+
+def build_email_subject(alert: dict) -> str:
+    """email.go:86-93 buildSubject."""
+    pattern = _get(alert, "display") or _get(alert, "pattern")
+    return (
+        f"[{_get(alert, 'severity').upper()}] PII Detected: "
+        f"{pattern} in {_get(alert, 'repo')}"
+    )
+
+
+def build_email_body(alert: dict) -> str:
+    """email.go:96-151 buildBody — same line order and conditionals."""
+    out = ["PII Detection Alert", "====================", ""]
+    out.append(f"Severity: {_get(alert, 'severity').upper()}")
+    out.append(f"Pattern: {_get(alert, 'pattern')}")
+    if _get(alert, "display"):
+        out.append(f"Pattern Display Name: {alert['display']}")
+    out.append(f"Namespace: {_get(alert, 'repo')}")
+    if _get(alert, "path"):
+        out.append(f"Pod: {alert['path']}")
+    if _get(alert, "commit"):
+        out.append(f"Container: {alert['commit']}")
+    if _get(alert, "policy_name"):
+        out.append(f"Policy: {alert['policy_name']}")
+    out.append(f"Match Count: {_get(alert, 'match_count', 0)}")
+    if _get(alert, "source"):
+        out.append(f"Source: {alert['source']}")
+    out.append(f"Timestamp: {_rfc3339(alert.get('ts'))}")
+    out += ["", "Message:", _get(alert, "message"), ""]
+    labels = alert.get("labels") or {}
+    if labels:
+        out.append("Labels:")
+        for k, v in labels.items():
+            out.append(f"  {k}: {v}")
+    out += ["", "--", "This alert was generated by PII Redactor", ""]
+    return "\n".join(out)
+
+
+def build_email_message(alert: dict, cfg: HTTPChannelConfig) -> bytes:
+    """Full RFC822 message with headers (email.go:154-166)."""
+    head = (
+        f"From: {cfg.email_from}\r\n"
+        f"To: {','.join(cfg.email_to)}\r\n"
+        f"Subject: {build_email_subject(alert)}\r\n"
+        "MIME-Version: 1.0\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "\r\n"
+    )
+    return (head + build_email_body(alert)).encode("utf-8")
+
+
+def build_payload(alert: dict, cfg: HTTPChannelConfig) -> tuple[bytes, dict, str, str]:
+    """(body, headers, method, url) for one alert on one channel."""
+    if cfg.type == "slack":
+        body = json.dumps(build_slack_message(alert, cfg)).encode("utf-8")
+        return body, {"Content-Type": "application/json"}, "POST", cfg.url
+    if cfg.type == "pagerduty":
+        body = json.dumps(build_pagerduty_event(alert, cfg)).encode("utf-8")
+        url = cfg.url or PAGERDUTY_EVENTS_API_URL
+        return body, {"Content-Type": "application/json"}, "POST", url
+    if cfg.type == "webhook":
+        body = json.dumps(build_webhook_payload(alert)).encode("utf-8")
+        headers = {"Content-Type": "application/json", "User-Agent": "PII-Redactor/1.0"}
+        headers.update(cfg.headers)
+        return body, headers, cfg.method, cfg.url
+    raise ValueError(f"no HTTP payload for channel type {cfg.type!r}")
+
+
+def _status_ok(cfg_type: str, status: int) -> bool:
+    """Per-channel accepted statuses: slack wants exactly 200
+    (slack.go:91-93), pagerduty 200/202 (pagerduty.go:79-81), webhook
+    any 2xx (webhook.go:95-97)."""
+    if cfg_type == "slack":
+        return status == 200
+    if cfg_type == "pagerduty":
+        return status in (200, 202)
+    return 200 <= status < 300
+
+
+# ---------------------------------------------------------------------------
+# distributed poster
+# ---------------------------------------------------------------------------
+
+def post_alerts(
+    routed: DataFrame,
+    configs: list[HTTPChannelConfig],
+    timeout_sec: float = 30.0,
+) -> dict:
+    """POST every allowed (alert, channel) row of ``routed`` (the output
+    of :meth:`NotifierManager.route_alerts`) to its channel endpoint.
+
+    Spark shape: ``foreachPartition`` — payloads are built and sent
+    executor-side, so delivery parallelism is the partition count and
+    nothing funnels through the driver; per-channel sent/failed tallies
+    come back through accumulators.  Email channels are skipped here
+    (message construction is :func:`build_email_message`; no SMTP in
+    this sandbox).  Rows with ``allowed == false`` are never sent —
+    filter is applied defensively even if the caller pre-filtered.
+    """
+    cfg_by_name = {c.name: c for c in configs}
+    sc = routed.sparkSession.sparkContext
+    sent_acc = sc.accumulator(0)
+    failed_acc = sc.accumulator(0)
+
+    to_send = routed
+    if "allowed" in routed.columns:
+        from pyspark.sql import functions as F
+
+        to_send = routed.filter(F.col("allowed"))
+
+    def send_partition(rows):
+        import urllib.request
+
+        for row in rows:
+            alert = row.asDict(recursive=True)
+            cfg = cfg_by_name.get(alert.get("channel"))
+            if cfg is None or cfg.type == "email":
+                continue
+            try:
+                body, headers, method, url = build_payload(alert, cfg)
+                req = urllib.request.Request(
+                    url, data=body, method=method, headers=headers
+                )
+                with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+                    if _status_ok(cfg.type, resp.status):
+                        sent_acc.add(1)
+                    else:
+                        failed_acc.add(1)
+            except Exception:
+                failed_acc.add(1)
+
+    to_send.foreachPartition(send_partition)
+    return {"sent": sent_acc.value, "failed": failed_acc.value}

@@ -500,40 +500,161 @@ def remove_frequent_lines(
 # ---------------------------------------------------------------------------
 
 
+def _cc_materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for the iterative CC algorithms.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local; fast,
+    but lost with an executor — fine on local mode / short jobs).  With
+    a directory (HDFS/S3 path on a real cluster) → reliable
+    ``checkpoint``: rounds survive executor loss, which is the 100×-
+    scale requirement for a multi-hour dedup job."""
+    if checkpoint_dir is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """(count, 2 independent order-insensitive hash sums) of an edge
+    set — one cheap aggregate; equal checksums across rounds ⇒ the set
+    is unchanged (collision odds ~2⁻¹²⁸ per comparison)."""
+    row = edges.agg(
+        F.count(F.lit(1)),
+        # decimal sum: an int64 sum of 64-bit hashes overflows (ANSI
+        # mode aborts the job); decimal(38,0) holds ~10²⁸ terms
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        F.sum(F.xxhash64(F.lit("s2"), "src", "dst").cast("decimal(38,0)")),
+    ).first()
+    return (row[0], row[1], row[2])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC 2014): for each node u
+    with neighborhood Γ(u), connect every strictly larger neighbor to
+    m = min(Γ(u) ∪ {u}).  Input must be SYMMETRIC; output is oriented
+    (big → small)."""
+    m = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+    )
+    return (
+        edges.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: edges arrive oriented (u → v, v < u); for each
+    u let m = min of its smaller neighborhood ∪ {u}; relink every
+    smaller neighbor (and u itself) to m, dropping the (m, m) self
+    loop.  Output stays oriented (big → small)."""
+    m = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+    )
+    withm = edges.join(m, "src")
+    relinked = withm.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edges = m.filter(F.col("src") != F.col("m")).select("src", F.col("m").alias("dst"))
+    return relinked.union(self_edges).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign each doc in the near-dup pair graph its component id (the
-    minimum doc id reachable from it) — ``(doc, component)`` rows
-    (min-label propagation; the large-star/small-star variant of
-    Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC 2014, keeps the same join shape for chain-heavy graphs).
+    minimum doc id reachable from it) — ``(doc, component)`` rows.
 
     Pair *enumeration* is quadratic in cluster size (a 1000-wide
     boilerplate cluster is 500k pairs); dedup pipelines therefore reduce
-    pairs to clusters and keep one survivor per cluster.  Min-label
-    propagation: every node starts as its own label; each round each
-    node takes the min label in its neighborhood; stop when no label
-    changed.  Rounds needed ≈ graph diameter — near-dup clusters are
-    dense (diameter ≤ ~3), so this converges in 2-4 rounds; the
-    pathological long-chain case is bounded by ``max_iter`` (raise it,
-    or switch to the large-star/small-star variant, for chain-heavy
-    graphs).  Each round is one shuffle of (node, label) + an 8-byte
-    aggregation; lineage is truncated per round so plans stay flat.
+    pairs to clusters and keep one survivor per cluster.
+
+    Algorithms:
+
+    - ``"star"`` (default) — alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC 2014): converges in O(log² n) rounds *independent of graph
+      diameter*, so pathological chain graphs (shingled boilerplate
+      that drifts gradually across a repo family) terminate; each round
+      is two groupBy-join shuffles over 8-byte ids.
+    - ``"label"`` — plain min-label propagation: one shuffle per round
+      but O(diameter) rounds; marginally cheaper on graphs known dense
+      (near-dup clusters usually have diameter ≤ ~3).
+
+    ``checkpoint_dir`` switches per-round materialization from
+    executor-local ``localCheckpoint`` to reliable ``checkpoint`` into
+    that directory (survives executor loss — required for multi-hour
+    jobs on real clusters; pass an HDFS/S3 path).  Non-convergence
+    within ``max_iter`` raises instead of silently splitting clusters.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    if algorithm == "label":
+        return _cc_label(pairs, id_a, id_b, max_iter, checkpoint_dir)
+    if algorithm != "star":
+        raise ValueError(f"unknown algorithm {algorithm!r} (use 'star' or 'label')")
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    edges = _materialize(edges, True)
+    edges = _cc_materialize(edges, checkpoint_dir)
+    prev = None
+    for _ in range(max_iter):
+        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges = _cc_materialize(_small_star(_large_star(sym)), checkpoint_dir)
+        cs = _edge_checksum(edges)
+        if cs == prev:
+            break
+        prev = cs
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge within "
+            f"max_iter={max_iter} rounds — this bounds O(log² n); raise "
+            "max_iter for astronomically large graphs"
+        )
+    # at the fixpoint the edge set is a union of disjoint stars rooted
+    # at each component's minimum: non-roots appear as src exactly once
+    return (
+        edges.select(F.col("src").alias("doc"), F.col("dst").alias("component"))
+        .union(edges.select(F.col("dst").alias("doc"), F.col("dst").alias("component")))
+        .groupBy("doc")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def _cc_label(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Min-label propagation: every node starts as its own label; each
+    round each node takes the min label in its closed neighborhood;
+    stop when no label changed.  O(diameter) rounds — use on graphs
+    known dense; :func:`connected_components` with ``algorithm='star'``
+    is the diameter-independent default."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = _cc_materialize(edges, checkpoint_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    labels = _materialize(labels, True)
+    labels = _cc_materialize(labels, checkpoint_dir)
     for _ in range(max_iter):
         # min over {own label} ∪ {neighbors' labels}
         neigh = (
@@ -545,7 +666,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
-        new_labels = _materialize(new_labels, True)
+        new_labels = _cc_materialize(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -560,9 +681,9 @@ def connected_components(
         # silent non-convergence would split true clusters (long-chain
         # graphs) and over-keep survivors downstream — fail loudly
         raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (graph diameter exceeds it); raise max_iter or use a "
-            "large-star/small-star iteration for chain-heavy graphs"
+            f"connected_components(label) did not converge within "
+            f"max_iter={max_iter} rounds (graph diameter exceeds it); "
+            "use algorithm='star' (diameter-independent) or raise max_iter"
         )
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
 

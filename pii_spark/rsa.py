@@ -1,0 +1,204 @@
+"""Pure-Python RSA signature verification for rule-content sources (S9).
+
+Ports the reference's content verifiers
+(``/root/reference/internal/source/verifier.go:28-126``):
+
+- ``RSAVerifier`` — PEM public key (PKIX SubjectPublicKeyInfo, with
+  PKCS#1 ``RSAPublicKey`` fallback, ``verifier.go:34-50``), verifies a
+  SHA-256 **PKCS#1 v1.5** signature (``rsa.VerifyPKCS1v15``,
+  ``verifier.go:59-69``).
+- ``Base64RSAVerifier`` — same, signature arrives base64-encoded
+  (``verifier.go:72-98``).
+- ``NoOpVerifier`` / sha256 ``HashVerifier`` — the trivial arms (the
+  sha256 arm lives in :func:`pii_spark.rulesets.verify_sha256`).
+
+No external crypto dependency is available in this environment, and
+none is needed: RSASSA-PKCS1-v1_5 *verification* is modular
+exponentiation with the public exponent plus a byte-exact comparison of
+the EMSA-PKCS1-v1_5 encoding (RFC 8017 §8.2.2) — hashlib + int math.
+The DER/PEM parsing below handles exactly the two public-key layouts
+the reference accepts; anything else raises.
+
+This is a config-plane, driver-side check (runs once per fetched rule
+artifact) — performance is irrelevant, correctness and loud failure are
+the contract.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+import re
+
+#: DigestInfo prefix for SHA-256 (RFC 8017 §9.2 note 1): the DER
+#: encoding of AlgorithmIdentifier(sha256) + OCTET STRING header that
+#: precedes the 32 raw digest bytes.
+_SHA256_DIGEST_INFO_PREFIX = bytes.fromhex(
+    "3031300d060960864801650304020105000420"
+)
+
+_PEM_RE = re.compile(
+    r"-----BEGIN ([A-Z0-9 ]+)-----(.*?)-----END \1-----", re.DOTALL
+)
+
+
+class VerificationError(ValueError):
+    """Raised when a key cannot be parsed or a signature is invalid."""
+
+
+# ---------------------------------------------------------------------------
+# minimal DER reading (SEQUENCE / INTEGER / BIT STRING / OID / NULL)
+# ---------------------------------------------------------------------------
+
+def _der_read_tlv(data: bytes, off: int) -> tuple[int, bytes, int]:
+    """Read one TLV at ``off`` → (tag, value, next_offset)."""
+    if off + 2 > len(data):
+        raise VerificationError("truncated DER")
+    tag = data[off]
+    length = data[off + 1]
+    off += 2
+    if length & 0x80:
+        n = length & 0x7F
+        if n == 0 or n > 4 or off + n > len(data):
+            raise VerificationError("bad DER length")
+        length = int.from_bytes(data[off:off + n], "big")
+        off += n
+    if off + length > len(data):
+        raise VerificationError("truncated DER value")
+    return tag, data[off:off + length], off + length
+
+
+def _der_seq_items(value: bytes) -> list[tuple[int, bytes]]:
+    items, off = [], 0
+    while off < len(value):
+        tag, v, off = _der_read_tlv(value, off)
+        items.append((tag, v))
+    return items
+
+
+def _der_int(tag: int, value: bytes) -> int:
+    if tag != 0x02:
+        raise VerificationError(f"expected DER INTEGER, got tag {tag:#x}")
+    return int.from_bytes(value, "big")
+
+
+#: OID 1.2.840.113549.1.1.1 (rsaEncryption), DER-encoded value bytes.
+_RSA_OID = bytes.fromhex("2a864886f70d010101")
+
+
+def _parse_pkcs1_public_key(der: bytes) -> tuple[int, int]:
+    """RSAPublicKey ::= SEQUENCE { modulus INTEGER, publicExponent INTEGER }"""
+    tag, body, end = _der_read_tlv(der, 0)
+    if tag != 0x30 or end != len(der):
+        raise VerificationError("not a DER SEQUENCE")
+    items = _der_seq_items(body)
+    if len(items) != 2:
+        raise VerificationError("RSAPublicKey must have 2 integers")
+    n = _der_int(*items[0])
+    e = _der_int(*items[1])
+    return n, e
+
+
+def _parse_pkix_public_key(der: bytes) -> tuple[int, int]:
+    """SubjectPublicKeyInfo ::= SEQUENCE { algorithm AlgorithmIdentifier,
+    subjectPublicKey BIT STRING (wrapping an RSAPublicKey) }"""
+    tag, body, end = _der_read_tlv(der, 0)
+    if tag != 0x30 or end != len(der):
+        raise VerificationError("not a DER SEQUENCE")
+    items = _der_seq_items(body)
+    if len(items) != 2:
+        raise VerificationError("SubjectPublicKeyInfo must have 2 elements")
+    alg_tag, alg_body = items[0]
+    if alg_tag != 0x30:
+        raise VerificationError("bad AlgorithmIdentifier")
+    alg_items = _der_seq_items(alg_body)
+    if not alg_items or alg_items[0][0] != 0x06 or alg_items[0][1] != _RSA_OID:
+        raise VerificationError("not an RSA public key")
+    bits_tag, bits = items[1]
+    if bits_tag != 0x03 or not bits or bits[0] != 0x00:
+        raise VerificationError("bad subjectPublicKey BIT STRING")
+    return _parse_pkcs1_public_key(bits[1:])
+
+
+def parse_public_key_pem(pem: str) -> tuple[int, int]:
+    """PEM → (n, e), PKIX first with PKCS#1 fallback — the same
+    acceptance order as the reference (verifier.go:34-50)."""
+    m = _PEM_RE.search(pem)
+    if not m:
+        raise VerificationError("failed to decode PEM block")
+    try:
+        der = base64.b64decode("".join(m.group(2).split()), validate=True)
+    except (binascii.Error, ValueError) as exc:
+        raise VerificationError(f"bad PEM base64: {exc}") from None
+    try:
+        return _parse_pkix_public_key(der)
+    except VerificationError:
+        return _parse_pkcs1_public_key(der)
+
+
+# ---------------------------------------------------------------------------
+# verifiers
+# ---------------------------------------------------------------------------
+
+class RSAVerifier:
+    """SHA-256 RSASSA-PKCS1-v1_5 verification with a PEM public key
+    (verifier.go:28-69).  ``verify`` raises :class:`VerificationError`
+    on any mismatch; ``type`` mirrors the Go interface."""
+
+    def __init__(self, public_key_pem: str):
+        self.n, self.e = parse_public_key_pem(public_key_pem)
+        self.k = (self.n.bit_length() + 7) // 8
+
+    def type(self) -> str:
+        return "rsa"
+
+    def _expected_em(self, content: bytes) -> bytes:
+        """EMSA-PKCS1-v1_5 encoding (RFC 8017 §9.2):
+        0x00 0x01 PS(0xFF…) 0x00 DigestInfo || H(content)."""
+        t = _SHA256_DIGEST_INFO_PREFIX + hashlib.sha256(content).digest()
+        ps_len = self.k - len(t) - 3
+        if ps_len < 8:
+            raise VerificationError("RSA key too small for SHA-256 PKCS#1 v1.5")
+        return b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+
+    def verify(self, content: bytes, signature: bytes) -> None:
+        if len(signature) != self.k:
+            raise VerificationError(
+                f"signature length {len(signature)} != key length {self.k}"
+            )
+        s = int.from_bytes(signature, "big")
+        if s >= self.n:
+            raise VerificationError("signature out of range")
+        em = pow(s, self.e, self.n).to_bytes(self.k, "big")
+        # config-plane check on public data — constant-time compare not
+        # required; byte-exact equality is (no lenient parsing, which is
+        # what made Bleichenbacher-style forgeries possible)
+        if em != self._expected_em(content):
+            raise VerificationError("signature verification failed")
+
+
+class Base64RSAVerifier(RSAVerifier):
+    """Signature arrives base64-encoded (verifier.go:72-98)."""
+
+    def type(self) -> str:
+        return "base64-rsa"
+
+    def verify(self, content: bytes, signature: bytes) -> None:
+        try:
+            decoded = base64.b64decode(signature, validate=True)
+        except (binascii.Error, ValueError) as exc:
+            raise VerificationError(
+                f"failed to decode base64 signature: {exc}"
+            ) from None
+        super().verify(content, decoded)
+
+
+class NoOpVerifier:
+    """Always succeeds (verifier.go:101-116)."""
+
+    def type(self) -> str:
+        return "noop"
+
+    def verify(self, content: bytes, signature: bytes) -> None:
+        return None

@@ -417,6 +417,22 @@ def verify_sha256(content: bytes, expected_hex: str) -> bool:
     return hashlib.sha256(content).hexdigest() == expected_hex.lower()
 
 
+def make_verifier(vtype: str, public_key_pem: str | None = None):
+    """Verifier factory mirroring the reference's selection
+    (verifier.go: RSAVerifier / Base64RSAVerifier / NoOpVerifier;
+    the sha256 arm is :func:`verify_sha256`).  Returns an object with
+    ``verify(content, signature)`` (raises on mismatch) and ``type()``."""
+    from pii_spark import rsa as _rsa
+
+    if vtype == "rsa":
+        return _rsa.RSAVerifier(public_key_pem or "")
+    if vtype == "base64-rsa":
+        return _rsa.Base64RSAVerifier(public_key_pem or "")
+    if vtype == "noop":
+        return _rsa.NoOpVerifier()
+    raise ValueError(f"unknown verifier type: {vtype!r}")
+
+
 # ---------------------------------------------------------------------------
 # rule self-tests (D8)
 # ---------------------------------------------------------------------------

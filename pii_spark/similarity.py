@@ -105,25 +105,82 @@ def exact_cosine_pairs(
     )
 
 
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket_rows: int = 8,
+    recall_target: float = 0.9,
+    max_bits: int = 30,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Size (bits, tables) for sign-LSH near-dup at corpus size ``n``.
+
+    ``bits`` fixes the bucket count at 2^bits per table; mean occupancy
+    B = n/2^bits drives the candidate-join cost: expected candidate
+    pairs per table ≈ n·(B-1)/2 under uniform hashing — so bits =
+    ⌈log₂(n / target_bucket_rows)⌉ keeps the join linear in n (B
+    constant) instead of quadratic (fixed bits ⇒ B grows with n: at
+    10⁹ vectors a fixed bits=8 means ~4M-row buckets and a quadratic
+    within-bucket join — the scale failure this sizing prevents).
+
+    ``tables`` then restores recall: a pair at cosine ``threshold``
+    agrees on one hyperplane bit with p = 1 − acos(threshold)/π, on a
+    whole table with p^bits, and on ≥1 of T tables with 1−(1−p^bits)^T;
+    T = ⌈log(1−recall_target)/log(1−p^bits)⌉.  Identical vectors
+    (sim=1.0) collide in every table at any bits — exact-duplicate
+    recall is always 1.0.  For heavily duplicated corpora run exact
+    dedup first: a bucket of k identical vectors is k²/2 candidate
+    pairs no matter how bits scale (the *output* itself is quadratic
+    there)."""
+    import math
+
+    n = max(int(n), 1)
+    bits = math.ceil(math.log2(max(n / max(target_bucket_rows, 1), 2.0)))
+    bits = max(4, min(max_bits, bits))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p**bits
+    if p_table >= 1.0 - 1e-12:
+        tables = 1
+    else:
+        tables = math.ceil(math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - p_table))
+        tables = max(1, min(max_tables, tables))
+    return bits, tables
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    bits: int = 8,
-    tables: int = 4,
+    bits: int | None = None,
+    tables: int | None = None,
     seed: int = 7,
     dim: int | None = None,
+    target_bucket_rows: int = 8,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) via LSH bucketing:
-    candidates from :func:`lsh_bucket`, exact cosine verification on
-    candidates only.  Pass ``dim`` when known to skip the probe job."""
+    candidates from :func:`with_lsh_buckets`, exact cosine verification
+    on candidates only.  Pass ``dim`` when known to skip the probe job.
+
+    ``bits``/``tables`` default to :func:`auto_lsh_params` sizing from
+    the corpus count (one aggregate over the already-materialized
+    input): bucket occupancy stays ~``target_bucket_rows`` as n grows —
+    candidate-join cost linear in n — and tables are chosen to hit
+    ``recall_target`` at the given threshold.  Explicit values skip
+    both the count job and the sizing."""
     from pii_spark.dedup import _materialize
 
     # df is consumed tables+3 times (dim probe, one per hash table, both
     # vector-fetch joins) and bucketed twice (self-join) — materialize
     # both or every consumer re-derives the input lineage from source
     df = _materialize(df.select(id_col, vec_col), True)
+    if bits is None or tables is None:
+        auto_bits, auto_tables = auto_lsh_params(
+            df.count(), threshold, target_bucket_rows, recall_target
+        )
+        bits = auto_bits if bits is None else bits
+        tables = auto_tables if tables is None else tables
     if dim is None:
         row = df.select(vec_col).first()
         if row is None:  # empty input → empty pairs, not a crash

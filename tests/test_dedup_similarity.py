@@ -242,6 +242,67 @@ def test_connected_components_raises_on_non_convergence(spark):
         dedup.connected_components(pairs, max_iter=1)
 
 
+def test_connected_components_long_chain_star(spark):
+    # diameter-40 chain: min-label needs 40 rounds, the default
+    # large-star/small-star converges in O(log² n) — well under the
+    # default max_iter=25 budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(41)}
+    # and the label algorithm agrees when given enough rounds
+    comp_lbl = {
+        r.doc: r.component
+        for r in dedup.connected_components(
+            pairs, max_iter=50, algorithm="label"
+        ).collect()
+    }
+    assert comp_lbl == comp
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches per-round materialization to reliable
+    # storage (survives executor loss on a real cluster)
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    comp = {
+        r.doc: r.component
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)  # rounds actually landed there
+
+
+def test_auto_lsh_params_scaling():
+    import math
+
+    # bucket occupancy n/2^bits stays ~target as n grows 1000×
+    for n in (10_000, 10_000_000, 1_000_000_000):
+        bits, tables = similarity.auto_lsh_params(n, 0.95, target_bucket_rows=8)
+        occupancy = n / 2**bits
+        assert occupancy <= 8.0 + 1e-9
+        assert occupancy > 2.0  # not over-split either (<= 2x granularity)
+        assert 1 <= tables <= 16
+    # beyond 2^30 buckets the bits clamp binds and occupancy grows
+    # linearly again — documented limit, not silent
+    bits, _ = similarity.auto_lsh_params(10_000_000_000, 0.95, target_bucket_rows=8)
+    assert bits == 30
+    # recall math: 1-(1-p^bits)^tables >= recall_target (until the
+    # tables clamp binds at very high bit counts)
+    bits, tables = similarity.auto_lsh_params(100_000, 0.95, target_bucket_rows=8)
+    p = 1.0 - math.acos(0.95) / math.pi
+    assert 1.0 - (1.0 - p**bits) ** tables >= 0.9
+    # near-exact threshold needs few tables; loose threshold needs more
+    _, t_tight = similarity.auto_lsh_params(100_000, 0.999)
+    _, t_loose = similarity.auto_lsh_params(100_000, 0.90)
+    assert t_tight <= t_loose
+
+
 def test_cosine_zero_norm_vector_is_zero_not_error(spark):
     # ANSI mode divide-by-zero guard: zero embeddings define sim = 0
     df = spark.createDataFrame(

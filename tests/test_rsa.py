@@ -1,0 +1,194 @@
+"""Pure-Python RSA content verification (S9, verifier.go:28-126).
+
+Test vectors come from a deterministic in-test keypair (seeded
+Miller–Rabin prime generation) and a test-only PKCS#1 v1.5 signer —
+the library under test only ever verifies, like the reference.
+"""
+
+import base64
+import hashlib
+import random
+
+import pytest
+
+from pii_spark import rsa as R
+
+
+# ---------------------------------------------------------------------------
+# test-only key generation / signing / DER+PEM encoding
+# ---------------------------------------------------------------------------
+
+def _is_probable_prime(n: int, rng: random.Random, rounds: int = 40) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = pow(x, 2, n)
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_prime(bits: int, rng: random.Random) -> int:
+    while True:
+        cand = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+        if _is_probable_prime(cand, rng):
+            return cand
+
+
+def _gen_keypair(bits: int = 1024, seed: int = 1234):
+    rng = random.Random(seed)
+    e = 65537
+    while True:
+        p = _gen_prime(bits // 2, rng)
+        q = _gen_prime(bits // 2, rng)
+        if p == q:
+            continue
+        phi = (p - 1) * (q - 1)
+        if phi % e:
+            d = pow(e, -1, phi)
+            return p * q, e, d
+
+
+def _sign_pkcs1v15(content: bytes, n: int, d: int) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    t = R._SHA256_DIGEST_INFO_PREFIX + hashlib.sha256(content).digest()
+    em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+    return pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+
+
+def _der_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(b)]) + b
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b  # keep INTEGER positive
+    return b"\x02" + _der_len(len(b)) + b
+
+
+def _der_seq(*parts: bytes) -> bytes:
+    body = b"".join(parts)
+    return b"\x30" + _der_len(len(body)) + body
+
+
+def _pkcs1_der(n: int, e: int) -> bytes:
+    return _der_seq(_der_int(n), _der_int(e))
+
+
+def _pkix_der(n: int, e: int) -> bytes:
+    alg = _der_seq(b"\x06\x09" + R._RSA_OID, b"\x05\x00")  # rsaEncryption, NULL
+    spk = _pkcs1_der(n, e)
+    bitstr = b"\x03" + _der_len(len(spk) + 1) + b"\x00" + spk
+    return _der_seq(alg, bitstr)
+
+
+def _pem(der: bytes, label: str) -> str:
+    b64 = base64.b64encode(der).decode()
+    lines = [b64[i:i + 64] for i in range(0, len(b64), 64)]
+    return f"-----BEGIN {label}-----\n" + "\n".join(lines) + f"\n-----END {label}-----\n"
+
+
+N, E, D = _gen_keypair()
+PKIX_PEM = _pem(_pkix_der(N, E), "PUBLIC KEY")
+PKCS1_PEM = _pem(_pkcs1_der(N, E), "RSA PUBLIC KEY")
+CONTENT = b"patterns:\n  - name: custom-email\n    regex: a@b.co\n"
+SIG = _sign_pkcs1v15(CONTENT, N, D)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_valid_signature_pkix_key():
+    v = R.RSAVerifier(PKIX_PEM)
+    assert v.type() == "rsa"
+    v.verify(CONTENT, SIG)  # no raise
+
+
+def test_valid_signature_pkcs1_key_fallback():
+    # verifier.go:38-44: PKIX parse fails → PKCS1 fallback
+    R.RSAVerifier(PKCS1_PEM).verify(CONTENT, SIG)
+
+
+def test_tampered_content_rejected():
+    with pytest.raises(R.VerificationError, match="verification failed"):
+        R.RSAVerifier(PKIX_PEM).verify(CONTENT + b"x", SIG)
+
+
+def test_tampered_signature_rejected():
+    bad = bytearray(SIG)
+    bad[10] ^= 0x01
+    with pytest.raises(R.VerificationError):
+        R.RSAVerifier(PKIX_PEM).verify(CONTENT, bytes(bad))
+
+
+def test_wrong_key_rejected():
+    n2, e2, d2 = _gen_keypair(seed=999)
+    other = R.RSAVerifier(_pem(_pkix_der(n2, e2), "PUBLIC KEY"))
+    with pytest.raises(R.VerificationError):
+        other.verify(CONTENT, SIG)
+
+
+def test_wrong_length_signature_rejected():
+    with pytest.raises(R.VerificationError, match="length"):
+        R.RSAVerifier(PKIX_PEM).verify(CONTENT, SIG[:-1])
+
+
+def test_base64_arm():
+    v = R.Base64RSAVerifier(PKIX_PEM)
+    assert v.type() == "base64-rsa"
+    v.verify(CONTENT, base64.b64encode(SIG))
+    with pytest.raises(R.VerificationError, match="base64"):
+        v.verify(CONTENT, b"!!!not-base64!!!")
+    with pytest.raises(R.VerificationError):
+        v.verify(CONTENT + b"x", base64.b64encode(SIG))
+
+
+def test_bad_pem_rejected():
+    with pytest.raises(R.VerificationError, match="PEM"):
+        R.RSAVerifier("not a pem at all")
+    with pytest.raises(R.VerificationError):
+        R.RSAVerifier(_pem(b"\x30\x03\x02\x01\x05", "PUBLIC KEY"))  # junk DER
+
+
+def test_non_rsa_pkix_rejected():
+    # PKIX blob with a different algorithm OID must not silently parse
+    alg = _der_seq(b"\x06\x09" + bytes.fromhex("2a8648ce3d0201ffff"), b"\x05\x00")
+    spk = _pkcs1_der(N, E)
+    bad = _der_seq(alg, b"\x03" + _der_len(len(spk) + 1) + b"\x00" + spk)
+    with pytest.raises(R.VerificationError):
+        R._parse_pkix_public_key(bad)
+
+
+def test_forged_em_with_short_padding_rejected():
+    # a signature decrypting to 0x00 0x01 <too-short PS> 0x00 T must not
+    # verify: the comparison is byte-exact against the full-length EM
+    k = (N.bit_length() + 7) // 8
+    t = R._SHA256_DIGEST_INFO_PREFIX + hashlib.sha256(CONTENT).digest()
+    short_em = (b"\x00\x01" + b"\xff" * 4 + b"\x00" + t).rjust(k, b"\x00")
+    forged = pow(int.from_bytes(short_em, "big"), D, N).to_bytes(k, "big")
+    with pytest.raises(R.VerificationError):
+        R.RSAVerifier(PKIX_PEM).verify(CONTENT, forged)
+
+
+def test_noop_verifier():
+    R.NoOpVerifier().verify(b"anything", b"whatever")
+    assert R.NoOpVerifier().type() == "noop"
