@@ -133,10 +133,30 @@ def main() -> None:
         "hash_sample",
         "lang_quota",
         "token_count_bpe",
+        "sampling",
+        "rulesets_catalog",
+        "subscription_resolve",
+        "pending_updates",
     ]
     qmap = E.queries()
     for name in bench_queries:
         timed(name, lambda n=name: _force(qmap[n](spark, sf_dir)), passes=3)
+
+    # the production winnowing path (8-byte xxhash64 fingerprints); the
+    # driver query above runs the md5 portable-hash mode so DuckDB can
+    # re-verify it — slower by design, so bench both
+    from pii_spark import dedup as _dedup
+
+    timed(
+        "fingerprint_overlap_xxhash64",
+        lambda: _force(
+            _dedup.fingerprint_overlap_pairs(
+                E._neardup_corpus(spark, sf_dir), "doc_id", "text3",
+                k=25, w=16, min_shared=5,
+            )
+        ),
+        passes=3,
+    )
 
     corpus.unpersist()
     e2e_sec = timings["e2e_filter_scrub"]

@@ -513,18 +513,27 @@ def _cc_materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def _edge_checksum(edges: DataFrame) -> tuple:
-    """(count, 2 independent order-insensitive hash sums) of an edge
-    set — one cheap aggregate; equal checksums across rounds ⇒ the set
-    is unchanged (collision odds ~2⁻¹²⁸ per comparison)."""
-    row = edges.agg(
-        F.count(F.lit(1)),
-        # decimal sum: an int64 sum of 64-bit hashes overflows (ANSI
-        # mode aborts the job); decimal(38,0) holds ~10²⁸ terms
-        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-        F.sum(F.xxhash64(F.lit("s2"), "src", "dst").cast("decimal(38,0)")),
-    ).first()
-    return (row[0], row[1], row[2])
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the (big → small oriented) edge set is a union of
+    disjoint stars — the large-star/small-star fixpoint.  Structural
+    test in ONE aggregate job: stars ⟺ no src appears twice AND no
+    node is both a src and a dst.  Sound as a stopping rule: L/S
+    orient every edge big→small and preserve the original components,
+    so a star forest is necessarily one star per component rooted at
+    the component minimum (the minimum can never be a src), and L/S
+    leave it unchanged.  Checking structure directly saves the extra
+    full round a changed-vs-last-round comparison needs to observe a
+    fixpoint."""
+    viol = (
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("s"), F.lit(0).alias("d"))
+        .union(edges.select(F.col("dst").alias("node"), F.lit(0), F.lit(1)))
+        .groupBy("node")
+        .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
+        .filter((F.col("s") > 1) | ((F.col("s") >= 1) & (F.col("d") >= 1)))
+        .limit(1)
+        .count()
+    )
+    return viol == 0
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -609,14 +618,11 @@ def connected_components(
         .distinct()
     )
     edges = _cc_materialize(edges, checkpoint_dir)
-    prev = None
     for _ in range(max_iter):
         sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         edges = _cc_materialize(_small_star(_large_star(sym)), checkpoint_dir)
-        cs = _edge_checksum(edges)
-        if cs == prev:
+        if _is_star_forest(edges):
             break
-        prev = cs
     else:
         raise RuntimeError(
             f"connected_components(star) did not converge within "
