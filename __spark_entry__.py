@@ -390,7 +390,9 @@ def _langid_oracle_sql() -> str:
     score_exprs = []
     for lang in langs:
         terms = " + ".join(
-            f"{w} * len(regexp_extract_all(p, '{pat}'))"
+            # '' escaping keeps a future marker containing a quote from
+            # breaking (or silently altering) the generated SQL
+            f"{w} * len(regexp_extract_all(p, '{pat.replace(chr(39), chr(39) * 2)}'))"
             for pat, w, _gate in LANG_MARKERS[lang]
         )
         score_exprs.append(f"({terms}) / kb AS s_{lang}")

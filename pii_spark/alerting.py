@@ -116,6 +116,13 @@ def _rfc3339(ts) -> str:
 def _unix(ts) -> int:
     if ts is None:
         return 0
+    if isinstance(ts, str):
+        # accept the same ISO strings _rfc3339 passes through (alerts
+        # re-loaded from JSON) instead of crashing the Slack builder
+        try:
+            ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        except ValueError:
+            return 0
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=timezone.utc)
     return int(ts.timestamp())

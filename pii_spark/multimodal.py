@@ -61,6 +61,21 @@ def repartition_media(df: DataFrame, n_partitions: int) -> DataFrame:
 # decoders (real library if present, deterministic fake otherwise)
 # ---------------------------------------------------------------------------
 
+def _meta_int(meta: dict | None, key: str, default: int, floor: int = 1) -> int:
+    """Integer from untrusted per-row metadata: non-numeric, missing or
+    sub-floor values fall back instead of aborting the whole Spark
+    stage (one '12.5' or 'N/A' row must not kill a million-row batch)."""
+    raw = (meta or {}).get(key, default)
+    try:
+        v = int(raw)
+    except (TypeError, ValueError):
+        try:  # "12.5" → 12 rather than a dead stage
+            v = int(float(raw))
+        except (TypeError, ValueError):
+            v = default
+    return max(v, floor)
+
+
 def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: pixel stream = sha256 counter stream
     seeded by the payload digest.  NOT an image decode — a stand-in so
@@ -89,11 +104,8 @@ def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     except Exception:
-        meta = meta or {}
-        # untrusted per-row metadata: clamp like the audio/video paths
-        # so one bad row (height "0") cannot abort the whole stage
-        h = max(int(meta.get("height", 32)), 1)
-        w = max(int(meta.get("width", 32)), 1)
+        h = _meta_int(meta, "height", 32)
+        w = _meta_int(meta, "width", 32)
         return _fake_pixels(data, h, w)
 
 
@@ -101,11 +113,8 @@ def decode_audio(data: bytes, meta: dict | None) -> tuple[np.ndarray, int]:
     """bytes → (float32 samples in [-1,1], sample_rate).  Real decoders
     are absent here; the fake derives samples from the payload digest
     and the declared rate/duration."""
-    meta = meta or {}
-    # untrusted per-row metadata: clamp so one bad row cannot abort the
-    # stage (rate 0 → division by zero downstream)
-    rate = max(int(meta.get("sample_rate", 8000)), 1)
-    n = max(int(meta.get("n_samples", rate)), 0)  # default 1 second
+    rate = _meta_int(meta, "sample_rate", 8000)
+    n = _meta_int(meta, "n_samples", rate, floor=0)  # default 1 second
     raw = _fake_pixels(data, 1, n).astype(np.float32).ravel()
     return (raw - 127.5) / 127.5, rate
 
@@ -203,10 +212,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                meta = meta or {}
-                # per-row metadata is untrusted — a zero would abort the
-                # whole stage with ZeroDivisionError
-                frame_size = max(int(meta.get("frame_size", 64)), 1)
+                frame_size = _meta_int(meta, "frame_size", 64)
                 payload = bytes(data) if data is not None else b""
                 n_frames = len(payload) // frame_size
                 for i in range(0, n_frames, every_n):

@@ -84,17 +84,18 @@ class Pipeline:
         cfg = self.config
         df = apply_selector(df, cfg.policy.selector)
         if cfg.policy.performance.sampling_rate < 100.0:
-            # deterministic hash-bucket sampling on the stable file key —
-            # membership survives re-runs/repartitioning, so checkpoint
-            # resume reprocesses exactly the same sample (an RNG sample
-            # would re-draw per run and break resume idempotency)
-            from pii_spark.curation import hash_sample
+            # deterministic hash-bucket sampling on the stable file key
+            # (repo/path/commit, auto-derived) — membership survives
+            # re-runs/repartitioning, so checkpoint resume reprocesses
+            # exactly the same sample.  max_size_kb=0 disables the size
+            # arm here: the pipeline records oversize as drop_reason
+            # instead of silently dropping rows.
+            from dataclasses import replace
 
-            df = hash_sample(
-                df,
-                F.concat_ws("/", "repo", "path", "commit"),
-                cfg.policy.performance.sampling_rate / 100.0,
-                salt="f10:42",
+            from pii_spark.policy import apply_performance
+
+            df = apply_performance(
+                df, replace(cfg.policy.performance, max_size_kb=0), "content"
             )
         # JVM heuristics + ONE merged Python pass (model scores + scrub)
         # + JVM decision — a single Arrow exchange for the whole row

@@ -142,8 +142,23 @@ def auto_lsh_params(
     if p_table >= 1.0 - 1e-12:
         tables = 1
     else:
-        tables = math.ceil(math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - p_table))
-        tables = max(1, min(max_tables, tables))
+        needed = math.ceil(
+            math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - p_table)
+        )
+        tables = max(1, min(max_tables, needed))
+        if needed > max_tables:
+            import warnings
+
+            achieved = 1.0 - (1.0 - p_table) ** tables
+            warnings.warn(
+                f"auto_lsh_params: recall_target={recall_target} needs "
+                f"{needed} tables at bits={bits} but max_tables={max_tables} "
+                f"caps it — achieved recall for threshold-{threshold} pairs "
+                f"is ~{achieved:.2f}; raise max_tables, lower the recall "
+                "target, or exact-dedup first (identical vectors always "
+                "recall at 1.0)",
+                stacklevel=2,
+            )
     return bits, tables
 
 

@@ -88,6 +88,17 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     assert got == [(1, 2)]
 
 
+def test_junk_metadata_never_aborts_decode():
+    # untrusted per-row metadata: non-numeric / float-string / zero
+    # values fall back to sane defaults instead of killing the stage
+    px = M.decode_image(b"x", {"height": "12.5", "width": "N/A"})
+    assert px.shape == (12, 32)
+    px0 = M.decode_image(b"x", {"height": "0", "width": "-3"})
+    assert px0.shape == (1, 1)
+    samples, rate = M.decode_audio(b"x", {"sample_rate": "junk", "n_samples": "oops"})
+    assert rate == 8000 and len(samples) == 8000
+
+
 def test_winnow_portable_hash_mode_agrees(spark):
     # the md5 portable mode (used by the DuckDB-oracled driver query)
     # and the default 8-byte xxhash64 scale path must discover the same
