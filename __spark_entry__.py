@@ -492,6 +492,29 @@ def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-budget mixture sampling: per language, keep docs in the
+    # deterministic hash-priority order until 2000 whitespace tokens
+    # are spent; report what each language's budget bought
+    from pii_spark.curation import hash_bucket_col, token_budget_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    kept = token_budget_sample(
+        docs, ["lang"], F.col("n_tokens"), budget=2000,
+        order_cols=[hash_bucket_col(F.col("doc_id").cast("string")), F.col("doc_id")],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster assignment: verified MinHash pairs → connected
     # components (min-label propagation) → cluster sizes
@@ -806,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "hash_sample": q_hash_sample,
         "lang_quota": q_lang_quota,
+        "token_budget": q_token_budget,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
         "rulesets_catalog": q_rulesets_catalog,
@@ -1082,6 +1106,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_sampled FROM documents
             WHERE substr(sha256(doc_id::VARCHAR || 'f10:42'), 1, 4) < '4000'
             GROUP BY lang ORDER BY lang
+        """,
+        "token_budget": r"""
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       substr(sha256(doc_id::VARCHAR), 1, 4) AS pri
+                FROM documents
+            ),
+            kept AS (
+                SELECT lang, n_tokens FROM (
+                    SELECT lang, n_tokens,
+                           sum(n_tokens) OVER (
+                               PARTITION BY lang ORDER BY pri, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS cum
+                    FROM toks
+                ) WHERE cum <= 2000
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY lang ORDER BY lang
         """,
         "lang_quota": """
             SELECT lang, doc_id, n_chars FROM (

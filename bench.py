@@ -132,6 +132,7 @@ def main() -> None:
         "embedding_near_dup",
         "hash_sample",
         "lang_quota",
+        "token_budget",
         "token_count_bpe",
         "sampling",
         "rulesets_catalog",

@@ -57,6 +57,38 @@ def hash_sample(
     return df.filter(hash_bucket_col(key, salt) < F.lit(thr))
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    token_col: Column,
+    budget: int,
+    order_cols: list[Column],
+) -> DataFrame:
+    """Keep rows per key while the running token total stays within
+    ``budget`` — mixture balancing by *token* mass rather than document
+    count (what a training-data pipeline actually budgets: "2B tokens
+    of Python, 500M of Markdown").  A row survives iff the cumulative
+    sum *including it* is ≤ budget, under the deterministic
+    ``order_cols`` priority (pass :func:`hash_bucket_col` first for an
+    unbiased sample, or a quality score for best-first curation; end
+    with a unique id so the order is total).
+
+    One hash-shuffle on the key + a running-sum window — same plan
+    shape as :func:`quota_by_key`.  Deterministic: identical input ⇒
+    identical kept set on any engine, so it oracle-checks as a SQL
+    window sum."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(token_col).over(w))
+        .filter(F.col("__cum_tokens") <= budget)
+        .drop("__cum_tokens")
+    )
+
+
 def quota_by_key(
     df: DataFrame,
     key_cols: list[str],

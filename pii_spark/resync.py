@@ -1,0 +1,194 @@
+"""Periodic rule resync (T3) — the reference's requeue loops, Spark-shaped.
+
+The reference re-fetches each community source every ``Sync.Interval``
+(default 1h, ``api/v1alpha1/piicommunitysource_types.go:68-76``, with a
+5m fetch timeout), rechecks subscriptions every 15m
+(``internal/controller/piirulesubscription_controller.go:140``), backs
+off 30s while the source is unsynced (``:76``) and requeues errors after
+1m (``internal/controller/piipattern_controller.go:60``).
+
+Spark has no reconcile loop; the equivalent control plane is a
+**driver-side scheduler polled between micro-batches** (streaming:
+every ``foreachBatch`` call under ``Trigger.ProcessingTime``; batch
+mode: once per checkpoint group).  :class:`ResyncScheduler` implements
+exactly the reference's cadence/backoff state machine with an injected
+clock (no wall-clock reads inside the logic — deterministic and fully
+testable), and exposes :meth:`bank_provider`, a zero-arg callable that
+ticks the scheduler and returns the current immutable
+:class:`~pii_spark.patterns.PatternBank` snapshot — the shape
+``streaming.scrub_stream_writer`` / ``quality_scrub_stream_writer``
+already consume for per-batch config hot-swap (T4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pii_spark.patterns import PatternBank
+from pii_spark.rulesets import RuleCache, SubscriptionSpec, subscribe
+
+
+@dataclass
+class ResyncPolicy:
+    """Reference cadence defaults (file:line in module docstring)."""
+
+    source_interval_sec: float = 3600.0
+    subscription_interval_sec: float = 900.0
+    unsynced_backoff_sec: float = 30.0
+    error_requeue_sec: float = 60.0
+
+
+@dataclass
+class _SourceState:
+    fetch: Callable[[], list]
+    next_due: float = 0.0
+    synced: bool = False
+    last_error: str | None = None
+    fetch_count: int = 0
+    error_count: int = 0
+
+
+@dataclass
+class _SubState:
+    spec: SubscriptionSpec
+    next_due: float = 0.0
+    resolved_count: int = 0
+
+
+@dataclass
+class ResyncReport:
+    """What one tick did — mirrors the reference's status conditions."""
+
+    fetched: list[str] = field(default_factory=list)
+    fetch_errors: dict[str, str] = field(default_factory=dict)
+    resubscribed: list[str] = field(default_factory=list)
+    deferred_unsynced: list[str] = field(default_factory=list)
+    bank_rebuilt: bool = False
+
+
+class ResyncScheduler:
+    """Deterministic resync state machine over sources + subscriptions.
+
+    ``fetchers`` maps source keys to zero-arg callables returning
+    ``list[RuleSet]`` (e.g. ``partial(fetch_git_rules, url)`` — the S5/
+    S6/S7 fetchers).  ``base_bank_factory`` builds the builtin bank each
+    rebuild; community patterns are layered on via ``subscribe``.
+    Everything is due immediately at construction (first tick = initial
+    sync), matching a controller's initial reconcile.
+    """
+
+    def __init__(
+        self,
+        fetchers: dict[str, Callable[[], list]],
+        subscriptions: list[SubscriptionSpec],
+        base_bank_factory: Callable[[], PatternBank] = PatternBank,
+        policy: ResyncPolicy | None = None,
+    ):
+        self.policy = policy or ResyncPolicy()
+        self.cache = RuleCache()
+        self._sources = {k: _SourceState(fetch=f) for k, f in fetchers.items()}
+        self._subs = [_SubState(spec=s) for s in subscriptions]
+        self._base_bank_factory = base_bank_factory
+        self._bank = base_bank_factory()
+        self._last_errors: list[str] = []
+
+    # ------------------------------------------------------------------
+    def tick(self, now: float) -> ResyncReport:
+        """Run every due action at time ``now``; returns the report.
+        Never raises on fetch/subscribe failures — they become error
+        state + requeue, like a controller's error requeue."""
+        rep = ResyncReport()
+        for key, st in self._sources.items():
+            if now < st.next_due:
+                continue
+            try:
+                rulesets = st.fetch()
+                self.cache.set_source(key, rulesets)
+                st.synced = True
+                st.last_error = None
+                st.fetch_count += 1
+                st.next_due = now + self.policy.source_interval_sec
+                rep.fetched.append(key)
+            except Exception as exc:
+                st.last_error = str(exc)
+                st.error_count += 1
+                st.next_due = now + self.policy.error_requeue_sec
+                rep.fetch_errors[key] = st.last_error
+
+        for sub in self._subs:
+            if now < sub.next_due:
+                continue
+            src = self._sources.get(sub.spec.source_key)
+            if src is None or not src.synced:
+                # reference: requeue 30s while the source is unsynced
+                sub.next_due = now + self.policy.unsynced_backoff_sec
+                rep.deferred_unsynced.append(sub.spec.source_key)
+                continue
+            rep.resubscribed.append(sub.spec.source_key)
+            sub.next_due = now + self.policy.subscription_interval_sec
+
+        if rep.fetched or rep.resubscribed:
+            self._rebuild_bank()
+            rep.bank_rebuilt = True
+        return rep
+
+    def _rebuild_bank(self) -> None:
+        """Fresh immutable bank: builtin base + every resolvable
+        subscription.  Swapped atomically (attribute assignment) so a
+        concurrent ``bank()`` read sees old-or-new, never a half state —
+        the lock-free analog of the reference's RWMutex hot-swap."""
+        bank = self._base_bank_factory()
+        errors: list[str] = []
+        for sub in self._subs:
+            src = self._sources.get(sub.spec.source_key)
+            if src is None or not src.synced:
+                continue
+            result = subscribe(self.cache, sub.spec, bank)
+            sub.resolved_count = len(result.subscribed)
+            errors.extend(result.errors)
+        self._bank = bank
+        self._last_errors = errors
+
+    # ------------------------------------------------------------------
+    def bank(self) -> PatternBank:
+        """Current immutable bank snapshot (zero-arg — plugs into the
+        streaming writers' ``bank_provider``)."""
+        return self._bank
+
+    def bank_provider(self, clock: Callable[[], float] = time.time) -> Callable[[], PatternBank]:
+        """Callable for ``foreachBatch`` writers: each micro-batch ticks
+        the scheduler with ``clock()`` then snapshots the bank — T3
+        scheduling + T4 hot-swap in one provider."""
+
+        def provide() -> PatternBank:
+            self.tick(clock())
+            return self._bank
+
+        return provide
+
+    def status(self) -> dict:
+        """Controller-status analog (SyncStatus / conditions)."""
+        return {
+            "sources": {
+                k: {
+                    "synced": st.synced,
+                    "next_due": st.next_due,
+                    "fetches": st.fetch_count,
+                    "errors": st.error_count,
+                    "last_error": st.last_error,
+                }
+                for k, st in self._sources.items()
+            },
+            "subscriptions": [
+                {
+                    "source": s.spec.source_key,
+                    "next_due": s.next_due,
+                    "resolved": s.resolved_count,
+                }
+                for s in self._subs
+            ],
+            "bank_patterns": len(self._bank),
+            "errors": list(self._last_errors),
+        }

@@ -50,6 +50,32 @@ def test_quota_by_key(spark):
     assert "__rn" not in out.columns
 
 
+def test_token_budget_sample(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import token_budget_sample
+
+    rows = [
+        ("py", 1, 400), ("py", 2, 400), ("py", 3, 400),  # cum 400/800/1200
+        ("py", 4, 900),                                   # cum 2100 > 1000 → out
+        ("md", 5, 600), ("md", 6, 500),                   # cum 600/1100 → 6 out
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    kept = token_budget_sample(
+        df, ["lang"], F.col("n_tokens"), budget=1000,
+        order_cols=[F.col("doc_id")],
+    )
+    got = sorted((r.lang, r.doc_id) for r in kept.collect())
+    # py: 1,2 fit (800); 3 would make 1200 → out; md: only 5 fits
+    assert got == [("md", 5), ("py", 1), ("py", 2)]
+    # determinism: same result under different partitioning
+    again = token_budget_sample(
+        df.repartition(7), ["lang"], F.col("n_tokens"), budget=1000,
+        order_cols=[F.col("doc_id")],
+    )
+    assert sorted((r.lang, r.doc_id) for r in again.collect()) == got
+
+
 def test_hash_sample_boundary_fractions(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
     assert hash_sample(df, F.col("k"), 1.0).count() == 50

@@ -1,0 +1,136 @@
+"""Periodic resync scheduler (T3) — reference cadence/backoff semantics
+(piicommunitysource_types.go:68-76, piirulesubscription_controller.go:140/76,
+piipattern_controller.go:60) with an injected clock."""
+
+import pytest
+
+from pii_spark.patterns import PatternBank, PatternRule
+from pii_spark.resync import ResyncPolicy, ResyncScheduler
+from pii_spark.rulesets import (
+    CategorySubscription,
+    PatternDefinition,
+    RuleSet,
+    SubscriptionSpec,
+)
+
+
+def _rulesets(version="1.0.0"):
+    return [
+        RuleSet(
+            "net", version=version, maturity="stable",
+            patterns=[PatternDefinition(
+                name="custom-ip", category="network", severity="high",
+                enabled=True, rules=[PatternRule(regex=r"ip-\d{4}")],
+            )],
+        )
+    ]
+
+
+def _spec():
+    return SubscriptionSpec(
+        source_key="src-a",
+        subscribe=[CategorySubscription(category="network", patterns=["*"])],
+    )
+
+
+def test_initial_sync_loads_community_patterns():
+    sched = ResyncScheduler({"src-a": _rulesets}, [_spec()])
+    n_builtin = len(PatternBank())
+    rep = sched.tick(now=0.0)
+    assert rep.fetched == ["src-a"] and rep.bank_rebuilt
+    assert len(sched.bank()) == n_builtin + 1
+    assert sched.bank().has_pattern("src-a/net/custom-ip")
+
+
+def test_cadence_source_1h_subscription_15m():
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        return _rulesets(f"1.0.{calls['n']}")
+
+    sched = ResyncScheduler({"src-a": fetch}, [_spec()])
+    sched.tick(0.0)
+    assert calls["n"] == 1
+    # 14 minutes later: nothing due
+    rep = sched.tick(14 * 60.0)
+    assert not rep.fetched and not rep.resubscribed and not rep.bank_rebuilt
+    # 15 minutes: subscription recheck due, source not (1h interval)
+    rep = sched.tick(15 * 60.0)
+    assert rep.resubscribed == ["src-a"] and calls["n"] == 1
+    # 1 hour: source refetch due
+    rep = sched.tick(3600.0)
+    assert rep.fetched == ["src-a"] and calls["n"] == 2
+
+
+def test_error_requeue_1m_then_recovers():
+    state = {"fail": True}
+
+    def fetch():
+        if state["fail"]:
+            raise RuntimeError("registry down")
+        return _rulesets()
+
+    sched = ResyncScheduler({"src-a": fetch}, [_spec()])
+    rep = sched.tick(0.0)
+    assert rep.fetch_errors == {"src-a": "registry down"}
+    # subscription backs off 30s while source unsynced
+    assert rep.deferred_unsynced == ["src-a"] and not rep.bank_rebuilt
+    # 30s later: error requeue (60s) not yet due; subscription retries,
+    # still unsynced
+    rep = sched.tick(30.0)
+    assert not rep.fetched and rep.deferred_unsynced == ["src-a"]
+    # 60s: fetch retries and succeeds; subscription due too (30+30)
+    state["fail"] = False
+    rep = sched.tick(60.0)
+    assert rep.fetched == ["src-a"] and rep.resubscribed == ["src-a"]
+    assert sched.bank().has_pattern("src-a/net/custom-ip")
+    st = sched.status()
+    assert st["sources"]["src-a"]["errors"] == 1
+    assert st["sources"]["src-a"]["synced"] is True
+
+
+def test_refetch_swaps_bank_snapshot_not_mutates():
+    versions = iter(["1.0.0", "2.0.0"])
+
+    def fetch():
+        return _rulesets(next(versions))
+
+    sched = ResyncScheduler({"src-a": fetch}, [_spec()])
+    sched.tick(0.0)
+    old_bank = sched.bank()
+    sched.tick(3600.0)
+    new_bank = sched.bank()
+    assert new_bank is not old_bank  # immutable swap, not in-place mutation
+    assert old_bank.has_pattern("src-a/net/custom-ip")  # old snapshot intact
+
+
+def test_bank_provider_ticks_with_injected_clock():
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        return _rulesets()
+
+    sched = ResyncScheduler({"src-a": fetch}, [_spec()])
+    t = {"now": 0.0}
+    provider = sched.bank_provider(clock=lambda: t["now"])
+    b1 = provider()  # batch 1 → initial sync
+    assert calls["n"] == 1 and b1.has_pattern("src-a/net/custom-ip")
+    t["now"] = 120.0
+    provider()  # batch 2 → nothing due
+    assert calls["n"] == 1
+    t["now"] = 3601.0
+    provider()  # batch 3 → hourly refetch
+    assert calls["n"] == 2
+
+
+def test_custom_policy_intervals():
+    sched = ResyncScheduler(
+        {"src-a": _rulesets}, [_spec()],
+        policy=ResyncPolicy(source_interval_sec=10.0, subscription_interval_sec=5.0),
+    )
+    sched.tick(0.0)
+    assert sched.tick(4.0).resubscribed == []
+    assert sched.tick(5.0).resubscribed == ["src-a"]
+    assert sched.tick(10.0).fetched == ["src-a"]

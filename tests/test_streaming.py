@@ -221,3 +221,66 @@ def test_quality_scrub_stream_foreachbatch(spark, tmp_path):
     finally:
         q2.stop()
     assert io.read("quality_stream").count() == 3
+
+
+def test_resync_scheduler_hot_swaps_bank_between_batches(spark, tmp_path):
+    # T3 + T4 end-to-end: the ResyncScheduler's bank_provider refetches
+    # community rules on its cadence between micro-batches; a pattern
+    # published mid-stream starts redacting from the next batch on
+    from pii_spark.patterns import PatternRule
+    from pii_spark.resync import ResyncScheduler
+    from pii_spark.rulesets import (
+        CategorySubscription, PatternDefinition, RuleSet, SubscriptionSpec,
+    )
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+
+    def rulesets_v(version, with_secret):
+        pats = []
+        if with_secret:
+            pats.append(PatternDefinition(
+                name="corp-secret", category="secrets", severity="critical",
+                enabled=True, rules=[PatternRule(regex=r"CORPSEC-\d{4}")],
+            ))
+        return [RuleSet("sec", version=version, maturity="stable", patterns=pats)]
+
+    clock = {"now": 0.0}
+    state = {"fetches": 0}
+
+    def fetch():
+        state["fetches"] += 1
+        return rulesets_v("1.0.0", with_secret=clock["now"] >= 3600.0)
+
+    sched = ResyncScheduler(
+        {"src-a": fetch},
+        [SubscriptionSpec(source_key="src-a",
+                          subscribe=[CategorySubscription(category="secrets",
+                                                          patterns=["*"])])],
+    )
+    provider = sched.bank_provider(clock=lambda: clock["now"])
+
+    src = tmp_path / "resync_src"
+    src.mkdir()
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("content", StringType()),
+    ])
+    io = TableIO(spark, str(tmp_path / "resync_tables"))
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = S.scrub_stream_writer(
+        stream, io, provider, content_col="content",
+        checkpoint=str(tmp_path / "resync_ckpt"),
+    )
+    try:
+        with open(src / "b0.json", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "content": "token CORPSEC-1234 here"}) + "\n")
+        q.processAllAvailable()
+        clock["now"] = 3601.0  # hourly source resync due before batch 2
+        with open(src / "b1.json", "w") as f:
+            f.write(json.dumps({"doc_id": 2, "content": "token CORPSEC-5678 here"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.doc_id: r for r in io.read("scrubbed_stream").collect()}
+    # batch 1 ran before the pattern existed upstream; batch 2 after
+    assert "CORPSEC-1234" in rows[1].scrubbed_text and rows[1].n_redactions == 0
+    assert "CORPSEC-5678" not in rows[2].scrubbed_text and rows[2].n_redactions == 1
+    assert state["fetches"] >= 2
