@@ -492,6 +492,45 @@ def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN with deterministic block centroids: centroid c is the
+    # unit vector spreading 1/sqrt(8) over dims 8c..8c+7, so the cell
+    # assignment is argmax of per-block sums and the probe set is the
+    # query's top-2 blocks — both exactly reproducible in SQL.  The
+    # probe prunes ~6/8 of the table before the exact re-rank (the
+    # partition-pruned scan shape of a cell-partitioned layout).
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = np.zeros((8, 64))
+    for c in range(8):
+        cent[c, c * 8:(c + 1) * 8] = 1.0 / np.sqrt(8.0)
+    top = similarity.ann_topk_ivf(
+        emb, "embedding", q, k=10, id_col="vec_id", centroids=cent, nprobe=2
+    )
+    return top.select(
+        "vec_id", F.round(F.col("sim") * 1000).cast("long").alias("sim_x1000")
+    )
+
+
+def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full near-dedup stage end-to-end: verified MinHash pairs →
+    # connected components (large-star/small-star default) → one
+    # min-id survivor per cluster → per-language survivor counts
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text3", num_hashes=128, bands=32, verify_threshold=0.8
+    )
+    survivors = dedup.near_dedup(corpus, pairs, "doc_id")
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-budget mixture sampling: per language, keep docs in the
     # deterministic hash-priority order until 2000 whitespace tokens
@@ -820,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_heuristics": q_quality_heuristics,
         "quality_heuristics_full": q_quality_heuristics_full,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "size_guard": q_size_guard,
         "truncate": q_truncate,
         "severity_metrics": q_severity_metrics,
@@ -1052,6 +1093,56 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
             LIMIT 10
+        """,
+        # IVF re-implemented in SQL: same block centroids (argmax of
+        # per-block sums), same top-2 probe cells from the query's
+        # block sums, exact cosine re-rank of the probed subset
+        "ann_cosine_topk_ivf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            bs AS (
+                SELECT vec_id, v,
+                       list_transform(range(0, 8),
+                                      c -> list_sum(v[c*8+1 : c*8+8])) AS b
+                FROM e
+            ),
+            cells AS (
+                SELECT vec_id, v, list_indexof(b, list_max(b)) - 1 AS cell
+                FROM bs
+            ),
+            q AS (SELECT v AS qv, b AS qb FROM bs WHERE vec_id = 0),
+            probe AS (
+                SELECT c FROM (SELECT unnest(range(0, 8)) AS c), q
+                ORDER BY qb[c + 1] DESC, c LIMIT 2
+            )
+            SELECT vec_id,
+                   CAST(round(list_cosine_similarity(v, q.qv) * 1000) AS BIGINT)
+                       AS sim_x1000
+            FROM cells, q
+            WHERE cell IN (SELECT c FROM probe)
+            ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+            LIMIT 10
+        """,
+        # same pair graph + recursive-CTE components as
+        # near_dup_clusters; survivors = everything except non-minimum
+        # cluster members
+        "near_dedup_survivors": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            npairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM npairs
+                      UNION SELECT doc_b, doc_a FROM npairs),
+            cc(doc, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc
+            ),
+            losers AS (
+                SELECT doc FROM (
+                    SELECT doc, min(lbl) AS component FROM cc GROUP BY doc
+                ) WHERE doc != component
+            )
+            SELECT lang, count(*) AS n_kept FROM documents
+            WHERE doc_id NOT IN (SELECT doc FROM losers)
+            GROUP BY lang ORDER BY lang
         """,
         # minhash_near_dup: the LSH stage is deterministic (fixed hash
         # seeds), and at 128 hashes / 32 bands the candidate set provably

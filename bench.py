@@ -123,6 +123,8 @@ def main() -> None:
         "token_count",
         "quality_heuristics",
         "ann_cosine_topk",
+        "ann_cosine_topk_ivf",
+        "near_dedup_survivors",
         "langid_distribution",
         "fingerprint_overlap",
         "image_features",

@@ -124,3 +124,43 @@ def test_hash_sample_is_pure_filter_no_shuffle_no_python(spark):
     p = plan(out)
     assert "Exchange" not in p  # no shuffle: sampling is row-local
     assert count_python_nodes(p) == 0  # pure JVM expression
+
+
+def test_token_budget_single_key_shuffle_no_python(spark):
+    from pii_spark.curation import hash_bucket_col, token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    out = token_budget_sample(
+        docs, ["lang"], F.col("n_tokens"), budget=2000,
+        order_cols=[hash_bucket_col(F.col("doc_id").cast("string")), F.col("doc_id")],
+    )
+    p = plan(out)
+    # one exchange (hash partition on the key) for the running-sum
+    # window; no Python
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert count_python_nodes(p) == 0
+
+
+def test_ivf_probe_filters_before_topk(spark):
+    import numpy as np
+
+    from pii_spark import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = np.zeros((8, 64))
+    for c in range(8):
+        cent[c, c * 8:(c + 1) * 8] = 1.0 / np.sqrt(8.0)
+    out = similarity.ann_topk_ivf(emb, "embedding", q, k=10, centroids=cent, nprobe=2)
+    p = plan(out)
+    # the probe is a cell filter feeding TakeOrderedAndProject — never a
+    # global sort, and the non-probed cells are dropped before the rank
+    import re
+
+    assert "TakeOrderedAndProject" in p
+    assert not re.findall(r"\(\d+\) Sort\b", p)  # no standalone global sort
+    assert re.findall(r"\(\d+\) Filter", p)      # the probe-cell filter exists
