@@ -1,0 +1,129 @@
+"""End-to-end training-data curation driver for ``spark-submit``.
+
+Composes the full corpus-curation chain the way a 100 TB pipeline
+would, over a deterministic synthetic code corpus:
+
+1. boilerplate removal (frequent-line doc-freq → broadcast anti-join)
+2. exact dedup (sha256-keyed, min-id survivor)
+3. near-dedup (MinHash-LSH candidates → exact-Jaccard verify →
+   large-star/small-star components → one survivor per cluster)
+4. quality filter + PII scrub (the pipeline hot stage: JVM heuristics
+   + one merged model+scrub mapInPandas pass)
+5. token-budget mixture sampling per language (deterministic
+   hash-priority order)
+6. write the curated corpus + a stage-by-stage funnel report
+
+Every stage is the library operator the driver queries oracle-check;
+this example is the integration story, asserted on funnel invariants.
+
+Usage::
+
+    zip -r pii_spark.zip pii_spark
+    spark-submit --master local[8] --py-files pii_spark.zip \
+        examples/curate_corpus.py [n_files] [output_dir]
+"""
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession, functions as F
+
+from pii_spark import dedup
+from pii_spark.curation import hash_bucket_col, token_budget_sample
+from pii_spark.detect import quality_scrub_map_in_pandas
+from pii_spark.io import TableIO
+from pii_spark.patterns import PatternBank
+from pii_spark.pipeline import default_spark_conf
+from pii_spark.quality import with_decision, with_heuristics
+from pii_spark.synth import generate_code_files
+
+TOKEN_BUDGET_PER_LANG = 1_500
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="curate_")
+
+    spark = default_spark_conf(
+        SparkSession.builder.appName("pii-spark-curate")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pdf = generate_code_files(n_files)
+    df = spark.createDataFrame(pdf).repartition(
+        spark.sparkContext.defaultParallelism, F.xxhash64("repo", "path")
+    )
+    df = df.withColumn("doc_key", F.concat_ws("/", "repo", "path", "commit"))
+    funnel = {"input": df.count()}
+
+    # 1. strip cross-document boilerplate lines (license headers etc.)
+    df = dedup.remove_frequent_lines(
+        df, "doc_key", "content", min_doc_freq=max(n_files // 10, 20),
+        out_col="content_clean",
+    ).drop("content").withColumnRenamed("content_clean", "content")
+
+    # 2. exact dedup on the cleaned text
+    df = dedup.exact_dedup(df, "content", "doc_key")
+    df = df.localCheckpoint(eager=True)  # consumed by pairs + anti-join
+    funnel["after_exact_dedup"] = df.count()
+
+    # 3. near-dedup survivors
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_key", "content", num_hashes=128, bands=32, verify_threshold=0.8
+    )
+    df = dedup.near_dedup(df, pairs, "doc_key")
+    funnel["after_near_dedup"] = df.count()
+
+    # 4. quality + scrub (one merged Python pass), keep-only
+    bank = PatternBank()
+    annotated = with_decision(
+        quality_scrub_map_in_pandas(
+            with_heuristics(df, "content"), bank, content_col="content",
+            spark=spark,
+        ),
+        declared_lang_col="lang",
+    )
+    kept = annotated.filter(F.col("keep")).localCheckpoint(eager=True)
+    funnel["after_quality"] = kept.count()
+    n_redactions = kept.agg(F.sum("n_redactions")).first()[0]
+
+    # 5. token-budget mixture per language over the scrubbed text
+    kept = kept.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("scrubbed_text")), r"\s+")).cast("long")
+    )
+    curated = token_budget_sample(
+        kept, ["lang"], F.col("n_tokens"), budget=TOKEN_BUDGET_PER_LANG,
+        order_cols=[hash_bucket_col(F.col("doc_key")), F.col("doc_key")],
+    )
+
+    # 6. write corpus + funnel metrics
+    io = TableIO(spark, out_dir)
+    io.write(
+        curated.select("repo", "path", "commit", "lang", "scrubbed_text", "n_tokens"),
+        "curated_corpus", mode="overwrite", partition_by=["lang"],
+    )
+    mix = curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    ).orderBy("lang")
+    io.write(mix, "curated_mixture", mode="overwrite")
+    funnel["curated"] = curated.count()
+
+    print("funnel:", funnel, "| redactions in kept set:", n_redactions)
+    mix.show(truncate=False)
+
+    # invariants: every stage only removes rows; budgets hold exactly
+    assert (
+        funnel["input"] >= funnel["after_exact_dedup"] >= funnel["after_near_dedup"]
+        >= funnel["after_quality"] >= funnel["curated"] > 0
+    )
+    over = mix.filter(F.col("n_tokens") > TOKEN_BUDGET_PER_LANG).count()
+    assert over == 0, "per-language token budget exceeded"
+    # synthetic corpus plants PII in ~20% of files — the scrub must fire
+    assert n_redactions and n_redactions > 0
+    print(f"tables written under: {out_dir}")
+    print("CURATE_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
