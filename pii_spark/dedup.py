@@ -246,6 +246,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 5,
     verify_threshold: float | None = 0.8,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
 
@@ -255,6 +256,21 @@ def minhash_lsh_pairs(
     collision curve is P(candidate) = 1-(1-j^r)^bands.  Shuffle cost is
     O(n · bands) rows of (key, id) — the 100 TB-safe path; the exact
     verification joins text back only for candidates.
+
+    ``hot_bucket_cap`` bounds the within-bucket join for pathological
+    buckets (web boilerplate: 10⁵ near-identical docs share every band
+    → a 10¹⁰-pair clique in one bucket).  Buckets larger than the cap
+    switch from all-pairs to a **star**: each member pairs with the
+    bucket's minimum doc only — O(bucket) candidates instead of
+    O(bucket²) — which preserves exactly what dedup consumes
+    (connectivity: the component survives, the survivor choice is
+    unchanged) while shedding the clique enumeration.  Caveat (why it
+    is opt-in): star candidates verify member↔min instead of
+    member↔member, so if a giant bucket mixes documents whose
+    similarity to the min is below ``verify_threshold`` the component
+    may split where the clique would have bridged it — acceptable for
+    the near-identical buckets the cap targets, wrong for loose
+    thresholds; leave ``None`` for exact semantics.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -276,6 +292,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    if hot_bucket_cap is not None:
+        # one aggregate over the banded rows annotates each row with its
+        # bucket's size + min doc — the same shuffle key the join uses
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .withColumn("__bmin", F.min("doc").over(w))
+        )
+        hot = banded.filter(F.col("__bsz") > hot_bucket_cap)
+        banded = banded.filter(F.col("__bsz") <= hot_bucket_cap).drop("__bsz", "__bmin")
+        star = (
+            hot.filter(F.col("doc") != F.col("__bmin"))
+            .select(F.col("__bmin").alias("doc_a"), F.col("doc").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        star = None
     banded = _materialize(banded, True)  # both sides of the bucket self-join
 
     a = banded.alias("a")
@@ -290,6 +324,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    if star is not None:
+        cand = cand.union(star).distinct()
     if verify_threshold is None:
         return cand
     cand = _materialize(cand, True)  # consumed 3× (doc set + the pair join)

@@ -73,6 +73,28 @@ def test_minhash_signature_deterministic(spark):
     assert a == b and len(a) == 16
 
 
+def test_minhash_hot_bucket_cap_star_not_clique(spark):
+    # 40 identical docs share every band → uncapped the bucket is a
+    # C(40,2)=780-pair clique; capped it degrades to a 39-pair star on
+    # the bucket minimum, and the dedup outcome (survivors) is identical
+    rows = [(i, "giant boilerplate cluster with many identical member documents here")
+            for i in range(40)]
+    rows += [(100, "a completely different document about spark physical plans"),
+             (101, "another unrelated text concerning winnowing fingerprints")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8,
+                                   verify_threshold=0.8)
+    capped = dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8,
+                                     verify_threshold=0.8, hot_bucket_cap=10)
+    assert full.count() == 40 * 39 // 2
+    cpairs = [(r.doc_a, r.doc_b) for r in capped.collect()]
+    assert len(cpairs) == 39 and all(a == 0 for a, _ in cpairs)  # star on min doc
+    s_full = sorted(r.doc_id for r in dedup.near_dedup(df, full, "doc_id").collect())
+    s_cap = sorted(r.doc_id for r in dedup.near_dedup(df, capped, "doc_id").collect())
+    assert s_full == s_cap == [0, 100, 101]
+
+
 def test_simhash_pairs(docs):
     # measured fingerprint distances on this fixture (md5-based hash):
     # (0,1)=7 (one word changed), (0,2)=37, (0,4)=33 — radius 16 finds
