@@ -302,17 +302,25 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
 
 def test_auto_lsh_params_scaling():
     import math
+    import warnings
 
-    # bucket occupancy n/2^bits stays ~target as n grows 1000×
-    for n in (10_000, 10_000_000, 1_000_000_000):
-        bits, tables = similarity.auto_lsh_params(n, 0.95, target_bucket_rows=8)
-        occupancy = n / 2**bits
-        assert occupancy <= 8.0 + 1e-9
-        assert occupancy > 2.0  # not over-split either (<= 2x granularity)
-        assert 1 <= tables <= 16
+    # bucket occupancy n/2^bits stays ~target as n grows 1000×; at the
+    # largest sizes the tables clamp binds and must WARN (not silently
+    # miss the recall target)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        for n in (10_000, 10_000_000, 1_000_000_000):
+            bits, tables = similarity.auto_lsh_params(n, 0.95, target_bucket_rows=8)
+            occupancy = n / 2**bits
+            assert occupancy <= 8.0 + 1e-9
+            assert occupancy > 2.0  # not over-split either (<= 2x granularity)
+            assert 1 <= tables <= 16
     # beyond 2^30 buckets the bits clamp binds and occupancy grows
-    # linearly again — documented limit, not silent
-    bits, _ = similarity.auto_lsh_params(10_000_000_000, 0.95, target_bucket_rows=8)
+    # linearly again — documented limit, loudly warned
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="caps it"):
+        bits, _ = similarity.auto_lsh_params(10_000_000_000, 0.95, target_bucket_rows=8)
     assert bits == 30
     # recall math: 1-(1-p^bits)^tables >= recall_target (until the
     # tables clamp binds at very high bit counts)
@@ -320,8 +328,11 @@ def test_auto_lsh_params_scaling():
     p = 1.0 - math.acos(0.95) / math.pi
     assert 1.0 - (1.0 - p**bits) ** tables >= 0.9
     # near-exact threshold needs few tables; loose threshold needs more
-    _, t_tight = similarity.auto_lsh_params(100_000, 0.999)
-    _, t_loose = similarity.auto_lsh_params(100_000, 0.90)
+    # (the loose case trips the clamp warning — expected)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        _, t_tight = similarity.auto_lsh_params(100_000, 0.999)
+        _, t_loose = similarity.auto_lsh_params(100_000, 0.90)
     assert t_tight <= t_loose
 
 

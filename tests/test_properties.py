@@ -170,3 +170,19 @@ def test_batch_scrubber_equals_engine(texts):
         want = engine.redact(t)
         assert out["scrubbed"][i] == want.redacted_text, t
         assert out["n_redactions"][i] == want.redacted_count, t
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+               max_size=80))
+def test_hash64_matches_duckdb_md5_number_upper(s):
+    # the SimHash shingle hash must be byte-identical to DuckDB's
+    # md5_number_upper on arbitrary (UTF-8) strings — this equality is
+    # what makes the simhash_near_dup oracle sound
+    import duckdb
+
+    from pii_spark.dedup import _hash64
+
+    got = _hash64(s.encode("utf-8"))
+    want = duckdb.sql("SELECT md5_number_upper(?)", params=[s]).fetchone()[0]
+    assert got == int(want)

@@ -192,3 +192,19 @@ def test_forged_em_with_short_padding_rejected():
 def test_noop_verifier():
     R.NoOpVerifier().verify(b"anything", b"whatever")
     assert R.NoOpVerifier().type() == "noop"
+
+
+# ---------------------------------------------------------------------------
+# property: sign/verify round trip over arbitrary content
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=2000))
+def test_property_roundtrip_and_tamper(content):
+    sig = _sign_pkcs1v15(content, N, D)
+    R.RSAVerifier(PKIX_PEM).verify(content, sig)  # no raise
+    with pytest.raises(R.VerificationError):
+        R.RSAVerifier(PKIX_PEM).verify(content + b"\x00", sig)
