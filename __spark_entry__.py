@@ -386,13 +386,16 @@ def _langid_oracle_sql() -> str:
     RE2 + SQL float arithmetic vs pandas str.count + numpy."""
     from pii_spark.quality import LANGID_MIN_SCORE, LANGID_SAMPLE_CHARS, LANG_MARKERS
 
+    def sql_str(pat: str) -> str:
+        # '' escaping keeps a future marker containing a quote from
+        # breaking (or silently altering) the generated SQL
+        return "'" + pat.replace("'", "''") + "'"
+
     langs = list(LANG_MARKERS)
     score_exprs = []
     for lang in langs:
         terms = " + ".join(
-            # '' escaping keeps a future marker containing a quote from
-            # breaking (or silently altering) the generated SQL
-            f"{w} * len(regexp_extract_all(p, '{pat.replace(chr(39), chr(39) * 2)}'))"
+            f"{w} * len(regexp_extract_all(p, {sql_str(pat)}))"
             for pat, w, _gate in LANG_MARKERS[lang]
         )
         score_exprs.append(f"({terms}) / kb AS s_{lang}")

@@ -96,13 +96,22 @@ def shingles_col(text_col, n: int = 5):
     )
 
 
-def _materialize(df: DataFrame, enabled: bool) -> DataFrame:
-    """Eagerly materialize a frame that downstream consumes ≥2 times
-    (``localCheckpoint``): without it each consumer re-derives the frame
-    from the source (Catalyst has no automatic cross-branch reuse except
-    identical exchanges).  Executor-local storage; on a shared cluster
-    with dynamic allocation prefer ``persist(MEMORY_AND_DISK)``."""
-    return df.localCheckpoint(eager=True) if enabled else df
+def _materialize(
+    df: DataFrame, enabled: bool, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Eagerly materialize a frame that downstream consumes ≥2 times:
+    without it each consumer re-derives the frame from the source
+    (Catalyst has no automatic cross-branch reuse except identical
+    exchanges).  Default is ``localCheckpoint`` (executor-local; fast,
+    lost with an executor).  ``checkpoint_dir`` (an HDFS/S3 path on a
+    real cluster) switches to reliable ``checkpoint`` — required for
+    multi-hour iterative jobs (connected components) that must survive
+    executor loss."""
+    if not enabled:
+        return df
+    if checkpoint_dir is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def ngram_jaccard_pairs(
@@ -536,19 +545,6 @@ def remove_frequent_lines(
 # ---------------------------------------------------------------------------
 
 
-def _cc_materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    """Per-round lineage truncation for the iterative CC algorithms.
-
-    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local; fast,
-    but lost with an executor — fine on local mode / short jobs).  With
-    a directory (HDFS/S3 path on a real cluster) → reliable
-    ``checkpoint``: rounds survive executor loss, which is the 100×-
-    scale requirement for a multi-hour dedup job."""
-    if checkpoint_dir is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
-
-
 def _is_star_forest(edges: DataFrame) -> bool:
     """True iff the (big → small oriented) edge set is a union of
     disjoint stars — the large-star/small-star fixpoint.  Structural
@@ -653,10 +649,10 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    edges = _cc_materialize(edges, checkpoint_dir)
+    edges = _materialize(edges, True, checkpoint_dir)
     for _ in range(max_iter):
         sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        edges = _cc_materialize(_small_star(_large_star(sym)), checkpoint_dir)
+        edges = _materialize(_small_star(_large_star(sym)), True, checkpoint_dir)
         if _is_star_forest(edges):
             break
     else:
@@ -692,11 +688,11 @@ def _cc_label(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    edges = _cc_materialize(edges, checkpoint_dir)
+    edges = _materialize(edges, True, checkpoint_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    labels = _cc_materialize(labels, checkpoint_dir)
+    labels = _materialize(labels, True, checkpoint_dir)
     for _ in range(max_iter):
         # min over {own label} ∪ {neighbors' labels}
         neigh = (
@@ -708,7 +704,7 @@ def _cc_label(
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
-        new_labels = _cc_materialize(new_labels, checkpoint_dir)
+        new_labels = _materialize(new_labels, True, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
