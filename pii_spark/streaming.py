@@ -335,3 +335,43 @@ def quality_scrub_stream_writer(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def alert_stream_writer(
+    alerts_stream: DataFrame,
+    manager,
+    configs: list,
+    ts_col: str = "ts",
+    checkpoint: str | None = None,
+    timeout_sec: float = 30.0,
+    on_batch_stats=None,
+):
+    """``foreachBatch`` alert delivery: each micro-batch's alert rows
+    route through the channel registry (severity gate + per-channel
+    per-minute cap, :meth:`NotifierManager.route_alerts`) and the
+    allowed rows POST to their endpoints executor-side
+    (:func:`pii_spark.alerting.post_alerts`) — the streaming analog of
+    the reference's notifier manager dispatching as logs arrive
+    (``internal/notifier/manager.go:67-117``).
+
+    Rate semantics: the per-minute window cap applies within each
+    micro-batch (alerts are event-time windowed, so with batches
+    shorter than the window the cap is conservative per batch); the
+    exact cross-batch token bucket is :func:`token_bucket_stream` —
+    feed its ``allowed`` column in upstream when strict bucket
+    semantics matter.  ``on_batch_stats`` (optional callable) receives
+    ``(batch_id, {"sent": n, "failed": n})`` per batch — the
+    AlertsSentTotal status analog.
+    """
+    from pii_spark.alerting import post_alerts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = manager.route_alerts(batch_df, batch_df.sparkSession, ts_col=ts_col)
+        stats = post_alerts(routed, configs, timeout_sec=timeout_sec)
+        if on_batch_stats is not None:
+            on_batch_stats(batch_id, stats)
+
+    writer = alerts_stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
