@@ -688,6 +688,55 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal audio plumbing: declared rate + sample count round-trip
+    # the mapInPandas decode exactly (duration = n_samples/rate); the
+    # stub's RMS is not SQL-expressible and stays pytest-verified
+    from pii_spark import multimodal as M
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.create_map(
+            F.lit("sample_rate"), ((F.col("doc_id") % 4 + 1) * 4000).cast("string"),
+            F.lit("n_samples"), ((F.col("doc_id") % 8 + 1) * 1000).cast("string"),
+        ).alias("meta"),
+    )
+    return (
+        M.audio_features(media)
+        .select(
+            "media_id", "sample_rate",
+            F.round(F.col("duration_sec") * 1000).cast("long").alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal video plumbing (UDTF-shaped mapInPandas: one row in,
+    # many frames out): frames = floor(payload_bytes / frame_size),
+    # sampled every 2nd — the emitted frame count per media is pure
+    # integer arithmetic on the payload size, hence oracle-checkable
+    from pii_spark import multimodal as M
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.create_map(F.lit("frame_size"), F.lit("16")).alias("meta"),
+    )
+    frames = M.sample_video_frames(media, every_n=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.max("frame_idx").cast("long").alias("max_frame_idx"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_patterns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F4 registry projections: the pattern bank as an introspectable table
     from pii_spark.patterns import patterns_catalog_rows
@@ -884,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pipeline": q_quality_pipeline,
         "fingerprint_overlap": q_fingerprint_overlap,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1345,6 +1396,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
             ORDER BY doc_a, doc_b
+        """,
+        "audio_features": """
+            SELECT doc_id AS media_id,
+                   CAST((doc_id % 4 + 1) * 4000 AS INT) AS sample_rate,
+                   CAST(round((doc_id % 8 + 1) * 1000 * 1000.0
+                              / ((doc_id % 4 + 1) * 4000)) AS BIGINT) AS duration_ms
+            FROM documents ORDER BY media_id
+        """,
+        # frames = floor(utf8_bytes / 16), emitted every 2nd (idx 0,2,…)
+        "video_frames": """
+            SELECT doc_id AS media_id,
+                   CAST((nf + 1) // 2 AS BIGINT) AS n_frames_sampled,
+                   CAST(((nf - 1) // 2) * 2 AS BIGINT) AS max_frame_idx
+            FROM (
+                SELECT doc_id, octet_length(encode(text)) // 16 AS nf
+                FROM documents
+            )
+            WHERE nf >= 1 ORDER BY media_id
         """,
         # quality_pipeline: the full stack's only model-bound decision on
         # this corpus is the char-trigram perplexity gate (the trained

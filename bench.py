@@ -128,6 +128,8 @@ def main() -> None:
         "langid_distribution",
         "fingerprint_overlap",
         "image_features",
+        "audio_features",
+        "video_frames",
         "quality_pipeline",
         "near_dup_clusters",
         "boilerplate_removal",
