@@ -304,11 +304,15 @@ def minhash_lsh_pairs(
 
     if hot_bucket_cap is not None:
         # one aggregate over the banded rows annotates each row with its
-        # bucket's size + min doc — the same shuffle key the join uses
+        # bucket's size + min doc — the same shuffle key the join uses.
+        # Materialize BEFORE the hot/cold split: both branches descend
+        # from this frame, and without it each would re-run the
+        # signature UDF + window shuffle (the function's dominant cost)
         w = Window.partitionBy("band", "bucket")
-        banded = (
+        banded = _materialize(
             banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .withColumn("__bmin", F.min("doc").over(w))
+            .withColumn("__bmin", F.min("doc").over(w)),
+            True,
         )
         hot = banded.filter(F.col("__bsz") > hot_bucket_cap)
         banded = banded.filter(F.col("__bsz") <= hot_bucket_cap).drop("__bsz", "__bmin")
@@ -319,7 +323,7 @@ def minhash_lsh_pairs(
         )
     else:
         star = None
-    banded = _materialize(banded, True)  # both sides of the bucket self-join
+        banded = _materialize(banded, True)  # both sides of the bucket self-join
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -89,7 +89,8 @@ SCRUB_SCHEMA = StructType(
 #: ``01``/``02``/``0[3-6][1-5]`` prefixes).
 _DIGIT_GATE = ("re", r"\d\d")
 
-_TRIGGERS: dict[str, tuple[str, str] | None] = {
+#: value shapes: ("lit", str) | ("re", str) | ("lowlit", tuple[str, ...]) | None
+_TRIGGERS: dict[str, tuple[str, str] | tuple[str, tuple[str, ...]] | None] = {
     "email": ("lit", "@"),
     "credit-card": _DIGIT_GATE,
     "ip-address": ("re", r"\d\.\d"),   # single digits possible ("1.2.3.4")
@@ -152,7 +153,7 @@ def _builtin_rule_regexes() -> dict[str, tuple[str, ...]]:
 _BUILTIN_RULES: dict[str, tuple[str, ...]] | None = None
 
 
-def _trigger_for(cp) -> tuple[str, str] | None:
+def _trigger_for(cp) -> tuple[str, str] | tuple[str, tuple[str, ...]] | None:
     """The pre-filter trigger for a compiled pattern, or None (always
     scan).  A trigger is used ONLY when the pattern's rules are exactly
     the builtin rules it was derived from — a custom pattern registered

@@ -354,12 +354,15 @@ def alert_stream_writer(
     the reference's notifier manager dispatching as logs arrive
     (``internal/notifier/manager.go:67-117``).
 
-    Rate semantics: the per-minute window cap applies within each
-    micro-batch (alerts are event-time windowed, so with batches
-    shorter than the window the cap is conservative per batch); the
-    exact cross-batch token bucket is :func:`token_bucket_stream` —
-    feed its ``allowed`` column in upstream when strict bucket
-    semantics matter.  ``on_batch_stats`` (optional callable) receives
+    Rate semantics — read carefully: the per-minute window cap is
+    re-evaluated PER MICRO-BATCH with no cross-batch state, so when
+    several batches carry event times inside the same minute the
+    channel can deliver up to ``cap × batches-per-minute`` alerts —
+    this writer alone OVER-delivers relative to the nominal cap, never
+    under.  For a strict cross-batch budget, gate upstream with the
+    stateful :func:`token_bucket_stream` (its ``allowed`` column is
+    honoured here and blocked rows are never posted).
+    ``on_batch_stats`` (optional callable) receives
     ``(batch_id, {"sent": n, "failed": n})`` per batch — the
     AlertsSentTotal status analog.
     """
