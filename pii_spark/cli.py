@@ -66,8 +66,27 @@ def output_json(result, out=sys.stdout) -> None:
     out.write("\n")
 
 
+def print_patterns(bank: PatternBank, out=None) -> None:
+    """Pattern registry listing (``-list``, cli/main.go:346-358) —
+    name, display name, severity, description.  Name-sorted (the
+    reference iterates a Go map, whose order is random run-to-run)."""
+    out = out if out is not None else sys.stdout  # bind at call time
+    print("Available PII Patterns:", file=out)
+    print("========================", file=out)
+    print(file=out)
+    for name in sorted(bank.list_patterns()):
+        spec = bank.get_pattern_spec(name)
+        print(f"{name:<25} {spec.display_name}", file=out)
+        print(f"  Severity: {spec.severity}", file=out)
+        print(f"  Description: {spec.description}", file=out)
+        print(file=out)
+
+
 def cmd_scan(args) -> int:
     engine = Engine(PatternBank(), validation_enabled=not args.no_validate)
+    if args.list:
+        print_patterns(engine.bank)
+        return 0
     text = _read_input(args)
     if args.patterns:
         names = [n.strip() for n in args.patterns.split(",") if n.strip()]
@@ -114,6 +133,8 @@ def build_parser() -> argparse.ArgumentParser:
     scan.add_argument("-f", "--file")
     scan.add_argument("-p", "--patterns", help="comma-separated pattern subset")
     scan.add_argument("--no-validate", action="store_true")
+    scan.add_argument("--list", action="store_true",
+                      help="list all available patterns")
     scan.add_argument("-o", "--output", choices=["text", "json"], default="text")
     scan.set_defaults(fn=cmd_scan)
 

@@ -85,6 +85,7 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
         "Email Address", "global",
         [(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "high")],
         "medium", True, MaskingStrategy("partial", 2, 0, "*"),
+        description="Detects email addresses",
     ),
     "credit-card": _p(
         "Credit Card Number", "global",
@@ -93,11 +94,13 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
             (r"\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}", "medium"),
         ],
         "critical", True, MaskingStrategy("partial", 4, 4, "*"), validator="luhn",
+        description="Detects credit card numbers (Visa, MasterCard, Amex, Discover)",
     ),
     "ip-address": _p(
         "IP Address", "global",
         [(r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b", "high")],
         "low", False, MaskingStrategy("full", replacement="[IP_REDACTED]"),
+        description="Detects IPv4 addresses",
     ),
     "ipv6-address": _p(
         "IPv6 Address", "global",
@@ -106,68 +109,81 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
             (r"(?:[0-9a-fA-F]{1,4}:){1,7}:", "medium"),
         ],
         "low", False, MaskingStrategy("full", replacement="[IPv6_REDACTED]"),
+        description="Detects IPv6 addresses",
     ),
     "iban": _p(
         "IBAN", "global",
         [(r"[A-Z]{2}\d{2}[A-Z0-9]{4}\d{7}(?:[A-Z0-9]?){0,16}", "high")],
         "critical", True, MaskingStrategy("partial", 4, 4, "*"), validator="iban-checksum",
+        description="International Bank Account Number",
     ),
     "mac-address": _p(
         "MAC Address", "global",
         [(r"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}", "high")],
         "low", False, MaskingStrategy("partial", 8, 0, "*"),
+        description="Detects MAC addresses",
     ),
     # ---- usa ----
     "ssn-us": _p(
         "US Social Security Number", "usa",
         [(r"\b\d{3}-\d{2}-\d{4}\b", "high"), (r"\b\d{9}\b", "low")],
         "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+        description="US Social Security Number (XXX-XX-XXXX format)",
     ),
     "phone-us": _p(
         "US Phone Number", "usa",
         [(r"\b(?:\+1[-.\s]?)?\(?[2-9]\d{2}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b", "high")],
         "high", True, MaskingStrategy("partial", 3, 4, "*"),
+        description="US phone numbers in various formats",
     ),
     "driver-license-us": _p(
         "US Driver License", "usa",
         [(r"\b[A-Z]{1,2}\d{5,8}\b", "medium")],
         "critical", False, MaskingStrategy("partial", 2, 0, "*"),
+        description="US Driver License numbers (generic pattern)",
     ),
     "passport-us": _p(
         "US Passport Number", "usa",
         [(r"\b[0-9]{9}\b", "low")],
         "critical", False, MaskingStrategy("partial", 2, 0, "*"),
+        description="US Passport numbers",
     ),
     "routing-number-us": _p(
         "US Bank Routing Number", "usa",
         [(r"\b[0-9]{9}\b", "low")],
         "high", False, MaskingStrategy("partial", 0, 4, "*"),
+        description="US Bank ABA Routing Transit Number",
     ),
     "itin-us": _p(
         "US ITIN", "usa",
         [(r"\b9\d{2}-[7-9]\d-\d{4}\b", "high")],
         "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+        description="US Individual Taxpayer Identification Number",
     ),
     "medicare-us": _p(
         "US Medicare ID", "usa",
         [(r"\b[1-9][AC-HJKMNP-RT-Y][AC-HJKMNP-RT-Y0-9]\d[AC-HJKMNP-RT-Y][AC-HJKMNP-RT-Y0-9]\d[AC-HJKMNP-RT-Y]{2}\d{2}\b", "high")],
         "critical", True, MaskingStrategy("partial", 0, 4, "*"),
+        description="US Medicare Beneficiary Identifier (MBI)",
     ),
     "ein-us": _p(
         "US EIN", "usa",
         [(r"\b\d{2}-\d{7}\b", "high")],
         "high", True, MaskingStrategy("partial", 2, 0, "*"),
+        description="US Employer Identification Number",
     ),
     "dea-us": _p(
         "US DEA Number", "usa",
         [(r"\b[A-Z][A-Z9][0-9]{7}\b", "high")],
         "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+        description="US Drug Enforcement Administration registration number",
     ),
     # ---- korea ----
     "korean-rrn": _p(
         "Korean Resident Registration Number", "korea",
         [(r"\d{6}-[1-4]\d{6}", "high"), (r"\d{6}[1-4]\d{6}", "medium")],
         "critical", True, MaskingStrategy("partial", 6, 0, "*"), validator="rrn-checksum",
+        description="Korean RRN (Resident Registration Number)",
     ),
     "phone-kr": _p(
         "Korean Phone Number", "korea",
@@ -177,37 +193,44 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
             (r"0[3-6][1-5]-?\d{3,4}-?\d{4}", "high"),
         ],
         "high", True, MaskingStrategy("partial", 3, 4, "*"),
+        description="Korean phone numbers (mobile and landline)",
     ),
     "passport-kr": _p(
         "Korean Passport Number", "korea",
         [(r"[A-Z]{1,2}\d{7,8}", "medium")],
         "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+        description="Korean passport numbers",
     ),
     "driver-license-kr": _p(
         "Korean Driver License", "korea",
         [(r"\d{2}-\d{2}-\d{6}-\d{2}", "high")],
         "critical", True, MaskingStrategy("partial", 5, 0, "*"),
+        description="Korean driver license numbers",
     ),
     "business-number-kr": _p(
         "Korean Business Registration Number", "korea",
         [(r"\d{3}-\d{2}-\d{5}", "high")],
         "high", True, MaskingStrategy("partial", 3, 0, "*"), validator="business-number-checksum",
+        description="Korean business registration numbers",
     ),
     "foreign-registration-kr": _p(
         "Korean Foreign Registration Number", "korea",
         [(r"\d{6}-[5-8]\d{6}", "high")],
         "critical", True, MaskingStrategy("partial", 6, 0, "*"),
+        description="Korean foreign registration numbers",
     ),
     # ---- secrets ----
     "aws-access-key": _p(
         "AWS Access Key ID", "secrets",
         [(r"AKIA[0-9A-Z]{16}", "high")],
         "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+        description="AWS Access Key ID",
     ),
     "aws-secret-key": _p(
         "AWS Secret Access Key", "secrets",
         [(r"(?i)aws.{0,20}secret.{0,20}['\"][0-9a-zA-Z/+]{40}['\"]", "high")],
         "critical", True, MaskingStrategy("full", replacement="[AWS_SECRET_REDACTED]"),
+        description="AWS Secret Access Key",
     ),
     "github-token": _p(
         "GitHub Token", "secrets",
@@ -219,51 +242,61 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
             (r"ghr_[0-9a-zA-Z]{36}", "high"),
         ],
         "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+        description="GitHub Personal Access Token or OAuth Token",
     ),
     "gitlab-token": _p(
         "GitLab Token", "secrets",
         [(r"glpat-[0-9a-zA-Z\-_]{20}", "high")],
         "critical", True, MaskingStrategy("partial", 6, 0, "*"),
+        description="GitLab Personal Access Token",
     ),
     "slack-token": _p(
         "Slack Token", "secrets",
         [(r"xox[baprs]-[0-9a-zA-Z]{10,48}", "high")],
         "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+        description="Slack Bot or User Token",
     ),
     "google-api-key": _p(
         "Google API Key", "secrets",
         [(r"AIza[0-9A-Za-z\-_]{35}", "high")],
         "critical", True, MaskingStrategy("partial", 4, 0, "*"),
+        description="Google API Key",
     ),
     "api-key": _p(
         "Generic API Key", "secrets",
         [(r"(?i)(?:api[_-]?key|apikey|api_secret)['\"]?\s*[:=]\s*['\"]?[0-9a-zA-Z]{16,64}['\"]?", "medium")],
         "high", True, MaskingStrategy("full", replacement="[API_KEY_REDACTED]"),
+        description="Detects common API key patterns",
     ),
     "jwt": _p(
         "JWT Token", "secrets",
         [(r"eyJ[a-zA-Z0-9_-]*\.eyJ[a-zA-Z0-9_-]*\.[a-zA-Z0-9_-]*", "high")],
         "high", True, MaskingStrategy("partial", 10, 0, "*"),
+        description="JSON Web Token",
     ),
     "private-key": _p(
         "Private Key", "secrets",
         [(r"-----BEGIN (?:RSA |DSA |EC |OPENSSH )?PRIVATE KEY-----", "high")],
         "critical", True, MaskingStrategy("full", replacement="[PRIVATE_KEY_REDACTED]"),
+        description="Detects private keys (RSA, DSA, EC, etc.)",
     ),
     "password-in-url": _p(
         "Password in URL", "secrets",
         [(r"(?i)(?:https?://)[^:]+:([^@]+)@", "high")],
         "critical", True, MaskingStrategy("full", replacement="[PASSWORD_REDACTED]"),
+        description="Detects passwords embedded in URLs",
     ),
     "password": _p(
         "Password", "secrets",
         [(r"(?i)(?:password|passwd|pwd)['\"]?\s*[:=]\s*['\"]?[^\s'\"]{8,}['\"]?", "medium")],
         "critical", True, MaskingStrategy("full", replacement="[PASSWORD_REDACTED]"),
+        description="Detects password assignments in code/config",
     ),
     "database-connection": _p(
         "Database Connection String", "secrets",
         [(r"(?i)(?:mongodb|postgres|mysql|redis|amqp):\/\/[^:]+:[^@]+@", "high")],
         "critical", True, MaskingStrategy("full", replacement="[DB_CONNECTION_REDACTED]"),
+        description="Detects database connection strings with credentials",
     ),
     "stripe-key": _p(
         "Stripe API Key", "secrets",
@@ -274,16 +307,19 @@ BUILTIN_PATTERNS: dict[str, PIIPatternSpec] = {
             (r"pk_test_[0-9a-zA-Z]{24}", "high"),
         ],
         "critical", True, MaskingStrategy("partial", 7, 0, "*"),
+        description="Stripe API keys (live and test)",
     ),
     "sendgrid-key": _p(
         "SendGrid API Key", "secrets",
         [(r"SG\.[0-9A-Za-z\-_]{22}\.[0-9A-Za-z\-_]{43}", "high")],
         "critical", True, MaskingStrategy("partial", 3, 0, "*"),
+        description="SendGrid API keys",
     ),
     "twilio-key": _p(
         "Twilio API Key/SID", "secrets",
         [(r"AC[0-9a-fA-F]{32}", "high"), (r"SK[0-9a-fA-F]{32}", "high")],
         "critical", True, MaskingStrategy("partial", 2, 0, "*"),
+        description="Twilio Account SID and Auth Token",
     ),
 }
 

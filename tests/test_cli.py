@@ -83,3 +83,16 @@ def test_rules_test_pass_and_fail(tmp_path):
           shouldMatch: ["WRONG"]
     """))
     assert main(["rules", "test", str(bad)]) == 1
+
+
+def test_scan_list_patterns(capsys):
+    # -list parity (cli/main.go:346-358): every builtin with display,
+    # severity and the ported description
+    from pii_spark.cli import main
+
+    assert main(["scan", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("Available PII Patterns:")
+    assert out.count("Severity:") == 36
+    assert f"{'email':<25} Email Address" in out
+    assert "Description: Detects email addresses" in out

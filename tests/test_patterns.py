@@ -144,3 +144,10 @@ def test_catalog_rows():
     assert by_name["credit-card"]["validator"] == "luhn"
     assert by_name["credit-card"]["severity_level"] == 4
     assert by_name["email"]["n_rules"] == 1
+
+
+def test_all_builtin_descriptions_ported():
+    # builtin.go carries a Description per pattern — the port must too
+    from pii_spark.patterns import BUILTIN_PATTERNS
+
+    assert all(sp.description for sp in BUILTIN_PATTERNS.values())
