@@ -283,6 +283,46 @@ def test_connected_components_long_chain_star(spark):
     assert comp_lbl == comp
 
 
+def test_connected_components_random_graph_vs_union_find(spark):
+    # seeded random graph (mixed cliques, chains, isolated pairs) checked
+    # against an independent pure-Python union-find — both algorithms
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(1500):
+        a, b = rng.randrange(2000), rng.randrange(2000)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # plant a long chain to stress the diameter-independent claim
+    edges |= {(3000 + i, 3001 + i) for i in range(60)}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    for algo in ("star", "label"):
+        got = {
+            r.doc: r.component
+            for r in dedup.connected_components(
+                pairs, max_iter=80, algorithm=algo
+            ).collect()
+        }
+        assert got == expected, algo
+
+
 def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     # checkpoint_dir switches per-round materialization to reliable
     # storage (survives executor loss on a real cluster)
