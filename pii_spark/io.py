@@ -224,6 +224,38 @@ class TableIO:
         os.replace(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
         return True
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write ``name`` as a BUCKETED table on ``bucket_by`` — the
+        ingest-layout lever SCALE.md §3 relies on: a downstream
+        groupBy/join on the bucket columns reads the bucketing metadata
+        and skips its shuffle entirely (plan-gated in
+        ``tests/test_plans.py::test_bucketed_table_dedup_has_no_exchange``).
+        At 10¹² rows that converts the exact-dedup shuffle (~60 TB of
+        hash keys) into a per-bucket local merge.
+
+        Spark only persists bucketing through the table catalog
+        (``saveAsTable``), not path-based writes, so this uses the
+        session catalog (`spark.sql.warehouse.dir`; Hive not required).
+        Read it back with :meth:`read_table`.  In Iceberg-catalog mode
+        the equivalent layout is a ``bucket(n, col)`` partition
+        transform on the identifier."""
+        w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.format("parquet").saveAsTable(name)
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog-table read (bucketing metadata preserved)."""
+        return self.spark.table(name)
+
     def write(
         self,
         df: DataFrame,

@@ -164,3 +164,28 @@ def test_ivf_probe_filters_before_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert not re.findall(r"\(\d+\) Sort\b", p)  # no standalone global sort
     assert re.findall(r"\(\d+\) Filter", p)      # the probe-cell filter exists
+
+
+def test_bucketed_table_dedup_has_no_exchange(spark, tmp_path):
+    # ingest-layout lever (SCALE.md §3): a table bucketed on the dedup
+    # key lets the groupBy consume the bucketing and skip its shuffle
+    import re
+
+    from pii_spark.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "h", F.sha2(F.col("text"), 256)
+    )
+    name = "bucketed_docs_plan_test"
+    try:
+        io.write_bucketed(docs, name, bucket_by=["h"], n_buckets=8)
+        agg = io.read_table(name).groupBy("h").agg(F.min("doc_id").alias("survivor"))
+        p = plan(agg)
+        assert not re.findall(r"\(\d+\) Exchange", p)  # shuffle eliminated
+        # sanity: same aggregate over the plain parquet DOES shuffle
+        p2 = plan(docs.groupBy("h").agg(F.min("doc_id")))
+        assert re.findall(r"\(\d+\) Exchange", p2)
+        assert agg.count() == docs.select("h").distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
