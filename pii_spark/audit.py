@@ -6,8 +6,9 @@ Relational form of the reference's audit logger
 (``internal/notifier/notifier.go``).  Sinks are DataFrame writes: the
 reference's JSON-lines audit file (logger.go:187-204) becomes
 ``df.write.format("json").mode("append")``; HTTP alert sinks
-(slack/pagerduty/webhook/email) become an ``alerts`` table in this
-sandbox (S12) — a ``foreachPartition`` HTTP post in production.
+(slack/pagerduty/webhook/email) are :mod:`pii_spark.alerting`'s payload
+builders + ``post_alerts`` ``foreachPartition`` poster (S12), with the
+``alerts`` table as the audit-trail sink.
 """
 
 from __future__ import annotations

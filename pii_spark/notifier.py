@@ -5,9 +5,10 @@ Relational form of the reference's notifier stack
 severity gate is a filter (manager.go:81-89), the per-channel token
 bucket is the batch window cap (:func:`pii_spark.policy.rate_cap_batch`;
 exact bucket in :mod:`pii_spark.streaming`), and the HTTP senders
-(slack.go/pagerduty.go/webhook.go/email.go) become an ``alerts`` table
-write in this sandbox — production would post per partition via
-``foreachPartition`` (S12).
+(slack.go/pagerduty.go/webhook.go/email.go) live in
+:mod:`pii_spark.alerting` — shape-exact payload builders plus the
+``post_alerts`` ``foreachPartition`` poster (S12); ``write_alerts_table``
+remains as the audit-table sink.
 """
 
 from __future__ import annotations
