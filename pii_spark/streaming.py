@@ -105,6 +105,7 @@ def token_bucket_stream(
     id_col: str = "event_id",
     ts_col: str = "ts",
     id_type: str = "long",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming token-bucket rate limiter keyed by channel (T1).
 
@@ -115,7 +116,23 @@ def token_bucket_stream(
     batches in the state store.  ``id_type='string'`` for non-numeric
     event ids (e.g. UUIDs) — the output schema must match the id column
     or the Arrow conversion fails at runtime.
+
+    ``passthrough_cols`` carries additional input columns (severity,
+    pattern, payload fields, …) through the stateful op unchanged, so
+    the gated stream can feed alert delivery directly — the
+    strict-cross-batch-budget path :func:`alert_stream_writer`'s
+    docstring points at.
     """
+    passthrough = list(passthrough_cols or [])
+    in_fields = {f.name: f for f in df.schema.fields}
+    missing = [c for c in passthrough if c not in in_fields]
+    if missing:
+        raise ValueError(f"passthrough_cols not in input schema: {missing}")
+    out_schema = StructType(
+        token_bucket_output_schema(id_type).fields
+        + [in_fields[c] for c in passthrough]
+    )
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -137,22 +154,23 @@ def token_bucket_stream(
         blocked_total += len(allowed) - sum(allowed)
         state.update((float(tokens), float(last if last is not None else -1.0),
                       int(allowed_total), int(blocked_total)))
-        yield pd.DataFrame(
-            {
-                "channel": [key[0]] * len(rows),
-                "event_id": rows[id_col].to_numpy(),
-                "ts": rows[ts_col].to_numpy(),
-                "allowed": allowed,
-                "allowed_total": [allowed_total] * len(rows),
-                "blocked_total": [blocked_total] * len(rows),
-            }
-        )
+        out = {
+            "channel": [key[0]] * len(rows),
+            "event_id": rows[id_col].to_numpy(),
+            "ts": rows[ts_col].to_numpy(),
+            "allowed": allowed,
+            "allowed_total": [allowed_total] * len(rows),
+            "blocked_total": [blocked_total] * len(rows),
+        }
+        for c in passthrough:
+            out[c] = rows[c].to_numpy()
+        yield pd.DataFrame(out)
 
     return (
         df.groupBy(channel_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=token_bucket_output_schema(id_type),
+            outputStructType=out_schema,
             stateStructType=TOKEN_BUCKET_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
