@@ -366,3 +366,33 @@ def test_build_alerts_rejects_unknown_dedup_keys(spark):
     pol = PIIPolicy(dedup=DeduplicationConfig(keys=["namespace", "pod"]))
     with pytest.raises(ValueError, match="dedup keys"):
         build_alerts(findings, pol)
+
+
+def test_pipeline_sampling_membership_stable_across_resume(spark, corpus, tmp_path):
+    # deterministic hash sampling (F10) is what makes an interrupted
+    # sampled run resumable: membership is a pure function of the file
+    # key, so the resume processes exactly the missing part of the SAME
+    # sample (an RNG sample would re-draw per run)
+    from pii_spark.policy import PerformanceConfig, PIIPolicy
+
+    pdf, _ = corpus
+    df = spark.createDataFrame(pdf)
+    policy = PIIPolicy(performance=PerformanceConfig(sampling_rate=50.0))
+
+    io1 = TableIO(spark, str(tmp_path / "s_oneshot"))
+    Pipeline(spark, io1, PipelineConfig(
+        n_buckets=8, bucket_group_size=8, policy=policy)).run(df, "runS")
+    oneshot = io1.read("scrubbed_files").toPandas()
+
+    io2 = TableIO(spark, str(tmp_path / "s_resumed"))
+    pipe2 = Pipeline(spark, io2, PipelineConfig(
+        n_buckets=8, bucket_group_size=3, policy=policy))
+    pipe2.run(df, "runS", max_groups=1)   # interrupted
+    pipe2.resume(df, "runS")
+    resumed = io2.read("scrubbed_files").toPandas()
+
+    key = ["repo", "path", "commit"]
+    a = set(map(tuple, oneshot[key].itertuples(index=False)))
+    b = set(map(tuple, resumed[key].itertuples(index=False)))
+    assert a == b                       # identical sample membership
+    assert 0 < len(a) < len(pdf)        # the knob actually sampled
