@@ -67,9 +67,11 @@ def main() -> int:
     df = df.localCheckpoint(eager=True)  # consumed by pairs + anti-join
     funnel["after_exact_dedup"] = df.count()
 
-    # 3. near-dedup survivors
+    # 3. near-dedup survivors (hot_bucket_cap bounds the candidate join
+    # if a giant boilerplate cluster survives stages 1-2)
     pairs = dedup.minhash_lsh_pairs(
-        df, "doc_key", "content", num_hashes=128, bands=32, verify_threshold=0.8
+        df, "doc_key", "content", num_hashes=128, bands=32, verify_threshold=0.8,
+        hot_bucket_cap=2000,
     )
     df = dedup.near_dedup(df, pairs, "doc_key")
     funnel["after_near_dedup"] = df.count()

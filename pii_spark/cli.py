@@ -40,7 +40,11 @@ def _read_input(args) -> str:
 def output_text(result, out=sys.stdout) -> None:
     """Grouped-by-pattern report (cli/main.go:359-392, A2)."""
     if not result.detections:
+        # cli/main.go:360-366: the clean path echoes the original text
         print("No PII detected.", file=out)
+        print(file=out)
+        print("Original text:", file=out)
+        print(result.original_text, file=out)
         return
     print(f"Detected {len(result.detections)} PII instance(s):\n", file=out)
     for name, dets in sorted(group_by_pattern(result.detections).items()):

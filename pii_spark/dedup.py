@@ -321,6 +321,13 @@ def minhash_lsh_pairs(
             .select(F.col("__bmin").alias("doc_a"), F.col("doc").alias("doc_b"))
             .distinct()
         )
+        # truncate the star branch to a leaf: it shares attribute ids
+        # with the cold branch (both descend from the windowed frame),
+        # and unioning the two deep lineages trips Catalyst's attribute
+        # resolution in downstream checkpoints ("key not found: dst#N",
+        # reproduced via the curate chain); the star set is small by
+        # construction (one edge per hot-bucket member)
+        star = _materialize(star, True)
     else:
         star = None
         banded = _materialize(banded, True)  # both sides of the bucket self-join
@@ -648,6 +655,15 @@ def connected_components(
     if algorithm != "star":
         raise ValueError(f"unknown algorithm {algorithm!r} (use 'star' or 'label')")
 
+    # truncate the incoming pair lineage to a leaf FIRST: callers hand in
+    # deep multi-join plans (LSH candidates ∪ hot-bucket stars, verified
+    # against twice-referenced text leaves), and unioning such a plan
+    # with its own column-swap trips Catalyst attribute resolution in
+    # the checkpoint job ("java.util.NoSuchElementException: key not
+    # found: dst#N" — reproduced end-to-end via the curate chain).  The
+    # pair set is the small artifact here; one extra materialization is
+    # noise next to candidate generation.
+    pairs = _materialize(pairs.select(id_a, id_b), True, checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -687,6 +703,10 @@ def _cc_label(
     stop when no label changed.  O(diameter) rounds — use on graphs
     known dense; :func:`connected_components` with ``algorithm='star'``
     is the diameter-independent default."""
+    # same leaf-truncation guard as the star path (see the comment in
+    # connected_components): deep caller lineages + the column-swap
+    # union break Catalyst attribute resolution in the checkpoint job
+    pairs = _materialize(pairs.select(id_a, id_b), True, checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -419,3 +419,27 @@ def test_cosine_zero_norm_vector_is_zero_not_error(spark):
 def test_cosine_near_dup_pairs_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.cosine_near_dup_pairs(df, "vec_id", "embedding").count() == 0
+
+
+def test_near_dedup_over_capped_verified_pairs_deep_lineage(spark):
+    # regression: the full chain (localCheckpointed input -> LSH with
+    # hot_bucket_cap -> exact verification -> connected components)
+    # tripped Catalyst attribute resolution in the CC checkpoint job
+    # ("key not found: dst#N") before pairs were leaf-truncated at the
+    # CC boundary; this drives the same deep lineage end-to-end
+    rows = [(f"k{i}", f"wholly distinct document number {i} about topic "
+             f"{i % 7} with words alpha{i} beta{i} gamma") for i in range(60)]
+    rows += [(f"d{i}", "shared near duplicate content block alpha beta gamma "
+              "delta epsilon zeta eta theta iota kappa") for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "doc_key string, text string"
+    ).localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_key", "text", num_hashes=32, bands=8,
+        verify_threshold=0.8, hot_bucket_cap=10,
+    )
+    survivors = sorted(
+        r.doc_key for r in dedup.near_dedup(df, pairs, "doc_key").collect()
+    )
+    assert len(survivors) == 61  # 60 unique + 1 cluster survivor
+    assert "d0" in survivors and "d1" not in survivors
