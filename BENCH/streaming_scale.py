@@ -51,15 +51,20 @@ def main() -> None:
         shutil.rmtree(SRC)
     os.makedirs(SRC)
     per_batch = EVENTS // BATCHES
+    total_events = per_batch * BATCHES  # EVENTS rounded to a batch multiple
     # deterministic event files: round-robin channels, 1-second spacing
-    # per channel so the bucket refill path is exercised
+    # per channel so the bucket refill path is exercised; timestamps via
+    # real datetime arithmetic so large event counts roll over days
+    # instead of producing invalid hour-26 strings that parse to null
+    from datetime import datetime, timedelta
+
+    t0ts = datetime(2024, 1, 1)
     eid = 0
     for b in range(BATCHES):
         with open(os.path.join(SRC, f"b{b:02d}.json"), "w") as f:
             for i in range(per_batch):
                 ch = eid % CHANNELS
-                sec = eid // CHANNELS
-                ts = f"2024-01-01T{sec // 3600:02d}:{(sec // 60) % 60:02d}:{sec % 60:02d}"
+                ts = (t0ts + timedelta(seconds=eid // CHANNELS)).isoformat()
                 f.write(json.dumps(
                     {"channel": f"ch{ch}", "event_id": eid, "ts": ts}) + "\n")
                 eid += 1
@@ -75,11 +80,14 @@ def main() -> None:
         .json(SRC)
     )
     out = token_bucket_stream(stream, rate_per_min=10)
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="pii_spark_stream_ckpt_")  # fresh per run
     t0 = time.time()
     q = (
         out.writeStream.format("memory").queryName("tb_bench")
         .outputMode("append")
-        .option("checkpointLocation", "/tmp/pii_spark_stream_ckpt_" + str(os.getpid()))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -101,7 +109,8 @@ def main() -> None:
         "cpus": CPUS,
     }
     print(json.dumps(summary))
-    assert agg["n"] == EVENTS
+    assert agg["n"] == total_events
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     md = f"""# BENCH/STREAMING — token-bucket rate limiter throughput
 

@@ -224,6 +224,15 @@ class TableIO:
         os.replace(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
         return True
 
+    def _session_table(self, name: str) -> str:
+        """Session-catalog identifier for bucketed tables, namespaced by
+        a hash of this instance's root — two TableIO instances with
+        different roots in one Spark session must not collide on (or
+        silently clobber) the same global table name."""
+        import hashlib
+
+        return f"pii_spark_{hashlib.sha256(self.root.encode()).hexdigest()[:8]}_{name}"
+
     def write_bucketed(
         self,
         df: DataFrame,
@@ -232,7 +241,7 @@ class TableIO:
         n_buckets: int,
         sort_by: list[str] | None = None,
         mode: str = "overwrite",
-    ) -> None:
+    ) -> str:
         """Write ``name`` as a BUCKETED table on ``bucket_by`` — the
         ingest-layout lever SCALE.md §3 relies on: a downstream
         groupBy/join on the bucket columns reads the bucketing metadata
@@ -243,18 +252,34 @@ class TableIO:
 
         Spark only persists bucketing through the table catalog
         (``saveAsTable``), not path-based writes, so this uses the
-        session catalog (`spark.sql.warehouse.dir`; Hive not required).
-        Read it back with :meth:`read_table`.  In Iceberg-catalog mode
-        the equivalent layout is a ``bucket(n, col)`` partition
-        transform on the identifier."""
+        SESSION catalog under a root-namespaced identifier (returned);
+        read it back with :meth:`read_table`, drop with
+        :meth:`drop_table` — it is deliberately a separate namespace
+        from :meth:`read`/:meth:`exists` (which cover the path-based
+        tables).  Iceberg-catalog mode raises: express the same layout
+        there as a ``bucket(n, col)`` partition transform via
+        ``writeTo(...).partitionedBy(bucket(n, col))`` at table-creation
+        time — Spark's bucketBy writer does not translate to it."""
+        if self.catalog:
+            raise NotImplementedError(
+                "write_bucketed targets the session catalog; in Iceberg "
+                "mode declare a bucket(n, col) partition transform on the "
+                "table instead (writeTo(...).partitionedBy)"
+            )
+        ident = self._session_table(name)
         w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
         if sort_by:
             w = w.sortBy(*sort_by)
-        w.format("parquet").saveAsTable(name)
+        w.format("parquet").saveAsTable(ident)
+        return ident
 
     def read_table(self, name: str) -> DataFrame:
-        """Catalog-table read (bucketing metadata preserved)."""
-        return self.spark.table(name)
+        """Read a :meth:`write_bucketed` table (bucketing metadata
+        preserved)."""
+        return self.spark.table(self._session_table(name))
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._session_table(name)}")
 
     def write(
         self,

@@ -128,6 +128,13 @@ def token_bucket_stream(
     missing = [c for c in passthrough if c not in in_fields]
     if missing:
         raise ValueError(f"passthrough_cols not in input schema: {missing}")
+    reserved = {"channel", "event_id", "ts", "allowed", "allowed_total", "blocked_total"}
+    clash = [c for c in passthrough if c in reserved]
+    if clash:
+        # a clash would build a schema with duplicate fields while the
+        # yielded frame has one column — an opaque executor-side Arrow
+        # error instead of this clean one
+        raise ValueError(f"passthrough_cols collide with output columns: {clash}")
     out_schema = StructType(
         token_bucket_output_schema(id_type).fields
         + [in_fields[c] for c in passthrough]

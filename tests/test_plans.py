@@ -179,7 +179,8 @@ def test_bucketed_table_dedup_has_no_exchange(spark, tmp_path):
     )
     name = "bucketed_docs_plan_test"
     try:
-        io.write_bucketed(docs, name, bucket_by=["h"], n_buckets=8)
+        ident = io.write_bucketed(docs, name, bucket_by=["h"], n_buckets=8)
+        assert ident.startswith("pii_spark_")  # root-namespaced identifier
         agg = io.read_table(name).groupBy("h").agg(F.min("doc_id").alias("survivor"))
         p = plan(agg)
         assert not re.findall(r"\(\d+\) Exchange", p)  # shuffle eliminated
@@ -187,5 +188,12 @@ def test_bucketed_table_dedup_has_no_exchange(spark, tmp_path):
         p2 = plan(docs.groupBy("h").agg(F.min("doc_id")))
         assert re.findall(r"\(\d+\) Exchange", p2)
         assert agg.count() == docs.select("h").distinct().count()
+        # catalog mode must refuse rather than silently bypass the catalog
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            TableIO(spark, str(tmp_path), catalog="cat").write_bucketed(
+                docs, name, bucket_by=["h"], n_buckets=8
+            )
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        io.drop_table(name)
