@@ -371,3 +371,83 @@ def post_alerts(
 
     to_send.foreachPartition(send_partition)
     return {"sent": sent_acc.value, "failed": failed_acc.value}
+
+
+def channel_from_spec(
+    name: str,
+    spec: dict,
+    resolve_secret=None,
+) -> HTTPChannelConfig:
+    """Build a channel config from a PIIAlertChannel-shaped spec dict —
+    the alert-channel reconcile's notifier construction
+    (``internal/controller/piialertchannel_controller.go:124-249``):
+    per-type sub-config dispatch, inline-value-or-secret-ref resolution
+    (Slack ``webhookURLValue``/``webhookURL``, webhook ``url``/
+    ``urlFrom``, PagerDuty ``serviceKey``, webhook ``secretHeaders``),
+    CRD defaults (minSeverity=medium, rateLimitPerMinute=10 are the
+    registry side — see :class:`pii_spark.notifier.AlertChannel`).
+
+    ``resolve_secret(ref_dict) -> str`` stands in for the K8s Secret
+    lookup; required whenever the spec references one.  Raises
+    ``ValueError`` with the reference's error messages on missing
+    config, like the reconcile marking the channel not-Ready.
+    """
+    def secret(ref, what):
+        if resolve_secret is None:
+            raise ValueError(f"failed to get {what} from secret: no resolver")
+        return resolve_secret(ref)
+
+    ctype = spec.get("type", "")
+    if ctype == "slack":
+        sl = spec.get("slack")
+        if sl is None:
+            raise ValueError("slack configuration is required")
+        if sl.get("webhookURLValue"):
+            url = sl["webhookURLValue"]
+        elif sl.get("webhookURL") is not None:
+            url = secret(sl["webhookURL"], "webhook URL")
+        else:
+            raise ValueError("either webhookURL or webhookURLValue must be specified")
+        return HTTPChannelConfig(
+            name=name, type="slack", url=url,
+            channel=sl.get("channel", ""),
+            username=sl.get("username") or "PII Redactor",
+            icon_emoji=sl.get("iconEmoji") or ":shield:",
+        )
+    if ctype == "pagerduty":
+        pd_cfg = spec.get("pagerduty")
+        if pd_cfg is None:
+            raise ValueError("pagerduty configuration is required")
+        if pd_cfg.get("serviceKey") is None:
+            raise ValueError("pagerduty serviceKey is required")
+        return HTTPChannelConfig(
+            name=name, type="pagerduty",
+            routing_key=secret(pd_cfg["serviceKey"], "service key"),
+            severity=pd_cfg.get("severity") or "critical",
+        )
+    if ctype == "webhook":
+        wh = spec.get("webhook")
+        if wh is None:
+            raise ValueError("webhook configuration is required")
+        if wh.get("url"):
+            url = wh["url"]
+        elif wh.get("urlFrom") is not None:
+            url = secret(wh["urlFrom"], "URL")
+        else:
+            raise ValueError("either url or urlFrom must be specified")
+        headers = dict(wh.get("headers") or {})
+        for hname, ref in (wh.get("secretHeaders") or {}).items():
+            headers[hname] = secret(ref, f"header {hname}")
+        return HTTPChannelConfig(
+            name=name, type="webhook", url=url,
+            method=wh.get("method") or "POST", headers=headers,
+        )
+    if ctype == "email":
+        em = spec.get("email")
+        if em is None:
+            raise ValueError("email configuration is required")
+        return HTTPChannelConfig(
+            name=name, type="email",
+            email_from=em.get("from", ""), email_to=list(em.get("to") or []),
+        )
+    raise ValueError(f"unknown channel type: {ctype}")
