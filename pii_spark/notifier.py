@@ -123,14 +123,23 @@ class NotifierManager:
             .drop("__rank")
         )
 
-    def channel_stats(self, routed: DataFrame) -> DataFrame:
+    def channel_stats(self, routed: DataFrame, ts_col: str = "ts") -> DataFrame:
         """Per-channel allowed/blocked tallies + config echo (A7,
-        manager.go:146-167; ratelimiter.go:77-88)."""
+        manager.go:146-167; ratelimiter.go:77-88) and the channel
+        status fields ``AlertsSentTotal`` / ``LastAlertSent``
+        (piialertchannel_types.go:125-128) — the max event time among
+        delivered alerts."""
+        last_sent = (
+            F.max(F.when(F.col("allowed"), F.col(ts_col))).alias("last_alert_sent")
+            if ts_col in routed.columns
+            else F.lit(None).cast("timestamp").alias("last_alert_sent")
+        )
         return (
             routed.groupBy("channel", "type", "min_severity", "rate_limit_per_min")
             .agg(
                 F.sum(F.col("allowed").cast("long")).alias("allowed"),
                 F.sum((~F.col("allowed")).cast("long")).alias("blocked"),
+                last_sent,
             )
             .orderBy("channel")
         )

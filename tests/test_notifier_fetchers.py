@@ -66,6 +66,11 @@ def test_route_alerts_gate_and_cap(spark, manager):
     stats = {r.channel: r for r in manager.channel_stats(routed).collect()}
     assert (stats["slack"].allowed, stats["slack"].blocked) == (2, 1)
     assert (stats["email"].allowed, stats["email"].blocked) == (4, 0)
+    # LastAlertSent status analog (piialertchannel_types.go:125): max
+    # event time among DELIVERED alerts — slack's blocked p3 (00:00:03)
+    # must not advance it
+    assert stats["slack"].last_alert_sent.second == 2
+    assert stats["email"].last_alert_sent.second == 4
 
 
 # ---------------------------------------------------------------------------
