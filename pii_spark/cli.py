@@ -58,13 +58,27 @@ def output_text(result, out=sys.stdout) -> None:
     print(f"\nRedacted: {result.redacted_text}", file=out)
 
 
-def output_json(result, out=sys.stdout) -> None:
-    """Pretty JSON (cli/main.go:395-415)."""
+def output_json(result, out=None) -> None:
+    """Pretty JSON, key-exact with the reference (cli/main.go:391-415):
+    explicit snake_case tags at the top level, Go's default CamelCase
+    marshaling for the untagged DetectionResult entries."""
+    out = out if out is not None else sys.stdout
     doc = {
-        "original": result.original_text,
-        "redacted": result.redacted_text,
-        "count": result.redacted_count,
-        "detections": [d.as_dict() for d in result.detections],
+        "detection_count": result.redacted_count,
+        "detections": [
+            {
+                "PatternName": d.pattern,
+                "DisplayName": d.display,
+                "MatchedText": d.matched,
+                "Position": {"Start": d.start, "End": d.end},
+                "Confidence": d.confidence,
+                "Severity": d.severity,
+                "RedactedText": d.redacted,
+            }
+            for d in result.detections
+        ],
+        "original_text": result.original_text,
+        "redacted_text": result.redacted_text,
     }
     json.dump(doc, out, indent=2)
     out.write("\n")
