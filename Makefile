@@ -1,7 +1,7 @@
 # Developer entry points (mirrors the reference's Makefile role,
 # /root/reference/Makefile — test/build/run targets for this engine).
 
-.PHONY: test bench scale skew dedup-bench verify
+.PHONY: test bench scale skew dedup-bench embed-bench hot-bucket stream-bench plans verify curate
 
 test:
 	python -m pytest tests/ -x -q
@@ -18,6 +18,22 @@ skew:             ## salted vs by-repo layout → BENCH/SKEW.md
 dedup-bench:      ## dedup family at 160k docs → BENCH/DEDUP.md
 	python BENCH/dedup_scale.py
 
+embed-bench:      ## 1M-vector embedding near-dup → BENCH/EMBED.md
+	python BENCH/embedding_scale.py
+
+hot-bucket:       ## pathological-cluster MinHash cap → BENCH/HOTBUCKET.md
+	python BENCH/hot_bucket.py
+
+stream-bench:     ## stateful token-bucket throughput → BENCH/STREAMING.md
+	python BENCH/streaming_scale.py
+
+plans:            ## regenerate docs/PLANS.md physical-plan snapshots
+	python BENCH/plans_snapshot.py
+
 verify:           ## spark-submit end-to-end drive vs the independent oracle
 	rm -f /tmp/pii_spark.zip && zip -qr /tmp/pii_spark.zip pii_spark
 	spark-submit --master 'local[8]' --py-files /tmp/pii_spark.zip examples/run_pipeline.py
+
+curate:           ## full curation-chain drive (dedup → quality → mixture)
+	rm -f /tmp/pii_spark.zip && zip -qr /tmp/pii_spark.zip pii_spark
+	spark-submit --master 'local[8]' --py-files /tmp/pii_spark.zip examples/curate_corpus.py
