@@ -737,6 +737,31 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_channel_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 channel lookup + F9 severity gate + T1 per-channel cap + A7
+    # stats (incl. the LastAlertSent status analog), end-to-end through
+    # NotifierManager.route_alerts/channel_stats over the events table;
+    # severities derived from event_id % 4 (engine-independent ints)
+    from pii_spark.notifier import AlertChannel, NotifierManager
+
+    ev = _events(spark, sf_dir)
+    sev = (
+        F.when(ev.event_id % 4 == 0, "low")
+        .when(ev.event_id % 4 == 1, "medium")
+        .when(ev.event_id % 4 == 2, "high")
+        .otherwise("critical")
+    )
+    alerts = ev.select("ts", F.col("event_type").alias("pattern"), sev.alias("severity"))
+    manager = NotifierManager([
+        AlertChannel(name="email", type="email", min_severity="low",
+                     rate_limit_per_min=5),
+        AlertChannel(name="slack", type="slack", min_severity="high",
+                     rate_limit_per_min=2),
+    ])
+    routed = manager.route_alerts(alerts, spark)
+    return manager.channel_stats(routed).orderBy("channel")
+
+
 def q_patterns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F4 registry projections: the pattern bank as an introspectable table
     from pii_spark.patterns import patterns_catalog_rows
@@ -925,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "embedding_near_dup": q_embedding_near_dup,
         "patterns_catalog": q_patterns_catalog,
+        "channel_routing": q_channel_routing,
         "rulesets_catalog": q_rulesets_catalog,
         "subscription_resolve": q_subscription_resolve,
         "pending_updates": q_pending_updates,
@@ -1435,6 +1461,51 @@ def oracle_sql() -> dict[str, str]:
         # patterns_catalog: the bank is static config (ported verbatim
         # from builtin.go:31-483) — the oracle is the independently
         # stated golden composition: 36 patterns, 30 enabled.
+        # full channel-routing semantics in SQL: fan-out to the channel
+        # dim, severity-ordinal gate, per-(channel, minute) running rank
+        # capped at the channel rate, allowed/blocked tallies and the
+        # max delivered event time.  Only order-independent aggregates
+        # are emitted (counts and boundary ts values are well-defined
+        # under rank ties even though the tie order itself is not)
+        "channel_routing": """
+            WITH alerts AS (
+                SELECT ts, event_type AS pattern,
+                       CASE event_id % 4 WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+                            WHEN 2 THEN 'high' ELSE 'critical' END AS severity
+                FROM events
+            ),
+            lvl AS (
+                SELECT *, CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 2
+                               WHEN 'high' THEN 3 WHEN 'critical' THEN 4
+                               ELSE 0 END AS sl
+                FROM alerts
+            ),
+            ch AS (
+                SELECT * FROM (VALUES
+                    ('email', 'email', 'low', 1, 5),
+                    ('slack', 'slack', 'high', 3, 2)
+                ) t(channel, type, min_severity, min_lvl, rate_limit_per_min)
+            ),
+            fanned AS (
+                SELECT c.channel, c.type, c.min_severity, c.rate_limit_per_min,
+                       l.ts, l.pattern
+                FROM ch c JOIN lvl l ON l.sl >= c.min_lvl
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY channel, time_bucket(INTERVAL '1 minute', ts)
+                    ORDER BY ts, pattern
+                ) <= rate_limit_per_min AS allowed
+                FROM fanned
+            )
+            SELECT channel, type, min_severity, rate_limit_per_min,
+                   CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS allowed,
+                   CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS blocked,
+                   max(CASE WHEN allowed THEN ts END) AS last_alert_sent
+            FROM ranked
+            GROUP BY channel, type, min_severity, rate_limit_per_min
+            ORDER BY channel
+        """,
         # config-plane fixtures are static — golden rows stated
         # independently of the implementation (like patterns_catalog)
         "rulesets_catalog": """

@@ -139,6 +139,7 @@ def main() -> None:
         "token_budget",
         "token_count_bpe",
         "sampling",
+        "channel_routing",
         "rulesets_catalog",
         "subscription_resolve",
         "pending_updates",
