@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pii_spark import dedup, similarity
@@ -664,77 +666,117 @@ def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multimodal plumbing: binary payload column → decode-stub features.
-    # The query projects the oracle-able columns (ids, declared shape,
-    # payload sha256 — i.e. the distributed plumbing end-to-end); the
-    # stub's pixel statistics (mean/std of a sha256 counter stream) are
-    # not SQL-expressible and stay pytest-verified
-    # (tests/test_multimodal_fingerprint.py).
+    # multimodal DECODE verification: each row carries a REAL image
+    # payload (BMP for odd doc_id, binary PGM for even — both built by
+    # the from-scratch encoders) whose pixel field is the closed form
+    # px[i] = (doc_id*31 + i*7) mod 256.  The query emits the decoded
+    # shape and the exact pixel sum; the DuckDB oracle recomputes both
+    # from the arithmetic alone, so a header/stride/padding misparse in
+    # decode_bmp/decode_pnm breaks the hash — this verifies the decoder,
+    # not just the transport.
+    from pyspark.sql.functions import pandas_udf
+
     from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def image_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            px = M.synth_gray(d, d % 16 + 8, d % 8 + 8)
+            out.append(M.encode_bmp(px) if d % 2 else M.encode_pgm(px))
+        return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-        F.create_map(
-            F.lit("height"), ((F.col("doc_id") % 16) + 8).cast("string"),
-            F.lit("width"), ((F.col("doc_id") % 8) + 8).cast("string"),
-        ).alias("meta"),
+        image_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),  # dims come from the header
     )
     return (
         M.image_features(media)
-        .select("media_id", "height", "width", "content_sha256")
+        .select("media_id", "height", "width", "n_pixels", "sum_pixels")
         .orderBy("media_id")
     )
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multimodal audio plumbing: declared rate + sample count round-trip
-    # the mapInPandas decode exactly (duration = n_samples/rate); the
-    # stub's RMS is not SQL-expressible and stays pytest-verified
+    # multimodal audio DECODE verification: real RIFF/WAVE PCM-16
+    # payloads with the closed-form signal s[i] = ((doc_id*7 + i*13)
+    # mod 65536) - 32768; rate/sample-count come from the parsed header
+    # and sum_sq_raw is the exact Σs² over the decoded samples — all
+    # recomputed arithmetically by the oracle.
+    from pyspark.sql.functions import pandas_udf
+
     from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rate, n = (d % 4 + 1) * 4000, (d % 8 + 1) * 1000
+            out.append(M.encode_wav(M.synth_pcm(d, n), rate))
+        return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-        F.create_map(
-            F.lit("sample_rate"), ((F.col("doc_id") % 4 + 1) * 4000).cast("string"),
-            F.lit("n_samples"), ((F.col("doc_id") % 8 + 1) * 1000).cast("string"),
-        ).alias("meta"),
+        wav_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),  # rate comes from the header
     )
     return (
         M.audio_features(media)
         .select(
-            "media_id", "sample_rate",
+            "media_id", "sample_rate", "n_samples",
             F.round(F.col("duration_sec") * 1000).cast("long").alias("duration_ms"),
+            "sum_sq_raw",
         )
         .orderBy("media_id")
     )
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multimodal video plumbing (UDTF-shaped mapInPandas: one row in,
-    # many frames out): frames = floor(payload_bytes / frame_size),
-    # sampled every 2nd — the emitted frame count per media is pure
-    # integer arithmetic on the payload size, hence oracle-checkable
+    # multimodal video DECODE verification (UDTF-shaped mapInPandas:
+    # one row in, many frames out): the container is doc_id%6+1
+    # concatenated REAL PGM frames with pixel field (doc_id*31 + f*17 +
+    # i*7) mod 256; every 2nd frame is sampled, then DECODED as an
+    # image.  frame_size is derived from the payload length (frames are
+    # equal-sized), so the slicer carries no hardcoded geometry.
+    from pyspark.sql.functions import pandas_udf
+
     from pii_spark import multimodal as M
 
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-        F.create_map(F.lit("frame_size"), F.lit("16")).alias("meta"),
-    )
-    frames = M.sample_video_frames(media, every_n=2)
-    return (
-        frames.groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames_sampled"),
-            F.max("frame_idx").cast("long").alias("max_frame_idx"),
+    @pandas_udf("binary")
+    def video_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w, nf = 4 + d % 4, 4 + d % 2, d % 6 + 1
+            out.append(
+                b"".join(
+                    M.encode_pgm(M.synth_gray(d, h, w, frame=f)) for f in range(nf)
+                )
+            )
+        return pd.Series(out)
+
+    media = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            video_payload(F.col("doc_id")).alias("data"),
         )
-        .orderBy("media_id")
+        .withColumn(
+            "meta",
+            F.create_map(
+                F.lit("frame_size"),
+                (F.length("data") / (F.col("media_id") % 6 + 1))
+                .cast("int").cast("string"),
+            ),
+        )
     )
+    return M.video_frame_features(media, every_n=2).orderBy("media_id", "frame_idx")
 
 
 def q_channel_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,13 +1379,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "langid_distribution": _langid_oracle_sql(),
-        # the mapInPandas decode path must round-trip ids, the declared
-        # (clamped) shape, and the payload digest exactly
+        # decode verification: the Spark side parses a REAL BMP/PGM
+        # payload; the oracle recomputes the decoded shape and exact
+        # pixel sum from the closed-form pixel field alone — any
+        # header/stride/padding misparse breaks the hash
         "image_features": """
             SELECT doc_id AS media_id,
-                   CAST((doc_id % 16) + 8 AS INT) AS height,
-                   CAST((doc_id % 8) + 8 AS INT) AS width,
-                   sha256(text) AS content_sha256
+                   CAST(doc_id % 16 + 8 AS INT) AS height,
+                   CAST(doc_id % 8 + 8 AS INT) AS width,
+                   CAST((doc_id % 16 + 8) * (doc_id % 8 + 8) AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                        i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS sum_pixels
             FROM documents ORDER BY media_id
         """,
         # exact re-implementation of the SimHash fingerprint in SQL:
@@ -1423,23 +1470,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 5
             ORDER BY doc_a, doc_b
         """,
+        # decode verification: rate + sample count come from the PARSED
+        # RIFF/fmt/data chunks; sum_sq_raw is Σs² over the decoded PCM
+        # samples, recomputed here from the closed-form signal
         "audio_features": """
             SELECT doc_id AS media_id,
                    CAST((doc_id % 4 + 1) * 4000 AS INT) AS sample_rate,
+                   CAST((doc_id % 8 + 1) * 1000 AS BIGINT) AS n_samples,
                    CAST(round((doc_id % 8 + 1) * 1000 * 1000.0
-                              / ((doc_id % 4 + 1) * 4000)) AS BIGINT) AS duration_ms
+                              / ((doc_id % 4 + 1) * 4000)) AS BIGINT) AS duration_ms,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 8 + 1) * 1000),
+                        i -> ((doc_id * 7 + i * 13) % 65536 - 32768)
+                           * ((doc_id * 7 + i * 13) % 65536 - 32768))) AS BIGINT)
+                       AS sum_sq_raw
             FROM documents ORDER BY media_id
         """,
-        # frames = floor(utf8_bytes / 16), emitted every 2nd (idx 0,2,…)
+        # decode verification: every 2nd PGM frame of the container is
+        # decoded as an image; shape + exact per-frame pixel sum are
+        # recomputed from the (doc_id, frame) closed form
         "video_frames": """
-            SELECT doc_id AS media_id,
-                   CAST((nf + 1) // 2 AS BIGINT) AS n_frames_sampled,
-                   CAST(((nf - 1) // 2) * 2 AS BIGINT) AS max_frame_idx
-            FROM (
-                SELECT doc_id, octet_length(encode(text)) // 16 AS nf
+            WITH m AS (
+                SELECT doc_id, 4 + doc_id % 4 AS h, 4 + doc_id % 2 AS w,
+                       doc_id % 6 + 1 AS nf
                 FROM documents
-            )
-            WHERE nf >= 1 ORDER BY media_id
+            ),
+            fr AS (SELECT doc_id, h, w, unnest(range(0, nf, 2)) AS f FROM m)
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+                   CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+                   CAST(list_sum(list_transform(
+                        range(0, h * w),
+                        i -> (doc_id * 31 + f * 17 + i * 7) % 256)) AS BIGINT)
+                       AS sum_pixels
+            FROM fr ORDER BY media_id, frame_idx
         """,
         # quality_pipeline: the full stack's only model-bound decision on
         # this corpus is the char-trigram perplexity gate (the trained

@@ -1,17 +1,25 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column processing.
 
 Not in the reference (text-only); added per the task brief: a 100 TB
 training-data engine treats media as opaque ``binary`` columns with
 typed metadata, and runs decode / feature-extract / resize /
 frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is STUBBED: ``decode_image``/``decode_audio`` try the real
-library first and otherwise fall back to a clearly-marked deterministic
-fake (pixels/samples derived from sha256 of the payload) so the
-Spark-side plumbing — schemas, partitioning, UDF signatures, Arrow batch
-shapes, frame-explosion — is real and tested end-to-end.  Swapping in a
-real decoder is a one-function change.
+Decoding is REAL for the uncompressed container formats that are
+parseable from scratch with the stdlib ``struct`` module — no codec
+libraries needed:
+
+- **images**: BMP (BITMAPINFOHEADER; 8-bit palette / 24-bit / 32-bit,
+  bottom-up or top-down, 4-byte row padding) and PNM (P2/P5 grayscale,
+  P3/P6 RGB, ASCII or binary raster, header comments);
+- **audio**: RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE, any
+  channel count, word-aligned chunk walk).
+
+RGB collapses to grayscale via integer BT.601 luminance.  Compressed
+formats (PNG/JPEG/MP3/...) try PIL if present; otherwise fall back to
+the clearly-marked deterministic fake (pixels/samples derived from
+sha256 of the payload) so unknown payloads still flow through the
+pipeline with reproducible statistics instead of killing the stage.
 
 Scale notes: media rows are large; ``repartition_media`` salts by
 (media_id) hash so no partition holds correlated giant files, and the
@@ -23,6 +31,7 @@ batches are rows × full payloads).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -58,7 +67,224 @@ def repartition_media(df: DataFrame, n_partitions: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# decoders (real library if present, deterministic fake otherwise)
+# real codecs: BMP / PNM images, WAV audio (stdlib struct, no libraries)
+# ---------------------------------------------------------------------------
+
+def _bt601(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer ITU-R BT.601 luminance (round-half-up): exact when
+    r == g == b, deterministic everywhere."""
+    y = (299 * r.astype(np.int64) + 587 * g.astype(np.int64)
+         + 114 * b.astype(np.int64) + 500) // 1000
+    return y.astype(np.uint8)
+
+
+# ---- PNM (P2/P3 ascii, P5/P6 binary) --------------------------------------
+
+def encode_pgm(px: np.ndarray) -> bytes:
+    """Grayscale uint8 (h, w) → binary PGM (P5, maxval 255)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) → binary PPM (P6, maxval 255)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _pnm_header(data: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Read ``n_tokens`` ASCII header integers after the 2-byte magic,
+    skipping whitespace and ``#`` comments.  Returns (values, offset of
+    the byte after the single post-header whitespace)."""
+    toks: list[int] = []
+    i = 2
+    ln = len(data)
+    while len(toks) < n_tokens:
+        while i < ln:
+            c = data[i]
+            if c == 0x23:  # '#' comment to end of line
+                while i < ln and data[i] not in (0x0A, 0x0D):
+                    i += 1
+            elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+                i += 1
+            else:
+                break
+        j = i
+        while j < ln and data[j] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(data[i:j]))
+        i = j
+    # exactly one whitespace byte separates header from binary raster
+    return toks, i + 1
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PNM bytes → grayscale uint8 (h, w).  P2/P5 grayscale pass
+    through; P3/P6 RGB collapse via BT.601."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a PNM payload: {magic!r}")
+    (w, h, maxval), off = _pnm_header(data, 3)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PNM maxval {maxval} (only 8-bit)")
+    n_ch = 3 if magic in (b"P3", b"P6") else 1
+    n = w * h * n_ch
+    if magic in (b"P5", b"P6"):
+        raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    else:  # ASCII raster: whitespace-separated ints
+        vals = data[off - 1:].split()
+        if len(vals) < n:
+            raise ValueError("truncated PNM ascii raster")
+        raster = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+    if maxval != 255:  # scale to full 8-bit range like common viewers
+        raster = ((raster.astype(np.int64) * 255 + maxval // 2) // maxval).astype(np.uint8)
+    if n_ch == 3:
+        rgb = raster.reshape(h, w, 3)
+        return _bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    return raster.reshape(h, w)
+
+
+# ---- BMP (BITMAPINFOHEADER) -----------------------------------------------
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Grayscale uint8 (h, w) → 24-bit uncompressed BMP (bottom-up,
+    B=G=R=gray, rows padded to 4 bytes)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    pad = b"\x00" * (stride - w * 3)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up raster order
+        rows.append(np.repeat(px[y], 3).tobytes() + pad)
+    return file_hdr + dib + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → grayscale uint8 (h, w).  Supports BITMAPINFOHEADER
+    (and the larger V4/V5 variants), uncompressed BI_RGB, 8-bit palette
+    / 24-bit / 32-bit pixels, bottom-up (height > 0) or top-down
+    (height < 0) raster."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP unsupported (method {compression})")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = ((bpp * w + 31) // 32) * 4
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(-1, 4)  # BGRA entries
+        lum = _bt601(pal[:, 2], pal[:, 1], pal[:, 0])
+        out = np.empty((h, w), dtype=np.uint8)
+        for row in range(h):
+            y = row if top_down else h - 1 - row
+            idx = np.frombuffer(data, dtype=np.uint8, count=w,
+                                offset=pix_off + row * stride)
+            out[y] = lum[idx]
+        return out
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP depth {bpp}")
+    n_ch = bpp // 8
+    out = np.empty((h, w), dtype=np.uint8)
+    for row in range(h):
+        y = row if top_down else h - 1 - row
+        raw = np.frombuffer(data, dtype=np.uint8, count=w * n_ch,
+                            offset=pix_off + row * stride).reshape(w, n_ch)
+        out[y] = _bt601(raw[:, 2], raw[:, 1], raw[:, 0])  # BGR(A) order
+    return out
+
+
+# ---- WAV (RIFF PCM) -------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """int16 samples (interleaved if channels > 1) → RIFF/WAVE PCM."""
+    raw = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * block_align, block_align, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float32 mono samples in [-1, 1], sample_rate).
+    PCM only (format tag 1); 8-bit unsigned or 16-bit signed LE; multi-
+    channel input averages to mono.  Walks RIFF chunks with word
+    alignment, tolerating extra chunks (LIST, fact, ...)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, ln = 12, len(data)
+    fmt_tag = channels = rate = bits = None
+    raw = None
+    while i + 8 <= ln:
+        cid = data[i:i + 4]
+        size = struct.unpack_from("<I", data, i + 4)[0]
+        body_off = i + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", data, body_off)
+            bits = struct.unpack_from("<H", data, body_off + 14)[0]
+        elif cid == b"data":
+            raw = data[body_off:body_off + size]
+        i = body_off + size + (size & 1)  # word-aligned chunk walk
+    if fmt_tag is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag != 1:
+        raise ValueError(f"non-PCM WAV unsupported (format {fmt_tag})")
+    if bits == 16:
+        x = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if channels and channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x.astype(np.float32), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic payloads (tests / driver oracles)
+# ---------------------------------------------------------------------------
+
+def synth_gray(seed: int, h: int, w: int, frame: int = 0) -> np.ndarray:
+    """Closed-form pixel field: px[i] = (seed*31 + frame*17 + i*7) mod
+    256 — recomputable by a SQL oracle, so decoded statistics verify
+    the decoder, not just the plumbing."""
+    i = np.arange(h * w, dtype=np.int64)
+    return ((seed * 31 + frame * 17 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+
+
+def synth_pcm(seed: int, n: int) -> np.ndarray:
+    """Closed-form int16 signal: s[i] = ((seed*7 + i*13) mod 65536) -
+    32768."""
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 7 + i * 13) % 65536) - 32768).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# decode dispatch (magic bytes → real codec; unknown → PIL → marked fake)
 # ---------------------------------------------------------------------------
 
 def _meta_int(meta: dict | None, key: str, default: int, floor: int = 1) -> int:
@@ -77,9 +303,9 @@ def _meta_int(meta: dict | None, key: str, default: int, floor: int = 1) -> int:
 
 
 def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
-    """DETERMINISTIC FAKE decode: pixel stream = sha256 counter stream
-    seeded by the payload digest.  NOT an image decode — a stand-in so
-    shapes/statistics are reproducible in tests."""
+    """DETERMINISTIC FAKE decode for unrecognized formats: pixel stream
+    = sha256 counter stream seeded by the payload digest.  NOT an image
+    decode — a stand-in so shapes/statistics stay reproducible."""
     seed = hashlib.sha256(data if data is not None else b"").digest()
     n = h * w
     blocks = []
@@ -95,27 +321,45 @@ def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
 
 
 def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
-    """bytes → grayscale uint8 array (h, w).  Tries PIL; otherwise the
-    deterministic fake with dimensions from meta (default 32×32)."""
+    """bytes → grayscale uint8 array (h, w).
+
+    BMP and PNM payloads are parsed for real (magic-byte dispatch to
+    the from-scratch codecs above); anything else tries PIL, then falls
+    back to the deterministic fake with dimensions from meta (default
+    32×32)."""
+    b = bytes(data) if data is not None else b""
+    try:
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+        if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            return decode_pnm(b)
+    except (ValueError, struct.error):
+        pass  # malformed/truncated header → fall through to the fake, never abort
     try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+        return np.asarray(Image.open(io.BytesIO(b)).convert("L"))
     except Exception:
         h = _meta_int(meta, "height", 32)
         w = _meta_int(meta, "width", 32)
-        return _fake_pixels(data, h, w)
+        return _fake_pixels(b, h, w)
 
 
 def decode_audio(data: bytes, meta: dict | None) -> tuple[np.ndarray, int]:
-    """bytes → (float32 samples in [-1,1], sample_rate).  Real decoders
-    are absent here; the fake derives samples from the payload digest
-    and the declared rate/duration."""
+    """bytes → (float32 samples in [-1,1], sample_rate).  RIFF/WAVE PCM
+    payloads are parsed for real; anything else derives samples from
+    the payload digest and the declared rate/duration (marked fake)."""
+    b = bytes(data) if data is not None else b""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            return decode_wav(b)
+        except (ValueError, struct.error):
+            pass
     rate = _meta_int(meta, "sample_rate", 8000)
     n = _meta_int(meta, "n_samples", rate, floor=0)  # default 1 second
-    raw = _fake_pixels(data, 1, n).astype(np.float32).ravel()
+    raw = _fake_pixels(b, 1, n).astype(np.float32).ravel()
     return (raw - 127.5) / 127.5, rate
 
 
@@ -128,6 +372,8 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("height", IntegerType()),
         StructField("width", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_pixels", LongType()),
         StructField("mean_pixel", DoubleType()),
         StructField("std_pixel", DoubleType()),
         StructField("content_sha256", StringType()),
@@ -137,7 +383,9 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def image_features(df: DataFrame) -> DataFrame:
     """Decode each image payload and emit shape/intensity features plus
-    the payload sha256 (dedup key)."""
+    the payload sha256 (dedup key).  ``n_pixels``/``sum_pixels`` are
+    exact integers so an independent oracle can verify the *decoded
+    content*, not just the transport."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,6 +395,7 @@ def image_features(df: DataFrame) -> DataFrame:
                 rows.append(
                     (
                         int(mid), int(px.shape[0]), int(px.shape[1]),
+                        int(px.size), int(px.astype(np.int64).sum()),
                         float(px.mean()), float(px.std()),
                         hashlib.sha256(bytes(data) if data is not None else b"").hexdigest(),
                     )
@@ -154,8 +403,8 @@ def image_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "height", "width", "mean_pixel", "std_pixel",
-                    "content_sha256",
+                    "media_id", "height", "width", "n_pixels", "sum_pixels",
+                    "mean_pixel", "std_pixel", "content_sha256",
                 ],
             )
 
@@ -163,9 +412,9 @@ def image_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Nearest-neighbor resize of the decoded pixels, re-encoded as raw
-    bytes (media_id, data, meta with updated dims).  With a real codec,
-    swap the decode + the bytes() packing."""
+    """Nearest-neighbor resize of the decoded pixels, re-encoded as
+    binary PGM (media_id, data, meta with updated dims) — round-trips
+    through the real codec."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -184,8 +433,9 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 resized = px[np.ix_(ys, xs)]
                 out.append(
                     (
-                        int(mid), resized.tobytes(),
-                        {"height": str(out_h), "width": str(out_w), "raw": "1"},
+                        int(mid), encode_pgm(resized),
+                        {"height": str(out_h), "width": str(out_w),
+                         "format": "pgm"},
                     )
                 )
             yield pd.DataFrame(out, columns=["media_id", "data", "meta"])
@@ -204,9 +454,10 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Explode each video payload into every-Nth frame (UDTF-shaped
-    mapInPandas: one input row → many output rows).  The fake container
-    format is meta-declared fixed-size frames concatenated in ``data``;
-    a real implementation replaces the slicing with an ffmpeg demux."""
+    mapInPandas: one input row → many output rows).  The container
+    format is meta-declared fixed-size frames concatenated in ``data``
+    (each frame itself a decodable image payload, e.g. PGM); a real
+    ffmpeg demux would replace the slicing only."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,30 +475,76 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
 
 
+VIDEO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("sum_pixels", LongType()),
+    ]
+)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every-Nth frame, then DECODE each frame as an image and
+    emit per-frame shape + exact pixel sum — the decoded-content
+    analogue of :func:`image_features` for video containers."""
+    frames = sample_video_frames(df, every_n=every_n)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, idx, frame in zip(pdf["media_id"], pdf["frame_idx"], pdf["frame"]):
+                px = decode_image(frame, None)
+                rows.append(
+                    (int(mid), int(idx), int(px.shape[0]), int(px.shape[1]),
+                     int(px.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "height", "width", "sum_pixels"],
+            )
+
+    return frames.mapInPandas(fn, schema=VIDEO_FRAME_FEATURES_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
         StructField("duration_sec", DoubleType()),
         StructField("rms", DoubleType()),
+        StructField("sum_sq_raw", LongType()),
     ]
 )
 
 
 def audio_features(df: DataFrame) -> DataFrame:
+    """Decode each audio payload and emit rate/duration/energy.
+    ``sum_sq_raw`` is the exact Σ s² over int16-scale samples
+    (round(x·32768) — exact for PCM-16 input since int16/32768 is
+    lossless in float32), so an oracle can verify decoded samples."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
                 samples, rate = decode_audio(data, meta)
+                raw = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
                 rows.append(
                     (
-                        int(mid), int(rate), float(len(samples) / rate),
-                        float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+                        int(mid), int(rate), int(len(samples)),
+                        float(len(samples) / rate),
+                        float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0,
+                        int((raw * raw).sum()),
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["media_id", "sample_rate", "duration_sec", "rms"]
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_sec", "rms", "sum_sq_raw"],
             )
 
     return df.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)

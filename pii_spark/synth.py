@@ -264,6 +264,44 @@ def generate_code_files(
 
 
 # ---------------------------------------------------------------------------
+# synthetic media corpus (REAL payloads for the from-scratch codecs)
+# ---------------------------------------------------------------------------
+
+
+def generate_media(n_items: int = 64) -> pd.DataFrame:
+    """Deterministic ``(media_id, kind, data, meta)`` media table whose
+    payloads are REAL uncompressed containers — BMP (odd image ids) /
+    binary PGM (even image ids), RIFF PCM-16 WAV, and PGM-frame video
+    containers — built by :mod:`pii_spark.multimodal`'s encoders over
+    the closed-form pixel/sample fields (``synth_gray``/``synth_pcm``),
+    so decoded statistics are recomputable without running the decoder.
+    """
+    from pii_spark import multimodal as M
+
+    rows = []
+    for mid in range(n_items):
+        kind = ("image", "image", "audio", "video")[mid % 4]
+        if kind == "image":
+            h, w = mid % 16 + 8, mid % 8 + 8
+            px = M.synth_gray(mid, h, w)
+            data = M.encode_bmp(px) if mid % 2 else M.encode_pgm(px)
+            meta = {"height": str(h), "width": str(w),
+                    "format": "bmp" if mid % 2 else "pgm"}
+        elif kind == "audio":
+            rate, n = (mid % 4 + 1) * 4000, (mid % 8 + 1) * 1000
+            data = M.encode_wav(M.synth_pcm(mid, n), rate)
+            meta = {"sample_rate": str(rate), "n_samples": str(n)}
+        else:
+            h, w, nf = 4 + mid % 4, 4 + mid % 2, mid % 6 + 1
+            frames = [M.encode_pgm(M.synth_gray(mid, h, w, frame=f))
+                      for f in range(nf)]
+            data = b"".join(frames)
+            meta = {"frame_size": str(len(frames[0])), "n_frames": str(nf)}
+        rows.append({"media_id": mid, "kind": kind, "data": data, "meta": meta})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # independent reference-label oracle
 # ---------------------------------------------------------------------------
 # Straight-line reimplementation of the reference semantics

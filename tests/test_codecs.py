@@ -1,0 +1,206 @@
+"""From-scratch media codec tests: BMP / PNM images, RIFF/WAVE PCM.
+
+These verify the decoders on payloads built both by our own encoders
+(round-trip) and by hand-crafted byte layouts (header variants the
+encoder never emits: top-down BMP, 32-bit, 8-bit palette, ASCII PNM
+with comments, stereo / 8-bit WAV, extra RIFF chunks) — so decode
+correctness does not silently reduce to "inverse of our encoder".
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pii_spark import multimodal as M
+
+
+def _arr(seed: int, h: int, w: int) -> np.ndarray:
+    return M.synth_gray(seed, h, w)
+
+
+# ---------------------------------------------------------------------------
+# PNM
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (16, 9), (7, 32)])
+def test_pgm_roundtrip(h, w):
+    px = _arr(h * 100 + w, h, w)
+    assert np.array_equal(M.decode_pnm(M.encode_pgm(px)), px)
+
+
+def test_ppm_roundtrip_bt601():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 9
+    got = M.decode_pnm(M.encode_ppm(rgb))
+    exp = (299 * rgb[:, :, 0].astype(int) + 587 * rgb[:, :, 1].astype(int)
+           + 114 * rgb[:, :, 2].astype(int) + 500) // 1000
+    assert np.array_equal(got, exp.astype(np.uint8))
+
+
+def test_pnm_ascii_with_comments():
+    data = b"P2\n# a comment\n3 2 # trailing comment\n255\n0 10 20\n30 40 50\n"
+    assert np.array_equal(
+        M.decode_pnm(data), np.array([[0, 10, 20], [30, 40, 50]], dtype=np.uint8)
+    )
+
+
+def test_pnm_maxval_scaling():
+    # maxval 15 scales to full 8-bit range (round-half-up)
+    data = b"P2\n2 1\n15\n0 15\n"
+    assert M.decode_pnm(data).tolist() == [[0, 255]]
+
+
+def test_pnm_rejects_garbage():
+    with pytest.raises(ValueError):
+        M.decode_pnm(b"P7\nnope")
+    with pytest.raises(ValueError):
+        M.decode_pnm(b"P5\n3")  # truncated header
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 1), (4, 4), (3, 5), (2, 7)])  # odd w → padding
+def test_bmp_roundtrip(h, w):
+    px = _arr(h * 10 + w, h, w)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+
+
+def _bmp_raw(w, h_signed, bpp, raster: bytes, palette: bytes = b"") -> bytes:
+    off = 14 + 40 + len(palette)
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h_signed, 1, bpp, 0,
+                      len(raster), 0, 0, 0, 0)
+    return file_hdr + dib + palette + raster
+
+
+def test_bmp_top_down():
+    # height < 0 → first raster row is the TOP row
+    px = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    rows = b"".join(
+        np.repeat(px[y], 3).tobytes() + b"\x00\x00" for y in range(2)
+    )  # stride for w=2,bpp=24 is 8 → 2 pad bytes
+    assert np.array_equal(M.decode_bmp(_bmp_raw(2, -2, 24, rows)), px)
+
+
+def test_bmp_32bit():
+    px = np.array([[10, 200]], dtype=np.uint8)
+    row = b"".join(bytes([v, v, v, 255]) for v in px[0])  # BGRA, stride 8 exact
+    assert np.array_equal(M.decode_bmp(_bmp_raw(2, 1, 32, row)), px)
+
+
+def test_bmp_8bit_palette():
+    # palette idx i → gray 255-i; raster indices [0,1,2,3] padded to stride 4
+    palette = b"".join(bytes([255 - i, 255 - i, 255 - i, 0]) for i in range(256))
+    raster = bytes([0, 1, 2, 3])
+    got = M.decode_bmp(_bmp_raw(4, 1, 8, raster, palette))
+    assert got.tolist() == [[255, 254, 253, 252]]
+
+
+def test_bmp_rejects_compressed_and_exotic():
+    px = _arr(1, 2, 2)
+    data = bytearray(M.encode_bmp(px))
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(data))
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"XX123")
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_16bit_mono():
+    s = M.synth_pcm(5, 1000)
+    x, rate = M.decode_wav(M.encode_wav(s, 16000))
+    assert rate == 16000 and len(x) == 1000
+    assert np.array_equal(np.rint(x.astype(np.float64) * 32768).astype(np.int64),
+                          s.astype(np.int64))
+
+
+def test_wav_stereo_averages_to_mono():
+    left = np.array([1000, -2000], dtype=np.int16)
+    right = np.array([3000, 2000], dtype=np.int16)
+    inter = np.empty(4, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    x, rate = M.decode_wav(M.encode_wav(inter, 8000, channels=2))
+    exp = (left.astype(np.float32) + right.astype(np.float32)) / 2 / 32768.0
+    assert np.allclose(x, exp)
+
+
+def test_wav_8bit_unsigned():
+    raw = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 3) + raw + b"\x00"  # odd size → pad
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    x, rate = M.decode_wav(data)
+    assert rate == 8000
+    assert np.allclose(x, [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+
+
+def test_wav_tolerates_extra_chunks():
+    s = np.array([123, -456], dtype=np.int16)
+    wav = bytearray(M.encode_wav(s, 44100))
+    # splice a LIST chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = bytes(wav[:12]) + extra + bytes(wav[12:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    x, rate = M.decode_wav(spliced)
+    assert rate == 44100 and len(x) == 2
+
+
+def test_wav_rejects_non_pcm():
+    s = np.array([0], dtype=np.int16)
+    data = bytearray(M.encode_wav(s, 8000))
+    struct.pack_into("<H", data, 20, 3)  # IEEE float tag
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# dispatch: decode_image / decode_audio pick the real codec by magic
+# ---------------------------------------------------------------------------
+
+def test_decode_image_dispatch_real_codecs():
+    px = _arr(9, 6, 7)
+    assert np.array_equal(M.decode_image(M.encode_bmp(px), None), px)
+    assert np.array_equal(M.decode_image(M.encode_pgm(px), None), px)
+
+
+def test_decode_image_unknown_payload_falls_back():
+    px = M.decode_image(b"not-an-image", {"height": "4", "width": "4"})
+    assert px.shape == (4, 4)  # deterministic fake path
+
+
+def test_decode_image_malformed_bmp_falls_back_not_aborts():
+    # 'BM' magic but truncated header: must not kill the stage
+    px = M.decode_image(b"BM\x00\x01", {"height": "2", "width": "2"})
+    assert px.shape == (2, 2)
+
+
+def test_decode_audio_dispatch():
+    s = M.synth_pcm(3, 50)
+    x, rate = M.decode_audio(M.encode_wav(s, 22050), {})
+    assert rate == 22050 and len(x) == 50
+    # non-RIFF → declared-meta fake
+    x2, rate2 = M.decode_audio(b"zzz", {"sample_rate": "4000", "n_samples": "8"})
+    assert rate2 == 4000 and len(x2) == 8
+
+
+# ---------------------------------------------------------------------------
+# closed-form synth payloads (the oracle contract)
+# ---------------------------------------------------------------------------
+
+def test_synth_gray_closed_form():
+    px = M.synth_gray(seed=11, h=2, w=3, frame=4)
+    exp = [(11 * 31 + 4 * 17 + i * 7) % 256 for i in range(6)]
+    assert px.ravel().tolist() == exp
+
+
+def test_synth_pcm_closed_form():
+    s = M.synth_pcm(seed=5, n=4)
+    exp = [((5 * 7 + i * 13) % 65536) - 32768 for i in range(4)]
+    assert s.tolist() == exp

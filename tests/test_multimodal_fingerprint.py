@@ -31,7 +31,9 @@ def test_image_features_shapes_and_sha(media):
 
 def test_resize_images(media):
     out = {r.media_id: r for r in M.resize_images(media, 8, 8).collect()}
-    assert len(out[1].data) == 64
+    # output is a real PGM payload that round-trips through the decoder
+    px = M.decode_pnm(bytes(out[1].data))
+    assert px.shape == (8, 8)
     assert out[1].meta["height"] == "8"
 
 
@@ -58,6 +60,57 @@ def test_audio_features(spark):
 
 def test_repartition_media(media):
     assert M.repartition_media(media, 4).rdd.getNumPartitions() == 4
+
+
+# ---------------------------------------------------------------------------
+# real-payload decode end-to-end (synth media corpus through Spark)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_media(spark):
+    from pii_spark.synth import generate_media
+
+    pdf = generate_media(32)
+    return spark.createDataFrame(pdf.to_dict("records"), M.MEDIA_SCHEMA)
+
+
+def test_synth_image_decode_matches_closed_form(synth_media):
+    rows = {
+        r.media_id: r
+        for r in M.image_features(synth_media.filter("kind = 'image'")).collect()
+    }
+    for mid, r in rows.items():
+        h, w = mid % 16 + 8, mid % 8 + 8
+        exp = sum((mid * 31 + i * 7) % 256 for i in range(h * w))
+        assert (r.height, r.width) == (h, w)
+        assert r.sum_pixels == exp, f"media {mid}: decoded sum != closed form"
+
+
+def test_synth_audio_decode_matches_closed_form(synth_media):
+    rows = {
+        r.media_id: r
+        for r in M.audio_features(synth_media.filter("kind = 'audio'")).collect()
+    }
+    for mid, r in rows.items():
+        n = (mid % 8 + 1) * 1000
+        exp = sum((((mid * 7 + i * 13) % 65536) - 32768) ** 2 for i in range(n))
+        assert r.sample_rate == (mid % 4 + 1) * 4000  # parsed from the header
+        assert r.n_samples == n
+        assert r.sum_sq_raw == exp, f"media {mid}: decoded samples != closed form"
+
+
+def test_synth_video_frame_decode_matches_closed_form(synth_media):
+    rows = M.video_frame_features(
+        synth_media.filter("kind = 'video'"), every_n=2
+    ).collect()
+    assert rows
+    for r in rows:
+        mid, f = r.media_id, r.frame_idx
+        h, w = 4 + mid % 4, 4 + mid % 2
+        exp = sum((mid * 31 + f * 17 + i * 7) % 256 for i in range(h * w))
+        assert (r.height, r.width) == (h, w)
+        assert r.sum_pixels == exp
 
 
 # ---------------------------------------------------------------------------
