@@ -10,10 +10,11 @@ Ports the reference's channel-specific alert bodies verbatim-in-shape:
 - Generic webhook — ``internal/notifier/webhook.go:63-119``
   (camelCase alert object, ``pii.detected`` event, metadata block,
   ``PII-Redactor/1.0`` user agent).
-- Email subject/body/message — ``internal/notifier/email.go:75-83``
-  builders (``buildSubject``/``buildBody``/``buildMessage``); actual
-  SMTP delivery is out of scope here (no SMTP in the sandbox), the
-  byte-exact message construction is what's ported and tested.
+- Email — ``internal/notifier/email.go`` subject/body/message builders
+  (``buildSubject``/``buildBody``/``buildMessage``) AND SMTP delivery
+  (``sendMail`` email.go:162-244 → :func:`send_email`): implicit-TLS /
+  opportunistic-STARTTLS / PLAIN-auth arms, tested against a local
+  debug SMTP server the way the HTTP channels use an HTTP stub.
 
 Coordinate mapping (SURVEY §1.1): ``Namespace/Pod/Container`` ↔
 ``repo/path/commit``.
@@ -75,6 +76,12 @@ class HTTPChannelConfig:
     severity: str = "critical"       # pagerduty fallback (pagerduty.go:30-32)
     email_from: str = ""
     email_to: list[str] = field(default_factory=list)
+    smtp_host: str = ""
+    smtp_port: int = 587             # email.go:39-41 default
+    smtp_username: str = ""
+    smtp_password: str = ""
+    use_tls: bool = False            # implicit TLS; else opportunistic STARTTLS
+    skip_verify: bool = False        # skip cert verification (email.go:34)
 
     def validate(self) -> str | None:
         """Config check mirroring each notifier's Validate(); returns an
@@ -93,6 +100,9 @@ class HTTPChannelConfig:
             if self.method not in ("POST", "PUT"):
                 return "webhook method must be POST or PUT"
         elif self.type == "email":
+            # email.go:61-70 Validate() order: host, from, to
+            if not self.smtp_host:
+                return "SMTP host is required"
             if not self.email_from:
                 return "from address is required"
             if not self.email_to:
@@ -321,21 +331,81 @@ def _status_ok(cfg_type: str, status: int) -> bool:
 # distributed poster
 # ---------------------------------------------------------------------------
 
+def send_email(
+    message: bytes, cfg: HTTPChannelConfig, timeout_sec: float = 30.0
+) -> None:
+    """Deliver a built RFC822 message over SMTP (email.go:162-244
+    sendMail): implicit TLS when ``use_tls``, else opportunistic
+    STARTTLS if the server advertises it; PLAIN auth when credentials
+    are configured.  Raises on any protocol failure."""
+    import smtplib
+    import ssl
+
+    def _tls_context() -> ssl.SSLContext:
+        ctx = ssl.create_default_context()
+        if cfg.skip_verify:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        return ctx
+
+    port = cfg.smtp_port or 587
+    if cfg.use_tls:
+        client = smtplib.SMTP_SSL(
+            cfg.smtp_host, port, timeout=timeout_sec, context=_tls_context()
+        )
+    else:
+        client = smtplib.SMTP(cfg.smtp_host, port, timeout=timeout_sec)
+    try:
+        client.ehlo()
+        if not cfg.use_tls and client.has_extn("starttls"):
+            client.starttls(context=_tls_context())  # email.go:195-205
+            client.ehlo()
+        if cfg.smtp_username and cfg.smtp_password:
+            client.login(cfg.smtp_username, cfg.smtp_password)
+        client.sendmail(cfg.email_from, list(cfg.email_to), message)
+    finally:
+        try:
+            client.quit()
+        except Exception:
+            client.close()
+
+
+def _idempotency_key(alert: dict) -> str:
+    """Stable per-(alert, channel) key so receivers CAN dedup redeliveries."""
+    import hashlib as _h
+
+    raw = f"{alert.get('alert_id')}|{alert.get('channel')}".encode()
+    return _h.sha256(raw).hexdigest()[:32]
+
+
 def post_alerts(
     routed: DataFrame,
     configs: list[HTTPChannelConfig],
     timeout_sec: float = 30.0,
 ) -> dict:
-    """POST every allowed (alert, channel) row of ``routed`` (the output
-    of :meth:`NotifierManager.route_alerts`) to its channel endpoint.
+    """Deliver every allowed (alert, channel) row of ``routed`` (the
+    output of :meth:`NotifierManager.route_alerts`): HTTP POST for
+    slack/pagerduty/webhook, SMTP (:func:`send_email`) for email.
 
     Spark shape: ``foreachPartition`` — payloads are built and sent
     executor-side, so delivery parallelism is the partition count and
     nothing funnels through the driver; per-channel sent/failed tallies
-    come back through accumulators.  Email channels are skipped here
-    (message construction is :func:`build_email_message`; no SMTP in
-    this sandbox).  Rows with ``allowed == false`` are never sent —
-    filter is applied defensively even if the caller pre-filtered.
+    come back through accumulators.  Rows with ``allowed == false`` are
+    never sent — filter is applied defensively even if the caller
+    pre-filtered.
+
+    **Delivery semantics: at-least-once.**  A Spark task retry,
+    speculative duplicate, or streaming ``foreachBatch`` replay after a
+    failure re-sends alerts the first attempt already delivered, and
+    the accumulator tallies can over-count across retries (Spark only
+    guarantees exactly-once accumulation inside actions that complete).
+    Mitigations built in: PagerDuty events carry a deterministic
+    ``dedup_key`` (server-side idempotent); webhook requests carry an
+    ``X-Idempotency-Key`` header (sha256 of alert-id + channel) the
+    receiver can dedup on.  Slack incoming-webhooks and SMTP have no
+    idempotency primitive — duplicates are visible there.  Run delivery
+    jobs with ``spark.speculation=false`` (the default) so retries only
+    happen on real task failure.
     """
     cfg_by_name = {c.name: c for c in configs}
     sc = routed.sparkSession.sparkContext
@@ -354,10 +424,16 @@ def post_alerts(
         for row in rows:
             alert = row.asDict(recursive=True)
             cfg = cfg_by_name.get(alert.get("channel"))
-            if cfg is None or cfg.type == "email":
+            if cfg is None:
                 continue
             try:
+                if cfg.type == "email":
+                    send_email(build_email_message(alert, cfg), cfg, timeout_sec)
+                    sent_acc.add(1)
+                    continue
                 body, headers, method, url = build_payload(alert, cfg)
+                if cfg.type == "webhook":
+                    headers.setdefault("X-Idempotency-Key", _idempotency_key(alert))
                 req = urllib.request.Request(
                     url, data=body, method=method, headers=headers
                 )
@@ -446,8 +522,21 @@ def channel_from_spec(
         em = spec.get("email")
         if em is None:
             raise ValueError("email configuration is required")
+        username = password = ""
+        if em.get("authSecret") is not None:
+            # the reconcile reads the whole secret's username/password
+            # keys (piialertchannel_controller.go:224-235)
+            if resolve_secret is None:
+                raise ValueError("failed to get auth secret: no resolver")
+            sec_name = em["authSecret"].get("name")
+            username = resolve_secret({"name": sec_name, "key": "username"})
+            password = resolve_secret({"name": sec_name, "key": "password"})
         return HTTPChannelConfig(
             name=name, type="email",
             email_from=em.get("from", ""), email_to=list(em.get("to") or []),
+            smtp_host=em.get("smtpHost", ""),
+            smtp_port=int(em.get("smtpPort") or 587),
+            smtp_username=username, smtp_password=password,
+            use_tls=bool(em.get("useTLS", False)),
         )
     raise ValueError(f"unknown channel type: {ctype}")
