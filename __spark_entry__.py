@@ -428,6 +428,106 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _quality_pipeline_oracle_sql() -> str:
+    """Scale-free DuckDB re-implementation of the FULL quality stack
+    over the raw documents corpus (declared lang 'unknown', so the
+    langid gate never fires): the heuristic gates in quality_label_py's
+    priority order, plus the char-trigram perplexity gate computed from
+    scratch in SQL — the model's 863 nonzero trigram counts are emitted
+    as VALUES (the count table IS the model definition, like the langid
+    marker table) and the add-k-smoothed bits-per-char math runs in
+    DuckDB float arithmetic over lag() windows, independent of numpy.
+    Works at any sf the driver passes — nothing is pinned to a golden
+    distribution."""
+    import numpy as np
+
+    from pii_spark.quality import (
+        _AUTOGEN_RE,
+        MAX_DUP_LINE_RATIO,
+        MAX_LINE_LENGTH,
+        MAX_SIZE_BYTES,
+        MIN_ALPHA_RATIO,
+        PERPLEXITY_MAX_BITS,
+        _TOXICITY_RE,
+        default_trigram_model,
+    )
+
+    m = default_trigram_model()
+    k = m.k
+    ctxs, nxts = np.nonzero(m.counts)
+    cnt_rows = ",".join(
+        f"({int(c)},{int(n)},{int(m.counts[c, n])})"
+        for c, n in zip(ctxs.tolist(), nxts.tolist())
+    )
+    tots = m.counts.sum(axis=1)
+    tot_rows = ",".join(
+        f"({int(c)},{int(tots[c])})" for c in np.nonzero(tots)[0].tolist()
+    )
+    smooth_denom = f"{k} * 96"  # add-k over the 96-symbol alphabet
+    return f"""
+        WITH tri_counts(ctx, nxt, cnt) AS (VALUES {cnt_rows}),
+        ctx_tot(ctx, tot) AS (VALUES {tot_rows}),
+        docs AS (SELECT doc_id, text AS content FROM documents),
+        flags AS (
+            SELECT doc_id,
+                octet_length(encode(content)) > {MAX_SIZE_BYTES} AS f_size,
+                regexp_matches(substr(content, 1, 512),
+                               '{_AUTOGEN_RE}') AS f_auto,
+                list_max(list_transform(str_split(content, chr(10)),
+                                        x -> length(x))) > {MAX_LINE_LENGTH}
+                    AS f_line,
+                (length(content) = 0 OR
+                 length(regexp_replace(content, '[^A-Za-z]', '', 'g'))
+                     / length(content) < {MIN_ALPHA_RATIO}) AS f_alpha,
+                (1.0 - len(list_distinct(str_split(content, chr(10))))
+                     / len(str_split(content, chr(10)))) > {MAX_DUP_LINE_RATIO}
+                    AS f_rep,
+                regexp_matches(lower(content),
+                               '{_TOXICITY_RE.pattern.lower()}') AS f_tox
+            FROM docs
+        ),
+        ids AS (
+            SELECT doc_id, i,
+                CASE WHEN code BETWEEN 32 AND 126 THEN code - 31 ELSE 0 END AS id
+            FROM (
+                SELECT doc_id, u.i, unicode(substr(content, i, 1)) AS code
+                FROM docs, unnest(range(1, length(content) + 1)) AS u(i)
+            )
+        ),
+        tri AS (
+            SELECT doc_id,
+                   (lag(id, 2) OVER w) * 96 + (lag(id, 1) OVER w) AS ctx,
+                   id AS nxt
+            FROM ids WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            QUALIFY lag(id, 2) OVER w IS NOT NULL
+        ),
+        bits AS (
+            SELECT t.doc_id,
+                   -avg(log2((coalesce(c.cnt, 0) + {k})
+                             / (coalesce(ct.tot, 0) + {smooth_denom}))) AS bpc
+            FROM tri t
+            LEFT JOIN tri_counts c ON c.ctx = t.ctx AND c.nxt = t.nxt
+            LEFT JOIN ctx_tot ct ON ct.ctx = t.ctx
+            GROUP BY t.doc_id
+        ),
+        labeled AS (
+            SELECT f.doc_id,
+                CASE WHEN f_size THEN 'max_size'
+                     WHEN f_auto THEN 'autogenerated'
+                     WHEN f_line THEN 'max_line_length'
+                     WHEN f_alpha THEN 'alpha_ratio'
+                     WHEN f_rep THEN 'repetition'
+                     WHEN coalesce(b.bpc, 0) > {PERPLEXITY_MAX_BITS}
+                         THEN 'perplexity'
+                     WHEN f_tox THEN 'toxicity'
+                     ELSE 'kept' END AS reason
+            FROM flags f LEFT JOIN bits b ON b.doc_id = f.doc_id
+        )
+        SELECT reason, count(*) AS n FROM labeled
+        GROUP BY reason ORDER BY reason
+    """
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash+LSH with exact-Jaccard verification — probabilistic candidates
     corpus = _neardup_corpus(spark, sf_dir)
@@ -1504,23 +1604,12 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_pixels
             FROM fr ORDER BY media_id, frame_idx
         """,
-        # quality_pipeline: the full stack's only model-bound decision on
-        # this corpus is the char-trigram perplexity gate (the trained
-        # count table is not SQL-expressible); the model is seed-free
-        # and deterministic, so the oracle is the golden distribution at
-        # sf0.01, independently recomputed via the pure-Python label
-        # oracle (pii_spark.quality.quality_label_py — the same
-        # independent path the north-rule F1 check uses): 423 kept / 77
-        # perplexity-dropped.  Every SQL-expressible stage of the stack
-        # is separately oracle-checked (quality_heuristics_full,
-        # langid_distribution).
-        "quality_pipeline": """
-            SELECT * FROM (VALUES
-                ('kept',       CAST(423 AS BIGINT)),
-                ('perplexity', CAST(77 AS BIGINT))
-            ) AS t(reason, n)
-            ORDER BY reason
-        """,
+        # quality_pipeline: full-stack scale-free oracle — heuristic
+        # gates AND the char-trigram perplexity gate re-implemented in
+        # SQL (model counts as VALUES, smoothing math in DuckDB floats);
+        # no golden distribution, works at any sf (see
+        # _quality_pipeline_oracle_sql)
+        "quality_pipeline": _quality_pipeline_oracle_sql(),
         # patterns_catalog: the bank is static config (ported verbatim
         # from builtin.go:31-483) — the oracle is the independently
         # stated golden composition: 36 patterns, 30 enabled.

@@ -57,6 +57,22 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_quality_pipeline_oracle_scale_free(spark, sf_dir):
+    # the one formerly sf-pinned oracle now recomputes the full stack
+    # (incl. the trigram perplexity gate) in SQL — prove it tracks the
+    # data at every sf the driver could pass, not just sf0.01
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    got = _normalize(E.queries()["quality_pipeline"](spark, sf_dir).toPandas())
+    want = _normalize(con.sql(E.oracle_sql()["quality_pipeline"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_oracle_keys_subset_of_queries():
     assert set(E.oracle_sql()) <= set(E.queries())
 
