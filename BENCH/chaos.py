@@ -1,0 +1,236 @@
+"""Chaos/durability drive for checkpoint-resume (the north rule's
+"resumes idempotently from the last committed snapshot" claim, tested
+under mid-run death instead of only graceful idempotence).
+
+Modes (each child is a fresh process + JVM):
+
+- ``control``        run the full pipeline uninterrupted
+- ``die_between``    commit 2 of 4 checkpoint groups, then SIGKILL the
+                     driver process (no cleanup, JVM dies hard)
+- ``die_mid_commit`` SIGKILL the driver *inside* a group's commit
+                     sequence — after that group's findings snapshot
+                     committed but before its scrubbed_files snapshot
+                     (the crash window the force-recommit logic in
+                     Pipeline.run covers)
+- ``resume``         Pipeline.resume() on the same output dir, to
+                     completion
+- ``cc_kill``        connected_components(checkpoint_dir=...) where a
+                     mapInPandas stage ``os._exit``s its Python worker
+                     once (master ``local[8,4]`` so Spark retries the
+                     task); asserts components equal a driver-side
+                     union-find
+
+Orchestrator (run with no args): control run, then for each death mode
+run child → assert it died by SIGKILL → resume child → diff the final
+``scrubbed_files`` and ``findings`` row content against the control run
+(must be identical), then the cc_kill child.  Prints ``CHAOS_OK``.
+
+Usage::
+
+    python BENCH/chaos.py            # full protocol (also run by
+                                     # tests/test_chaos_resume.py)
+    python BENCH/chaos.py child <mode> <workdir>   # internal
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_FILES = 240
+SEED = 7
+RUN_ID = "chaos"
+
+
+def _spark(master: str = "local[8]"):
+    from pyspark.sql import SparkSession
+
+    from pii_spark.pipeline import default_spark_conf
+
+    return (
+        default_spark_conf(
+            SparkSession.builder.master(master).appName("chaos"),
+            shuffle_partitions=8,
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _pipeline(spark, workdir: str):
+    from pii_spark.io import TableIO
+    from pii_spark.pipeline import Pipeline, PipelineConfig
+
+    io = TableIO(spark, os.path.join(workdir, "tables"))
+    cfg = PipelineConfig(n_buckets=8, bucket_group_size=2)  # 4 groups
+    return Pipeline(spark, io, cfg), io
+
+
+def _corpus(spark):
+    from pii_spark.synth import generate_code_files
+
+    pdf = generate_code_files(N_FILES, seed=SEED)
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# child modes
+# ---------------------------------------------------------------------------
+
+def child(mode: str, workdir: str) -> None:
+    if mode == "cc_kill":
+        return child_cc_kill(workdir)
+    spark = _spark()
+    pipe, io = _pipeline(spark, workdir)
+    df = _corpus(spark)
+    if mode == "control" or mode == "resume":
+        pipe.run(df, RUN_ID)
+        print(f"{mode.upper()}_DONE")
+        return
+    if mode == "die_between":
+        pipe.run(df, RUN_ID, max_groups=2)
+        os.kill(os.getpid(), signal.SIGKILL)  # no cleanup, JVM dies hard
+    if mode == "die_mid_commit":
+        orig = io.write_snapshot
+        state = {"scrubbed_calls": 0}
+
+        def dying_write(df_, name, snapshot_id, **kw):
+            if name == "scrubbed_files":
+                state["scrubbed_calls"] += 1
+                if state["scrubbed_calls"] == 2:
+                    # group 2's findings snapshot is already committed;
+                    # dying here leaves the exact partial state the
+                    # force-recommit path must repair
+                    os.kill(os.getpid(), signal.SIGKILL)
+            return orig(df_, name, snapshot_id, **kw)
+
+        io.write_snapshot = dying_write
+        pipe.run(df, RUN_ID)
+        raise AssertionError("die_mid_commit child survived")
+    raise ValueError(mode)
+
+
+def child_cc_kill(workdir: str) -> None:
+    """Executor-python death mid-CC: reliable checkpoint must carry the
+    job through the retry."""
+    from pii_spark import dedup
+
+    spark = _spark("local[8,4]")  # task retries enabled
+    # chain 0..29 (diameter stress) + clique 100..104 + isolated pair
+    pairs = [(i, i + 1) for i in range(29)]
+    pairs += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    pairs += [(200, 201)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    marker = os.path.join(workdir, "killed_once")
+
+    def killer(batches):
+        import os as _os
+
+        for pdf in batches:
+            try:
+                with open(marker, "x"):
+                    pass
+                _os._exit(137)  # hard-kill this Python worker, once
+            except FileExistsError:
+                pass
+            yield pdf
+
+    edges = edges.mapInPandas(killer, schema=edges.schema)
+    comp = dedup.connected_components(
+        edges, checkpoint_dir=os.path.join(workdir, "cc_ckpt")
+    )
+    got = {(r["doc"], r["component"]) for r in comp.collect()}
+    want = {(i, 0) for i in range(30)}
+    want |= {(i, 100) for i in range(100, 105)}
+    want |= {(200, 200), (201, 200)}
+    assert got == want, f"CC wrong after worker death: {sorted(got)[:10]}..."
+    assert os.path.exists(marker), "kill never fired - test vacuous"
+    print("CC_OK")
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+def _run_child(mode: str, workdir: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "child", mode, workdir],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+
+
+def _read_table(workdir: str, table: str):
+    """All committed rows of a snapshot table, as a canonically sorted
+    pandas frame (manifest-listed dirs only — orphans invisible)."""
+    import duckdb
+
+    commits = sorted(
+        glob.glob(os.path.join(workdir, "tables", table, "_commits", "*.json"))
+    )
+    dirs: list[str] = []
+    for c in commits:
+        with open(c) as fh:
+            dirs.extend(json.load(fh)["dirs"])
+    files = [f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))]
+    assert files, f"no committed data for {table} under {workdir}"
+    df = duckdb.sql(
+        f"SELECT * FROM read_parquet({files!r})"
+    ).df()
+    df = df.reindex(sorted(df.columns), axis=1).astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    results = {}
+    with tempfile.TemporaryDirectory(prefix="chaos_") as base:
+        ctrl = os.path.join(base, "control")
+        os.makedirs(ctrl)
+        r = _run_child("control", ctrl)
+        assert r.returncode == 0, r.stderr[-2000:]
+        ctrl_scrubbed = _read_table(ctrl, "scrubbed_files")
+        ctrl_findings = _read_table(ctrl, "findings")
+        results["control_rows"] = len(ctrl_scrubbed)
+
+        for death in ("die_between", "die_mid_commit"):
+            wd = os.path.join(base, death)
+            os.makedirs(wd)
+            r = _run_child(death, wd)
+            assert r.returncode == -signal.SIGKILL, (
+                f"{death} child exited {r.returncode}, expected SIGKILL"
+            )
+            r2 = _run_child("resume", wd)
+            assert r2.returncode == 0, r2.stderr[-2000:]
+            got_s = _read_table(wd, "scrubbed_files")
+            got_f = _read_table(wd, "findings")
+            assert got_s.equals(ctrl_scrubbed), (
+                f"{death}: resumed scrubbed_files differs from control"
+            )
+            assert got_f.equals(ctrl_findings), (
+                f"{death}: resumed findings differ from control"
+            )
+            results[death] = "identical_after_resume"
+
+        wd = os.path.join(base, "cc")
+        os.makedirs(wd)
+        r = _run_child("cc_kill", wd)
+        assert r.returncode == 0 and "CC_OK" in r.stdout, r.stderr[-2000:]
+        results["cc_kill"] = "survived_worker_death"
+
+    print(json.dumps(results))
+    print("CHAOS_OK")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "child":
+        child(sys.argv[2], sys.argv[3])
+    else:
+        main()

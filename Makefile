@@ -1,7 +1,7 @@
 # Developer entry points (mirrors the reference's Makefile role,
 # /root/reference/Makefile — test/build/run targets for this engine).
 
-.PHONY: test bench scale skew dedup-bench embed-bench hot-bucket stream-bench plans verify curate
+.PHONY: test bench scale skew dedup-bench embed-bench hot-bucket stream-bench plans verify curate chaos
 
 test:
 	python -m pytest tests/ -x -q
@@ -26,6 +26,9 @@ hot-bucket:       ## pathological-cluster MinHash cap → BENCH/HOTBUCKET.md
 
 stream-bench:     ## stateful token-bucket throughput → BENCH/STREAMING.md
 	python BENCH/streaming_scale.py
+
+chaos:            ## SIGKILL-mid-run + resume durability → BENCH/CHAOS.md
+	python BENCH/chaos.py
 
 plans:            ## regenerate docs/PLANS.md physical-plan snapshots
 	python BENCH/plans_snapshot.py

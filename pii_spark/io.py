@@ -130,6 +130,20 @@ class TableIO:
         out.sort(key=lambda s: (s.get("committed_at", 0), str(s.get("snapshot_id"))))
         return out
 
+    def committed_row_count(self, name: str) -> int | None:
+        """Total rows across committed snapshots, summed from manifest
+        metadata (``bucket_counts``) without touching data files — lets
+        parameter sizing (e.g. ``similarity.auto_lsh_params`` via the
+        ``n=`` argument) reuse the ingest layer's counts instead of
+        re-scanning the table.  None when no manifest carries counts."""
+        total, seen = 0, False
+        for s in self.snapshots(name):
+            bc = (s.get("meta") or {}).get("bucket_counts")
+            if bc:
+                seen = True
+                total += sum(int(v) for v in bc.values())
+        return total if seen else None
+
     def snapshot_committed(self, name: str, snapshot_id: str) -> bool:
         if self.catalog:
             return any(
@@ -228,10 +242,17 @@ class TableIO:
         """Session-catalog identifier for bucketed tables, namespaced by
         a hash of this instance's root — two TableIO instances with
         different roots in one Spark session must not collide on (or
-        silently clobber) the same global table name."""
+        silently clobber) the same global table name.  The root is
+        normalized to an absolute path first (relative and absolute
+        spellings of the same directory are the same namespace), and
+        ``name`` is sanitized to identifier-safe characters so a
+        hyphen/dot in a table name cannot break the generated SQL."""
         import hashlib
+        import re
 
-        return f"pii_spark_{hashlib.sha256(self.root.encode()).hexdigest()[:8]}_{name}"
+        root = os.path.abspath(self.root)
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return f"pii_spark_{hashlib.sha256(root.encode()).hexdigest()[:8]}_{safe}"
 
     def write_bucketed(
         self,
@@ -279,7 +300,7 @@ class TableIO:
         return self.spark.table(self._session_table(name))
 
     def drop_table(self, name: str) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._session_table(name)}")
+        self.spark.sql(f"DROP TABLE IF EXISTS `{self._session_table(name)}`")
 
     def write(
         self,

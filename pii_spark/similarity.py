@@ -173,17 +173,21 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     target_bucket_rows: int = 8,
     recall_target: float = 0.9,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) via LSH bucketing:
     candidates from :func:`with_lsh_buckets`, exact cosine verification
     on candidates only.  Pass ``dim`` when known to skip the probe job.
 
     ``bits``/``tables`` default to :func:`auto_lsh_params` sizing from
-    the corpus count (one aggregate over the already-materialized
-    input): bucket occupancy stays ~``target_bucket_rows`` as n grows —
-    candidate-join cost linear in n — and tables are chosen to hit
-    ``recall_target`` at the given threshold.  Explicit values skip
-    both the count job and the sizing."""
+    the corpus count: bucket occupancy stays ~``target_bucket_rows`` as
+    n grows — candidate-join cost linear in n — and tables are chosen
+    to hit ``recall_target`` at the given threshold.  Pass ``n`` (e.g.
+    from ingest-layer snapshot metadata or table statistics) to skip
+    the sizing count job entirely — at 10¹² rows an extra full scan
+    just to pick parameters is real money; the count remains the
+    fallback when ``n`` is omitted.  Explicit ``bits``/``tables`` skip
+    the sizing altogether."""
     from pii_spark.dedup import _materialize
 
     # df is consumed tables+3 times (dim probe, one per hash table, both
@@ -192,7 +196,8 @@ def cosine_near_dup_pairs(
     df = _materialize(df.select(id_col, vec_col), True)
     if bits is None or tables is None:
         auto_bits, auto_tables = auto_lsh_params(
-            df.count(), threshold, target_bucket_rows, recall_target
+            df.count() if n is None else n,
+            threshold, target_bucket_rows, recall_target,
         )
         bits = auto_bits if bits is None else bits
         tables = auto_tables if tables is None else tables

@@ -1,0 +1,27 @@
+"""Mid-run death + resume durability (the BENCH/chaos.py protocol).
+
+The graceful-idempotence path (re-run == 0 buckets) is covered by
+test_spark_pipeline; this drives the UNGRACEFUL one: SIGKILL the driver
+between checkpoint-group commits and inside a group's commit sequence,
+resume in a fresh process, and require the final scrubbed_files +
+findings row content to be identical to an uninterrupted control run;
+plus connected-components surviving a hard executor-python death via
+reliable checkpointing.  Runs ~5 short JVMs (~2-3 min).
+"""
+
+import os
+import subprocess
+import sys
+
+
+def test_chaos_kill_and_resume_identical_output():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "BENCH", "chaos.py")],
+        capture_output=True, text=True, timeout=560, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "CHAOS_OK" in r.stdout
+    assert '"die_between": "identical_after_resume"' in r.stdout
+    assert '"die_mid_commit": "identical_after_resume"' in r.stdout
+    assert '"cc_kill": "survived_worker_death"' in r.stdout

@@ -156,6 +156,24 @@ def test_cosine_near_dup_pairs(vectors):
     assert abs(out[0].sim - 1.0) < 1e-9
 
 
+def test_auto_sizing_skips_count_when_n_supplied(vectors, monkeypatch):
+    # n= (e.g. from ingest snapshot metadata) must bypass the sizing
+    # count job entirely — at 10^12 rows an extra scan to pick LSH
+    # parameters is a real cost.  Any .count() call here fails the test.
+    from pyspark.sql import DataFrame as SparkDF
+
+    df, _ = vectors
+
+    def boom(self):
+        raise AssertionError("count() called despite n= being supplied")
+
+    monkeypatch.setattr(SparkDF, "count", boom)
+    out = similarity.cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n=105
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 100)]
+
+
 def test_exact_cosine_pairs_equals_lsh_on_identical_planted(vectors):
     # identical vectors share every LSH bucket, so the candidate tier is
     # complete for them — both tiers must return the same pair set

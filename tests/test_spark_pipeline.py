@@ -271,6 +271,30 @@ def test_tableio_snapshot_commit_semantics(spark, tmp_path):
     assert io.read("t").count() == 3
     assert not io.snapshot_committed("t", "sX")
 
+    # manifest-metadata row counts (the scan-free n= source for
+    # auto_lsh_params): None without bucket_counts, exact sum with
+    assert io.committed_row_count("t") is None
+    io.write_snapshot(df1, "t2", "s1", meta={"bucket_counts": {"0": 1, "1": 1}})
+    io.write_snapshot(df2, "t2", "s2", meta={"bucket_counts": {"2": 1}})
+    assert io.committed_row_count("t2") == 3
+
+
+def test_tableio_bucketed_name_sanitization_and_root_normalization(spark, tmp_path):
+    """Hyphenated table names must not break the generated SQL, and
+    relative/absolute spellings of one root share a namespace."""
+    import os
+
+    io = TableIO(spark, str(tmp_path / "bt"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    ident = io.write_bucketed(df, "my-table.v2", ["id"], 4)
+    try:
+        assert io.read_table("my-table.v2").count() == 1
+        rel = os.path.relpath(str(tmp_path / "bt"))
+        assert TableIO(spark, rel)._session_table("x") == io._session_table("x")
+    finally:
+        io.drop_table("my-table.v2")
+    assert not spark.catalog.tableExists(ident)
+
 
 def test_pipeline_resume_exactly_once_after_data_only_crash(spark, corpus, tmp_path):
     """A crash after the group's data write but BEFORE the manifest
