@@ -96,6 +96,30 @@ def shingles_col(text_col, n: int = 5):
     )
 
 
+def _symmetric_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """(src, dst) in both directions per pair, self-loops dropped — via
+    one explode over a conditional array instead of filter + union.
+
+    Deliberately NO ``Filter`` node: a ``filter(id_a != id_b)`` plants a
+    not-equal *constraint* that survives checkpoint leaves
+    (``LogicalRDD`` keeps origin constraints) and later crashes
+    Catalyst's union constraint rewrite with "key not found: dst#N"
+    (reproduced end-to-end via the curate chain) — the same family of
+    bug the leaf-truncation in ``connected_components`` works around.
+    The CASE-WHEN projection generates no such constraint, and one
+    explode also halves the pairs scans vs the union-of-two-selects."""
+    both = F.array(
+        F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+    )
+    arr = F.when(F.col(id_a) != F.col(id_b), both).otherwise(F.slice(both, 1, 0))
+    return (
+        pairs.select(F.explode(arr).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
 def _materialize(
     df: DataFrame, enabled: bool, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -647,6 +671,17 @@ def connected_components(
     that directory (survives executor loss — required for multi-hour
     jobs on real clusters; pass an HDFS/S3 path).  Non-convergence
     within ``max_iter`` raises instead of silently splitting clusters.
+
+    Self-pairs (``id_a == id_b``) are filtered up front, so a node
+    appearing ONLY in self-pairs is absent from the output under either
+    algorithm — the two are interchangeable on any input.  (Without the
+    filter they diverged: label emitted such nodes as their own
+    component, star silently dropped them in its ``dst > src`` step.)
+    Nodes need a real edge to appear; callers' pair enumerators never
+    emit self-pairs, this guards arbitrary input.  (The filter is
+    applied after the lineage-truncation leaf below — a filter on the
+    raw deep caller lineage re-triggers the Catalyst attribute bug the
+    truncation works around.)
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -664,11 +699,7 @@ def connected_components(
     # pair set is the small artifact here; one extra materialization is
     # noise next to candidate generation.
     pairs = _materialize(pairs.select(id_a, id_b), True, checkpoint_dir)
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-    )
+    edges = _symmetric_edges(pairs, id_a, id_b)
     edges = _materialize(edges, True, checkpoint_dir)
     for _ in range(max_iter):
         sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -707,11 +738,7 @@ def _cc_label(
     # connected_components): deep caller lineages + the column-swap
     # union break Catalyst attribute resolution in the checkpoint job
     pairs = _materialize(pairs.select(id_a, id_b), True, checkpoint_dir)
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-    )
+    edges = _symmetric_edges(pairs, id_a, id_b)
     edges = _materialize(edges, True, checkpoint_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")

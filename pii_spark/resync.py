@@ -38,6 +38,12 @@ class ResyncPolicy:
     subscription_interval_sec: float = 900.0
     unsynced_backoff_sec: float = 30.0
     error_requeue_sec: float = 60.0
+    #: Hard deadline on one fetch call (reference: 5m context timeout,
+    #: piicommunitysource_types.go Sync defaults).  A fetcher that
+    #: exceeds it degrades to the error-requeue path instead of
+    #: stalling the caller (a streaming foreachBatch) indefinitely;
+    #: set it much lower for short-trigger streaming jobs.
+    fetch_timeout_sec: float = 300.0
 
 
 @dataclass
@@ -48,6 +54,11 @@ class _SourceState:
     last_error: str | None = None
     fetch_count: int = 0
     error_count: int = 0
+    #: in-flight Future of a fetch that blew its deadline — kept so a
+    #: hung source is never relaunched while still hung (no thread
+    #: pile-up); its late result, if any, is discarded (stale context,
+    #: like the reference's cancelled ctx)
+    pending: object | None = None
 
 
 @dataclass
@@ -93,6 +104,7 @@ class ResyncScheduler:
         self._base_bank_factory = base_bank_factory
         self._bank = base_bank_factory()
         self._last_errors: list[str] = []
+        self._pool = None  # lazy ThreadPoolExecutor for fetch deadlines
 
     # ------------------------------------------------------------------
     def tick(self, now: float) -> ResyncReport:
@@ -104,7 +116,7 @@ class ResyncScheduler:
             if now < st.next_due:
                 continue
             try:
-                rulesets = st.fetch()
+                rulesets = self._fetch_with_deadline(st)
                 self.cache.set_source(key, rulesets)
                 st.synced = True
                 st.last_error = None
@@ -133,6 +145,35 @@ class ResyncScheduler:
             self._rebuild_bank()
             rep.bank_rebuilt = True
         return rep
+
+    def _fetch_with_deadline(self, st: _SourceState) -> list:
+        """Run one fetch under ``policy.fetch_timeout_sec`` (the
+        reference's 5m ctx timeout).  Timeout → TimeoutError into the
+        caller's error-requeue path; a source whose previous fetch is
+        STILL hung is not relaunched (bounded threads), it just
+        re-errors until the stuck call finally returns or dies."""
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutureTimeout
+
+        if st.pending is not None:
+            if not st.pending.done():
+                raise TimeoutError(
+                    "previous fetch still hung past its "
+                    f"{self.policy.fetch_timeout_sec:g}s deadline"
+                )
+            st.pending = None  # finished late: stale result, discard
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="resync-fetch"
+            )
+        fut = self._pool.submit(st.fetch)
+        try:
+            return fut.result(timeout=self.policy.fetch_timeout_sec)
+        except FutureTimeout:
+            st.pending = fut
+            raise TimeoutError(
+                f"fetch timed out after {self.policy.fetch_timeout_sec:g}s"
+            ) from None
 
     def _rebuild_bank(self) -> None:
         """Fresh immutable bank: builtin base + every resolvable

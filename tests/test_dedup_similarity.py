@@ -241,6 +241,21 @@ def test_connected_components_empty_pairs(spark):
     assert dedup.near_dedup(docs, pairs, "doc_id").count() == 1
 
 
+def test_connected_components_self_pairs_consistent(spark):
+    # self-loops are filtered up front: both algorithms drop the
+    # self-pair-only node (7) and agree on everything else
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (1, 1)], "doc_a long, doc_b long"
+    )
+    want = {(1, 1), (2, 1), (3, 1)}
+    for algo in ("star", "label"):
+        got = {
+            (r["doc"], r["component"])
+            for r in dedup.connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == want, algo
+
+
 def test_remove_frequent_lines(spark):
     header = "// LICENSE\n// DO NOT EDIT"
     rows = [(i, f"{header}\nbody line {i}\n{{") for i in range(20)]

@@ -134,3 +134,46 @@ def test_custom_policy_intervals():
     assert sched.tick(4.0).resubscribed == []
     assert sched.tick(5.0).resubscribed == ["src-a"]
     assert sched.tick(10.0).fetched == ["src-a"]
+
+
+def test_hung_fetcher_degrades_to_error_requeue():
+    # a fetcher stuck past fetch_timeout_sec must error-requeue, not
+    # stall tick() (i.e. not stall the streaming foreachBatch)
+    import threading
+    import time as _time
+
+    gate = threading.Event()
+    calls = {"n": 0}
+
+    def hung_fetch():
+        calls["n"] += 1
+        gate.wait(10.0)
+        return _rulesets()
+
+    sched = ResyncScheduler(
+        {"src-a": hung_fetch}, [_spec()],
+        policy=ResyncPolicy(fetch_timeout_sec=0.2, error_requeue_sec=60.0),
+    )
+    t0 = _time.monotonic()
+    rep = sched.tick(0.0)
+    assert _time.monotonic() - t0 < 5.0  # deadline, not the 10s hang
+    assert "timed out" in rep.fetch_errors["src-a"]
+    assert sched.status()["sources"]["src-a"]["next_due"] == 60.0
+
+    # still hung at the requeue time: re-error WITHOUT relaunching
+    rep2 = sched.tick(60.0)
+    assert "still hung" in rep2.fetch_errors["src-a"]
+    assert calls["n"] == 1  # no thread pile-up
+
+    # once the stuck call finally returns, the next due tick recovers
+    # (advance the injected clock past each error requeue while the
+    # stuck thread drains)
+    gate.set()
+    now, deadline = 120.0, _time.monotonic() + 5.0
+    while _time.monotonic() < deadline:
+        if sched.tick(now).fetched == ["src-a"]:
+            break
+        now += 61.0
+        _time.sleep(0.05)
+    assert sched.status()["sources"]["src-a"]["synced"] is True
+    assert calls["n"] == 2  # exactly one relaunch after the hang cleared
