@@ -101,7 +101,12 @@ def print_patterns(bank: PatternBank, out=None) -> None:
 
 
 def cmd_scan(args) -> int:
-    engine = Engine(PatternBank(), validation_enabled=not args.no_validate)
+    # byte_offsets: the reference's Position is Go byte-indexed
+    # (engine.go:13-16), so CLI JSON output is byte-parity by default —
+    # identical to char offsets on ASCII, reference-exact on multi-byte
+    engine = Engine(
+        PatternBank(), validation_enabled=not args.no_validate, byte_offsets=True
+    )
     if args.list:
         print_patterns(engine.bank)
         return 0

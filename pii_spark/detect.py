@@ -204,8 +204,16 @@ class BatchScrubber:
     tuple; reused across batches.
     """
 
-    def __init__(self, bank: PatternBank, names: list[str] | None, validation: bool):
-        self.engine = Engine(bank, validation_enabled=validation)
+    def __init__(
+        self,
+        bank: PatternBank,
+        names: list[str] | None,
+        validation: bool,
+        byte_offsets: bool = False,
+    ):
+        self.engine = Engine(
+            bank, validation_enabled=validation, byte_offsets=byte_offsets
+        )
         if names is None:
             self.compiled = list(bank.iter_enabled())
         else:
@@ -296,12 +304,15 @@ def make_detect_udf(
     bank: PatternBank | None = None,
     pattern_names: list[str] | None = None,
     validation: bool = True,
+    byte_offsets: bool = False,
 ):
     """Pandas UDF ``content → array<struct>`` of detections (operator D1/D2).
 
     Pass ``(spark, bank)`` to broadcast the bank via the SparkContext, or
     just a bank (closure capture — Spark pickles it into the task; fine
     for the small builtin bank, broadcast preferred for big custom banks).
+    ``byte_offsets=True`` reports reference-exact UTF-8 byte Positions
+    (engine.go:13-16) instead of character offsets.
     """
     bank, bc = _resolve_bank(spark_or_bank, bank)
 
@@ -311,7 +322,7 @@ def make_detect_udf(
     def detect_udf(content: pd.Series) -> pd.Series:
         if "s" not in state:
             b = bc.value if bc is not None else bank
-            state["s"] = BatchScrubber(b, pattern_names, validation)
+            state["s"] = BatchScrubber(b, pattern_names, validation, byte_offsets)
         return pd.Series(state["s"].detect_batch(content))
 
     return detect_udf
@@ -322,9 +333,11 @@ def make_scrub_udf(
     bank: PatternBank | None = None,
     pattern_names: list[str] | None = None,
     validation: bool = True,
+    byte_offsets: bool = False,
 ):
     """Pandas UDF ``content → struct(scrubbed, detections, n_redactions)``
-    (operators D1/D2 + R1/R2)."""
+    (operators D1/D2 + R1/R2).  ``byte_offsets`` as in
+    :func:`make_detect_udf`; the splice itself is char-based either way."""
     bank, bc = _resolve_bank(spark_or_bank, bank)
 
     state: dict = {}  # one BatchScrubber per python worker, not per batch
@@ -333,7 +346,7 @@ def make_scrub_udf(
     def scrub_udf(content: pd.Series) -> pd.DataFrame:
         if "s" not in state:
             b = bc.value if bc is not None else bank
-            state["s"] = BatchScrubber(b, pattern_names, validation)
+            state["s"] = BatchScrubber(b, pattern_names, validation, byte_offsets)
         return state["s"].scrub_batch(content)
 
     return scrub_udf
@@ -365,10 +378,11 @@ def with_scrub(
     pattern_names: list[str] | None = None,
     validation: bool = True,
     spark=None,
+    byte_offsets: bool = False,
 ) -> DataFrame:
     """Adds ``scrubbed_text``, ``detections``, ``n_redactions`` columns
     (reference RedactResult fields, redactor.go:27-32)."""
-    udf = make_scrub_udf(spark, bank, pattern_names, validation)
+    udf = make_scrub_udf(spark, bank, pattern_names, validation, byte_offsets)
     res = F.col("__scrub_res")
     return (
         df.withColumn("__scrub_res", udf(F.col(content_col)))

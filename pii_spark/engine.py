@@ -19,8 +19,12 @@ Reproduces the reference's detection and redaction semantics:
   we pin the deterministic order ``(-start, -end, pattern_name)``
   (SURVEY §7.4).
 
-Offsets are Python character offsets (the reference's are Go byte
-offsets; identical on ASCII — see SURVEY §7.4 divergence notes).
+Offsets: ``byte_offsets=True`` reports reference-exact Go BYTE offsets
+(UTF-8) in ``Position``; the default reports Python character offsets
+(identical on ASCII — SURVEY §7.4).  Matching semantics are unaffected
+either way (Go's regexp is rune-based like Python's ``str`` matching);
+only the reported span units change, and the redaction splice always
+uses character spans internally.
 
 This module is pure Python + stdlib: it is both the executor-side body
 of the vectorized scrub UDF (driven over Arrow record batches) and the
@@ -48,6 +52,10 @@ class DetectionResult:
     confidence: str
     severity: str
     redacted: str = ""
+    #: char-unit span for the redaction splice (== start/end unless the
+    #: engine reports byte offsets); not part of the wire dict
+    cstart: int = -1
+    cend: int = -1
 
     def as_dict(self) -> dict:
         return {
@@ -75,6 +83,19 @@ class RedactResult:
         return len(self.detections)
 
 
+def _char_to_byte_offsets(text: str) -> list[int]:
+    """cum[i] = UTF-8 byte offset of character i (cum[len] = total
+    bytes) — ord-threshold arithmetic, no per-char encode."""
+    cum = [0] * (len(text) + 1)
+    b = 0
+    for i, ch in enumerate(text):
+        cum[i] = b
+        o = ord(ch)
+        b += 1 if o < 0x80 else 2 if o < 0x800 else 3 if o < 0x10000 else 4
+    cum[len(text)] = b
+    return cum
+
+
 class Engine:
     """PII detection engine over a :class:`PatternBank`.
 
@@ -83,9 +104,17 @@ class Engine:
     reference there is no lock — banks are immutable snapshots per batch.
     """
 
-    def __init__(self, bank: PatternBank | None = None, validation_enabled: bool = True):
+    def __init__(
+        self,
+        bank: PatternBank | None = None,
+        validation_enabled: bool = True,
+        byte_offsets: bool = False,
+    ):
         self.bank = bank if bank is not None else PatternBank()
         self.validation_enabled = validation_enabled
+        #: report Go-parity UTF-8 byte offsets in DetectionResult
+        #: start/end (engine.go:13-16 Position is byte-indexed)
+        self.byte_offsets = byte_offsets
 
     def disable_validation(self) -> None:
         self.validation_enabled = False
@@ -121,8 +150,17 @@ class Engine:
                             end=m.end(),
                             confidence=confidence,
                             severity=spec.severity,
+                            cstart=m.start(),
+                            cend=m.end(),
                         )
                     )
+        if self.byte_offsets and results and not text.isascii():
+            # char index -> UTF-8 byte offset, one O(n) pass per text
+            # (skipped entirely on ASCII, where the units coincide)
+            cum = _char_to_byte_offsets(text)
+            for d in results:
+                d.start = cum[d.cstart]
+                d.end = cum[d.cend]
         return results
 
     def detect(self, text: str) -> list[DetectionResult]:
@@ -142,8 +180,16 @@ class Engine:
     ) -> RedactResult:
         if not detections:
             return RedactResult(text, text, detections)
-        # end-to-start splice; deterministic tie-break (SURVEY §7.4)
-        detections.sort(key=lambda d: (-d.start, -d.end, d.pattern))
+        # end-to-start splice on CHAR spans (cstart/cend fall back to
+        # start/end for hand-built detections); deterministic tie-break
+        # (SURVEY §7.4)
+        def spans(d):
+            return (
+                d.cstart if d.cstart >= 0 else d.start,
+                d.cend if d.cend >= 0 else d.end,
+            )
+
+        detections.sort(key=lambda d: (-spans(d)[0], -spans(d)[1], d.pattern))
         redacted_text = text
         for d in detections:
             strategy = self.bank.get_masking_strategy(d.pattern)
@@ -151,7 +197,8 @@ class Engine:
                 continue  # redactor.go:59-61
             masked = apply_masking(d.matched, strategy)
             d.redacted = masked
-            redacted_text = redacted_text[: d.start] + masked + redacted_text[d.end :]
+            cs, ce = spans(d)
+            redacted_text = redacted_text[:cs] + masked + redacted_text[ce:]
         return RedactResult(text, redacted_text, detections)
 
     def redact(self, text: str) -> RedactResult:
@@ -199,6 +246,10 @@ def validate_bank(specs: dict[str, PIIPatternSpec], test_cases: dict) -> list[st
     return failures
 
 
-def builtin_engine(validation: bool = True) -> Engine:
+def builtin_engine(validation: bool = True, byte_offsets: bool = False) -> Engine:
     """Engine over the full builtin bank (NewEngine, engine.go:70-81)."""
-    return Engine(PatternBank(BUILTIN_PATTERNS), validation_enabled=validation)
+    return Engine(
+        PatternBank(BUILTIN_PATTERNS),
+        validation_enabled=validation,
+        byte_offsets=byte_offsets,
+    )

@@ -100,3 +100,15 @@ def test_scan_list_patterns(capsys):
     assert out.count("Severity:") == 36
     assert f"{'email':<25} Email Address" in out
     assert "Description: Detects email addresses" in out
+
+
+def test_scan_json_positions_are_byte_offsets():
+    # reference Position is Go byte-indexed (engine.go:13-16): on Hangul
+    # input the CLI JSON must report UTF-8 byte offsets byte-for-byte
+    text = "연락처 a@b.co"
+    rc, out = run_cli("scan", "-t", text, "-p", "email", "-o", "json")
+    assert rc == 0
+    doc = json.loads(out)
+    pos = doc["detections"][0]["Position"]
+    assert pos["Start"] == len("연락처 ".encode("utf-8")) == 10
+    assert pos["End"] == 10 + len("a@b.co")

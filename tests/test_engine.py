@@ -131,3 +131,44 @@ def test_ascii_word_boundary_semantics():
     # 9 digits glued to Hangul: ASCII \b sees a boundary there
     dets = e.detect_with_patterns("번호123456789끝", ["ssn-us"])
     assert len(dets) == 1 and dets[0].matched == "123456789"
+
+
+def test_byte_offsets_parity_on_hangul():
+    """byte_offsets=True reports Go-parity UTF-8 byte Positions
+    (engine.go:13-16) while matching and splicing stay char-based."""
+    text = "연락처 010-1234-5678 끝"
+    char_e = builtin_engine()
+    byte_e = builtin_engine(byte_offsets=True)
+    cd = char_e.detect_with_patterns(text, ["phone-kr"])
+    bd = byte_e.detect_with_patterns(text, ["phone-kr"])
+    assert len(cd) == len(bd) == 1
+    assert (cd[0].start, cd[0].end) == (4, 17)  # char units
+    # Go's FindAllStringIndex: byte index = utf-8 length of the prefix
+    assert bd[0].start == len(text[: cd[0].start].encode("utf-8")) == 10
+    assert bd[0].end == len(text[: cd[0].end].encode("utf-8")) == 23
+    assert bd[0].matched == cd[0].matched == "010-1234-5678"
+    # redaction output identical in both modes (splice is char-based)
+    assert (
+        byte_e.redact_with_patterns(text, ["phone-kr"]).redacted_text
+        == char_e.redact_with_patterns(text, ["phone-kr"]).redacted_text
+    )
+
+
+def test_byte_offsets_identity_on_ascii():
+    text = "contact a@b.co now"
+    cd = builtin_engine().detect_with_patterns(text, ["email"])
+    bd = builtin_engine(byte_offsets=True).detect_with_patterns(text, ["email"])
+    assert [(d.start, d.end) for d in cd] == [(d.start, d.end) for d in bd]
+
+
+def test_byte_offsets_multibyte_between_matches():
+    # two matches with multibyte text between them: each start/end maps
+    # through the cumulative byte table independently
+    text = "a@b.co 한글한글 c@d.co"
+    bd = builtin_engine(byte_offsets=True).detect_with_patterns(text, ["email"])
+    spans = sorted((d.start, d.end) for d in bd)
+    assert spans == [
+        (0, 6),
+        (len("a@b.co 한글한글 ".encode("utf-8")),
+         len("a@b.co 한글한글 c@d.co".encode("utf-8"))),
+    ]

@@ -420,3 +420,21 @@ def test_pipeline_sampling_membership_stable_across_resume(spark, corpus, tmp_pa
     b = set(map(tuple, resumed[key].itertuples(index=False)))
     assert a == b                       # identical sample membership
     assert 0 < len(a) < len(pdf)        # the knob actually sampled
+
+
+def test_detect_udf_byte_offsets_on_hangul(spark):
+    # byte-offset parity mode flows through the Arrow-batched UDF path
+    from pii_spark.detect import make_detect_udf
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("연락처 a@b.co",), ("plain a@b.co",)], "content string")
+    udf = make_detect_udf(spark, None, ["email"], byte_offsets=True)
+    rows = (
+        df.withColumn("d", F.explode(udf(F.col("content"))))
+        .select("content", "d.start", "d.end")
+        .collect()
+    )
+    got = {r["content"]: (r["start"], r["end"]) for r in rows}
+    assert got["연락처 a@b.co"] == (10, 16)  # 3 Hangul chars = 9 bytes + space
+    assert got["plain a@b.co"] == (6, 12)
