@@ -1,0 +1,193 @@
+"""Zipfian-cluster skew benchmark for the MinHash → CC dedup family.
+
+Real web/code corpora have Zipf-distributed duplicate families: one
+boilerplate family owning ~5% of the corpus, then a long tail
+(cluster k holds ~S/k docs).  Every member of a family is byte-identical
+here (the worst case: identical docs share EVERY band, so the family
+lands in one LSH bucket per band).
+
+Measures the full near-dedup chain (MinHash-LSH pairs → star CC →
+survivors) twice on the same corpus:
+
+- **uncapped** — each family bucket enumerates its C(s,2) clique per
+  band before distinct;
+- **hot_bucket_cap=1000** — oversized buckets emit an s-1 edge star.
+
+Asserts the survivor count is identical (the cap changes candidate
+*enumeration*, not the component outcome for identical docs), then
+writes BENCH/ZIPF.md.
+
+Usage: ``python BENCH/zipf_skew.py`` (env: ZIPF_N, ZIPF_TOP_FRAC,
+ZIPF_CAP, SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("ZIPF_N", "30000"))  # 60k uncapped exceeds a 10-min budget on 32 cores
+TOP_FRAC = float(os.environ.get("ZIPF_TOP_FRAC", "0.05"))
+CAP = int(os.environ.get("ZIPF_CAP", "1000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MIN_CLUSTER = 20
+
+
+def zipf_clusters(n: int, top_frac: float) -> list[int]:
+    """Cluster sizes s_k = ceil(top·n / k) down to MIN_CLUSTER."""
+    top = int(n * top_frac)
+    sizes = []
+    k = 1
+    while True:
+        s = top // k
+        if s < MIN_CLUSTER:
+            break
+        sizes.append(s)
+        k += 1
+    return sizes
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from pii_spark import dedup
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{CPUS}]").appName("zipfskew"),
+            shuffle_partitions=CPUS * 2,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sizes = zipf_clusters(N, TOP_FRAC)
+    n_clustered = sum(sizes)
+    # doc i belongs to cluster k iff offsets[k] <= i < offsets[k+1]
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    # cluster id via SQL: find the bucket by comparing against literals
+    # (few hundred clusters → a CASE chain is fine)
+    cluster_expr = F.lit(-1)
+    for k in range(len(sizes) - 1, -1, -1):
+        cluster_expr = F.when(
+            (F.col("id") >= bounds[k]) & (F.col("id") < bounds[k + 1]), F.lit(k)
+        ).otherwise(cluster_expr)
+
+    # every family token carries the cluster id: families share ZERO
+    # shingles with each other (a single distinguishing token would
+    # leave cross-family Jaccard at 9/11 ≈ 0.82 ≥ threshold and merge
+    # whole families — measured, not hypothetical)
+    family_words = (
+        "boiler nav header footer copy subscribe news cookie consent "
+        "privacy terms cluster"
+    ).split()
+    family_text = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(w), F.col("cl").cast("string")) for w in family_words],
+    )
+    docs = spark.range(N).select(
+        F.col("id").alias("doc"),
+        cluster_expr.alias("cl"),
+    ).select(
+        "doc",
+        F.when(
+            F.col("cl") >= 0,
+            family_text,
+        ).otherwise(
+            F.concat(
+                F.lit("unique document body text segment "),
+                F.col("doc").cast("string"),
+                F.lit(" alpha"), (F.col("doc") % 97).cast("string"),
+                F.lit(" beta"), (F.col("doc") % 89).cast("string"),
+                F.lit(" gamma"), (F.col("doc") % 83).cast("string"),
+                F.lit(" delta"), (F.col("doc") % 79).cast("string"),
+            )
+        ).alias("text"),
+    )
+    docs = docs.repartition(CPUS * 2, "doc").persist()
+    docs.count()
+
+    expected_survivors = (N - n_clustered) + len(sizes)
+    results = {}
+    for label, cap in (("uncapped", None), (f"cap{CAP}", CAP)):
+        t0 = time.time()
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc", "text", num_hashes=128, bands=32,
+            verify_threshold=0.8, hot_bucket_cap=cap,
+        ).persist()
+        n_pairs = pairs.count()
+        t_pairs = time.time() - t0
+
+        t0 = time.time()
+        survivors = dedup.near_dedup(docs, pairs, "doc").count()
+        t_cc = time.time() - t0
+        pairs.unpersist()
+        assert survivors == expected_survivors, (label, survivors, expected_survivors)
+        results[label] = {
+            "candidate_pairs": n_pairs,
+            "pair_stage_sec": round(t_pairs, 1),
+            "cc_and_survivors_sec": round(t_cc, 1),
+            "survivors": survivors,
+        }
+
+    out = {
+        "n_docs": N,
+        "clusters": len(sizes),
+        "largest_cluster": sizes[0],
+        "clustered_docs": n_clustered,
+        **{f"{k}_{m}": v for k, r in results.items() for m, v in r.items()},
+    }
+    print(json.dumps(out))
+
+    ratio = (
+        results["uncapped"]["candidate_pairs"]
+        / max(results[f"cap{CAP}"]["candidate_pairs"], 1)
+    )
+    md = f"""# BENCH/ZIPF — Zipfian duplicate families: capped vs uncapped
+
+{N:,} docs; cluster k holds ~{int(N * TOP_FRAC):,}/k byte-identical docs
+(k = 1..{len(sizes)}, min size {MIN_CLUSTER}) — {n_clustered:,} docs in
+{len(sizes)} families, largest = {sizes[0]:,} ({TOP_FRAC:.0%} of corpus);
+rest unique.  Full chain: MinHash-LSH (128 hashes / 32 bands, verify
+0.8) → star CC → survivors.  See `BENCH/zipf_skew.py`.
+
+| mode | candidate pairs | pair stage (s) | CC+survivors (s) | survivors |
+|---|---|---|---|---|
+| uncapped | {results['uncapped']['candidate_pairs']:,} | {results['uncapped']['pair_stage_sec']} | {results['uncapped']['cc_and_survivors_sec']} | {results['uncapped']['survivors']:,} |
+| hot_bucket_cap={CAP} | {results[f'cap{CAP}']['candidate_pairs']:,} | {results[f'cap{CAP}']['pair_stage_sec']} | {results[f'cap{CAP}']['cc_and_survivors_sec']} | {results[f'cap{CAP}']['survivors']:,} |
+
+Survivor sets **identical** (asserted in-script).  Candidate volume cut
+**{ratio:.1f}×** by the cap (head clique → star).  Honest reading: at a
+{sizes[0]:,}-doc head, wall time is roughly neutral — the clique is
+still shuffle-affordable and the cap pays a per-bucket count + window
+pass.  The payoff is super-linear in head size (clique ∝ s²): at the
+20k head of `BENCH/HOTBUCKET.md` uncapped is 2·10⁸ pairs per band
+(infeasible) while capped finishes in seconds.  Zipf heads grow
+linearly with corpus size, so the cap is the difference between
+feasible and not at scale, not a constant-factor win.
+
+Knob guidance: the cap is insurance against the s² head, not a tail
+optimizer — below ~10³ it buys little (tail cliques are bounded by
+cap·Σs) and costs star-verification fidelity for merely-similar
+buckets.  Leave it off only for corpora exact-deduped first; CC time
+is insensitive either way (linear in edges, same components).
+
+Reproduce: `python BENCH/zipf_skew.py` (env: `ZIPF_N`, `ZIPF_TOP_FRAC`,
+`ZIPF_CAP`, `SPARK_GRAFT_CPUS`).
+"""
+    with open(os.path.join(os.path.dirname(__file__), "ZIPF.md"), "w") as fh:
+        fh.write(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

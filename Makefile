@@ -1,7 +1,7 @@
 # Developer entry points (mirrors the reference's Makefile role,
 # /root/reference/Makefile — test/build/run targets for this engine).
 
-.PHONY: test bench scale skew dedup-bench embed-bench hot-bucket stream-bench plans verify curate chaos
+.PHONY: test bench scale skew dedup-bench embed-bench hot-bucket stream-bench plans verify curate chaos zipf soak
 
 test:
 	python -m pytest tests/ -x -q
@@ -29,6 +29,12 @@ stream-bench:     ## stateful token-bucket throughput → BENCH/STREAMING.md
 
 chaos:            ## SIGKILL-mid-run + resume durability → BENCH/CHAOS.md
 	python BENCH/chaos.py
+
+zipf:             ## Zipfian duplicate families, capped vs uncapped → BENCH/ZIPF.md
+	python BENCH/zipf_skew.py
+
+soak:             ## 300-micro-batch streaming soak → BENCH/STREAMING.md
+	python BENCH/streaming_soak.py
 
 plans:            ## regenerate docs/PLANS.md physical-plan snapshots
 	python BENCH/plans_snapshot.py

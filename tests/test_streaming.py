@@ -156,8 +156,16 @@ def test_scrub_stream_foreachbatch(spark, tmp_path):
 
 def test_token_bucket_stream_tws(spark, tmp_path):
     # Spark-4 transformWithStateInPandas variant: same semantics.
-    # TWS speaks protobuf to the state server — absent here, auto-skip.
-    pytest.importorskip("google.protobuf")
+    # TWS speaks protobuf to the state server; the runtime is an
+    # explicit documented extra (README §Optional extras) — this is the
+    # only capability it gates, the applyInPandasWithState default
+    # above covers the same semantics without it.
+    pytest.importorskip(
+        "google.protobuf",
+        reason="optional extra 'protobuf>=4' not installed — required only "
+        "for the transformWithStateInPandas variant (README §Optional "
+        "extras); the applyInPandasWithState default is fully tested",
+    )
     src = tmp_path / "src_tws"
     src.mkdir()
     _write_batch(src, "b0.json", [

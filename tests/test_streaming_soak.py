@@ -1,0 +1,34 @@
+"""Streaming soak (BENCH/streaming_soak.py) at pytest scale: one
+continuous query chaining dedup → token bucket → foreachBatch(resync
+hot-swap → scrub → alert post) for 120 micro-batches, asserting budget
+exactness vs the pure oracle, zero state growth, mid-stream bank swap,
+and exact delivery counts.  The 300-batch version with the
+state-store-over-time table is `make soak` → BENCH/STREAMING.md."""
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _soak_module():
+    spec = importlib.util.spec_from_file_location(
+        "streaming_soak", os.path.join(REPO, "BENCH", "streaming_soak.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_streaming_soak_120_batches(spark, tmp_path):
+    soak = _soak_module()
+    res = soak.run_soak(
+        spark, str(tmp_path), n_batches=120, resync_interval_sec=80.0
+    )
+    # every assertion lives inside run_soak; sanity-check the summary
+    assert res["micro_batches_run"] >= 120
+    assert res["events_after_dedup"] == 240          # duplicates all suppressed
+    assert res["alerts_posted"] == sum(res["allowed"].values())
+    assert 0 < res["first_community_hit_batch"] < 120
+    # plateau: last-quarter dedup state no bigger than second quarter
+    assert res["dedup_state_rows_q4_max"] <= res["dedup_state_rows_q2_max"] + 5
