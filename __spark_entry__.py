@@ -765,6 +765,85 @@ def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+#: License headers spliced onto documents by doc_id % 6 (index 5 = no
+#: header) — mirrored verbatim in the SQL oracle.
+_LICENSE_HEADERS = [
+    "// Permission is hereby granted, free of charge, to any person\n",
+    '# Licensed under the Apache License, Version 2.0 (the "License");\n',
+    "/* under the terms of the GNU General Public License as published\n"
+    " * by the Free Software Foundation, either version 3 */\n",
+    "// Redistributions in binary form must reproduce the above copyright\n",
+    "// This file contains confidential and proprietary information.\n",
+    "",
+]
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # code-corpus license gate: detect SPDX-ish license ids from the
+    # file head via the RE2-compatible marker bank (first match wins);
+    # the oracle replays the same marker chain through DuckDB's regex
+    # engine over the identically constructed corpus
+    from pii_spark.curation import license_col
+
+    docs = _docs(spark, sf_dir)
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in _LICENSE_HEADERS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    corpus = docs.select(
+        "doc_id", F.concat(hdr, F.col("text")).alias("content")
+    )
+    return (
+        corpus.select(license_col(F.col("content")).alias("license"))
+        .groupBy("license")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("license")
+    )
+
+
+def _license_oracle_sql() -> str:
+    """DuckDB replay of the license marker chain: same markers, same
+    first-match-wins order, same 2000-char head — generated from the
+    bank itself (like the langid oracle) but executed by RE2 + SQL."""
+    from pii_spark.curation import LICENSE_MARKERS
+
+    headers = ", ".join(
+        "'" + h.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+        for h in _LICENSE_HEADERS[:-1]
+    ) + ", ''"
+    branches = " ".join(
+        f"WHEN regexp_matches(head, '{pat}') THEN '{lic}'"
+        for lic, pat in LICENSE_MARKERS
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT ([{headers}])[(doc_id % 6 + 1)::INT] || text AS content
+            FROM documents
+        ),
+        lab AS (
+            SELECT CASE {branches} ELSE 'unknown' END AS license
+            FROM (SELECT substr(content, 1, 2000) AS head FROM corpus)
+        )
+        SELECT license, count(*) AS n FROM lab
+        GROUP BY license ORDER BY license
+    """
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: winnowed-fingerprint overlap of every
+    # training doc against a "benchmark" set (here: 120-char slices of
+    # every 25th doc — so those docs and any shared-substring cousins
+    # must flag).  Portable md5 mode so DuckDB re-runs the whole
+    # winnow-broadcast-probe pipeline independently.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.substring("text", 41, 120).alias("text")
+    )
+    return dedup.contamination_check(
+        docs, bench, "doc_id", "text", k=25, w=16, min_shared=2, hash_fn=F.md5
+    ).orderBy("doc_id")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal DECODE verification: each row carries a REAL image
     # payload (BMP for odd doc_id, binary PGM for even — both built by
@@ -1103,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "license_detect": q_license_detect,
+        "contamination": q_contamination,
     }
 
 
@@ -1479,6 +1560,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "langid_distribution": _langid_oracle_sql(),
+        "license_detect": _license_oracle_sql(),
+        # full winnow→broadcast-probe decontamination replayed in SQL:
+        # same k=25/w=16 winnowing (portable md5 k-gram hashes) on both
+        # corpus and benchmark sides, distinct benchmark fingerprints,
+        # per-doc shared counts and the min_shared=2 flag
+        "contamination": """
+            WITH corpus AS (SELECT doc_id, text AS t FROM documents),
+            bench AS (
+                SELECT substr(text, 41, 120) AS t FROM documents
+                WHERE doc_id % 25 = 0
+            ),
+            kgc AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) - 24 <= 0 THEN [md5(t)]
+                            ELSE list_transform(range(1, length(t) - 23),
+                                                i -> md5(substr(t, i, 25)))
+                       END AS kh
+                FROM corpus
+            ),
+            fpc AS (
+                SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(kh) <= 15 THEN [list_min(kh)]
+                                ELSE list_transform(range(1, len(kh) - 14),
+                                                    j -> list_min(kh[j:j+15]))
+                           END)) AS fp
+                FROM kgc
+            ),
+            kgb AS (
+                SELECT CASE WHEN length(t) - 24 <= 0 THEN [md5(t)]
+                            ELSE list_transform(range(1, length(t) - 23),
+                                                i -> md5(substr(t, i, 25)))
+                       END AS kh
+                FROM bench
+            ),
+            fpb AS (
+                SELECT DISTINCT fp FROM (
+                    SELECT unnest(list_distinct(
+                               CASE WHEN len(kh) <= 15 THEN [list_min(kh)]
+                                    ELSE list_transform(range(1, len(kh) - 14),
+                                                        j -> list_min(kh[j:j+15]))
+                               END)) AS fp
+                    FROM kgb
+                )
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_shared
+                FROM fpc JOIN fpb USING (fp) GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_fp FROM fpc GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n_fp AS BIGINT) AS n_fp,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(h.n_shared, 0) >= 2 AS contaminated
+            FROM tot t LEFT JOIN hits h USING (doc_id)
+            ORDER BY t.doc_id
+        """,
         # decode verification: the Spark side parses a REAL BMP/PGM
         # payload; the oracle recomputes the decoded shape and exact
         # pixel sum from the closed-form pixel field alone — any

@@ -106,3 +106,71 @@ def quota_by_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# license detection (code-corpus gating)
+# ---------------------------------------------------------------------------
+
+#: (license id, RE2-and-Java-compatible marker regex).  First match in
+#: this order wins — specific texts before generic names, permissive
+#: before restrictive, so a dual-marked header (e.g. an Apache NOTICE
+#: quoting the GPL) resolves deterministically.  Markers are phrases
+#: from the canonical license texts; no lookaround (DuckDB RE2 has
+#: none), case-insensitive via (?is).
+LICENSE_MARKERS: list[tuple[str, str]] = [
+    ("mit", r"(?is)permission is hereby granted, free of charge"),
+    ("mit", r"(?is)\bMIT licen[cs]e\b"),
+    ("apache-2.0", r"(?is)licensed under the apache license,? version 2\.0"),
+    ("apache-2.0", r"(?is)\bapache licen[cs]e\b.{0,40}2\.0"),
+    ("unlicense", r"(?is)this is free and unencumbered software"),
+    ("cc0-1.0", r"(?is)\bCC0\b|creative commons zero"),
+    ("bsd-3-clause",
+     r"(?is)redistributions? in binary form must reproduce"),
+    ("bsd-3-clause", r"(?is)\bBSD 3-clause\b"),
+    ("bsd-2-clause", r"(?is)\bBSD 2-clause\b"),
+    ("mpl-2.0", r"(?is)mozilla public licen[cs]e.{0,20}2\.0"),
+    ("agpl-3.0", r"(?is)gnu affero general public licen[cs]e"),
+    ("lgpl", r"(?is)gnu lesser general public licen[cs]e"),
+    ("gpl-3.0", r"(?is)gnu general public licen[cs]e.{0,60}version 3"),
+    ("gpl-2.0", r"(?is)gnu general public licen[cs]e.{0,60}version 2"),
+    ("gpl", r"(?is)\bGPLv[23]\b"),
+    ("proprietary", r"(?is)\bconfidential\b.{0,40}\bproprietary\b"
+                    r"|\bproprietary\b.{0,40}\bconfidential\b"),
+]
+
+#: licenses a training corpus typically admits
+PERMISSIVE_LICENSES = (
+    "mit", "apache-2.0", "unlicense", "cc0-1.0",
+    "bsd-3-clause", "bsd-2-clause", "mpl-2.0",
+)
+
+
+def license_col(text: Column, head_chars: int = 2000) -> Column:
+    """SPDX-ish license id detected from the file head (license headers
+    live in the first comment block; scanning 2000 chars bounds regex
+    cost on huge files), ``'unknown'`` when no marker fires.  Pure JVM
+    rlike chain — codegen-friendly, no UDF, and the marker bank is
+    RE2-compatible so an independent engine reproduces it exactly."""
+    head = F.substring(text, 1, head_chars)
+    expr = F.lit("unknown")
+    for lic, pat in reversed(LICENSE_MARKERS):
+        expr = F.when(head.rlike(pat), F.lit(lic)).otherwise(expr)
+    return expr
+
+
+def license_filter(
+    df: DataFrame,
+    text_col: str,
+    allow: tuple[str, ...] = PERMISSIVE_LICENSES,
+    keep_unknown: bool = True,
+    license_out_col: str = "license",
+) -> DataFrame:
+    """Annotate ``license`` and keep rows whose detected license is in
+    ``allow`` (plus ``unknown`` unless ``keep_unknown=False``) — the
+    code-corpus admission gate.  Filter is a pushdown-friendly column
+    predicate; at 10¹² files the regex chain runs once per file head
+    inside whole-stage codegen, no shuffle."""
+    allowed = list(allow) + (["unknown"] if keep_unknown else [])
+    out = df.withColumn(license_out_col, license_col(F.col(text_col)))
+    return out.filter(F.col(license_out_col).isin(allowed))

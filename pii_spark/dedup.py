@@ -876,3 +876,68 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 25,
+    w: int = 16,
+    min_shared: int = 2,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Flag training docs that overlap a benchmark/eval set — the
+    decontamination gate every LLM data pipeline needs before training.
+
+    Both sides are winnowed (:func:`winnow_fingerprints_df`, k-gram
+    length ``k``, window ``w``: any shared substring of length
+    ≥ w+k-1 chars is guaranteed to share a fingerprint).  The
+    benchmark's DISTINCT fingerprint set is tiny relative to the corpus
+    (eval sets are MBs, corpora are TBs), so the probe join broadcasts
+    it — the corpus side never shuffles, making this linear in corpus
+    size at any scale.
+
+    Returns one row per doc: ``(id, n_fp, n_shared, contaminated)``
+    where ``contaminated = n_shared >= min_shared``.  Docs with zero
+    overlap are included (n_shared = 0) so the output is a total
+    annotation, not a hit list — drop with
+    ``.filter(~F.col("contaminated"))``.
+
+    ``hash_fn=F.md5`` switches to the portable hash the DuckDB oracle
+    reproduces (same contract as :func:`fingerprint_overlap_pairs`).
+    """
+    bcol = bench_text_col or text_col
+    doc_fp = winnow_fingerprints_df(docs, id_col, text_col, k, w, hash_fn)
+    bench_fp = (
+        winnow_fingerprints_df(
+            benchmark.select(F.monotonically_increasing_id().alias("__bid"), bcol),
+            "__bid", bcol, k, w, hash_fn,
+        )
+        .select("fp")
+        .distinct()
+    )
+    hits = (
+        doc_fp.join(F.broadcast(bench_fp), "fp")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = doc_fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        per_doc.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_fp",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

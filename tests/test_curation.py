@@ -80,3 +80,62 @@ def test_hash_sample_boundary_fractions(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
     assert hash_sample(df, F.col("k"), 1.0).count() == 50
     assert hash_sample(df, F.col("k"), 0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# license detection / filtering
+# ---------------------------------------------------------------------------
+
+MIT_HDR = "// Permission is hereby granted, free of charge, to any person\n"
+APACHE_HDR = '# Licensed under the Apache License, Version 2.0 (the "License");\n'
+GPL3_HDR = ("/* under the terms of the GNU General Public License as published\n"
+            " * by the Free Software Foundation, either version 3 */\n")
+PROP_HDR = "// This file contains confidential and proprietary information.\n"
+
+
+def test_license_col_detects_and_prioritizes(spark):
+    from pii_spark.curation import license_col
+
+    rows = [
+        (0, MIT_HDR + "body"),
+        (1, APACHE_HDR + "body"),
+        (2, GPL3_HDR + "body"),
+        (3, PROP_HDR + "body"),
+        (4, "def f():\n    return 1\n"),
+        # dual-marked header: MIT phrase outranks the GPL mention
+        (5, MIT_HDR + GPL3_HDR + "body"),
+        # marker beyond the scanned head is ignored
+        (6, "x" * 2100 + MIT_HDR),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lic
+        for r in df.select("doc_id", license_col(F.col("text")).alias("lic")).collect()
+    }
+    assert got == {0: "mit", 1: "apache-2.0", 2: "gpl-3.0", 3: "proprietary",
+                   4: "unknown", 5: "mit", 6: "unknown"}
+
+
+def test_license_filter_gates_corpus(spark):
+    from pii_spark.curation import license_filter
+
+    rows = [(0, MIT_HDR), (1, GPL3_HDR), (2, "plain"), (3, PROP_HDR)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in license_filter(df, "text").collect()}
+    assert kept == {0, 2}  # permissive + unknown; GPL and proprietary dropped
+    strict = {r.doc_id for r in license_filter(df, "text", keep_unknown=False).collect()}
+    assert strict == {0}
+
+
+def test_license_markers_are_re2_compatible():
+    # the oracle executes these in DuckDB's RE2 — every marker must
+    # parse there AND in Java/Python regex
+    import duckdb
+
+    from pii_spark.curation import LICENSE_MARKERS
+
+    for lic, pat in LICENSE_MARKERS:
+        duckdb.sql(
+            "SELECT regexp_matches('probe text', '"
+            + pat.replace("'", "''") + "')"
+        ).fetchall()

@@ -476,3 +476,51 @@ def test_near_dedup_over_capped_verified_pairs_deep_lineage(spark):
     )
     assert len(survivors) == 61  # 60 unique + 1 cluster survivor
     assert "d0" in survivors and "d1" not in survivors
+
+
+def test_contamination_check_flags_benchmark_overlap(spark):
+    bench_passage = (
+        "What is the capital of France? The capital of France is Paris, "
+        "a city on the Seine."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "training doc containing the eval verbatim: " + bench_passage),
+            (2, "clean document about something entirely different and long enough"),
+            # shares < w+k-1 = 40 chars with the benchmark → no guarantee, and
+            # with min_shared=1 must stay clean (no 40-char run shared)
+            (3, "What is the capital of Spain? Madrid obviously, not Paris."),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_passage,)], "text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.contamination_check(
+            docs, bench, "doc_id", "text", k=25, w=16, min_shared=1
+        ).collect()
+    }
+    assert len(out) == 3  # total annotation, clean docs included
+    assert out[1].contaminated and out[1].n_shared >= 1
+    assert not out[2].contaminated and out[2].n_shared == 0
+    assert not out[3].contaminated
+    assert all(out[i].n_fp > 0 for i in out)
+
+
+def test_contamination_guarantee_long_shared_run(spark):
+    # winnowing guarantee: ANY shared run of >= w+k-1 chars must share
+    # a fingerprint, wherever it sits in the doc
+    run = "a shared forty-plus character benchmark sequence right here!"
+    assert len(run) >= 16 + 25 - 1
+    docs = spark.createDataFrame(
+        [(1, "prefix " * 10 + run + " suffix"), (2, "nothing in common at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("Q: " + run + " A: yes",)], "text string")
+    out = {
+        r.doc_id: r.contaminated
+        for r in dedup.contamination_check(
+            docs, bench, "doc_id", "text", k=25, w=16, min_shared=1
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
