@@ -197,3 +197,38 @@ def test_bucketed_table_dedup_has_no_exchange(spark, tmp_path):
             )
     finally:
         io.drop_table(name)
+
+
+def test_license_filter_is_pure_codegen_no_shuffle_no_python(spark):
+    # the license gate must be a map-only rlike chain fused into the
+    # scan stage: no Exchange, no Python, and only the needed columns
+    from pii_spark.curation import license_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(license_filter(docs, "text").select("doc_id", "license"))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0
+    assert "* Filter" in p  # the '*' marks the codegen'd stage
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    # the corpus side must NEVER shuffle for the probe join: the
+    # benchmark's distinct fingerprints broadcast, and the only
+    # hash exchanges are the per-doc aggregations keyed by doc id
+    from pii_spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 80).alias("text")
+    )
+    p = plan(
+        dedup.contamination_check(docs, bench, "doc_id", "text", k=25, w=16)
+    )
+    assert "BroadcastHashJoin" in p          # fp probe join
+    assert "BroadcastExchange" in p
+    # the probe must not be a shuffle join — a SortMergeJoin here would
+    # mean the corpus-wide fingerprint set got repartitioned (the
+    # benchmark side's own tiny distinct may shuffle; that's fine)
+    assert "SortMergeJoin" not in p
