@@ -844,6 +844,26 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-batch construction: exact greedy sequence packing per
+    # language (deterministic doc_id order, 512-token budget, oversize
+    # docs get their own pack).  The oracle replays the sequential
+    # greedy state machine with a DuckDB RECURSIVE CTE — per-row pack
+    # ids must match exactly.
+    from pii_spark.curation import pack_greedy
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return (
+        pack_greedy(docs, ["lang"], "n_tokens", max_tokens=512,
+                    order_cols=["doc_id"])
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal DECODE verification: each row carries a REAL image
     # payload (BMP for odd doc_id, binary PGM for even — both built by
@@ -1184,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "license_detect": q_license_detect,
         "contamination": q_contamination,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -1561,6 +1582,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_distribution": _langid_oracle_sql(),
         "license_detect": _license_oracle_sql(),
+        # exact greedy packing replayed sequentially: the recursive CTE
+        # carries (pack, running-total) doc by doc in the same
+        # deterministic order as the Spark applyInPandas pass
+        "sequence_pack": """
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            state AS (
+                SELECT lang, doc_id, n_tokens, rn,
+                       0 AS pack_id, n_tokens AS run
+                FROM docs WHERE rn = 1
+                UNION ALL
+                SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+                       CASE WHEN s.run + d.n_tokens > 512
+                            THEN s.pack_id + 1 ELSE s.pack_id END,
+                       CASE WHEN s.run + d.n_tokens > 512
+                            THEN d.n_tokens ELSE s.run + d.n_tokens END
+                FROM state s JOIN docs d
+                  ON d.lang = s.lang AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(pack_id AS BIGINT) AS pack_id
+            FROM state ORDER BY doc_id
+        """,
         # full winnow→broadcast-probe decontamination replayed in SQL:
         # same k=25/w=16 winnowing (portable md5 k-gram hashes) on both
         # corpus and benchmark sides, distinct benchmark fingerprints,

@@ -145,6 +145,7 @@ def main() -> None:
         "pending_updates",
         "license_detect",
         "contamination",
+        "sequence_pack",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -174,3 +174,71 @@ def license_filter(
     allowed = list(allow) + (["unknown"] if keep_unknown else [])
     out = df.withColumn(license_out_col, license_col(F.col(text_col)))
     return out.filter(F.col(license_out_col).isin(allowed))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch construction)
+# ---------------------------------------------------------------------------
+
+def pack_greedy(
+    df: DataFrame,
+    key_cols: list[str],
+    tokens_col: str,
+    max_tokens: int,
+    order_cols: list[str],
+    n_shards: int = 1,
+    shard_by: str | None = None,
+) -> DataFrame:
+    """Assign each row a ``pack_id`` such that consecutive docs (in the
+    deterministic ``order_cols`` order, within each ``key_cols`` group)
+    fill packs of at most ``max_tokens`` tokens — the sequence-packing
+    step that turns a curated corpus into fixed-budget training rows.
+
+    Semantics (exact greedy, deterministic): the first doc of a group
+    opens pack 0; each next doc joins the current pack unless that
+    would exceed ``max_tokens``, in which case it opens the next pack.
+    A doc larger than ``max_tokens`` gets a pack of its own.  Pack ids
+    are dense per group, 0-based.
+
+    Packing is inherently sequential *within a pack stream*, so the
+    unit of parallelism is the group: one shuffle on the pack keys,
+    then an ``applyInPandas`` linear pass per group.  At 10¹²-doc scale
+    a single group (one language) is still too big for one task —
+    ``n_shards > 1`` salts the group key with a deterministic
+    ``xxhash64(shard_by) % n_shards`` shard, giving ``groups ×
+    n_shards``-way parallelism at the cost of at most one underfilled
+    pack per shard (the standard trade; shard count is recorded in the
+    output ``pack_shard`` column so pack ids are (keys, shard, pack_id)
+    -unique)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    shard_col = F.pmod(
+        F.xxhash64(F.col(shard_by or order_cols[0])), F.lit(n_shards)
+    ).cast("long") if n_shards > 1 else F.lit(0).cast("long")
+    work = df.withColumn("pack_shard", shard_col)
+
+    out_schema = StructType(
+        work.schema.fields + [StructField("pack_id", LongType())]
+    )
+    sort_cols = list(order_cols)
+    tc = tokens_col
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        packs = []
+        run, pack = 0, 0
+        first = True
+        for t in pdf[tc]:
+            t = int(t)
+            if not first and run + t > max_tokens:
+                pack += 1
+                run = t
+            else:
+                run += t
+                first = False
+            packs.append(pack)
+        pdf = pdf.copy()
+        pdf["pack_id"] = packs
+        return pdf
+
+    return work.groupBy(*key_cols, "pack_shard").applyInPandas(fn, out_schema)

@@ -139,3 +139,66 @@ def test_license_markers_are_re2_compatible():
             "SELECT regexp_matches('probe text', '"
             + pat.replace("'", "''") + "')"
         ).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_greedy_exact_semantics(spark):
+    from pii_spark.curation import pack_greedy
+
+    rows = [
+        # lang a, ordered by doc_id: tokens 300, 200, 100, 600, 50
+        ("a", 0, 300), ("a", 1, 200), ("a", 2, 100), ("a", 3, 600), ("a", 4, 50),
+        # lang b: an oversize doc opens (and fills) its own pack
+        ("b", 0, 900), ("b", 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = {
+        (r.lang, r.doc_id): r.pack_id
+        for r in pack_greedy(
+            df, ["lang"], "n_tokens", max_tokens=512, order_cols=["doc_id"]
+        ).collect()
+    }
+    # a: 300+200=500 fits; +100 would be 600 > 512 -> new pack; 100 then
+    # 600 oversize -> own pack; 50 -> next
+    assert out == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 2,
+                   ("a", 4): 3, ("b", 0): 0, ("b", 1): 1}
+
+
+def test_pack_greedy_budget_invariant(spark):
+    from pii_spark.curation import pack_greedy
+
+    rows = [("x", i, (i * 37) % 200 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = pack_greedy(df, ["lang"], "n_tokens", 256, ["doc_id"])
+    sums = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    # every multi-doc pack respects the budget (only oversize singletons
+    # may exceed; none exist here since max doc is 200 <= 256)
+    assert sums.filter(F.col("tot") > 256).count() == 0
+    # deterministic: same input -> same packing
+    again = pack_greedy(df, ["lang"], "n_tokens", 256, ["doc_id"])
+    assert sorted((r.doc_id, r.pack_id) for r in out.collect()) == sorted(
+        (r.doc_id, r.pack_id) for r in again.collect()
+    )
+
+
+def test_pack_greedy_sharding_parallelism(spark):
+    from pii_spark.curation import pack_greedy
+
+    rows = [("x", i, 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = pack_greedy(df, ["lang"], "n_tokens", 300, ["doc_id"],
+                      n_shards=4, shard_by="doc_id").collect()
+    shards = {r.pack_shard for r in out}
+    assert shards == {0, 1, 2, 3}
+    # budget holds within every (shard, pack)
+    import collections
+    tot = collections.Counter()
+    for r in out:
+        tot[(r.pack_shard, r.pack_id)] += r.n_tokens
+    assert all(v <= 300 for v in tot.values())
