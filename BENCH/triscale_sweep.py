@@ -1,0 +1,93 @@
+"""Tri-scale oracle parity sweep: every queries()/oracle_sql() pair at
+ALL THREE driver scales (sf0.001, sf0.01, sf0.1), not just the driver's
+sf0.01 — the scale-robustness claim in COVERAGE.md, reproducible.
+
+Compares row count, column names and order-insensitive stringified
+values, exactly like tests/test_entry_oracle.py (which is the per-sf0.01
+pytest gate).  Prints one JSON line per sf with pass/fail counts and a
+final SWEEP_OK on full parity.
+
+Usage: ``python BENCH/triscale_sweep.py`` (~10 min at local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype({c: "string" for c in df.columns})
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from pii_spark.pipeline import default_spark_conf
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{cpus}]").appName("triscale"),
+            shuffle_partitions=cpus,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    any_fail = False
+    for sf_dir in SF_DIRS:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        results = {}
+        for name in sorted(oracles):
+            try:
+                got = _normalize(queries[name](spark, sf_dir).toPandas())
+                want = _normalize(con.sql(oracles[name]).df())
+                ok = (
+                    list(got.columns) == list(want.columns)
+                    and len(got) == len(want)
+                    and got.equals(want)
+                )
+            except Exception as exc:  # noqa: BLE001 - report, don't abort sweep
+                ok = False
+                results[name] = f"ERR {type(exc).__name__}: {exc}"[:200]
+            if name not in results:
+                results[name] = "ok" if ok else "MISMATCH"
+            any_fail |= results[name] != "ok"
+        n_ok = sum(1 for v in results.values() if v == "ok")
+        print(json.dumps({
+            "sf_dir": sf_dir, "queries": len(results), "ok": n_ok,
+            "failures": {k: v for k, v in results.items() if v != "ok"},
+        }))
+        con.close()
+    print("SWEEP_FAIL" if any_fail else "SWEEP_OK")
+    spark.stop()
+    if any_fail:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
