@@ -1134,6 +1134,150 @@ def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stratified-split mixture for q_split_assign — last split absorbs the
+#: quantization remainder; the oracle CASE ladder is generated from the
+#: same constants via curation.split_thresholds()
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_case_sql() -> str:
+    """SQL CASE ladder equivalent to curation.split_assign over the
+    ``source`` key — thresholds come from the same split_thresholds()
+    constants the engine evaluates, so the two can never drift."""
+    from pii_spark.curation import split_thresholds
+
+    parts = [
+        f"WHEN substr(sha256(source || 'split'), 1, 4) < '{thr}' THEN '{name}'"
+        for thr, name in split_thresholds(SPLIT_FRACTIONS)
+    ]
+    last = list(SPLIT_FRACTIONS)[-1]
+    return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe stratified split: repo-granular (source) sha256
+    # buckets, 90/5/5 — every file of a repo lands in the same split,
+    # so within-repo near-duplicates can never straddle train/test.
+    from pii_spark.curation import split_assign
+
+    docs = _docs(spark, sf_dir)
+    out = split_assign(docs, F.col("source"), SPLIT_FRACTIONS)
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_doc_id"))
+        .orderBy("split", "lang")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental (subtractive) dedup: the committed corpus snapshot is
+    # every doc with doc_id%4==1; the "recrawled" batch is the full
+    # table.  Survivors are exactly the rows whose content sha256 is
+    # absent from the snapshot — only 64-hex hashes shuffle.
+    from pii_spark.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 4 == 1).select("text")
+    out = dedup_incremental(docs, seen, "text")
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_new"), F.sum("doc_id").alias("sum_doc_id"))
+        .orderBy("lang")
+    )
+
+
+def q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entropy-gated secret detection: docs with doc_id%7==0 carry a
+    # planted unknown-format credential (base64 of two sha256 digests,
+    # ~5.2 bits/char); docs with doc_id%9==0 carry a long LOW-entropy
+    # token that must NOT fire.  The oracle recomputes per-candidate
+    # Shannon entropy from character frequencies in SQL.
+    from pii_spark.detect import entropy_secrets
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    # one digest per base64 call: Spark's base64 MIME-chunks output
+    # beyond 76 chars with CRLF, which would split the candidate token;
+    # 32 bytes -> 44 chars stays unchunked and matches DuckDB to_base64
+    secret = F.concat(
+        F.base64(F.unhex(F.sha2(d.cast("string"), 256))),
+        F.base64(F.unhex(F.sha2(F.concat(d.cast("string"), F.lit("x")), 256))),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(F.lit(" token="), secret)).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit(" padding=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"))
+            .otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    found = entropy_secrets(corpus, "content", ["doc_id"], threshold=4.5)
+    return found.select(
+        "doc_id",
+        "candidate",
+        F.round(F.col("entropy") * 1000).cast("long").alias("entropy_x1000"),
+    ).orderBy("doc_id", "candidate")
+
+
+def q_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repo-level curation gate over two planted pathologies: src3 is
+    # ~60% one duplicated lockfile (dup_ratio > 0.5) and every src7
+    # file carries an autogen banner (autogen_ratio > 0.5) — both repos
+    # must flip kept=false while the other 18 stay true.
+    from pii_spark.curation import repo_stats
+
+    d = F.col("doc_id")
+    lockfile = '{\n  "lockfileVersion": 2\n}'
+    docs = _docs(spark, sf_dir).withColumn(
+        "content",
+        F.when((F.col("source") == "src3") & (d % 7 < 4), F.lit(lockfile))
+        .when(
+            F.col("source") == "src7",
+            F.concat(F.lit("// Code generated by synthgen. DO NOT EDIT.\n"), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    )
+    stats = repo_stats(docs, "source", "content")
+    return stats.select(
+        "repo",
+        "n_files",
+        "n_distinct",
+        F.round(F.col("dup_ratio") * 1000).cast("long").alias("dup_x1000"),
+        F.round(F.col("autogen_ratio") * 1000).cast("long").alias("autogen_x1000"),
+        F.round(F.col("mean_alpha") * 1000).cast("long").alias("alpha_x1000"),
+        "total_chars",
+        (
+            (F.col("dup_ratio") <= 0.5)
+            & (F.col("autogen_ratio") <= 0.5)
+            & (F.col("mean_alpha") >= 0.2)
+        ).alias("kept"),
+    ).orderBy("repo")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest canonicalization: CRLF, a BEL control char, a decomposed
+    # e+U+0301 and a trailing bare CR planted in every doc; the oracle
+    # re-normalizes with DuckDB's independent NFC implementation and
+    # compares sha256 + length of the result — byte-exact agreement of
+    # the two engines' Unicode composition and control stripping.
+    from pii_spark.quality import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr\r\nbell\x07e\u0301 "), F.col("text"), F.lit("\r")
+        ).alias("content"),
+    )
+    out = normalize_text(corpus, "content")
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("content"), 256).alias("sha"),
+        F.length(F.col("content")).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -1205,6 +1349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "contamination": q_contamination,
         "sequence_pack": q_sequence_pack,
+        "split_assign": q_split_assign,
+        "dedup_incremental": q_dedup_incremental,
+        "entropy_secrets": q_entropy_secrets,
+        "repo_rollup": q_repo_rollup,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1893,5 +2042,133 @@ def oracle_sql() -> dict[str, str]:
                 ('usa',   true,   CAST(6 AS BIGINT))
             ) AS t(category, enabled, n_patterns)
             ORDER BY category, enabled
+        """,
+        # same sha256-bucket ladder as split_assign, thresholds
+        # generated from the identical constants (split_thresholds)
+        "split_assign": f"""
+            SELECT {_split_case_sql()} AS split,
+                   lang, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_incremental": """
+            WITH seen AS (
+                SELECT DISTINCT sha256(text) AS h FROM documents
+                WHERE doc_id % 4 = 1
+            )
+            SELECT lang, count(*) AS n_new,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = sha256(d.text))
+            GROUP BY lang ORDER BY lang
+        """,
+        # independent Shannon entropy: candidates re-extracted by RE2,
+        # per-character frequencies via unnest + GROUP BY, entropy as
+        # -sum(p log2 p) — no shared code with the numpy histogram path
+        "entropy_secrets": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0 THEN ' token=' ||
+                            to_base64(unhex(sha256(doc_id::VARCHAR))) ||
+                            to_base64(unhex(sha256(doc_id::VARCHAR || 'x')))
+                          ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                          THEN ' padding=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA'
+                          ELSE '' END AS content
+                FROM documents
+            ),
+            cand AS (
+                SELECT DISTINCT doc_id, candidate FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(content,
+                               '[A-Za-z0-9+/=_-]{24,}')) AS candidate
+                    FROM corpus
+                )
+            ),
+            chars AS (
+                SELECT doc_id, candidate,
+                       unnest(string_split(candidate, '')) AS ch
+                FROM cand
+            ),
+            freq AS (
+                SELECT doc_id, candidate, ch, count(*) AS n
+                FROM chars GROUP BY ALL
+            ),
+            ent AS (
+                SELECT doc_id, candidate,
+                       -sum((n::DOUBLE / length(candidate)) *
+                            log2(n::DOUBLE / length(candidate))) AS e
+                FROM freq GROUP BY doc_id, candidate
+            )
+            SELECT doc_id, candidate,
+                   CAST(round(e * 1000) AS BIGINT) AS entropy_x1000
+            FROM ent WHERE e >= 4.5
+            ORDER BY doc_id, candidate
+        """,
+        "repo_rollup": """
+            WITH corpus AS (
+                SELECT source,
+                       CASE WHEN source = 'src3' AND doc_id % 7 < 4
+                            THEN '{' || chr(10) || '  "lockfileVersion": 2'
+                                     || chr(10) || '}'
+                            WHEN source = 'src7'
+                            THEN '// Code generated by synthgen. DO NOT EDIT.'
+                                 || chr(10) || text
+                            ELSE text END AS content
+                FROM documents
+            ),
+            per_file AS (
+                SELECT source AS repo,
+                       sha256(content) AS sha,
+                       length(regexp_replace(content, '[^A-Za-z]', '', 'g'))
+                           / length(content)::DOUBLE AS alpha,
+                       CASE WHEN regexp_matches(substr(content, 1, 512),
+                           'Code generated by|DO NOT EDIT|@generated|<auto\\-generated|Autogenerated by|THIS FILE IS GENERATED')
+                            THEN 1.0 ELSE 0.0 END AS auto,
+                       length(content) AS n_chars
+                FROM corpus
+            ),
+            agg AS (
+                SELECT repo,
+                       count(*) AS n_files,
+                       count(DISTINCT sha) AS n_distinct,
+                       1.0 - count(DISTINCT sha) / count(*)::DOUBLE AS dup_ratio,
+                       avg(auto) AS autogen_ratio,
+                       avg(alpha) AS mean_alpha,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM per_file GROUP BY repo
+            )
+            SELECT repo, n_files, n_distinct,
+                   CAST(round(dup_ratio * 1000) AS BIGINT) AS dup_x1000,
+                   CAST(round(autogen_ratio * 1000) AS BIGINT) AS autogen_x1000,
+                   CAST(round(mean_alpha * 1000) AS BIGINT) AS alpha_x1000,
+                   total_chars,
+                   (dup_ratio <= 0.5 AND autogen_ratio <= 0.5
+                    AND mean_alpha >= 0.2) AS kept
+            FROM agg ORDER BY repo
+        """,
+        # DuckDB's own NFC implementation re-normalizes the identically
+        # constructed corpus; sha256 equality proves byte-exact parity
+        # of control stripping + newline folding + Unicode composition
+        "normalize_text": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       'hdr' || chr(13) || chr(10) || 'bell' || chr(7)
+                       || 'e' || chr(769) || ' ' || text || chr(13) AS content
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id,
+                       nfc_normalize(
+                           regexp_replace(
+                               regexp_replace(content, '\r\n?', chr(10), 'g'),
+                               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')
+                       ) AS n
+                FROM corpus
+            )
+            SELECT doc_id, sha256(n) AS sha,
+                   CAST(length(n) AS BIGINT) AS n_chars
+            FROM norm ORDER BY doc_id
         """,
     }

@@ -57,6 +57,56 @@ def hash_sample(
     return df.filter(hash_bucket_col(key, salt) < F.lit(thr))
 
 
+def split_assign(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment: every row
+    whose ``key`` hashes into the same sha256 bucket gets the same
+    split, so keying on the *group* (repo, not file) puts all files of
+    a repo — and therefore their near-duplicates — on the same side of
+    the split.  ``fractions`` maps split name → fraction in iteration
+    order; the last split absorbs the quantization remainder (buckets
+    are 1/65536).  Same guarantees as :func:`hash_sample`: membership
+    is engine-, partitioning- and run-independent, and re-splitting
+    with a grown corpus never moves an existing group between splits.
+
+    Scale: a pure column expression (no UDF, no shuffle, no state) —
+    the assignment rides whatever scan produced the row and is
+    codegen-friendly, so splitting 10¹² files costs one string hash
+    per row."""
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must name at least one split")
+    bucket = hash_bucket_col(key, salt)
+    cases: list[tuple[str, str]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = format(min(max(int(cum * 65536), 0), 65535), "04x")
+        cases.append((thr, name))
+    expr = F.lit(names[-1])
+    for thr, name in reversed(cases):
+        expr = F.when(bucket < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """The (upper-bound hex threshold, split name) ladder
+    :func:`split_assign` evaluates, for independent re-implementation
+    (the oracle builds a SQL CASE from exactly these constants)."""
+    names = list(fractions)
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((format(min(max(int(cum * 65536), 0), 65535), "04x"), name))
+    return out
+
+
 def token_budget_sample(
     df: DataFrame,
     key_cols: list[str],
@@ -242,3 +292,68 @@ def pack_greedy(
         return pdf
 
     return work.groupBy(*key_cols, "pack_shard").applyInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# repo-level quality rollup + gate
+# ---------------------------------------------------------------------------
+
+def repo_stats(df: DataFrame, repo_col: str, content_col: str) -> DataFrame:
+    """Per-repo quality rollup: file count, distinct-content count,
+    internal-duplication ratio, autogenerated-file ratio, mean alpha
+    ratio, total chars.  Repo-granular filtering (drop whole low-quality
+    repos, not just files) is the standard second pass of a code-corpus
+    pipeline — a repo that is 90% generated lockfiles poisons even its
+    "clean" files.
+
+    Plan shape: per-file signals are pure JVM column expressions
+    (:mod:`pii_spark.quality` cols + sha256), then ONE hash shuffle on
+    the repo key with map-side partial aggregation; ``countDistinct``
+    over the sha is Spark's standard two-phase distinct-agg.  Rows
+    entering the exchange are (key, sha, 3 doubles) — the text never
+    shuffles.  Zipfian repo sizes are bounded by the partial agg: each
+    map task emits at most one row per (repo, sha)."""
+    from pii_spark.quality import alpha_ratio_col, autogenerated_col
+
+    content = F.col(content_col)
+    per_file = df.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(content, 256).alias("__sha"),
+        alpha_ratio_col(content).alias("__alpha"),
+        autogenerated_col(content).cast("double").alias("__auto"),
+        F.length(content).alias("__chars"),
+    )
+    n_files = F.count(F.lit(1))
+    n_distinct = F.countDistinct(F.col("__sha"))
+    return per_file.groupBy("repo").agg(
+        n_files.alias("n_files"),
+        n_distinct.alias("n_distinct"),
+        (F.lit(1.0) - n_distinct / n_files.cast("double")).alias("dup_ratio"),
+        F.avg("__auto").alias("autogen_ratio"),
+        F.avg("__alpha").alias("mean_alpha"),
+        F.sum("__chars").alias("total_chars"),
+    )
+
+
+def repo_gate(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    max_dup_ratio: float = 0.5,
+    max_autogen_ratio: float = 0.5,
+    min_mean_alpha: float = 0.2,
+) -> DataFrame:
+    """Drop every file of every repo that fails the rollup thresholds.
+    The failing-repo list is tiny relative to the corpus (it is one row
+    per *bad repo*), so it broadcasts: the gate is a broadcast LEFT
+    ANTI join — no shuffle of the file stream."""
+    bad = (
+        repo_stats(df, repo_col, content_col)
+        .filter(
+            (F.col("dup_ratio") > max_dup_ratio)
+            | (F.col("autogen_ratio") > max_autogen_ratio)
+            | (F.col("mean_alpha") < min_mean_alpha)
+        )
+        .select(F.col("repo").alias(repo_col))
+    )
+    return df.join(F.broadcast(bad), repo_col, "left_anti")

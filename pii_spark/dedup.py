@@ -76,6 +76,38 @@ def exact_dedup_stats(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    content_col: str,
+    seen_content_col: str | None = None,
+) -> DataFrame:
+    """Subtractive dedup of a freshly ingested batch against an already
+    committed corpus snapshot: drop every new row whose content sha256
+    exists in ``seen_df``, keep the rest (all columns intact).  The
+    incremental counterpart of :func:`exact_dedup` — a recrawl only
+    pays for what is actually new.
+
+    Scale shape: the seen side reduces to ONE narrow 64-hex column
+    before the LEFT ANTI join — its text never shuffles.  Catalyst
+    broadcasts it when it fits (snapshot manifests make its size
+    known), in which case the new batch doesn't shuffle either; in the
+    sort-merge fallback the new batch shuffles once on the hash, and
+    AQE's runtime row-level bloom filter (``spark.sql.optimizer.
+    runtime.bloomFilter.enabled``) prunes definite-new rows before
+    that exchange.  For a standing 10¹²-row corpus, persist both sides
+    with ``TableIO.write_bucketed`` on the hash column and the
+    anti-join runs with zero exchanges against the ingest layout.
+    """
+    sc = seen_content_col or content_col
+    seen_h = seen_df.select(F.sha2(F.col(sc), 256).alias("__h")).distinct()
+    return (
+        new_df.withColumn("__h", F.sha2(F.col(content_col), 256))
+        .join(seen_h, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # word-shingle helpers (shared by Jaccard / MinHash)
 # ---------------------------------------------------------------------------

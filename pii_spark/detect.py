@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -503,3 +504,67 @@ def scrub_map_in_pandas(
             yield pdf
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# entropy-based secret detection (regex-bank complement)
+# ---------------------------------------------------------------------------
+
+#: candidate charset for machine-generated credentials: unbroken runs of
+#: base64/base64url/hex material.  RE2- and Java-regex-identical (plain
+#: character class, no lookaround) so an independent engine reproduces
+#: the candidate set exactly.
+ENTROPY_CANDIDATE_RE = r"[A-Za-z0-9+/=_\-]{24,}"
+
+
+@pandas_udf(DoubleType())
+def shannon_entropy_udf(tokens: pd.Series) -> pd.Series:
+    """Shannon entropy in bits/char of each (ASCII) token — Arrow-batched;
+    per-token work is a numpy byte histogram, no per-row Python parsing."""
+    import numpy as np
+
+    out = np.zeros(len(tokens), dtype=np.float64)
+    for i, s in enumerate(tokens):
+        if not s:
+            continue
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        counts = np.bincount(b, minlength=1)
+        counts = counts[counts > 0]
+        p = counts / b.size
+        out[i] = float(-(p * np.log2(p)).sum())
+    return pd.Series(out)
+
+
+def entropy_secrets(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    threshold: float = 4.5,
+    candidate_re: str = ENTROPY_CANDIDATE_RE,
+) -> DataFrame:
+    """High-entropy credential detection — the classic complement to the
+    36-rule regex bank (`builtin.go:31-483` knows *formats*; entropy
+    catches secrets in formats the bank has never seen, the
+    gitleaks/trufflehog approach).  Emits one row per distinct
+    candidate token per document with entropy ≥ ``threshold`` bits/char
+    (4.5 is the conventional base64 gate: English-ish identifiers sit
+    at 3.5–4.3, random base64 at ≥4.7).
+
+    Plan shape: candidate extraction is JVM-side ``regexp_extract_all``
+    inside codegen (most rows yield zero candidates and never reach
+    Python); only the surviving short tokens — not the documents —
+    cross the Arrow boundary for the entropy histogram.  No shuffle
+    except the final per-doc distinct on (id, candidate), which carries
+    token-sized rows.
+    """
+    cands = (
+        df.select(
+            *id_cols,
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(candidate_re), 0)
+            ).alias("candidate"),
+        )
+        .distinct()
+        .withColumn("entropy", shannon_entropy_udf(F.col("candidate")))
+    )
+    return cands.filter(F.col("entropy") >= threshold)

@@ -202,3 +202,78 @@ def test_pack_greedy_sharding_parallelism(spark):
     for r in out:
         tot[(r.pack_shard, r.pack_id)] += r.n_tokens
     assert all(v <= 300 for v in tot.values())
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: split_assign / repo rollup
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_group_atomic_and_deterministic(spark):
+    from pii_spark.curation import split_assign, split_thresholds
+
+    rows = [(f"repo{i % 40}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "repo string, doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, F.col("repo"), fr).collect()
+
+    # every file of a repo lands in the same split (leakage safety)
+    by_repo = {}
+    for r in out:
+        by_repo.setdefault(r.repo, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_repo.values())
+
+    # assignment matches the published threshold ladder exactly
+    ladder = split_thresholds(fr)
+    for r in out:
+        b = hashlib.sha256((r.repo + "split").encode()).hexdigest()[:4]
+        want = next((name for thr, name in ladder if b < thr), "test")
+        assert r.split == want
+
+    # all three splits are populated at 40 repos
+    assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    from pii_spark.curation import split_assign
+
+    fr = {"train": 0.9, "test": 0.1}
+    small = spark.createDataFrame(
+        [(f"repo{i}", i) for i in range(20)], "repo string, doc_id long"
+    )
+    big = spark.createDataFrame(
+        [(f"repo{i}", i) for i in range(60)], "repo string, doc_id long"
+    )
+    a = {r.repo: r.split for r in split_assign(small, F.col("repo"), fr).collect()}
+    b = {r.repo: r.split for r in split_assign(big, F.col("repo"), fr).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never moves a repo
+
+
+def test_repo_stats_and_gate(spark):
+    from pii_spark.curation import repo_gate, repo_stats
+
+    rows = (
+        # clean repo: 4 distinct alpha-rich files
+        [("good", f"def handler_{i}(): return value_{i}") for i in range(4)]
+        # dup-heavy repo: 3 of 4 files identical
+        + [("dupy", "lockfile content")] * 3
+        + [("dupy", "one distinct file here")]
+        # autogen repo: every file carries the banner
+        + [("gen", f"// Code generated by x. DO NOT EDIT.\nbody {i}") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "repo string, content string")
+    stats = {r.repo: r for r in repo_stats(df, "repo", "content").collect()}
+
+    assert stats["good"].n_files == 4 and stats["good"].n_distinct == 4
+    assert stats["good"].dup_ratio == 0.0 and stats["good"].autogen_ratio == 0.0
+    assert stats["dupy"].n_distinct == 2
+    assert abs(stats["dupy"].dup_ratio - 0.5) < 1e-12
+    assert stats["gen"].autogen_ratio == 1.0
+    assert stats["good"].total_chars == sum(
+        len(c) for r, c in rows if r == "good"
+    )
+
+    kept = repo_gate(
+        df, "repo", "content", max_dup_ratio=0.4, max_autogen_ratio=0.5
+    )
+    assert {r.repo for r in kept.collect()} == {"good"}

@@ -524,3 +524,35 @@ def test_contamination_guarantee_long_shared_run(spark):
         ).collect()
     }
     assert out == {1: True, 2: False}
+
+
+def test_dedup_incremental(spark):
+    from pii_spark.dedup import dedup_incremental
+
+    seen = spark.createDataFrame(
+        [("alpha body",), ("beta body",)], "text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha body"),     # already committed -> dropped
+            (2, "gamma body"),     # new -> kept
+            (3, "beta body"),      # already committed -> dropped
+            (4, "gamma body"),     # new (internal dup is NOT this op's job)
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in dedup_incremental(new, seen, "text").collect())
+    assert out == [2, 4]
+
+    # idempotence: after committing the survivors, a re-run drops everything
+    survivors = dedup_incremental(new, seen, "text")
+    again = dedup_incremental(new, seen.union(survivors.select("text")), "text")
+    assert again.count() == 0
+
+    # seen side with a differently named content column
+    seen2 = spark.createDataFrame([("alpha body",)], "body string")
+    out2 = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, seen2, "text", seen_content_col="body").collect()
+    )
+    assert out2 == [2, 3, 4]

@@ -1,0 +1,54 @@
+"""Entropy-based secret detection (detect.entropy_secrets)."""
+
+import math
+
+from pii_spark.detect import ENTROPY_CANDIDATE_RE, entropy_secrets
+
+
+def _entropy(s: str) -> float:
+    counts = {}
+    for ch in s:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(s)
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+def test_entropy_secrets_flags_random_not_identifiers(spark):
+    high = "kX9/zQ2mP+7vR4sT8wY1uA3bC5dE6fGh"        # random-ish base64
+    ident = "this_is_a_very_long_snake_case_name"     # low-entropy identifier
+    flat = "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"           # zero entropy
+    df = spark.createDataFrame(
+        [
+            (1, f"key = '{high}'"),
+            (2, f"x = {ident} + 1"),
+            (3, f"pad: {flat}"),
+            (4, "short text, no candidates at all"),
+        ],
+        "doc_id long, content string",
+    )
+    out = entropy_secrets(df, "content", ["doc_id"], threshold=4.5).collect()
+    assert [(r.doc_id, r.candidate) for r in out] == [(1, high)]
+    # UDF value matches an independent Python entropy
+    assert abs(out[0].entropy - _entropy(high)) < 1e-9
+    # and the identifier was a *candidate* (length/charset) but under gate
+    low = entropy_secrets(df, "content", ["doc_id"], threshold=0.1).collect()
+    assert {r.candidate for r in low} >= {high, ident, flat} - {flat}  # flat=0 < 0.1
+
+
+def test_entropy_secrets_distinct_per_doc(spark):
+    tok = "kX9/zQ2mP+7vR4sT8wY1uA3bC5dE6fGh"
+    df = spark.createDataFrame(
+        [(1, f"{tok} twice {tok}")], "doc_id long, content string"
+    )
+    out = entropy_secrets(df, "content", ["doc_id"], threshold=4.0).collect()
+    assert len(out) == 1  # per-doc distinct candidates
+
+
+def test_candidate_regex_shape():
+    import re
+
+    pat = re.compile(ENTROPY_CANDIDATE_RE)
+    assert pat.fullmatch("A" * 24)
+    assert not pat.fullmatch("A" * 23)
+    assert pat.fullmatch("abc123+/=_-" + "x" * 13)
+    assert not pat.search("with spaces " + "short")

@@ -232,3 +232,69 @@ def test_contamination_benchmark_side_broadcasts(spark):
     # mean the corpus-wide fingerprint set got repartitioned (the
     # benchmark side's own tiny distinct may shuffle; that's fine)
     assert "SortMergeJoin" not in p
+
+
+def test_split_assign_is_pure_projection_no_shuffle_no_python(spark):
+    from pii_spark.curation import split_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(split_assign(docs, F.col("source"),
+                          {"train": 0.9, "val": 0.05, "test": 0.05}))
+    assert "Exchange" not in p          # assignment rides the scan
+    assert count_python_nodes(p) == 0   # sha256 CASE is all JVM
+
+
+def test_dedup_incremental_shuffles_hashes_not_text(spark):
+    from pii_spark.dedup import dedup_incremental
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seen = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 4 == 1
+    ).select("text")
+    # disable auto-broadcast to force the shuffle path we're gating
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(dedup_incremental(docs, seen, "text"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "LeftAnti" in p
+    # the seen-side exchange carries ONLY the 64-hex hash column (the
+    # node header and its Input line are adjacent in formatted mode)
+    assert re.search(r"Exchange\nInput \[1\]: \[__h", p)
+    assert count_python_nodes(p) == 0
+
+
+def test_dedup_incremental_broadcasts_small_seen_side(spark, tmp_path):
+    from pii_spark.dedup import dedup_incremental
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # production seen side is a committed snapshot: file-backed, so its
+    # size is known to the planner (an RDD-backed frame has unknown
+    # stats and only AQE's runtime re-plan would broadcast it)
+    spark.createDataFrame([("x",), ("y",)], "text string").write.parquet(
+        str(tmp_path / "seen")
+    )
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+    p = plan(dedup_incremental(docs, seen, "text"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_repo_gate_is_broadcast_anti_join(spark):
+    from pii_spark.curation import repo_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(repo_gate(docs, "source", "text"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # file stream itself never shuffles: the only exchanges feed the
+    # tiny per-repo aggregate under the broadcast
+    stream_side = p.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning(source" not in stream_side
+
+
+def test_normalize_text_single_python_node_no_shuffle(spark):
+    from pii_spark.quality import normalize_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(normalize_text(docs, "text"))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 1   # only the NFC UDF crosses to Python
