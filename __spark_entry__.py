@@ -1278,6 +1278,43 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proves/quantifies split leakage: doc_id%10<3 plants one big
+    # cross-repo duplicate family, the split is repo-keyed — so some
+    # identical contents straddle splits, counted combinatorially
+    # (no pair explosion; the 150-copy family would be 11k join rows).
+    from pii_spark.curation import split_assign, split_leakage_audit
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content",
+        F.when(d % 10 < 3, F.lit("duplicated boilerplate block")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = split_assign(docs, F.col("source"), SPLIT_FRACTIONS)
+    return split_leakage_audit(out, "content", "split")
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language dataset-card stats; exact percentiles so DuckDB's
+    # quantile_cont re-derives them (percentile_approx is the 10^12-row
+    # path, same schema, documented not oracle-comparable)
+    from pii_spark.curation import corpus_datasheet
+
+    ds = corpus_datasheet(_docs(spark, sf_dir), ["lang"], "text")
+    return ds.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.round(F.col("p50_chars") * 100).cast("long").alias("p50_x100"),
+        F.round(F.col("p95_chars") * 100).cast("long").alias("p95_x100"),
+    ).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -1354,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_secrets": q_entropy_secrets,
         "repo_rollup": q_repo_rollup,
         "normalize_text": q_normalize_text,
+        "leakage_audit": q_leakage_audit,
+        "corpus_datasheet": q_corpus_datasheet,
     }
 
 
@@ -2170,5 +2209,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(n) AS sha,
                    CAST(length(n) AS BIGINT) AS n_chars
             FROM norm ORDER BY doc_id
+        """,
+        # combinatorial pair counting, same formulation independently
+        # in SQL: pairs = n(n-1)/2, cross = (n^2 - sum n_s^2)/2
+        "leakage_audit": f"""
+            WITH corpus AS (
+                SELECT {_split_case_sql()} AS split,
+                       CASE WHEN doc_id % 10 < 3
+                            THEN 'duplicated boilerplate block'
+                            ELSE text END AS content
+                FROM documents
+            ),
+            per_split AS (
+                SELECT sha256(content) AS h, split AS s, count(*) AS n
+                FROM corpus GROUP BY 1, 2
+            ),
+            per_hash AS (
+                SELECT h, sum(n) AS n_tot, sum(n * n) AS sum_sq
+                FROM per_split GROUP BY h
+            )
+            SELECT CAST(sum(CASE WHEN n_tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups,
+                   CAST(sum(n_tot * (n_tot - 1) / 2) AS BIGINT) AS n_dup_pairs,
+                   CAST(sum((n_tot * n_tot - sum_sq) / 2) AS BIGINT)
+                       AS n_cross_split_pairs
+            FROM per_hash
+        """,
+        # quantile_cont is DuckDB's independent exact interpolated
+        # percentile -- same p*(n-1) index definition as Spark's
+        # percentile; x100 rounding absorbs last-ulp interpolation
+        "corpus_datasheet": r"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                        AS BIGINT) AS total_tokens,
+                   CAST(min(length(text)) AS BIGINT) AS min_chars,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars,
+                   CAST(round(quantile_cont(length(text), 0.5) * 100) AS BIGINT)
+                       AS p50_x100,
+                   CAST(round(quantile_cont(length(text), 0.95) * 100) AS BIGINT)
+                       AS p95_x100
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -357,3 +357,82 @@ def repo_gate(
         .select(F.col("repo").alias(repo_col))
     )
     return df.join(F.broadcast(bad), repo_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit + corpus datasheet
+# ---------------------------------------------------------------------------
+
+def split_leakage_audit(
+    df: DataFrame, content_col: str, split_col: str
+) -> DataFrame:
+    """One-row audit of a split assignment: how many identical-content
+    pairs exist at all (``n_dup_pairs``) and how many straddle two
+    different splits (``n_cross_split_pairs`` — train/test leakage).
+    Run after :func:`split_assign` to *prove* a split is leakage-free,
+    or to quantify why content-dedup must precede a repo-keyed split
+    (identical files vendored into two repos land in two splits).
+
+    Scale shape: NO pair materialization — a duplicate family of n
+    copies would explode into n² join rows, so pairs are counted
+    combinatorially instead: group by (sha256, split) then by sha256,
+    with pairs = (n_tot² − Σ n_split²)/2 + same-split analog.  Two
+    narrow hash shuffles, output one row; safe under pathological
+    duplicate families (the hot-bucket problem never appears)."""
+    per_split = df.groupBy(
+        F.sha2(F.col(content_col), 256).alias("__h"),
+        F.col(split_col).alias("__s"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_hash = per_split.groupBy("__h").agg(
+        F.sum("__n").alias("n_tot"),
+        F.sum(F.col("__n") * F.col("__n")).alias("sum_sq"),
+    )
+    return per_hash.agg(
+        F.sum((F.col("n_tot") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(F.col("n_tot") * (F.col("n_tot") - 1) / 2)
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum((F.col("n_tot") * F.col("n_tot") - F.col("sum_sq")) / 2)
+        .cast("long")
+        .alias("n_cross_split_pairs"),
+    )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-key corpus datasheet: doc count, char/token mass, min/max and
+    p50/p95 char-length percentiles — the summary table a dataset card
+    publishes per language/source.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (per-group
+    value-count map; right for datasheet jobs up to millions of
+    distinct lengths per key).  At 10¹²-file scale flip to
+    ``exact=False`` → ``percentile_approx`` (bounded-memory KLL-style
+    sketch, rank error ≤ 1/accuracy) — same schema, not
+    oracle-comparable bit-for-bit.  One narrow shuffle either way:
+    only (keys, two ints) reach the exchange."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        *key_cols,
+        F.length(F.col(text_col)).alias("__nc"),
+        toks.alias("__nt"),
+    )
+    if exact:
+        p50 = F.percentile("__nc", F.lit(0.5))
+        p95 = F.percentile("__nc", F.lit(0.95))
+    else:
+        p50 = F.percentile_approx("__nc", F.lit(0.5), F.lit(10000)).cast("double")
+        p95 = F.percentile_approx("__nc", F.lit(0.95), F.lit(10000)).cast("double")
+    return base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").alias("total_chars"),
+        F.sum("__nt").alias("total_tokens"),
+        F.min("__nc").alias("min_chars"),
+        F.max("__nc").alias("max_chars"),
+        p50.alias("p50_chars"),
+        p95.alias("p95_chars"),
+    )

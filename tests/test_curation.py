@@ -277,3 +277,75 @@ def test_repo_stats_and_gate(spark):
         df, "repo", "content", max_dup_ratio=0.4, max_autogen_ratio=0.5
     )
     assert {r.repo for r in kept.collect()} == {"good"}
+
+
+def test_split_leakage_audit_counts_pairs_combinatorially(spark):
+    from pii_spark.curation import split_leakage_audit
+
+    # content "A" appears 3× in train, 2× in test → group of 5:
+    #   dup pairs  = 5*4/2 = 10
+    #   cross pairs = (25 - (9+4))/2 = 6
+    # content "B" appears 2× in train only → 1 dup pair, 0 cross
+    # content "C" unique → no dup group
+    rows = (
+        [("A", "train")] * 3 + [("A", "test")] * 2
+        + [("B", "train")] * 2 + [("C", "val")]
+    )
+    df = spark.createDataFrame(rows, "content string, split string")
+    r = split_leakage_audit(df, "content", "split").collect()[0]
+    assert r.n_dup_groups == 2
+    assert r.n_dup_pairs == 11
+    assert r.n_cross_split_pairs == 6
+
+
+def test_split_leakage_audit_clean_split_is_zero(spark):
+    from pii_spark.curation import split_assign, split_leakage_audit
+
+    # unique contents keyed by the same column as the split → no leakage
+    df = spark.createDataFrame(
+        [(f"repo{i}", f"unique content {i}") for i in range(50)],
+        "repo string, content string",
+    )
+    out = split_assign(df, F.col("repo"), {"train": 0.8, "test": 0.2})
+    r = split_leakage_audit(out, "content", "split").collect()[0]
+    assert r.n_dup_pairs == 0 and r.n_cross_split_pairs == 0
+
+
+def test_corpus_datasheet_exact_percentiles(spark):
+    import numpy as np
+
+    from pii_spark.curation import corpus_datasheet
+
+    texts = {"py": ["a" * n for n in (10, 20, 30, 40)], "go": ["b  b", "ccc"]}
+    rows = [(k, t) for k, v in texts.items() for t in v]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r.lang: r for r in corpus_datasheet(df, ["lang"], "text").collect()}
+
+    py_lens = [10, 20, 30, 40]
+    assert got["py"].n_docs == 4
+    assert got["py"].total_chars == sum(py_lens)
+    assert got["py"].total_tokens == 4  # each doc is one ws-token
+    assert got["py"].min_chars == 10 and got["py"].max_chars == 40
+    # Spark exact percentile = linear interpolation at p*(n-1)
+    assert abs(got["py"].p50_chars - np.percentile(py_lens, 50)) < 1e-9
+    assert abs(got["py"].p95_chars - np.percentile(py_lens, 95)) < 1e-9
+    assert got["go"].total_tokens == 3  # "b  b" → 2, "ccc" → 1
+
+
+def test_corpus_datasheet_approx_mode_same_schema(spark):
+    from pii_spark.curation import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [("py", "x" * i) for i in range(1, 200)], "lang string, text string"
+    )
+    exact = corpus_datasheet(df, ["lang"], "text", exact=True)
+    approx = corpus_datasheet(df, ["lang"], "text", exact=False)
+    assert exact.schema == approx.schema
+    ex, ap = exact.collect()[0], approx.collect()[0]
+    assert (ex.n_docs, ex.total_chars, ex.min_chars, ex.max_chars) == (
+        ap.n_docs, ap.total_chars, ap.min_chars, ap.max_chars
+    )
+    # the sketch returns an actual data value (no interpolation); at
+    # 10k accuracy over 199 values it lands within one rank of exact
+    assert abs(ap.p50_chars - ex.p50_chars) <= 1.0
+    assert abs(ap.p95_chars - ex.p95_chars) <= 1.0
