@@ -1315,6 +1315,99 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_incident_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based incident grouping of the event stream (10-minute
+    # silence closes an incident); integer-microsecond boundary math
+    # so the session split is engine-exact
+    from pii_spark.events import session_stats
+
+    out = session_stats(_events(spark, sf_dir), ["user_id"], "ts", gap_sec=600)
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"),
+        "duration_us",
+    ).orderBy("user_id", "session_idx")
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-window training-example chunking, 32-token windows with
+    # stride 24 (25% overlap); zero-shuffle narrow plan
+    from pii_spark.curation import chunk_fixed
+
+    out = chunk_fixed(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "text", window=32, stride=24,
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.sha2(F.col("chunk"), 256).alias("chunk_sha256"),
+        "chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # web-corpus domain footprint: deterministic URLs spliced on
+    # doc_id % 3 (two domains, repeated path ids), then per-domain
+    # occurrence/document counts
+    from pii_spark.curation import domain_stats
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).withColumn(
+        "t",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" https://site"), (d % 7).cast("string"),
+                F.lit(".example.com/p/"), d.cast("string"),
+                F.lit(" and https://Cdn.Example.net/a"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return domain_stats(docs, ["doc_id"], "t").orderBy("domain")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language top-10 tokens by document frequency, total-ordered
+    # (doc_freq desc, token asc) so rank is engine-exact
+    from pii_spark.quality import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), ["lang"], "text", k=10).orderBy(
+        "lang", "rank"
+    )
+
+
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style within-doc repetition fractions (top-2/3-gram share,
+    # duplicate-5-gram share), corpus-level distribution: docs counted
+    # into 5%-wide top2 bands so the oracle re-derives the whole
+    # filter-decision surface, not just a few sample docs
+    from pii_spark.quality import with_repetition
+
+    rep = with_repetition(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return (
+        rep.groupBy(
+            F.floor(F.col("top2_frac") * 20).cast("long").alias("top2_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # per-doc integer rounding BEFORE the sum: integer addition
+            # is order-independent, float summation is not
+            F.sum(F.round(F.col("top3_frac") * 1000000).cast("long"))
+            .alias("sum_top3_x1e6"),
+            F.sum(F.round(F.col("dup5_frac") * 1000000).cast("long"))
+            .alias("sum_dup5_x1e6"),
+        )
+        .orderBy("top2_band")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -1393,6 +1486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "leakage_audit": q_leakage_audit,
         "corpus_datasheet": q_corpus_datasheet,
+        "incident_sessions": q_incident_sessions,
+        "chunk_windows": q_chunk_windows,
+        "url_domains": q_url_domains,
+        "vocab_topk": q_vocab_topk,
+        "repetition_ratios": q_repetition_ratios,
     }
 
 
@@ -2251,5 +2349,145 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(quantile_cont(length(text), 0.95) * 100) AS BIGINT)
                        AS p95_x100
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # integer-microsecond gap test (> 600s) exactly as the Spark
+        # window computes it; session index = running sum of new-session
+        # flags per user in ts order
+        "incident_sessions": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 600000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s2 AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_idx
+                FROM s
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+            FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # same start ladder (0, 24, 48, … < n_tokens), 1-based
+        # inclusive list_slice == Spark's slice(toks, s+1, 32)
+        "chunk_windows": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            st AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, 24)) AS i
+                FROM t
+            )
+            SELECT doc_id, CAST(i / 24 AS BIGINT) AS chunk_idx,
+                   sha256(array_to_string(list_slice(toks, i + 1, i + 32), ' '))
+                       AS chunk_sha256,
+                   CAST(least(32, len(toks) - i) AS BIGINT) AS chunk_tokens
+            FROM st ORDER BY doc_id, chunk_idx
+        """,
+        # URL splice mirrored verbatim; domain = lowered host part of
+        # each https?://\S+ match; doc distinctness via per-(domain,doc)
+        # pre-aggregate exactly like the Spark plan
+        "url_domains": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+                                || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                                || ' and https://Cdn.Example.net/a'
+                       ELSE text END AS t
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u.url, '^https?://([^/:?#]+)', 1))
+                           AS domain
+                FROM corpus,
+                     unnest(regexp_extract_all(t, 'https?://[^\s]+')) u(url)
+            ),
+            per_doc AS (
+                SELECT domain, doc_id, count(*) AS n FROM u GROUP BY 1, 2
+            )
+            SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
+                   count(*) AS n_docs
+            FROM per_doc GROUP BY domain ORDER BY domain
+        """,
+        # doc frequency = once per document (list_distinct before the
+        # unnest); ties broken by token asc so rank is total-ordered
+        "vocab_topk": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_distinct(
+                           regexp_split_to_array(trim(text), '\s+'))) AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT lang, token, count(*) AS doc_freq
+                FROM tok WHERE token <> '' GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT lang, token, doc_freq,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_freq DESC, token ASC)
+                           AS rank
+                FROM cnt
+            )
+            SELECT lang, token, doc_freq, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 10 ORDER BY lang, rank
+        """,
+        # n-gram repetition re-derived relationally: token n-grams via
+        # start-index unnest + list_slice, per-(doc, n, gram) counts,
+        # then top/dup shares; docs shorter than n tokens score 0 via
+        # the left join; per-doc integer rounding before any sum
+        "repetition_ratios": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, toks, n.n,
+                       unnest(generate_series(1, len(toks) - n.n + 1)) AS i
+                FROM t, (VALUES (2), (3), (5)) n(n)
+            ),
+            g AS (
+                SELECT doc_id, n,
+                       array_to_string(list_slice(toks, i, i + n - 1), ' ')
+                           AS gram
+                FROM st
+            ),
+            cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+            agg AS (
+                SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM cnt GROUP BY 1, 2
+            ),
+            per_doc AS (
+                SELECT t.doc_id,
+                       coalesce(max(CASE WHEN n = 2 THEN top * 1.0 / total END),
+                                0) AS top2,
+                       coalesce(max(CASE WHEN n = 3 THEN top * 1.0 / total END),
+                                0) AS top3,
+                       coalesce(max(CASE WHEN n = 5 THEN dup * 1.0 / total END),
+                                0) AS dup5
+                FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+                GROUP BY t.doc_id
+            )
+            SELECT CAST(floor(top2 * 20) AS BIGINT) AS top2_band,
+                   count(*) AS n_docs,
+                   CAST(sum(CAST(round(top3 * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_top3_x1e6,
+                   CAST(sum(CAST(round(dup5 * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_dup5_x1e6
+            FROM per_doc GROUP BY 1 ORDER BY 1
         """,
     }

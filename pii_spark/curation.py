@@ -436,3 +436,128 @@ def corpus_datasheet(
         p50.alias("p50_chars"),
         p95.alias("p95_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-window chunking (training-example construction)
+# ---------------------------------------------------------------------------
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Explode each document into fixed-size token windows — the
+    context-length chunking step that turns curated documents into
+    training examples.  ``stride < window`` overlaps consecutive
+    chunks (the usual trick to avoid truncation loss at boundaries);
+    ``stride == window`` (default) tiles without overlap.
+
+    Chunk starts are 0, stride, 2·stride, … while < n_tokens, so the
+    final chunk may be short; zero-token documents yield no chunks.
+    Output replaces ``text_col`` with ``chunk`` plus ``chunk_idx`` /
+    ``chunk_tokens`` — the full text is NOT replicated per chunk (at
+    overlap 2× that replication would double the corpus on the wire).
+
+    Scale shape: pure narrow built-ins (split / sequence / posexplode /
+    slice) — zero shuffles, whole-stage-codegen end to end; row fan-out
+    is exactly the chunk count."""
+    stride = window if stride is None else stride
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    others = [c for c in df.columns if c != text_col]
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("__toks")) - 1, F.lit(stride)
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("__toks", toks)
+        .select(*others, "__toks", F.posexplode(starts).alias("chunk_idx", "__s"))
+        .select(
+            *others,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__s") + 1, window)
+            ).alias("chunk"),
+            F.least(
+                F.lit(window), F.size(F.col("__toks")) - F.col("__s")
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + domain filtering (web-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+#: RE2-safe URL matcher (no backtracking constructs) — scheme + one
+#: non-space run; the domain is parsed from the match separately.
+URL_REGEX = r"https?://[^\s]+"
+_DOMAIN_REGEX = r"^https?://([^/:?#]+)"
+
+
+def domain_col(url: Column) -> Column:
+    """Lower-cased host part of a URL string column."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_REGEX, 1))
+
+
+def extract_urls(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """Explode every URL occurrence out of ``text_col`` →
+    ``(id_cols…, url, domain)``.  Narrow (regexp + posexplode inside
+    codegen, no shuffle); fan-out is the URL count."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 0)
+    return (
+        df.select(*id_cols, F.explode(urls).alias("url"))
+        .withColumn("domain", domain_col(F.col("url")))
+    )
+
+
+def domain_stats(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """Per-domain corpus footprint: total URL occurrences and distinct
+    documents — the table a blocklist decision is made from.  One hash
+    shuffle on the (short) domain string; doc distinctness via an
+    exact per-(domain, doc) pre-aggregate, not ``countDistinct`` over
+    the raw fan-out."""
+    per_doc = (
+        extract_urls(df, id_cols, text_col)
+        .groupBy("domain", *id_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per_doc.groupBy("domain").agg(
+        F.sum("__n").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def domain_gate(
+    df: DataFrame,
+    text_col: str,
+    blocked,
+) -> DataFrame:
+    """Drop documents containing a URL whose domain is blocklisted.
+
+    ``blocked`` is either a small Python list (inlined as a literal
+    array — zero shuffles, O(|list|) per URL, right for the usual
+    hand-curated blocklist) or a single-column DataFrame of domains
+    (broadcast-joined against the per-doc distinct domain set — the
+    million-entry path; plan stays shuffle-free on the corpus side
+    apart from the per-doc explode/re-group)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 0)
+    domains = F.transform(urls, lambda u: domain_col(u))
+    if isinstance(blocked, (list, tuple)):
+        lit_arr = F.array(*[F.lit(d.lower()) for d in blocked])
+        return df.filter(~F.arrays_overlap(domains, lit_arr))
+    bad = blocked.toDF("__bad_domain").select(F.lower(F.col("__bad_domain")).alias("__bad_domain"))
+    hit = (
+        df.select(*df.columns, F.explode_outer(domains).alias("__d"))
+        .join(
+            F.broadcast(bad),
+            F.col("__d") == F.col("__bad_domain"),
+            "left",
+        )
+        .groupBy(*df.columns)
+        .agg(F.max(F.col("__bad_domain").isNotNull()).alias("__blocked"))
+    )
+    return hit.filter(~F.col("__blocked")).drop("__blocked")

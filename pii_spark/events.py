@@ -1,0 +1,74 @@
+"""Event sessionization: gap-based incident grouping over the alert /
+event stream.
+
+The reference rate-limits alert delivery per channel (token bucket,
+``internal/notifier/manager.go``) but offers no *analysis* of the alert
+storms the limiter absorbs.  At fleet scale the question an operator
+asks is "how many incidents was that?" — consecutive events of one key
+separated by less than a timeout are one incident (one root cause), a
+longer silence starts the next.  This is classic gap sessionization,
+expressed entirely with window functions so Catalyst keeps it as one
+hash-partition-by-key + one sort — no UDFs, no second shuffle:
+
+  new_session = (ts - lag(ts)) > gap          -- per key, ts order
+  session_idx = sum(new_session) over ts      -- running count
+
+Scale shape: a single shuffle keyed by ``key_cols``; per-key state is a
+sort (spillable).  Skewed keys (one pathological user) sort within one
+task — at 10¹² events pre-split hot keys by day before sessionizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_sec: float,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Assign each event a dense 0-based ``session_col`` per key:
+    an event starts a new session iff it is the key's first or follows
+    its predecessor by more than ``gap_sec`` seconds.  Ties on ``ts``
+    are ordered deterministically by the remaining columns' hash so
+    re-runs agree."""
+    # integer-microsecond math: the boundary test (gap > gap_sec) is
+    # exact and engine-independent (no float rounding at the threshold).
+    # TIMESTAMP_NTZ (what parquet event logs usually carry) is cast to
+    # TIMESTAMP first — run with spark.sql.session.timeZone=UTC (set by
+    # default_spark_conf) so the wall-clock is taken as-is.
+    gap_us = int(round(gap_sec * 1_000_000))
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(micros).over(w)
+    gap = micros - prev
+    new_s = F.when(prev.isNull() | (gap > gap_us), 1).otherwise(0)
+    running = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, (running - 1).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_sec: float,
+) -> DataFrame:
+    """Per-(key, session) incident summary: event count, first/last
+    timestamp, duration in seconds.  One shuffle (the sessionize
+    window), then a partial-aggregated groupBy on the same keys —
+    AQE coalesces the exchange since the partitioning is compatible."""
+    s = sessionize(df, key_cols, ts_col, gap_sec)
+    return s.groupBy(*key_cols, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        (
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            - F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        ).alias("duration_us"),
+    )

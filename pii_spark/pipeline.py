@@ -249,9 +249,12 @@ class Pipeline:
 
 def default_spark_conf(builder, shuffle_partitions: int = 32):
     """Session conf the pipeline assumes: AQE on (post-shuffle coalesce +
-    skew handling), Arrow enabled, bounded Arrow batches (T5)."""
+    skew handling), Arrow enabled, bounded Arrow batches (T5), UTC
+    session timezone (TIMESTAMP_NTZ event logs are interpreted as-is —
+    epoch math is then identical on every executor and every engine)."""
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,205 @@
+"""Tests for event sessionization, URL/domain hygiene, chunking,
+vocabulary stats and repetition ratios (round-3 additions)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+# ---------------------------------------------------------------------------
+# sessionize / session_stats
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    from pii_spark.events import sessionize
+
+    # gaps of exactly 60s stay in-session; 60s + 1us starts a new one
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0)),
+            (1, _ts(1)),             # +60.000000s → same session
+            (1, _ts(2, 0, 1)),       # +60.000001s → new session
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {r.ts: r.session_idx for r in
+           sessionize(ev, ["user_id"], "ts", gap_sec=60).collect()}
+    assert out[_ts(0)] == 0 and out[_ts(1)] == 0
+    assert out[_ts(2, 0, 1)] == 1
+
+
+def test_session_stats_counts_and_duration(spark):
+    from pii_spark.events import session_stats
+
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(0, 30)), (1, _ts(10)), (2, _ts(0))],
+        "user_id long, ts timestamp",
+    )
+    rows = {(r.user_id, r.session_idx): r for r in
+            session_stats(ev, ["user_id"], "ts", gap_sec=60).collect()}
+    assert rows[(1, 0)].n_events == 2
+    assert rows[(1, 0)].duration_us == 30_000_000
+    assert rows[(1, 1)].n_events == 1 and rows[(1, 1)].duration_us == 0
+    assert rows[(2, 0)].n_events == 1
+
+
+def test_sessionize_independent_per_key(spark):
+    from pii_spark.events import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(0, 1)), (1, _ts(0, 2))],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(ev, ["user_id"], "ts", gap_sec=60).collect()
+    assert all(r.session_idx == 0 for r in out)  # keys never interleave
+
+
+# ---------------------------------------------------------------------------
+# chunk_fixed
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_fixed_tiling_and_overlap(spark):
+    from pii_spark.curation import chunk_fixed
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_fixed(df, "text", window=3, stride=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.chunk, r.chunk_tokens) for r in out]
+    assert got == [
+        (1, 0, "a b c", 3),
+        (1, 1, "c d e", 3),
+        (1, 2, "e f g", 3),
+        (1, 3, "g", 1),
+        (2, 0, "x y", 2),
+        # doc 3 (whitespace only) yields no chunks
+    ]
+
+
+def test_chunk_fixed_no_overlap_reconstructs_doc(spark):
+    from pii_spark.curation import chunk_fixed
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_fixed(df, "text", window=32).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert sum(r.chunk_tokens for r in out) == 100  # stride==window tiles
+    assert " ".join(r.chunk for r in out) == text
+
+
+def test_chunk_fixed_rejects_bad_params(spark):
+    import pytest
+
+    from pii_spark.curation import chunk_fixed
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_fixed(df, "text", window=0)
+    with pytest.raises(ValueError):
+        chunk_fixed(df, "text", window=4, stride=-1)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_extract_urls_and_domains(spark):
+    from pii_spark.curation import extract_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://Spam.example.com/x and http://ok.org/y?q=1"),
+            (2, "no links here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.url, r.domain)
+        for r in extract_urls(df, ["doc_id"], "text").collect()
+    )
+    assert got == [
+        (1, "http://ok.org/y?q=1", "ok.org"),
+        (1, "https://Spam.example.com/x", "spam.example.com"),
+    ]
+
+
+def test_domain_stats_distinct_docs(spark):
+    from pii_spark.curation import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/1 https://a.com/2"),
+            (2, "https://a.com/3 https://b.com/x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.domain: (r.n_urls, r.n_docs)
+           for r in domain_stats(df, ["doc_id"], "text").collect()}
+    assert got == {"a.com": (3, 2), "b.com": (1, 1)}
+
+
+def test_domain_gate_list_and_dataframe_agree(spark):
+    from pii_spark.curation import domain_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Bad.com/x plus https://good.org/y"),
+            (2, "https://good.org/z"),
+            (3, "no urls"),
+        ],
+        "doc_id long, text string",
+    )
+    via_list = {r.doc_id for r in domain_gate(df, "text", ["bad.com"]).collect()}
+    bad_df = spark.createDataFrame([("BAD.com",)], "d string")
+    via_df = {r.doc_id for r in domain_gate(df, "text", bad_df).collect()}
+    assert via_list == via_df == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk / repetition
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_topk_doc_frequency_not_term_frequency(spark):
+    from pii_spark.quality import vocab_topk
+
+    df = spark.createDataFrame(
+        [("py", "a a a a b"), ("py", "b c"), ("py", "b")],
+        "lang string, text string",
+    )
+    got = [(r.token, r.doc_freq, r.rank) for r in
+           vocab_topk(df, ["lang"], "text", k=2).orderBy("rank").collect()]
+    # b appears in 3 docs (a only 1, despite 4 occurrences)
+    assert got == [("b", 3, 1), ("a", 1, 2)]
+
+
+def test_repetition_fractions_match_hand_counts(spark):
+    from pii_spark.quality import with_repetition
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y x y"), (2, "a b c d e f"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_repetition(df, "text").collect()}
+    # doc 1: 7 bigrams, "x y"×4 → 4/7; 6 trigrams, top×3 → 3/6;
+    #        4 5-grams, each appearing twice → dup 4/4
+    assert abs(got[1].top2_frac - 4 / 7) < 1e-12
+    assert abs(got[1].top3_frac - 3 / 6) < 1e-12
+    assert got[1].dup5_frac == 1.0
+    # doc 2: no repeats at all
+    assert got[2].top2_frac == 1 / 5 and got[2].dup5_frac == 0.0
+    # doc 3: shorter than every n → all zero
+    assert got[3].top2_frac == 0.0 and got[3].dup5_frac == 0.0

@@ -298,3 +298,55 @@ def test_normalize_text_single_python_node_no_shuffle(spark):
     p = plan(normalize_text(docs, "text"))
     assert "Exchange" not in p
     assert count_python_nodes(p) == 1   # only the NFC UDF crosses to Python
+
+
+def test_chunk_fixed_zero_shuffle_pure_codegen(spark):
+    from pii_spark.curation import chunk_fixed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan(chunk_fixed(docs, "text", window=32, stride=24))
+    assert "Exchange" not in p  # narrow fan-out, no shuffle
+    assert count_python_nodes(p) == 0  # split/sequence/slice stay JVM-side
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_domain_gate_list_mode_is_pure_filter(spark):
+    from pii_spark.curation import domain_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(domain_gate(docs, "text", ["spam.example.com", "bad.org"]))
+    assert "Exchange" not in p and count_python_nodes(p) == 0
+
+
+def test_domain_gate_df_mode_broadcasts_blocklist(spark):
+    from pii_spark.curation import domain_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bad = spark.createDataFrame([("spam.example.com",)], "d string")
+    p = plan(domain_gate(docs, "text", bad))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p  # corpus side never shuffles for the join
+
+
+def test_sessionize_single_exchange_on_keys(spark):
+    from pii_spark.events import session_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan(session_stats(ev, ["user_id"], "ts", gap_sec=600))
+    # one hash exchange for the window; the follow-up groupBy reuses the
+    # partitioning (AQE sees compatible hashpartitioning(user_id))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert count_python_nodes(p) == 0
+
+
+def test_repetition_single_arrow_batch_no_shuffle(spark):
+    from pii_spark.quality import with_repetition
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan(with_repetition(docs, "text"))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 1  # exactly one Arrow eval for the UDF
