@@ -146,6 +146,18 @@ def main() -> None:
         "license_detect",
         "contamination",
         "sequence_pack",
+        "entropy_secrets",
+        "normalize_text",
+        "repo_rollup",
+        "split_assign",
+        "dedup_incremental",
+        "leakage_audit",
+        "corpus_datasheet",
+        "incident_sessions",
+        "chunk_windows",
+        "url_domains",
+        "vocab_topk",
+        "repetition_ratios",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -30,7 +30,7 @@ from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -271,6 +271,45 @@ def streaming_dedup(
     watermark of the first occurrence is dropped; late data beyond it is
     dropped by the watermark itself."""
     return df.withWatermark(ts_col, window).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming incident grouping: Spark's native ``session_window``
+    merges events of one key whose gaps are < ``gap`` into one growing
+    window; the watermark closes a session once event time has moved
+    ``watermark`` past its end, at which point the row is emitted
+    exactly once (append mode).  This is the continuous counterpart of
+    ``events.session_stats`` — same gap semantics, but sessions close
+    incrementally instead of at job end, and state is bounded by the
+    watermark horizon.
+
+    Boundary semantics match the batch operator exactly (verified by
+    test): an event arriving at exactly ``gap`` after its predecessor
+    stays in-session under both (``session_window`` merges it; the
+    batch path splits only strictly beyond the gap).
+
+    Returns per-closed-session rows: keys, session start/end, event
+    count.  State shape at scale: one open window per active key —
+    skew-safe because session_window state is keyed by (key, window),
+    and the watermark bounds total state."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -292,3 +292,67 @@ def test_resync_scheduler_hot_swaps_bank_between_batches(spark, tmp_path):
     assert "CORPSEC-1234" in rows[1].scrubbed_text and rows[1].n_redactions == 0
     assert "CORPSEC-5678" not in rows[2].scrubbed_text and rows[2].n_redactions == 1
     assert state["fetches"] >= 2
+
+
+def test_sessionize_stream_closes_sessions_on_watermark(spark, tmp_path):
+    # batch 1: user a has two bursts 20 min apart (gap 10m splits them);
+    # batch 2 advances event time far enough that the watermark closes
+    # both of a's sessions and b's singleton
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b0.json", [
+        ("a", 0, "2024-01-01T00:00:00"),
+        ("a", 1, "2024-01-01T00:05:00"),   # +5m → same session
+        ("a", 2, "2024-01-01T00:25:00"),   # +20m → new session
+        ("b", 3, "2024-01-01T00:00:00"),
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).json(str(src))
+    out = S.sessionize_stream(
+        stream, ["channel"], ts_col="ts", gap="10 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing emitted yet: watermark hasn't passed any session end
+        assert spark.sql("SELECT * FROM sess_out").count() == 0
+        _write_batch(src, "b1.json", [("c", 9, "2024-01-01T02:00:00")])
+        q.processAllAvailable()
+        got = {
+            (r.channel, r.session_start.isoformat(), r.n_events)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        ("a", "2024-01-01T00:00:00", 2),
+        ("a", "2024-01-01T00:25:00", 1),
+        ("b", "2024-01-01T00:00:00", 1),
+    }
+
+
+def test_sessionize_stream_batch_mode_agrees_with_events_sessionize(spark):
+    # same gap semantics as the batch operator on a static frame
+    import datetime as dt
+
+    from pii_spark.events import session_stats
+
+    rows = [
+        ("a", i, dt.datetime(2024, 1, 1, 0, m))
+        for i, m in enumerate([0, 5, 25, 26])
+    ] + [("b", 9, dt.datetime(2024, 1, 1, 0, 0))]
+    df = spark.createDataFrame(rows, "channel string, event_id long, ts timestamp")
+    native = {
+        (r.channel, r.session_start, r.n_events)
+        for r in S.sessionize_stream(df, ["channel"], gap="10 minutes").collect()
+    }
+    batch = {
+        (r.channel, r.first_ts, r.n_events)
+        for r in session_stats(df, ["channel"], "ts", gap_sec=600).collect()
+    }
+    assert native == batch
