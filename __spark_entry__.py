@@ -1408,6 +1408,44 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise duplicate footprint between sources (which crawls
+    # re-crawl each other): same planted duplicate family as
+    # leakage_audit, broken down per source pair combinatorially
+    from pii_spark.curation import source_overlap_matrix
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content",
+        F.when(d % 10 < 3, F.lit("duplicated boilerplate block")).otherwise(
+            F.col("text")
+        ),
+    )
+    return source_overlap_matrix(docs, "content", "source").orderBy(
+        "source_a", "source_b"
+    )
+
+
+def q_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language-balanced quality gate: per-lang exact 75th-percentile
+    # cutoff on n_chars keeps ~25% of every language (ties survive)
+    from pii_spark.curation import adaptive_keep_threshold
+
+    docs = _docs(spark, sf_dir)
+    thr, kept = adaptive_keep_threshold(docs, ["lang"], "n_chars", 0.25)
+    n_kept = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        thr.join(n_kept, "lang")
+        .select(
+            "lang",
+            F.round(F.col("threshold") * 100).cast("long").alias("threshold_x100"),
+            "n_total",
+            "n_kept",
+        )
+        .orderBy("lang")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -1491,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
+        "source_overlap": q_source_overlap,
+        "adaptive_quality_gate": q_adaptive_quality_gate,
     }
 
 
@@ -2489,5 +2529,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(dup5 * 1000000) AS BIGINT)) AS BIGINT)
                        AS sum_dup5_x1e6
             FROM per_doc GROUP BY 1 ORDER BY 1
+        """,
+        # per-(hash, source) group sizes → pairwise combinatorics:
+        # cross = n_a·n_b, diagonal = n(n−1)/2 — never pair rows
+        "source_overlap": """
+            WITH corpus AS (
+                SELECT source,
+                       CASE WHEN doc_id % 10 < 3
+                            THEN 'duplicated boilerplate block'
+                            ELSE text END AS content
+                FROM documents
+            ),
+            per_src AS (
+                SELECT sha256(content) AS h, source AS s, count(*) AS n
+                FROM corpus GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a.s AS source_a, b.s AS source_b,
+                       CASE WHEN a.s = b.s THEN a.n * (a.n - 1) / 2
+                            ELSE a.n * b.n END AS p
+                FROM per_src a JOIN per_src b ON a.h = b.h AND a.s <= b.s
+            )
+            SELECT source_a, source_b, CAST(sum(p) AS BIGINT) AS n_dup_pairs
+            FROM pairs GROUP BY 1, 2
+            HAVING sum(p) > 0
+            ORDER BY 1, 2
+        """,
+        # quantile_cont = the same p·(n−1) interpolated percentile as
+        # Spark's exact percentile; ties at the cutoff survive (>=)
+        "adaptive_quality_gate": """
+            WITH thr AS (
+                SELECT lang, quantile_cont(n_chars, 0.75) AS t,
+                       count(*) AS n_total
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang,
+                   CAST(round(max(t) * 100) AS BIGINT) AS threshold_x100,
+                   CAST(max(n_total) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN d.n_chars >= t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            GROUP BY d.lang ORDER BY d.lang
         """,
     }

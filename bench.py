@@ -158,6 +158,8 @@ def main() -> None:
         "url_domains",
         "vocab_topk",
         "repetition_ratios",
+        "source_overlap",
+        "adaptive_quality_gate",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -15,7 +15,11 @@ would, over a deterministic synthetic code corpus:
    + one merged model+scrub mapInPandas pass)
 7. token-budget mixture sampling per language (deterministic
    hash-priority order)
-8. write the curated corpus + a stage-by-stage funnel report
+8. leakage-safe train/val/test split (repo-granular) + a split-leakage
+   audit that must report zero cross-split duplicate pairs
+9. fixed-window chunking of the train split into training examples +
+   a per-language corpus datasheet
+10. write the curated corpus + a stage-by-stage funnel report
 
 Every stage is the library operator the driver queries oracle-check;
 this example is the integration story, asserted on funnel invariants.
@@ -33,7 +37,15 @@ import tempfile
 from pyspark.sql import SparkSession, functions as F
 
 from pii_spark import dedup
-from pii_spark.curation import hash_bucket_col, license_filter, token_budget_sample
+from pii_spark.curation import (
+    chunk_fixed,
+    corpus_datasheet,
+    hash_bucket_col,
+    license_filter,
+    split_assign,
+    split_leakage_audit,
+    token_budget_sample,
+)
 from pii_spark.detect import quality_scrub_map_in_pandas
 from pii_spark.io import TableIO
 from pii_spark.patterns import PatternBank
@@ -146,12 +158,32 @@ def main() -> int:
         order_cols=[hash_bucket_col(F.col("doc_key")), F.col("doc_key")],
     )
 
-    # 8. write corpus + funnel metrics
+    # 8. leakage-safe split (repo-granular: content dedup already ran,
+    # so identical files can't straddle splits — the audit proves it)
+    curated = split_assign(
+        curated, F.col("repo"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).localCheckpoint(eager=True)  # consumed by audit + chunking + write
+    audit = split_leakage_audit(curated, "scrubbed_text", "split").first()
+    assert audit.n_cross_split_pairs == 0, audit  # dedup ran first ⇒ clean
+
+    # 9. chunk the train split into fixed training windows + datasheet
+    train = curated.filter(F.col("split") == "train")
+    chunks = chunk_fixed(
+        train.select("repo", "path", "commit", "lang", "scrubbed_text"),
+        "scrubbed_text", window=64, stride=64,
+    )
+    sheet = corpus_datasheet(curated, ["lang", "split"], "scrubbed_text")
+
+    # 10. write corpus + chunks + datasheet + funnel metrics
     io = TableIO(spark, out_dir)
     io.write(
-        curated.select("repo", "path", "commit", "lang", "scrubbed_text", "n_tokens"),
+        curated.select(
+            "repo", "path", "commit", "lang", "split", "scrubbed_text", "n_tokens"
+        ),
         "curated_corpus", mode="overwrite", partition_by=["lang"],
     )
+    io.write(chunks, "train_chunks", mode="overwrite")
+    io.write(sheet, "corpus_datasheet", mode="overwrite")
     mix = curated.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     ).orderBy("lang")
@@ -170,6 +202,10 @@ def main() -> int:
     )
     over = mix.filter(F.col("n_tokens") > TOKEN_BUDGET_PER_LANG).count()
     assert over == 0, "per-language token budget exceeded"
+    # chunking preserves token mass over the train split exactly
+    train_tokens = train.agg(F.sum("n_tokens")).first()[0] or 0
+    chunk_tokens = chunks.agg(F.sum("chunk_tokens")).first()[0] or 0
+    assert chunk_tokens == train_tokens, (chunk_tokens, train_tokens)
     # synthetic corpus plants PII in ~20% of files — the scrub must fire
     assert n_redactions and n_redactions > 0
     print(f"tables written under: {out_dir}")

@@ -561,3 +561,74 @@ def domain_gate(
         .agg(F.max(F.col("__bad_domain").isNotNull()).alias("__blocked"))
     )
     return hit.filter(~F.col("__blocked")).drop("__blocked")
+
+
+def source_overlap_matrix(
+    df: DataFrame, content_col: str, source_col: str
+) -> DataFrame:
+    """Pairwise duplicate-content footprint between sources: for every
+    source pair (a ≤ b), how many identical-content pairs have one copy
+    in ``a`` and one in ``b`` (diagonal = within-source duplicate
+    pairs).  The table that answers "which crawls re-crawl each other"
+    before a mixture decision double-counts their tokens.
+
+    Same no-materialization discipline as :func:`split_leakage_audit`:
+    counts come from per-(sha256, source) group sizes — a cross pair
+    count is ``n_a · n_b``, within-source is ``n(n−1)/2`` — joined
+    per-hash, never per-row.  The self-join is keyed on the content
+    hash and each side holds ≤ |sources| rows per hash, so its output
+    is bounded by (distinct contents) × |sources|²/2 — at web scale
+    |sources| is tens, not millions."""
+    per_src = df.groupBy(
+        F.sha2(F.col(content_col), 256).alias("__h"),
+        F.col(source_col).alias("__s"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = per_src.alias("a"), per_src.alias("b")
+    pairs = a.join(b, on="__h").filter(F.col("a.__s") <= F.col("b.__s"))
+    n_pairs = F.when(
+        F.col("a.__s") == F.col("b.__s"),
+        F.col("a.__n") * (F.col("a.__n") - 1) / 2,
+    ).otherwise(F.col("a.__n") * F.col("b.__n"))
+    return (
+        pairs.select(
+            F.col("a.__s").alias("source_a"),
+            F.col("b.__s").alias("source_b"),
+            n_pairs.cast("long").alias("__p"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("__p").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )
+
+
+def adaptive_keep_threshold(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    keep_frac: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-key score cutoff chosen so ~``keep_frac`` of each key's rows
+    survive — the language-balanced quality gate: a fixed global
+    threshold keeps 90% of English and 8% of Haskell, a per-key
+    quantile keeps ``keep_frac`` of both.
+
+    Returns ``(thresholds, kept)``: ``thresholds`` is one row per key
+    with the exact interpolated ``(1 − keep_frac)`` percentile of
+    ``score_col``; ``kept`` is ``df`` filtered to ``score >=
+    threshold`` (ties at the cutoff survive, so the realized fraction
+    can exceed ``keep_frac`` — deterministic, never random).
+
+    Plan: one shuffle to aggregate the percentile per key, then the
+    (small — one row per language/source) threshold table broadcasts
+    back onto the corpus.  For 10¹² rows swap the exact percentile for
+    ``percentile_approx`` the same way :func:`corpus_datasheet` does."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    thresholds = df.groupBy(*key_cols).agg(
+        F.percentile(score_col, F.lit(1.0 - keep_frac)).alias("threshold"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept = df.join(
+        F.broadcast(thresholds.select(*key_cols, "threshold")), key_cols
+    ).filter(F.col(score_col) >= F.col("threshold")).drop("threshold")
+    return thresholds, kept

@@ -349,3 +349,60 @@ def test_corpus_datasheet_approx_mode_same_schema(spark):
     # 10k accuracy over 199 values it lands within one rank of exact
     assert abs(ap.p50_chars - ex.p50_chars) <= 1.0
     assert abs(ap.p95_chars - ex.p95_chars) <= 1.0
+
+
+def test_source_overlap_matrix_hand_counts(spark):
+    from pii_spark.curation import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"), ("C", "y"), ("C", "z")],
+        "src string, content string",
+    )
+    got = {(r.source_a, r.source_b): r.n_dup_pairs
+           for r in source_overlap_matrix(df, "content", "src").collect()}
+    # "x": A×2, B×1 → within-A 1 pair, A–B 2 pairs; "y": B–C 1 pair;
+    # "z" unique → nothing; zero-count pairs are not emitted
+    assert got == {("A", "A"): 1, ("A", "B"): 2, ("B", "C"): 1}
+
+
+def test_source_overlap_consistent_with_leakage_audit(spark):
+    from pii_spark.curation import split_leakage_audit, source_overlap_matrix
+
+    rows = [(f"s{i % 3}", f"content {i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "src string, content string")
+    m = source_overlap_matrix(df, "content", "src").collect()
+    audit = split_leakage_audit(df, "content", "src").collect()[0]
+    # matrix total == audit dup pairs; off-diagonal == cross pairs
+    assert sum(r.n_dup_pairs for r in m) == audit.n_dup_pairs
+    assert sum(
+        r.n_dup_pairs for r in m if r.source_a != r.source_b
+    ) == audit.n_cross_split_pairs
+
+
+def test_adaptive_keep_threshold_per_key_quantile(spark):
+    from pii_spark.curation import adaptive_keep_threshold
+
+    rows = [("py", i, float(i)) for i in range(10)] + [
+        ("go", i, float(i % 2)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    thr, kept = adaptive_keep_threshold(df, ["lang"], "score", 0.3)
+    t = {r.lang: r.threshold for r in thr.collect()}
+    assert abs(t["py"] - 6.3) < 1e-12  # numpy percentile(0..9, 70)
+    assert t["go"] == 1.0
+    by_lang = {r.lang: r for r in
+               kept.groupBy("lang").count().collect()}
+    assert by_lang["py"]["count"] == 3      # 7, 8, 9
+    assert by_lang["go"]["count"] == 2      # ties at the cutoff survive
+
+
+def test_adaptive_keep_threshold_rejects_bad_frac(spark):
+    import pytest
+
+    from pii_spark.curation import adaptive_keep_threshold
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, score double")
+    with pytest.raises(ValueError):
+        adaptive_keep_threshold(df, ["k"], "score", 0.0)
+    with pytest.raises(ValueError):
+        adaptive_keep_threshold(df, ["k"], "score", 1.5)
