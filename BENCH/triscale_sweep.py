@@ -8,6 +8,9 @@ pytest gate).  Prints one JSON line per sf with pass/fail counts and a
 final SWEEP_OK on full parity.
 
 Usage: ``python BENCH/triscale_sweep.py`` (~10 min at local[32]).
+``SWEEP_ONLY=a,b,c`` restricts to the named queries; ``SWEEP_SF=sf0.01``
+(comma-separable) restricts the scales — both for fast iteration on a
+single operator.
 """
 
 from __future__ import annotations
@@ -54,8 +57,13 @@ def main() -> None:
 
     queries = E.queries()
     oracles = E.oracle_sql()
+    only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
+    sf_sel = {s for s in os.environ.get("SWEEP_SF", "").split(",") if s}
+    sf_dirs = [d for d in SF_DIRS if not sf_sel or os.path.basename(d) in sf_sel]
     any_fail = False
-    for sf_dir in SF_DIRS:
+    for sf_dir in sf_dirs:
         con = duckdb.connect()
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"

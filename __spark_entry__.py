@@ -87,12 +87,14 @@ _NEARDUP_CASE = (
     "(doc_id % 3)::VARCHAR ELSE text END"
 )
 
-#: Shared CTE chain: corpus → 5-gram shingles → exact-Jaccard pairs.
-#: ONE copy feeds the ngram_jaccard, minhash_near_dup and
-#: near_dup_clusters oracles — a fix to the shingle construction
-#: cannot silently diverge between them.  (No leading WITH — callers
-#: prepend WITH / WITH RECURSIVE as needed.)
-_JACCARD_PAIRS_CTES = f"""corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents),
+def _overlap_ctes(corpus_case: str) -> str:
+    """Shared CTE chain: corpus → 5-gram shingles → pair intersection
+    counts (``inter``: da, db, ni) + per-doc set sizes (``sizes``).
+    ONE copy feeds every exact set-overlap oracle (Jaccard AND
+    containment) — a fix to the shingle construction cannot silently
+    diverge between them.  (No leading WITH — callers prepend WITH /
+    WITH RECURSIVE as needed.)"""
+    return f"""corpus AS (SELECT doc_id, {corpus_case} AS t FROM documents),
             toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
             ),
@@ -108,7 +110,10 @@ _JACCARD_PAIRS_CTES = f"""corpus AS (SELECT doc_id, {_NEARDUP_CASE} AS t FROM do
                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
-            ),
+            )"""
+
+
+_JACCARD_PAIRS_CTES = f"""{_overlap_ctes(_NEARDUP_CASE)},
             jpairs AS (
                 SELECT da AS doc_a, db AS doc_b,
                        ni / (sa.n + sb.n - ni) AS jac,
@@ -280,6 +285,163 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round(F.col("jac") * 10000).cast("long").alias("jac_x10000")
     ).orderBy("doc_a", "doc_b")
+
+
+_CONTAIN_BLOCK = (
+    "embedded vendor snippet block one two three four five six "
+    "seven eight nine ten variant "
+)
+
+_CONTAIN_CASE = (
+    f"CASE WHEN doc_id % 30 = 4 THEN '{_CONTAIN_BLOCK}' || (doc_id % 5)::VARCHAR "
+    f"WHEN doc_id % 30 = 5 THEN text || ' {_CONTAIN_BLOCK}' || ((doc_id - 1) % 5)::VARCHAR "
+    "ELSE text END"
+)
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents where doc_id%30==4 is a bare vendored snippet and
+    doc_id%30==5 is a full doc with that same snippet appended — the
+    small-in-large embedding Jaccard misses but containment catches."""
+    d = F.col("doc_id")
+
+    def blk(v):
+        return F.concat(F.lit(_CONTAIN_BLOCK), v.cast("string"))
+
+    return _docs(spark, sf_dir).withColumn(
+        "text4",
+        F.when(d % 30 == 4, blk(d % 5))
+        .when(d % 30 == 5, F.concat(F.col("text"), F.lit(" "), blk((d - 1) % 5)))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact n-gram containment (|A∩B| / min set size): vendored-snippet
+    # detection — the planted snippet docs score ~1.0 against their
+    # containers while pair Jaccard stays far below any dedup threshold
+    corpus = _containment_corpus(spark, sf_dir)
+    pairs = dedup.ngram_containment_pairs(
+        corpus, "doc_id", "text4", n=5, threshold=0.9, min_shingles=8
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("cont") * 10000).cast("long").alias("cont_x10000"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _bucket_int_sql(key_sql: str, salt: str) -> str:
+    """DuckDB mirror of curation.hash_bucket_int: first 4 sha256 hex
+    chars as an integer, via strpos nibble lookups (no hex-cast dialect
+    dependence)."""
+    hx = f"sha256({key_sql} || '{salt}')"
+    nib = "strpos('0123456789abcdef', {h}[{i}]) - 1"
+    return (
+        "("
+        + " + ".join(
+            f"({nib.format(h=hx, i=i)}) * {mult}"
+            for i, mult in ((1, 4096), (2, 256), (3, 16), (4, 1))
+        )
+        + ")"
+    )
+
+
+_SPAN_NL = " || chr(10) || "
+_SPAN_OWN_SQL = [f"'own line {i} doc ' || doc_id::VARCHAR" for i in range(1, 7)]
+_SPAN_BLK_SQL = [
+    f"'shared block line {j} variant ' || (doc_id % 4)::VARCHAR" for j in range(1, 5)
+]
+_SPAN_CASE = (
+    "CASE WHEN doc_id % 9 = 2 THEN "
+    + _SPAN_NL.join(_SPAN_OWN_SQL[:2] + _SPAN_BLK_SQL + _SPAN_OWN_SQL[2:])
+    + " ELSE "
+    + _SPAN_NL.join(_SPAN_OWN_SQL)
+    + " END"
+)
+
+
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-line docs: six doc-unique lines; docs with doc_id%9==2 get
+    a 4-line block shared within their doc_id%4 variant group spliced
+    after line 2 — a copy-pasted region exact substring dedup must
+    remove from every non-canonical copy."""
+    d = F.col("doc_id")
+    own = [
+        F.concat(F.lit(f"own line {i} doc "), d.cast("string")) for i in range(1, 7)
+    ]
+    blk = [
+        F.concat(F.lit(f"shared block line {j} variant "), (d % 4).cast("string"))
+        for j in range(1, 5)
+    ]
+    with_block = F.concat_ws("\n", own[0], own[1], *blk, *own[2:])
+    plain = F.concat_ws("\n", *own)
+    return _docs(spark, sf_dir).withColumn(
+        "text5", F.when(d % 9 == 2, with_block).otherwise(plain)
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact substring dedup (Lee et al.): duplicated 4-line spans keep
+    # one canonical copy; sha256 of every rebuilt doc + removal count
+    corpus = _span_corpus(spark, sf_dir)
+    out = dedup.span_dedup(corpus, "doc_id", "text5", k=4)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("cleaned_text"), 256).alias("clean_sha"),
+        "n_lines_removed",
+    ).orderBy("doc_id")
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE tokenizer training, iteration 1: char+eow symbol-pair counts
+    # over the corpus, top-20 under a total (n desc, pair asc) order —
+    # the argmax surface every later greedy merge depends on
+    from pii_spark.quality import bpe_pair_counts
+
+    docs = _docs(spark, sf_dir)
+    return (
+        bpe_pair_counts(docs, "text")
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global shuffle + shard assignment: reproducible
+    # training-epoch permutation — shard via sha-bucket mod, position
+    # via per-shard sha order; identical on every engine/run
+    from pii_spark.curation import corpus_shuffle
+
+    docs = _docs(spark, sf_dir)
+    out = corpus_shuffle(docs, F.col("doc_id").cast("string"), n_shards=8)
+    return out.select(
+        "doc_id", "shard", F.col("shard_pos").cast("long").alias("shard_pos")
+    ).orderBy("doc_id")
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature (α=0.5) mixture resampling across sources: rates from
+    # a tiny ordered-sum aggregate, membership by sha bucket < thr
+    from pii_spark.curation import temperature_rates, temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = temperature_rates(docs, "source", alpha=0.5)
+    kept = (
+        temperature_sample(docs, F.col("doc_id").cast("string"), "source", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "thr",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_cap": q_rate_cap,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "corpus_shuffle": q_corpus_shuffle,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "span_dedup": q_span_dedup,
+        "temperature_sample": q_temperature_sample,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -1654,6 +1821,124 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ngram_jaccard": f"WITH {_JACCARD_PAIRS_CTES}{_JACCARD_PAIRS_SELECT}",
+        "containment_pairs": f"""
+            WITH {_overlap_ctes(_CONTAIN_CASE)},
+            cpairs AS (
+                SELECT da AS doc_a, db AS doc_b,
+                       ni / least(sa.n, sb.n) AS cont,
+                       CAST(round(ni / least(sa.n, sb.n) * 10000) AS BIGINT)
+                           AS cont_x10000
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+                WHERE sa.n >= 8 AND sb.n >= 8
+            )
+            SELECT doc_a, doc_b, cont_x10000 FROM cpairs
+            WHERE cont >= 0.9 ORDER BY doc_a, doc_b
+        """,
+        # independent span-dedup re-derivation: spans compared by TEXT
+        # (the engine groups by xxhash64 — the oracle never trusts it)
+        "span_dedup": f"""
+            WITH corpus AS (SELECT doc_id, {_SPAN_CASE} AS t FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM corpus),
+            occ AS (
+                SELECT doc_id, i - 1 AS st,
+                       array_to_string(ls[i:i+3], chr(10)) AS span
+                FROM l, UNNEST(range(1, len(ls) - 2)) AS u(i)
+                WHERE len(ls) >= 4
+            ),
+            rk AS (
+                SELECT doc_id, st,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, st) AS rn
+                FROM occ
+            ),
+            rm AS (SELECT doc_id, st FROM rk WHERE rn > 1),
+            lines AS (
+                SELECT doc_id, j - 1 AS idx, ls[j] AS ln
+                FROM l, UNNEST(range(1, len(ls) + 1)) AS u(j)
+            ),
+            keptl AS (
+                SELECT li.doc_id, li.idx, li.ln FROM lines li
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM rm
+                    WHERE rm.doc_id = li.doc_id
+                      AND rm.st <= li.idx AND li.idx < rm.st + 4)
+            ),
+            reb AS (
+                SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS clean,
+                       count(*) AS n_kept
+                FROM keptl GROUP BY doc_id
+            ),
+            base AS (SELECT doc_id, len(ls) AS nl FROM l)
+            SELECT b.doc_id, sha256(coalesce(r.clean, '')) AS clean_sha,
+                   CAST(b.nl - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+            FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id ORDER BY b.doc_id
+        """,
+        "bpe_pair_counts": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            wc AS (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+            pairs AS (
+                SELECT w[i] || ' ' || w[i+1] AS pair, cnt
+                FROM wc, UNNEST(range(1, length(w))) AS u(i)
+                UNION ALL
+                SELECT w[length(w)] || ' </w>' AS pair, cnt FROM wc
+            )
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+            FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+        """,
+        "corpus_shuffle": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       sha256(doc_id::VARCHAR || 'shuffle') AS hx,
+                       CAST({_bucket_int_sql("doc_id::VARCHAR", "shuffle")} % 8
+                            AS BIGINT) AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY hx)
+                        AS BIGINT) AS shard_pos
+            FROM s ORDER BY doc_id
+        """,
+        # mirrors temperature_rates' exactness contract: sqrt (correctly
+        # rounded IEEE), normalizer summed in explicit source order via a
+        # cumulative window, same left-assoc op order — bit-identical
+        # doubles, so identical floored thresholds
+        "temperature_sample": f"""
+            WITH counts AS (
+                SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ),
+            w AS (
+                SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wgt
+                FROM counts
+            ),
+            c AS (
+                SELECT source, n_docs, wgt,
+                       sum(wgt) OVER (ORDER BY source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       CAST(sum(n_docs) OVER () AS DOUBLE) AS tot
+                FROM w
+            ),
+            r AS (
+                SELECT source, n_docs,
+                       CAST(floor(least(1.0,
+                            tot * wgt / (max(cum) OVER ()) / CAST(n_docs AS DOUBLE))
+                            * 65536.0) AS BIGINT) AS thr
+                FROM c
+            ),
+            k AS (
+                SELECT d.source, count(*) AS n_kept
+                FROM documents d JOIN r ON d.source = r.source
+                WHERE {_bucket_int_sql("d.doc_id::VARCHAR", "temp")} < r.thr
+                GROUP BY d.source
+            )
+            SELECT r.source, r.n_docs, r.thr,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source
+        """,
         "token_count": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

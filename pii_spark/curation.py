@@ -632,3 +632,128 @@ def adaptive_keep_threshold(
         F.broadcast(thresholds.select(*key_cols, "threshold")), key_cols
     ).filter(F.col(score_col) >= F.col("threshold")).drop("threshold")
     return thresholds, kept
+
+
+def hash_bucket_int(key: Column, salt: str = "") -> Column:
+    """:func:`hash_bucket_col`'s bucket as a numeric 0..65535 — for
+    modular arithmetic (sharding) and per-row thresholds (temperature
+    sampling), where the fixed-width-hex string-compare trick doesn't
+    apply.  ``conv`` is JVM-side; the oracle mirror is four ``strpos``
+    lookups over the same sha256 hex prefix."""
+    return F.conv(F.substring(F.sha2(F.concat(key, F.lit(salt)), 256), 1, 4), 16, 10).cast(
+        "long"
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key: Column,
+    n_shards: int,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training:
+    every row gets a ``shard`` (sha256-bucket mod ``n_shards``) and a
+    ``shard_pos`` (its rank within the shard under sha256 order) —
+    together a reproducible random permutation of the corpus, the
+    thing a training run needs so epoch order is (a) well mixed,
+    (b) identical across re-runs/engines, and (c) resumable mid-epoch
+    (shard, pos) → offset.  ``df.orderBy(rand())`` can promise none of
+    these.  ``key`` must be row-unique (doc id), or equal rows tie.
+
+    Scale: the shard column is a pure expression; positions need one
+    hash-partition exchange on ``shard`` + a per-shard sort.  Pick
+    ``n_shards`` so a shard (~corpus/n) fits an executor's sort
+    spill budget — for 10¹² docs, 10⁵–10⁶ shards, i.e. shard files of
+    ~10⁶ docs: exactly the shape training dataloaders want.  No global
+    total-order sort is ever run (that would be a range-partition
+    bottleneck); the permutation is defined per-shard."""
+    sha = F.sha2(F.concat(key, F.lit(salt)), 256)
+    out = df.withColumn("_shuffle_sha", sha).withColumn(
+        shard_col, hash_bucket_int(key, salt) % F.lit(n_shards)
+    )
+    w = Window.partitionBy(shard_col).orderBy("_shuffle_sha")
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_shuffle_sha")
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-source temperature-resampling rates: multinomial mixture
+    weights ``w_s ∝ n_s^α`` (α=1 → natural, α=0 → uniform; α≈0.3–0.7
+    is the standard multilingual/multi-source rebalance) scaled to an
+    expected ``target_total`` docs, capped at keeping a source whole.
+
+    Returns one row per source: ``(source, n_docs, rate, thr)`` where
+    ``thr = floor(min(1, rate)·65536)`` is the integer sha-bucket
+    cutoff :func:`temperature_sample` filters with.
+
+    Exactness contract: α defaults to 0.5 because IEEE-754 ``sqrt`` is
+    correctly rounded on every engine (``pow`` is not); the weight
+    normalizer is summed in explicit ``source`` order via a cumulative
+    window, so the doubles — and therefore the floored thresholds —
+    are bit-identical on any engine that evaluates the same IEEE ops
+    in the same order (the DuckDB oracle does).  Other α values work
+    but the cross-engine bit-exactness of ``n^α`` is then libm-grade,
+    not guaranteed.
+
+    Scale: one tiny aggregate (|sources| rows) + windows over it —
+    driver-light, no data motion beyond the count shuffle."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        wcol = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        wcol = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    ordered = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy(source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = (
+        counts.withColumn("_w", wcol)
+        .withColumn("_cum", F.sum("_w").over(ordered))
+        .withColumn("_norm", F.max("_cum").over(full))
+    )
+    if target_total is None:
+        # natural total: expected kept == corpus size before capping
+        total = F.sum("n_docs").over(full).cast("double")
+    else:
+        total = F.lit(float(target_total))
+    rate = total * F.col("_w") / F.col("_norm") / F.col("n_docs").cast("double")
+    return (
+        rates.withColumn("rate", rate)
+        .withColumn(
+            "thr", F.floor(F.least(F.lit(1.0), F.col("rate")) * F.lit(65536.0)).cast("long")
+        )
+        .select(source_col, "n_docs", "rate", "thr")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: Column,
+    source_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature resampling: keep each row iff its
+    sha256 bucket falls under its source's :func:`temperature_rates`
+    threshold.  Same membership guarantees as :func:`hash_sample`
+    (engine/run/partitioning-independent, nested across rates).
+
+    Scale: the rates frame is |sources| rows → broadcast join; the
+    corpus stream itself never shuffles, the filter rides the scan."""
+    from pyspark.sql.functions import broadcast
+
+    rates = temperature_rates(df, source_col, alpha, target_total).select(
+        source_col, "thr"
+    )
+    return (
+        df.join(broadcast(rates), source_col)
+        .filter(hash_bucket_int(key, salt) < F.col("thr"))
+        .drop("thr")
+    )

@@ -170,6 +170,48 @@ def _materialize(
     return df.localCheckpoint(eager=True)
 
 
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    materialize: bool,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Shared candidate machinery for the exact set-overlap metrics:
+    ``(doc_a < doc_b, n_inter, n_a, n_b)`` over distinct word-n-gram
+    shingle sets.  Build the distinct-shingle array once per doc (its
+    ``size`` IS the set size — no separate counting aggregate/shuffle),
+    explode → self-join on shingle (only shingle-sharing pairs
+    materialize) → intersection counts → join the per-doc sizes back.
+    Shingles are xxhash64'd before the shuffle so the join key is 8
+    bytes, not the n-word string (collision odds ≈ |shingles|²/2⁶⁴ —
+    negligible).  ``min_shingles`` drops short docs BEFORE the
+    quadratic self-join — for containment this is the noise gate (a
+    2-shingle doc is "contained" in anything sharing two 5-grams)."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+            "shs"
+        ),
+    ).withColumn("n_sh", F.size("shs"))
+    if min_shingles > 1:
+        base = base.filter(F.col("n_sh") >= min_shingles)
+    base = _materialize(base, materialize)  # consumed 3× (sizes + both join sides)
+    sh = base.select("doc", F.explode("shs").alias("sh"))
+    sizes = base.select("doc", "n_sh")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,35 +222,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ``(doc_a < doc_b, jac)``.
 
-    Plan: explode distinct shingles → self-join on shingle (only
-    shingle-sharing pairs materialize) → intersection counts → join per-doc
-    shingle counts (broadcast-eligible aggregate) → Jaccard filter.
-    Shingles are xxhash64'd before the shuffle so the join key is 8
-    bytes, not the n-word string (collision odds ≈ |shingles|²/2⁶⁴ —
-    negligible).  At 100 TB this is preceded by MinHash-LSH candidate
-    pruning (:func:`minhash_lsh_pairs`) — exact Jaccard then runs only
-    on candidates.
+    Plan: see :func:`_shingle_pair_counts`.  At 100 TB this is preceded
+    by MinHash-LSH candidate pruning (:func:`minhash_lsh_pairs`) —
+    exact Jaccard then runs only on candidates.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    )
-    sh = _materialize(sh, materialize)  # consumed 3× (sizes + both join sides)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_counts(df, id_col, text_col, n, materialize)
         .withColumn(
             "jac",
             F.col("n_inter")
@@ -216,6 +235,43 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", "jac")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    materialize: bool = True,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Exact n-gram *containment* pairs ``(doc_a < doc_b, cont)`` where
+    ``cont = |A∩B| / min(|A|, |B|)`` over distinct word-n-gram shingle
+    sets (Broder's containment, the max of the two one-sided forms).
+    ``min_shingles`` excludes docs whose shingle set is smaller than
+    the floor — with a min-size denominator, near-empty docs are
+    "contained" in everything, so production runs want ≥ ~8.
+
+    Catches what Jaccard misses: a small file wholly embedded in a much
+    larger one (vendored snippet, concatenated bundle, README pasted
+    into a doc site) scores near 1.0 here but near ``|A|/|B|`` → 0 on
+    Jaccard.  Same candidate plan as :func:`ngram_jaccard_pairs` — only
+    the final scalar differs, so an LSH pre-filter tuned for Jaccard
+    does NOT bound containment recall; for web-scale use, either run on
+    exact-size-banded candidates or accept one-sided loss (documented
+    trade; the full-corpus exact form here is quadratic only in
+    shingle-sharing pairs).
+    """
+    return (
+        _shingle_pair_counts(df, id_col, text_col, n, materialize, min_shingles)
+        .withColumn(
+            "cont",
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        )
+        .filter(F.col("cont") >= threshold)
+        .select("doc_a", "doc_b", "cont")
     )
 
 
@@ -972,4 +1028,102 @@ def contamination_check(
                 "contaminated"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal (exact substring dedup, line-granular)
+# ---------------------------------------------------------------------------
+
+def span_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+) -> DataFrame:
+    """Every k-line sliding window of every document as
+    ``(doc, start, h)`` with ``h = xxhash64`` of the window text —
+    the occurrence table exact-substring dedup runs over.  Docs
+    shorter than ``k`` lines contribute nothing (they cannot contain a
+    k-line span).  Fully JVM: split → transform over a start-index
+    sequence → posexplode; the shuffle that follows carries 8-byte
+    hashes, never span text."""
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines)
+    win = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(k)),
+        lambda i: F.xxhash64(F.concat_ws("\n", F.slice(lines, i + 1, k))),
+    )
+    return (
+        df.filter(nl >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(win).alias("start", "h"),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Remove duplicated k-line spans, keeping one canonical copy —
+    line-granular exact substring deduplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022: duplicated long substrings are memorization fuel; removing
+    them beats doc-level dedup on code corpora full of vendored and
+    copy-pasted blocks).  Complements :func:`remove_frequent_lines`
+    (single hot lines) and doc-level near-dedup (whole-file): this
+    catches the middle — multi-line blocks copied a handful of times.
+
+    Semantics: a k-line window is *duplicated* if its exact text occurs
+    ≥2 times corpus-wide (across docs or within one).  The earliest
+    occurrence under ``(doc, start)`` order is canonical and kept;
+    every line covered by any non-canonical duplicated window is
+    dropped from its doc.  Deterministic — no RNG, no partitioning
+    dependence.
+
+    Plan: occurrence table (line-count rows, 8-byte keys) → ONE hash
+    exchange on the span hash for the per-span window (rank + count)
+    → non-canonical occurrences → per-doc start-set aggregate → join
+    back and rebuild with JVM array ops.  At 10¹² files the occurrence
+    exchange is the dominant cost — same order as the corpus scan;
+    a suffix-array formulation would find variable-length dupes but
+    doesn't shuffle-partition, which is why production web pipelines
+    use fixed-window hashing.  Hash collisions (2⁻⁶⁴) can only
+    over-remove a span; the span text itself never shuffles.
+    """
+    from pyspark.sql import Window
+
+    occ = span_occurrences(df, id_col, text_col, k)
+    w = Window.partitionBy("h").orderBy("doc", "start")
+    marked = occ.withColumn("rn", F.row_number().over(w))
+    rm = (
+        marked.filter(F.col("rn") > 1)
+        .groupBy("doc")
+        .agg(F.collect_list("start").alias("_rm_starts"))
+    )
+    joined = df.join(rm, df[id_col] == rm["doc"], "left").drop("doc")
+    lines = F.split(F.col(text_col), "\n")
+    starts = F.coalesce(F.col("_rm_starts"), F.array().cast("array<int>"))
+    indexed = F.transform(
+        F.sequence(F.lit(0), F.size(lines) - 1),
+        lambda j: F.struct(j.alias("j"), F.element_at(lines, j + 1).alias("ln")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            starts, lambda st: (st <= s["j"]) & (s["j"] < st + F.lit(k))
+        ),
+    )
+    n_lines = F.size(lines)
+    return (
+        joined.withColumn(
+            out_col, F.array_join(F.transform(kept, lambda s: s["ln"]), "\n")
+        )
+        .withColumn("n_lines_removed", (n_lines - F.size(kept)).cast("long"))
+        .drop("_rm_starts")
     )

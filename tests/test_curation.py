@@ -406,3 +406,76 @@ def test_adaptive_keep_threshold_rejects_bad_frac(spark):
         adaptive_keep_threshold(df, ["k"], "score", 0.0)
     with pytest.raises(ValueError):
         adaptive_keep_threshold(df, ["k"], "score", 1.5)
+
+
+def test_corpus_shuffle_is_reproducible_permutation(spark):
+    from pii_spark.curation import corpus_shuffle
+
+    df = spark.createDataFrame([(str(i),) for i in range(300)], "k string")
+    out = corpus_shuffle(df, F.col("k"), n_shards=4).collect()
+    # (shard, pos) is a bijection onto rows: positions 1..n_in_shard per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # python mirror: shard + per-shard sha order
+    want = {}
+    for i in range(300):
+        h = hashlib.sha256((str(i) + "shuffle").encode()).hexdigest()
+        want[str(i)] = (int(h[:4], 16) % 4, h)
+    for shard in by_shard:
+        ks = sorted((h for (s, h) in want.values() if s == shard))
+        got = {r.k: r.shard_pos for r in out if r.shard == shard}
+        for k, (s, h) in want.items():
+            if s == shard:
+                assert got[k] == ks.index(h) + 1
+    # repeat run → identical assignment
+    again = corpus_shuffle(df, F.col("k"), n_shards=4).collect()
+    assert {(r.k, r.shard, r.shard_pos) for r in again} == {
+        (r.k, r.shard, r.shard_pos) for r in out
+    }
+
+
+def test_temperature_rates_rebalances_toward_small_sources(spark):
+    from pii_spark.curation import temperature_rates, temperature_sample
+
+    rows = [(f"d{i}", "big") for i in range(900)] + [
+        (f"s{i}", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, source string")
+    rates = {r.source: r for r in temperature_rates(df, "source").collect()}
+    # α=0.5 with natural total: small source over-sampled (rate > 1 → capped
+    # at keep-everything), big source down-sampled
+    assert rates["small"].rate > 1.0 and rates["small"].thr == 65536
+    assert rates["big"].rate < 1.0 and 0 < rates["big"].thr < 65536
+    kept = temperature_sample(df, F.col("k"), "source").groupBy("source").count()
+    k = {r.source: r["count"] for r in kept.collect()}
+    assert k["small"] == 100  # capped source kept whole
+    # big kept ≈ 900 · thr/65536 within binomial noise
+    expect = 900 * rates["big"].thr / 65536
+    assert abs(k["big"] - expect) < 90
+
+
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    from pii_spark.curation import temperature_rates
+
+    rows = [(f"d{i}", "a") for i in range(600)] + [(f"s{i}", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, source string")
+    rates = {r.source: r for r in temperature_rates(df, "source", alpha=1.0).collect()}
+    # α=1 → natural distribution: every source rate exactly 1
+    assert rates["a"].thr == 65536 and rates["b"].thr == 65536
+
+
+def test_temperature_sample_target_total_scales_rates(spark):
+    from pii_spark.curation import temperature_rates
+
+    rows = [(f"d{i}", "a") for i in range(400)] + [(f"s{i}", "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, source string")
+    rates = {
+        r.source: r
+        for r in temperature_rates(df, "source", alpha=0.5, target_total=200).collect()
+    }
+    # symmetric sources: each gets half the target → rate 0.25
+    assert rates["a"].thr == rates["b"].thr == 65536 // 4

@@ -55,6 +55,53 @@ def test_ngram_jaccard_pairs(docs):
     assert not any(2 in p or 4 in p for p in pairs)
 
 
+def test_ngram_containment_small_in_large(spark):
+    snippet = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    big = (
+        "totally different framing text around the vendored part one two "
+        "three four five six seven " + snippet + " trailing words after the "
+        "embedded region continue onward here"
+    )
+    df = spark.createDataFrame(
+        [(0, snippet), (1, big), (2, "tiny doc"), (3, "unrelated words about nothing shared at all with others present")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.cont
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", n=5, threshold=0.9
+        ).collect()
+    }
+    assert cont[(0, 1)] == 1.0  # snippet fully embedded
+    jac = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=5, threshold=0.0
+        ).collect()
+    }
+    assert jac[(0, 1)] < 0.5  # Jaccard would miss this pair at any dedup threshold
+
+
+def test_ngram_containment_min_shingles_floor(spark):
+    # a 1-shingle doc is "contained" in everything sharing that shingle;
+    # the floor removes it from the candidate set entirely
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "a b c d e f g h i j k l m n o p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    with_floor = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=5, threshold=0.9, min_shingles=8
+    ).collect()
+    assert with_floor == []
+    without = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=5, threshold=0.9
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in without} == {(0, 1)}
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     out = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=32, verify_threshold=0.5
@@ -556,3 +603,55 @@ def test_dedup_incremental(spark):
         for r in dedup_incremental(new, seen2, "text", seen_content_col="body").collect()
     )
     assert out2 == [2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_cross_doc(spark):
+    doc0 = "\n".join(["a0", "X1", "X2", "X3", "b0"])
+    doc1 = "\n".join(["c1", "d1", "X1", "X2", "X3"])
+    doc2 = "\n".join(["e2", "f2", "g2", "h2"])
+    df = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.cleaned_text, r.n_lines_removed)
+        for r in dedup.span_dedup(df, "doc_id", "text", k=3).collect()
+    }
+    assert out[0] == (doc0, 0)  # canonical copy keeps the span
+    assert out[1] == ("c1\nd1", 3)  # duplicated span removed
+    assert out[2] == (doc2, 0)
+
+
+def test_span_dedup_intra_doc_repeat(spark):
+    doc = "\n".join(["Y1", "Y2", "Y3", "z", "Y1", "Y2", "Y3"])
+    df = spark.createDataFrame([(3, doc)], "doc_id long, text string")
+    row = dedup.span_dedup(df, "doc_id", "text", k=3).collect()[0]
+    assert row.cleaned_text == "Y1\nY2\nY3\nz"
+    assert row.n_lines_removed == 3
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    df = spark.createDataFrame(
+        [(0, "one\ntwo"), (1, "one\ntwo"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.span_dedup(df, "doc_id", "text", k=3).collect()}
+    # both docs are < k lines: identical but no k-line span exists
+    assert rows[0].cleaned_text == "one\ntwo" and rows[0].n_lines_removed == 0
+    assert rows[1].cleaned_text == "one\ntwo"
+    assert rows[2].cleaned_text == ""
+
+
+def test_span_dedup_overlapping_block(spark):
+    # a 6-line shared block with k=4 → three duplicated windows per copy;
+    # the whole block vanishes from the non-canonical doc
+    block = ["B1", "B2", "B3", "B4", "B5", "B6"]
+    doc0 = "\n".join(["p0"] + block + ["q0"])
+    doc1 = "\n".join(["p1", "r1"] + block + ["q1"])
+    df = spark.createDataFrame([(0, doc0), (1, doc1)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.span_dedup(df, "doc_id", "text", k=4).collect()}
+    assert out[0].cleaned_text == doc0
+    assert out[1].cleaned_text == "p1\nr1\nq1"
+    assert out[1].n_lines_removed == 6

@@ -350,3 +350,52 @@ def test_repetition_single_arrow_batch_no_shuffle(spark):
     p = plan(with_repetition(docs, "text"))
     assert "Exchange" not in p
     assert count_python_nodes(p) == 1  # exactly one Arrow eval for the UDF
+
+
+def test_corpus_shuffle_one_exchange_on_shard(spark):
+    from pii_spark.curation import corpus_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    p = plan(corpus_shuffle(docs, F.col("doc_id").cast("string"), n_shards=8))
+    # exactly one hash exchange (on shard, for the per-shard rank); the
+    # permutation never runs a global range sort
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Exchange rangepartitioning" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_temperature_sample_broadcasts_rates_no_corpus_shuffle(spark):
+    from pii_spark.curation import temperature_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(temperature_sample(docs, F.col("doc_id").cast("string"), "source"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the corpus stream never shuffles
+    assert count_python_nodes(p) == 0
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    from pii_spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(dedup.span_dedup(docs, "doc_id", "text", k=4))
+    assert count_python_nodes(p) == 0  # all JVM array ops
+    # the occurrence exchange carries (doc, start, 8-byte hash) — never
+    # the span text: no exchange row mentions a span/text payload wider
+    # than the hash; cheap proxy: the only string column in any exchange
+    # is absent (text pruned before the occ shuffle)
+    assert re.search(
+        r"Input \[3\]: \[doc#\d+L, start#\d+, h#\d+L\]\nArguments: hashpartitioning\(h#\d+L",
+        p,
+    ), "span-hash exchange missing or carrying extra columns"
+
+
+def test_bpe_pair_counts_two_partial_aggregates(spark):
+    from pii_spark.quality import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bpe_pair_counts(docs, "text"))
+    assert count_python_nodes(p) == 0
+    # both aggregates map-side combine before their exchange
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 4
+    assert "ReadSchema: struct<text:string>" in p  # column pruning to text only
