@@ -444,6 +444,48 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-file code-structure metrics (comment ratio family, TODO
+    # census, shebang, indentation) over a synthesized code corpus:
+    # three comment families cycling on doc_id, optional shebang /
+    # blank / TODO lines, indent ladder — mirrored verbatim in SQL
+    from pii_spark.quality import with_code_stats
+
+    d = F.col("doc_id")
+    pfx = F.when(d % 3 == 0, "#").when(d % 3 == 1, "//").otherwise("--")
+    lang2 = F.when(d % 3 == 0, "python").when(d % 3 == 1, "go").otherwise("sql")
+    code = F.concat_ws(
+        "\n",
+        F.when(d % 7 == 0, "#!/usr/bin/env run"),
+        F.when(d % 4 > 0, F.concat(pfx, F.lit(" note 0"))),
+        F.when(d % 4 > 1, F.concat(pfx, F.lit(" note 1"))),
+        F.when(d % 4 > 2, F.concat(pfx, F.lit(" note 2"))),
+        F.when(d % 6 == 1, F.concat(pfx, F.lit(" TODO later FIXME now"))),
+        F.when(d % 2 == 0, ""),
+        *[
+            F.concat(
+                F.repeat(F.lit(" "), ((d % 5) * i).cast("int")),
+                F.lit(f"val x{i} = "),
+                d.cast("string"),
+            )
+            for i in (1, 2, 3)
+        ],
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", lang2.alias("lang2"), code.alias("code")
+    )
+    return with_code_stats(corpus, "code", "lang2").select(
+        "doc_id",
+        "lang2",
+        "n_lines",
+        "blank_lines",
+        "comment_lines",
+        "todo_count",
+        "has_shebang",
+        "max_indent",
+    ).orderBy("doc_id")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text analysis: whitespace token counting
     return _docs(spark, sf_dir).select(
@@ -1651,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
+        "code_stats": q_code_stats,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -1938,6 +1981,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, r.n_docs, r.thr,
                    CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source
+        """,
+        "code_stats": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN '#' WHEN 1 THEN '//'
+                            ELSE '--' END AS pfx,
+                       CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'go'
+                            ELSE 'sql' END AS lang2
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, lang2, concat_ws(chr(10),
+                    CASE WHEN doc_id % 7 = 0 THEN '#!/usr/bin/env run' END,
+                    CASE WHEN doc_id % 4 > 0 THEN pfx || ' note 0' END,
+                    CASE WHEN doc_id % 4 > 1 THEN pfx || ' note 1' END,
+                    CASE WHEN doc_id % 4 > 2 THEN pfx || ' note 2' END,
+                    CASE WHEN doc_id % 6 = 1
+                         THEN pfx || ' TODO later FIXME now' END,
+                    CASE WHEN doc_id % 2 = 0 THEN '' END,
+                    repeat(' ', (doc_id % 5)::INT) || 'val x1 = ' || doc_id,
+                    repeat(' ', (doc_id % 5 * 2)::INT) || 'val x2 = ' || doc_id,
+                    repeat(' ', (doc_id % 5 * 3)::INT) || 'val x3 = ' || doc_id
+                ) AS code FROM c
+            ),
+            l AS (
+                SELECT doc_id, lang2, code,
+                       string_split(code, chr(10)) AS ls FROM t
+            )
+            SELECT doc_id, lang2,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(ls,
+                     x -> regexp_matches(x, '^[ \t]*$'))) AS BIGINT)
+                    AS blank_lines,
+                CAST(CASE
+                    WHEN lang2 = 'python' THEN len(list_filter(ls,
+                         x -> regexp_matches(x, '^[ \t]*#')))
+                    WHEN lang2 = 'go' THEN len(list_filter(ls,
+                         x -> regexp_matches(x, '^[ \t]*//')))
+                    ELSE len(list_filter(ls,
+                         x -> regexp_matches(x, '^[ \t]*--')))
+                END AS BIGINT) AS comment_lines,
+                CAST(len(regexp_extract_all(code,
+                     '\b(TODO|FIXME|XXX|HACK)\b')) AS BIGINT) AS todo_count,
+                (code LIKE '#!%') AS has_shebang,
+                CAST(list_max(list_transform(ls,
+                     x -> length(regexp_extract(x, '^[ \t]*')))) AS BIGINT)
+                    AS max_indent
+            FROM l ORDER BY doc_id
         """,
         "token_count": """
             SELECT doc_id,

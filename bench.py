@@ -160,6 +160,12 @@ def main() -> None:
         "repetition_ratios",
         "source_overlap",
         "adaptive_quality_gate",
+        "containment_pairs",
+        "span_dedup",
+        "bpe_pair_counts",
+        "corpus_shuffle",
+        "temperature_sample",
+        "code_stats",
     ]
     qmap = E.queries()
     for name in bench_queries:

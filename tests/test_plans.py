@@ -399,3 +399,14 @@ def test_bpe_pair_counts_two_partial_aggregates(spark):
     # both aggregates map-side combine before their exchange
     assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 4
     assert "ReadSchema: struct<text:string>" in p  # column pruning to text only
+
+
+def test_code_stats_zero_shuffle_pure_codegen(spark):
+    from pii_spark.quality import with_code_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content"), "lang"
+    )
+    p = plan(with_code_stats(docs))
+    assert "Exchange" not in p          # narrow projection, fuses into scan
+    assert count_python_nodes(p) == 0   # line metrics stay JVM-side
