@@ -486,6 +486,26 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText/DSIR-style hashed linear classifier inference: sha-bucket
+    # token features into a 256-dim integer-micro-unit weight vector
+    # (demo model = closed form the oracle regenerates), exact integer
+    # keep decision, one IEEE division for the score
+    from pii_spark.quality import demo_classifier_weights, hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    out = hashed_linear_score(
+        docs, "text", demo_classifier_weights(256), bias=0, threshold=0.0
+    )
+    return out.select(
+        "doc_id",
+        "clf_n_tokens",
+        "clf_feat_sum",
+        F.round(F.col("clf_score") * 10000).cast("long").alias("score_x10000"),
+        "clf_keep",
+    ).orderBy("doc_id")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text analysis: whitespace token counting
     return _docs(spark, sf_dir).select(
@@ -1694,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
+        "quality_classifier": q_quality_classifier,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2029,6 +2050,40 @@ def oracle_sql() -> dict[str, str]:
                      x -> length(regexp_extract(x, '^[ \t]*')))) AS BIGINT)
                     AS max_indent
             FROM l ORDER BY doc_id
+        """,
+        # weight(b) regenerated from the same closed form as
+        # quality.demo_classifier_weights; bucket = first-4-hex sha256
+        # (the _bucket_int_sql mirror) mod 256; keep decided in exact
+        # int64 micro-units (bias=0, threshold=0)
+        "quality_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       {_bucket_int_sql("t", "qclf")} % 256 AS b
+                FROM toks WHERE t <> ''
+            ),
+            w AS (
+                SELECT doc_id,
+                       ((b * 2654435761) % 2000001) - 1000000 AS wt
+                FROM f
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n, sum(wt) AS s
+                FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS clf_n_tokens,
+                   CAST(coalesce(a.s, 0) AS BIGINT) AS clf_feat_sum,
+                   CAST(round(CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+                        ELSE a.s::DOUBLE / (a.n * 1000000)::DOUBLE * 10000
+                        END) AS BIGINT) AS score_x10000,
+                   coalesce(a.s >= 0, TRUE) AS clf_keep
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "token_count": """
             SELECT doc_id,

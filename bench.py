@@ -166,6 +166,7 @@ def main() -> None:
         "corpus_shuffle",
         "temperature_sample",
         "code_stats",
+        "quality_classifier",
     ]
     qmap = E.queries()
     for name in bench_queries:

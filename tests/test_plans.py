@@ -410,3 +410,12 @@ def test_code_stats_zero_shuffle_pure_codegen(spark):
     p = plan(with_code_stats(docs))
     assert "Exchange" not in p          # narrow projection, fuses into scan
     assert count_python_nodes(p) == 0   # line metrics stay JVM-side
+
+
+def test_hashed_linear_score_zero_shuffle_zero_python(spark):
+    from pii_spark.quality import demo_classifier_weights, hashed_linear_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(hashed_linear_score(docs, "text", demo_classifier_weights(256)))
+    assert "Exchange" not in p          # pure projection over the scan
+    assert count_python_nodes(p) == 0   # sha/bucket/weight-sum all JVM-side
