@@ -347,6 +347,22 @@ def _bucket_int_sql(key_sql: str, salt: str) -> str:
     )
 
 
+def _hex_int_sql(key_sql: str, nchars: int) -> str:
+    """DuckDB mirror of conv(substring(sha2(key,256),1,nchars),16,10):
+    first-``nchars`` sha256 hex chars as an integer via strpos nibble
+    lookups.  ``key_sql`` must already include any salt."""
+    hx = f"sha256({key_sql})"
+    nib = "strpos('0123456789abcdef', {h}[{i}]) - 1"
+    return (
+        "("
+        + " + ".join(
+            f"({nib.format(h=hx, i=i)}) * {16 ** (nchars - i)}::BIGINT"
+            for i in range(1, nchars + 1)
+        )
+        + ")"
+    )
+
+
 _SPAN_NL = " || chr(10) || "
 _SPAN_OWN_SQL = [f"'own line {i} doc ' || doc_id::VARCHAR" for i in range(1, 7)]
 _SPAN_BLK_SQL = [
@@ -484,6 +500,24 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_shebang",
         "max_indent",
     ).orderBy("doc_id")
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
+    # corpus, the whole table is the recrawl probe batch.  Deterministic
+    # sha-derived bit positions mean the oracle reproduces the filter —
+    # including any false positives — exactly.
+    from pii_spark.dedup import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("string")
+    m = 1 << 16
+    bits = bloom_build(docs.filter(F.col("doc_id") % 4 == 0), key, m_bits=m, k=4)
+    return (
+        bloom_probe(docs, key, bits, m, k=4)
+        .select("doc_id", "maybe_seen")
+        .orderBy("doc_id")
+    )
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1715,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
         "quality_classifier": q_quality_classifier,
+        "bloom_probe": q_bloom_probe,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2050,6 +2085,27 @@ def oracle_sql() -> dict[str, str]:
                      x -> length(regexp_extract(x, '^[ \t]*')))) AS BIGINT)
                     AS max_indent
             FROM l ORDER BY doc_id
+        """,
+        # positions replayed from the same sha construction (8 hex chars
+        # mod m); bool_and over the k probes = the AND of bit tests, so
+        # even Bloom false positives match bit-for-bit
+        "bloom_probe": f"""
+            WITH j AS (SELECT unnest(range(0, 4)) AS j),
+            spos AS (
+                SELECT DISTINCT
+                       {_hex_int_sql("s.doc_id::VARCHAR || 'bloom' || j.j::VARCHAR", 8)}
+                           % 65536 AS pos
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) s, j
+            ),
+            ppos AS (
+                SELECT d.doc_id,
+                       {_hex_int_sql("d.doc_id::VARCHAR || 'bloom' || j.j::VARCHAR", 8)}
+                           % 65536 AS pos
+                FROM documents d, j
+            )
+            SELECT doc_id,
+                   bool_and(pos IN (SELECT pos FROM spos)) AS maybe_seen
+            FROM ppos GROUP BY doc_id ORDER BY doc_id
         """,
         # weight(b) regenerated from the same closed form as
         # quality.demo_classifier_weights; bucket = first-4-hex sha256

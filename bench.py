@@ -167,6 +167,7 @@ def main() -> None:
         "temperature_sample",
         "code_stats",
         "quality_classifier",
+        "bloom_probe",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1127,3 +1127,94 @@ def span_dedup(
         .withColumn("n_lines_removed", (n_lines - F.size(kept)).cast("long"))
         .drop("_rm_starts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set (fixed-size subtractive dedup)
+# ---------------------------------------------------------------------------
+
+def bloom_position_cols(key, m_bits: int, k: int = 4, salt: str = "bloom") -> list:
+    """The ``k`` bit positions of ``key`` in an ``m_bits`` Bloom filter:
+    position_j = int(sha256(key ‖ salt ‖ j)[:8 hex], 16) mod m_bits.
+    Pure JVM expressions, and the construction is hash-exact on any
+    engine — a DuckDB oracle reproduces positions (hence even the
+    false positives) bit-for-bit."""
+    return [
+        F.conv(
+            F.substring(F.sha2(F.concat(key, F.lit(f"{salt}{j}")), 256), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key, m_bits: int = 1 << 23, k: int = 4, salt: str = "bloom"
+) -> bytes:
+    """Build the Bloom bitset of every ``key`` in ``df``.
+
+    Scale shape: each partition folds its keys into a LOCAL
+    ``m_bits/8``-byte bitset inside one Arrow pass (``mapInPandas``);
+    the driver ORs the per-partition bitsets — collect volume is
+    ``partitions × m/8`` bytes and **independent of row count**, the
+    whole point vs. an anti-join: a 10¹²-row seen side compresses to a
+    fixed 1 MiB (m=2²³) artifact that ships to every executor as one
+    broadcast.  False-positive rate ≈ (1−e^{−kn/m})ᵏ — size m for the
+    committed corpus (m ≈ 14·n gives ~1e-3 at k=4); false *negatives*
+    are impossible, so a probe-negative row is definitely new.
+    """
+    pos_df = df.select(
+        F.explode(F.array(*bloom_position_cols(key, m_bits, k, salt))).alias("pos")
+    )
+    nbytes = m_bits // 8
+
+    def fold(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            p = pdf["pos"].to_numpy(dtype=np.int64)
+            if len(p):
+                touched = True
+                np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        if touched:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = pos_df.mapInPandas(fold, "bits binary").collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_probe(
+    df: DataFrame,
+    key,
+    bits: bytes,
+    m_bits: int,
+    k: int = 4,
+    salt: str = "bloom",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe each row's ``key`` against a :func:`bloom_build` bitset:
+    ``out_col`` is true iff ALL ``k`` positions are set (maybe-seen;
+    false ⇒ definitely new).  The bitset rides an executor broadcast;
+    the probe is one Arrow-batched UDF with numpy bit tests — no join,
+    no shuffle, linear in the probe batch only."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits)
+    pos = F.array(*bloom_position_cols(key, m_bits, k, salt))
+
+    @pandas_udf("boolean")
+    def _probe(positions: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        out = np.empty(len(positions), dtype=bool)
+        for i, ps in enumerate(positions):
+            p = np.asarray(ps, dtype=np.int64)
+            out[i] = bool(
+                ((arr[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all()
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _probe(pos))

@@ -655,3 +655,66 @@ def test_span_dedup_overlapping_block(spark):
     assert out[0].cleaned_text == doc0
     assert out[1].cleaned_text == "p1\nr1\nq1"
     assert out[1].n_lines_removed == 6
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set
+# ---------------------------------------------------------------------------
+
+def _py_bloom_positions(key: str, m: int, k: int, salt: str = "bloom"):
+    import hashlib
+
+    return [
+        int(hashlib.sha256(f"{key}{salt}{j}".encode()).hexdigest()[:8], 16) % m
+        for j in range(k)
+    ]
+
+
+def test_bloom_no_false_negatives(spark):
+    from pii_spark.dedup import bloom_build, bloom_probe
+    from pyspark.sql import functions as F
+
+    seen = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+    m = 1 << 14
+    bits = bloom_build(seen, F.col("k"), m_bits=m, k=4)
+    got = bloom_probe(seen, F.col("k"), bits, m, k=4).collect()
+    assert all(r.maybe_seen for r in got)  # a seen key can never probe false
+
+
+def test_bloom_matches_pure_python_including_false_positives(spark):
+    from pii_spark.dedup import bloom_build, bloom_probe
+    from pyspark.sql import functions as F
+
+    m, k = 256, 4  # tiny filter -> false positives guaranteed
+    seen_keys = [f"s{i}" for i in range(40)]
+    probe_keys = [f"p{i}" for i in range(200)] + seen_keys
+    seen = spark.createDataFrame([(s,) for s in seen_keys], "k string")
+    probe = spark.createDataFrame([(p,) for p in probe_keys], "k string")
+    bits = bloom_build(seen, F.col("k"), m_bits=m, k=k)
+
+    set_bits = set()
+    for s in seen_keys:
+        set_bits.update(_py_bloom_positions(s, m, k))
+    want = {
+        p: all(pos in set_bits for pos in _py_bloom_positions(p, m, k))
+        for p in probe_keys
+    }
+    got = {
+        r.k: r.maybe_seen
+        for r in bloom_probe(probe, F.col("k"), bits, m, k=k).collect()
+    }
+    assert got == want
+    assert any(got[p] for p in probe_keys[:200])  # fp actually exercised
+
+
+def test_bloom_empty_build_probes_all_new(spark):
+    from pii_spark.dedup import bloom_build, bloom_probe
+    from pyspark.sql import functions as F
+
+    m = 1 << 10
+    empty = spark.createDataFrame([], "k string")
+    bits = bloom_build(empty, F.col("k"), m_bits=m, k=4)
+    assert bits == b"\x00" * (m // 8)
+    probe = spark.createDataFrame([("x",), ("y",)], "k string")
+    got = bloom_probe(probe, F.col("k"), bits, m, k=4).collect()
+    assert not any(r.maybe_seen for r in got)

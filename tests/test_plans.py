@@ -419,3 +419,14 @@ def test_hashed_linear_score_zero_shuffle_zero_python(spark):
     p = plan(hashed_linear_score(docs, "text", demo_classifier_weights(256)))
     assert "Exchange" not in p          # pure projection over the scan
     assert count_python_nodes(p) == 0   # sha/bucket/weight-sum all JVM-side
+
+
+def test_bloom_probe_no_join_single_python_node(spark):
+    from pii_spark.dedup import bloom_probe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = 1 << 12
+    p = plan(bloom_probe(docs, F.col("doc_id").cast("string"), b"\x00" * (m // 8), m))
+    assert "Join" not in p              # the bitset replaces the anti-join
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 1   # one Arrow probe UDF
