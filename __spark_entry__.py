@@ -502,6 +502,81 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-stage clustering: integer-quantized Lloyd k-means
+    # (k=8, 2 update rounds, floor(x*1000) quantization) — exact int64
+    # distances/updates make the full iteration history replayable, so
+    # the oracle unrolls the same rounds in SQL
+    from pii_spark.similarity import kmeans_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    out, _ = kmeans_quantized(emb, "embedding", "vec_id", k=8, n_iter=2)
+    return out.select("vec_id", "cluster", "dist").orderBy("vec_id")
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, scale: int = 1000) -> str:
+    """Unrolled Lloyd iterations in DuckDB: quantize → (assign, update)
+    × n_iter → final assign.  Same init (k lowest vec_ids), same
+    lowest-cid tie-break, same floor(Σ/n) centroid update — integer
+    math end to end, so the comparison is exact."""
+    sql = f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        qd AS (
+            SELECT vec_id, i, v[i] AS x
+            FROM q, UNNEST(range(1, len(v) + 1)) AS u(i)
+        ),
+        c0 AS (SELECT vec_id AS cid, i, x AS cx FROM qd WHERE vec_id < {k})"""
+    prev = "c0"
+    for t in range(1, n_iter + 1):
+        sql += f""",
+        d{t} AS (
+            SELECT qd.vec_id, c.cid,
+                   sum((qd.x - c.cx) * (qd.x - c.cx)) AS dist
+            FROM qd JOIN {prev} c USING (i)
+            GROUP BY 1, 2
+        ),
+        a{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d{t}) WHERE rn = 1
+        ),
+        cn{t} AS (
+            SELECT a.cid, qd.i,
+                   CAST(floor(sum(qd.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+            FROM a{t} a JOIN qd USING (vec_id)
+            GROUP BY a.cid, qd.i
+        ),
+        c{t} AS (
+            SELECT o.cid, o.i, coalesce(n.cx, o.cx) AS cx
+            FROM {prev} o LEFT JOIN cn{t} n ON n.cid = o.cid AND n.i = o.i
+        )"""
+        prev = f"c{t}"
+    sql += f""",
+        fin AS (
+            SELECT qd.vec_id, c.cid,
+                   sum((qd.x - c.cx) * (qd.x - c.cx)) AS dist
+            FROM qd JOIN {prev} c USING (i)
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM (SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM fin) WHERE rn = 1
+        ORDER BY vec_id
+    """
+    return sql
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -1750,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
+        "kmeans_clusters": q_kmeans_clusters,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2086,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
                     AS max_indent
             FROM l ORDER BY doc_id
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(),
         # positions replayed from the same sha construction (8 hex chars
         # mod m); bool_and over the k probes = the AND of bit tests, so
         # even Bloom false positives match bit-for-bit

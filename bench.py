@@ -168,6 +168,7 @@ def main() -> None:
         "code_stats",
         "quality_classifier",
         "bloom_probe",
+        "kmeans_clusters",
     ]
     qmap = E.queries()
     for name in bench_queries:

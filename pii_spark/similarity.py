@@ -396,3 +396,159 @@ def ann_topk_lsh(
         probe_pred = p if probe_pred is None else (probe_pred | p)
     candidates = bucketed.filter(probe_pred).select(df.columns).distinct()
     return brute_force_topk(candidates, vec_col, query, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# distributed quantized k-means (SemDeDup-style semantic clustering)
+# ---------------------------------------------------------------------------
+
+def _quantize_batch(vecs: pd.Series, scale: int) -> np.ndarray:
+    """float vectors → int64 via floor(x·scale).  floor(double·int) is
+    one correctly-rounded IEEE multiply + an exact floor, so every
+    engine (numpy, Spark SQL, DuckDB) produces the same integers."""
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    return np.floor(mat * float(scale)).astype(np.int64)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd k-means over **integer-quantized** embeddings —
+    the clustering stage of SemDeDup-style semantic dedup (cluster, then
+    near-dup only within clusters).
+
+    Why quantized: float k-means is run-order-dependent (argmin flips
+    inside float noise), so a resumed or re-planned job could emit
+    different clusters.  Quantizing each component to
+    ``floor(x·scale)`` makes every distance an exact int64, argmin
+    ties break to the lowest centroid id, and centroid updates are
+    ``floor(Σx / n)`` — the whole iteration history is reproducible
+    bit-for-bit on any engine (the DuckDB oracle replays it), any
+    partitioning, any cluster size.  At embedding magnitudes ~1 and
+    scale=1000 the quantization error is ~1e-3 per component — far
+    inside semantic-duplicate tolerance (and int8/int16-quantized
+    vectors are the standard memory play at 10¹² rows anyway).
+
+    Scale shape: per iteration ONE pass over the data — a
+    ``mapInPandas`` that folds each partition into (cluster → count,
+    per-dim sum) partials; the driver combines ``partitions × k``
+    tiny rows (no shuffle of vectors, ever) and rebroadcasts the new
+    k×d centroid table.  Init = the k lowest-``id_col`` vectors
+    (deterministic); empty clusters keep their previous centroid.
+
+    Returns ``(df + cluster/dist columns, centroids int64[k, d])``.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = np.stack(
+        [np.floor(np.asarray(r[0], dtype=np.float64) * float(scale)) for r in init_rows]
+    ).astype(np.int64)
+    d = cents.shape[1]
+
+    src = df.select(id_col, vec_col)
+    for _ in range(n_iter):
+        bc = sc.broadcast(cents)
+
+        def partials(batches, _dim=d, _k=k, _scale=scale):
+            c = bc.value
+            counts = np.zeros(_k, dtype=np.int64)
+            sums = np.zeros((_k, _dim), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = _quantize_batch(pdf[vec_col], _scale)
+                dist = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = dist.argmin(axis=1)  # ties -> lowest cid
+                np.add.at(counts, assign, 1)
+                np.add.at(sums, assign, q)
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cid": nz.astype(np.int32),
+                        "n": counts[nz],
+                        "s": [sums[i].tolist() for i in nz],
+                    }
+                )
+
+        rows = src.mapInPandas(
+            partials, f"cid int, n long, s array<long>"
+        ).collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for r in rows:
+            counts[r.cid] += r.n
+            sums[r.cid] += np.asarray(r.s, dtype=np.int64)
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        for c in range(k):
+            if counts[c]:
+                # floor(int/int) via one IEEE division — exact here
+                # (|sum| ≤ 2^53 and sum/n can't sit within 1 ulp of a
+                # wrong integer at these magnitudes); matches the SQL
+                # floor(s::DOUBLE / n) the oracle uses
+                new[c] = np.floor(sums[c].astype(np.float64) / counts[c]).astype(
+                    np.int64
+                )
+        cents = new
+        bc.destroy()
+
+    final = sc.broadcast(cents)
+
+    @pandas_udf("struct<cluster:int, dist:long>")
+    def assign_udf(vecs: pd.Series) -> pd.DataFrame:
+        c = final.value
+        q = _quantize_batch(vecs, scale)
+        dist = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype(np.int32),
+                "dist": dist[np.arange(len(a)), a].astype(np.int64),
+            }
+        )
+
+    out = df.withColumn("_km", assign_udf(F.col(vec_col)))
+    out = out.withColumn("cluster", F.col("_km.cluster")).withColumn(
+        "dist", F.col("_km.dist")
+    ).drop("_km")
+    return out, cents
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster, then exact cosine pairs
+    ONLY within clusters — the candidate space drops from n² to
+    Σ|cluster|², which is what makes semantic dedup feasible at 10⁹+
+    rows.  Returns (id_a, id_b, sim) with id_a < id_b, sim ≥ threshold."""
+    assigned, _ = kmeans_quantized(df, vec_col, id_col, k, n_iter, scale)
+    left = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_col(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "cluster", "sim")
+    )

@@ -718,3 +718,100 @@ def test_bloom_empty_build_probes_all_new(spark):
     probe = spark.createDataFrame([("x",), ("y",)], "k string")
     got = bloom_probe(probe, F.col("k"), bits, m, k=4).collect()
     assert not any(r.maybe_seen for r in got)
+
+
+# ---------------------------------------------------------------------------
+# quantized k-means / SemDeDup
+# ---------------------------------------------------------------------------
+
+def _py_kmeans(vecs, k, n_iter, scale=1000):
+    import math
+
+    q = [[math.floor(x * scale) for x in v] for v in vecs]
+    cents = [list(q[i]) for i in range(k)]
+
+    def dist(a, b):
+        return sum((ai - bi) ** 2 for ai, bi in zip(a, b))
+
+    for _ in range(n_iter):
+        assign = [min(range(k), key=lambda c: (dist(v, cents[c]), c)) for v in q]
+        for c in range(k):
+            members = [q[i] for i in range(len(q)) if assign[i] == c]
+            if members:
+                cents[c] = [
+                    math.floor(sum(col) / len(members)) for col in zip(*members)
+                ]
+    final = [min(range(k), key=lambda c: (dist(v, cents[c]), c)) for v in q]
+    return final, [dist(q[i], cents[final[i]]) for i in range(len(q))], cents
+
+
+def test_kmeans_quantized_matches_pure_python(spark):
+    import random
+
+    from pii_spark.similarity import kmeans_quantized
+
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    out, cents = kmeans_quantized(df, "embedding", "vec_id", k=4, n_iter=3)
+    got = {r.vec_id: (r.cluster, r.dist) for r in out.collect()}
+    want_assign, want_dist, want_cents = _py_kmeans(vecs, 4, 3)
+    for i in range(60):
+        assert got[i] == (want_assign[i], want_dist[i]), i
+    assert cents.tolist() == want_cents
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from pii_spark.similarity import kmeans_quantized
+
+    # 3 identical points, k=2: cluster 1's init equals cluster 0's, every
+    # point assigns to 0 (lowest-cid tie-break) -> cluster 1 goes empty
+    # and must keep its init centroid rather than NaN/crash
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    out, cents = kmeans_quantized(df, "embedding", "vec_id", k=2, n_iter=2)
+    assert all(r.cluster == 0 and r.dist == 0 for r in out.collect())
+    assert cents[1].tolist() == [500, 500]
+
+
+def test_kmeans_partitioning_invariance(spark):
+    import random
+
+    from pii_spark.similarity import kmeans_quantized
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(40)]
+    base = [(i, v) for i, v in enumerate(vecs)]
+    a = spark.createDataFrame(base, "vec_id long, embedding array<double>").coalesce(1)
+    b = spark.createDataFrame(
+        list(reversed(base)), "vec_id long, embedding array<double>"
+    ).repartition(8)
+    ra, ca = kmeans_quantized(a, "embedding", "vec_id", k=3, n_iter=2)
+    rb, cb = kmeans_quantized(b, "embedding", "vec_id", k=3, n_iter=2)
+    assert ca.tolist() == cb.tolist()
+    ga = sorted((r.vec_id, r.cluster) for r in ra.collect())
+    gb = sorted((r.vec_id, r.cluster) for r in rb.collect())
+    assert ga == gb
+
+
+def test_semdedup_pairs_within_cluster_only(spark):
+    from pii_spark.similarity import semdedup_pairs
+
+    # two tight groups far apart + one singleton; near-identical vectors
+    # inside each group must pair, across groups must not
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.001, 0.999, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(
+        df, "embedding", "vec_id", k=3, n_iter=2, threshold=0.99
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 1), (2, 3)}

@@ -430,3 +430,13 @@ def test_bloom_probe_no_join_single_python_node(spark):
     assert "Join" not in p              # the bitset replaces the anti-join
     assert "Exchange" not in p
     assert count_python_nodes(p) == 1   # one Arrow probe UDF
+
+
+def test_kmeans_assignment_no_shuffle_single_python_node(spark):
+    from pii_spark.similarity import kmeans_quantized
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out, _ = kmeans_quantized(emb, "embedding", "vec_id", k=4, n_iter=1)
+    p = plan(out)
+    assert "Exchange" not in p          # centroids broadcast; vectors never shuffle
+    assert count_python_nodes(p) == 1   # one Arrow assign UDF
