@@ -516,17 +516,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster", "dist").orderBy("vec_id")
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, scale: int = 1000) -> str:
+def _kmeans_assign_ctes(
+    src_sql: str, k: int = 8, n_iter: int = 2, scale: int = 1000
+) -> str:
     """Unrolled Lloyd iterations in DuckDB: quantize → (assign, update)
-    × n_iter → final assign.  Same init (k lowest vec_ids), same
-    lowest-cid tie-break, same floor(Σ/n) centroid update — integer
-    math end to end, so the comparison is exact."""
-    sql = f"""
-        WITH q AS (
+    × n_iter → final ``assign(vec_id, cluster, dist)`` CTE.  Same init
+    (k lowest vec_ids), same lowest-cid tie-break, same floor(Σ/n)
+    centroid update — integer math end to end, so the comparison is
+    exact.  ``src_sql`` must yield (vec_id, emb) with emb DOUBLE[].
+    No leading WITH; callers prepend it."""
+    sql = f"""q AS (
             SELECT vec_id,
-                   list_transform(embedding,
-                       x -> CAST(floor(x::DOUBLE * {scale}) AS BIGINT)) AS v
-            FROM embeddings
+                   list_transform(emb,
+                       x -> CAST(floor(x * {scale}) AS BIGINT)) AS v
+            FROM ({src_sql})
         ),
         qd AS (
             SELECT vec_id, i, v[i] AS x
@@ -566,15 +569,80 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, scale: int = 1000) -> str:
                    sum((qd.x - c.cx) * (qd.x - c.cx)) AS dist
             FROM qd JOIN {prev} c USING (i)
             GROUP BY 1, 2
-        )
-        SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
-        FROM (SELECT vec_id, cid, dist,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY dist, cid) AS rn
-              FROM fin) WHERE rn = 1
-        ORDER BY vec_id
-    """
+        ),
+        assign AS (
+            SELECT vec_id, CAST(cid AS INT) AS cluster,
+                   CAST(dist AS BIGINT) AS dist
+            FROM (SELECT vec_id, cid, dist,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM fin) WHERE rn = 1
+        )"""
     return sql
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, scale: int = 1000) -> str:
+    ctes = _kmeans_assign_ctes(
+        "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings", k, n_iter, scale
+    )
+    return f"WITH {ctes} SELECT vec_id, cluster, dist FROM assign ORDER BY vec_id"
+
+
+def _semdedup_oracle_sql() -> str:
+    """kmeans assignment over the planted corpus (same construction as
+    embedding_near_dup), then exact cosine pairs within clusters only."""
+    planted = """
+        SELECT e.vec_id,
+               CASE WHEN e.vec_id % 10 = 7 THEN b.embedding::DOUBLE[]
+                    ELSE e.embedding::DOUBLE[] END AS emb
+        FROM embeddings e JOIN embeddings b ON b.vec_id = e.vec_id % 50
+    """
+    ctes = _kmeans_assign_ctes(planted, k=8, n_iter=2, scale=1000)
+    return f"""
+        WITH {ctes},
+        pv AS (
+            SELECT a.vec_id, a.cluster, p.emb
+            FROM assign a JOIN ({planted}) p USING (vec_id)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+               CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000) AS BIGINT)
+                   AS sim_x1000
+        FROM pv a JOIN pv b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+        ORDER BY id_a, id_b
+    """
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup end-to-end: quantized k-means clustering, then exact
+    # cosine pairs within clusters only (candidate space Σ|cluster|²,
+    # not n²).  Planted duplicates as in embedding_near_dup (cos = 1.0
+    # vs ≈0.6 background — wide margin on both sides of 0.95).
+    from pii_spark.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    base = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec"))
+    v = F.col("vec_id")
+    planted = (
+        emb.withColumn("bid", (v % 50).cast("long"))
+        .join(F.broadcast(base), "bid")
+        .withColumn(
+            "emb2", F.when(v % 10 == 7, F.col("bvec")).otherwise(F.col("embedding"))
+        )
+        .select("vec_id", "emb2")
+    )
+    pairs = semdedup_pairs(
+        planted, "emb2", "vec_id", k=8, n_iter=2, threshold=0.95
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cluster",
+        F.round(F.col("sim") * 1000).cast("long").alias("sim_x1000"),
+    ).orderBy("id_a", "id_b")
 
 
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1826,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2163,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l ORDER BY doc_id
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         # positions replayed from the same sha construction (8 hex chars
         # mod m); bool_and over the k probes = the AND of bit tests, so
         # even Bloom false positives match bit-for-bit

@@ -169,6 +169,7 @@ def main() -> None:
         "quality_classifier",
         "bloom_probe",
         "kmeans_clusters",
+        "semdedup",
     ]
     qmap = E.queries()
     for name in bench_queries:
