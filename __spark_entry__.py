@@ -645,6 +645,110 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: Fixed BPE merge table for the encode query (in production this comes
+#: from bpe_learn; a fixed table keeps the oracle self-contained).
+#: Chained merges deliberately exercise multi-symbol pairs.
+_BPE_MERGES = [
+    ("e", "</w>"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("l", "e</w>"),
+    ("tab", "le</w>"),
+    ("r", "y"),
+    ("q", "u"),
+    ("e", "r"),
+    ("a", "</w>"),
+    ("s", "t"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE inference: greedy lowest-rank merge application per word,
+    # memoized per Arrow batch; output token count + sha over the
+    # space-joined token stream so a single mis-merge breaks the hash
+    from pii_spark.quality import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    out = bpe_encode(docs, "text", _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.sha2(F.array_join("bpe_tokens", " "), 256).alias("tok_sha"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Greedy BPE replayed relationally: distinct words → recursive CTE
+    that, per step, applies the lowest-indexed merge whose
+    separator-wrapped pattern occurs (replace() = the same
+    left-to-right non-overlapping merge-all pass), terminating when no
+    pattern matches; then rejoin words in document order."""
+    sep = "chr(1)"
+
+    def wrap(tok: str) -> str:
+        return f"{sep} || '{tok}' || {sep}"
+
+    pats = [
+        (f"{sep} || '{l}' || {sep} || {sep} || '{r}' || {sep}", wrap(l + r))
+        for l, r in _BPE_MERGES
+    ]
+    idx_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN contains(s, {p}) THEN {i}" for i, (p, _) in enumerate(pats)
+        )
+        + " END"
+    )
+    apply_case = (
+        "CASE idx "
+        + " ".join(
+            f"WHEN {i} THEN replace(s, {p}, {r})" for i, (p, r) in enumerate(pats)
+        )
+        + " END"
+    )
+    none_left = " AND ".join(f"NOT contains(s, {p})" for p, _ in pats)
+    return f"""
+        WITH RECURSIVE w AS (
+            SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ),
+        init AS (
+            SELECT word,
+                   {sep} || array_to_string(regexp_extract_all(word, '.'),
+                                            {sep} || {sep})
+                        || {sep} || {sep} || '</w>' || {sep} AS s
+            FROM w WHERE word <> ''
+        ),
+        enc AS (
+            SELECT word, s FROM init
+            UNION ALL
+            SELECT word, {apply_case} AS s
+            FROM (SELECT word, s, {idx_case} AS idx FROM enc) t
+            WHERE idx IS NOT NULL
+        ),
+        fin AS (
+            SELECT word,
+                   list_filter(string_split(s, {sep}), x -> x <> '') AS toks
+            FROM enc WHERE {none_left}
+        ),
+        darr AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        seq AS (
+            SELECT d.doc_id, u.i, f.toks
+            FROM darr d, UNNEST(range(1, len(d.arr) + 1)) AS u(i)
+            JOIN fin f ON f.word = d.arr[u.i]
+        )
+        SELECT doc_id,
+               CAST(sum(len(toks)) AS BIGINT) AS n_bpe,
+               sha256(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i))
+                   AS tok_sha
+        FROM seq GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -1895,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "bpe_encode": q_bpe_encode,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2233,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # positions replayed from the same sha construction (8 hex chars
         # mod m); bool_and over the k probes = the AND of bit tests, so
         # even Bloom false positives match bit-for-bit

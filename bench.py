@@ -170,6 +170,7 @@ def main() -> None:
         "bloom_probe",
         "kmeans_clusters",
         "semdedup",
+        "bpe_encode",
     ]
     qmap = E.queries()
     for name in bench_queries:

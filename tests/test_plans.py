@@ -440,3 +440,12 @@ def test_kmeans_assignment_no_shuffle_single_python_node(spark):
     p = plan(out)
     assert "Exchange" not in p          # centroids broadcast; vectors never shuffle
     assert count_python_nodes(p) == 1   # one Arrow assign UDF
+
+
+def test_bpe_encode_single_python_node_no_shuffle(spark):
+    from pii_spark.quality import bpe_encode
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bpe_encode(docs, "text", [("e", "</w>"), ("t", "a")]))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 1
