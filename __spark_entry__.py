@@ -749,6 +749,30 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental near-dup: docs with doc_id%4<=1 are the committed
+    # corpus (reduced to its persisted band-bucket index), %4>=2 the
+    # recrawl batch; probe the index, verify candidates by exact
+    # Jaccard.  Qualifying cross-split pairs are identical-text
+    # (jac=1.0 -> identical signatures -> all bands collide), so LSH
+    # is complete by construction and the oracle can enumerate pairs
+    # from the exact shingle-overlap CTEs.
+    from pii_spark.dedup import minhash_band_index, minhash_incremental_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    seen = corpus.filter(F.col("doc_id") % 4 <= 1)
+    new = corpus.filter(F.col("doc_id") % 4 >= 2)
+    index = minhash_band_index(seen, "doc_id", "text3")
+    pairs = minhash_incremental_pairs(
+        new, index, "doc_id", "text3", seen_texts=seen, verify_threshold=0.8
+    )
+    return pairs.select(
+        "doc_new",
+        "doc_seen",
+        F.round(F.col("jac") * 10000).cast("long").alias("jac_x10000"),
+    ).orderBy("doc_new", "doc_seen")
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2000,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
+        "minhash_incremental": q_minhash_incremental,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2339,6 +2364,21 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "minhash_incremental": f"""
+            WITH {_overlap_ctes(_NEARDUP_CASE)},
+            jp AS (
+                SELECT da, db, ni / (sa.n + sb.n - ni) AS jac
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+            )
+            SELECT CASE WHEN da % 4 >= 2 THEN da ELSE db END AS doc_new,
+                   CASE WHEN da % 4 >= 2 THEN db ELSE da END AS doc_seen,
+                   CAST(round(jac * 10000) AS BIGINT) AS jac_x10000
+            FROM jp
+            WHERE jac >= 0.8 AND ((da % 4 <= 1) <> (db % 4 <= 1))
+            ORDER BY doc_new, doc_seen
+        """,
         # positions replayed from the same sha construction (8 hex chars
         # mod m); bool_and over the k probes = the AND of bit tests, so
         # even Bloom false positives match bit-for-bit

@@ -171,6 +171,7 @@ def main() -> None:
         "kmeans_clusters",
         "semdedup",
         "bpe_encode",
+        "minhash_incremental",
     ]
     qmap = E.queries()
     for name in bench_queries:

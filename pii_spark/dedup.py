@@ -359,6 +359,111 @@ def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The LSH band-bucket rows ``(doc, band, bucket)`` of a corpus —
+    the persistable near-dup INDEX: write it bucketed on
+    ``(band, bucket)`` at snapshot-commit time and later recrawl
+    batches probe it with :func:`minhash_incremental_pairs` without
+    ever rescanning the committed corpus text.  One signature UDF pass
+    + a JVM-side band explode; n·bands narrow output rows."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        make_minhash_udf(num_hashes, shingle_n)(F.col(text_col)).alias("sig"),
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    seen_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_texts: DataFrame | None = None,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-dup probe of a recrawl batch against a COMMITTED corpus:
+    band the new docs, join on ``(band, bucket)`` against the
+    persisted :func:`minhash_band_index`, and (optionally) verify
+    candidates by exact Jaccard.  Returns ``(doc_new, doc_seen[, jac])``.
+
+    Scale shape — the incremental counterpart of
+    :func:`minhash_lsh_pairs`: the committed side contributes only its
+    narrow index rows (no text, no signature recompute); with the
+    index stored bucketed on (band, bucket) the probe join is
+    shuffle-free on the committed side regardless of corpus size, and
+    the batch shuffles only its own n·bands rows.  Verification needs
+    seen-side text (``seen_texts``) for candidates ONLY — a semi-join
+    prunes the committed corpus to candidate docs before any shingle
+    work, so a 10¹²-row corpus pays for a handful of lookups.
+    """
+    new_banded = minhash_band_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        new_banded.join(
+            seen_index.select(
+                F.col("doc").alias("doc_seen"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col("doc").alias("doc_new"), "doc_seen")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    if seen_texts is None:
+        raise ValueError("verify_threshold requires seen_texts")
+    cand = _materialize(cand, True)
+
+    def _shingled(src: DataFrame, role: str) -> DataFrame:
+        docs = cand.select(F.col(f"doc_{role}").alias("doc")).distinct()
+        return (
+            src.select(F.col(id_col).alias("doc"), F.col(text_col))
+            .join(docs, "doc", "left_semi")
+            .select("doc", shingles_col(F.col(text_col), shingle_n).alias(f"sh_{role}"))
+            .withColumnRenamed("doc", f"doc_{role}")
+        )
+
+    ta = _shingled(new_df, "new")
+    tb = _shingled(seen_texts, "seen")
+    return (
+        cand.join(ta, "doc_new")
+        .join(tb, "doc_seen")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_new", "sh_seen"))
+            / F.size(F.array_union("sh_new", "sh_seen")).cast("double"),
+        )
+        .filter(F.col("jac") >= verify_threshold)
+        .select("doc_new", "doc_seen", "jac")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -393,26 +498,7 @@ def minhash_lsh_pairs(
     the near-identical buckets the cap targets, wrong for loose
     thresholds; leave ``None`` for exact semantics.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        make_minhash_udf(num_hashes, shingle_n)(F.col(text_col)).alias("sig"),
-    )
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = minhash_band_index(df, id_col, text_col, num_hashes, bands, shingle_n)
 
     if hot_bucket_cap is not None:
         # one aggregate over the banded rows annotates each row with its

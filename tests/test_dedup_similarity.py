@@ -815,3 +815,48 @@ def test_semdedup_pairs_within_cluster_only(spark):
     ).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_minhash_incremental_finds_cross_batch_dups(spark):
+    from pii_spark.dedup import minhash_band_index, minhash_incremental_pairs
+
+    block = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    seen_rows = [(0, block), (1, "totally unrelated words here only once")]
+    new_rows = [(10, block), (11, "other fresh content nothing shared at all")]
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    idx = minhash_band_index(seen, "doc_id", "text")
+    got = minhash_incremental_pairs(
+        new, idx, "doc_id", "text", seen_texts=seen, verify_threshold=0.8
+    ).collect()
+    assert [(r.doc_new, r.doc_seen, r.jac) for r in got] == [(10, 0, 1.0)]
+
+
+def test_minhash_incremental_candidates_only_mode(spark):
+    from pii_spark.dedup import minhash_band_index, minhash_incremental_pairs
+
+    block = "one two three four five six seven eight nine ten " * 2
+    seen = spark.createDataFrame([(0, block)], "doc_id long, text string")
+    new = spark.createDataFrame([(5, block)], "doc_id long, text string")
+    idx = minhash_band_index(seen, "doc_id", "text")
+    cand = minhash_incremental_pairs(
+        new, idx, "doc_id", "text", verify_threshold=None
+    ).collect()
+    assert [(r.doc_new, r.doc_seen) for r in cand] == [(5, 0)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_incremental_pairs(new, idx, "doc_id", "text", verify_threshold=0.8)
+
+
+def test_minhash_index_matches_lsh_banding(spark):
+    # index rows for a doc must equal the banding minhash_lsh_pairs uses:
+    # identical text in two frames -> identical (band, bucket) sets
+    from pii_spark.dedup import minhash_band_index
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    a = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    b = spark.createDataFrame([(2, t)], "doc_id long, text string")
+    ia = {(r.band, r.bucket) for r in minhash_band_index(a, "doc_id", "text").collect()}
+    ib = {(r.band, r.bucket) for r in minhash_band_index(b, "doc_id", "text").collect()}
+    assert ia == ib and len(ia) == 32

@@ -449,3 +449,16 @@ def test_bpe_encode_single_python_node_no_shuffle(spark):
     p = plan(bpe_encode(docs, "text", [("e", "</w>"), ("t", "a")]))
     assert "Exchange" not in p
     assert count_python_nodes(p) == 1
+
+
+def test_minhash_incremental_probe_signatures_new_side_only(spark):
+    from pii_spark.dedup import minhash_incremental_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # a pre-materialized index (as persisted at commit time): no text,
+    # so the committed corpus contributes zero signature work
+    idx = spark.createDataFrame([], "doc long, band int, bucket long")
+    p = plan(
+        minhash_incremental_pairs(docs, idx, "doc_id", "text", verify_threshold=None)
+    )
+    assert count_python_nodes(p) == 1   # one signature UDF: the new batch
