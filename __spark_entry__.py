@@ -773,6 +773,32 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_new", "doc_seen")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot versioning diff: v1 = documents; v2 deletes doc_id%10==3,
+    # edits %10==4 (suffix splice), adds a doc_id+1000000 row per %10==5
+    # — added/removed/changed/unchanged per key, sha-compared
+    from pii_spark.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    v1 = docs.select("doc_id", "text")
+    edited = F.when(d % 10 == 4, F.concat(F.col("text"), F.lit(" v2 edit"))).otherwise(
+        F.col("text")
+    )
+    v2 = (
+        docs.filter(d % 10 != 3)
+        .select("doc_id", edited.alias("text"))
+        .unionByName(
+            docs.filter(d % 10 == 5).select(
+                (d + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    out = snapshot_diff(v1, v2, ["doc_id"], "text")
+    return out.select("doc_id", "status").orderBy("doc_id")
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2025,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
         "minhash_incremental": q_minhash_incremental,
+        "snapshot_diff": q_snapshot_diff,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2364,6 +2391,27 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "snapshot_diff": """
+            WITH v1 AS (SELECT doc_id, text FROM documents),
+            v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 4 THEN text || ' v2 edit'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 != 3
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+                FROM documents WHERE doc_id % 10 = 5
+            ),
+            o AS (SELECT doc_id, sha256(text) AS old_sha FROM v1),
+            n AS (SELECT doc_id, sha256(text) AS new_sha FROM v2)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.old_sha != n.new_sha THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
+        """,
         "minhash_incremental": f"""
             WITH {_overlap_ctes(_NEARDUP_CASE)},
             jp AS (

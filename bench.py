@@ -172,6 +172,7 @@ def main() -> None:
         "semdedup",
         "bpe_encode",
         "minhash_incremental",
+        "snapshot_diff",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -757,3 +757,47 @@ def temperature_sample(
         .filter(hash_bucket_int(key, salt) < F.col("thr"))
         .drop("thr")
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_cols: list[str],
+    content_col: str,
+    status_col: str = "status",
+) -> DataFrame:
+    """Row-level diff between two corpus snapshot versions: per key,
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    content sha256 differs) or ``unchanged`` — the audit surface a
+    versioned ingest needs ("what did this recrawl actually do").
+
+    Scale shape: each side reduces to (key, 64-hex sha) BEFORE the
+    full-outer join — content never shuffles, the exchange is one
+    narrow hash per row; with both snapshots persisted bucketed on the
+    key the join runs with zero exchanges.  Returns key columns +
+    ``old_sha`` / ``new_sha`` / ``status``.
+    """
+    o = old_df.select(
+        *key_cols, F.sha2(F.col(content_col), 256).alias("old_sha")
+    )
+    n = new_df.select(
+        *key_cols, F.sha2(F.col(content_col), 256).alias("new_sha")
+    )
+    j = o.join(n, key_cols, "full_outer")
+    return j.withColumn(
+        status_col,
+        F.when(F.col("old_sha").isNull(), "added")
+        .when(F.col("new_sha").isNull(), "removed")
+        .when(F.col("old_sha") != F.col("new_sha"), "changed")
+        .otherwise("unchanged"),
+    )
+
+
+def snapshot_diff_stats(
+    diff: DataFrame, group_cols: list[str] | None = None, status_col: str = "status"
+) -> DataFrame:
+    """Roll a :func:`snapshot_diff` up to counts per status (optionally
+    per group, e.g. repo/source) — the metrics row a lineage table
+    records per ingest."""
+    keys = (group_cols or []) + [status_col]
+    return diff.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))

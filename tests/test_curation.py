@@ -479,3 +479,43 @@ def test_temperature_sample_target_total_scales_rates(spark):
     }
     # symmetric sources: each gets half the target → rate 0.25
     assert rates["a"].thr == rates["b"].thr == 65536 // 4
+
+
+def test_snapshot_diff_statuses(spark):
+    from pii_spark.curation import snapshot_diff, snapshot_diff_stats
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    d = snapshot_diff(v1, v2, ["doc_id"], "text")
+    got = {r.doc_id: r.status for r in d.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    stats = {r.status: r.n for r in snapshot_diff_stats(d).collect()}
+    assert stats == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+    # sha columns populated on the populated sides only
+    rows = {r.doc_id: r for r in d.collect()}
+    assert rows[3].new_sha is None and rows[4].old_sha is None
+
+
+def test_snapshot_diff_narrow_shuffle(spark):
+    # plan gate: text reduced to sha BEFORE the join exchange — the
+    # exchanged schema carries no text column
+    import re
+
+    from pii_spark.curation import snapshot_diff
+
+    SF_DIR = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = snapshot_diff(docs, docs, ["doc_id"], "text")
+    p = d._jdf.queryExecution().explainString(
+        d._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    blocks = list(
+        re.finditer(r"^\(\d+\) Exchange\n(?:.+\n)*?Arguments: .*$", p, re.M)
+    )
+    assert len(blocks) == 2  # one narrow (key, sha) exchange per side
+    for m in blocks:
+        assert "text" not in m.group(0)
