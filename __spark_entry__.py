@@ -799,6 +799,23 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "status").orderBy("doc_id")
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR-style data selection: hashed-unigram bucket counts on the
+    # lang='en' target slice vs the raw corpus; integer ratio weights
+    # floor(1e6·(ct+1)/(cr+1)); per-doc mean bucket weight — the
+    # oracle rebuilds counts, weights and sums from scratch
+    from pii_spark.curation import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    _, scored = importance_weights(docs, "text", F.col("lang") == "en", dim=1024)
+    return scored.select(
+        "doc_id",
+        "dsir_n_tokens",
+        "dsir_feat_sum",
+        F.round(F.col("dsir_score") * 10000).cast("long").alias("score_x10000"),
+    ).orderBy("doc_id")
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2052,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "minhash_incremental": q_minhash_incremental,
         "snapshot_diff": q_snapshot_diff,
+        "importance_weights": q_importance_weights,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2391,6 +2409,41 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "importance_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents
+            ),
+            tb AS (
+                SELECT doc_id, lang = 'en' AS is_t,
+                       {_bucket_int_sql("t", "dsir")} % 1024 AS b
+                FROM toks WHERE t <> ''
+            ),
+            cnt AS (
+                SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                       count(*) AS cr
+                FROM tb GROUP BY b
+            ),
+            w AS (
+                SELECT b,
+                       CAST(floor((1000000 * (ct + 1))::DOUBLE / (cr + 1))
+                            AS BIGINT) AS wt
+                FROM cnt
+            ),
+            agg AS (
+                SELECT tb.doc_id, count(*) AS n, sum(w.wt) AS s
+                FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS dsir_n_tokens,
+                   CAST(coalesce(a.s, 0) AS BIGINT) AS dsir_feat_sum,
+                   CAST(round(CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+                        ELSE a.s::DOUBLE / (a.n * 1000000)::DOUBLE * 10000
+                        END) AS BIGINT) AS score_x10000
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
         "snapshot_diff": """
             WITH v1 AS (SELECT doc_id, text FROM documents),
             v2 AS (

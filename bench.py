@@ -173,6 +173,7 @@ def main() -> None:
         "bpe_encode",
         "minhash_incremental",
         "snapshot_diff",
+        "importance_weights",
     ]
     qmap = E.queries()
     for name in bench_queries:

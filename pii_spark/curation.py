@@ -801,3 +801,62 @@ def snapshot_diff_stats(
     records per ingest."""
     keys = (group_cols or []) + [status_col]
     return diff.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    dim: int = 1024,
+    scale: int = 1_000_000,
+    salt: str = "dsir",
+) -> tuple[list[int], DataFrame]:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    estimate hashed-unigram bucket frequencies on the TARGET slice
+    (rows matching ``target_pred``) and on the raw corpus, weight each
+    bucket by its smoothed frequency ratio, and score every document by
+    the mean bucket weight of its tokens — high scorers "look like" the
+    target domain and get sampling priority when composing a mixture.
+
+    Exactness: bucket weight = floor(scale · (ct+1) / (cr+1)) computed
+    in integer floor-division — no logs, no float sums — so scores are
+    exact int64 and any engine replays them (the published method uses
+    log-ratios; the ratio ordering is monotone-equivalent per bucket
+    and keeps the whole pipeline integer).
+
+    Scale shape: token→bucket and the count aggregation are pure JVM
+    (explode + groupBy bounded by ``dim`` AFTER partial aggregation —
+    the shuffle carries ≤ dim rows per partition); the ≤``dim``-row
+    count table collects to the driver once, becomes a plan literal,
+    and scoring reuses :func:`pii_spark.quality.hashed_linear_score`'s
+    transform/element_at path — zero Python, no second shuffle.
+
+    Returns ``(weights, scored_df)`` where ``scored_df`` adds
+    ``dsir_n_tokens`` / ``dsir_feat_sum`` / ``dsir_score``.
+    """
+    from pii_spark.quality import hashed_linear_score
+
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    ).alias("t")
+    h = F.conv(F.substring(F.sha2(F.concat(F.col("t"), F.lit(salt)), 256), 1, 4), 16, 10)
+    bucketed = df.select(target_pred.alias("is_t"), toks).select(
+        "is_t", (h.cast("long") % dim).alias("b")
+    )
+    counts = (
+        bucketed.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .collect()
+    )
+    ct = [0] * dim
+    cr = [0] * dim
+    for r in counts:
+        ct[r.b], cr[r.b] = int(r.ct), int(r.cr)
+    weights = [(scale * (ct[b] + 1)) // (cr[b] + 1) for b in range(dim)]
+    scored = hashed_linear_score(
+        df, text_col, weights, bias=0, salt=salt, prefix="dsir_"
+    )
+    return weights, scored

@@ -519,3 +519,51 @@ def test_snapshot_diff_narrow_shuffle(spark):
     assert len(blocks) == 2  # one narrow (key, sha) exchange per side
     for m in blocks:
         assert "text" not in m.group(0)
+
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import importance_weights
+
+    # target rows speak 'alpha beta'; raw background speaks 'zeta eta';
+    # a candidate mixing target vocabulary must outscore one that doesn't
+    rows = (
+        [(i, "alpha beta alpha beta", True) for i in range(10)]
+        + [(100 + i, "zeta eta theta iota", False) for i in range(30)]
+        + [(200, "alpha beta", False), (201, "zeta eta", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w, scored = importance_weights(df, "text", F.col("is_t"), dim=64)
+    got = {r.doc_id: r.dsir_score for r in scored.collect()}
+    assert got[200] > got[201]
+    assert len(w) == 64 and all(isinstance(x, int) for x in w)
+
+
+def test_importance_weights_exact_integer_replay(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import importance_weights
+
+    rows = [(1, "a b c", True), (2, "c d", False), (3, "a a d", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    dim = 16
+    w, scored = importance_weights(df, "text", F.col("is_t"), dim=dim)
+
+    def bucket(t):
+        return int(hashlib.sha256((t + "dsir").encode()).hexdigest()[:4], 16) % dim
+
+    ct, cr = [0] * dim, [0] * dim
+    for _, text, is_t in rows:
+        for t in text.split():
+            b = bucket(t)
+            cr[b] += 1
+            if is_t:
+                ct[b] += 1
+    want_w = [(1_000_000 * (ct[b] + 1)) // (cr[b] + 1) for b in range(dim)]
+    assert w == want_w
+    got = {r.doc_id: r.dsir_feat_sum for r in scored.collect()}
+    for doc_id, text, _ in rows:
+        assert got[doc_id] == sum(want_w[bucket(t)] for t in text.split())
