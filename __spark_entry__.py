@@ -816,6 +816,50 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-aware near-dedup: per duplicate family keep the highest
+    # pseudo-quality member ((doc_id·13) mod 97; ties -> lowest id),
+    # report the removed doc_ids — checks survivor selection, not just
+    # component membership
+    corpus = _neardup_corpus(spark, sf_dir).withColumn(
+        "score", (F.col("doc_id") * 13) % 97
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text3", num_hashes=128, bands=32, verify_threshold=0.8
+    )
+    kept = dedup.near_dedup_best(corpus, pairs, "doc_id", "score")
+    removed = corpus.join(kept.select("doc_id"), "doc_id", "left_anti")
+    return removed.select("doc_id").orderBy("doc_id")
+
+
+def q_fence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # markdown → code-corpus mining: extract fenced code blocks
+    # (```lang ... ```), one row per block; corpus plants one python
+    # fence on doc_id%4==1 and a bash + bare fence pair on %4==2
+    from pii_spark.curation import extract_code_fences
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    py_fence = F.concat(
+        F.lit("```python\nprint("), d.cast("string"), F.lit(")\n```")
+    )
+    bash_fence = F.concat(F.lit("```bash\necho "), d.cast("string"), F.lit("\n```"))
+    bare_fence = F.concat(F.lit("```\nplain block "), d.cast("string"), F.lit("\n```"))
+    text6 = (
+        F.when(d % 4 == 1, F.concat(F.col("text"), nl, py_fence))
+        .when(d % 4 == 2, F.concat(bash_fence, nl, F.col("text"), nl, bare_fence))
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", text6.alias("text6"))
+    out = extract_code_fences(corpus, ["doc_id"], "text6")
+    return out.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "fence_lang",
+        F.sha2(F.col("code"), 256).alias("code_sha"),
+    ).orderBy("doc_id", "block_idx")
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2070,6 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "snapshot_diff": q_snapshot_diff,
         "importance_weights": q_importance_weights,
+        "near_dedup_best": q_near_dedup_best,
+        "fence_extract": q_fence_extract,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2409,6 +2455,58 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "fence_extract": """
+            WITH c AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 4 = 1 THEN text || chr(10)
+                              || '```python' || chr(10) || 'print('
+                              || doc_id::VARCHAR || ')' || chr(10) || '```'
+                         WHEN doc_id % 4 = 2 THEN '```bash' || chr(10)
+                              || 'echo ' || doc_id::VARCHAR || chr(10) || '```'
+                              || chr(10) || text || chr(10)
+                              || '```' || chr(10) || 'plain block '
+                              || doc_id::VARCHAR || chr(10) || '```'
+                         ELSE text END AS t
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       regexp_extract_all(t,
+                           '(?s)```([A-Za-z0-9_+\\-]*)\n(.*?)```') AS blocks
+                FROM c
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx,
+                   regexp_extract(blocks[i],
+                       '(?s)```([A-Za-z0-9_+\\-]*)\n(.*?)```', 1) AS fence_lang,
+                   sha256(regexp_extract(blocks[i],
+                       '(?s)```([A-Za-z0-9_+\\-]*)\n(.*?)```', 2)) AS code_sha
+            FROM m, UNNEST(range(1, len(blocks) + 1)) AS u(i)
+            ORDER BY doc_id, block_idx
+        """,
+        "near_dedup_best": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            cc(doc, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc
+            ),
+            comp AS (SELECT doc, min(lbl) AS component FROM cc GROUP BY doc),
+            best AS (
+                SELECT component, doc AS keep_doc FROM (
+                    SELECT component, doc,
+                           row_number() OVER (
+                               PARTITION BY component
+                               ORDER BY (doc * 13) % 97 DESC, doc) AS rn
+                    FROM comp) WHERE rn = 1
+            )
+            SELECT c.doc AS doc_id
+            FROM comp c JOIN best b USING (component)
+            WHERE c.doc != b.keep_doc ORDER BY doc_id
+        """,
         "importance_weights": f"""
             WITH toks AS (
                 SELECT doc_id, lang,

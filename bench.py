@@ -174,6 +174,8 @@ def main() -> None:
         "minhash_incremental",
         "snapshot_diff",
         "importance_weights",
+        "near_dedup_best",
+        "fence_extract",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -860,3 +860,32 @@ def importance_weights(
         df, text_col, weights, bias=0, salt=salt, prefix="dsir_"
     )
     return weights, scored
+
+
+#: Fenced code block: ```lang\n ... ``` — (?s) dotall + non-greedy body.
+#: Kept to a regex subset with identical semantics in Java regex and
+#: RE2, so the DuckDB oracle replays extraction exactly.
+CODE_FENCE_RE = r"(?s)```([A-Za-z0-9_+\-]*)\n(.*?)```"
+
+
+def extract_code_fences(
+    df: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """Mine fenced code blocks out of markdown/docs pages — the step
+    that turns a web-text crawl into code-corpus candidates (one row
+    per block: ``block_idx`` position, ``fence_lang`` info string,
+    ``code`` body).  Docs without fences vanish (posexplode of an
+    empty array).
+
+    Scale shape: pure JVM ``regexp_extract_all`` + posexplode — zero
+    Python, no shuffle, narrow fan-out proportional to block count."""
+    blocks = F.regexp_extract_all(F.col(text_col), F.lit(CODE_FENCE_RE), 0)
+    out = df.select(
+        *id_cols, F.posexplode(blocks).alias("block_idx", "_block")
+    )
+    return out.select(
+        *id_cols,
+        "block_idx",
+        F.regexp_extract("_block", CODE_FENCE_RE, 1).alias("fence_lang"),
+        F.regexp_extract("_block", CODE_FENCE_RE, 2).alias("code"),
+    )

@@ -1304,3 +1304,40 @@ def bloom_probe(
         return pd.Series(out)
 
     return df.withColumn(out_col, _probe(pos))
+
+
+def near_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """:func:`near_dedup` with QUALITY-AWARE survivor selection: per
+    connected component keep the member with the highest ``score_col``
+    (tie → lowest id) instead of the arbitrary min-id member — what a
+    curation pipeline actually wants ("keep the best copy, drop the
+    rest", e.g. the longest / highest-classifier-score variant of a
+    boilerplate family).
+
+    Scale shape: components come from the same star-contraction CC;
+    survivor choice is one narrow (doc, component, score) aggregate —
+    ``max_by``-style via a (score desc, doc asc) struct max, a
+    map-side-combinable agg, never a window sort over the corpus.
+    Docs in no pair survive untouched.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__s")), "doc"
+    )
+    # orderable struct: max((score, -doc)) == best score, tie -> min doc
+    best = scored.groupBy("component").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("doc")).alias("__nd"))).alias("b")
+    ).select("component", (-F.col("b.__nd")).alias("__keep"))
+    losers = (
+        comp.join(best, "component")
+        .filter(F.col("doc") != F.col("__keep"))
+        .select(F.col("doc").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -567,3 +567,42 @@ def test_importance_weights_exact_integer_replay(spark):
     got = {r.doc_id: r.dsir_feat_sum for r in scored.collect()}
     for doc_id, text, _ in rows:
         assert got[doc_id] == sum(want_w[bucket(t)] for t in text.split())
+
+
+def test_extract_code_fences(spark):
+    from pii_spark.curation import extract_code_fences
+
+    md = (
+        "# Title\nprose\n```python\ndef f():\n    return 1\n```\n"
+        "more prose\n```\nbare block\n```\ntail"
+    )
+    df = spark.createDataFrame(
+        [(1, md), (2, "no fences here"), (3, "```go\nx := 1\n```")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.block_idx, r.fence_lang, r.code)
+        for r in extract_code_fences(df, ["doc_id"], "text")
+        .orderBy("doc_id", "block_idx")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, "python", "def f():\n    return 1\n"),
+        (1, 1, "", "bare block\n"),
+        (3, 0, "go", "x := 1\n"),
+    ]
+
+
+def test_extract_code_fences_non_greedy_adjacent(spark):
+    from pii_spark.curation import extract_code_fences
+
+    # two adjacent fences must not merge into one greedy match
+    md = "```a\nfirst\n```\n```b\nsecond\n```"
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = [
+        (r.fence_lang, r.code)
+        for r in extract_code_fences(df, ["doc_id"], "text")
+        .orderBy("block_idx")
+        .collect()
+    ]
+    assert got == [("a", "first\n"), ("b", "second\n")]

@@ -860,3 +860,26 @@ def test_minhash_index_matches_lsh_banding(spark):
     ia = {(r.band, r.bucket) for r in minhash_band_index(a, "doc_id", "text").collect()}
     ib = {(r.band, r.bucket) for r in minhash_band_index(b, "doc_id", "text").collect()}
     assert ia == ib and len(ia) == 32
+
+
+def test_near_dedup_best_keeps_highest_score(spark):
+    from pii_spark.dedup import near_dedup_best
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (9, 7)], "doc_id long, score long"
+    )
+    # component {1,2,3}: best score 9 tie -> doc 2; component {4,9}: doc 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "doc_a long, doc_b long"
+    )
+    kept = {r.doc_id for r in near_dedup_best(df, pairs, "doc_id", "score").collect()}
+    assert kept == {2, 9}
+
+
+def test_near_dedup_best_untouched_docs_survive(spark):
+    from pii_spark.dedup import near_dedup_best
+
+    df = spark.createDataFrame([(1, 1), (2, 2), (7, 0)], "doc_id long, score long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    kept = {r.doc_id for r in near_dedup_best(df, pairs, "doc_id", "score").collect()}
+    assert kept == {2, 7}

@@ -462,3 +462,12 @@ def test_minhash_incremental_probe_signatures_new_side_only(spark):
         minhash_incremental_pairs(docs, idx, "doc_id", "text", verify_threshold=None)
     )
     assert count_python_nodes(p) == 1   # one signature UDF: the new batch
+
+
+def test_extract_code_fences_zero_shuffle_pure_codegen(spark):
+    from pii_spark.curation import extract_code_fences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(extract_code_fences(docs, ["doc_id"], "text"))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0   # regex extraction stays JVM-side
