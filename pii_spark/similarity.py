@@ -452,18 +452,29 @@ def kmeans_quantized(
     ).astype(np.int64)
     d = cents.shape[1]
 
-    src = df.select(id_col, vec_col)
+    # quantize ONCE into a persisted narrow frame: every Lloyd pass
+    # reads cached int64 vectors instead of re-deriving the input
+    # lineage (join/UDF upstream) and re-quantizing — this is the
+    # cluster-cache a multi-iteration job needs anyway (n·d·8 bytes,
+    # MEMORY_AND_DISK so it spills rather than recomputes at 10¹² rows)
+    def _quant(batches):
+        for pdf in batches:
+            if len(pdf):
+                q = _quantize_batch(pdf[vec_col], scale)
+                yield pd.DataFrame({"qv": list(q)})
+
+    quant = df.select(vec_col).mapInPandas(_quant, "qv array<long>").persist()
     for _ in range(n_iter):
         bc = sc.broadcast(cents)
 
-        def partials(batches, _dim=d, _k=k, _scale=scale):
+        def partials(batches, _dim=d, _k=k):
             c = bc.value
             counts = np.zeros(_k, dtype=np.int64)
             sums = np.zeros((_k, _dim), dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
-                q = _quantize_batch(pdf[vec_col], _scale)
+                q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
                 dist = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
                 assign = dist.argmin(axis=1)  # ties -> lowest cid
                 np.add.at(counts, assign, 1)
@@ -478,8 +489,8 @@ def kmeans_quantized(
                     }
                 )
 
-        rows = src.mapInPandas(
-            partials, f"cid int, n long, s array<long>"
+        rows = quant.mapInPandas(
+            partials, "cid int, n long, s array<long>"
         ).collect()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.int64)
@@ -498,6 +509,7 @@ def kmeans_quantized(
                 )
         cents = new
         bc.destroy()
+    quant.unpersist()
 
     final = sc.broadcast(cents)
 
@@ -535,20 +547,44 @@ def semdedup_pairs(
     Σ|cluster|², which is what makes semantic dedup feasible at 10⁹+
     rows.  Returns (id_a, id_b, sim) with id_a < id_b, sim ≥ threshold."""
     assigned, _ = kmeans_quantized(df, vec_col, id_col, k, n_iter, scale)
-    left = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col("cluster"),
-        F.col(vec_col).alias("_va"),
+    narrow = assigned.select(
+        F.col(id_col).alias("_id"), "cluster", F.col(vec_col).alias("_v")
     )
-    right = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col("cluster"),
-        F.col(vec_col).alias("_vb"),
-    )
-    pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_col(F.col("_va"), F.col("_vb"))
-    return (
-        pairs.withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "cluster", "sim")
+
+    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-cluster normalized matmul in row blocks: |c|·d work per
+        # block row, |block|·|c| pair scores at a time — the memory
+        # bound stays block·|c| doubles however big the cluster is
+        ids = pdf["_id"].to_numpy()
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        order = np.argsort(ids, kind="stable")
+        ids, xn = ids[order], xn[order]
+        out_a, out_b, out_s = [], [], []
+        block = 1024
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            sims = xn[lo:hi] @ xn.T
+            for r in range(lo, hi):
+                row = sims[r - lo, r + 1:]
+                hits = np.nonzero(row >= threshold)[0]
+                if len(hits):
+                    out_a.extend([ids[r]] * len(hits))
+                    out_b.extend(ids[r + 1 + hits])
+                    out_s.extend(row[hits])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cluster": pd.Series(
+                    [key[0]] * len(out_a), dtype="int32"
+                ),
+                "sim": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    return narrow.groupBy("cluster").applyInPandas(
+        cluster_pairs, "id_a long, id_b long, cluster int, sim double"
     )
