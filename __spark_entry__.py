@@ -860,6 +860,37 @@ def q_fence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "block_idx")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min sketch: fixed-memory (4×2048) token-frequency sketch;
+    # probe the true top-20 tokens — est ≥ true always, and the
+    # sha-derived cells make every collision overestimate replayable
+    from pii_spark.quality import cms_estimate, cms_token_counts
+
+    docs = _docs(spark, sf_dir)
+    sketch = cms_token_counts(docs, "text")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("t")
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("t"))
+        .limit(20)
+    )
+    est = cms_estimate(top, sketch, "t")
+    return (
+        top.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("est").cast("long").alias("est"),
+        )
+        .orderBy(F.desc("n_true"), F.asc("token"))
+    )
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2116,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "near_dedup_best": q_near_dedup_best,
         "fence_extract": q_fence_extract,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2455,6 +2487,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "cms_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents
+            ),
+            tk AS (SELECT t FROM toks WHERE t <> ''),
+            wc AS (SELECT t, count(*) AS n FROM tk GROUP BY t),
+            top AS (SELECT t, n FROM wc ORDER BY n DESC, t LIMIT 20),
+            j AS (SELECT unnest(range(0, 4)) AS j),
+            sk AS (
+                SELECT j.j AS row,
+                       {_hex_int_sql("tk.t || 'cms' || j.j::VARCHAR", 8)} % 2048
+                           AS slot,
+                       count(*) AS n
+                FROM tk, j GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT top.t, top.n AS n_true, j.j,
+                       {_hex_int_sql("top.t || 'cms' || j.j::VARCHAR", 8)} % 2048
+                           AS slot
+                FROM top, j
+            )
+            SELECT p.t AS token,
+                   CAST(p.n_true AS BIGINT) AS n_true,
+                   CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est
+            FROM probes p LEFT JOIN sk s ON s.row = p.j AND s.slot = p.slot
+            GROUP BY 1, 2 ORDER BY n_true DESC, token
+        """,
         "fence_extract": """
             WITH c AS (
                 SELECT doc_id,

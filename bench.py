@@ -176,6 +176,7 @@ def main() -> None:
         "importance_weights",
         "near_dedup_best",
         "fence_extract",
+        "cms_heavy_hitters",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -471,3 +471,15 @@ def test_extract_code_fences_zero_shuffle_pure_codegen(spark):
     p = plan(extract_code_fences(docs, ["doc_id"], "text"))
     assert "Exchange" not in p
     assert count_python_nodes(p) == 0   # regex extraction stays JVM-side
+
+
+def test_cms_sketch_shuffle_capped_at_sketch_size(spark):
+    from pii_spark.quality import cms_token_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(cms_token_counts(docs, "text", depth=4, width=2048))
+    # one aggregate exchange; map-side partial agg bounds it at
+    # depth*width rows per task
+    assert p.count("Exchange") <= 2  # tree header + detail section
+    assert "partial_count" in p or "HashAggregate" in p
+    assert count_python_nodes(p) == 0
