@@ -891,6 +891,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog distinct-shingle estimate vs the exact count: 256
+    # integer registers from sha bits (rank via bin-length, portable),
+    # harmonic sum carried as an exact integer, one float divide —
+    # sketch AND estimate replay bit-for-bit in SQL
+    from pii_spark.quality import hll_estimate, hll_registers
+
+    sh = _docs(spark, sf_dir).select(
+        F.explode(dedup.shingles_col(F.col("text"), 5)).alias("s")
+    )
+    est = hll_estimate(hll_registers(sh, F.col("s")))
+    exact = sh.agg(F.countDistinct("s").alias("exact_distinct"))
+    return exact.crossJoin(est).select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "s_num",
+        "n_buckets",
+        "est",
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from pii_spark.quality import HLL_ALPHA_256
+
+    a = repr(HLL_ALPHA_256 * 65536.0)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        shd AS (
+            SELECT DISTINCT doc_id, u.s FROM toks,
+            UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w) - 3),
+                                            i -> array_to_string(w[i:i+4], ' '))
+                   END) AS u(s)
+        ),
+        sh AS (SELECT s FROM shd),
+        br AS (
+            SELECT {_hex_int_sql("s || 'hll'", 2)} AS bucket,
+                   {_hex_int_sql("s || 'hll'", 14)}
+                       % 281474976710656 AS wv
+            FROM sh
+        ),
+        rr AS (
+            SELECT bucket,
+                   CASE WHEN wv = 0 THEN 49
+                        ELSE 49 - length(bin(wv)) END AS rho
+            FROM br
+        ),
+        regs AS (SELECT bucket, max(rho) AS m FROM rr GROUP BY bucket),
+        agg AS (
+            SELECT sum((1::BIGINT << (49 - m))) AS s_present,
+                   count(*) AS n_buckets
+            FROM regs
+        ),
+        fin AS (
+            SELECT s_present + (256 - n_buckets) * (1::BIGINT << 49) AS s_num,
+                   n_buckets
+            FROM agg
+        )
+        SELECT (SELECT count(DISTINCT s) FROM sh)::BIGINT AS exact_distinct,
+               CAST(s_num AS BIGINT) AS s_num,
+               CAST(n_buckets AS BIGINT) AS n_buckets,
+               CAST(round(({a}::DOUBLE * 562949953421312.0::DOUBLE)
+                          / s_num::DOUBLE) AS BIGINT) AS est
+        FROM fin
+    """
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-filter seen-set: docs with doc_id%4==0 are the committed
     # corpus, the whole table is the recrawl probe batch.  Deterministic
@@ -2148,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_best": q_near_dedup_best,
         "fence_extract": q_fence_extract,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2487,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "hll_distinct": _hll_oracle_sql(),
         "cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t

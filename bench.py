@@ -177,6 +177,7 @@ def main() -> None:
         "near_dedup_best",
         "fence_extract",
         "cms_heavy_hitters",
+        "hll_distinct",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -483,3 +483,12 @@ def test_cms_sketch_shuffle_capped_at_sketch_size(spark):
     assert p.count("Exchange") <= 2  # tree header + detail section
     assert "partial_count" in p or "HashAggregate" in p
     assert count_python_nodes(p) == 0
+
+
+def test_hll_registers_shuffle_capped_at_256(spark):
+    from pii_spark.quality import hll_registers
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(hll_registers(docs, F.col("text")))
+    assert count_python_nodes(p) == 0   # sha/conv/bin all JVM-side
+    assert "partial" in p.lower()       # map-side max before the exchange
