@@ -749,6 +749,63 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
+def _bpe_fertility_oracle_sql() -> str:
+    """Per-language tokenizer fertility (BPE tokens per whitespace
+    word), reusing the exact recursive encode chain: everything up to
+    the final SELECT is shared with _bpe_encode_oracle_sql, so the two
+    oracles cannot diverge on encode semantics."""
+    base = _bpe_encode_oracle_sql()
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    return f"""{head},
+        perdoc AS (
+            SELECT doc_id, sum(len(toks)) AS n_bpe FROM seq GROUP BY doc_id
+        ),
+        words AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_w
+            FROM documents
+        )
+        SELECT w.lang,
+               CAST(sum(w.n_w) AS BIGINT) AS n_words,
+               CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe,
+               CAST(round(sum(p.n_bpe)::DOUBLE / sum(w.n_w)::DOUBLE * 10000)
+                    AS BIGINT) AS fertility_x10000
+        FROM words w JOIN perdoc p USING (doc_id)
+        GROUP BY w.lang ORDER BY w.lang
+    """
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer fertility: BPE tokens per whitespace word, per language
+    # — the standard tokenizer-evaluation metric for corpus budgeting;
+    # same merge table as bpe_encode, same shared oracle encode chain
+    from pii_spark.quality import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, "text", _BPE_MERGES)
+    per = enc.select(
+        "lang",
+        F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_w"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n_w").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_w").cast("double") * 10000
+            )
+            .cast("long")
+            .alias("fertility_x10000"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental near-dup: docs with doc_id%4<=1 are the committed
     # corpus (reduced to its persisted band-bucket index), %4>=2 the
@@ -2218,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fence_extract": q_fence_extract,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "bpe_fertility": q_bpe_fertility,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2558,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "bpe_fertility": _bpe_fertility_oracle_sql(),
         "cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t

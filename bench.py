@@ -178,6 +178,7 @@ def main() -> None:
         "fence_extract",
         "cms_heavy_hitters",
         "hll_distinct",
+        "bpe_fertility",
     ]
     qmap = E.queries()
     for name in bench_queries:
