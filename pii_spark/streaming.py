@@ -442,3 +442,143 @@ def alert_stream_writer(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# standing crawl-ingest loop (incremental exact + near dedup)
+# ---------------------------------------------------------------------------
+
+def ingest_dedup_batch(
+    io,
+    batch_df: DataFrame,
+    snap: str,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    table: str = "ingested",
+    hash_table: str = "ingested_hashes",
+    index_table: str = "ingested_band_index",
+    near_threshold: float | None = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """One crawl-ingest micro-batch: admit only documents that are new —
+    exactly AND approximately — relative to everything committed so
+    far, then extend the committed state.  Exposed as a function so
+    replay/crash-window behavior is directly testable; the streaming
+    form is :func:`ingest_dedup_stream_writer`.
+
+    Steps: (1) exact dedup within the batch (min-id survivor);
+    (2) subtractive exact dedup against the committed hash table
+    (narrow 64-hex anti-join — committed text never read); (3) near-dup
+    probe against the committed MinHash band INDEX (committed corpus is
+    never re-signatured); (4) commit survivors + their hashes + their
+    band rows as snapshots keyed by the batch.
+
+    Commit-order contract: the main ``table`` commits FIRST and the
+    ``index_table`` LAST.  A replay after any crash point either
+    recomputes the identical admitted set (hash/index state can't yet
+    contain this batch) or — when the main table already carries the
+    batch — derives the hash/index rows from the main table's committed
+    data, so the three tables always converge to the same admitted set
+    and a fully committed batch is a no-op.
+    """
+    from pii_spark import dedup as _dedup
+
+    if io.snapshot_committed(index_table, snap):
+        return  # index commits last => all three tables carry this batch
+    fresh = _dedup.exact_dedup(batch_df, content_col, id_col)
+    if io.exists(hash_table):
+        seen = io.read(hash_table)
+        fresh = (
+            fresh.withColumn("__h", F.sha2(F.col(content_col), 256))
+            .join(seen, "__h", "left_anti")
+            .drop("__h")
+        )
+    if near_threshold is not None and io.exists(index_table):
+        # ingest wants high precision on ADMIT: a banding false
+        # positive only costs one doc a recrawl, so candidates are
+        # dropped without Jaccard verification
+        cand = _dedup.minhash_incremental_pairs(
+            fresh, io.read(index_table), id_col, content_col,
+            num_hashes=num_hashes, bands=bands, verify_threshold=None,
+        )
+        fresh = fresh.join(
+            cand.select(F.col("doc_new").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    fresh = fresh.localCheckpoint(eager=True)  # consumed 3x
+    wrote = io.write_snapshot(fresh, table, snap)
+    if wrote:
+        committed_batch = fresh
+    else:
+        # replay after a crash between the three commits: the main
+        # table already carries this batch — derive hash/index rows
+        # from ITS committed data, not from the recompute (whose
+        # seen-state may already include this batch's hashes and would
+        # yield an empty, index-gapping admitted set)
+        dirs = next(
+            s["dirs"] for s in io.snapshots(table) if s["snapshot_id"] == snap
+        )
+        committed_batch = (
+            batch_df.sparkSession.read.parquet(*dirs) if dirs else fresh.limit(0)
+        )
+    io.write_snapshot(
+        committed_batch.select(
+            F.sha2(F.col(content_col), 256).alias("__h")
+        ).distinct(),
+        hash_table,
+        snap,
+    )
+    io.write_snapshot(
+        _dedup.minhash_band_index(
+            committed_batch, id_col, content_col, num_hashes, bands
+        ),
+        index_table,
+        snap,
+    )
+
+
+def ingest_dedup_stream_writer(
+    stream_df: DataFrame,
+    io,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    table: str = "ingested",
+    hash_table: str = "ingested_hashes",
+    index_table: str = "ingested_band_index",
+    near_threshold: float | None = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    checkpoint: str | None = None,
+):
+    """``foreachBatch`` form of :func:`ingest_dedup_batch` — the
+    standing crawl-ingest loop.  State lives in TABLES, not executor
+    memory: restart resumes from whatever was committed, a replayed
+    batch is a no-op on all three tables (exactly-once), and per-batch
+    probe work is O(batch · bands) no matter how much history has
+    accumulated (the committed side contributes only narrow hash/index
+    rows)."""
+    import hashlib
+
+    prefix = hashlib.sha256((checkpoint or table).encode()).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(
+            io,
+            batch_df,
+            f"{prefix}-batch-{batch_id:08d}",
+            id_col=id_col,
+            content_col=content_col,
+            table=table,
+            hash_table=hash_table,
+            index_table=index_table,
+            near_threshold=near_threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -356,3 +356,113 @@ def test_sessionize_stream_batch_mode_agrees_with_events_sessionize(spark):
         for r in session_stats(df, ["channel"], "ts", gap_sec=600).collect()
     }
     assert native == batch
+
+
+# ---------------------------------------------------------------------------
+# standing crawl-ingest loop (incremental exact + near dedup)
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id LONG, content STRING"
+_BLOCK = "shared near duplicate paragraph " + " ".join(f"w{i}" for i in range(30))
+
+
+def _ingest_io(spark, tmp_path, sub="ing"):
+    from pii_spark.io import TableIO
+
+    d = tmp_path / sub
+    d.mkdir(exist_ok=True)
+    return TableIO(spark, str(d))
+
+
+def test_ingest_dedup_batches_admit_only_new(spark, tmp_path):
+    from pii_spark import streaming as S
+
+    io = _ingest_io(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, "first unique doc"), (2, "second unique doc"),
+         (3, "first unique doc"),            # exact dup within batch
+         (4, _BLOCK + " tail one")],
+        DOC_SCHEMA,
+    )
+    S.ingest_dedup_batch(io, b0, "s0")
+    got0 = sorted(r.doc_id for r in io.read("ingested").collect())
+    assert got0 == [1, 2, 4]                  # 3 lost to in-batch exact dedup
+
+    b1 = spark.createDataFrame(
+        [(10, "second unique doc"),           # exact dup vs committed
+         (11, _BLOCK + " tail one variant"),  # near dup vs committed doc 4
+         (12, "genuinely fresh content here")],
+        DOC_SCHEMA,
+    )
+    S.ingest_dedup_batch(io, b1, "s1")
+    got1 = sorted(r.doc_id for r in io.read("ingested").collect())
+    assert got1 == [1, 2, 4, 12]
+    # hash + index tables extended by exactly the admitted docs
+    assert io.read("ingested_hashes").count() == 4
+    idx_docs = {r.doc for r in io.read("ingested_band_index").collect()}
+    assert idx_docs == {1, 2, 4, 12}
+
+
+def test_ingest_dedup_batch_replay_is_noop(spark, tmp_path):
+    from pii_spark import streaming as S
+
+    io = _ingest_io(spark, tmp_path)
+    b = spark.createDataFrame([(1, "doc one"), (2, "doc two")], DOC_SCHEMA)
+    S.ingest_dedup_batch(io, b, "s0")
+    before = sorted(r.doc_id for r in io.read("ingested").collect())
+    S.ingest_dedup_batch(io, b, "s0")         # full replay
+    assert sorted(r.doc_id for r in io.read("ingested").collect()) == before
+    assert io.read("ingested_hashes").count() == 2
+
+
+def test_ingest_dedup_crash_window_derives_from_main_table(spark, tmp_path):
+    # simulate a crash AFTER the main-table commit but BEFORE hash/index:
+    # replay must fill hash/index from the main table's committed data,
+    # not from the (now empty) recompute
+    from pii_spark import dedup as D
+    from pii_spark import streaming as S
+
+    io = _ingest_io(spark, tmp_path)
+    b = spark.createDataFrame([(1, "doc one"), (2, "doc two")], DOC_SCHEMA)
+    fresh = D.exact_dedup(b, "content", "doc_id")
+    io.write_snapshot(fresh, "ingested", "s0")      # main committed, rest not
+    S.ingest_dedup_batch(io, b, "s0")               # replay
+    assert io.read("ingested").count() == 2
+    assert io.read("ingested_hashes").count() == 2
+    assert {r.doc for r in io.read("ingested_band_index").collect()} == {1, 2}
+    # and a subsequent batch sees the recovered state
+    b1 = spark.createDataFrame([(5, "doc one"), (6, "new doc")], DOC_SCHEMA)
+    S.ingest_dedup_batch(io, b1, "s1")
+    assert sorted(r.doc_id for r in io.read("ingested").collect()) == [1, 2, 6]
+
+
+def test_ingest_dedup_stream_end_to_end(spark, tmp_path):
+    import json as _json
+
+    from pii_spark import streaming as S
+
+    io = _ingest_io(spark, tmp_path)
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as fh:
+        for doc_id, content in [(1, "alpha content"), (2, _BLOCK + " x")]:
+            fh.write(_json.dumps({"doc_id": doc_id, "content": content}) + "\n")
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = S.ingest_dedup_stream_writer(
+        stream, io, checkpoint=str(tmp_path / "ing_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b1.json", "w") as fh:
+            for doc_id, content in [
+                (10, "alpha content"),          # exact dup
+                (11, _BLOCK + " y"),            # near dup
+                (12, "completely new material"),
+            ]:
+                fh.write(_json.dumps({"doc_id": doc_id, "content": content}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.doc_id for r in io.read("ingested").collect()) == [1, 2, 12]
