@@ -1,0 +1,157 @@
+"""Quantized k-means / SemDeDup at 500k × 64-dim vectors.
+
+Corpus: the same JVM-side deterministic vectors as
+``embedding_scale.py`` (xxhash64 folded into [-1, 1]), with planted
+exact-duplicate groups (``id % 1000 == 7`` reuses the vector of
+``id % 50_000``) → 500 groups, C(10,2)·... pairs at cosine 1.0.
+
+What this measures:
+
+- ``kmeans_quantized`` wall time per Lloyd pass at k ∈ {64, 256} —
+  each pass is ONE mapInPandas over the persisted quantized frame
+  (partials: partitions × k rows to the driver), so pass cost should
+  grow ~linearly in n·k·d and be independent of cluster sizes.
+- ``semdedup_pairs`` end-to-end: cluster then within-cluster blocked
+  matmul.  With k = n/target the per-cluster pair work is bounded by
+  target²; recall on the planted identical pairs must be 1.0 (identical
+  vectors quantize identically → same cluster, cosine 1.0 ≥ threshold).
+
+Usage: ``python BENCH/kmeans_scale.py`` → JSON lines + BENCH/KMEANS.md.
+Env: ``KMEANS_N`` (default 500_000), ``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("KMEANS_N", "500000"))
+DIM = 64
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from pii_spark.pipeline import default_spark_conf
+    from pii_spark.similarity import kmeans_quantized, semdedup_pairs
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{CPUS}]").appName("kmeans-scale"),
+            shuffle_partitions=CPUS,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = F.when(
+        F.col("vid") % 1000 == 7, (F.col("vid") % 50_000).cast("long")
+    ).otherwise(F.col("vid"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            (F.xxhash64(F.col("base"), j) % 2_000_001) / 1_000_000.0
+        ).cast("double"),
+    )
+    df = (
+        spark.range(N)
+        .withColumnRenamed("id", "vid")
+        .withColumn("base", base)
+        .withColumn("embedding", vec)
+        .drop("base")
+        .repartition(CPUS, F.col("vid"))
+        .persist()
+    )
+    df.count()
+
+    rows = []
+    for k in (64, 256):
+        t0 = time.time()
+        out, cents = kmeans_quantized(df, "embedding", "vid", k=k, n_iter=2)
+        out.write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 2)
+        sizes = [
+            r.n
+            for r in out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        rows.append(
+            {
+                "n": N,
+                "k": k,
+                "wall_s": wall,
+                "vectors_per_sec": round(N / wall, 1),
+                "clusters_used": len(sizes),
+                "max_cluster": max(sizes),
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    # SemDeDup recall on planted identical pairs at k=256
+    t0 = time.time()
+    pairs = semdedup_pairs(df, "embedding", "vid", k=256, n_iter=2, threshold=0.999)
+    n_pairs = pairs.count()
+    wall = round(time.time() - t0, 2)
+    # planted groups: every vid%1000==7 maps to base vid%50000; since
+    # 50000 ≡ 0 (mod 1000) every such base is itself ≡ 7 (mod 1000) and
+    # is one of the counted members — group size = c, pairs = C(c, 2)
+    from collections import Counter
+
+    anchors: Counter = Counter()
+    for vid in range(N):
+        if vid % 1000 == 7:
+            anchors[vid % 50_000] += 1
+    expected = sum(c * (c - 1) // 2 for c in anchors.values())
+    row = {
+        "semdedup_wall_s": wall,
+        "pairs_found": n_pairs,
+        "pairs_expected": expected,
+        "recall_exact_dups": round(n_pairs / expected, 4) if expected else None,
+    }
+    rows.append(row)
+    print(json.dumps(row))
+
+    md = [
+        "# BENCH/KMEANS — quantized k-means / SemDeDup at scale",
+        "",
+        f"{N:,} deterministic 64-dim vectors (JVM-generated), planted",
+        "identical-vector groups as in BENCH/EMBED.md;",
+        "`python BENCH/kmeans_scale.py`, local[%d]." % CPUS,
+        "",
+        "| n | k | 2 Lloyd passes + assign (s) | vectors/s | clusters used | max cluster |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows[:-1]:
+        md.append(
+            "| {n:,} | {k} | {wall_s} | {vectors_per_sec:,} | "
+            "{clusters_used} | {max_cluster:,} |".format(**r)
+        )
+    md += [
+        "",
+        "SemDeDup end-to-end (k=256, threshold 0.999): "
+        f"{rows[-1]['semdedup_wall_s']} s; planted identical pairs found "
+        f"{rows[-1]['pairs_found']:,} / {rows[-1]['pairs_expected']:,} "
+        f"(recall {rows[-1]['recall_exact_dups']}).",
+        "",
+        "Shape: each Lloyd pass is one mapInPandas over the persisted",
+        "quantized frame — partials are partitions × k rows, vectors never",
+        "shuffle, so pass cost is ~n·k·d flops and independent of cluster",
+        "skew.  Identical vectors quantize identically, land in the same",
+        "cluster and score cosine 1.0 — recall on exact duplicates is",
+        "structural, not probabilistic.  Within-cluster pair work is bounded",
+        "by the blocked matmul (block × |cluster| doubles of memory); pick",
+        "k ≈ n / target_cluster_size to bound Σ|c|².",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "KMEANS.md"), "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    print("BENCH_KMEANS_OK")
+
+
+if __name__ == "__main__":
+    main()
