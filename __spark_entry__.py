@@ -806,6 +806,53 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4/Gopher-style prose ratios: stopword fraction, punctuation
+    # fraction, mean word length — pure JVM columns, exact-int ratios
+    from pii_spark.quality import (
+        mean_word_length_col,
+        punct_ratio_col,
+        stopword_ratio_col,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(stopword_ratio_col(t) * 10000).cast("long").alias("stop_x10000"),
+        F.round(punct_ratio_col(t) * 10000).cast("long").alias("punct_x10000"),
+        F.round(mean_word_length_col(t) * 10000).cast("long").alias("mwl_x10000"),
+    ).orderBy("doc_id")
+
+
+def _text_stats_oracle_sql() -> str:
+    from pii_spark.quality import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS toks,
+                   regexp_replace(text, '\\s', '', 'g') AS nows
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                    len(list_filter(toks, x -> list_contains([{sw}], lower(x))))
+                        / len(toks)::DOUBLE * 10000 END) AS BIGINT)
+                   AS stop_x10000,
+               CAST(round(CASE WHEN length(nows) = 0 THEN 0.0 ELSE
+                    length(regexp_replace(nows, '[A-Za-z0-9]', '', 'g'))
+                        / length(nows)::DOUBLE * 10000 END) AS BIGINT)
+                   AS punct_x10000,
+               CAST(round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                    list_sum(list_transform(toks, x -> length(x)))
+                        / len(toks)::DOUBLE * 10000 END) AS BIGINT)
+                   AS mwl_x10000
+        FROM t ORDER BY doc_id
+    """
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental near-dup: docs with doc_id%4<=1 are the committed
     # corpus (reduced to its persisted band-bucket index), %4>=2 the
@@ -2276,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "bpe_fertility": q_bpe_fertility,
+        "text_stats": q_text_stats,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2617,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
+        "text_stats": _text_stats_oracle_sql(),
         "cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t

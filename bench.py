@@ -179,6 +179,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "hll_distinct",
         "bpe_fertility",
+        "text_stats",
     ]
     qmap = E.queries()
     for name in bench_queries:
