@@ -883,3 +883,46 @@ def test_near_dedup_best_untouched_docs_survive(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     kept = {r.doc_id for r in near_dedup_best(df, pairs, "doc_id", "score").collect()}
     assert kept == {2, 7}
+
+
+def test_semdedup_matmul_equals_naive_within_cluster_join(spark):
+    # the blocked-matmul pair stage must agree with the naive
+    # cluster-join + cosine_col formulation on random data
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pii_spark.similarity import cosine_col, kmeans_quantized, semdedup_pairs
+
+    rng = random.Random(17)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(80)]
+    # plant a few exact dups so pairs exist at high thresholds
+    for i in (5, 25, 45):
+        vecs[i + 1] = list(vecs[i])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    thr = 0.9
+    got = {
+        (r.id_a, r.id_b): round(r.sim, 9)
+        for r in semdedup_pairs(
+            df, "embedding", "vec_id", k=4, n_iter=2, threshold=thr
+        ).collect()
+    }
+    assigned, _ = kmeans_quantized(df, "embedding", "vec_id", k=4, n_iter=2)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cluster", F.col("embedding").alias("vb")
+    )
+    naive = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= thr)
+    )
+    want = {(r.id_a, r.id_b): round(r.sim, 9) for r in naive.collect()}
+    assert set(got) == set(want)
+    for k2 in got:
+        assert abs(got[k2] - want[k2]) < 1e-9
