@@ -806,6 +806,29 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_vector_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-free semantic near-dup: hashing-trick count vectors +
+    # ALL-INTEGER cosine gate (ab²·25 ≥ 16·aa·bb ⟺ cos ≥ 0.8) over the
+    # doc_id%10==1 slice of the planted near-dup corpus — the keep
+    # decision involves zero float arithmetic, so the oracle replays it
+    # bit-for-bit; sim is one IEEE sqrt+divide for humans
+    from pii_spark.similarity import hashed_count_vector_udf, int_cosine_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 1)
+    vecs = corpus.select(
+        "doc_id", hashed_count_vector_udf(256)(F.col("text3")).alias("v")
+    )
+    pairs = int_cosine_pairs(vecs, "doc_id", "v", threshold_num=4, threshold_den=5)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("_ab").alias("ab"),
+        F.col("_aa").alias("aa"),
+        F.col("_bb").alias("bb"),
+        F.round(F.col("sim") * 10000).cast("long").alias("sim_x10000"),
+    ).orderBy("id_a", "id_b")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2324,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bpe_fertility": q_bpe_fertility,
         "text_stats": q_text_stats,
+        "hashed_vector_pairs": q_hashed_vector_pairs,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2666,6 +2690,38 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "hashed_vector_pairs": f"""
+            WITH corpus AS (
+                SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents
+                WHERE doc_id % 10 = 1
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(t), '\\s+')) AS tok
+                FROM corpus
+            ),
+            bk AS (
+                SELECT doc_id, {_bucket_int_sql("tok", "hcv")} % 256 AS b
+                FROM toks WHERE tok <> ''
+            ),
+            v AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+            dots AS (
+                SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                       sum(a.c * b2.c) AS ab
+                FROM v a JOIN v b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+                GROUP BY 1, 2
+            ),
+            norms AS (SELECT doc_id, sum(c * c) AS aa FROM v GROUP BY doc_id)
+            SELECT id_a, id_b, CAST(ab AS BIGINT) AS ab,
+                   CAST(na.aa AS BIGINT) AS aa, CAST(nb.aa AS BIGINT) AS bb,
+                   CAST(round(ab / sqrt((na.aa * nb.aa)::DOUBLE) * 10000)
+                        AS BIGINT) AS sim_x10000
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE ab > 0 AND ab * ab * 25 >= 16 * na.aa * nb.aa
+            ORDER BY id_a, id_b
+        """,
         "cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t

@@ -180,6 +180,7 @@ def main() -> None:
         "hll_distinct",
         "bpe_fertility",
         "text_stats",
+        "hashed_vector_pairs",
     ]
     qmap = E.queries()
     for name in bench_queries:

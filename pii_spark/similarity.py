@@ -28,7 +28,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 # ---------------------------------------------------------------------------
@@ -588,3 +588,99 @@ def semdedup_pairs(
     return narrow.groupBy("cluster").applyInPandas(
         cluster_pairs, "id_a long, id_b long, cluster int, sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed count vectors (embedding-free semantic similarity)
+# ---------------------------------------------------------------------------
+
+def hashed_count_vector_udf(dim: int = 256, salt: str = "hcv"):
+    """Pandas UDF ``text → array<long>``: the hashing-trick document
+    vector (token counts folded into ``dim`` sha-derived buckets) — a
+    train-free stand-in for an embedding when no model is available.
+    numpy bincount per Arrow batch.  Tokenization is the ASCII-\\s split
+    (same class as Java regex / RE2 ``\\s``) — Python ``str.split()``
+    would additionally split on Unicode whitespace and silently desync
+    from JVM-side token counts on NBSP/U+2028 documents."""
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    @pandas_udf(ArrayType(LongType()))
+    def _vec(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def bucket(tok: str) -> int:
+            b = memo.get(tok)
+            if b is None:
+                b = (
+                    int(hashlib.sha256((tok + salt).encode()).hexdigest()[:4], 16)
+                    % dim
+                )
+                memo[tok] = b
+            return b
+
+        out = []
+        for t in texts:
+            stripped = (t or "").strip(" ")
+            toks = [w for w in ws.split(stripped) if w] if stripped else []
+            if toks:
+                idx = np.array([bucket(w) for w in toks], dtype=np.int64)
+                out.append(np.bincount(idx, minlength=dim).astype(np.int64).tolist())
+            else:
+                out.append([0] * dim)
+        return pd.Series(out)
+
+    return _vec
+
+
+def int_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All-pairs cosine over INTEGER vectors with an all-integer keep
+    decision: keep (a, b) iff ``(a·b)² · den² ≥ num² · (a·a)(b·b)`` —
+    i.e. cos ≥ num/den with zero float arithmetic, so the pair set is
+    bit-reproducible on any engine.  The reported ``sim`` uses one IEEE
+    sqrt+divide (both correctly rounded) for humans.
+
+    Scale note: this is the exact O(n²) tier — feed it a BLOCKED
+    candidate set (LSH bucket, k-means cluster, or a bounded planted
+    subset), exactly like :func:`exact_cosine_pairs`.  Dot products are
+    JVM ``zip_with``/``aggregate`` int64 — no UDF in the pair stage.
+    """
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    va, vb = F.col("_va"), F.col("_vb")
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    out = (
+        pairs.withColumn("_ab", dot(va, vb))
+        .withColumn("_aa", dot(va, va))
+        .withColumn("_bb", dot(vb, vb))
+        .filter(
+            (F.col("_ab") > 0)
+            & (
+                F.col("_ab") * F.col("_ab") * F.lit(den2)
+                >= F.lit(num2) * F.col("_aa") * F.col("_bb")
+            )
+        )
+        .withColumn(
+            "sim",
+            F.col("_ab")
+            / F.sqrt((F.col("_aa") * F.col("_bb")).cast("double")),
+        )
+    )
+    return out.select("id_a", "id_b", "_ab", "_aa", "_bb", "sim")

@@ -926,3 +926,55 @@ def test_semdedup_matmul_equals_naive_within_cluster_join(spark):
     assert set(got) == set(want)
     for k2 in got:
         assert abs(got[k2] - want[k2]) < 1e-9
+
+
+def test_int_cosine_pairs_exact_gate(spark):
+    from pii_spark.similarity import int_cosine_pairs
+
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.randint(0, 5) for _ in range(6)]) for i in range(1, 15)]
+    rows.append((15, [0] * 6))            # zero vector: ab=0, excluded
+    rows.append((16, list(rows[0][1])))   # exact dup of id 1: cos 1.0
+    df = spark.createDataFrame(rows, "id long, v array<long>")
+    got = {(r.id_a, r.id_b): (r._ab, r._aa, r._bb) for r in
+           int_cosine_pairs(df, "id", "v").collect()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    want = {}
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        ab, aa, bb = dot(va, vb), dot(va, va), dot(vb, vb)
+        if ab > 0 and ab * ab * 25 >= 16 * aa * bb:
+            want[(ia, ib)] = (ab, aa, bb)
+    assert got == want
+    assert (1, 16) in got                 # the planted exact dup survives
+    assert all(k[0] != 15 and k[1] != 15 for k in got)
+    # boundary exactness: cos == exactly 0.8 must KEEP (>=)
+    df2 = spark.createDataFrame(
+        [(1, [4, 3]), (2, [1, 0])], "id long, v array<long>"
+    )  # cos = 4/5 exactly
+    kept = int_cosine_pairs(df2, "id", "v").collect()
+    assert len(kept) == 1 and kept[0]._ab == 4
+
+
+def test_hashed_count_vectors_match_python(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pii_spark.similarity import hashed_count_vector_udf
+
+    dim = 32
+    texts = ["alpha beta alpha", "", "  spaced  out  ", "one two three four"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r.v) for r in df.select(
+        hashed_count_vector_udf(dim)(F.col("text")).alias("v")).collect()]
+    for t, vec in zip(texts, got):
+        want = [0] * dim
+        for w in t.split():
+            want[int(hashlib.sha256((w + "hcv").encode()).hexdigest()[:4], 16) % dim] += 1
+        assert vec == want, t
