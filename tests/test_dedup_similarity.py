@@ -978,3 +978,53 @@ def test_hashed_count_vectors_match_python(spark):
         for w in t.split():
             want[int(hashlib.sha256((w + "hcv").encode()).hexdigest()[:4], 16) % dim] += 1
         assert vec == want, t
+
+
+def test_span_dedup_fuzz_matches_python_reference(spark):
+    # independent python re-derivation of span_dedup on random corpora:
+    # first occurrence (doc order, then start) of every k-line span
+    # survives; all other occurrences' lines are removed
+    from hypothesis import given, settings, strategies as st
+
+    from pii_spark.dedup import span_dedup
+
+    k = 3
+
+    def py_span_dedup(docs):
+        occ = {}
+        for doc_id, text in docs:
+            lines = text.split("\n")
+            for st_i in range(max(0, len(lines) - k + 1)):
+                span = "\n".join(lines[st_i:st_i + k])
+                occ.setdefault(span, []).append((doc_id, st_i))
+        removed = {}
+        for span, sites in occ.items():
+            for doc_id, st_i in sorted(sites)[1:]:
+                removed.setdefault(doc_id, set()).update(
+                    range(st_i, st_i + k)
+                )
+        out = {}
+        for doc_id, text in docs:
+            lines = text.split("\n")
+            keep = [
+                ln for i, ln in enumerate(lines)
+                if i not in removed.get(doc_id, set())
+            ]
+            out[doc_id] = ("\n".join(keep), len(lines) - len(keep))
+        return out
+
+    line = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(line, min_size=1, max_size=8).map("\n".join)
+
+    @given(st.lists(doc, min_size=1, max_size=5))
+    @settings(max_examples=25, deadline=None)
+    def check(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_lines_removed)
+            for r in span_dedup(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == py_span_dedup(docs)
+
+    check()

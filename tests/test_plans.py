@@ -492,3 +492,22 @@ def test_hll_registers_shuffle_capped_at_256(spark):
     p = plan(hll_registers(docs, F.col("text")))
     assert count_python_nodes(p) == 0   # sha/conv/bin all JVM-side
     assert "partial" in p.lower()       # map-side max before the exchange
+
+
+def test_text_ratio_columns_zero_shuffle_pure_codegen(spark):
+    from pii_spark.quality import (
+        mean_word_length_col,
+        punct_ratio_col,
+        stopword_ratio_col,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(
+        docs.select(
+            stopword_ratio_col(F.col("text")).alias("sw"),
+            punct_ratio_col(F.col("text")).alias("p"),
+            mean_word_length_col(F.col("text")).alias("m"),
+        )
+    )
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0
