@@ -829,6 +829,29 @@ def q_hashed_vector_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_pii_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # severity-weighted PII risk per document (medium=2 email,
+    # high=3 phone, critical=4 aws key) + integer-exact routing tier;
+    # density = weight/KiB with one IEEE division
+    from pii_spark.policy import pii_risk_scores
+
+    corpus = _pii_corpus(spark, sf_dir)
+    out = pii_risk_scores(
+        corpus,
+        ["doc_id"],
+        "content",
+        PatternBank(),
+        pattern_names=["email", "phone-us", "aws-access-key"],
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_findings").cast("long").alias("n_findings"),
+        "weight_sum",
+        F.round(F.col("risk_density") * 10000).cast("long").alias("risk_x10000"),
+        "tier",
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2348,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "text_stats": q_text_stats,
         "hashed_vector_pairs": q_hashed_vector_pairs,
+        "pii_risk": q_pii_risk,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2690,6 +2714,38 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "pii_risk": f"""
+            WITH corpus AS ({_PII_CORPUS_SQL}),
+            m AS (
+                SELECT doc_id, 2 AS w,
+                       unnest(regexp_extract_all(content, '{EMAIL_RE}')) AS v
+                FROM corpus
+                UNION ALL
+                SELECT doc_id, 3,
+                       unnest(regexp_extract_all(content, '{PHONE_US_RE}'))
+                FROM corpus
+                UNION ALL
+                SELECT doc_id, 4,
+                       unnest(regexp_extract_all(content, '{AWS_RE}'))
+                FROM corpus
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n, sum(w) AS ws
+                FROM m GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_findings,
+                   CAST(coalesce(a.ws, 0) AS BIGINT) AS weight_sum,
+                   CAST(round((coalesce(a.ws, 0) * 1024)::DOUBLE
+                        / strlen(c.content)::DOUBLE * 10000) AS BIGINT)
+                       AS risk_x10000,
+                   CASE WHEN coalesce(a.ws, 0) >= 8 THEN 'critical'
+                        WHEN coalesce(a.ws, 0) >= 4 THEN 'elevated'
+                        WHEN coalesce(a.ws, 0) >= 1 THEN 'low'
+                        ELSE 'none' END AS tier
+            FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+            ORDER BY c.doc_id
+        """,
         "hashed_vector_pairs": f"""
             WITH corpus AS (
                 SELECT doc_id, {_NEARDUP_CASE} AS t FROM documents

@@ -181,6 +181,7 @@ def main() -> None:
         "bpe_fertility",
         "text_stats",
         "hashed_vector_pairs",
+        "pii_risk",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -289,3 +289,64 @@ def rate_cap_stats(df_with_allowed: DataFrame, keys: list[str]) -> DataFrame:
         F.sum(F.col("allowed").cast("long")).alias("allowed"),
         F.sum((~F.col("allowed")).cast("long")).alias("blocked"),
     )
+
+
+def pii_risk_scores(
+    df,
+    id_cols: list[str],
+    content_col: str,
+    bank,
+    pattern_names: list[str] | None = None,
+    tiers: tuple = ((8, "critical"), (4, "elevated"), (1, "low")),
+):
+    """Per-document PII risk: severity-weighted finding count
+    (:data:`pii_spark.patterns.SEVERITY_LEVEL` — low=1 … critical=4),
+    byte-normalized density, and an integer-exact routing tier — the
+    signal a pipeline uses to route documents to scrub-and-keep vs
+    quarantine vs manual review.
+
+    Columns added: ``n_findings``, ``weight_sum`` (exact int64),
+    ``risk_density`` (weight per KiB, one IEEE division) and ``tier``
+    (CASE ladder on the exact integer ``weight_sum`` — engine-portable).
+    Docs with no findings get 0 / 'none'.
+
+    Scale: one detect UDF pass (the same Arrow-batched, trigger-gated
+    detector the scrub uses), one narrow groupBy on the doc key.
+    """
+    from pii_spark.detect import explode_findings, make_detect_udf
+    from pii_spark.patterns import SEVERITY_LEVEL
+
+    det = df.withColumn(
+        "detections",
+        make_detect_udf(bank, pattern_names=pattern_names)(F.col(content_col)),
+    )
+    f = explode_findings(det, id_cols)
+    w = None
+    for name, lvl in SEVERITY_LEVEL.items():
+        w = F.when(F.col("severity") == name, lvl) if w is None else w.when(
+            F.col("severity") == name, lvl
+        )
+    agg = (
+        f.withColumn("__w", w.otherwise(0).cast("long"))
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_findings"),
+            F.sum("__w").alias("weight_sum"),
+        )
+    )
+    out = (
+        df.join(agg, id_cols, "left")
+        .withColumn("n_findings", F.coalesce(F.col("n_findings"), F.lit(0)))
+        .withColumn(
+            "weight_sum", F.coalesce(F.col("weight_sum"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "risk_density",
+            (F.col("weight_sum") * 1024).cast("double")
+            / F.octet_length(F.col(content_col)).cast("double"),
+        )
+    )
+    tier = F.lit("none")
+    for thr, name in sorted(tiers):
+        tier = F.when(F.col("weight_sum") >= thr, name).otherwise(tier)
+    return out.withColumn("tier", tier)
