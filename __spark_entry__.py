@@ -852,6 +852,66 @@ def q_pii_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _cents(col):
+    """2-dp double → exact integer cents (same round(x·100) both engines)."""
+    return F.round(col * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1-flavor pricing summary over lineitem, in EXACT integer
+    # cents (a float Σ would hash differently per partition order):
+    # sum_qty/base in cents, disc_price in 1e-4, charge in 1e-6 units
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    qty = _cents(F.col("l_quantity"))
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    tax = _cents(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_c"),
+            F.sum(price).alias("sum_base_c"),
+            F.sum(price * (100 - disc)).alias("sum_disc_price_c4"),
+            F.sum(price * (100 - disc) * (100 + tax)).alias("sum_charge_c6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_market_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3-flavor: BUILDING-segment customers × orders before
+    # 1998-07-01 × lineitem shipped after; top 10 orders by exact
+    # integer revenue (cents·(100−disc)); customer dim broadcast,
+    # top-k via TakeOrderedAndProject
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    joined = li.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (100 - disc)).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_date"), "revenue_c4")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2372,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "hashed_vector_pairs": q_hashed_vector_pairs,
         "pii_risk": q_pii_risk,
+        "pricing_summary": q_pricing_summary,
+        "market_revenue_topk": q_market_revenue_topk,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2714,6 +2776,41 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d,
+                       CAST(round(l_tax * 100) AS BIGINT) AS t
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(q) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(p) AS BIGINT) AS sum_base_c,
+                   CAST(sum(p * (100 - d)) AS BIGINT) AS sum_disc_price_c4,
+                   CAST(sum(p * (100 - d) * (100 + t)) AS BIGINT)
+                       AS sum_charge_c6,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM c GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "market_revenue_topk": """
+            SELECT l.l_orderkey,
+                   o.o_orderdate::VARCHAR AS o_date,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer cu ON o.o_custkey = cu.c_custkey
+            WHERE cu.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-07-01'
+              AND l.l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_c4 DESC, l.l_orderkey LIMIT 10
+        """,
         "pii_risk": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
             m AS (

@@ -182,6 +182,8 @@ def main() -> None:
         "text_stats",
         "hashed_vector_pairs",
         "pii_risk",
+        "pricing_summary",
+        "market_revenue_topk",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -511,3 +511,20 @@ def test_text_ratio_columns_zero_shuffle_pure_codegen(spark):
     )
     assert "Exchange" not in p
     assert count_python_nodes(p) == 0
+
+
+def test_pricing_summary_pushes_shipdate_filter_to_scan(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in p and "l_shipdate" in p   # predicate at the scan
+    assert count_python_nodes(p) == 0
+
+
+def test_market_topk_broadcasts_dim_and_takeordered(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_market_revenue_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p                      # customer dim broadcast
+    assert "TakeOrderedAndProject" in p                  # no global sort
+    assert "c_mktsegment" in p and "PushedFilters" in p  # dim filter pushed
