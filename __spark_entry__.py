@@ -912,6 +912,40 @@ def q_market_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5/Q9-flavor star join covering the remaining dims: revenue
+    # by (region, part brand) through lineitem ⋈ supplier ⋈ nation ⋈
+    # region ⋈ part — all four dims broadcast, one fact-side aggregate,
+    # exact integer cents
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        joined.groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(price * (100 - disc)).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "p_brand")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2434,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_risk": q_pii_risk,
         "pricing_summary": q_pricing_summary,
         "market_revenue_topk": q_market_revenue_topk,
+        "region_part_revenue": q_region_part_revenue,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2776,6 +2811,20 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "region_part_revenue": """
+            SELECT r.r_name, p.p_brand,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY r.r_name, p.p_brand
+            ORDER BY r.r_name, p.p_brand
+        """,
         "pricing_summary": """
             WITH c AS (
                 SELECT l_returnflag, l_linestatus,

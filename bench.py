@@ -184,6 +184,7 @@ def main() -> None:
         "pii_risk",
         "pricing_summary",
         "market_revenue_topk",
+        "region_part_revenue",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -528,3 +528,11 @@ def test_market_topk_broadcasts_dim_and_takeordered(spark):
     assert "BroadcastHashJoin" in p                      # customer dim broadcast
     assert "TakeOrderedAndProject" in p                  # no global sort
     assert "c_mktsegment" in p and "PushedFilters" in p  # dim filter pushed
+
+
+def test_region_part_star_all_dims_broadcast(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_region_part_revenue(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 4   # all four dims broadcast
+    assert "SortMergeJoin" not in p            # fact side never shuffles for joins
