@@ -946,6 +946,31 @@ def q_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_volume_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native tumbling-window aggregation (F.window, the batch twin of
+    # the streaming windowed aggs): 6-hour event volume per event_type
+    # with distinct users and exact integer value sums (milli-units)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_m"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "event_type",
+            "n_events",
+            F.col("n_users").cast("long").alias("n_users"),
+            "value_m",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2469,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "market_revenue_topk": q_market_revenue_topk,
         "region_part_revenue": q_region_part_revenue,
+        "event_volume_windows": q_event_volume_windows,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2811,6 +2837,20 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "event_volume_windows": """
+            WITH b AS (
+                SELECT make_timestamp((epoch_us(ts) // 21600000000)
+                                      * 21600000000) AS w_start,
+                       event_type, user_id,
+                       CAST(round(value * 1000) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT w_start::VARCHAR AS w_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(v) AS BIGINT) AS value_m
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "region_part_revenue": """
             SELECT r.r_name, p.p_brand,
                    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)

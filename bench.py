@@ -185,6 +185,7 @@ def main() -> None:
         "pricing_summary",
         "market_revenue_topk",
         "region_part_revenue",
+        "event_volume_windows",
     ]
     qmap = E.queries()
     for name in bench_queries:
