@@ -971,6 +971,26 @@ def q_event_volume_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native pivot: total order value (exact cents) per priority,
+    # pivoted across the three order statuses — fixed pivot values so
+    # the output schema is deterministic
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = _cents(F.col("o_totalprice"))
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(total))
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_c"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_c"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_c"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2495,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_revenue_topk": q_market_revenue_topk,
         "region_part_revenue": q_region_part_revenue,
         "event_volume_windows": q_event_volume_windows,
+        "orders_pivot": q_orders_pivot,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2837,6 +2858,19 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "orders_pivot": """
+            SELECT o_orderpriority,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+                        AS BIGINT) AS f_c,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+                        AS BIGINT) AS o_c,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+                        AS BIGINT) AS p_c
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "event_volume_windows": """
             WITH b AS (
                 SELECT make_timestamp((epoch_us(ts) // 21600000000)

@@ -186,6 +186,7 @@ def main() -> None:
         "market_revenue_topk",
         "region_part_revenue",
         "event_volume_windows",
+        "orders_pivot",
     ]
     qmap = E.queries()
     for name in bench_queries:
