@@ -1015,7 +1015,7 @@ def _text_stats_oracle_sql() -> str:
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
         WITH t AS (
-            SELECT doc_id,
+            SELECT doc_id, text,
                    list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                x -> x <> '') AS toks,
                    regexp_replace(text, '\\s', '', 'g') AS nows
@@ -1027,7 +1027,8 @@ def _text_stats_oracle_sql() -> str:
                         / len(toks)::DOUBLE * 10000 END) AS BIGINT)
                    AS stop_x10000,
                CAST(round(CASE WHEN length(nows) = 0 THEN 0.0 ELSE
-                    length(regexp_replace(nows, '[A-Za-z0-9]', '', 'g'))
+                    (length(text) - length(regexp_replace(text,
+                        '[!-/:-@\\[-`{{-~]', '', 'g')))
                         / length(nows)::DOUBLE * 10000 END) AS BIGINT)
                    AS punct_x10000,
                CAST(round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE

@@ -777,20 +777,28 @@ def snapshot_diff(
     key the join runs with zero exchanges.  Returns key columns +
     ``old_sha`` / ``new_sha`` / ``status``.
     """
+    # explicit presence markers: sha2(NULL) is NULL, so presence can't
+    # be inferred from the sha columns — a NULL-content row would
+    # otherwise be misreported as added/removed, and NULL-vs-NULL
+    # content needs the null-safe compare to count as unchanged
     o = old_df.select(
-        *key_cols, F.sha2(F.col(content_col), 256).alias("old_sha")
+        *key_cols,
+        F.sha2(F.col(content_col), 256).alias("old_sha"),
+        F.lit(True).alias("__in_old"),
     )
     n = new_df.select(
-        *key_cols, F.sha2(F.col(content_col), 256).alias("new_sha")
+        *key_cols,
+        F.sha2(F.col(content_col), 256).alias("new_sha"),
+        F.lit(True).alias("__in_new"),
     )
     j = o.join(n, key_cols, "full_outer")
     return j.withColumn(
         status_col,
-        F.when(F.col("old_sha").isNull(), "added")
-        .when(F.col("new_sha").isNull(), "removed")
-        .when(F.col("old_sha") != F.col("new_sha"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("old_sha").eqNullSafe(F.col("new_sha")), "changed")
         .otherwise("unchanged"),
-    )
+    ).drop("__in_old", "__in_new")
 
 
 def snapshot_diff_stats(
@@ -839,9 +847,8 @@ def importance_weights(
     toks = F.explode(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     ).alias("t")
-    h = F.conv(F.substring(F.sha2(F.concat(F.col("t"), F.lit(salt)), 256), 1, 4), 16, 10)
     bucketed = df.select(target_pred.alias("is_t"), toks).select(
-        "is_t", (h.cast("long") % dim).alias("b")
+        "is_t", (hash_bucket_int(F.col("t"), salt) % dim).alias("b")
     )
     counts = (
         bucketed.groupBy("b")

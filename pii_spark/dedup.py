@@ -1191,8 +1191,11 @@ def span_dedup(
         marked.filter(F.col("rn") > 1)
         .groupBy("doc")
         .agg(F.collect_list("start").alias("_rm_starts"))
+        # reserved name: drop("doc") after the join would remove a
+        # caller id/extra column that happens to be named "doc" too
+        .withColumnRenamed("doc", "__span_doc")
     )
-    joined = df.join(rm, df[id_col] == rm["doc"], "left").drop("doc")
+    joined = df.join(rm, df[id_col] == rm["__span_doc"], "left").drop("__span_doc")
     lines = F.split(F.col(text_col), "\n")
     starts = F.coalesce(F.col("_rm_starts"), F.array().cast("array<int>"))
     indexed = F.transform(
@@ -1322,19 +1325,24 @@ def near_dedup_best(
     boilerplate family).
 
     Scale shape: components come from the same star-contraction CC;
-    survivor choice is one narrow (doc, component, score) aggregate —
-    ``max_by``-style via a (score desc, doc asc) struct max, a
-    map-side-combinable agg, never a window sort over the corpus.
-    Docs in no pair survive untouched.
+    survivor choice is two narrow map-side-combinable aggregates over
+    (doc, component, score) — best score per component, then min doc
+    among the best-scored members (works for ANY orderable id type:
+    a negated-id struct-max trick would silently null out string ids)
+    — never a window sort over the corpus.  Docs in no pair survive
+    untouched.
     """
     comp = connected_components(pairs, id_a, id_b)
     scored = comp.join(
         df.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__s")), "doc"
     )
-    # orderable struct: max((score, -doc)) == best score, tie -> min doc
-    best = scored.groupBy("component").agg(
-        F.max(F.struct(F.col("__s"), (-F.col("doc")).alias("__nd"))).alias("b")
-    ).select("component", (-F.col("b.__nd")).alias("__keep"))
+    best_score = scored.groupBy("component").agg(F.max("__s").alias("__bs"))
+    best = (
+        scored.join(best_score, "component")
+        .filter(F.col("__s") == F.col("__bs"))
+        .groupBy("component")
+        .agg(F.min("doc").alias("__keep"))
+    )
     losers = (
         comp.join(best, "component")
         .filter(F.col("doc") != F.col("__keep"))

@@ -599,9 +599,14 @@ def hashed_count_vector_udf(dim: int = 256, salt: str = "hcv"):
     vector (token counts folded into ``dim`` sha-derived buckets) — a
     train-free stand-in for an embedding when no model is available.
     numpy bincount per Arrow batch.  Tokenization is the ASCII-\\s split
-    (same class as Java regex / RE2 ``\\s``) — Python ``str.split()``
-    would additionally split on Unicode whitespace and silently desync
-    from JVM-side token counts on NBSP/U+2028 documents."""
+    (the JAVA regex class, incl. ``\\v``) — Python ``str.split()`` would
+    additionally split on Unicode whitespace and silently desync from
+    JVM-side token counts on NBSP/U+2028 documents.  Note RE2 engines
+    (the DuckDB oracle) exclude ``\\v`` from ``\\s``; the divergence is
+    unreachable on canonicalized input because
+    :func:`pii_spark.quality.normalize_text` strips C0 controls
+    (``\\v``/``\\f`` included) at ingest — run it first, as the
+    pipeline does."""
     import hashlib
     import re as _re
 
@@ -666,16 +671,21 @@ def int_cosine_pairs(
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     num2 = threshold_num * threshold_num
     den2 = threshold_den * threshold_den
+    # gate in DECIMAL: ab ≤ ~1e15 for any plausible corpus, so ab² and
+    # aa·bb need up to ~31 digits — past int64 (where the products
+    # would silently wrap and break the exactness promise), comfortably
+    # inside decimal(38); DuckDB promotes the same products to int128
+    dec = "decimal(19,0)"
+    ab_d = F.col("_ab").cast(dec)
+    aa_d = F.col("_aa").cast(dec)
+    bb_d = F.col("_bb").cast(dec)
     out = (
         pairs.withColumn("_ab", dot(va, vb))
         .withColumn("_aa", dot(va, va))
         .withColumn("_bb", dot(vb, vb))
         .filter(
             (F.col("_ab") > 0)
-            & (
-                F.col("_ab") * F.col("_ab") * F.lit(den2)
-                >= F.lit(num2) * F.col("_aa") * F.col("_bb")
-            )
+            & (ab_d * ab_d * F.lit(den2) >= F.lit(num2) * (aa_d * bb_d))
         )
         .withColumn(
             "sim",

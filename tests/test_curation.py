@@ -630,3 +630,18 @@ def test_pii_risk_scores_tiers_and_weights(spark):
     assert out[2] == (2, 4, "elevated")
     assert out[3] == (1, 4, "elevated")
     assert out[4] == (3, 9, "critical")
+
+
+def test_snapshot_diff_null_content(spark):
+    from pii_spark.curation import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "fixed"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(v1, v2, ["doc_id"], "text").collect()}
+    # NULL-content rows are PRESENT: edits are 'changed', NULL==NULL is
+    # 'unchanged' — never 'added'/'removed'
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

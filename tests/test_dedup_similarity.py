@@ -1028,3 +1028,31 @@ def test_span_dedup_fuzz_matches_python_reference(spark):
         assert got == py_span_dedup(docs)
 
     check()
+
+
+def test_near_dedup_best_string_ids(spark):
+    # regression: a negated-id struct-max would null-cast string ids and
+    # silently skip dedup entirely
+    from pii_spark.dedup import near_dedup_best
+
+    df = spark.createDataFrame(
+        [("doc_a", 1), ("doc_b", 9), ("doc_c", 9), ("doc_x", 5)],
+        "doc_id string, score long",
+    )
+    pairs = spark.createDataFrame(
+        [("doc_a", "doc_b"), ("doc_b", "doc_c")], "doc_a string, doc_b string"
+    )
+    kept = {r.doc_id for r in near_dedup_best(df, pairs, "doc_id", "score").collect()}
+    assert kept == {"doc_b", "doc_x"}  # best score 9, tie -> min id doc_b
+
+
+def test_span_dedup_id_col_named_doc(spark):
+    from pii_spark.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc\nd"), (2, "a\nb\nc\nz")], "doc long, text string"
+    )
+    out = span_dedup(df, "doc", "text", k=3)
+    assert "doc" in out.columns
+    got = {r.doc: r.n_lines_removed for r in out.collect()}
+    assert got == {1: 0, 2: 3}
