@@ -991,6 +991,71 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native rollup (GROUPING SETS): revenue subtotals at (region,
+    # brand), (region) and grand-total levels in one pass, exact cents;
+    # grouping_id disambiguates NULL-as-subtotal from NULL data
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    price = _cents(F.col("l_extendedprice"))
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        joined.rollup("r_name", "p_brand")
+        .agg(
+            F.sum(price).alias("base_c"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("r_name"),
+            F.coalesce(F.col("p_brand"), F.lit("(all)")).alias("p_brand"),
+            "gid",
+            "base_c",
+            "n_items",
+        )
+        .orderBy("gid", "r_name", "p_brand")
+    )
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native lag window: per-user inter-event gap in exact microseconds,
+    # rolled up per event_type (count + total + max gap)
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).cast("long"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2517,6 +2582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_part_revenue": q_region_part_revenue,
         "event_volume_windows": q_event_volume_windows,
         "orders_pivot": q_orders_pivot,
+        "revenue_rollup": q_revenue_rollup,
+        "user_event_gaps": q_user_event_gaps,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2859,6 +2926,39 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
+        "revenue_rollup": """
+            WITH j AS (
+                SELECT r.r_name, p.p_brand,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT coalesce(r_name, '(all)') AS r_name,
+                   coalesce(p_brand, '(all)') AS p_brand,
+                   CAST(GROUPING(r_name, p_brand) AS BIGINT) AS gid,
+                   CAST(sum(pc) AS BIGINT) AS base_c,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM j GROUP BY ROLLUP (r_name, p_brand)
+            ORDER BY gid, r_name, p_brand
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                           AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'

@@ -187,6 +187,8 @@ def main() -> None:
         "region_part_revenue",
         "event_volume_windows",
         "orders_pivot",
+        "revenue_rollup",
+        "user_event_gaps",
     ]
     qmap = E.queries()
     for name in bench_queries:
