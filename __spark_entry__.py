@@ -1056,6 +1056,148 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (union-marker window, no join node): for every
+    # purchase event, the newest click by the same user at or before
+    # it, plus the attribution lag in exact microseconds; -1 sentinels
+    # for never-clicked so the hash compare has no NULLs
+    from pii_spark.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "cts", ["click_id"]
+    )
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("cts_asof").cast("timestamp")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).cast("long").alias(
+            "click_id"
+        ),
+        F.coalesce(lag_us, F.lit(-1)).cast("long").alias("lag_us"),
+    ).orderBy("event_id")
+
+
+def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval (point-in-range) join via bucketed equi-join: each error
+    # event opens a 30-minute half-open impact window; count the same
+    # user's view/click events landing inside it (empty windows kept
+    # at zero via the left arm)
+    from pii_spark.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    points = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v_m"),
+    )
+    j = interval_join(
+        points,
+        errors,
+        ["user_id"],
+        "ts",
+        "s",
+        "e",
+        bucket_width_us=1_800_000_000,
+        how="left",
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.count(F.col("ts")).alias("n_hits"),
+            F.coalesce(F.sum("v_m"), F.lit(0)).cast("long").alias(
+                "hit_value_m"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable rollup: hourly per-event-type volume over the dense
+    # global bucket spine, gap buckets flagged and LOCF-filled (exact
+    # milli-unit sums; -1 sentinel before a key's first observation)
+    from pii_spark.temporal import time_bucket_gapfill
+
+    ev = _events(spark, sf_dir)
+    out = time_bucket_gapfill(
+        ev,
+        ["event_type"],
+        "ts",
+        3_600_000_000,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("v_m"),
+        ],
+        locf_cols=["v_m"],
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "filled",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        F.coalesce(F.col("v_m"), F.lit(-1)).cast("long").alias("v_m"),
+        F.coalesce(F.col("v_m_locf"), F.lit(-1)).cast("long").alias(
+            "v_m_locf"
+        ),
+    ).orderBy("event_type", "bucket")
+
+
+# deterministic synthetic domain link graph (mirrored in the oracle):
+# two out-edges per document keyed on doc_id arithmetic.  The src
+# modulus (191) is smaller than the dst modulus (211) so nodes
+# 191..210 occur only as targets — real dangling nodes exercising the
+# redistributed-mass arm — and the quadratic dst makes in-degree (and
+# hence rank) genuinely non-uniform at every sf
+_PAGERANK_EDGES_SQL = """
+    SELECT doc_id % 191 AS src, (doc_id * doc_id + 1) % 211 AS dst
+    FROM documents
+    UNION ALL
+    SELECT (doc_id * 3) % 191 AS src, (doc_id * 13 + 5) % 211 AS dst
+    FROM documents
+"""
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative integer-exact PageRank (5 rounds of join+agg, all
+    # BIGINT floor division — replayable as chained SQL CTEs) over the
+    # deterministic doc-derived domain link graph
+    from pii_spark.graph import pagerank
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        (d % 191).alias("src"), ((d * d + 1) % 211).alias("dst")
+    ).unionByName(
+        docs.select(
+            ((d * 3) % 191).alias("src"), ((d * 13 + 5) % 211).alias("dst")
+        )
+    )
+    return (
+        pagerank(edges, iters=5)
+        .select(F.col("node").cast("long"), F.col("rank").cast("long"))
+        .orderBy("node")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2584,6 +2726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pivot": q_orders_pivot,
         "revenue_rollup": q_revenue_rollup,
         "user_event_gaps": q_user_event_gaps,
+        "purchase_attribution": q_purchase_attribution,
+        "error_impact": q_error_impact,
+        "event_gapfill": q_event_gapfill,
+        "domain_pagerank": q_domain_pagerank,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2635,6 +2781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pii_spark.graph import pagerank_oracle_sql
+
     return {
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
@@ -2959,6 +3107,91 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type
         """,
+        # independent as-of semantics: a correlated LATERAL top-1 per
+        # purchase (newest click ts<=purchase ts, ties by greatest id)
+        # instead of the union-marker window the Spark side uses
+        "purchase_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(coalesce(m.click_id, -1) AS BIGINT) AS click_id,
+                   CAST(CASE WHEN m.click_id IS NULL THEN -1
+                        ELSE epoch_us(p.ts) - epoch_us(m.cts) END
+                        AS BIGINT) AS lag_us
+            FROM p LEFT JOIN LATERAL (
+                SELECT c.event_id AS click_id, c.ts AS cts FROM c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) m ON TRUE
+            ORDER BY p.event_id
+        """,
+        # independent range semantics: a plain theta-join on the range
+        # predicate (no bucketing) aggregated per error window
+        "error_impact": """
+            WITH err AS (
+                SELECT event_id, user_id, ts AS s,
+                       ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'error'
+            ),
+            p AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 1000) AS BIGINT) AS v_m
+                FROM events WHERE event_type IN ('view', 'click')
+            )
+            SELECT err.event_id,
+                   CAST(count(p.ts) AS BIGINT) AS n_hits,
+                   CAST(coalesce(sum(p.v_m), 0) AS BIGINT) AS hit_value_m
+            FROM err LEFT JOIN p
+              ON p.user_id = err.user_id AND p.ts >= err.s AND p.ts < err.e
+            GROUP BY err.event_id ORDER BY err.event_id
+        """,
+        # gapfill spine via generate_series over the data's own min/max
+        # hourly bucket; LOCF via last_value IGNORE NULLS
+        "event_gapfill": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS bucket,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                            AS BIGINT) AS v_m
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+            spine AS (
+                SELECT k.event_type, g.bucket
+                FROM (SELECT DISTINCT event_type FROM events) k,
+                     bounds,
+                     LATERAL (SELECT unnest(range(bounds.lo, bounds.hi + 1))
+                              AS bucket) g
+            ),
+            dense AS (
+                SELECT s.event_type, s.bucket,
+                       CASE WHEN b.bucket IS NULL THEN 1 ELSE 0 END
+                           AS filled,
+                       coalesce(b.n_events, 0) AS n_events,
+                       b.v_m AS v_m_raw
+                FROM spine s LEFT JOIN b
+                  ON b.event_type = s.event_type AND b.bucket = s.bucket
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(filled AS INT) AS filled,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(coalesce(v_m_raw, -1) AS BIGINT) AS v_m,
+                   CAST(coalesce(last_value(v_m_raw IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), -1) AS BIGINT) AS v_m_locf
+            FROM dense ORDER BY event_type, bucket
+        """,
+        # chained-CTE replay of the 5 integer PageRank iterations over
+        # the identical doc-derived edge list (see pii_spark/graph.py)
+        "domain_pagerank": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iters=5),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'

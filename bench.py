@@ -189,6 +189,10 @@ def main() -> None:
         "orders_pivot",
         "revenue_rollup",
         "user_event_gaps",
+        "purchase_attribution",
+        "error_impact",
+        "event_gapfill",
+        "domain_pagerank",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1,0 +1,166 @@
+"""Iterative graph analytics over link graphs: integer-exact PageRank.
+
+Connected components (the near-dup clustering primitive) lives in
+``pii_spark.dedup``; this module holds the rank side: a web/domain link
+graph's PageRank is a standard corpus-curation quality prior (rank-
+weighted sampling of crawl domains).  The reference has no graph
+operators — this is part of the training-data-pipeline surface built on
+top of its corpus model.
+
+Determinism: floating-point PageRank is not replayable across engines
+(per-partition sum order changes the ulps), so ranks are carried as
+exact integer micro-mass: the total mass budget ``mass`` (default
+10^12) is dealt out with explicit floor divisions at every step.  With
+a fixed iteration count the whole computation is replayable in ANSI SQL
+as chained CTEs (each iteration one CTE — no recursion, no floats until
+a final optional display division).
+
+Per iteration, all in BIGINT:
+
+  contrib(u)  = rank(u) div outdeg(u)            -- per-edge share
+  incoming(v) = sum over edges u->v of contrib(u)
+  dangling    = sum of rank(u) for nodes with no out-edges
+  rank'(v)    = ((100-d) * (mass div n)) div 100
+              + (d * (incoming(v) + dangling div n)) div 100
+
+with d the damping percentage (default 85).  Self-loops are dropped and
+edges de-duplicated up front (unweighted graph).
+
+Scale shape: each iteration is one shuffled join of ranks onto edges
+keyed by src (ranks are |V| rows — broadcast when small, AQE decides)
+plus one aggregate keyed by dst; the dangling scalar is a one-row agg
+cross-joined (broadcast).  The edge set is re-read every iteration —
+cache it.  Lineage grows linearly with iterations; ``checkpoint_every``
+truncates it with localCheckpoint for long runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    mass: int = 10**12,
+    damping: int = 85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Integer-exact PageRank over an unweighted directed graph.
+
+    ``edges`` needs integer-comparable ``src``/``dst`` node columns;
+    duplicates and self-loops are removed here.  Returns
+    ``(node, rank)`` with rank in integer mass units (sums to ≈mass,
+    minus floor-division dust).  One eager ``count()`` fires up front
+    for the node total n (the mass denominator) — unavoidable for the
+    uniform prior, and cheap next to ``iters`` join+agg rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    base = ((100 - damping) * (mass // n)) // 100
+    ranks = nodes.withColumn("rank", F.lit(mass // n).cast("long"))
+    for i in range(iters):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "outdeg")
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
+        )
+        contrib = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .withColumn("contrib", F.expr("rank div outdeg"))
+            .select(F.col("node").alias("src"), "contrib")
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes["node"] == incoming["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping} * (coalesce(inc, 0)"
+                        f" + (__dang div {n}))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 5,
+    mass: int = 10**12,
+    damping: int = 85,
+) -> str:
+    """ANSI-SQL replay of :func:`pagerank` as chained CTEs (one per
+    iteration), for a DuckDB oracle.  ``edges_sql`` must select raw
+    ``src, dst`` pairs (dupes/self-loops allowed — cleaned here, same
+    as the Spark side).  All arithmetic is BIGINT floor division on
+    positive values, so ``//`` (DuckDB) and ``div`` (Spark) agree."""
+    d = damping
+    parts = [
+        f"WITH raw_edges AS ({edges_sql})",
+        "edges AS (SELECT DISTINCT src, dst FROM raw_edges"
+        " WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges"
+        " GROUP BY src)",
+        f"r0 AS (SELECT node, (SELECT {mass} // n FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        # sums of BIGINT widen to HUGEINT in DuckDB (which pandas then
+        # renders as float) — cast every aggregate back down; values
+        # are bounded by the total mass so BIGINT always holds them
+        parts.append(
+            f"dang{i} AS (SELECT CAST(COALESCE(sum(r.rank), 0) AS BIGINT)"
+            f" AS dm FROM {p} r LEFT JOIN outdeg o ON r.node = o.src"
+            " WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"inc{i} AS (SELECT e.dst AS node,"
+            " CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inc"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" (SELECT ((100 - {d}) * ({mass} // nn.n)) // 100 FROM nn)"
+            f" + ({d} * (COALESCE(i.inc, 0)"
+            f" + (SELECT dang{i}.dm // nn.n FROM dang{i}, nn))) // 100"
+            f" AS rank FROM nodes n LEFT JOIN inc{i} i"
+            " ON n.node = i.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+        " ORDER BY node"
+    )

@@ -1,0 +1,276 @@
+"""Temporal joins and hypertable-style rollups: as-of join, interval
+(point-in-range) join, time-bucket gapfill with last-observation-
+carried-forward.
+
+The reference's event path is alert delivery (token bucket,
+``internal/notifier/manager.go``) — it has no temporal *analysis*
+operators, but any pipeline mining an event log next to a document
+corpus needs them (attribution: "which click preceded this purchase";
+blast radius: "how many views landed inside this error window"; rollup
+dashboards over sparse series).  Spark has no native ASOF JOIN or
+RANGE JOIN, so these are compositions of existing DataFrame ops chosen
+for their shuffle shape at 10^12-event scale:
+
+* ``asof_join`` — the union-marker trick: tag both sides, sort once per
+  key on (ts, side, tie), and ``last(right_payload, ignorenulls=True)``
+  carries the newest right row forward onto each left row.  ONE shuffle
+  (hash by key), one sort, zero Python, no join node at all — the
+  classic sort-merge as-of without the O(n·m) range join Catalyst would
+  otherwise plan.  Skewed keys sort within one task; at extreme scale
+  pre-split hot keys by coarse time range, run per range, and stitch
+  the boundary with a per-range seed row.
+
+* ``interval_join`` — equi-join on (key, time_bucket) after exploding
+  each interval into the fixed-width buckets it overlaps, then the
+  exact range predicate as a post-filter.  Turns an unbounded
+  theta-join into a bounded equi-join: blowup per interval is
+  ceil(len/width)+1 rows, so pick ``bucket_width_us`` near the typical
+  interval length.  Catalyst plans a plain shuffled (or broadcast, if
+  one side is small — AQE decides) hash join.
+
+* ``time_bucket_gapfill`` — aggregate per (key, bucket), then LEFT
+  join against a generated dense bucket spine (keys × sequence of
+  buckets from the data's own min/max, carried as a broadcast one-row
+  bound) and optionally LOCF-fill value columns with
+  ``last(ignorenulls)`` windows.  The spine is generated, never
+  shuffled from data; the only wide exchange is the initial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _micros(col: Column) -> Column:
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every ``left`` row, attach the newest ``right`` row of the
+    same key with ``right_ts <= left_ts`` (pandas ``merge_asof``
+    semantics, backward direction, inclusive).
+
+    Ties are deterministic: among right rows sharing the maximal
+    eligible timestamp the one with the greatest ``tie_col`` wins
+    (``tie_col`` defaults to the first of ``right_cols``).  Right rows
+    at *exactly* the left timestamp are eligible.
+
+    Output: all ``left`` columns, plus each ``right_cols`` column
+    renamed ``<name><suffix>``, plus ``<right_ts><suffix>`` (the
+    matched row's timestamp; NULL when no right row precedes).
+
+    Plan shape: one Exchange hash-partitioned on ``on``, one sort per
+    partition, a running ``last(..., ignorenulls=True)`` window, a
+    filter back to left rows.  No join node, no Python.
+    """
+    tie = tie_col or right_cols[0]
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias(right_ts),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        _micros(F.col(right_ts)).alias("__ts_us"),
+        F.lit(0).alias("__side"),
+        F.col(tie).cast("long").alias("__tie"),
+        payload.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+    ).select(*on, "__ts_us", "__side", "__tie", "__r",
+             *[c for c in left.columns if c not in on])
+    l = left.select(
+        *[F.col(c) for c in on],
+        _micros(F.col(left_ts)).alias("__ts_us"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    # right rows order BEFORE left rows at an equal timestamp
+    # (__side 0 < 1), so an exactly-simultaneous right row is visible
+    # to the left row's running last(); among right ties the greatest
+    # __tie sorts last and wins.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts_us", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__m.{right_ts}").alias(right_ts + suffix))
+    out_cols.extend(F.col(f"__m.{c}").alias(c + suffix) for c in right_cols)
+    return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_us: int = US_PER_HOUR,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows into half-open intervals
+    ``[start_col, end_col)`` of the same key.
+
+    Each interval is exploded into every ``bucket_width_us``-wide time
+    bucket it overlaps (``sequence(floor(start/w), floor((end-1)/w))``),
+    points map to exactly one bucket, and the equi-join on
+    (``on``, bucket) is refined by the exact range predicate.  With
+    ``how="left"`` intervals that contain no point survive with NULL
+    point columns (distinct-ed back to one row per interval, so the
+    bucket explosion never duplicates an empty interval).
+
+    Output: all ``intervals`` columns plus all ``points`` columns
+    except the join keys.  Point columns whose names collide with an
+    interval column get a ``_pt`` suffix.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    w = int(bucket_width_us)
+    s_us = _micros(F.col(start_col))
+    e_us = _micros(F.col(end_col))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_us / w).cast("long"),
+                F.floor((e_us - 1) / w).cast("long"),
+            )
+        ),
+    ).withColumn("__s_us", s_us).withColumn("__e_us", e_us)
+    ivl_names = set(intervals.columns)
+    pt_payload = [
+        c for c in points.columns if c not in on and c != point_ts
+    ]
+    p_us = _micros(F.col(point_ts))
+    pt = points.select(
+        *[F.col(c) for c in on],
+        F.floor(p_us / w).cast("long").alias("__bucket"),
+        p_us.alias("__p_us"),
+        F.col(point_ts).alias(
+            point_ts + ("_pt" if point_ts in ivl_names else "")
+        ),
+        *[
+            F.col(c).alias(c + ("_pt" if c in ivl_names else ""))
+            for c in pt_payload
+        ],
+    )
+    cond = [iv[c] == pt[c] for c in on]
+    cond.append(iv["__bucket"] == pt["__bucket"])
+    joined = iv.join(pt, cond, "inner").filter(
+        (F.col("__p_us") >= F.col("__s_us"))
+        & (F.col("__p_us") < F.col("__e_us"))
+    )
+    pt_out = [c for c in pt.columns if c not in on and c != "__bucket"
+              and c != "__p_us"]
+    matched = joined.select(*[iv[c] for c in intervals.columns],
+                            *[pt[c] for c in pt_out])
+    if how == "inner":
+        return matched
+    empties = (
+        intervals.join(
+            matched.select(*[F.col(c) for c in intervals.columns]).distinct(),
+            on=list(intervals.columns),
+            how="left_anti",
+        ).select(
+            *[F.col(c) for c in intervals.columns],
+            *[F.lit(None).cast(matched.schema[c].dataType).alias(c)
+              for c in pt_out],
+        )
+    )
+    return matched.unionByName(empties)
+
+
+def time_bucket(ts_col: Column, bucket_us: int) -> Column:
+    """Floor a timestamp to its ``bucket_us``-wide bucket index
+    (epoch-micros // width, as a long) — group on this, then
+    ``bucket_start`` recovers the timestamp."""
+    return F.floor(_micros(ts_col) / int(bucket_us)).cast("long")
+
+
+def bucket_start(bucket_col: Column, bucket_us: int) -> Column:
+    """Inverse of :func:`time_bucket`: the bucket's start timestamp."""
+    return F.timestamp_micros(bucket_col * int(bucket_us))
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket_us: int,
+    aggs: list[Column],
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup: aggregate per (key, time bucket), then
+    densify to a complete per-key bucket spine (from the GLOBAL min/max
+    bucket across all keys, TimescaleDB ``time_bucket_gapfill``
+    semantics) and LOCF-fill the ``locf_cols`` aggregates.
+
+    Output: ``key_cols``, ``bucket`` (long index), ``bucket_ts``
+    (bucket start), ``filled`` (1 on spine-generated rows), each agg
+    column (NULL on filled rows) and, for each ``locf_cols`` name ``c``,
+    ``c_locf`` = last non-NULL ``c`` at or before the bucket (NULL
+    before the key's first observation).
+
+    Plan shape: one aggregate exchange on (key, bucket); the spine is
+    keys × ``sequence(min,max)`` with the one-row global bounds
+    broadcast (no second data shuffle); LOCF is a window on the same
+    key partitioning.
+    """
+    w = int(bucket_us)
+    bucketed = df.withColumn("__bucket", time_bucket(F.col(ts_col), w))
+    agged = bucketed.groupBy(*key_cols, "__bucket").agg(*aggs)
+    agg_names = [c for c in agged.columns
+                 if c not in key_cols and c != "__bucket"]
+    bounds = bucketed.agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    spine = (
+        bucketed.select(*key_cols).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))),
+        )
+        .drop("__lo", "__hi")
+    )
+    dense = spine.join(agged, on=[*key_cols, "__bucket"], how="left")
+    # a bucket with zero source rows is exactly a bucket the aggregate
+    # produced no row for: every agg column is NULL there (count()
+    # can't distinguish, so derive filled from the join miss itself via
+    # a marker column that is never NULL on real rows)
+    marker = agged.select(
+        *key_cols, "__bucket", F.lit(1).alias("__present")
+    )
+    dense = dense.join(marker, on=[*key_cols, "__bucket"], how="left")
+    out = dense.withColumn(
+        "filled", F.when(F.col("__present").isNull(), 1).otherwise(0)
+    ).drop("__present")
+    for c in locf_cols or []:
+        wnd = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            c + "_locf", F.last(F.col(c), ignorenulls=True).over(wnd)
+        )
+    return out.withColumn(
+        "bucket_ts", bucket_start(F.col("__bucket"), w)
+    ).withColumnRenamed("__bucket", "bucket")

@@ -1,0 +1,90 @@
+"""Integer-exact PageRank: Spark vs a pure-Python reference and vs the
+chained-CTE DuckDB oracle on random graphs."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from pii_spark.graph import pagerank, pagerank_oracle_sql
+
+MASS = 10**12
+
+
+def _ref_pagerank(edges, iters=5, mass=MASS, damping=85):
+    """Pure-Python replay of the documented integer recurrence."""
+    es = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: mass // n for v in nodes}
+    base = ((100 - damping) * (mass // n)) // 100
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        inc = {v: 0 for v in nodes}
+        for s, d in es:
+            inc[d] += r[s] // outdeg[s]
+        r = {
+            v: base + (damping * (inc[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _spark_pr(spark, edges, **kw):
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_tiny_chain(spark):
+    # a -> b -> c (c dangling): rank accumulates downstream
+    got = _spark_pr(spark, [(0, 1), (1, 2)])
+    ref = _ref_pagerank([(0, 1), (1, 2)])
+    assert got == ref
+    assert got[2] > got[1] > got[0]
+
+
+def test_pagerank_dupes_and_self_loops_cleaned(spark):
+    noisy = [(0, 1), (0, 1), (1, 1), (1, 2), (2, 2)]
+    assert _spark_pr(spark, noisy) == _spark_pr(spark, [(0, 1), (1, 2)])
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_pagerank_fuzz_vs_reference_and_mass(spark, seed):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(120)
+    ]
+    got = _spark_pr(spark, edges)
+    ref = _ref_pagerank(edges)
+    assert got == ref
+    # mass conservation up to floor-division dust: each of the n nodes
+    # loses <1 unit at each of the 3 divisions per iteration
+    n = len(ref)
+    assert abs(sum(got.values()) - MASS) < 5 * 6 * (n + len(edges))
+
+
+def test_pagerank_checkpoint_every_matches(spark):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(20)]
+    assert _spark_pr(spark, edges) == _spark_pr(
+        spark, edges, checkpoint_every=2
+    )
+
+
+def test_pagerank_oracle_sql_matches_spark(spark):
+    rng = random.Random(99)
+    edges = [
+        (rng.randrange(0, 25), rng.randrange(0, 25)) for _ in range(90)
+    ]
+    got = _spark_pr(spark, edges)
+    values = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_oracle_sql(
+        f"SELECT s AS src, d AS dst FROM (VALUES {values}) t(s, d)"
+    )
+    ora = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == ora

@@ -536,3 +536,48 @@ def test_region_part_star_all_dims_broadcast(spark):
     p = plan(E.q_region_part_revenue(spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 4   # all four dims broadcast
     assert "SortMergeJoin" not in p            # fact side never shuffles for joins
+
+def test_purchase_attribution_asof_no_join_one_exchange(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_purchase_attribution(spark, SF_DIR))
+    # the as-of is the union-marker window: no join operator at all,
+    # no Python, and a single hashpartitioning exchange on the key
+    # (the _events input repartition is round-robin, not hash)
+    assert "Join" not in p
+    assert count_python_nodes(p) == 0
+    # exactly one key exchange belongs to the operator itself (the
+    # event_id exchanges are _events' input repartition)
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_error_impact_interval_join_is_hash_join_not_nested_loop(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_error_impact(spark, SF_DIR))
+    # the bucketed interval join must plan as an equi hash join — a
+    # CartesianProduct/NestedLoop on the raw range predicate is the
+    # failure mode this operator exists to avoid
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) \
+        or ("ShuffledHashJoin" in p)
+    assert count_python_nodes(p) == 0
+
+
+def test_event_gapfill_bounds_broadcast_one_data_shuffle(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_event_gapfill(spark, SF_DIR))
+    # the one-row global min/max bound rides a broadcast, never a
+    # data shuffle; no Python anywhere
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert count_python_nodes(p) == 0
+
+
+def test_domain_pagerank_ranks_join_small_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_domain_pagerank(spark, SF_DIR))
+    assert count_python_nodes(p) == 0
+    # dangling-mass scalar is a broadcast, never a shuffle of ranks
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -1,0 +1,237 @@
+"""Temporal operators (asof_join / interval_join / time_bucket_gapfill)
+against brute-force pure-Python references, plus plan-shape gates."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pii_spark.temporal import (
+    US_PER_HOUR,
+    asof_join,
+    interval_join,
+    time_bucket_gapfill,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+# ---------------------------------------------------------------- asof
+
+
+def _asof_ref(left, right):
+    """left/right: (key, ts_sec, id). Returns {left_id: right_id|None} —
+    newest right with ts <= left ts, ties broken by greatest id."""
+    out = {}
+    for k, lt, lid in left:
+        best = None
+        for rk, rt, rid in right:
+            if rk == k and rt <= lt:
+                cand = (rt, rid)
+                if best is None or cand > best:
+                    best = cand
+        out[lid] = best[1] if best else None
+    return out
+
+
+def test_asof_basic_and_ties(spark):
+    left = [("a", 10, 1), ("a", 20, 2), ("b", 5, 3), ("c", 9, 4)]
+    # two right rows at ts=10 for key a: greater id (102) must win for
+    # the left row at exactly ts=10 (inclusive match)
+    right = [("a", 10, 101), ("a", 10, 102), ("a", 15, 103), ("b", 6, 104)]
+    l = _mk(spark, [(k, _ts(s), i) for k, s, i in left], ["key", "ts", "lid"])
+    r = _mk(spark, [(k, _ts(s), i) for k, s, i in right], ["key", "rts", "rid"])
+    got = {
+        row["lid"]: row["rid_asof"]
+        for row in asof_join(l, r, ["key"], "ts", "rts", ["rid"]).collect()
+    }
+    assert got == _asof_ref(left, right) == {1: 102, 2: 103, 3: None, 4: None}
+
+
+def test_asof_fuzz_vs_reference(spark):
+    rng = random.Random(7)
+    keys = ["k%d" % i for i in range(5)]
+    left = [
+        (rng.choice(keys), rng.randrange(0, 100), i) for i in range(120)
+    ]
+    right = [
+        (rng.choice(keys), rng.randrange(0, 100), 1000 + i)
+        for i in range(150)
+    ]
+    l = _mk(spark, [(k, _ts(s), i) for k, s, i in left], ["key", "ts", "lid"])
+    r = _mk(spark, [(k, _ts(s), i) for k, s, i in right], ["key", "rts", "rid"])
+    out = asof_join(l, r, ["key"], "ts", "rts", ["rid"]).collect()
+    assert len(out) == len(left)
+    got = {row["lid"]: row["rid_asof"] for row in out}
+    assert got == _asof_ref(left, right)
+    # matched timestamp column rides along and agrees with the match
+    rts_by_id = {i: _ts(s) for _, s, i in right}
+    for row in out:
+        want = rts_by_id.get(row["rid_asof"]) if row["rid_asof"] else None
+        assert row["rts_asof"] == want
+
+
+def test_asof_keeps_left_columns_and_payload(spark):
+    l = _mk(spark, [("a", _ts(10), 1, "x")], ["key", "ts", "lid", "note"])
+    r = _mk(
+        spark,
+        [("a", _ts(3), 9, 42.5)],
+        ["key", "rts", "rid", "score"],
+    )
+    row = asof_join(
+        l, r, ["key"], "ts", "rts", ["rid", "score"], tie_col="rid"
+    ).collect()[0]
+    assert (row["note"], row["rid_asof"], row["score_asof"]) == ("x", 9, 42.5)
+
+
+def test_asof_plan_one_exchange_no_join_no_python(spark):
+    l = _mk(spark, [("a", _ts(1), 1)], ["key", "ts", "lid"])
+    r = _mk(spark, [("a", _ts(0), 2)], ["key", "rts", "rid"])
+    plan = (
+        asof_join(l, r, ["key"], "ts", "rts", ["rid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------- interval
+
+
+def _interval_ref(points, intervals):
+    """points: (key, ts, pid); intervals: (key, s, e, iid).
+    Returns sorted (iid, pid) inner matches, [s, e) half-open."""
+    return sorted(
+        (iid, pid)
+        for k, s, e, iid in intervals
+        for pk, t, pid in points
+        if pk == k and s <= t < e
+    )
+
+
+@pytest.mark.parametrize("width_sec", [60, 3600, 7200, 100000])
+def test_interval_join_fuzz_any_bucket_width(spark, width_sec):
+    rng = random.Random(13)
+    keys = ["u%d" % i for i in range(4)]
+    points = [
+        (rng.choice(keys), rng.randrange(0, 50000), i) for i in range(150)
+    ]
+    intervals = []
+    for i in range(40):
+        s = rng.randrange(0, 50000)
+        intervals.append((rng.choice(keys), s, s + rng.randrange(1, 9000),
+                          100 + i))
+    p = _mk(spark, [(k, _ts(t), i) for k, t, i in points],
+            ["key", "ts", "pid"])
+    iv = _mk(spark, [(k, _ts(s), _ts(e), i) for k, s, e, i in intervals],
+             ["key", "s", "e", "iid"])
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in interval_join(
+            p, iv, ["key"], "ts", "s", "e",
+            bucket_width_us=width_sec * 1_000_000,
+        ).collect()
+    )
+    assert got == _interval_ref(points, intervals)
+
+
+def test_interval_join_boundaries_half_open(spark):
+    p = _mk(
+        spark,
+        [("a", _ts(0), 1), ("a", _ts(10), 2), ("a", _ts(9), 3)],
+        ["key", "ts", "pid"],
+    )
+    iv = _mk(spark, [("a", _ts(0), _ts(10), 7)], ["key", "s", "e", "iid"])
+    got = sorted(
+        r["pid"] for r in interval_join(p, iv, ["key"], "ts", "s", "e").collect()
+    )
+    assert got == [1, 3]  # start inclusive, end exclusive
+
+
+def test_interval_join_left_keeps_empty_intervals_once(spark):
+    p = _mk(spark, [("a", _ts(5), 1)], ["key", "ts", "pid"])
+    iv = _mk(
+        spark,
+        # long empty interval spanning many buckets: must survive as
+        # exactly ONE null row despite the bucket explosion
+        [("a", _ts(0), _ts(10), 7), ("b", _ts(0), _ts(40000), 8)],
+        ["key", "s", "e", "iid"],
+    )
+    rows = interval_join(
+        p, iv, ["key"], "ts", "s", "e", how="left"
+    ).collect()
+    by_iid = {}
+    for r in rows:
+        by_iid.setdefault(r["iid"], []).append(r["pid"])
+    assert by_iid == {7: [1], 8: [None]}
+
+
+def test_interval_join_point_column_collision_suffixed(spark):
+    p = _mk(spark, [("a", _ts(5), 1)], ["key", "ts", "iid"])
+    iv = _mk(spark, [("a", _ts(0), _ts(10), 7)], ["key", "s", "e", "iid"])
+    row = interval_join(p, iv, ["key"], "ts", "s", "e").collect()[0]
+    assert row["iid"] == 7 and row["iid_pt"] == 1
+
+
+# ----------------------------------------------------------- gapfill
+
+
+def test_gapfill_locf_dense_spine_and_flags(spark):
+    rows = [
+        ("a", _ts(0), 10.0),
+        ("a", _ts(30), 20.0),          # same bucket as ts=0 (1h buckets)
+        ("a", _ts(3 * 3600), 40.0),    # gap of 2 buckets
+        ("b", _ts(2 * 3600), 7.0),
+    ]
+    df = _mk(spark, rows, ["key", "ts", "v"])
+    out = time_bucket_gapfill(
+        df,
+        ["key"],
+        "ts",
+        US_PER_HOUR,
+        [F.sum(F.round(F.col("v")).cast("long")).alias("v_sum")],
+        locf_cols=["v_sum"],
+    ).collect()
+    got = {
+        (r["key"], r["bucket"]): (r["v_sum"], r["filled"], r["v_sum_locf"])
+        for r in out
+    }
+    b0 = min(b for _, b in got)
+    # global spine: both keys get all 4 buckets
+    assert len(out) == 8
+    assert got[("a", b0)] == (30, 0, 30)
+    assert got[("a", b0 + 1)] == (None, 1, 30)
+    assert got[("a", b0 + 2)] == (None, 1, 30)
+    assert got[("a", b0 + 3)] == (40, 0, 40)
+    assert got[("b", b0)] == (None, 1, None)  # before first obs: NULL
+    assert got[("b", b0 + 2)] == (7, 0, 7)
+    # bucket_ts reconstructs the bucket start
+    for r in out:
+        assert r["bucket_ts"] == dt.datetime.utcfromtimestamp(
+            r["bucket"] * 3600
+        )
+
+
+def test_gapfill_zero_sum_is_not_marked_filled(spark):
+    # a real bucket whose aggregate happens to be 0 must have filled=0:
+    # the marker join, not the agg value, decides
+    rows = [("a", _ts(0), 0.0), ("a", _ts(2 * 3600), 5.0)]
+    df = _mk(spark, rows, ["key", "ts", "v"])
+    out = {
+        r["bucket"] - 473352: (r["v_sum"], r["filled"])
+        for r in time_bucket_gapfill(
+            df, ["key"], "ts", US_PER_HOUR,
+            [F.sum(F.round(F.col("v")).cast("long")).alias("v_sum")],
+        ).collect()
+    }
+    assert out == {0: (0, 0), 1: (None, 1), 2: (5, 0)}
