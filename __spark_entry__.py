@@ -1198,6 +1198,47 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact nearest-rank percentiles (p25/p50/p75/p90) of whitespace
+    # token counts per language — one shuffle, no sketch, engine-exact
+    from pii_spark.quality import exact_group_percentiles
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return exact_group_percentiles(
+        toks, ["lang"], "n_tokens", [25, 50, 75, 90], tiebreak=["doc_id"]
+    ).orderBy("lang")
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton (Z-order) layout keys over (n_chars, doc_id%65536): the
+    # data-skipping sort key for two-column pruning; pure JVM bit
+    # ladder, plus the coarse file bucket the key would land in
+    from pii_spark.curation import zorder_key_col
+
+    docs = _docs(spark, sf_dir)
+    zkey = zorder_key_col(F.col("n_chars"), F.col("doc_id") % 65536)
+    return docs.select(
+        "doc_id",
+        zkey.alias("zkey"),
+        F.shiftright(zkey, 26).cast("long").alias("file_bucket"),
+    ).orderBy("doc_id")
+
+
+def _spread16_sql(e: str) -> str:
+    """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
+    s = f"(({e}) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4/Gopher-style prose ratios: stopword fraction, punctuation
     # fraction, mean word length — pure JVM columns, exact-int ratios
@@ -2730,6 +2771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_impact": q_error_impact,
         "event_gapfill": q_event_gapfill,
         "domain_pagerank": q_domain_pagerank,
+        "lang_token_percentiles": q_lang_token_percentiles,
+        "zorder_layout": q_zorder_layout,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -3192,6 +3235,51 @@ def oracle_sql() -> dict[str, str]:
         # chained-CTE replay of the 5 integer PageRank iterations over
         # the identical doc-derived edge list (see pii_spark/graph.py)
         "domain_pagerank": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iters=5),
+        # nearest-rank percentile replay: row_number over the same
+        # (value, doc_id) total order, value at ceil(p/100*n)
+        "lang_token_percentiles": """
+            WITH t AS (
+                SELECT lang, doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_tokens, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM t
+            )
+            SELECT lang,
+                   CAST(max(CASE WHEN rn = ceil(n * 25 / 100)
+                        THEN n_tokens END) AS BIGINT) AS p25,
+                   CAST(max(CASE WHEN rn = ceil(n * 50 / 100)
+                        THEN n_tokens END) AS BIGINT) AS p50,
+                   CAST(max(CASE WHEN rn = ceil(n * 75 / 100)
+                        THEN n_tokens END) AS BIGINT) AS p75,
+                   CAST(max(CASE WHEN rn = ceil(n * 90 / 100)
+                        THEN n_tokens END) AS BIGINT) AS p90
+            FROM r GROUP BY lang ORDER BY lang
+        """,
+        "zorder_layout": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       least(greatest(n_chars, 0), 65535) AS x,
+                       doc_id % 65536 AS y
+                FROM documents
+            ),
+            z AS (
+                SELECT doc_id,
+                       CAST({_spread16_sql('x')}
+                            | ({_spread16_sql('y')} << 1) AS BIGINT)
+                           AS zkey
+                FROM d
+            )
+            SELECT doc_id, zkey,
+                   CAST(zkey >> 26 AS BIGINT) AS file_bucket
+            FROM z ORDER BY doc_id
+        """,
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'

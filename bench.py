@@ -193,6 +193,8 @@ def main() -> None:
         "error_impact",
         "event_gapfill",
         "domain_pagerank",
+        "lang_token_percentiles",
+        "zorder_layout",
     ]
     qmap = E.queries()
     for name in bench_queries:

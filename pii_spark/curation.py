@@ -896,3 +896,36 @@ def extract_code_fences(
         F.regexp_extract("_block", CODE_FENCE_RE, 1).alias("fence_lang"),
         F.regexp_extract("_block", CODE_FENCE_RE, 2).alias("code"),
     )
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread a 16-bit int's bits into the even bit positions of a
+    32-bit lane (the classic mask-shift interleave ladder)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key_col(x: Column, y: Column) -> Column:
+    """Morton (Z-order) key interleaving two 16-bit dimensions into a
+    32-bit long — the space-filling-curve sort key behind multi-column
+    data-skipping layouts (Delta/Iceberg ``ZORDER BY``): sorting by
+    this key co-locates rows close in BOTH dimensions, so min/max file
+    stats prune scans filtered on either column.
+
+    Pure JVM bit arithmetic (zero Python, zero shuffle of its own);
+    feed it to ``repartitionByRange(zkey)`` + ``sortWithinPartitions``
+    to lay out files at scale.  Inputs are clamped to [0, 65535] —
+    quantize wider domains to 16 bits first (rank- or range-bucketing);
+    finer resolution than the file count is wasted key space.
+    """
+    cx = F.least(F.greatest(x.cast("long"), F.lit(0)), F.lit(0xFFFF))
+    cy = F.least(F.greatest(y.cast("long"), F.lit(0)), F.lit(0xFFFF))
+    return (
+        _spread_bits16(cx)
+        .bitwiseOR(F.shiftleft(_spread_bits16(cy), 1))
+        .cast("long")
+    )

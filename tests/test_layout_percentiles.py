@@ -1,0 +1,88 @@
+"""exact_group_percentiles and zorder_key_col vs pure-Python refs."""
+
+import math
+import random
+
+from pyspark.sql import Row, functions as F
+
+from pii_spark.curation import zorder_key_col
+from pii_spark.quality import exact_group_percentiles
+
+
+def _nearest_rank(values, p):
+    s = sorted(values)
+    return s[math.ceil(p / 100 * len(s)) - 1]
+
+
+def test_percentiles_fuzz_vs_nearest_rank(spark):
+    rng = random.Random(5)
+    rows = [
+        Row(k="g%d" % rng.randrange(3), uid=i, v=rng.randrange(0, 1000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in exact_group_percentiles(
+            df, ["k"], "v", [25, 50, 75, 90], tiebreak=["uid"]
+        ).collect()
+    }
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.v)
+    for k, vs in by_k.items():
+        assert got[k] == tuple(_nearest_rank(vs, p) for p in (25, 50, 75, 90))
+
+
+def test_percentiles_single_element_group(spark):
+    df = spark.createDataFrame([Row(k="a", uid=1, v=42)])
+    r = exact_group_percentiles(
+        df, ["k"], "v", [25, 50, 100], tiebreak=["uid"]
+    ).collect()[0]
+    assert (r["p25"], r["p50"], r["p100"]) == (42, 42, 42)
+
+
+def test_percentiles_plan_single_key_exchange_no_python(spark):
+    df = spark.createDataFrame([Row(k="a", uid=1, v=1)])
+    plan = (
+        exact_group_percentiles(df, ["k"], "v", [50], tiebreak=["uid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _z_ref(x, y):
+    x = min(max(x, 0), 0xFFFF)
+    y = min(max(y, 0), 0xFFFF)
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_fuzz_vs_bit_reference(spark):
+    rng = random.Random(17)
+    pts = [(rng.randrange(-5, 70000), rng.randrange(-5, 70000))
+           for _ in range(300)]
+    pts += [(0, 0), (0xFFFF, 0xFFFF), (1, 0), (0, 1), (-1, 99999)]
+    df = spark.createDataFrame([Row(i=i, x=x, y=y)
+                                for i, (x, y) in enumerate(pts)])
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", zorder_key_col(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _z_ref(x, y)
+
+
+def test_zorder_plan_zero_shuffle_pure_codegen(spark):
+    df = spark.createDataFrame([Row(x=1, y=2)])
+    plan = (
+        df.select(zorder_key_col(F.col("x"), F.col("y")).alias("z"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
