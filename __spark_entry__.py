@@ -1230,6 +1230,25 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# fixed retrieval queries over the corpus vocabulary (BM25 demo set)
+_BM25_QUERIES = {
+    "joins": ["hash", "join", "table"],
+    "streaming": ["stream", "window", "batch"],
+    "sorting": ["sort", "merge", "scan"],
+}
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lexical similarity search: integer-exact BM25 top-5 per query
+    # (rational idf surrogate + fixed floor-division order — the SQL
+    # oracle replays every score bit-for-bit)
+    from pii_spark.retrieval import bm25_topk
+
+    return bm25_topk(
+        spark, _docs(spark, sf_dir), "doc_id", "text", _BM25_QUERIES, k=5
+    ).orderBy("query", "rank")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2773,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "lang_token_percentiles": q_lang_token_percentiles,
         "zorder_layout": q_zorder_layout,
+        "bm25_search": q_bm25_search,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2825,8 +2845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
+    from pii_spark.retrieval import bm25_oracle_sql
 
     return {
+        "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
             m AS (

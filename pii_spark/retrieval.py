@@ -1,0 +1,186 @@
+"""Keyword retrieval over the corpus: integer-exact BM25 top-k.
+
+The similarity-search family (``pii_spark.similarity``) covers the
+embedding side (brute-force cosine, sign-LSH, IVF); this module covers
+the lexical side — the BM25 ranking a curation pipeline uses for
+targeted corpus mining ("pull the k documents most about X") and for
+nearest-benchmark contamination triage.
+
+Engine-exact scoring: classic BM25 needs ``ln`` (idf) and float
+division — neither replays bit-for-bit across engines.  This variant
+keeps BM25's *shape* but replaces each float with a scaled-integer
+rational computed with explicit floor divisions in a fixed order, so a
+SQL engine replays every score exactly:
+
+  idf_x1e6(t)   = ((2*(N - df) + 1) * 1e6) // (2*df + 1)
+                  -- the Robertson idf RATIO (N-df+.5)/(df+.5),
+                  -- without the ln: same zero point and sign, steeper
+                  -- tail; monotone in df, which is what ranking needs
+  avgdl_x1000   = (total_tokens * 1000) // N
+  norm_x1000    = (1000 - b_x1000)
+                  + (b_x1000 * dl * 1000) // avgdl_x1000
+  den_x1000     = tf * 1000 + (k1_x1000 * norm_x1000) // 1000
+  tfc_x1000     = (tf * (k1_x1000 + 1000) * 1000) // den_x1000
+  contrib_x1e6  = (idf_x1e6 * tfc_x1000) // 1000
+
+with defaults k1 = 1.2, b = 0.75 (x1000).  Scores are the integer sum
+of contributions over matched query terms.
+
+Scale shape: tokens are filtered to the query vocabulary BEFORE any
+aggregation (the explode never shuffles non-query terms); df and the
+global (N, total_tokens) stats are one aggregate each, carried as
+broadcast one-row joins; per-(query, doc) scores partial-aggregate
+map-side.  The final top-k is a per-query window — fine for dozens of
+queries over millions of candidate docs; at larger fan-in swap the
+window for a two-phase per-partition heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TOKEN_RE = "[a-z]+"
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 5,
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+) -> DataFrame:
+    """Top-``k`` documents per named query by integer BM25 score.
+
+    Output: ``query, rank, doc (id_col's value), score_x1e6`` — rank is
+    1-based by (score desc, doc asc), a total order, so results are
+    engine-exact end to end.  Documents with zero matched terms never
+    appear (BM25 gives them no score).
+    """
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, t) for q, ts in queries.items() for t in sorted(set(ts))],
+            ["query", "t"],
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("t"),
+    )
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+    )
+    # query-vocabulary gate FIRST: everything downstream is linear in
+    # the matched postings, not the corpus token count
+    qtoks = toks.filter(F.col("t").isin(terms))
+    tf = qtoks.groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(qdf, "t")
+        .join(dl, "doc")
+        .crossJoin(stats)
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"""
+                (((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1))
+                * ((tf * {k1_x1000 + 1000} * 1000) div (
+                    tf * 1000
+                    + ({k1_x1000} * (
+                        (1000 - {b_x1000})
+                        + (({b_x1000} * dl * 1000)
+                           div ((total_tokens * 1000) div n_docs))
+                    )) div 1000
+                )) div 1000
+                """
+            ),
+        )
+        .groupBy("query", "doc")
+        .agg(F.sum("contrib").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score_x1e6").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", "doc", "score_x1e6")
+    )
+
+
+def bm25_oracle_sql(
+    queries: dict[str, list[str]],
+    k: int = 5,
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+    docs_sql: str = "SELECT doc_id AS doc, text FROM documents",
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — identical tokenizer,
+    identical floor-division order, VALUES-inlined query table."""
+    qvals = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in queries.items()
+        for t in sorted(set(ts))
+    )
+    terms = sorted({t for ts in queries.values() for t in ts})
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH d AS ({docs_sql}),
+        toks AS (
+            SELECT doc, unnest(regexp_extract_all(lower(text),
+                '{TOKEN_RE}')) AS t
+            FROM d
+        ),
+        dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_tokens
+            FROM dl
+        ),
+        qs(query, t) AS (VALUES {qvals}),
+        tf AS (
+            SELECT doc, t, CAST(count(*) AS BIGINT) AS tf FROM toks
+            WHERE t IN ({tlist}) GROUP BY doc, t
+        ),
+        df_t AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        scored AS (
+            SELECT qs.query, tf.doc,
+                   CAST(sum(
+                     (((2 * (s.n_docs - df_t.df) + 1) * 1000000)
+                        // (2 * df_t.df + 1))
+                     * ((tf.tf * {k1_x1000 + 1000} * 1000) // (
+                         tf.tf * 1000
+                         + ({k1_x1000} * (
+                             (1000 - {b_x1000})
+                             + (({b_x1000} * dl.dl * 1000)
+                                // ((s.total_tokens * 1000) // s.n_docs))
+                         )) // 1000
+                     )) // 1000
+                   ) AS BIGINT) AS score_x1e6
+            FROM tf
+            JOIN df_t ON df_t.t = tf.t
+            JOIN qs ON qs.t = tf.t
+            JOIN dl ON dl.doc = tf.doc
+            CROSS JOIN stats s
+            GROUP BY qs.query, tf.doc
+        ),
+        ranked AS (
+            SELECT query, doc, score_x1e6,
+                   row_number() OVER (PARTITION BY query
+                       ORDER BY score_x1e6 DESC, doc ASC) AS rank
+            FROM scored
+        )
+        SELECT query, CAST(rank AS INT) AS rank, doc, score_x1e6
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query, rank
+    """

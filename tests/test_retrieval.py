@@ -1,0 +1,104 @@
+"""BM25 retrieval: integer-score parity with a pure-Python reference,
+ranking semantics, and the plan shape (vocab gate + broadcast sides)."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.retrieval import TOKEN_RE, bm25_topk
+
+K1, B = 1200, 750
+
+
+def _py_bm25(docs: dict[str, str], queries: dict[str, list[str]], k: int):
+    """Independent floor-division replay of the scoring spec."""
+    toks = {d: re.findall(TOKEN_RE, t.lower()) for d, t in docs.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n, total = len(dl), sum(dl.values())
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    out = {}
+    for q, terms in queries.items():
+        scores = {}
+        for t in sorted(set(terms)):
+            df = sum(1 for d in tf if tf[d][t] > 0)
+            if df == 0:
+                continue
+            idf = ((2 * (n - df) + 1) * 1_000_000) // (2 * df + 1)
+            for d in tf:
+                f = tf[d][t]
+                if f == 0:
+                    continue
+                norm = (1000 - B) + (B * dl[d] * 1000) // ((total * 1000) // n)
+                tfc = (f * (K1 + 1000) * 1000) // (f * 1000 + (K1 * norm) // 1000)
+                scores[d] = scores.get(d, 0) + (idf * tfc) // 1000
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    return out
+
+
+DOCS = {
+    "a": "hash join beats sort merge join on small tables",
+    "b": "the sort merge scan path spills sort runs to disk",
+    "c": "window functions stream over a batch of sorted rows",
+    "d": "stream stream join with watermark and state store",
+    "e": "no relevant terms here at all",
+}
+QUERIES = {"joins": ["hash", "join"], "sorting": ["sort", "merge", "scan"]}
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(list(DOCS.items()), ["doc_id", "text"])
+    got = {
+        q: [(r["rank"], r["doc"], r["score_x1e6"]) for r in rows]
+        for q, rows in _group(
+            bm25_topk(spark, docs, "doc_id", "text", QUERIES, k=3).collect()
+        ).items()
+    }
+    assert got == _py_bm25(DOCS, QUERIES, k=3)
+
+
+def _group(rows):
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query"], r["rank"])):
+        out.setdefault(r["query"], []).append(r)
+    return out
+
+
+def test_bm25_zero_match_docs_absent(spark):
+    docs = spark.createDataFrame(list(DOCS.items()), ["doc_id", "text"])
+    res = bm25_topk(spark, docs, "doc_id", "text", QUERIES, k=10).collect()
+    assert "e" not in {r["doc"] for r in res}
+
+
+def test_bm25_rank_is_total_order_and_dense(spark):
+    docs = spark.createDataFrame(list(DOCS.items()), ["doc_id", "text"])
+    res = _group(bm25_topk(spark, docs, "doc_id", "text", QUERIES, k=10).collect())
+    for q, rows in res.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [(r["score_x1e6"], r["doc"]) for r in rows]
+        assert scores == sorted(scores, key=lambda sd: (-sd[0], sd[1]))
+
+
+def test_bm25_rarer_term_outscores_common(spark):
+    # 'scan' appears in 1 doc, 'sort' in 2 — with equal tf and dl the
+    # rarer term must contribute a strictly higher idf
+    docs = spark.createDataFrame(
+        [("x", "scan alpha beta"), ("y", "sort alpha beta"), ("z", "sort alpha beta")],
+        ["doc_id", "text"],
+    )
+    res = _group(
+        bm25_topk(spark, docs, "doc_id", "text", {"q": ["scan", "sort"]}, k=3).collect()
+    )["q"]
+    assert res[0]["doc"] == "x"
+
+
+def test_bm25_plan_broadcasts_small_sides(spark):
+    from tests.test_plans import plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    p = plan(bm25_topk(spark, docs, "doc_id", "text", QUERIES, k=5))
+    # df_t / query-map / global stats all ride broadcast, never shuffle
+    assert p.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in p  # stats cross-join is broadcast NLJ
