@@ -1249,6 +1249,28 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query", "rank")
 
 
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strict ordered funnel (earliest-arrival chain): users reaching
+    # each stage strictly after their previous-stage arrival, with
+    # floor-scaled conversion ratios
+    from pii_spark.events import funnel
+
+    return funnel(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", _FUNNEL_STAGES
+    ).orderBy("stage_idx")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly cohort-retention triangle, epoch-anchored periods,
+    # integer-exact retention rates
+    from pii_spark.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2793,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_percentiles": q_lang_token_percentiles,
         "zorder_layout": q_zorder_layout,
         "bm25_search": q_bm25_search,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2845,10 +2869,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
+    from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
     return {
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
+        "funnel_conversion": funnel_oracle_sql(_FUNNEL_STAGES),
+        "cohort_retention": cohort_retention_oracle_sql(),
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
             m AS (

@@ -72,3 +72,217 @@ def session_stats(
             - F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
         ).alias("duration_us"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reached stage *i*
+    strictly AFTER their first arrival at stage *i-1*.
+
+    Semantics (the strict variant most product analytics use): a user
+    counts for stage 0 if they ever emitted ``stages[0]``; for stage
+    ``i>0`` if they emitted ``stages[i]`` at a timestamp strictly
+    greater than their (recursively defined) arrival time at stage
+    ``i-1``, where the arrival time is the EARLIEST qualifying event.
+    Earliest-arrival is the canonical greedy choice: it dominates any
+    other qualifying chain, so "reached stage i" is exact, not a
+    heuristic.
+
+    Output: ``stage_idx, stage, users, conv_from_prev_x10000,
+    conv_from_first_x10000`` — conversions are floor-scaled integers
+    (stage 0 is 10000 by definition) so engines agree bit-for-bit.
+
+    Scale shape: one filtered scan, then ``len(stages)`` hash
+    aggregations keyed by ``user_col`` interleaved with co-partitioned
+    joins — every shuffle is on the same key, so AQE/exchange-reuse
+    keeps the user rows resident; nothing is quadratic.  The stage
+    frontier only shrinks.  At 10¹² events, pre-filter to the stage
+    vocabulary (done here) so the first shuffle carries only funnel
+    events.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.filter(F.col(type_col).isin(stages)).select(
+        F.col(user_col).alias("u"), us.alias("us"), F.col(type_col).alias("t")
+    )
+    cur = (
+        ev.filter(F.col("t") == stages[0]).groupBy("u").agg(F.min("us").alias("at"))
+    )
+    frontiers = [cur]
+    for s in stages[1:]:
+        cur = (
+            ev.filter(F.col("t") == s)
+            .join(cur, "u")
+            .filter(F.col("us") > F.col("at"))
+            .groupBy("u")
+            .agg(F.min("us").alias("at"))
+        )
+        frontiers.append(cur)
+    counts = None
+    for i, (s, fr) in enumerate(zip(stages, frontiers)):
+        row = fr.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"), "users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("users").over(w)
+    first = F.first("users").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return counts.select(
+        "stage_idx",
+        "stage",
+        F.col("users").cast("long").alias("users"),
+        F.when(prev.isNull(), F.lit(10000))
+        .when(prev == 0, F.lit(None))
+        .otherwise(F.expr("users * 10000 div lag(users) over (order by stage_idx)"))
+        .cast("long")
+        .alias("conv_from_prev_x10000"),
+        F.when(first == 0, F.lit(None))
+        .otherwise(
+            F.expr(
+                "users * 10000 div first_value(users) over"
+                " (order by stage_idx)"
+            )
+        )
+        .cast("long")
+        .alias("conv_from_first_x10000"),
+    )
+
+
+def funnel_oracle_sql(
+    stages: list[str],
+    events_sql: str = "SELECT user_id, ts, event_type FROM events",
+) -> str:
+    """DuckDB replay of :func:`funnel`: identical strict-after chain of
+    earliest-arrival CTEs and identical floor divisions."""
+    lits = ", ".join(f"'{s}'" for s in stages)
+    ctes = [
+        f"""s0 AS (
+            SELECT user_id AS u, min(epoch_us(ts)) AS at FROM ev
+            WHERE t = '{stages[0]}' GROUP BY u)"""
+    ]
+    for i, s in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"""s{i} AS (
+            SELECT ev.u, min(ev.us) AS at
+            FROM (SELECT user_id AS u, epoch_us(ts) AS us, t FROM ev) ev
+            JOIN s{i - 1} p ON p.u = ev.u
+            WHERE ev.t = '{s}' AND ev.us > p.at GROUP BY ev.u)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{s}' AS stage,"
+        f" (SELECT count(*) FROM s{i}) AS users"
+        for i, s in enumerate(stages)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_type AS t
+            FROM ({events_sql}) WHERE event_type IN ({lits})
+        ),
+        {', '.join(ctes)},
+        counts AS ({rows})
+        SELECT stage_idx, stage, CAST(users AS BIGINT) AS users,
+               CAST(CASE
+                   WHEN lag(users) OVER (ORDER BY stage_idx) IS NULL
+                       THEN 10000
+                   WHEN lag(users) OVER (ORDER BY stage_idx) = 0 THEN NULL
+                   ELSE users * 10000 // lag(users) OVER (ORDER BY stage_idx)
+               END AS BIGINT) AS conv_from_prev_x10000,
+               CAST(CASE
+                   WHEN first_value(users) OVER (ORDER BY stage_idx) = 0
+                       THEN NULL
+                   ELSE users * 10000
+                        // first_value(users) OVER (ORDER BY stage_idx)
+               END AS BIGINT) AS conv_from_first_x10000
+        FROM counts ORDER BY stage_idx
+    """
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_us: int = WEEK_US,
+) -> DataFrame:
+    """Cohort-retention triangle: users grouped by the epoch-anchored
+    period of their FIRST event; for each (cohort, period-offset) the
+    count of cohort members active in that period and the floor-scaled
+    retention rate vs the cohort size.
+
+    Periods are ``unix_micros // period_us`` — anchored at the Unix
+    epoch, not at the corpus minimum, so the assignment is stable under
+    any subset/filter of the data (a corpus-min anchor re-labels every
+    cohort when one early row is dropped).
+
+    Output: ``cohort_period, period_offset, active_users,
+    retention_x10000`` — offset 0 is by construction the full cohort
+    (retention 10000).
+
+    Scale shape: one agg for first-event period (shuffle on user), one
+    distinct over (user, period) (same key prefix — co-partitioned),
+    one join on user, then a small agg keyed by (cohort, offset).  All
+    integer math; no floats until display.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # integer period index: `div` (not float /) so the floor is exact
+    # even where a double division would round across the boundary
+    ev = df.select(
+        F.col(user_col).alias("u"), us.alias("us")
+    ).select("u", F.expr(f"us div {period_us}").alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        active.join(first, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_period"),
+            "period_offset",
+            "active_users",
+            F.expr("active_users * 10000 div cohort_size").alias(
+                "retention_x10000"
+            ),
+        )
+        .orderBy("cohort_period", "period_offset")
+    )
+
+
+def cohort_retention_oracle_sql(
+    period_us: int = WEEK_US,
+    events_sql: str = "SELECT user_id, ts FROM events",
+) -> str:
+    """DuckDB replay of :func:`cohort_retention`."""
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, epoch_us(ts) // {period_us} AS p
+            FROM ({events_sql})
+        ),
+        first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+        sizes AS (
+            SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort
+        ),
+        active AS (SELECT DISTINCT u, p FROM ev),
+        cells AS (
+            SELECT f.cohort, a.p - f.cohort AS period_offset,
+                   count(*) AS active_users
+            FROM active a JOIN first f ON f.u = a.u
+            GROUP BY 1, 2
+        )
+        SELECT c.cohort AS cohort_period,
+               CAST(c.period_offset AS BIGINT) AS period_offset,
+               CAST(c.active_users AS BIGINT) AS active_users,
+               CAST(c.active_users * 10000 // s.cohort_size AS BIGINT)
+                   AS retention_x10000
+        FROM cells c JOIN sizes s ON s.cohort = c.cohort
+        ORDER BY cohort_period, period_offset
+    """

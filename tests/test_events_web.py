@@ -203,3 +203,97 @@ def test_repetition_fractions_match_hand_counts(spark):
     assert got[2].top2_frac == 1 / 5 and got[2].dup5_frac == 0.0
     # doc 3: shorter than every n → all zero
     assert got[3].top2_frac == 0.0 and got[3].dup5_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def _funnel_df(spark):
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        # u2 clicks BEFORE viewing: click doesn't count, purchase neither
+        (2, _ts(1), "click"), (2, _ts(2), "view"),
+        # u3 views then purchases without click: stops at stage 0
+        (3, _ts(0), "view"), (3, _ts(1), "purchase"),
+        # u4 same-timestamp view+click: strict '>' rejects the click
+        (4, _ts(5), "view"), (4, _ts(5), "click"),
+        # u5 never views
+        (5, _ts(0), "purchase"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_strict_order_and_counts(spark):
+    from pii_spark.events import funnel
+
+    out = funnel(
+        _funnel_df(spark), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    ).orderBy("stage_idx").collect()
+    assert [(r["stage"], r["users"]) for r in out] == [
+        ("view", 4), ("click", 1), ("purchase", 1)
+    ]
+    assert out[0]["conv_from_prev_x10000"] == 10000
+    assert out[1]["conv_from_prev_x10000"] == 2500   # 1*10000 div 4
+    assert out[2]["conv_from_prev_x10000"] == 10000  # 1 of 1
+    assert out[2]["conv_from_first_x10000"] == 2500
+
+
+def test_funnel_earliest_arrival_dominates(spark):
+    # u1 has a late view too; the EARLY view must anchor the chain so
+    # the click between them still converts
+    from pii_spark.events import funnel
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "view")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = funnel(df, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    assert {r["stage"]: r["users"] for r in out} == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    from pii_spark.events import cohort_retention
+
+    week = dt.timedelta(days=7)
+    base = dt.datetime(2024, 1, 4)  # Thursday == epoch-week boundary
+    rows = [
+        # cohort w: u1 active weeks 0,1,2 ; u2 active weeks 0,2
+        (1, base), (1, base + week), (1, base + 2 * week),
+        (2, base + dt.timedelta(days=1)), (2, base + 2 * week),
+        # next-week cohort: u3 active weeks 0,1
+        (3, base + week), (3, base + 2 * week),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = cohort_retention(df, "user_id", "ts").collect()
+    w0 = int(
+        (base - dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+    ) // (7 * 86_400 * 1_000_000)
+    got = {
+        (r["cohort_period"] - w0, r["period_offset"]):
+            (r["active_users"], r["retention_x10000"])
+        for r in out
+    }
+    assert got == {
+        (0, 0): (2, 10000), (0, 1): (1, 5000), (0, 2): (2, 10000),
+        (1, 0): (1, 10000), (1, 1): (1, 10000),
+    }
+
+
+def test_cohort_periods_are_epoch_anchored(spark):
+    # dropping the earliest user must not re-label other cohorts
+    from pii_spark.events import cohort_retention
+
+    rows = [(1, _ts(0)), (2, dt.datetime(2024, 1, 20))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    full = {r["cohort_period"] for r in cohort_retention(df, "user_id", "ts").collect()}
+    sub = {
+        r["cohort_period"]
+        for r in cohort_retention(
+            df.filter(F.col("user_id") == 2), "user_id", "ts"
+        ).collect()
+    }
+    assert sub <= full
