@@ -1271,6 +1271,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), "user_id", "ts")
 
 
+def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket affinity: top-20 part pairs sharing an order, with
+    # exact integer lift; max_basket=6 exercises the quadratic guard
+    # (TPC-H-ish orders run up to 7 lines)
+    from pii_spark.affinity import affinity_topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return affinity_topk(
+        li, "l_orderkey", "l_partkey", k=20, max_basket=6, min_support=1
+    )
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2817,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
+        "copurchase_topk": q_copurchase_topk,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2870,12 +2883,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
     from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
+    from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
     return {
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
         "funnel_conversion": funnel_oracle_sql(_FUNNEL_STAGES),
         "cohort_retention": cohort_retention_oracle_sql(),
+        "copurchase_topk": affinity_topk_oracle_sql(
+            k=20, max_basket=6, min_support=1
+        ),
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
             m AS (

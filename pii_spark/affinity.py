@@ -1,0 +1,161 @@
+"""Market-basket affinity: co-occurrence pair mining with exact
+integer lift.
+
+The curation use-case mirrors retail affinity exactly: "which pairs of
+sources / licenses / detected-pattern kinds co-occur in the same
+document far more than chance" is the same query as "which parts ship
+in the same order".  This module implements the distributive core —
+pair supports and lift — with the scaled-integer discipline the rest of
+the repo uses, so a SQL engine replays every score bit-for-bit:
+
+  lift_x10000 = (support * n_baskets * 10000) // (cnt_a * cnt_b)
+
+Scale shape: the only dangerous step is the within-basket self-join,
+which is quadratic in basket size.  ``max_basket`` bounds it by
+EXCLUDING oversized baskets entirely (deterministic and
+oracle-replayable, unlike sampling items): a basket of 10⁵ items would
+otherwise mint 5·10⁹ pairs on one shuffle key.  With the cap, work is
+O(Σ min(|b|, cap)²) and each pair row carries two item ids — the join
+shuffles on the basket key, the support agg on the pair key, and the
+per-item counts plus the one-row basket total ride broadcast joins.
+Top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def basket_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Distinct ``(b, i)`` membership rows, with baskets holding more
+    than ``max_basket`` distinct items dropped (the quadratic guard)."""
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_basket is None:
+        return items
+    w = Window.partitionBy("b")
+    return (
+        items.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_basket)
+        .drop("_n")
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = 64,
+    min_support: int = 1,
+) -> DataFrame:
+    """Pair supports with exact lift: ``item_a, item_b, support,
+    lift_x10000`` where ``item_a < item_b`` canonically orders each
+    pair.  ``lift > 10000`` means the pair co-occurs more than
+    independence predicts over the capped basket population."""
+    items = basket_items(df, basket_col, item_col, max_basket)
+    stats = F.broadcast(items.agg(F.count_distinct("b").alias("n_baskets")))
+    counts = items.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("x"), items.alias("y")
+    support = (
+        a.join(b, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(
+            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        support.join(
+            F.broadcast(counts.withColumnRenamed("i", "item_a")), "item_a"
+        )
+        .withColumnRenamed("cnt", "cnt_a")
+        .join(F.broadcast(counts.withColumnRenamed("i", "item_b")), "item_b")
+        .withColumnRenamed("cnt", "cnt_b")
+        .crossJoin(stats)
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr(
+                "support * n_baskets * 10000 div (cnt_a * cnt_b)"
+            ).alias("lift_x10000"),
+        )
+    )
+
+
+def affinity_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int,
+    max_basket: int | None = 64,
+    min_support: int = 1,
+) -> DataFrame:
+    """Top-``k`` co-occurring pairs by (support desc, item_a, item_b) —
+    a total order, so ranks are engine-exact.  The limit compiles to
+    TakeOrderedAndProject; the 1-based rank is stamped on the tiny
+    post-limit result."""
+    pairs = cooccurrence_pairs(df, basket_col, item_col, max_basket, min_support)
+    top = pairs.orderBy(
+        F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "item_a", "item_b", "support", "lift_x10000"
+    )
+
+
+def affinity_topk_oracle_sql(
+    k: int,
+    max_basket: int | None = 64,
+    min_support: int = 1,
+    baskets_sql: str = "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem",
+) -> str:
+    """DuckDB replay of :func:`affinity_topk` — same cap-by-exclusion,
+    same canonical pair order, same floor-divided lift."""
+    cap = (
+        f"""capped AS (
+            SELECT b, i FROM (
+                SELECT b, i, count(*) OVER (PARTITION BY b) AS n
+                FROM items
+            ) WHERE n <= {max_basket}
+        )"""
+        if max_basket is not None
+        else "capped AS (SELECT b, i FROM items)"
+    )
+    return f"""
+        WITH items AS (SELECT DISTINCT b, i FROM ({baskets_sql})),
+        {cap},
+        stats AS (SELECT count(DISTINCT b) AS n_baskets FROM capped),
+        counts AS (SELECT i, count(*) AS cnt FROM capped GROUP BY i),
+        support AS (
+            SELECT x.i AS item_a, y.i AS item_b, count(*) AS support
+            FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+            GROUP BY 1, 2
+            HAVING count(*) >= {min_support}
+        ),
+        scored AS (
+            SELECT s.item_a, s.item_b,
+                   CAST(s.support AS BIGINT) AS support,
+                   CAST(s.support * st.n_baskets * 10000
+                        // (ca.cnt * cb.cnt) AS BIGINT) AS lift_x10000
+            FROM support s
+            JOIN counts ca ON ca.i = s.item_a
+            JOIN counts cb ON cb.i = s.item_b
+            CROSS JOIN stats st
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY support DESC, item_a, item_b) AS INT) AS rank,
+               item_a, item_b, support, lift_x10000
+        FROM scored
+        ORDER BY support DESC, item_a, item_b
+        LIMIT {k}
+    """

@@ -1,0 +1,62 @@
+"""Market-basket affinity: hand-computed supports/lift, the
+max_basket quadratic guard, and the plan shape."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.affinity import affinity_topk, basket_items, cooccurrence_pairs
+
+BASKETS = [
+    (1, "a"), (1, "b"), (1, "c"),
+    (2, "a"), (2, "b"),
+    (3, "a"), (3, "c"),
+    (4, "d"), (4, "d"),  # duplicate membership rows collapse
+]
+
+
+def test_pair_supports_and_lift_exact(spark):
+    df = spark.createDataFrame(BASKETS, ["b", "i"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["lift_x10000"])
+        for r in cooccurrence_pairs(df, "b", "i", max_basket=None).collect()
+    }
+    # n_baskets=4; cnt a=3 b=2 c=2 d=1
+    assert got == {
+        ("a", "b"): (2, 2 * 4 * 10000 // (3 * 2)),
+        ("a", "c"): (2, 2 * 4 * 10000 // (3 * 2)),
+        ("b", "c"): (1, 1 * 4 * 10000 // (2 * 2)),
+    }
+
+
+def test_max_basket_excludes_whole_basket(spark):
+    df = spark.createDataFrame(BASKETS, ["b", "i"])
+    kept = basket_items(df, "b", "i", max_basket=2).collect()
+    assert {r["b"] for r in kept} == {2, 3, 4}  # basket 1 (3 items) dropped
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(df, "b", "i", max_basket=2).collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_topk_rank_total_order(spark):
+    df = spark.createDataFrame(BASKETS, ["b", "i"])
+    rows = affinity_topk(df, "b", "i", k=2, max_basket=None).collect()
+    assert [(r["rank"], r["item_a"], r["item_b"]) for r in rows] == [
+        (1, "a", "b"), (2, "a", "c")  # support tie broken by item ids
+    ]
+
+
+def test_min_support_filters(spark):
+    df = spark.createDataFrame(BASKETS, ["b", "i"])
+    rows = cooccurrence_pairs(df, "b", "i", max_basket=None, min_support=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in rows} == {("a", "b"), ("a", "c")}
+
+
+def test_affinity_plan_broadcasts_and_take_ordered(spark):
+    from tests.test_plans import plan
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    p = plan(affinity_topk(li, "l_orderkey", "l_partkey", k=20, max_basket=6))
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert p.count("BroadcastExchange") >= 2  # item counts + basket total
+    assert "CartesianProduct" not in p
