@@ -1283,6 +1283,26 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # structured-PII release audit: k-anonymity equivalence classes
+    # over (nation, $2500 balance bracket) with l-diversity on the
+    # market segment; integer-cents bucketing keeps engines bit-equal
+    from pii_spark.privacy import generalize_numeric, k_anonymity_classes
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    df = c.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        generalize_numeric(cents, width=250_000, shift=100_000).alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return k_anonymity_classes(
+        df, ["nation", "bal_bucket"], k=5, sensitive_col="seg"
+    ).orderBy("nation", "bal_bucket")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2830,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "copurchase_topk": q_copurchase_topk,
+        "k_anonymity": q_k_anonymity,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2884,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
     from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
     from pii_spark.affinity import affinity_topk_oracle_sql
+    from pii_spark.privacy import k_anonymity_classes_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
     return {
@@ -2892,6 +2914,15 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_oracle_sql(),
         "copurchase_topk": affinity_topk_oracle_sql(
             k=20, max_basket=6, min_support=1
+        ),
+        "k_anonymity": k_anonymity_classes_oracle_sql(
+            quasi_sql=[
+                "CAST(c_nationkey AS BIGINT) AS nation",
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                " // 250000 AS bal_bucket",
+            ],
+            k=5,
+            sensitive_sql="c_mktsegment",
         ),
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),

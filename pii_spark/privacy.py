@@ -1,0 +1,145 @@
+"""k-anonymity / l-diversity auditing over tabular quasi-identifiers.
+
+The detection side of this repo finds PII *inside text*
+(``pii_spark.detect``); this module covers the complementary structured
+risk: a table whose quasi-identifier combination (nation × balance
+bracket × segment …) isolates individuals even after direct identifiers
+are masked.  Sweeney's k-anonymity is the standard gate — every
+released row must share its quasi-identifier tuple with at least
+``k-1`` others — and l-diversity strengthens it (each equivalence class
+must carry at least ``l`` distinct sensitive values, or the class leaks
+the attribute even at size ≥ k).
+
+Everything is a single hash aggregation keyed by the quasi columns
+(map-side partial agg; no row explosion) plus, for :func:`k_anonymize`,
+one join of the class verdicts back to the rows — broadcast when the
+class table is small (usually: classes ≪ rows), else it co-partitions
+with the row shuffle.  Counts are exact, not sketched: suppression is a
+release decision, and an undercounted class would leak.
+
+``generalize_numeric`` is the ladder step audits iterate on: coarsen a
+numeric column into fixed-width buckets until the table passes.  The
+bucket index uses integer ``div`` on shifted micro-units so engines
+agree bit-for-bit at every negative/boundary value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def generalize_numeric(
+    col: Column, width: int, shift: int = 0
+) -> Column:
+    """Fixed-width bucket index ``(col + shift) div width`` over an
+    integer column.  ``shift`` must move the domain non-negative so
+    truncating and flooring division agree across engines.  Computed
+    as ``(x - pmod(x, width)) / width``: the numerator is an exact
+    multiple of ``width``, so the IEEE division is exact — no
+    float-boundary risk."""
+    x = col + F.lit(shift)
+    return ((x - F.pmod(x, F.lit(width))) / width).cast("long")
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Equivalence-class audit: one row per distinct quasi-identifier
+    tuple with ``class_size``, ``suppressed`` (size < k) and — when a
+    ``sensitive_col`` is given — ``l_distinct``, the class's sensitive
+    diversity (nulls count as one value, matching COUNT DISTINCT)."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l_distinct"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    cols = [*quasi_cols, "class_size", (F.col("class_size") < k).alias("suppressed")]
+    if sensitive_col is not None:
+        cols.append("l_distinct")
+    return out.select(*cols)
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    broadcast_classes: bool = True,
+) -> DataFrame:
+    """Suppression release: the input rows minus every row whose
+    quasi-identifier class has fewer than ``k`` members.  Schema is
+    preserved.  ``broadcast_classes=False`` switches the verdict join
+    to a shuffle join for quasi spaces too large to broadcast."""
+    verdicts = k_anonymity_classes(df, quasi_cols, k).filter(
+        ~F.col("suppressed")
+    ).select(*quasi_cols)
+    if broadcast_classes:
+        verdicts = F.broadcast(verdicts)
+    return df.join(verdicts, quasi_cols, "left_semi")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+    l: int | None = None,
+) -> DataFrame:
+    """One-row release summary: class/row totals, suppressed
+    class/row counts, the achieved k (smallest surviving class) and —
+    with ``sensitive_col`` — the count of size-passing classes that
+    still fail ``l``-diversity."""
+    classes = k_anonymity_classes(df, quasi_cols, k, sensitive_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("suppressed").cast("long")).alias("suppressed_classes"),
+        F.sum(F.when(F.col("suppressed"), F.col("class_size")).otherwise(0)).alias(
+            "suppressed_rows"
+        ),
+        F.sum(F.when(~F.col("suppressed"), F.col("class_size")).otherwise(0)).alias(
+            "released_rows"
+        ),
+        F.min(F.when(~F.col("suppressed"), F.col("class_size"))).alias(
+            "achieved_k"
+        ),
+    ]
+    if sensitive_col is not None and l is not None:
+        aggs.append(
+            F.sum(
+                F.when(
+                    ~F.col("suppressed") & (F.col("l_distinct") < l), 1
+                ).otherwise(0)
+            ).alias("low_diversity_classes")
+        )
+    return classes.agg(*aggs)
+
+
+def k_anonymity_classes_oracle_sql(
+    quasi_sql: list[str],
+    k: int,
+    sensitive_sql: str | None = None,
+    rows_sql: str = "SELECT * FROM customer",
+) -> str:
+    """DuckDB replay of :func:`k_anonymity_classes` (quasi expressions
+    given as SQL, aliased to their Spark-side output names)."""
+    quasi_names = [q.split(" AS ")[-1].strip() for q in quasi_sql]
+    sens = (
+        f", count(DISTINCT {sensitive_sql}) AS l_distinct"
+        if sensitive_sql is not None
+        else ""
+    )
+    sens_out = ", l_distinct" if sensitive_sql is not None else ""
+    return f"""
+        WITH rows_in AS ({rows_sql}),
+        classes AS (
+            SELECT {', '.join(quasi_sql)},
+                   CAST(count(*) AS BIGINT) AS class_size{sens}
+            FROM rows_in
+            GROUP BY {', '.join(str(i + 1) for i in range(len(quasi_sql)))}
+        )
+        SELECT {', '.join(quasi_names)}, class_size,
+               class_size < {k} AS suppressed{sens_out}
+        FROM classes
+        ORDER BY {', '.join(quasi_names)}
+    """

@@ -1,0 +1,75 @@
+"""k-anonymity / l-diversity: hand-computed classes, suppression
+release semantics, generalization exactness, and the report row."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.privacy import (
+    generalize_numeric,
+    k_anonymity_classes,
+    k_anonymity_report,
+    k_anonymize,
+)
+
+ROWS = [
+    # (zip3, age_band, disease)
+    ("021", "20s", "flu"), ("021", "20s", "flu"), ("021", "20s", "cold"),
+    ("021", "30s", "flu"),                      # singleton class
+    ("946", "20s", "flu"), ("946", "20s", "flu"),  # size 2, l=1
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, ["zip3", "age", "disease"])
+
+
+def test_classes_sizes_suppression_and_l(spark):
+    got = {
+        (r["zip3"], r["age"]): (r["class_size"], r["suppressed"], r["l_distinct"])
+        for r in k_anonymity_classes(
+            _df(spark), ["zip3", "age"], k=2, sensitive_col="disease"
+        ).collect()
+    }
+    assert got == {
+        ("021", "20s"): (3, False, 2),
+        ("021", "30s"): (1, True, 1),
+        ("946", "20s"): (2, False, 1),
+    }
+
+
+def test_k_anonymize_suppresses_small_classes(spark):
+    out = k_anonymize(_df(spark), ["zip3", "age"], k=2)
+    assert out.columns == ["zip3", "age", "disease"]  # schema preserved
+    assert out.count() == 5
+    assert out.filter((F.col("zip3") == "021") & (F.col("age") == "30s")).count() == 0
+    # k larger than every class suppresses everything
+    assert k_anonymize(_df(spark), ["zip3", "age"], k=10).count() == 0
+
+
+def test_k_anonymize_shuffle_join_path_agrees(spark):
+    a = k_anonymize(_df(spark), ["zip3", "age"], k=2, broadcast_classes=True)
+    b = k_anonymize(_df(spark), ["zip3", "age"], k=2, broadcast_classes=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_report_row(spark):
+    r = k_anonymity_report(
+        _df(spark), ["zip3", "age"], k=2, sensitive_col="disease", l=2
+    ).collect()[0]
+    assert (
+        r["n_classes"], r["suppressed_classes"], r["suppressed_rows"],
+        r["released_rows"], r["achieved_k"], r["low_diversity_classes"],
+    ) == (3, 1, 1, 5, 2, 1)  # the 946/20s class passes k but fails l=2
+
+
+def test_generalize_numeric_exact_boundaries(spark):
+    df = spark.createDataFrame(
+        [(-100000,), (-1,), (0,), (249999,), (250000,), (999999,)], ["x"]
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            generalize_numeric(F.col("x"), width=250_000, shift=100_000).alias("b")
+        ).collect()
+    ]
+    # shifted domain: 0, 99999, 100000, 349999, 350000, 1099999
+    assert got == [0, 0, 0, 1, 1, 4]
