@@ -1303,6 +1303,18 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", "bal_bucket")
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust anomaly census: per-event-type median/MAD over integer
+    # cents, 5-MAD outlier rule, everything nearest-rank exact
+    from pii_spark.quality import mad_outlier_stats
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outlier_stats(ev, ["event_type"], "cents").orderBy("event_type")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2851,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "copurchase_topk": q_copurchase_topk,
         "k_anonymity": q_k_anonymity,
+        "value_outliers": q_value_outliers,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2906,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
     from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.privacy import k_anonymity_classes_oracle_sql
+    from pii_spark.quality import mad_outlier_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
     return {
@@ -2914,6 +2928,12 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_oracle_sql(),
         "copurchase_topk": affinity_topk_oracle_sql(
             k=20, max_basket=6, min_support=1
+        ),
+        "value_outliers": mad_outlier_oracle_sql(
+            key_sql="event_type",
+            value_sql="CAST(round(value * 100) AS BIGINT)",
+            rows_sql="SELECT event_type, value FROM events",
+            key_name="event_type",
         ),
         "k_anonymity": k_anonymity_classes_oracle_sql(
             quasi_sql=[
