@@ -1315,6 +1315,43 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(ev, ["event_type"], "cents").orderBy("event_type")
 
 
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD-2 dimension build: per-user event-type runs as half-open
+    # validity intervals, exact integer microseconds
+    from pii_spark.temporal import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    return (
+        scd2_intervals(
+            ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+        )
+        .withColumnRenamed("event_type", "state")
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact triangle/wedge census (degree-ordered orientation) of the
+    # near-duplicate pair graph — the structural view of dup clusters
+    from pii_spark.graph import triangle_census
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text3", num_hashes=128, bands=32, verify_threshold=0.8
+    )
+    return triangle_census(pairs, "doc_a", "doc_b")
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle-skew census of a prospective join key (docs/SCALE.md's
+    # measurement side): exact max/mean ratio, Gini, and the salt
+    # factor that bounds the heaviest key to the target task size
+    from pii_spark.diagnostics import key_skew_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew_stats(li, ["l_partkey"], target_rows_per_task=10)
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2864,6 +2901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_topk": q_copurchase_topk,
         "k_anonymity": q_k_anonymity,
         "value_outliers": q_value_outliers,
+        "user_state_history": q_user_state_history,
+        "triangle_census": q_triangle_census,
+        "key_skew_audit": q_key_skew_audit,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2919,7 +2959,10 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
     from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.privacy import k_anonymity_classes_oracle_sql
+    from pii_spark.diagnostics import key_skew_oracle_sql
+    from pii_spark.graph import triangle_census_oracle_sql
     from pii_spark.quality import mad_outlier_oracle_sql
+    from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
     return {
@@ -2928,6 +2971,24 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_oracle_sql(),
         "copurchase_topk": affinity_topk_oracle_sql(
             k=20, max_basket=6, min_support=1
+        ),
+        "user_state_history": scd2_oracle_sql(
+            key_sql="user_id",
+            ts_sql="ts",
+            state_sql="event_type",
+            rows_sql="SELECT user_id, ts, event_type, event_id FROM events",
+            key_name="user_id",
+            tiebreak_sql="event_id",
+        ),
+        "triangle_census": triangle_census_oracle_sql(
+            f"WITH {_JACCARD_PAIRS_CTES}"
+            " SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            " WHERE jac >= 0.8"
+        ),
+        "key_skew_audit": key_skew_oracle_sql(
+            key_sql="l_partkey",
+            rows_sql="SELECT l_partkey FROM lineitem",
+            target_rows_per_task=10,
         ),
         "value_outliers": mad_outlier_oracle_sql(
             key_sql="event_type",

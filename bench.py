@@ -195,6 +195,15 @@ def main() -> None:
         "domain_pagerank",
         "lang_token_percentiles",
         "zorder_layout",
+        "bm25_search",
+        "funnel_conversion",
+        "cohort_retention",
+        "copurchase_topk",
+        "k_anonymity",
+        "value_outliers",
+        "user_state_history",
+        "triangle_census",
+        "key_skew_audit",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1,0 +1,133 @@
+"""Shuffle-key skew diagnostics: measure before you salt.
+
+docs/SCALE.md derives the salting rule this repo uses for skewed
+joins/aggregations; this module is the measurement side — an exact
+census of a prospective shuffle key so the decision ("salt this key by
+s", "broadcast instead", "fine as-is") is made from numbers, not
+folklore.  At 10¹² rows you run this on a hash-sampled slice
+(``pii_spark.curation.hash_sample``), at audit time on the full table.
+
+All statistics are scaled integers with fixed floor-division order so a
+SQL engine replays them bit-for-bit:
+
+  skew_x100   = max_key_rows * n_keys * 100 // n_rows     (max / mean)
+  gini_x10000 = (2*Σ i·cᵢ - (n+1)·Σcᵢ) * 10000 // (n·Σcᵢ)
+                 over counts cᵢ sorted ascending, i = 1..n
+
+Scale shape: one hash aggregation on the key (map-side partial), then
+statistics over the (much smaller) per-key count table — the Gini rank
+is a window sort over keys, not rows.  Ties in the count sort permute
+only equal values, so Σ i·cᵢ is order-independent and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def key_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key row counts — the raw material for every skew metric."""
+    return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def heavy_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
+    """Top-``k`` keys by row count (ties by key, a total order) with
+    each key's load share ``share_x10000``.  Compiles to
+    TakeOrderedAndProject — no global sort."""
+    counts = key_counts(df, key_cols)
+    total = F.broadcast(counts.agg(F.sum("cnt").alias("n_rows")))
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.crossJoin(total).orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        *key_cols,
+        "cnt",
+        F.expr("cnt * 10000 div n_rows").alias("share_x10000"),
+    )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """One-row skew audit of a prospective shuffle key:
+
+    ``n_rows, n_keys, max_key_rows, skew_x100, gini_x10000,
+    recommended_salt`` — the salt is ``ceil(max_key_rows /
+    target_rows_per_task)``: the factor that splits the heaviest key
+    into tasks of at most the target size (1 = no salting needed).
+    """
+    counts = key_counts(df, key_cols)
+    w = Window.orderBy(F.col("cnt").asc())
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("max(cnt) * count(1) * 100 div sum(cnt)").alias("skew_x100"),
+        F.expr(
+            "(2 * sum(i * cnt) - (count(1) + 1) * sum(cnt)) * 10000"
+            " div (count(1) * sum(cnt))"
+        ).alias("gini_x10000"),
+        F.expr(
+            f"(max(cnt) + {target_rows_per_task} - 1)"
+            f" div {target_rows_per_task}"
+        ).alias("recommended_salt"),
+    )
+
+
+def key_skew_oracle_sql(
+    key_sql: str,
+    rows_sql: str,
+    target_rows_per_task: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`key_skew_stats`."""
+    t = target_rows_per_task
+    return f"""
+        WITH counts AS (
+            SELECT {key_sql} AS k, count(*) AS cnt
+            FROM ({rows_sql}) GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt ASC) AS i
+            FROM counts
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_key_rows,
+               CAST(max(cnt) * count(*) * 100 // sum(cnt) AS BIGINT)
+                   AS skew_x100,
+               CAST((2 * sum(i * cnt) - (count(*) + 1) * sum(cnt)) * 10000
+                    // (count(*) * sum(cnt)) AS BIGINT) AS gini_x10000,
+               CAST((max(cnt) + {t} - 1) // {t} AS BIGINT)
+                   AS recommended_salt
+        FROM ranked
+    """
+
+
+def heavy_keys_oracle_sql(
+    key_sql: str,
+    rows_sql: str,
+    k: int = 20,
+    key_name: str = "k",
+) -> str:
+    """DuckDB replay of :func:`heavy_keys`."""
+    return f"""
+        WITH counts AS (
+            SELECT {key_sql} AS k, count(*) AS cnt
+            FROM ({rows_sql}) GROUP BY 1
+        ),
+        total AS (SELECT sum(cnt) AS n_rows FROM counts)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, k ASC) AS INT)
+                   AS rank,
+               k AS {key_name},
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt * 10000 // n_rows AS BIGINT) AS share_x10000
+        FROM counts CROSS JOIN total
+        ORDER BY cnt DESC, k ASC
+        LIMIT {k}
+    """

@@ -164,3 +164,138 @@ def pagerank_oracle_sql(
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
         " ORDER BY node"
     )
+
+
+def triangle_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle / wedge census of an undirected graph with the
+    global clustering coefficient, one output row:
+
+      ``n_nodes, n_edges, n_wedges, n_triangles, global_cc_x10000``
+      where ``global_cc = 3 * triangles / wedges`` (floor-scaled).
+
+    Algorithm: degree-ordered orientation (the MapReduce-classic
+    Suri–Vassilvitskii scheme).  Each undirected edge is oriented from
+    its lower-(degree, id) endpoint to the higher one, which turns every
+    triangle into exactly one directed wedge ``u→v, u→w`` plus the
+    closing edge ``v→w`` — so one self-join on the wedge pivot and one
+    semi-join against the oriented edge set counts each triangle once.
+
+    Scale shape: orientation bounds every node's out-degree by
+    O(√m), so the wedge join materializes O(m^{3/2}) candidate rows in
+    the worst case instead of Σ deg² (a star graph: the hub's wedges
+    all vanish because the hub ranks highest).  Shuffles are keyed by
+    the wedge pivot and by the (v, w) pair; both carry two ids.
+    Wedge totals come straight from the degree table: Σ C(deg, 2).
+
+    Input may contain duplicates, self-loops, or both directions of an
+    edge — all normalized away up front.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint outward
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        und.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    tri = wedges.join(
+        e3,
+        # the closing oriented edge runs either direction between x, y
+        ((F.col("e3.u") == F.col("x")) & (F.col("e3.v") == F.col("y")))
+        | ((F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("x"))),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN NULL"
+            " ELSE 3 * n_triangles * 10000 div n_wedges END"
+        ).alias("global_cc_x10000"),
+    )
+
+
+def triangle_census_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`triangle_census` — same normalization,
+    same degree-ordered orientation, same closing-edge join."""
+    return f"""
+        WITH und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({edges_sql}) WHERE src <> dst
+        ),
+        deg AS (
+            SELECT n, count(*) AS deg FROM (
+                SELECT a AS n FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY n
+        ),
+        oriented AS (
+            SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+                   CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v
+            FROM und
+            JOIN deg da ON da.n = und.a
+            JOIN deg db ON db.n = und.b
+        ),
+        wedges AS (
+            SELECT e1.v AS x, e2.v AS y
+            FROM oriented e1 JOIN oriented e2
+              ON e1.u = e2.u AND e1.v < e2.v
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM wedges w JOIN oriented e3
+              ON (e3.u = w.x AND e3.v = w.y) OR (e3.u = w.y AND e3.v = w.x)
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM und) AS n_edges,
+                   (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS n_wedges
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN n_wedges = 0 THEN NULL
+                    ELSE 3 * n_triangles * 10000 // n_wedges END AS BIGINT)
+                   AS global_cc_x10000
+        FROM stats CROSS JOIN tri
+    """

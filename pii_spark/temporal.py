@@ -274,3 +274,106 @@ def time_bucket_gapfill(
     return out.withColumn(
         "bucket_ts", bucket_start(F.col("__bucket"), w)
     ).withColumnRenamed("__bucket", "bucket")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse a
+    per-key event stream into validity intervals — one row per maximal
+    run of consecutive events whose ``state_cols`` are unchanged.
+
+    Output: ``key_cols + state_cols + valid_from_us, valid_to_us,
+    n_events`` where ``valid_from_us`` is the first event of the run,
+    ``valid_to_us`` the start of the NEXT run (the half-open
+    ``[from, to)`` convention warehouses use) and NULL for the current
+    (open) interval.  Null state values compare null-safely: null→null
+    is "unchanged", null→value is a change.
+
+    Scale shape: one shuffle keyed by ``key_cols`` drives all three
+    windows (change flag via lag, run id via running sum, valid_to via
+    lead) — Catalyst plans a single sort; the groupBy that collapses
+    runs reuses the same partitioning.  Skewed keys sort in one task:
+    pre-split by time range first at 10¹² events.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    run = F.sum(
+        F.when(F.lag(order[0]).over(w).isNull() | changed, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (
+        df.withColumn("__us", us)
+        .withColumn("__run", run)
+        .select(*key_cols, *state_cols, "__us", "__run")
+    )
+    intervals = runs.groupBy(*key_cols, "__run").agg(
+        *[F.first(c).alias(c) for c in state_cols],
+        F.min("__us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from_us")
+    return intervals.select(
+        *key_cols,
+        *state_cols,
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+def scd2_oracle_sql(
+    key_sql: str,
+    ts_sql: str,
+    state_sql: str,
+    rows_sql: str,
+    key_name: str = "k",
+    state_name: str = "state",
+    tiebreak_sql: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`scd2_intervals` for a single key and a
+    single state column (the driver-query shape).  ``tiebreak_sql``
+    completes the within-key total order for equal timestamps, exactly
+    like the Spark side's ``tiebreak``."""
+    tb_sel = f", {tiebreak_sql} AS tb" if tiebreak_sql else ""
+    tb_ord = ", tb" if tiebreak_sql else ""
+    return f"""
+        WITH ev AS (
+            SELECT {key_sql} AS k, epoch_us({ts_sql}) AS us,
+                   {state_sql} AS st{tb_sel}
+            FROM ({rows_sql})
+        ),
+        flagged AS (
+            SELECT k, us, st{tb_ord},
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR st IS DISTINCT FROM lag(st) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM ev
+            WINDOW w AS (PARTITION BY k ORDER BY us{tb_ord})
+        ),
+        runs AS (
+            SELECT k, us, st,
+                   sum(chg) OVER (PARTITION BY k ORDER BY us{tb_ord}
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM flagged
+        ),
+        intervals AS (
+            SELECT k, run, min(st) AS st, min(us) AS valid_from_us,
+                   count(*) AS n_events
+            FROM runs GROUP BY k, run
+        )
+        SELECT k AS {key_name}, st AS {state_name},
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(lead(valid_from_us) OVER (PARTITION BY k
+                   ORDER BY valid_from_us) AS BIGINT) AS valid_to_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM intervals
+        ORDER BY k, valid_from_us
+    """

@@ -1,0 +1,130 @@
+"""Triangle census, skew diagnostics, SCD-2 intervals: hand-computed
+fixtures plus degenerate shapes (stars, constant keys, open runs)."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.diagnostics import heavy_keys, key_skew_stats
+from pii_spark.graph import triangle_census
+from pii_spark.temporal import scd2_intervals
+
+import datetime as dt
+
+
+# ---------------------------------------------------------------------------
+# triangle_census
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_k4_complete_graph(spark):
+    # K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, cc = 3*4/12 = 1
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = triangle_census(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4
+    )
+    assert r["global_cc_x10000"] == 10000
+
+
+def test_triangle_star_has_none(spark):
+    # star: hub 0 with 5 leaves — wedges but zero triangles, and the
+    # degree orientation gives the hub no out-edges (the scale point)
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    r = triangle_census(df).collect()[0]
+    assert (r["n_wedges"], r["n_triangles"], r["global_cc_x10000"]) == (10, 0, 0)
+
+
+def test_triangle_normalizes_dirty_input(spark):
+    # duplicates, reversed duplicates, and self-loops collapse away
+    rows = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    r = triangle_census(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_two_shared_edges_triangles(spark):
+    # bowtie: triangles {1,2,3} and {3,4,5} share node 3
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    r = triangle_census(df).collect()[0]
+    assert r["n_triangles"] == 2
+
+
+# ---------------------------------------------------------------------------
+# key skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark):
+    rows = [("hot",)] * 6 + [("a",), ("b",), ("c",)]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def test_key_skew_stats_hand_computed(spark):
+    r = key_skew_stats(_skewed(spark), ["k"], target_rows_per_task=2).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (9, 4, 6)
+    assert r["skew_x100"] == 6 * 4 * 100 // 9  # max/mean = 2.66x
+    # counts asc [1,1,1,6]: gini = (2*(1+2+3+24) - 5*9)*10000 // (4*9)
+    assert r["gini_x10000"] == (2 * 30 - 45) * 10000 // 36
+    assert r["recommended_salt"] == 3  # ceil(6/2)
+
+
+def test_key_skew_uniform_needs_no_salt(spark):
+    df = spark.createDataFrame([(k,) for k in "abcd"], ["k"])
+    r = key_skew_stats(df, ["k"], target_rows_per_task=10).collect()[0]
+    assert (r["skew_x100"], r["gini_x10000"], r["recommended_salt"]) == (100, 0, 1)
+
+
+def test_heavy_keys_rank_and_share(spark):
+    rows = heavy_keys(_skewed(spark), ["k"], k=2).collect()
+    assert [(r["rank"], r["k"], r["cnt"], r["share_x10000"]) for r in rows] == [
+        (1, "hot", 6, 6666), (2, "a", 1, 1111)  # tie a/b/c broken by key
+    ]
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_scd2_runs_collapse_and_halfopen(spark):
+    rows = [
+        (1, _ts(0), "free"), (1, _ts(1), "free"),
+        (1, _ts(2), "paid"),
+        (1, _ts(3), "free"),  # back to a previous state = NEW run
+        (2, _ts(0), "paid"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    out = scd2_intervals(df, ["u"], "ts", ["s"]).orderBy("u", "valid_from_us")
+    got = [
+        (r["u"], r["s"], r["n_events"], r["valid_to_us"] is None)
+        for r in out.collect()
+    ]
+    assert got == [
+        (1, "free", 2, False), (1, "paid", 1, False), (1, "free", 1, True),
+        (2, "paid", 1, True),
+    ]
+    rows_c = out.collect()
+    # half-open: each valid_to equals the next interval's valid_from
+    assert rows_c[0]["valid_to_us"] == rows_c[1]["valid_from_us"]
+    assert rows_c[1]["valid_to_us"] == rows_c[2]["valid_from_us"]
+
+
+def test_scd2_null_state_transitions(spark):
+    rows = [(1, _ts(0), None), (1, _ts(1), None), (1, _ts(2), "x")]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    out = scd2_intervals(df, ["u"], "ts", ["s"]).collect()
+    assert [(r["s"], r["n_events"]) for r in out] == [(None, 2), ("x", 1)]
+
+
+def test_scd2_multi_state_any_change_splits(spark):
+    rows = [(1, _ts(0), "a", 1), (1, _ts(1), "a", 2), (1, _ts(2), "a", 2)]
+    df = spark.createDataFrame(rows, ["u", "ts", "s1", "s2"])
+    out = scd2_intervals(df, ["u"], "ts", ["s1", "s2"]).collect()
+    assert [(r["s1"], r["s2"], r["n_events"]) for r in out] == [
+        ("a", 1, 1), ("a", 2, 2)
+    ]
