@@ -1352,6 +1352,45 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_stats(li, ["l_partkey"], target_rows_per_task=10)
 
 
+def q_range_partition_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact equi-depth cut points over doc length — the deterministic
+    # version of repartitionByRange's sampled boundaries, for
+    # reproducible write layouts
+    from pii_spark.curation import range_boundaries
+
+    return range_boundaries(_docs(spark, sf_dir), "n_chars", buckets=8)
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact FK-orphan census across the star schema (anti-joins; the
+    # parent side broadcasts when small, AQE decides otherwise)
+    from pii_spark.diagnostics import referential_audit
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    return referential_audit(
+        [
+            ("lineitem_orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("lineitem_part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+            ("lineitem_supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+            ("orders_customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("customer_nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+            ("supplier_nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+            ("nation_region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+        ]
+    ).orderBy("relationship")
+
+
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language mojibake census: replacement chars, C0 controls,
+    # non-ASCII density — all JVM string ops, no UDFs
+    from pii_spark.quality import encoding_audit
+
+    return (
+        encoding_audit(_docs(spark, sf_dir), ["lang"], "text")
+        .orderBy("lang")
+    )
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2904,6 +2943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history": q_user_state_history,
         "triangle_census": q_triangle_census,
         "key_skew_audit": q_key_skew_audit,
+        "range_partition_cuts": q_range_partition_cuts,
+        "referential_audit": q_referential_audit,
+        "encoding_audit": q_encoding_audit,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -2959,9 +3001,13 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
     from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.privacy import k_anonymity_classes_oracle_sql
-    from pii_spark.diagnostics import key_skew_oracle_sql
+    from pii_spark.curation import range_boundaries_oracle_sql
+    from pii_spark.diagnostics import (
+        key_skew_oracle_sql,
+        referential_audit_oracle_sql,
+    )
     from pii_spark.graph import triangle_census_oracle_sql
-    from pii_spark.quality import mad_outlier_oracle_sql
+    from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql
 
@@ -2971,6 +3017,28 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": cohort_retention_oracle_sql(),
         "copurchase_topk": affinity_topk_oracle_sql(
             k=20, max_basket=6, min_support=1
+        ),
+        "range_partition_cuts": range_boundaries_oracle_sql(
+            value_sql="n_chars",
+            buckets=8,
+            rows_sql="SELECT n_chars FROM documents",
+        ),
+        "referential_audit": referential_audit_oracle_sql(
+            [
+                ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+                ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+                ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+                ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+                ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+                ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+                ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+            ]
+        ),
+        "encoding_audit": encoding_audit_oracle_sql(
+            group_sql="lang",
+            text_sql="text",
+            rows_sql="SELECT lang, text FROM documents",
+            group_name="lang",
         ),
         "user_state_history": scd2_oracle_sql(
             key_sql="user_id",

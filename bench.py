@@ -204,6 +204,9 @@ def main() -> None:
         "user_state_history",
         "triangle_census",
         "key_skew_audit",
+        "range_partition_cuts",
+        "referential_audit",
+        "encoding_audit",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -929,3 +929,76 @@ def zorder_key_col(x: Column, y: Column) -> Column:
         .bitwiseOR(F.shiftleft(_spread_bits16(cy), 1))
         .cast("long")
     )
+
+
+def range_boundaries(
+    df: DataFrame,
+    value_col: str,
+    buckets: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact equi-depth cut points for range-partitioned layout.
+
+    Returns ``boundary_idx (1..buckets-1), cut`` where ``cut`` is the
+    value at nearest-rank ``ceil(i * n / buckets)`` of the sorted
+    column — assigning rows to bucket ``i`` = count of cuts < value
+    yields partitions whose sizes differ by at most the duplicate mass
+    at the cuts.  This is the exact version of what Spark's
+    ``repartitionByRange`` estimates by reservoir sampling; write
+    layouts (Iceberg sort orders, Z-order tiles) want the deterministic
+    answer so re-runs produce byte-identical file splits.
+
+    Scale shape: one global window sort — intentionally exact, run it
+    on the full table only when the table fits a sort (or feed it a
+    ``hash_sample`` slice first; the cuts converge as the sample
+    grows while staying deterministic for a fixed salt).
+    """
+    order = [F.col(value_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.orderBy(*order)
+    ranked = df.select(
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # single pass: one conditional max per cut, then unpivot — the
+    # sorted data is scanned once, not buckets-1 times
+    aggs = []
+    for i in range(1, buckets):
+        pos = F.ceil(F.col("__n") * i / buckets).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == pos, F.col("v"))).alias(f"__c{i}")
+        )
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{i}, __c{i}" for i in range(1, buckets))
+    return one.select(
+        F.expr(f"stack({buckets - 1}, {stack}) AS (boundary_idx, cut)")
+    ).orderBy("boundary_idx")
+
+
+def range_boundaries_oracle_sql(
+    value_sql: str,
+    buckets: int,
+    rows_sql: str,
+) -> str:
+    """DuckDB replay of :func:`range_boundaries` (same ceil ranks)."""
+    arms = " UNION ALL ".join(
+        f"""SELECT {i} AS boundary_idx,
+                   max(CASE WHEN rn = ceil(n * {i} / {buckets})
+                       THEN v END) AS cut
+            FROM r"""
+        for i in range(1, buckets)
+    )
+    return f"""
+        WITH t AS (SELECT {value_sql} AS v FROM ({rows_sql})),
+        r AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                   count(*) OVER () AS n
+            FROM t
+        )
+        {arms}
+        ORDER BY boundary_idx
+    """

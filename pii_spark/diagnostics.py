@@ -131,3 +131,78 @@ def heavy_keys_oracle_sql(
         ORDER BY cnt DESC, k ASC
         LIMIT {k}
     """
+
+
+def referential_audit(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity census across a star/snowflake schema.
+
+    ``relationships`` is a list of ``(name, child_df, child_key,
+    parent_df, parent_key)``; the output has one row per relationship:
+
+      ``relationship, n_rows, n_null_keys, n_orphans,
+      orphan_rate_x10000``
+
+    where an orphan is a non-null child key with no matching parent
+    (the anti-join), and the rate is over all child rows.  A clean
+    warehouse audits to all-zero orphan columns — the point of the
+    operator is that at 10¹² rows you cannot eyeball this; it has to
+    be a query, and an exact one (a sketch that undercounts orphans
+    would sign off on a broken ingest).
+
+    Scale shape: per relationship one null-filter scan + one left-anti
+    join on the key (Spark broadcasts the parent side when small, AQE
+    decides otherwise — only the two key columns are shuffled) and two
+    one-row aggregates; relationships union afterward, so Catalyst
+    runs them as independent subtrees of one job.
+    """
+    out = None
+    for name, child, ckey, parent, pkey in relationships:
+        keys = child.select(F.col(ckey).alias("k"))
+        pkeys = parent.select(F.col(pkey).alias("k")).distinct()
+        totals = keys.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_keys"),
+        )
+        orphans = (
+            keys.filter(F.col("k").isNotNull())
+            .join(pkeys, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = totals.crossJoin(orphans).select(
+            F.lit(name).alias("relationship"),
+            "n_rows",
+            "n_null_keys",
+            "n_orphans",
+            F.expr("n_orphans * 10000 div n_rows").alias(
+                "orphan_rate_x10000"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def referential_audit_oracle_sql(
+    relationships: list[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB replay of :func:`referential_audit` — relationships as
+    ``(name, child_table, child_key, parent_table, parent_key)``."""
+    arms = []
+    for name, child, ckey, parent, pkey in relationships:
+        arms.append(f"""
+            SELECT '{name}' AS relationship,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_keys,
+                   CAST(sum(CASE WHEN {ckey} IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM {parent} p
+                            WHERE p.{pkey} = c.{ckey})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   CAST(sum(CASE WHEN {ckey} IS NOT NULL AND NOT EXISTS (
+                            SELECT 1 FROM {parent} p
+                            WHERE p.{pkey} = c.{ckey})
+                        THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+                       AS orphan_rate_x10000
+            FROM {child} c""")
+    return " UNION ALL ".join(arms) + " ORDER BY relationship"

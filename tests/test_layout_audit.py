@@ -1,0 +1,101 @@
+"""range_boundaries equi-depth cuts, referential FK audit, and the
+encoding/mojibake census."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.curation import range_boundaries
+from pii_spark.diagnostics import referential_audit
+from pii_spark.quality import encoding_audit
+
+
+# ---------------------------------------------------------------------------
+# range_boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_range_boundaries_quartiles(spark):
+    df = spark.createDataFrame([(v,) for v in range(1, 9)], ["v"])  # 1..8
+    cuts = range_boundaries(df, "v", buckets=4).collect()
+    # ranks ceil(8*i/4) = 2, 4, 6
+    assert [(r["boundary_idx"], r["cut"]) for r in cuts] == [(1, 2), (2, 4), (3, 6)]
+
+
+def test_range_boundaries_duplicates_and_single_bucket_sizes(spark):
+    vals = [1, 1, 1, 1, 5, 5, 9, 100]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    cuts = [r["cut"] for r in range_boundaries(df, "v", buckets=2).collect()]
+    assert cuts == [1]  # median rank ceil(8/2)=4 -> still inside the 1-run
+
+
+def test_range_boundaries_assignment_is_balanced(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(10_000) for _ in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    cuts = [r["cut"] for r in range_boundaries(df, "v", buckets=5).collect()]
+    buckets = [sum(1 for v in vals if v > c) for c in cuts]
+    py = sorted(vals)
+    expect = [sum(1 for v in vals if v > py[(1000 * i) // 5 - 1]) for i in range(1, 5)]
+    assert buckets == expect  # matches the pure-python nearest-rank cuts
+
+
+# ---------------------------------------------------------------------------
+# referential_audit
+# ---------------------------------------------------------------------------
+
+
+def test_referential_audit_counts_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], ["fk"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    r = referential_audit([("c_p", child, "fk", parent, "pk")]).collect()[0]
+    assert (
+        r["relationship"], r["n_rows"], r["n_null_keys"], r["n_orphans"]
+    ) == ("c_p", 5, 1, 1)
+    assert r["orphan_rate_x10000"] == 2000
+
+
+def test_referential_audit_multiple_relationships_union(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["k"])
+    b = spark.createDataFrame([(1,)], ["k"])
+    out = referential_audit(
+        [("a_b", a, "k", b, "k"), ("b_a", b, "k", a, "k")]
+    ).orderBy("relationship").collect()
+    assert [(r["relationship"], r["n_orphans"]) for r in out] == [
+        ("a_b", 1), ("b_a", 0)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# encoding_audit
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_audit_counts(spark):
+    rows = [
+        ("en", "clean ascii text"),
+        ("en", "bad � byte"),            # replacement char (non-ascii too)
+        ("ko", "한글 텍스트 ok"),               # non-ascii, no breakage
+        ("ko", "ctrl\x01\x02 and tab\tok"),  # 2 control chars; tab exempt
+    ]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["docs_with_replacement"],
+            r["control_chars"], r["non_ascii_x10000"],
+        )
+        for r in encoding_audit(df, ["lang"], "text").collect()
+    }
+    en_len = len(rows[0][1]) + len(rows[1][1])
+    ko_len = len(rows[2][1]) + len(rows[3][1])
+    ko_na = sum(1 for ch in rows[2][1] + rows[3][1] if ord(ch) > 127)
+    assert got["en"] == (2, 1, 0, 1 * 10000 // en_len)
+    assert got["ko"] == (2, 0, 2, ko_na * 10000 // ko_len)
+
+
+def test_encoding_audit_empty_text_null_ratio(spark):
+    df = spark.createDataFrame([("x", "")], ["lang", "text"])
+    r = encoding_audit(df, ["lang"], "text").collect()[0]
+    assert r["non_ascii_x10000"] is None and r["n_docs"] == 1
