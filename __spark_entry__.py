@@ -1391,6 +1391,18 @@ def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MMR diversity-aware selection over each query's BM25 top-20:
+    # greedy integer argmax of lam*rel - (1-lam)*max squared-cosine to
+    # the already-chosen set, unrolled as k distributed stages
+    from pii_spark.retrieval import mmr_diversify
+
+    return mmr_diversify(
+        spark, _docs(spark, sf_dir), "doc_id", "text", _BM25_QUERIES,
+        m=20, k=5, lam_x1000=700, dim=64,
+    ).orderBy("query", "rank")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2946,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_cuts": q_range_partition_cuts,
         "referential_audit": q_referential_audit,
         "encoding_audit": q_encoding_audit,
+        "diverse_retrieval": q_diverse_retrieval,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -3009,10 +3022,14 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import triangle_census_oracle_sql
     from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
     from pii_spark.temporal import scd2_oracle_sql
-    from pii_spark.retrieval import bm25_oracle_sql
+    from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
 
     return {
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
+        "diverse_retrieval": mmr_oracle_sql(
+            _BM25_QUERIES, m=20, k=5, lam_x1000=700, dim=64,
+            bucket_int_sql=_bucket_int_sql,
+        ),
         "funnel_conversion": funnel_oracle_sql(_FUNNEL_STAGES),
         "cohort_retention": cohort_retention_oracle_sql(),
         "copurchase_topk": affinity_topk_oracle_sql(

@@ -207,6 +207,7 @@ def main() -> None:
         "range_partition_cuts",
         "referential_audit",
         "encoding_audit",
+        "diverse_retrieval",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -118,15 +118,15 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(
+def _bm25_ctes(
     queries: dict[str, list[str]],
-    k: int = 5,
-    k1_x1000: int = 1200,
-    b_x1000: int = 750,
-    docs_sql: str = "SELECT doc_id AS doc, text FROM documents",
+    k1_x1000: int,
+    b_x1000: int,
+    docs_sql: str,
 ) -> str:
-    """DuckDB replay of :func:`bm25_topk` — identical tokenizer,
-    identical floor-division order, VALUES-inlined query table."""
+    """The shared DuckDB CTE chain ending in ``ranked(query, doc,
+    score_x1e6, rank)`` — used by the BM25 oracle and composed into the
+    MMR oracle."""
     qvals = ", ".join(
         f"('{q}', '{t}')"
         for q, ts in queries.items()
@@ -134,8 +134,7 @@ def bm25_oracle_sql(
     )
     terms = sorted({t for ts in queries.values() for t in ts})
     tlist = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-        WITH d AS ({docs_sql}),
+    return f"""d AS ({docs_sql}),
         toks AS (
             SELECT doc, unnest(regexp_extract_all(lower(text),
                 '{TOKEN_RE}')) AS t
@@ -179,8 +178,290 @@ def bm25_oracle_sql(
                    row_number() OVER (PARTITION BY query
                        ORDER BY score_x1e6 DESC, doc ASC) AS rank
             FROM scored
-        )
+        )"""
+
+
+def bm25_oracle_sql(
+    queries: dict[str, list[str]],
+    k: int = 5,
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+    docs_sql: str = "SELECT doc_id AS doc, text FROM documents",
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — identical tokenizer,
+    identical floor-division order, VALUES-inlined query table."""
+    return f"""
+        WITH {_bm25_ctes(queries, k1_x1000, b_x1000, docs_sql)}
         SELECT query, CAST(rank AS INT) AS rank, doc, score_x1e6
         FROM ranked WHERE rank <= {k}
         ORDER BY query, rank
+    """
+
+
+def mmr_diversify(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    m: int = 20,
+    k: int = 5,
+    lam_x1000: int = 700,
+    dim: int = 64,
+    salt: str = "mmr",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each query's top-``m``
+    BM25 candidates, greedily select ``k`` documents maximizing
+
+        mmr(c) = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    — the standard diversity-aware selection a curation pipeline uses
+    when "top-k most relevant" would return k near-duplicates.
+
+    Integer-exact throughout: ``rel_x10000`` is the BM25 score
+    floor-normalized by the query's max score; ``sim`` is the squared
+    cosine between hashing-trick count vectors (the repo's established
+    sqrt-free integer form, ``ab²·10⁴ // (aa·bb)``, 0 for orthogonal or
+    empty); the greedy argmax breaks ties by doc id.  Output: ``query,
+    rank, doc, mmr_x1e7`` (the selected item's objective value,
+    ``lam_x1000 * rel_x10000`` units).
+
+    Fully distributed — no driver-side collect: the ``k`` greedy steps
+    unroll into ``k`` DataFrame stages (anti-join the chosen set, max
+    penalty via the directed similarity edges, per-query row_number=1),
+    exactly mirroring the unrolled-CTE SQL oracle.  Candidate counts
+    are bounded by ``m``, so every join after the BM25 stage is tiny
+    (per-query m² similarity pairs, broadcast-sized); the heavy lifting
+    stays in the BM25 scan.  Square-cosine is a monotone transform of
+    cosine on the nonneg count-vector domain, so the selected SET
+    equals classic-MMR's for the equivalent penalty curve.
+    """
+    from pii_spark.similarity import hashed_count_vector_udf
+
+    cands = bm25_topk(spark, docs, id_col, text_col, queries, k=m)
+    mx = cands.groupBy("query").agg(F.max("score_x1e6").alias("mx"))
+    cands = (
+        cands.join(F.broadcast(mx), "query")
+        .select(
+            "query",
+            "doc",
+            F.expr(
+                "CASE WHEN mx = 0 THEN 0"
+                " ELSE score_x1e6 * 10000 div mx END"
+            ).alias("rel_x10000"),
+        )
+    )
+    cdocs = (
+        cands.select("doc")
+        .distinct()
+        .join(
+            docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")),
+            "doc",
+        )
+    )
+    vecs = cdocs.select(
+        "doc", hashed_count_vector_udf(dim, salt)(F.col("__t")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    ca, cb = cands.alias("ca"), cands.alias("cb")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.query") == F.col("cb.query"))
+            & (F.col("ca.doc") < F.col("cb.doc")),
+        )
+        .select(
+            F.col("ca.query").alias("query"),
+            F.col("ca.doc").alias("doc_a"),
+            F.col("cb.doc").alias("doc_b"),
+        )
+        .join(vecs.select(F.col("doc").alias("doc_a"), F.col("v").alias("_va")), "doc_a")
+        .join(vecs.select(F.col("doc").alias("doc_b"), F.col("v").alias("_vb")), "doc_b")
+        .withColumn("_ab", dot(F.col("_va"), F.col("_vb")))
+        .withColumn("_aa", dot(F.col("_va"), F.col("_va")))
+        .withColumn("_bb", dot(F.col("_vb"), F.col("_vb")))
+        .select(
+            "query",
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CASE WHEN _ab <= 0 OR _aa = 0 OR _bb = 0 THEN 0"
+                " ELSE _ab * _ab * 10000 div (_aa * _bb) END"
+            ).alias("sim2_x10000"),
+        )
+    )
+    directed = pairs.select(
+        "query", F.col("doc_a").alias("cand"), F.col("doc_b").alias("other"),
+        "sim2_x10000",
+    ).unionByName(
+        pairs.select(
+            "query", F.col("doc_b").alias("cand"),
+            F.col("doc_a").alias("other"), "sim2_x10000",
+        )
+    )
+
+    # the greedy unroll references cands/directed/chosen several times
+    # per step; without materialization Catalyst re-executes the whole
+    # BM25 subtree per reference (3^k growth), so persist the small
+    # intermediates (size <= queries*m and queries*m^2 rows)
+    cands = cands.persist()
+    directed = directed.persist()
+    lam, om = lam_x1000, 1000 - lam_x1000
+    w = Window.partitionBy("query").orderBy(
+        F.col("mmr_x1e7").desc(), F.col("doc").asc()
+    )
+    first = (
+        cands.withColumn("mmr_x1e7", F.expr(f"{lam} * rel_x10000"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query", F.lit(1).alias("rank"), "doc", "mmr_x1e7")
+    )
+    chosen = first
+    for t in range(2, k + 1):
+        pen = (
+            directed.join(
+                chosen.select("query", F.col("doc").alias("other")),
+                ["query", "other"],
+            )
+            .groupBy("query", "cand")
+            .agg(F.max("sim2_x10000").alias("pen"))
+        )
+        remaining = cands.join(
+            chosen.select("query", "doc"), ["query", "doc"], "left_anti"
+        )
+        scored = remaining.join(
+            pen.select("query", F.col("cand").alias("doc"), "pen"),
+            ["query", "doc"],
+            "left",
+        ).withColumn(
+            "mmr_x1e7",
+            F.expr(f"{lam} * rel_x10000 - {om} * coalesce(pen, 0)"),
+        )
+        pick = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("query", F.lit(t).alias("rank"), "doc", "mmr_x1e7")
+        )
+        chosen = chosen.unionByName(pick).persist()
+    return chosen
+
+
+def mmr_oracle_sql(
+    queries: dict[str, list[str]],
+    m: int = 20,
+    k: int = 5,
+    lam_x1000: int = 700,
+    dim: int = 64,
+    salt: str = "mmr",
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+    docs_sql: str = "SELECT doc_id AS doc, text FROM documents",
+    bucket_int_sql=None,
+) -> str:
+    """DuckDB replay of :func:`mmr_diversify`: the BM25 CTE chain, the
+    sha-bucket count vectors (``bucket_int_sql(tok_sql, salt)`` must
+    mirror ``curation.hash_bucket_int``), the squared-cosine pair
+    table, then the greedy selection unrolled as ``k`` chained CTE
+    blocks (sel1..selk) — no recursion, identical tie-breaks."""
+    lam, om = lam_x1000, 1000 - lam_x1000
+    blocks = [
+        f"""cands AS MATERIALIZED (
+            SELECT r.query, r.doc,
+                   CASE WHEN mx.mx = 0 THEN 0
+                        ELSE r.score_x1e6 * 10000 // mx.mx END AS rel_x10000
+            FROM ranked r
+            JOIN (SELECT query, max(score_x1e6) AS mx FROM ranked
+                  WHERE rank <= {m} GROUP BY query) mx
+              ON mx.query = r.query
+            WHERE r.rank <= {m}
+        ),
+        ctoks AS (
+            SELECT d.doc,
+                   unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok
+            FROM d WHERE d.doc IN (SELECT DISTINCT doc FROM cands)
+        ),
+        cv AS MATERIALIZED (
+            SELECT doc, {bucket_int_sql('tok', salt)} % {dim} AS b,
+                   count(*) AS c
+            FROM ctoks WHERE tok <> '' GROUP BY 1, 2
+        ),
+        cnorm AS (SELECT doc, sum(c * c) AS aa FROM cv GROUP BY doc),
+        cpairs AS MATERIALIZED (
+            SELECT p.query, p.doc_a, p.doc_b,
+                   CASE WHEN coalesce(dd.ab, 0) <= 0
+                             OR na.aa = 0 OR nb.aa = 0 THEN 0
+                        ELSE dd.ab * dd.ab * 10000 // (na.aa * nb.aa)
+                   END AS sim2_x10000
+            FROM (
+                SELECT a.query, a.doc AS doc_a, b.doc AS doc_b
+                FROM cands a JOIN cands b
+                  ON a.query = b.query AND a.doc < b.doc
+            ) p
+            LEFT JOIN (
+                SELECT x.doc AS doc_a, y.doc AS doc_b,
+                       sum(x.c * y.c) AS ab
+                FROM cv x JOIN cv y ON x.b = y.b AND x.doc < y.doc
+                GROUP BY 1, 2
+            ) dd ON dd.doc_a = p.doc_a AND dd.doc_b = p.doc_b
+            JOIN cnorm na ON na.doc = p.doc_a
+            JOIN cnorm nb ON nb.doc = p.doc_b
+        ),
+        directed AS MATERIALIZED (
+            SELECT query, doc_a AS cand, doc_b AS other, sim2_x10000
+            FROM cpairs
+            UNION ALL
+            SELECT query, doc_b, doc_a, sim2_x10000 FROM cpairs
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT query, 1 AS rank, doc, {lam} * rel_x10000 AS mmr_x1e7
+            FROM (
+                SELECT query, doc, rel_x10000,
+                       row_number() OVER (PARTITION BY query
+                           ORDER BY {lam} * rel_x10000 DESC, doc ASC) AS rn
+                FROM cands
+            ) WHERE rn = 1
+        ),
+        all1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        blocks.append(f"""pen{t} AS MATERIALIZED (
+            SELECT dx.query, dx.cand, max(dx.sim2_x10000) AS pen
+            FROM directed dx
+            JOIN all{p} s ON s.query = dx.query AND s.doc = dx.other
+            GROUP BY 1, 2
+        ),
+        sel{t} AS MATERIALIZED (
+            SELECT query, {t} AS rank, doc, mmr_x1e7
+            FROM (
+                SELECT c.query, c.doc,
+                       {lam} * c.rel_x10000
+                           - {om} * coalesce(p.pen, 0) AS mmr_x1e7,
+                       row_number() OVER (PARTITION BY c.query
+                           ORDER BY {lam} * c.rel_x10000
+                                    - {om} * coalesce(p.pen, 0) DESC,
+                                    c.doc ASC) AS rn
+                FROM cands c
+                LEFT JOIN pen{t} p
+                  ON p.query = c.query AND p.cand = c.doc
+                LEFT JOIN all{p} s
+                  ON s.query = c.query AND s.doc = c.doc
+                WHERE s.doc IS NULL
+            ) WHERE rn = 1
+        ),
+        all{t} AS MATERIALIZED (
+            SELECT * FROM all{p} UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+        WITH {_bm25_ctes(queries, k1_x1000, b_x1000, docs_sql)},
+        {', '.join(blocks)}
+        SELECT query, CAST(rank AS INT) AS rank, doc,
+               CAST(mmr_x1e7 AS BIGINT) AS mmr_x1e7
+        FROM all{k} ORDER BY query, rank
     """

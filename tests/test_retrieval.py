@@ -102,3 +102,116 @@ def test_bm25_plan_broadcasts_small_sides(spark):
     # df_t / query-map / global stats all ride broadcast, never shuffle
     assert p.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in p  # stats cross-join is broadcast NLJ
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversify
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(docs, queries, m, k, lam=700, dim=64, salt="mmr"):
+    """Independent greedy replay: python bm25 + sha-bucket vectors +
+    integer squared-cosine + the same tie-breaks."""
+    import hashlib
+
+    bm = _py_bm25(docs, queries, k=m)
+
+    def vec(text):
+        v = [0] * dim
+        for tok in text.strip(" ").split():
+            b = int(hashlib.sha256((tok + salt).encode()).hexdigest()[:4], 16) % dim
+            v[b] += 1
+        return v
+
+    vs = {d: vec(t) for d, t in docs.items()}
+
+    def sim2(a, b):
+        ab = sum(x * y for x, y in zip(vs[a], vs[b]))
+        aa = sum(x * x for x in vs[a])
+        bb = sum(y * y for y in vs[b])
+        if ab <= 0 or aa == 0 or bb == 0:
+            return 0
+        return ab * ab * 10000 // (aa * bb)
+
+    out = {}
+    for q, ranked in bm.items():
+        if not ranked:
+            out[q] = []
+            continue
+        mx = max(s for _, _, s in ranked)
+        rel = {d: (s * 10000 // mx if mx else 0) for _, d, s in ranked}
+        chosen = []
+        while len(chosen) < k and len(chosen) < len(rel):
+            best = None
+            for d in rel:
+                if d in [c[1] for c in chosen]:
+                    continue
+                pen = max((sim2(d, c[1]) for c in chosen), default=0)
+                val = lam * rel[d] - (1000 - lam) * pen
+                key = (-val, d)
+                if best is None or key < best[0]:
+                    best = (key, d, val)
+            chosen.append((len(chosen) + 1, best[1], best[2]))
+        out[q] = chosen
+    return out
+
+
+MMR_DOCS = {
+    "a": "hash join hash join hash join fast",
+    "b": "hash join hash join hash join fast",   # near-dup of a
+    "c": "merge join on sorted tables",
+    "d": "hash table scan with join probes",
+    "e": "window sort batch",
+}
+
+
+def test_mmr_matches_python_replay(spark):
+    from pii_spark.retrieval import mmr_diversify
+
+    docs = spark.createDataFrame(list(MMR_DOCS.items()), ["doc_id", "text"])
+    got = {
+        q: [(r["rank"], r["doc"], r["mmr_x1e7"]) for r in rows]
+        for q, rows in _group(
+            mmr_diversify(
+                spark, docs, "doc_id", "text",
+                {"joins": ["hash", "join"]}, m=5, k=3,
+            ).collect()
+        ).items()
+    }
+    assert got == _py_mmr(MMR_DOCS, {"joins": ["hash", "join"]}, m=5, k=3)
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    from pii_spark.retrieval import mmr_diversify
+
+    docs = spark.createDataFrame(list(MMR_DOCS.items()), ["doc_id", "text"])
+    rows = _group(
+        mmr_diversify(
+            spark, docs, "doc_id", "text", {"q": ["hash", "join"]},
+            m=5, k=3, lam_x1000=300,
+        ).collect()
+    )["q"]
+    picked = [r["doc"] for r in rows]
+    # a and b are identical (sim2 = 10000): pure BM25 ranks them 1-2;
+    # at a diversity-leaning lambda the clone must not be picked second
+    assert picked[0] == "a" and picked[1] != "b"
+    assert "b" not in picked[1:]  # the clone never re-enters
+
+
+def test_mmr_lambda_1000_reduces_to_bm25(spark):
+    from pii_spark.retrieval import bm25_topk, mmr_diversify
+
+    docs = spark.createDataFrame(list(MMR_DOCS.items()), ["doc_id", "text"])
+    q = {"q": ["hash", "join"]}
+    mmr = [
+        r["doc"]
+        for r in mmr_diversify(
+            spark, docs, "doc_id", "text", q, m=5, k=3, lam_x1000=1000
+        ).orderBy("rank").collect()
+    ]
+    bm = [
+        r["doc"]
+        for r in bm25_topk(spark, docs, "doc_id", "text", q, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert mmr == bm
