@@ -1403,6 +1403,34 @@ def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query", "rank")
 
 
+# one deleted character at a suppkey-derived position — deterministic
+# "dirty" probe names for the record-linkage query
+_MANGLE_SPARK = (
+    "concat(substring(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)),"
+    " substring(s_name, CAST(s_suppkey % length(s_name) + 2 AS INT)))"
+)
+_MANGLE_DUCK = (
+    "concat(substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)),"
+    " substr(s_name, CAST(s_suppkey % length(s_name) + 2 AS INT)))"
+)
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # record linkage: resolve typo'd supplier names back to canonical
+    # rows via length-banded blocked Levenshtein, best match per probe
+    from pii_spark.linkage import fuzzy_best_match
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    probes = s.filter(F.col("s_suppkey") % 7 == 3).select(
+        F.col("s_suppkey").alias("probe_key"),
+        F.expr(_MANGLE_SPARK).alias("probe_name"),
+    )
+    return fuzzy_best_match(
+        probes, s, "probe_key", "probe_name", "s_suppkey", "s_name",
+        max_dist=2,
+    ).orderBy("probe_key")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2959,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": q_referential_audit,
         "encoding_audit": q_encoding_audit,
         "diverse_retrieval": q_diverse_retrieval,
+        "fuzzy_match": q_fuzzy_match,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -3022,10 +3051,23 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import triangle_census_oracle_sql
     from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
     from pii_spark.temporal import scd2_oracle_sql
+    from pii_spark.linkage import fuzzy_best_match_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
 
     return {
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
+        "fuzzy_match": fuzzy_best_match_oracle_sql(
+            probes_sql=(
+                "SELECT s_suppkey AS pid, " + _MANGLE_DUCK + " AS ptext"
+                " FROM supplier WHERE s_suppkey % 7 = 3"
+            ),
+            candidates_sql=(
+                "SELECT s_suppkey AS cid, s_name AS ctext FROM supplier"
+            ),
+            max_dist=2,
+            probe_id="probe_key",
+            probe_text="probe_name",
+        ),
         "diverse_retrieval": mmr_oracle_sql(
             _BM25_QUERIES, m=20, k=5, lam_x1000=700, dim=64,
             bucket_int_sql=_bucket_int_sql,

@@ -208,6 +208,7 @@ def main() -> None:
         "referential_audit",
         "encoding_audit",
         "diverse_retrieval",
+        "fuzzy_match",
     ]
     qmap = E.queries()
     for name in bench_queries:

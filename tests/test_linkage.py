@@ -1,0 +1,54 @@
+"""Blocked-Levenshtein record linkage: exact distances, lossless
+length band, tie-breaks, and the miss case."""
+
+from pyspark.sql import functions as F
+
+from pii_spark.linkage import fuzzy_best_match
+
+
+CANON = [(1, "alpha corp"), (2, "beta corp"), (3, "gamma industries")]
+
+
+def _match(spark, probes, **kw):
+    p = spark.createDataFrame(probes, ["pid", "ptext"])
+    c = spark.createDataFrame(CANON, ["cid", "ctext"])
+    return fuzzy_best_match(p, c, "pid", "ptext", "cid", "ctext", **kw).collect()
+
+
+def test_exact_and_typo_matches(spark):
+    rows = _match(
+        spark,
+        [(10, "alpha corp"), (11, "alpha crop"), (12, "gama industries")],
+        max_dist=2,
+    )
+    got = {r["pid"]: (r["match_id"], r["dist"]) for r in rows}
+    assert got == {10: (1, 0), 11: (1, 2), 12: (3, 1)}
+
+
+def test_no_match_within_budget_is_absent(spark):
+    rows = _match(spark, [(10, "zzzzzzzzzz")], max_dist=2)
+    assert rows == []
+
+
+def test_tie_breaks_by_candidate_id(spark):
+    # "xeta corp" is distance 2 from both alpha(no: 4)… craft a real tie:
+    # "bota corp" -> beta corp dist 2; alpha corp dist 4 — use two
+    # equidistant candidates instead
+    p = spark.createDataFrame([(1, "obta corp")], ["pid", "ptext"])
+    c = spark.createDataFrame(
+        [(5, "abta corp"), (4, "ebta corp")], ["cid", "ctext"]
+    )
+    r = fuzzy_best_match(p, c, "pid", "ptext", "cid", "ctext", max_dist=2).collect()
+    assert r[0]["match_id"] == 4  # both dist 1 -> smaller id wins
+
+
+def test_length_band_never_loses_a_true_match(spark):
+    # deletion probes differ in length by 1 <= max_dist: band keeps them
+    probes = [(i, t[:3] + t[4:]) for i, t in CANON]
+    rows = _match(spark, probes, max_dist=2)
+    assert {r["pid"]: r["match_id"] for r in rows} == {1: 1, 2: 2, 3: 3}
+
+
+def test_prefix_block_is_applied(spark):
+    rows = _match(spark, [(10, "Alpha corp")], max_dist=2, prefix_block=1)
+    assert rows == []  # case-mismatched head is blocked out (documented lossy)
