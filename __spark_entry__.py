@@ -1431,6 +1431,33 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_key")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov census of per-user event sequences with exact
+    # row-conditional probabilities
+    from pii_spark.events import event_transitions
+
+    return event_transitions(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        tiebreak=["event_id"],
+    ).orderBy("prev_type", "next_type")
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tie-broken Spearman of value-vs-time per event type: integer-
+    # exact monotone-drift detection
+    from pii_spark.events import spearman_drift
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return spearman_drift(
+        ev, ["event_type"], "ts", "cents", tiebreak=["event_id"]
+    ).orderBy("event_type")
+
+
 def _spread16_sql(e: str) -> str:
     """DuckDB replay of curation._spread_bits16's mask-shift ladder."""
     s = f"(({e}) & 65535)"
@@ -2988,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_audit": q_encoding_audit,
         "diverse_retrieval": q_diverse_retrieval,
         "fuzzy_match": q_fuzzy_match,
+        "event_transitions": q_event_transitions,
+        "value_drift": q_value_drift,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_heuristics": q_quality_heuristics,
@@ -3040,7 +3069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
-    from pii_spark.events import cohort_retention_oracle_sql, funnel_oracle_sql
+    from pii_spark.events import (
+        cohort_retention_oracle_sql,
+        event_transitions_oracle_sql,
+        funnel_oracle_sql,
+        spearman_drift_oracle_sql,
+    )
     from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.privacy import k_anonymity_classes_oracle_sql
     from pii_spark.curation import range_boundaries_oracle_sql
@@ -3074,6 +3108,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel_conversion": funnel_oracle_sql(_FUNNEL_STAGES),
         "cohort_retention": cohort_retention_oracle_sql(),
+        "event_transitions": event_transitions_oracle_sql(),
+        "value_drift": spearman_drift_oracle_sql(
+            key_sql="event_type",
+            ts_sql="ts",
+            value_sql="CAST(round(value * 100) AS BIGINT)",
+            rows_sql="SELECT event_type, ts, event_id, value FROM events",
+            key_name="event_type",
+            tiebreak_sql="event_id",
+        ),
         "copurchase_topk": affinity_topk_oracle_sql(
             k=20, max_basket=6, min_support=1
         ),

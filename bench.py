@@ -209,6 +209,8 @@ def main() -> None:
         "encoding_audit",
         "diverse_retrieval",
         "fuzzy_match",
+        "event_transitions",
+        "value_drift",
     ]
     qmap = E.queries()
     for name in bench_queries:

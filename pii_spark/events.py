@@ -286,3 +286,152 @@ def cohort_retention_oracle_sql(
         FROM cells c JOIN sizes s ON s.cohort = c.cohort
         ORDER BY cohort_period, period_offset
     """
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition census of the event stream: for
+    every ordered pair (prev_type → next_type) observed consecutively
+    within a user's timeline, the transition count and the row-wise
+    conditional probability ``p_x10000 = n * 10000 // Σ n(prev, ·)``.
+
+    The behavioural fingerprint this builds (where do users go after
+    an error? how absorbing is 'purchase'?) is the classic batch
+    counterpart of the streaming sessionizer above.
+
+    Scale shape: one shuffle keyed by ``user_col`` for the lag window,
+    then a count keyed by the type pair (tiny domain) and a broadcast
+    join of the per-prev totals.  Deterministic given the
+    ``(ts, *tiebreak)`` total order.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(type_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 10000 div __tot").alias("p_x10000"),
+        )
+    )
+
+
+def event_transitions_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    type_sql: str = "event_type",
+    rows_sql: str = "SELECT user_id, ts, event_type, event_id FROM events",
+    tiebreak_sql: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`event_transitions`."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH seq AS (
+            SELECT {type_sql} AS t,
+                   lag({type_sql}) OVER (PARTITION BY {user_sql}
+                       ORDER BY {ts_sql}{tb}) AS prev
+            FROM ({rows_sql})
+        ),
+        pairs AS (
+            SELECT prev AS prev_type, t AS next_type, count(*) AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
+        )
+        SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+               CAST(p.n * 10000 // t.tot AS BIGINT) AS p_x10000
+        FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+        ORDER BY p.prev_type, p.next_type
+    """
+
+
+def spearman_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group monotone-drift detector: Spearman rank correlation of
+    ``value_col`` against time, integer-exact.
+
+    ``rho_x10000 = 10000 - (60000 * Σd²) // (n(n²-1))`` with d the
+    difference between the time rank and the value rank — near +10000
+    means the metric climbs steadily, near 0 no monotone drift, near
+    -10000 steady decay.  Ranks are ``row_number`` over ``(col,
+    *tiebreak)`` — the tie-broken Spearman variant (deterministic and
+    engine-exact, unlike average-rank ties under float averaging; on
+    continuous-valued data the two coincide).  ``value_col`` must be
+    integer units.  Groups with n < 2 report NULL.
+
+    Scale shape: two windowed sorts on the group key (time rank, value
+    rank) and one aggregate — int64-safe while n³ · 6·10⁴ < 2⁶³ (n up
+    to ~5·10⁴ per group; shard larger groups by time range first).
+    """
+    order_t = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    order_v = [F.col(value_col)] + [F.col(c) for c in (tiebreak or [])]
+    wt = Window.partitionBy(*key_cols).orderBy(*order_t)
+    wv = Window.partitionBy(*key_cols).orderBy(*order_v)
+    ranked = df.select(
+        *key_cols,
+        F.row_number().over(wt).alias("__rt"),
+        F.row_number().over(wv).alias("__rv"),
+    )
+    return ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("__rt") - F.col("__rv")) * (F.col("__rt") - F.col("__rv"))
+        ).alias("sum_d2"),
+        F.expr(
+            "CASE WHEN count(1) < 2 THEN NULL ELSE"
+            " 10000 - (60000 * sum((__rt - __rv) * (__rt - __rv)))"
+            " div (count(1) * (count(1) * count(1) - 1)) END"
+        ).alias("rho_x10000"),
+    )
+
+
+def spearman_drift_oracle_sql(
+    key_sql: str,
+    ts_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    key_name: str = "k",
+    tiebreak_sql: str = "",
+) -> str:
+    """DuckDB replay of :func:`spearman_drift` (single key column)."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH ranked AS (
+            SELECT {key_sql} AS k,
+                   row_number() OVER (PARTITION BY {key_sql}
+                       ORDER BY {ts_sql}{tb}) AS rt,
+                   row_number() OVER (PARTITION BY {key_sql}
+                       ORDER BY {value_sql}{tb}) AS rv
+            FROM ({rows_sql})
+        )
+        SELECT k AS {key_name},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((rt - rv) * (rt - rv)) AS BIGINT) AS sum_d2,
+               CAST(CASE WHEN count(*) < 2 THEN NULL ELSE
+                    10000 - (60000 * sum((rt - rv) * (rt - rv)))
+                    // (count(*) * (count(*) * count(*) - 1)) END
+                    AS BIGINT) AS rho_x10000
+        FROM ranked GROUP BY k ORDER BY k
+    """

@@ -297,3 +297,72 @@ def test_cohort_periods_are_epoch_anchored(spark):
         ).collect()
     }
     assert sub <= full
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / spearman_drift
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from pii_spark.events import event_transitions
+
+    rows = [
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "a"), (1, _ts(3), "b"),
+        (2, _ts(0), "a"), (2, _ts(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_x10000"])
+        for r in event_transitions(df, "user_id", "ts", "event_type").collect()
+    }
+    # from 'a': b,b,c (3 exits); from 'b': a (1 exit)
+    assert got == {
+        ("a", "b"): (2, 6666), ("a", "c"): (1, 3333), ("b", "a"): (1, 10000)
+    }
+
+
+def test_event_transitions_no_cross_user_edges(spark):
+    from pii_spark.events import event_transitions
+
+    rows = [(1, _ts(0), "a"), (2, _ts(1), "b")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    assert event_transitions(df, "user_id", "ts", "event_type").count() == 0
+
+
+def test_spearman_perfect_monotone(spark):
+    from pii_spark.events import spearman_drift
+
+    rows = [("g", _ts(i), i, 10 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "ts", "event_id", "v"])
+    r = spearman_drift(df, ["k"], "ts", "v", tiebreak=["event_id"]).collect()[0]
+    assert (r["sum_d2"], r["rho_x10000"]) == (0, 10000)
+    rev = spark.createDataFrame(
+        [("g", _ts(i), i, -10 * i) for i in range(10)],
+        ["k", "ts", "event_id", "v"],
+    )
+    r2 = spearman_drift(rev, ["k"], "ts", "v", tiebreak=["event_id"]).collect()[0]
+    assert r2["rho_x10000"] == -10000
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    from pii_spark.events import spearman_drift
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]  # has a tie (two 1s)
+    rows = [("g", _ts(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "ts", "event_id", "v"])
+    r = spearman_drift(df, ["k"], "ts", "v", tiebreak=["event_id"]).collect()[0]
+    # pure-python tie-broken replay
+    n = len(vals)
+    rv = {i: rank + 1 for rank, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))}
+    d2 = sum((i + 1 - rv[i]) ** 2 for i in range(n))
+    assert r["sum_d2"] == d2
+    assert r["rho_x10000"] == 10000 - (60000 * d2) // (n * (n * n - 1))
+
+
+def test_spearman_singleton_group_null(spark):
+    from pii_spark.events import spearman_drift
+
+    df = spark.createDataFrame([("g", _ts(0), 0, 5)], ["k", "ts", "event_id", "v"])
+    r = spearman_drift(df, ["k"], "ts", "v", tiebreak=["event_id"]).collect()[0]
+    assert r["rho_x10000"] is None
