@@ -2928,6 +2928,47 @@ def q_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-segment customer-revenue concentration: exact-integer Gini +
+    # top-decile share over order cents (diagnostics.value_concentration)
+    from pii_spark.diagnostics import value_concentration
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), "cents", "c_custkey")
+    )
+    return value_concentration(
+        rev, ["segment"], "cents", tiebreak=["c_custkey"]
+    ).orderBy("segment")
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer-exact volume-burst flags: hourly buckets per event type,
+    # flagged when n·buckets·100 > 200·total (2x the type's mean hour)
+    from pii_spark.events import burst_buckets
+
+    return burst_buckets(
+        _events(spark, sf_dir), "event_type", "ts",
+        factor_x100=150, min_n=5,
+    ).orderBy("event_type", "bucket")
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing-7-day distinct active users per epoch day: sliding
+    # distinct via (user, day) dedupe + bounded fan-out, no range join
+    from pii_spark.events import rolling_distinct_users
+
+    return rolling_distinct_users(
+        _events(spark, sf_dir), "user_id", "ts", days=7
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3064,15 +3105,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
         "adaptive_quality_gate": q_adaptive_quality_gate,
+        "revenue_gini": q_revenue_gini,
+        "burst_detect": q_burst_detect,
+        "rolling_active_users": q_rolling_active_users,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
     from pii_spark.events import (
+        burst_buckets_oracle_sql,
         cohort_retention_oracle_sql,
         event_transitions_oracle_sql,
         funnel_oracle_sql,
+        rolling_distinct_users_oracle_sql,
         spearman_drift_oracle_sql,
     )
     from pii_spark.affinity import affinity_topk_oracle_sql
@@ -3088,7 +3134,23 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
 
+    from pii_spark.diagnostics import value_concentration_oracle_sql
+
     return {
+        "burst_detect": burst_buckets_oracle_sql(factor_x100=150, min_n=5),
+        "rolling_active_users": rolling_distinct_users_oracle_sql(days=7),
+        "revenue_gini": value_concentration_oracle_sql(
+            group_sql="c_mktsegment",
+            value_sql="cents",
+            rows_sql="""
+                SELECT c_mktsegment, c_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment, c_custkey
+            """,
+            group_name="segment",
+            tiebreak_sql="c_custkey",
+        ),
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
         "fuzzy_match": fuzzy_best_match_oracle_sql(
             probes_sql=(

@@ -206,3 +206,89 @@ def referential_audit_oracle_sql(
                        AS orphan_rate_x10000
             FROM {child} c""")
     return " UNION ALL ".join(arms) + " ORDER BY relationship"
+
+
+def value_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group concentration census of an integer value column: how
+    unequally is ``value_col`` (revenue cents, token counts, bytes)
+    distributed over the entities of each group?
+
+    Outputs per group: ``n`` entities, ``total`` value, ``gini_x10000``
+    (same rank-weighted formula as :func:`key_skew_stats`, applied to
+    values instead of key counts) and ``top_decile_x10000`` — the share
+    of the total held by the top ⌈n/10⌉ entities.  The reference ships
+    per-pattern/per-policy match-count summaries (``internal/report``);
+    this is the same audit generalized to any value column, and the
+    question a 10¹²-row curation run asks before picking partition and
+    quota strategies ("do 10% of repos hold 90% of the bytes?").
+
+    All outputs are exact integers with fixed floor-division order.
+    Ranks come from a per-group sort, but both Σ i·vᵢ and the top-decile
+    sum are invariant under permutations of tied values, so the result
+    is deterministic regardless of tie order; ``tiebreak`` just makes
+    the intermediate row_number reproducible for debugging.
+
+    Scale shape: one shuffle keyed by ``group_cols`` for the rank
+    window, then a pure map-side conditional aggregation — no second
+    shuffle.  With few huge groups the sort inside each group is the
+    bottleneck; the scale path is the equi-depth cut machinery
+    (``curation.range_boundaries``) to range-partition each group and
+    offset per-bucket ranks, which preserves these formulas exactly.
+    """
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wg = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("long")
+    ranked = (
+        df.withColumn("__i", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    # top ⌈n/10⌉ entities = ranks strictly above n - ⌈n/10⌉
+    top_gate = F.col("__i") > F.col("__n") - F.expr("(__n + 9) div 10")
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("total"),
+        F.sum(F.col("__i") * v).alias("__wsum"),
+        F.sum(F.when(top_gate, v).otherwise(F.lit(0))).alias("__topsum"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "total",
+        F.expr("(2 * __wsum - (n + 1) * total) * 10000 div (n * total)")
+        .alias("gini_x10000"),
+        F.expr("__topsum * 10000 div total").alias("top_decile_x10000"),
+    )
+
+
+def value_concentration_oracle_sql(
+    group_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    group_name: str = "g",
+    tiebreak_sql: str = "",
+) -> str:
+    """DuckDB replay of :func:`value_concentration` (one group col)."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH ranked AS (
+            SELECT {group_sql} AS g, {value_sql} AS v,
+                   row_number() OVER (PARTITION BY {group_sql}
+                       ORDER BY {value_sql}{tb}) AS i,
+                   count(*) OVER (PARTITION BY {group_sql}) AS n
+            FROM ({rows_sql})
+        )
+        SELECT g AS {group_name},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS total,
+               CAST((2 * sum(i * v) - (count(*) + 1) * sum(v)) * 10000
+                    // (count(*) * sum(v)) AS BIGINT) AS gini_x10000,
+               CAST(sum(CASE WHEN i > n - (n + 9) // 10 THEN v ELSE 0 END)
+                    * 10000 // sum(v) AS BIGINT) AS top_decile_x10000
+        FROM ranked GROUP BY g ORDER BY g
+    """

@@ -435,3 +435,141 @@ def spearman_drift_oracle_sql(
                     AS BIGINT) AS rho_x10000
         FROM ranked GROUP BY k ORDER BY k
     """
+
+
+def burst_buckets(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+    factor_x100: int = 200,
+    min_n: int = 5,
+) -> DataFrame:
+    """Volume-burst detector: time-bucket the event stream per type and
+    flag buckets whose count exceeds ``factor_x100/100 ×`` the type's
+    mean bucket volume (over buckets the type actually appeared in),
+    with an absolute floor of ``min_n`` events.
+
+    The gate is evaluated as the cross-multiplied integer inequality
+    ``n · buckets · 100 > factor_x100 · total`` — no float mean, so a
+    SQL engine replays the flag decision exactly.  This is the batch
+    ancestor of the alert-channel rate-limit telemetry the reference
+    tracks per channel (``api/v1alpha1/piialertchannel_types.go``
+    status counters): where is detection volume spiking?
+
+    Scale shape: one map-side-partial count keyed by (type, bucket) —
+    the only shuffle — then a per-type rollup over the (tiny) bucket
+    census joined back by broadcast.  Bucket ids are epoch-microsecond
+    integer divisions, timezone-free.
+    """
+    bucket = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
+    per = (
+        df.groupBy(F.col(type_col).alias("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = per.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("buckets")
+    )
+    return (
+        per.join(F.broadcast(totals), "event_type")
+        .filter(
+            (F.col("n") * F.col("buckets") * 100 > factor_x100 * F.col("total"))
+            & (F.col("n") >= min_n)
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            "total",
+            "buckets",
+            F.expr("n * buckets * 100 div total").alias("ratio_x100"),
+        )
+    )
+
+
+def burst_buckets_oracle_sql(
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT event_type, ts FROM events",
+    bucket_us: int = 3_600_000_000,
+    factor_x100: int = 200,
+    min_n: int = 5,
+) -> str:
+    """DuckDB replay of :func:`burst_buckets`."""
+    return f"""
+        WITH per AS (
+            SELECT {type_sql} AS event_type,
+                   epoch_us({ts_sql}) // {bucket_us} AS bucket,
+                   count(*) AS n
+            FROM ({rows_sql}) GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, sum(n) AS total, count(*) AS buckets
+            FROM per GROUP BY 1
+        )
+        SELECT p.event_type, CAST(p.bucket AS BIGINT) AS bucket,
+               CAST(p.n AS BIGINT) AS n, CAST(t.total AS BIGINT) AS total,
+               CAST(t.buckets AS BIGINT) AS buckets,
+               CAST(p.n * t.buckets * 100 // t.total AS BIGINT) AS ratio_x100
+        FROM per p JOIN tot t USING (event_type)
+        WHERE p.n * t.buckets * 100 > {factor_x100} * t.total
+          AND p.n >= {min_n}
+        ORDER BY p.event_type, p.bucket
+    """
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Trailing-``days`` distinct active users for every epoch-day the
+    stream has events on — the rolling-DAU/WAU census.  Days are epoch
+    integer divisions (``unix_micros // 86400e6``), timezone-free.
+
+    A sliding *distinct* cannot partial-aggregate the way a sliding sum
+    can, so the classic Spark shape is used: dedupe to (user, day) —
+    the big shrink, map-side partial — then fan each user-day out to
+    the ≤``days`` window-ends it can serve (a map-side explode of a
+    tiny literal array, no shuffle), semi-join to observed days, and
+    count distinct per window-end.  The fan-out factor is the window
+    length, not data size, so the plan survives a 100× scale-up; the
+    final per-day distinct shuffles (user, day)-deduped rows only.
+    """
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    observed = ud.select("d").distinct()
+    fanned = ud.select(
+        "u", F.explode(F.expr(f"sequence(d, d + {days - 1})")).alias("wend")
+    )
+    return (
+        fanned.join(
+            F.broadcast(observed.withColumnRenamed("d", "wend")), "wend", "semi"
+        )
+        .groupBy("wend")
+        .agg(F.countDistinct("u").cast("long").alias(f"users_{days}d"))
+        .withColumnRenamed("wend", "day")
+    )
+
+
+def rolling_distinct_users_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT user_id, ts FROM events",
+    days: int = 7,
+) -> str:
+    """DuckDB replay of :func:`rolling_distinct_users` — expressed as
+    the equivalent range join rather than the explode (same set)."""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT {user_sql} AS u,
+                   epoch_us({ts_sql}) // 86400000000 AS d
+            FROM ({rows_sql})
+        ),
+        obs AS (SELECT DISTINCT d FROM ud)
+        SELECT CAST(obs.d AS BIGINT) AS day,
+               CAST(count(DISTINCT ud.u) AS BIGINT) AS users_{days}d
+        FROM obs JOIN ud ON ud.d BETWEEN obs.d - {days - 1} AND obs.d
+        GROUP BY obs.d ORDER BY day
+    """

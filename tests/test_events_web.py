@@ -366,3 +366,81 @@ def test_spearman_singleton_group_null(spark):
     df = spark.createDataFrame([("g", _ts(0), 0, 5)], ["k", "ts", "event_id", "v"])
     r = spearman_drift(df, ["k"], "ts", "v", tiebreak=["event_id"]).collect()[0]
     assert r["rho_x10000"] is None
+
+
+def _tsec(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_burst_buckets_flags_only_spikes(spark):
+    from pii_spark.events import burst_buckets
+
+    # type "a": 3 quiet hours (2 events each) + 1 burst hour (10 events)
+    rows = []
+    for h in range(3):
+        rows += [("a", _tsec(h * 3600 + j)) for j in range(2)]
+    rows += [("a", _tsec(3 * 3600 + j)) for j in range(10)]
+    # type "b": uniform, never flagged
+    rows += [("b", _tsec(h * 3600)) for h in range(4)]
+    df = spark.createDataFrame(rows, ["t", "ts"])
+    out = burst_buckets(df, "t", "ts", factor_x100=200, min_n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "a" and r["n"] == 10
+    assert r["total"] == 16 and r["buckets"] == 4
+    assert r["ratio_x100"] == 10 * 4 * 100 // 16
+
+
+def test_burst_buckets_min_n_floor(spark):
+    from pii_spark.events import burst_buckets
+
+    # spike of 4 relative to mean 1, but below the absolute floor of 5
+    rows = [("a", _tsec(0)), ("a", _tsec(3600)), ("a", _tsec(7200))]
+    rows += [("a", _tsec(10800 + j)) for j in range(4)]
+    df = spark.createDataFrame(rows, ["t", "ts"])
+    assert burst_buckets(df, "t", "ts", factor_x100=200, min_n=5).count() == 0
+
+
+def test_rolling_distinct_users_window_semantics(spark):
+    from pii_spark.events import rolling_distinct_users
+
+    day = 86400
+    rows = [
+        (1, _tsec(0)),            # day 0
+        (1, _tsec(1 * day)),      # day 1 (same user again)
+        (2, _tsec(1 * day)),      # day 1
+        (3, _tsec(9 * day)),      # day 9 — outside day 1's window
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    got = {
+        r["day"]: r["users_3d"]
+        for r in rolling_distinct_users(df, "u", "ts", days=3).collect()
+    }
+    base = got and min(got)  # epoch day of _tsec(0)
+    # observed days: base, base+1, base+9
+    assert got == {base: 1, base + 1: 2, base + 9: 1}
+
+
+def test_value_concentration_exact_gini(spark):
+    from pii_spark.diagnostics import value_concentration
+
+    vals = [10, 20, 30, 40]  # known Gini = 0.25
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(vals)], ["g", "v", "id"]
+    )
+    r = value_concentration(df, ["g"], "v", tiebreak=["id"]).collect()[0]
+    assert r["n"] == 4 and r["total"] == 100
+    assert r["gini_x10000"] == 2500
+    # top ⌈4/10⌉ = 1 entity holds 40/100
+    assert r["top_decile_x10000"] == 4000
+
+
+def test_value_concentration_uniform_zero_gini(spark):
+    from pii_spark.diagnostics import value_concentration
+
+    df = spark.createDataFrame(
+        [("g", 7, i) for i in range(5)], ["g", "v", "id"]
+    )
+    r = value_concentration(df, ["g"], "v", tiebreak=["id"]).collect()[0]
+    assert r["gini_x10000"] == 0
+    assert r["top_decile_x10000"] == 10000 // 5
