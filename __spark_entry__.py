@@ -2969,6 +2969,43 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user integer floor-halving EWMA of event cents — sequential
+    # stateful fold on the Arrow path, recursive-CTE oracle replay
+    from pii_spark.events import ewma_halving
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ewma_halving(
+        ev, ["user_id"], "ts", "cents", tiebreak=["event_id"]
+    ).orderBy("user_id")
+
+
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 50/50 hash-split experiment readout: purchase
+    # conversion per arm, exact integer rates/lift/chi-square
+    from pii_spark.events import ab_conversion
+
+    return ab_conversion(
+        _events(spark, sf_dir), "user_id", "event_type", "purchase", salt="ab1"
+    )
+
+
+def q_lang_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly-k-per-language deterministic eval sample (sha256 order)
+    from pii_spark.curation import group_reservoir
+
+    return (
+        group_reservoir(_docs(spark, sf_dir), ["lang"], F.col("doc_id"), k=10)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3108,14 +3145,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "burst_detect": q_burst_detect,
         "rolling_active_users": q_rolling_active_users,
+        "ewma_value": q_ewma_value,
+        "ab_lift": q_ab_lift,
+        "lang_reservoir": q_lang_reservoir,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pii_spark.graph import pagerank_oracle_sql
     from pii_spark.events import (
+        ab_conversion_oracle_sql,
         burst_buckets_oracle_sql,
         cohort_retention_oracle_sql,
+        ewma_halving_oracle_sql,
         event_transitions_oracle_sql,
         funnel_oracle_sql,
         rolling_distinct_users_oracle_sql,
@@ -3136,7 +3178,27 @@ def oracle_sql() -> dict[str, str]:
 
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
+    from pii_spark.curation import group_reservoir_oracle_sql
+
     return {
+        "ewma_value": ewma_halving_oracle_sql(
+            key_sql="user_id",
+            ts_sql="ts",
+            value_sql="CAST(round(value * 100) AS BIGINT)",
+            rows_sql="SELECT user_id, ts, event_id, value FROM events",
+            key_name="user_id",
+            tiebreak_sql="event_id",
+        ),
+        "ab_lift": ab_conversion_oracle_sql(
+            _bucket_int_sql, convert_type="purchase", salt="ab1"
+        ),
+        "lang_reservoir": group_reservoir_oracle_sql(
+            group_sql="lang",
+            key_sql="doc_id",
+            k=10,
+            rows_sql="SELECT lang, doc_id FROM documents",
+            select_sql="lang, doc_id",
+        ) + " ORDER BY lang, sample_rank",
         "burst_detect": burst_buckets_oracle_sql(factor_x100=150, min_n=5),
         "rolling_active_users": rolling_distinct_users_oracle_sql(days=7),
         "revenue_gini": value_concentration_oracle_sql(

@@ -1002,3 +1002,57 @@ def range_boundaries_oracle_sql(
         {arms}
         ORDER BY boundary_idx
     """
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    k: int,
+    salt: str = "resv",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic fixed-size sample of ``k`` rows per group — the
+    reproducible stand-in for a per-stratum reservoir.  Rows are ranked
+    inside each group by the sha256 hex of ``key || salt`` (a uniform,
+    engine-portable pseudo-random order; ``key`` itself breaks hash
+    ties) and the first ``k`` survive, with their 1-based ``rank_col``.
+
+    Complements :func:`hash_sample` (Bernoulli — per-row coin, variable
+    group sizes) and :func:`quota_by_key` (top-quality quota): this one
+    is the "exactly k per language for the eval set, same k every run"
+    primitive.  Changing ``salt`` redraws the sample.
+
+    Scale shape: one shuffle keyed by ``group_cols`` for the rank
+    window.  With few huge groups, swap the window for the two-phase
+    heap: per-partition top-k (map-side), then top-k of the ≤
+    ``partitions × k`` candidates — same result set, bounded memory.
+    """
+    h = F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def group_reservoir_oracle_sql(
+    group_sql: str,
+    key_sql: str,
+    k: int,
+    rows_sql: str,
+    salt: str = "resv",
+    select_sql: str = "*",
+) -> str:
+    """DuckDB replay of :func:`group_reservoir` — sha256 hex ordering
+    is lowercase in both engines, so the lexicographic rank agrees."""
+    return f"""
+        WITH ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY {group_sql}
+                ORDER BY sha256({key_sql}::VARCHAR || '{salt}'),
+                         {key_sql}) AS sample_rank
+            FROM ({rows_sql})
+        )
+        SELECT {select_sql}, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM ranked WHERE sample_rank <= {k}
+    """

@@ -573,3 +573,212 @@ def rolling_distinct_users_oracle_sql(
         FROM obs JOIN ud ON ud.d BETWEEN obs.d - {days - 1} AND obs.d
         GROUP BY obs.d ORDER BY day
     """
+
+
+def ewma_halving(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with α = 1/2 and
+    integer floor-halving state: ``e₁ = v₁``, ``eᵢ = ⌊(eᵢ₋₁ + vᵢ)/2⌋``
+    over the key's (ts, tiebreak)-ordered values.  Returns one row per
+    key: ``n`` events, ``last`` raw value, ``ewma`` final state.
+
+    The halving recurrence is the classic O(1)-state smoother for
+    telemetry baselines (what an adaptive rate limiter would keep per
+    channel); the floor keeps every intermediate an exact integer, so a
+    recursive-CTE SQL engine replays the chain bit-for-bit — no float
+    accumulation order to diverge on.
+
+    Scale shape: a genuinely sequential per-key fold, so this is the
+    Arrow path — one shuffle keyed by ``key_cols``, then
+    ``applyInPandas`` with a linear pass per key.  Cost is O(events of
+    the hottest key) per task; for pathological keys pre-split by epoch
+    and stitch (the fold is associative under re-seeding with the
+    previous segment's state).
+    """
+    import pandas as pd  # noqa: F401 (documents the Arrow dependency)
+
+    order_cols = [ts_col] + list(tiebreak or [])
+    out_fields = ", ".join(f"`{c}` string" for c in key_cols)
+    schema = f"{out_fields}, n long, last long, ewma long"
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].astype("int64").tolist()
+        e = vals[0]
+        for v in vals[1:]:
+            e = (e + v) // 2
+        keys = {c: [str(pdf[c].iloc[0])] for c in key_cols}
+        return pd.DataFrame(
+            {**keys, "n": [len(vals)], "last": [vals[-1]], "ewma": [e]}
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(fold, schema=schema)
+
+
+def ewma_halving_oracle_sql(
+    key_sql: str,
+    ts_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    key_name: str = "k",
+    tiebreak_sql: str = "",
+) -> str:
+    """DuckDB replay of :func:`ewma_halving` via a recursive CTE that
+    threads the integer state down each key's ordered rows."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH RECURSIVE ev AS (
+            SELECT {key_sql}::VARCHAR AS k, {value_sql} AS v,
+                   row_number() OVER (PARTITION BY {key_sql}
+                       ORDER BY {ts_sql}{tb}) AS i
+            FROM ({rows_sql})
+        ),
+        sz AS (SELECT k, max(i) AS n FROM ev GROUP BY k),
+        st AS (
+            SELECT k, i, v AS e FROM ev WHERE i = 1
+            UNION ALL
+            SELECT ev.k, ev.i, (st.e + ev.v) // 2
+            FROM st JOIN ev ON ev.k = st.k AND ev.i = st.i + 1
+        )
+        SELECT st.k AS {key_name}, CAST(sz.n AS BIGINT) AS n,
+               CAST(lv.v AS BIGINT) AS last, CAST(st.e AS BIGINT) AS ewma
+        FROM st
+        JOIN sz ON sz.k = st.k AND st.i = sz.n
+        JOIN ev lv ON lv.k = st.k AND lv.i = sz.n
+        ORDER BY {key_name}
+    """
+
+
+def ab_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    convert_type: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """Deterministic A/B experiment readout over the event stream:
+    users are hash-split 50/50 (sha256 bucket parity — the same
+    assignment every run, every engine), a user converts if they ever
+    emitted ``convert_type``, and the output is ONE row with exact
+    integer per-arm counts, rates, relative lift and the 2×2 chi-square
+    statistic — all floor-scaled rationals, no floats:
+
+      rate_x10000 = conv · 10000 // users                  (per arm)
+      lift_x10000 = conv_b · users_a · 10000 // (conv_a · users_b)
+      chi2_x1e6   = (ad−bc)² · 10⁶ · n // ((a+b)(c+d)(a+c)(b+d))
+
+    with a = conv_a, b = miss_a, c = conv_b, d = miss_b.  The squared
+    term needs >64 bits at fleet scale, so the arithmetic runs in
+    DECIMAL(38,0) (exact, matching a 128-bit SQL replay).
+
+    Scale shape: one aggregation keyed by user (map-side partial on
+    the conversion flag), then a single global rollup row — the
+    classic shrink-then-summarize; nothing global ever holds user
+    cardinality in memory.
+    """
+    from pii_spark.curation import hash_bucket_int
+
+    per_user = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.max(
+                F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("conv")
+        )
+        .withColumn(
+            "variant", hash_bucket_int(F.col("u").cast("string"), salt) % 2
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("users_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("users_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    dif = (
+        "(CAST(conv_a AS DECIMAL(38,0)) * (users_b - conv_b)"
+        " - CAST(conv_b AS DECIMAL(38,0)) * (users_a - conv_a))"
+    )
+    denom = (
+        "(CAST(users_a AS DECIMAL(38,0)) * users_b * (conv_a + conv_b)"
+        " * (users_a + users_b - conv_a - conv_b))"
+    )
+    return agg.select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        F.expr("conv_a * 10000 div users_a").alias("rate_a_x10000"),
+        F.expr("conv_b * 10000 div users_b").alias("rate_b_x10000"),
+        F.expr(
+            "CASE WHEN conv_a = 0 THEN NULL ELSE"
+            " conv_b * users_a * 10000 div (conv_a * users_b) END"
+        ).alias("lift_x10000"),
+        F.expr(
+            f"CASE WHEN {denom} = 0 THEN NULL ELSE CAST("
+            f"{dif} * {dif} * 1000000 * (users_a + users_b) div {denom}"
+            " AS BIGINT) END"
+        ).alias("chi2_x1e6"),
+    )
+
+
+def ab_conversion_oracle_sql(
+    bucket_int_sql,
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    convert_type: str = "purchase",
+    rows_sql: str = "SELECT user_id, event_type FROM events",
+    salt: str = "ab",
+) -> str:
+    """DuckDB replay of :func:`ab_conversion`; ``bucket_int_sql`` is
+    the sha256-prefix mirror of ``curation.hash_bucket_int`` (the entry
+    module's ``_bucket_int_sql``)."""
+    bucket = bucket_int_sql(f"{user_sql}::VARCHAR", salt)
+    return f"""
+        WITH per_user AS (
+            SELECT {user_sql} AS u,
+                   max(CASE WHEN {type_sql} = '{convert_type}' THEN 1
+                            ELSE 0 END) AS conv,
+                   {bucket} % 2 AS variant
+            FROM ({rows_sql}) GROUP BY 1
+        ),
+        agg AS (
+            SELECT
+                sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS users_a,
+                sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+                sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS users_b,
+                sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+            FROM per_user
+        )
+        SELECT CAST(users_a AS BIGINT) AS users_a,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(users_b AS BIGINT) AS users_b,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               CAST(conv_a * 10000 // users_a AS BIGINT) AS rate_a_x10000,
+               CAST(conv_b * 10000 // users_b AS BIGINT) AS rate_b_x10000,
+               CAST(CASE WHEN conv_a = 0 THEN NULL ELSE
+                    conv_b * users_a * 10000 // (conv_a * users_b) END
+                    AS BIGINT) AS lift_x10000,
+               CAST(CASE WHEN users_a::HUGEINT * users_b * (conv_a + conv_b)
+                         * (users_a + users_b - conv_a - conv_b) = 0 THEN NULL
+                    ELSE (conv_a::HUGEINT * (users_b - conv_b)
+                          - conv_b::HUGEINT * (users_a - conv_a))
+                       * (conv_a::HUGEINT * (users_b - conv_b)
+                          - conv_b::HUGEINT * (users_a - conv_a))
+                       * 1000000 * (users_a + users_b)
+                       // (users_a::HUGEINT * users_b * (conv_a + conv_b)
+                           * (users_a + users_b - conv_a - conv_b)) END
+                    AS BIGINT) AS chi2_x1e6
+        FROM agg
+    """

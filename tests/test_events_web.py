@@ -444,3 +444,78 @@ def test_value_concentration_uniform_zero_gini(spark):
     r = value_concentration(df, ["g"], "v", tiebreak=["id"]).collect()[0]
     assert r["gini_x10000"] == 0
     assert r["top_decile_x10000"] == 10000 // 5
+
+
+def test_ewma_halving_exact_fold(spark):
+    from pii_spark.events import ewma_halving
+
+    vals = [100, 50, 7, 200]
+    rows = [("u1", _tsec(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "v"])
+    r = ewma_halving(df, ["u"], "ts", "v", tiebreak=["eid"]).collect()[0]
+    e = vals[0]
+    for v in vals[1:]:
+        e = (e + v) // 2
+    assert r["u"] == "u1" and r["n"] == 4 and r["last"] == 200
+    assert r["ewma"] == e
+
+
+def test_ewma_halving_negative_values_floor(spark):
+    from pii_spark.events import ewma_halving
+
+    # floor (not trunc) division: (-3 + 0) // 2 == -2
+    df = spark.createDataFrame(
+        [("u", _tsec(0), 0, -3), ("u", _tsec(1), 1, 0)],
+        ["u", "ts", "eid", "v"],
+    )
+    r = ewma_halving(df, ["u"], "ts", "v", tiebreak=["eid"]).collect()[0]
+    assert r["ewma"] == -2
+
+
+def test_ab_conversion_counts_and_chi2(spark):
+    from pii_spark.events import ab_conversion
+    from pii_spark.curation import hash_bucket_int
+
+    users = list(range(40))
+    # converts: multiples of 3
+    rows = []
+    for u in users:
+        rows.append((u, "view"))
+        if u % 3 == 0:
+            rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    r = ab_conversion(df, "user_id", "event_type", "purchase", salt="t").collect()[0]
+    # python replay of the split + counts
+    import hashlib
+
+    def variant(u):
+        return int(hashlib.sha256(f"{u}t".encode()).hexdigest()[:4], 16) % 2
+
+    a = [u for u in users if variant(u) == 0]
+    b = [u for u in users if variant(u) == 1]
+    ca = sum(1 for u in a if u % 3 == 0)
+    cb = sum(1 for u in b if u % 3 == 0)
+    assert (r["users_a"], r["conv_a"], r["users_b"], r["conv_b"]) == (
+        len(a), ca, len(b), cb,
+    )
+    assert r["rate_a_x10000"] == ca * 10000 // len(a)
+    dif = ca * (len(b) - cb) - cb * (len(a) - ca)
+    denom = len(a) * len(b) * (ca + cb) * (len(a) + len(b) - ca - cb)
+    assert r["chi2_x1e6"] == dif * dif * 1000000 * len(users) // denom
+
+
+def test_group_reservoir_exact_k_and_deterministic(spark):
+    from pii_spark.curation import group_reservoir
+
+    rows = [(f"g{i % 3}", i) for i in range(60)]
+    df = spark.createDataFrame(rows, ["g", "id"])
+    out1 = group_reservoir(df, ["g"], F.col("id"), k=5).collect()
+    out2 = group_reservoir(df, ["g"], F.col("id"), k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per = {}
+    for r in out1:
+        per.setdefault(r["g"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    # a different salt redraws
+    out3 = group_reservoir(df, ["g"], F.col("id"), k=5, salt="other").collect()
+    assert {(r["g"], r["id"]) for r in out3} != {(r["g"], r["id"]) for r in out1}
