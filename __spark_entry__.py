@@ -3006,6 +3006,37 @@ def q_lang_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collaborative-filtering item similarity: global top-50 part pairs
+    # by exact basket-set Jaccard over lineitem orders
+    from pii_spark.affinity import neighborhood_jaccard_topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return neighborhood_jaccard_topk(
+        li, "l_orderkey", "l_partkey", k=50, min_shared=2
+    )
+
+
+def q_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inverted-index build for the BM25 query vocabulary: df over the
+    # full corpus + capped ascending posting heads
+    from pii_spark.retrieval import postings_index
+
+    vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    return postings_index(
+        _docs(spark, sf_dir), "doc_id", "text", vocab, cap=20
+    ).orderBy("term")
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document top-3 keywords by ratio-idf tf-idf (integer-exact)
+    from pii_spark.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=3).orderBy(
+        "doc", "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3148,6 +3179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_value": q_ewma_value,
         "ab_lift": q_ab_lift,
         "lang_reservoir": q_lang_reservoir,
+        "item_neighbors": q_item_neighbors,
+        "postings_index": q_postings_index,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -3179,8 +3213,34 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
     from pii_spark.curation import group_reservoir_oracle_sql
+    from pii_spark.affinity import neighborhood_jaccard_oracle_sql
+    from pii_spark.retrieval import (
+        postings_index_oracle_sql,
+        tfidf_topk_oracle_sql,
+    )
 
+    _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     return {
+        "item_neighbors": neighborhood_jaccard_oracle_sql(
+            basket_sql="l_orderkey",
+            item_sql="l_partkey",
+            rows_sql="SELECT l_orderkey, l_partkey FROM lineitem",
+            k=50,
+            min_shared=2,
+        ),
+        "postings_index": postings_index_oracle_sql(
+            id_sql="doc_id",
+            text_sql="text",
+            rows_sql="SELECT doc_id, text FROM documents",
+            vocab=_vocab,
+            cap=20,
+        ),
+        "tfidf_keywords": tfidf_topk_oracle_sql(
+            id_sql="doc_id",
+            text_sql="text",
+            rows_sql="SELECT doc_id, text FROM documents",
+            k=3,
+        ),
         "ewma_value": ewma_halving_oracle_sql(
             key_sql="user_id",
             ts_sql="ts",

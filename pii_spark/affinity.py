@@ -159,3 +159,90 @@ def affinity_topk_oracle_sql(
         ORDER BY support DESC, item_a, item_b
         LIMIT {k}
     """
+
+
+def neighborhood_jaccard_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 100,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Item–item *neighborhood* similarity: Jaccard of the two items'
+    basket SETS (co-purchase counts normalized by how prolific each
+    item is), ranked globally.  Where :func:`copurchase_topk` ranks raw
+    support/lift, this is the collaborative-filtering similarity — two
+    niche items bought together in half their baskets beat two
+    bestsellers that co-occur incidentally.
+
+      jac_x10000 = nᵢ · 10000 // (nₐ + n_b − nᵢ)
+
+    with nᵢ = shared baskets, nₐ/n_b = each item's basket count —
+    floor-scaled integers, engine-exact.
+
+    Scale shape: dedupe to (basket, item) — map-side shrink — then
+    pair generation by self-join on the basket key, so the blowup is
+    Σ_b |b|², bounded by basket size, not catalog size (the same
+    containment-pair shape as the shingle near-dup family; salt or cap
+    pathological baskets first).  ``min_shared`` prunes the pair tail
+    before the per-item count join; the final global top-k is a
+    TakeOrdered, not a full sort, under the (jac desc, item_a, item_b)
+    total order.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    counts = bi.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .groupBy(
+            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .filter(F.col("ni") >= min_shared)
+    )
+    scored = (
+        pairs.join(counts.withColumnRenamed("i", "item_a").withColumnRenamed("cnt", "ca"), "item_a")
+        .join(counts.withColumnRenamed("i", "item_b").withColumnRenamed("cnt", "cb"), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("ni").alias("shared"),
+            F.expr("ni * 10000 div (ca + cb - ni)").alias("jac_x10000"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jac_x10000").desc(), "item_a", "item_b"
+    ).limit(k)
+
+
+def neighborhood_jaccard_oracle_sql(
+    basket_sql: str,
+    item_sql: str,
+    rows_sql: str,
+    k: int = 100,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB replay of :func:`neighborhood_jaccard_topk`."""
+    return f"""
+        WITH bi AS (
+            SELECT DISTINCT {basket_sql} AS b, {item_sql} AS i
+            FROM ({rows_sql})
+        ),
+        counts AS (SELECT i, count(*) AS cnt FROM bi GROUP BY i),
+        pairs AS (
+            SELECT x.i AS item_a, y.i AS item_b, count(*) AS ni
+            FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+            GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+        )
+        SELECT p.item_a, p.item_b, CAST(p.ni AS BIGINT) AS shared,
+               CAST(p.ni * 10000 // (ca.cnt + cb.cnt - p.ni) AS BIGINT)
+                   AS jac_x10000
+        FROM pairs p
+        JOIN counts ca ON ca.i = p.item_a
+        JOIN counts cb ON cb.i = p.item_b
+        ORDER BY jac_x10000 DESC, p.item_a, p.item_b
+        LIMIT {k}
+    """

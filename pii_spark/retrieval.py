@@ -465,3 +465,168 @@ def mmr_oracle_sql(
                CAST(mmr_x1e7 AS BIGINT) AS mmr_x1e7
         FROM all{k} ORDER BY query, rank
     """
+
+
+def postings_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    cap: int = 20,
+) -> DataFrame:
+    """Inverted-index build for a fixed vocabulary: per term, the
+    document frequency over the WHOLE corpus and the first ``cap``
+    posting doc-ids (ascending, comma-joined — a stable, hashable
+    serialization of the posting-list head).
+
+    The two statistics deliberately come from two aggregations: ``df``
+    from the full (term, doc) set, postings from a rank-filtered slice
+    — so the collect never materializes a frequent term's full posting
+    list in one task (the classic OOM of naive index builds).  At real
+    scale the rank filter is a per-term window over doc-id order;
+    Spark's TakeOrdered-like partial top-k applies since ``cap`` is a
+    constant.
+
+    Output: ``term, df, postings`` ordered by term.
+    """
+    td = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(vocab))
+        .distinct()
+    )
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(F.col("doc").asc())
+    head = (
+        td.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .groupBy("term")
+        .agg(
+            # sort the NUMERIC ids, then stringify — lexicographic hex
+            # tricks don't apply to decimal ids ("10" < "9" as strings)
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(head, "term").select("term", "df", "postings")
+
+
+def postings_index_oracle_sql(
+    id_sql: str,
+    text_sql: str,
+    rows_sql: str,
+    vocab: list[str],
+    cap: int = 20,
+) -> str:
+    """DuckDB replay of :func:`postings_index`."""
+    lits = ", ".join(f"'{t}'" for t in vocab)
+    return f"""
+        WITH td AS (
+            SELECT DISTINCT {id_sql} AS doc, u.term
+            FROM ({rows_sql}),
+                 UNNEST(regexp_extract_all(lower({text_sql}), '[a-z]+'))
+                     AS u(term)
+            WHERE u.term IN ({lits})
+        ),
+        ranked AS (
+            SELECT term, doc, row_number() OVER (PARTITION BY term
+                ORDER BY doc) AS r
+            FROM td
+        )
+        SELECT d.term, CAST(d.df AS BIGINT) AS df, h.postings
+        FROM (SELECT term, count(*) AS df FROM td GROUP BY term) d
+        JOIN (SELECT term, string_agg(doc::VARCHAR, ',' ORDER BY doc)
+                  AS postings
+              FROM ranked WHERE r <= {cap} GROUP BY term) h
+            USING (term)
+        ORDER BY term
+    """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` keyword extraction by tf·idf with the
+    RATIO idf (``idf_x1e6 = N · 10⁶ // df`` — no ``ln``, same ordering
+    intent, engine-exact; the same move :func:`bm25_topk` makes for its
+    Robertson idf).  ``score = tf · idf_x1e6``; ties break on the term
+    string, so each document's keyword list is a total order.
+
+    This is the corpus-mining primitive ("what is this file about?")
+    that feeds topic routing and mixture audits at curation time.
+
+    Scale shape: tf is one (doc, term) aggregation; df is one term
+    aggregation of the tf table (already deduped, map-side partial);
+    N is a broadcast one-row aggregate; the df join is broadcast when
+    the vocabulary fits (token vocabularies grow ~log of corpus size).
+    The final per-doc top-k is a window keyed by doc — millions of
+    small groups, no skew.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select("doc").distinct().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((n * 1000000) div df)"))
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc", "rank", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_topk_oracle_sql(
+    id_sql: str,
+    text_sql: str,
+    rows_sql: str,
+    k: int = 3,
+    doc_name: str = "doc",
+) -> str:
+    """DuckDB replay of :func:`tfidf_topk`."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_sql} AS doc, u.term
+            FROM ({rows_sql}),
+                 UNNEST(regexp_extract_all(lower({text_sql}), '[a-z]+'))
+                     AS u(term)
+        ),
+        tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc) AS n FROM tf),
+        scored AS (
+            SELECT tf.doc, tf.term, tf.tf, dfq.df,
+                   tf.tf * ((n.n * 1000000) // dfq.df) AS score,
+                   row_number() OVER (PARTITION BY tf.doc
+                       ORDER BY tf.tf * ((n.n * 1000000) // dfq.df) DESC,
+                                tf.term) AS rank
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        )
+        SELECT doc AS {doc_name}, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(score AS BIGINT) AS score
+        FROM scored WHERE rank <= {k}
+        ORDER BY {doc_name}, rank
+    """

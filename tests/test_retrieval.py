@@ -215,3 +215,55 @@ def test_mmr_lambda_1000_reduces_to_bm25(spark):
         .orderBy("rank").collect()
     ]
     assert mmr == bm
+
+
+def test_postings_index_df_counts_beyond_cap(spark):
+    from pii_spark.retrieval import postings_index
+
+    # "hash" appears in 30 docs but the posting head is capped at 5
+    rows = [(i, "hash join" if i < 30 else "scan only") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["term"]: r
+        for r in postings_index(df, "doc_id", "text", ["hash", "scan"], cap=5).collect()
+    }
+    assert out["hash"]["df"] == 30
+    assert out["hash"]["postings"] == "0,1,2,3,4"
+    assert out["scan"]["df"] == 10
+    assert out["scan"]["postings"] == "30,31,32,33,34"
+
+
+def test_postings_numeric_order_not_lexicographic(spark):
+    from pii_spark.retrieval import postings_index
+
+    rows = [(i, "term") for i in (9, 10, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = postings_index(df, "doc_id", "text", ["term"], cap=10).collect()[0]
+    assert out["postings"] == "2,9,10"
+
+
+def test_tfidf_topk_rare_term_wins(spark):
+    from pii_spark.retrieval import tfidf_topk
+
+    # "zebra" appears once in one doc; "common" in every doc
+    rows = [(0, "common zebra common"), (1, "common common"), (2, "common")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk(df, "doc_id", "text", k=1).collect()
+    top0 = [r for r in out if r["doc"] == 0][0]
+    assert top0["term"] == "zebra"
+    # score replay: tf=1, idf = 3*1e6 // 1
+    assert top0["score"] == 3_000_000
+
+
+def test_neighborhood_jaccard_exact(spark):
+    from pii_spark.affinity import neighborhood_jaccard_topk
+
+    # item 1 in baskets {a,b}, item 2 in {a,b,c} → jac = 2/3
+    rows = [("a", 1), ("b", 1), ("a", 2), ("b", 2), ("c", 2),
+            ("a", 3)]  # item 3 shares only 1 basket → pruned (min_shared=2)
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = neighborhood_jaccard_topk(df, "basket", "item", k=10, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["shared"]) == (1, 2, 2)
+    assert r["jac_x10000"] == 2 * 10000 // 3
