@@ -211,6 +211,15 @@ def main() -> None:
         "fuzzy_match",
         "event_transitions",
         "value_drift",
+        "revenue_gini",
+        "burst_detect",
+        "rolling_active_users",
+        "ewma_value",
+        "ab_lift",
+        "lang_reservoir",
+        "item_neighbors",
+        "postings_index",
+        "tfidf_keywords",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -582,7 +582,10 @@ def tfidf_topk(
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.select("doc").distinct().agg(F.count(F.lit(1)).alias("n"))
+    # N from the raw doc table (one count, no token explode) — NOT from
+    # tf: a third scan of the explode subtree buys nothing, and idf's
+    # ordering in df is unchanged by the constant
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(n))
@@ -615,7 +618,7 @@ def tfidf_topk_oracle_sql(
         ),
         tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT count(DISTINCT doc) AS n FROM tf),
+        n AS (SELECT count(*) AS n FROM ({rows_sql})),
         scored AS (
             SELECT tf.doc, tf.term, tf.tf, dfq.df,
                    tf.tf * ((n.n * 1000000) // dfq.df) AS score,

@@ -581,3 +581,47 @@ def test_domain_pagerank_ranks_join_small_no_python(spark):
     assert count_python_nodes(p) == 0
     # dangling-mass scalar is a broadcast, never a shuffle of ranks
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_tfidf_partial_topk_and_broadcast_df_join(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_tfidf_keywords(spark, SF_DIR))
+    # per-doc top-k must run as a rank-limit (WindowGroupLimit), never
+    # a full per-doc sort of all terms; the df side joins broadcast
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert count_python_nodes(p) == 0
+
+
+def test_postings_rank_filter_is_map_side_partial(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_postings_index(spark, SF_DIR))
+    # the cap-K head must prune BEFORE the term shuffle (Partial
+    # WindowGroupLimit) so a frequent term's postings never
+    # materialize in one task
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert count_python_nodes(p) == 0
+
+
+def test_item_neighbors_topk_is_take_ordered(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_item_neighbors(spark, SF_DIR))
+    # global top-k rides TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_burst_and_rolling_broadcast_small_sides(spark):
+    import __spark_entry__ as E
+
+    p1 = plan(E.q_burst_detect(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p1
+    assert count_python_nodes(p1) == 0
+    p2 = plan(E.q_rolling_active_users(spark, SF_DIR))
+    # observed-days semi join broadcasts; the 7x fan-out is map-side
+    assert "BroadcastHashJoin" in p2 and "LeftSemi" in p2
+    assert count_python_nodes(p2) == 0
