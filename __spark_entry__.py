@@ -3037,6 +3037,29 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clickstream path census: 10-minute-gap sessions serialized as
+    # '>'-joined type paths, global top-20 with total-order ties
+    from pii_spark.events import session_paths_topk
+
+    return session_paths_topk(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        gap_sec=600, k=20, tiebreak=["event_id"],
+    )
+
+
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fulfilment SLA audit: exact integer ship-delay stats per order
+    # priority over the orderkey big-join
+    from pii_spark.diagnostics import ship_delay_audit
+
+    return ship_delay_audit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        late_days=90,
+    ).orderBy("priority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3182,6 +3205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_neighbors": q_item_neighbors,
         "postings_index": q_postings_index,
         "tfidf_keywords": q_tfidf_keywords,
+        "session_paths": q_session_paths,
+        "ship_delay": q_ship_delay,
     }
 
 
@@ -3195,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         event_transitions_oracle_sql,
         funnel_oracle_sql,
         rolling_distinct_users_oracle_sql,
+        session_paths_oracle_sql,
         spearman_drift_oracle_sql,
     )
     from pii_spark.affinity import affinity_topk_oracle_sql
@@ -3219,8 +3245,12 @@ def oracle_sql() -> dict[str, str]:
         tfidf_topk_oracle_sql,
     )
 
+    from pii_spark.diagnostics import ship_delay_oracle_sql
+
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     return {
+        "session_paths": session_paths_oracle_sql(gap_sec=600, k=20),
+        "ship_delay": ship_delay_oracle_sql(late_days=90),
         "item_neighbors": neighborhood_jaccard_oracle_sql(
             basket_sql="l_orderkey",
             item_sql="l_partkey",

@@ -220,6 +220,8 @@ def main() -> None:
         "item_neighbors",
         "postings_index",
         "tfidf_keywords",
+        "session_paths",
+        "ship_delay",
     ]
     qmap = E.queries()
     for name in bench_queries:

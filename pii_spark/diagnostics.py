@@ -292,3 +292,78 @@ def value_concentration_oracle_sql(
                     * 10000 // sum(v) AS BIGINT) AS top_decile_x10000
         FROM ranked GROUP BY g ORDER BY g
     """
+
+
+def ship_delay_audit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """Order-fulfilment SLA audit: per order priority, exact integer
+    statistics of the ship delay (days between order date and each
+    line's ship date, epoch-day arithmetic — timezone-free):
+
+      n_lines, sum_delay_days, max_delay_days,
+      avg_delay_x100   = sum · 100 // n
+      late_rate_x10000 = |delay > late_days| · 10000 // n
+
+    Scale shape: the orderkey join is the canonical big×big equi-join —
+    co-partition both sides (bucket both tables by orderkey at write
+    time and the exchange disappears; otherwise one shuffle each side,
+    AQE handles the skewed-orderkey tail).  The per-priority rollup is
+    a 5-group partial aggregation — map-side combine does all the work.
+    """
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__ous"),
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("__lus"),
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.expr("(__lus - __ous) div 86400000000").alias("__delay"),
+    )
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("__delay").alias("sum_delay_days"),
+            F.max("__delay").alias("max_delay_days"),
+            F.sum(
+                F.when(F.col("__delay") > late_days, 1).otherwise(0)
+            ).alias("__late"),
+        )
+        .select(
+            "priority",
+            "n_lines",
+            "sum_delay_days",
+            "max_delay_days",
+            F.expr("sum_delay_days * 100 div n_lines").alias("avg_delay_x100"),
+            F.expr("__late * 10000 div n_lines").alias("late_rate_x10000"),
+        )
+    )
+
+
+def ship_delay_oracle_sql(late_days: int = 90) -> str:
+    """DuckDB replay of :func:`ship_delay_audit` over the driver's
+    orders/lineitem views."""
+    return f"""
+        WITH j AS (
+            SELECT o.o_orderpriority AS priority,
+                   (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // 86400000000 AS delay
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(delay) AS BIGINT) AS sum_delay_days,
+               CAST(max(delay) AS BIGINT) AS max_delay_days,
+               CAST(sum(delay) * 100 // count(*) AS BIGINT)
+                   AS avg_delay_x100,
+               CAST(sum(CASE WHEN delay > {late_days} THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT) AS late_rate_x10000
+        FROM j GROUP BY priority ORDER BY priority
+    """

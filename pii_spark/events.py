@@ -782,3 +782,100 @@ def ab_conversion_oracle_sql(
                     AS BIGINT) AS chi2_x1e6
         FROM agg
     """
+
+
+def session_paths_topk(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_sec: float,
+    k: int = 20,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Clickstream path mining: gap-sessionize each user's events (same
+    integer-microsecond boundary as :func:`sessionize`), serialize each
+    session as its ``'>'``-joined event-type path in (ts, tiebreak)
+    order, and return the top-``k`` most common paths with counts.
+    Ties at the cutoff break on the path string, so the result is a
+    total order.
+
+    This is the behavioural census that tells a pipeline operator what
+    the alert stream's dominant journeys look like (the aggregate-level
+    twin of :func:`event_transitions`' one-step matrix — full paths,
+    not Markov edges).
+
+    Scale shape: one shuffle keyed by ``user_col`` (session window +
+    path collect ride the same partitioning), one count keyed by path
+    (map-side partial — the path domain is Zipfian and small), and a
+    TakeOrdered top-k.  Path strings are bounded by session length;
+    pathological never-idle users should be pre-split by day, as with
+    any sessionizer.
+    """
+    gap_us = int(round(gap_sec * 1_000_000))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = df.withColumn("__sid", sid)
+    sort_cols = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    struct_fields = [c.alias(f"o{i}") for i, c in enumerate(sort_cols)] + [
+        F.col(type_col).alias("y")
+    ]
+    paths = ev.groupBy(F.col(user_col), F.col("__sid")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*struct_fields))),
+                lambda x: x.getField("y"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    census = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return census.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(k)
+
+
+def session_paths_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    type_sql: str = "event_type",
+    rows_sql: str = "SELECT user_id, ts, event_id, event_type FROM events",
+    gap_sec: float = 600.0,
+    k: int = 20,
+    tiebreak_sql: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`session_paths_topk`."""
+    gap_us = int(round(gap_sec * 1_000_000))
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH seq AS (
+            SELECT {user_sql} AS u, {ts_sql} AS ts{tb},
+                   {type_sql} AS t,
+                   CASE WHEN lag(epoch_us({ts_sql})) OVER w IS NULL
+                             OR epoch_us({ts_sql})
+                                - lag(epoch_us({ts_sql})) OVER w > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ({rows_sql})
+            WINDOW w AS (PARTITION BY {user_sql} ORDER BY {ts_sql}{tb})
+        ),
+        sess AS (
+            SELECT u, ts{tb}, t,
+                   sum(new_s) OVER (PARTITION BY u ORDER BY ts{tb}
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        paths AS (
+            SELECT u, sid, string_agg(t, '>' ORDER BY ts{tb}) AS path
+            FROM sess GROUP BY u, sid
+        ),
+        census AS (SELECT path, count(*) AS n_sessions FROM paths
+                   GROUP BY path)
+        SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions
+        FROM census ORDER BY n_sessions DESC, path LIMIT {k}
+    """

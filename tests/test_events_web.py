@@ -519,3 +519,63 @@ def test_group_reservoir_exact_k_and_deterministic(spark):
     # a different salt redraws
     out3 = group_reservoir(df, ["g"], F.col("id"), k=5, salt="other").collect()
     assert {(r["g"], r["id"]) for r in out3} != {(r["g"], r["id"]) for r in out1}
+
+
+def test_session_paths_census(spark):
+    from pii_spark.events import session_paths_topk
+
+    rows = [
+        # u1 session 1: view > click > purchase
+        (1, _tsec(0), 0, "view"), (1, _tsec(10), 1, "click"),
+        (1, _tsec(20), 2, "purchase"),
+        # u1 session 2 (after 1h gap): view > click > purchase again
+        (1, _tsec(4000), 3, "view"), (1, _tsec(4010), 4, "click"),
+        (1, _tsec(4020), 5, "purchase"),
+        # u2: single-event session
+        (2, _tsec(0), 6, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "t"])
+    out = session_paths_topk(
+        df, "u", "ts", "t", gap_sec=600, k=10, tiebreak=["eid"]
+    ).collect()
+    got = {(r["path"], r["n_sessions"]) for r in out}
+    assert got == {("view>click>purchase", 2), ("view", 1)}
+    # count order: the 2-session path ranks first
+    assert out[0]["path"] == "view>click>purchase"
+
+
+def test_session_paths_tie_order_within_second(spark):
+    from pii_spark.events import session_paths_topk
+
+    # two events share a timestamp — the tiebreak column decides order
+    rows = [(1, _tsec(0), 1, "b"), (1, _tsec(0), 0, "a")]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "t"])
+    out = session_paths_topk(
+        df, "u", "ts", "t", gap_sec=60, k=5, tiebreak=["eid"]
+    ).collect()
+    assert out[0]["path"] == "a>b"
+
+
+def test_ship_delay_audit_exact(spark):
+    from pii_spark.diagnostics import ship_delay_audit
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", d0), (2, "1-URGENT", d0)],
+        ["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    li = spark.createDataFrame(
+        [
+            (1, d0 + dt.timedelta(days=10)),
+            (1, d0 + dt.timedelta(days=100)),
+            (2, d0 + dt.timedelta(days=5)),
+        ],
+        ["l_orderkey", "l_shipdate"],
+    )
+    r = ship_delay_audit(orders, li, late_days=90).collect()[0]
+    assert r["priority"] == "1-URGENT"
+    assert r["n_lines"] == 3
+    assert r["sum_delay_days"] == 115
+    assert r["max_delay_days"] == 100
+    assert r["avg_delay_x100"] == 115 * 100 // 3
+    assert r["late_rate_x10000"] == 1 * 10000 // 3

@@ -625,3 +625,19 @@ def test_burst_and_rolling_broadcast_small_sides(spark):
     # observed-days semi join broadcasts; the 7x fan-out is map-side
     assert "BroadcastHashJoin" in p2 and "LeftSemi" in p2
     assert count_python_nodes(p2) == 0
+
+
+def test_session_paths_topk_take_ordered_single_user_shuffle(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_session_paths(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert count_python_nodes(p) == 0
+
+
+def test_ship_delay_is_equi_join_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_ship_delay(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert count_python_nodes(p) == 0
