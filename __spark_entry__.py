@@ -3060,6 +3060,35 @@ def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("priority")
 
 
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation mining: top-50 skip-bigrams by integer PMI lift;
+    # pair extraction is pure map-side array slicing, no position join
+    from pii_spark.retrieval import token_pmi_topk
+
+    return token_pmi_topk(
+        _docs(spark, sf_dir), "text", k=50, max_skip=2,
+        min_pair=5, min_unigram=20,
+    )
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint per event type over hourly volume, integer
+    # cross-multiplied |B·P_i − i·S| statistic
+    from pii_spark.events import changepoint_cusum
+
+    return changepoint_cusum(
+        _events(spark, sf_dir), "event_type", "ts"
+    ).orderBy("event_type")
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # co-purchase graph degree census over lineitem baskets
+    from pii_spark.affinity import copartner_degree_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return copartner_degree_histogram(li, "l_orderkey", "l_partkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3207,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "session_paths": q_session_paths,
         "ship_delay": q_ship_delay,
+        "token_pmi": q_token_pmi,
+        "changepoint": q_changepoint,
+        "degree_histogram": q_degree_histogram,
     }
 
 
@@ -3246,9 +3278,23 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pii_spark.diagnostics import ship_delay_oracle_sql
+    from pii_spark.events import changepoint_cusum_oracle_sql
+    from pii_spark.affinity import copartner_degree_oracle_sql
+    from pii_spark.retrieval import token_pmi_oracle_sql
 
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     return {
+        "token_pmi": token_pmi_oracle_sql(
+            text_sql="text",
+            rows_sql="SELECT text FROM documents",
+            k=50, max_skip=2, min_pair=5, min_unigram=20,
+        ),
+        "changepoint": changepoint_cusum_oracle_sql(),
+        "degree_histogram": copartner_degree_oracle_sql(
+            basket_sql="l_orderkey",
+            item_sql="l_partkey",
+            rows_sql="SELECT l_orderkey, l_partkey FROM lineitem",
+        ),
         "session_paths": session_paths_oracle_sql(gap_sec=600, k=20),
         "ship_delay": ship_delay_oracle_sql(late_days=90),
         "item_neighbors": neighborhood_jaccard_oracle_sql(

@@ -222,6 +222,9 @@ def main() -> None:
         "tfidf_keywords",
         "session_paths",
         "ship_delay",
+        "token_pmi",
+        "changepoint",
+        "degree_histogram",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -246,3 +246,59 @@ def neighborhood_jaccard_oracle_sql(
         ORDER BY jac_x10000 DESC, p.item_a, p.item_b
         LIMIT {k}
     """
+
+
+def copartner_degree_histogram(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Degree distribution of the co-occurrence graph: for each item,
+    its number of distinct co-basket partners; then the census
+    ``degree → n_items``.  The one-glance answer to "is this graph a
+    long-tail star or a mesh?" — which decides whether the pair
+    generation above needs hot-basket capping before it runs.
+
+    Scale shape: dedupe to (basket, item), self-join on the basket key
+    (Σ|b|² blowup, basket-bounded), dedupe pairs, then two map-side
+    partial aggregations (item → degree, degree → count).  The final
+    histogram domain is tiny.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    partners = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.i") != F.col("y.i"))
+        .select(F.col("x.i").alias("i"), F.col("y.i").alias("j"))
+        .distinct()
+    )
+    degrees = partners.groupBy("i").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("degree")
+    )
+
+
+def copartner_degree_oracle_sql(
+    basket_sql: str,
+    item_sql: str,
+    rows_sql: str,
+) -> str:
+    """DuckDB replay of :func:`copartner_degree_histogram`."""
+    return f"""
+        WITH bi AS (
+            SELECT DISTINCT {basket_sql} AS b, {item_sql} AS i
+            FROM ({rows_sql})
+        ),
+        partners AS (
+            SELECT DISTINCT x.i AS i, y.i AS j
+            FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+        ),
+        degrees AS (SELECT i, count(*) AS degree FROM partners GROUP BY i)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM degrees GROUP BY degree ORDER BY degree
+    """

@@ -879,3 +879,99 @@ def session_paths_oracle_sql(
         SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions
         FROM census ORDER BY n_sessions DESC, path LIMIT {k}
     """
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """CUSUM changepoint scan over each type's bucketed volume series:
+    the bucket index i maximizing ``|B·Pᵢ − i·S|`` where Pᵢ is the
+    prefix sum of per-bucket counts (in bucket order), S the total and
+    B the bucket count — the cross-multiplied integer form of the
+    classic ``|cusum(x − mean)|`` statistic, so no float mean and an
+    exact SQL replay.  Ties take the earliest bucket.
+
+    Output per type: ``n_buckets, total, cp_bucket`` (epoch-bucket id
+    of the maximizing prefix) and ``stat = max |B·Pᵢ − i·S|``.  A flat
+    series scores 0; a step change scores ≈ B·(level shift)·overlap.
+
+    Scale shape: one (type, bucket) count — the only data-sized
+    shuffle — then a per-type window over the SMALL bucket series
+    (time-bounded, not data-bounded) for prefix sums and the argmax.
+    """
+    bucket = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
+    per = (
+        df.groupBy(F.col(type_col).alias("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    cur = (
+        per.withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "p",
+            F.sum("n").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("b_cnt", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("n").over(wall))
+        .withColumn("stat", F.abs(F.col("b_cnt") * F.col("p") - F.col("i") * F.col("s")))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("bucket").asc()
+    )
+    return (
+        cur.withColumn("__r", F.row_number().over(pick))
+        .filter(F.col("__r") == 1)
+        .select(
+            "event_type",
+            F.col("b_cnt").alias("n_buckets"),
+            F.col("s").alias("total"),
+            F.col("bucket").alias("cp_bucket"),
+            F.col("stat"),
+        )
+    )
+
+
+def changepoint_cusum_oracle_sql(
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT event_type, ts FROM events",
+    bucket_us: int = 3_600_000_000,
+) -> str:
+    """DuckDB replay of :func:`changepoint_cusum`."""
+    return f"""
+        WITH per AS (
+            SELECT {type_sql} AS event_type,
+                   epoch_us({ts_sql}) // {bucket_us} AS bucket,
+                   count(*) AS n
+            FROM ({rows_sql}) GROUP BY 1, 2
+        ),
+        cur AS (
+            SELECT event_type, bucket,
+                   row_number() OVER w AS i,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS p,
+                   count(*) OVER (PARTITION BY event_type) AS b_cnt,
+                   sum(n) OVER (PARTITION BY event_type) AS s
+            FROM per
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        ),
+        stats AS (
+            SELECT event_type, bucket, b_cnt, s,
+                   abs(b_cnt * p - i * s) AS stat,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(b_cnt * p - i * s) DESC, bucket ASC)
+                       AS r
+            FROM cur
+        )
+        SELECT event_type, CAST(b_cnt AS BIGINT) AS n_buckets,
+               CAST(s AS BIGINT) AS total,
+               CAST(bucket AS BIGINT) AS cp_bucket,
+               CAST(stat AS BIGINT) AS stat
+        FROM stats WHERE r = 1 ORDER BY event_type
+    """

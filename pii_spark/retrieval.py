@@ -633,3 +633,122 @@ def tfidf_topk_oracle_sql(
         FROM scored WHERE rank <= {k}
         ORDER BY {doc_name}, rank
     """
+
+
+def token_pmi_topk(
+    docs: DataFrame,
+    text_col: str,
+    k: int = 50,
+    max_skip: int = 2,
+    min_pair: int = 5,
+    min_unigram: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-``k`` ordered token skip-bigrams by an
+    exact integer PMI-style lift,
+
+      lift_x10000 = n_pair · total_pairs · 10000 // (nₐ · n_b)
+
+    with n_pair = occurrences of (a, b) within ``max_skip`` positions
+    (a before b), total_pairs = all such pairs corpus-wide, and nₐ/n_b
+    = unigram counts.  ``min_pair``/``min_unigram`` are the classic
+    PMI rare-event guards.  Ties break on the token pair, a total
+    order.
+
+    Scale shape: pair extraction is PURE map-side — the token array is
+    zipped against its own shifted slices (``slice``/``arrays_zip``),
+    never self-joined, so no shuffle carries positions.  Then one
+    count keyed by (a, b), one by token, a broadcast of the (small)
+    unigram table, and a TakeOrdered top-k.  The Zipf head of the pair
+    domain partial-aggregates map-side.
+    """
+    toks = docs.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias(
+            "w"
+        )
+    )
+    pair_arrays = [
+        F.zip_with(
+            F.slice(F.col("w"), 1, F.greatest(F.size("w") - d, F.lit(0))),
+            F.slice(
+                F.col("w"),
+                1 + d,
+                F.greatest(F.size("w") - d, F.lit(0)),
+            ),
+            lambda a, b: F.concat(a, F.lit("|"), b),
+        )
+        for d in range(1, max_skip + 1)
+    ]
+    pairs = toks.select(
+        F.explode(F.concat(*pair_arrays)).alias("pair")
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+    total = pc.agg(F.sum("n_pair").alias("total_pairs"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_unigram)
+    )
+    scored = (
+        pc.filter(F.col("n_pair") >= min_pair)
+        .withColumn("a", F.split("pair", "\\|")[0])
+        .withColumn("b", F.split("pair", "\\|")[1])
+        .join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("cnt", "na")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("cnt", "nb")), "b")
+        .join(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.expr("n_pair * total_pairs * 10000 div (na * nb)").alias(
+                "lift_x10000"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_x10000").desc(), "a", "b"
+    ).limit(k)
+
+
+def token_pmi_oracle_sql(
+    text_sql: str,
+    rows_sql: str,
+    k: int = 50,
+    max_skip: int = 2,
+    min_pair: int = 5,
+    min_unigram: int = 20,
+) -> str:
+    """DuckDB replay of :func:`token_pmi_topk`."""
+    arms = " || ".join(
+        f"list_transform(range(1, greatest(len(w) - {d} + 1, 1)),"
+        f" i -> w[i] || '|' || w[i + {d}])"
+        for d in range(1, max_skip + 1)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower({text_sql}), '[a-z]+') AS w
+            FROM ({rows_sql})
+        ),
+        pairs AS (
+            SELECT u.pair FROM toks, UNNEST({arms}) AS u(pair)
+        ),
+        pc AS (SELECT pair, count(*) AS n_pair FROM pairs GROUP BY pair),
+        total AS (SELECT sum(n_pair) AS total_pairs FROM pc),
+        uni AS (
+            SELECT u.t, count(*) AS cnt
+            FROM toks, UNNEST(w) AS u(t)
+            GROUP BY u.t HAVING count(*) >= {min_unigram}
+        )
+        SELECT string_split(pc.pair, '|')[1] AS a,
+               string_split(pc.pair, '|')[2] AS b,
+               CAST(pc.n_pair AS BIGINT) AS n_pair,
+               CAST(pc.n_pair * t.total_pairs * 10000
+                    // (ua.cnt * ub.cnt) AS BIGINT) AS lift_x10000
+        FROM pc
+        JOIN uni ua ON ua.t = string_split(pc.pair, '|')[1]
+        JOIN uni ub ON ub.t = string_split(pc.pair, '|')[2]
+        CROSS JOIN total t
+        WHERE pc.n_pair >= {min_pair}
+        ORDER BY lift_x10000 DESC, a, b
+        LIMIT {k}
+    """

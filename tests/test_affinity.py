@@ -60,3 +60,15 @@ def test_affinity_plan_broadcasts_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in p  # top-k, not a global sort
     assert p.count("BroadcastExchange") >= 2  # item counts + basket total
     assert "CartesianProduct" not in p
+
+
+def test_copartner_degree_histogram(spark):
+    from pii_spark.affinity import copartner_degree_histogram
+
+    # basket 1: items {1,2,3}; basket 2: items {3,4}
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {r["degree"]: r["n_items"] for r in
+           copartner_degree_histogram(df, "b", "i").collect()}
+    # degrees: 1→2, 2→2, 3→{1,2,4}=3, 4→1
+    assert out == {1: 1, 2: 2, 3: 1}

@@ -579,3 +579,41 @@ def test_ship_delay_audit_exact(spark):
     assert r["max_delay_days"] == 100
     assert r["avg_delay_x100"] == 115 * 100 // 3
     assert r["late_rate_x10000"] == 1 * 10000 // 3
+
+
+def test_changepoint_cusum_finds_step(spark):
+    from pii_spark.events import changepoint_cusum
+
+    # 4 quiet hours of 2 events, then 4 loud hours of 10 — the CUSUM
+    # max sits at the last quiet bucket
+    rows = []
+    for h in range(4):
+        rows += [("a", _tsec(h * 3600 + j * 10)) for j in range(2)]
+    for h in range(4, 8):
+        rows += [("a", _tsec(h * 3600 + j * 10)) for j in range(10)]
+    df = spark.createDataFrame(rows, ["t", "ts"])
+    r = changepoint_cusum(df, "t", "ts").collect()[0]
+    assert r["n_buckets"] == 8 and r["total"] == 48
+    base = r["cp_bucket"] - 3  # quiet buckets are base..base+3
+    # python replay
+    counts = [2, 2, 2, 2, 10, 10, 10, 10]
+    stats = []
+    p = 0
+    for i, c in enumerate(counts, start=1):
+        p += c
+        stats.append(abs(8 * p - i * 48))
+    assert r["stat"] == max(stats)
+    assert r["cp_bucket"] == base + stats.index(max(stats))
+
+
+def test_changepoint_flat_series_zero(spark):
+    from pii_spark.events import changepoint_cusum
+
+    rows = [("a", _tsec(h * 3600)) for h in range(6)]
+    df = spark.createDataFrame(rows, ["t", "ts"])
+    r = changepoint_cusum(df, "t", "ts").collect()[0]
+    assert r["stat"] == 0
+    # tie on 0 → earliest bucket wins
+    assert r["cp_bucket"] == min(
+        x["cp_bucket"] for x in changepoint_cusum(df, "t", "ts").collect()
+    )

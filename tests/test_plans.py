@@ -641,3 +641,21 @@ def test_ship_delay_is_equi_join_no_python(spark):
     p = plan(E.q_ship_delay(spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert count_python_nodes(p) == 0
+
+
+def test_token_pmi_pairs_are_map_side_no_position_join(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_token_pmi(spark, SF_DIR))
+    # pair extraction must ride array slicing (Generate over zip_with),
+    # never a positional self-join; top-k is a TakeOrdered
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_changepoint_single_data_shuffle(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_changepoint(spark, SF_DIR))
+    assert count_python_nodes(p) == 0

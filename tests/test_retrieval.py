@@ -267,3 +267,32 @@ def test_neighborhood_jaccard_exact(spark):
     r = out[0]
     assert (r["item_a"], r["item_b"], r["shared"]) == (1, 2, 2)
     assert r["jac_x10000"] == 2 * 10000 // 3
+
+
+def test_token_pmi_collocation_beats_frequency(spark):
+    from pii_spark.retrieval import token_pmi_topk
+
+    # "ba qux" always co-occur; "aa"/"bb" are frequent but independent
+    docs = ["ba qux aa bb"] * 10 + ["aa zz bb yy"] * 10 + ["bb aa"] * 10
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    out = token_pmi_topk(
+        df, "text", k=5, max_skip=1, min_pair=5, min_unigram=10
+    ).collect()
+    assert out[0]["a"] == "ba" and out[0]["b"] == "qux"
+    # exact replay: n_pair=10, total distance-1 pairs = 3*10+3*10+1*10
+    total = 70
+    assert out[0]["n_pair"] == 10
+    assert out[0]["lift_x10000"] == 10 * total * 10000 // (10 * 10)
+
+
+def test_token_pmi_skip2_catches_gapped_pair(spark):
+    from pii_spark.retrieval import token_pmi_topk
+
+    docs = ["aa xx bb"] * 8
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    out = token_pmi_topk(
+        df, "text", k=10, max_skip=2, min_pair=5, min_unigram=5
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert ("aa", "bb") in pairs  # distance 2
+    assert ("aa", "xx") in pairs  # distance 1
