@@ -3089,6 +3089,23 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copartner_degree_histogram(li, "l_orderkey", "l_partkey")
 
 
+def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float-free Pearson: per event type, does value correlate with
+    # hour-of-day?  Five power sums map-side, r² and sign exact
+    from pii_spark.diagnostics import corr_exact
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("hour"),
+    )
+    return corr_exact(ev, ["event_type"], "cents", "hour").orderBy(
+        "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3239,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": q_token_pmi,
         "changepoint": q_changepoint,
         "degree_histogram": q_degree_histogram,
+        "value_hour_corr": q_value_hour_corr,
     }
 
 
@@ -3277,7 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         tfidf_topk_oracle_sql,
     )
 
-    from pii_spark.diagnostics import ship_delay_oracle_sql
+    from pii_spark.diagnostics import corr_exact_oracle_sql, ship_delay_oracle_sql
     from pii_spark.events import changepoint_cusum_oracle_sql
     from pii_spark.affinity import copartner_degree_oracle_sql
     from pii_spark.retrieval import token_pmi_oracle_sql
@@ -3290,6 +3308,13 @@ def oracle_sql() -> dict[str, str]:
             k=50, max_skip=2, min_pair=5, min_unigram=20,
         ),
         "changepoint": changepoint_cusum_oracle_sql(),
+        "value_hour_corr": corr_exact_oracle_sql(
+            group_sql="event_type",
+            x_sql="CAST(round(value * 100) AS BIGINT)",
+            y_sql="(epoch_us(ts) // 3600000000) % 24",
+            rows_sql="SELECT event_type, value, ts FROM events",
+            group_name="event_type",
+        ),
         "degree_histogram": copartner_degree_oracle_sql(
             basket_sql="l_orderkey",
             item_sql="l_partkey",

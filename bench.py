@@ -225,6 +225,7 @@ def main() -> None:
         "token_pmi",
         "changepoint",
         "degree_histogram",
+        "value_hour_corr",
     ]
     qmap = E.queries()
     for name in bench_queries:

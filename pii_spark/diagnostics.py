@@ -367,3 +367,95 @@ def ship_delay_oracle_sql(late_days: int = 90) -> str:
                     * 10000 // count(*) AS BIGINT) AS late_rate_x10000
         FROM j GROUP BY priority ORDER BY priority
     """
+
+
+def corr_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation with NO floats: everything is an
+    integer function of the five power sums (n, Σx, Σy, Σx², Σy², Σxy)
+    — which partial-aggregate map-side, the textbook distributive
+    shape.  Because r itself needs a square root, the exact outputs
+    are its square and sign:
+
+      cov_n    = n·Σxy − Σx·Σy             (n² × covariance)
+      varx_n   = n·Σx² − (Σx)²             (n² × variance, ≥ 0)
+      vary_n   = n·Σy² − (Σy)²
+      r2_x1e6  = cov_n² · 10⁶ // (varx_n · vary_n)   [NULL if degenerate]
+      sign     = sign(cov_n)
+
+    so ``r ≈ sign · sqrt(r2_x1e6 / 1e6)`` to any precision the caller
+    wants, while the stored statistics replay bit-for-bit in SQL.
+    Inputs must be integers (scale cents/micros first); the squared
+    terms run in DECIMAL(38,0) to survive fleet-scale magnitudes.
+
+    Scale shape: ONE aggregation keyed by ``group_cols`` — five sums
+    with map-side combine; no window, no second shuffle.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.expr("CAST(__n * __sxy - __sx * __sy AS BIGINT)").alias("cov_n"),
+        F.expr("CAST(__n * __sxx - __sx * __sx AS BIGINT)").alias("varx_n"),
+        F.expr("CAST(__n * __syy - __sy * __sy AS BIGINT)").alias("vary_n"),
+        F.expr(
+            "CASE WHEN (__n * __sxx - __sx * __sx) = 0"
+            " OR (__n * __syy - __sy * __sy) = 0 THEN NULL ELSE CAST("
+            " ((__n * __sxy - __sx * __sy) * (__n * __sxy - __sx * __sy)"
+            "  * 1000000)"
+            " div ((__n * __sxx - __sx * __sx) * (__n * __syy - __sy * __sy))"
+            " AS BIGINT) END"
+        ).alias("r2_x1e6"),
+        F.expr(
+            "CAST(sign(CAST(__n * __sxy - __sx * __sy AS DOUBLE)) AS BIGINT)"
+        ).alias("sign"),
+    )
+
+
+def corr_exact_oracle_sql(
+    group_sql: str,
+    x_sql: str,
+    y_sql: str,
+    rows_sql: str,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`corr_exact` (HUGEINT power sums)."""
+    return f"""
+        WITH sums AS (
+            SELECT {group_sql} AS g,
+                   count(*)::HUGEINT AS n,
+                   sum(({x_sql})::HUGEINT) AS sx,
+                   sum(({y_sql})::HUGEINT) AS sy,
+                   sum(({x_sql})::HUGEINT * ({x_sql})::HUGEINT) AS sxx,
+                   sum(({y_sql})::HUGEINT * ({y_sql})::HUGEINT) AS syy,
+                   sum(({x_sql})::HUGEINT * ({y_sql})::HUGEINT) AS sxy
+            FROM ({rows_sql}) GROUP BY 1
+        )
+        SELECT g AS {group_name},
+               CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS cov_n,
+               CAST(n * sxx - sx * sx AS BIGINT) AS varx_n,
+               CAST(n * syy - sy * sy AS BIGINT) AS vary_n,
+               CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                         OR (n * syy - sy * sy) = 0 THEN NULL ELSE
+                    ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+                    // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+                    AS BIGINT) AS r2_x1e6,
+               CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                         WHEN n * sxy - sx * sy < 0 THEN -1
+                         ELSE 0 END AS BIGINT) AS sign
+        FROM sums ORDER BY g
+    """

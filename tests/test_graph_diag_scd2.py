@@ -128,3 +128,33 @@ def test_scd2_multi_state_any_change_splits(spark):
     assert [(r["s1"], r["s2"], r["n_events"]) for r in out] == [
         ("a", 1, 1), ("a", 2, 2)
     ]
+
+
+def test_corr_exact_perfect_and_inverse(spark):
+    from pii_spark.diagnostics import corr_exact
+
+    rows = [("pos", x, 2 * x + 1) for x in range(10)]
+    rows += [("neg", x, -3 * x) for x in range(10)]
+    rows += [("flat", x, 7) for x in range(10)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in corr_exact(df, ["g"], "x", "y").collect()}
+    assert out["pos"]["r2_x1e6"] == 1_000_000 and out["pos"]["sign"] == 1
+    assert out["neg"]["r2_x1e6"] == 1_000_000 and out["neg"]["sign"] == -1
+    assert out["flat"]["r2_x1e6"] is None and out["flat"]["sign"] == 0
+
+
+def test_corr_exact_power_sum_replay(spark):
+    from pii_spark.diagnostics import corr_exact
+
+    xs = [3, 1, 4, 1, 5]
+    ys = [9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], ["g", "x", "y"]
+    )
+    r = corr_exact(df, ["g"], "x", "y").collect()[0]
+    n = len(xs)
+    cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(a * a for a in xs) - sum(xs) ** 2
+    vy = n * sum(b * b for b in ys) - sum(ys) ** 2
+    assert (r["cov_n"], r["varx_n"], r["vary_n"]) == (cov, vx, vy)
+    assert r["r2_x1e6"] == cov * cov * 1_000_000 // (vx * vy)
