@@ -3106,6 +3106,21 @@ def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-MASS-weighted doc-length percentiles per language: the
+    # mixture-design statistic (median doc by token mass, not by count)
+    from pii_spark.curation import weighted_percentiles
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    return weighted_percentiles(
+        docs, ["lang"], "n_chars", "toks", qs_x10000=[2500, 5000, 9000]
+    ).orderBy("lang", "q_x10000")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3257,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "degree_histogram": q_degree_histogram,
         "value_hour_corr": q_value_hour_corr,
+        "weighted_percentiles": q_weighted_percentiles,
     }
 
 
@@ -3288,7 +3304,10 @@ def oracle_sql() -> dict[str, str]:
 
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
-    from pii_spark.curation import group_reservoir_oracle_sql
+    from pii_spark.curation import (
+        group_reservoir_oracle_sql,
+        weighted_percentiles_oracle_sql,
+    )
     from pii_spark.affinity import neighborhood_jaccard_oracle_sql
     from pii_spark.retrieval import (
         postings_index_oracle_sql,
@@ -3308,6 +3327,14 @@ def oracle_sql() -> dict[str, str]:
             k=50, max_skip=2, min_pair=5, min_unigram=20,
         ),
         "changepoint": changepoint_cusum_oracle_sql(),
+        "weighted_percentiles": weighted_percentiles_oracle_sql(
+            group_sql="lang",
+            value_sql="n_chars",
+            weight_sql="len(regexp_split_to_array(trim(text), '\\s+'))",
+            rows_sql="SELECT lang, n_chars, text FROM documents",
+            qs_x10000=[2500, 5000, 9000],
+            group_name="lang",
+        ),
         "value_hour_corr": corr_exact_oracle_sql(
             group_sql="event_type",
             x_sql="CAST(round(value * 100) AS BIGINT)",

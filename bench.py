@@ -226,6 +226,7 @@ def main() -> None:
         "changepoint",
         "degree_histogram",
         "value_hour_corr",
+        "weighted_percentiles",
     ]
     qmap = E.queries()
     for name in bench_queries:

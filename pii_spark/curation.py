@@ -1056,3 +1056,86 @@ def group_reservoir_oracle_sql(
         SELECT {select_sql}, CAST(sample_rank AS BIGINT) AS sample_rank
         FROM ranked WHERE sample_rank <= {k}
     """
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    qs_x10000: list[int] = (5000, 9000),
+) -> DataFrame:
+    """Exact weighted nearest-rank percentiles per group: for each
+    quantile q the SMALLEST value whose cumulative weight reaches
+    ``q/10000`` of the group's total weight — the gate compares
+    ``cum_w · 10000 ≥ q · W`` cross-multiplied, no float division.
+
+    This is the statistic mixture design actually needs: "the median
+    document BY TOKEN MASS" (a corpus where 1% of files hold 50% of
+    the tokens has very different unweighted vs token-weighted
+    medians).  Complements ``corpus_datasheet`` (unweighted exact /
+    sketch percentiles).
+
+    Tie handling: the cumulative sum uses a RANGE frame (all peers of
+    a value count together), so the selected value is deterministic
+    no matter how tied rows are ordered.
+
+    Scale shape: one shuffle keyed by ``group_cols`` for the ordered
+    window; quantile fan-out is a broadcast literal; the final min per
+    (group, q) partial-aggregates map-side.  At 10¹² rows per group,
+    swap the window for the equi-depth cut two-pass
+    (``range_boundaries``) — same gate arithmetic.
+    """
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in qs_x10000], ["q_x10000"])
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wg = Window.partitionBy(*group_cols)
+    wt = F.col(weight_col).cast("long")
+    cand = (
+        df.withColumn("__cw", F.sum(wt).over(wo))  # default frame = RANGE
+        .withColumn("__tot", F.sum(wt).over(wg))
+        .crossJoin(qdf)
+        .filter(F.col("__cw") * 10000 >= F.col("q_x10000") * F.col("__tot"))
+    )
+    return (
+        cand.groupBy(*group_cols, "q_x10000")
+        .agg(
+            F.min(F.col(value_col).cast("long")).alias("value"),
+            F.max("__tot").alias("total_weight"),
+        )
+    )
+
+
+def weighted_percentiles_oracle_sql(
+    group_sql: str,
+    value_sql: str,
+    weight_sql: str,
+    rows_sql: str,
+    qs_x10000: list[int] = (5000, 9000),
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`weighted_percentiles`."""
+    qvals = ", ".join(f"({int(q)})" for q in qs_x10000)
+    return f"""
+        WITH rows_in AS (
+            SELECT {group_sql} AS g, {value_sql} AS v, {weight_sql} AS wt
+            FROM ({rows_sql})
+        ),
+        cum AS (
+            SELECT g, v, wt,
+                   sum(wt) OVER (PARTITION BY g ORDER BY v
+                       RANGE UNBOUNDED PRECEDING) AS cw,
+                   sum(wt) OVER (PARTITION BY g) AS tot
+            FROM rows_in
+        ),
+        qs(q_x10000) AS (VALUES {qvals})
+        SELECT g AS {group_name}, q_x10000,
+               CAST(min(v) AS BIGINT) AS value,
+               CAST(max(tot) AS BIGINT) AS total_weight
+        FROM cum CROSS JOIN qs
+        WHERE cw * 10000 >= q_x10000 * tot
+        GROUP BY g, q_x10000
+        ORDER BY {group_name}, q_x10000
+    """

@@ -645,3 +645,38 @@ def test_snapshot_diff_null_content(spark):
     # NULL-content rows are PRESENT: edits are 'changed', NULL==NULL is
     # 'unchanged' — never 'added'/'removed'
     assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_weighted_percentiles_by_mass_not_count(spark):
+    from pii_spark.curation import weighted_percentiles
+
+    # 9 tiny docs of weight 1 and one huge doc of weight 91 — the
+    # token-weighted median is the huge doc's length, the unweighted
+    # median is tiny
+    rows = [("en", 10, 1)] * 9 + [("en", 5000, 91)]
+    df = spark.createDataFrame(rows, ["lang", "n_chars", "toks"])
+    out = {
+        r["q_x10000"]: r
+        for r in weighted_percentiles(
+            df, ["lang"], "n_chars", "toks", qs_x10000=[5000, 9000]
+        ).collect()
+    }
+    assert out[5000]["value"] == 5000
+    assert out[9000]["value"] == 5000
+    assert out[5000]["total_weight"] == 100
+
+
+def test_weighted_percentiles_tie_and_boundary(spark):
+    from pii_spark.curation import weighted_percentiles
+
+    # equal weights, values 1..4: p50 gate cw*1e4 >= 5000*4 → cw >= 2
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in (3, 1, 4, 2)], ["g", "v", "wt"]
+    )
+    out = {
+        r["q_x10000"]: r["value"]
+        for r in weighted_percentiles(
+            df, ["g"], "v", "wt", qs_x10000=[2500, 5000, 7500, 10000]
+        ).collect()
+    }
+    assert out == {2500: 1, 5000: 2, 7500: 3, 10000: 4}
