@@ -3121,6 +3121,35 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "q_x10000")
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-admission data profile of orders: exact nulls/distincts +
+    # engine-stable min/max strings, one scan
+    from pii_spark.diagnostics import table_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "total_cents",
+        "o_orderstatus", "o_orderpriority",
+    ]
+    return table_profile(orders, cols).orderBy("column")
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # growth accounting: per epoch-day active users split into
+    # first-ever-seen vs returning
+    from pii_spark.events import new_vs_returning
+
+    return new_vs_returning(_events(spark, sf_dir), "user_id", "ts").orderBy(
+        "day"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3273,6 +3302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "value_hour_corr": q_value_hour_corr,
         "weighted_percentiles": q_weighted_percentiles,
+        "table_profile": q_table_profile,
+        "new_vs_returning": q_new_vs_returning,
     }
 
 
@@ -3314,8 +3345,15 @@ def oracle_sql() -> dict[str, str]:
         tfidf_topk_oracle_sql,
     )
 
-    from pii_spark.diagnostics import corr_exact_oracle_sql, ship_delay_oracle_sql
-    from pii_spark.events import changepoint_cusum_oracle_sql
+    from pii_spark.diagnostics import (
+        corr_exact_oracle_sql,
+        ship_delay_oracle_sql,
+        table_profile_oracle_sql,
+    )
+    from pii_spark.events import (
+        changepoint_cusum_oracle_sql,
+        new_vs_returning_oracle_sql,
+    )
     from pii_spark.affinity import copartner_degree_oracle_sql
     from pii_spark.retrieval import token_pmi_oracle_sql
 
@@ -3327,6 +3365,20 @@ def oracle_sql() -> dict[str, str]:
             k=50, max_skip=2, min_pair=5, min_unigram=20,
         ),
         "changepoint": changepoint_cusum_oracle_sql(),
+        "table_profile": table_profile_oracle_sql(
+            rows_sql="""
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS total_cents,
+                       o_orderstatus, o_orderpriority
+                FROM orders
+            """,
+            columns=[
+                "o_orderkey", "o_custkey", "total_cents",
+                "o_orderstatus", "o_orderpriority",
+            ],
+        ),
+        "new_vs_returning": new_vs_returning_oracle_sql(),
         "weighted_percentiles": weighted_percentiles_oracle_sql(
             group_sql="lang",
             value_sql="n_chars",

@@ -227,6 +227,8 @@ def main() -> None:
         "degree_histogram",
         "value_hour_corr",
         "weighted_percentiles",
+        "table_profile",
+        "new_vs_returning",
     ]
     qmap = E.queries()
     for name in bench_queries:

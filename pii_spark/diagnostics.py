@@ -459,3 +459,71 @@ def corr_exact_oracle_sql(
                          ELSE 0 END AS BIGINT) AS sign
         FROM sums ORDER BY g
     """
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Data-profiling census: one output row per profiled column with
+    ``n_rows, n_nulls, n_distinct`` (exact) and min/max serialized as
+    strings (numerics must be pre-scaled to integers so the
+    serialization is engine-stable — no float formatting).
+
+    This is the ingest-admission audit a 10¹²-row pipeline runs before
+    trusting a new snapshot: sudden null inflation or distinct-count
+    collapse is schema drift the FK audit won't see.
+
+    Scale shape: ONE scan — all statistics ride a single aggregation
+    (Spark plans multi-distinct via expand, still one pass over the
+    data, map-side partials for everything but the distincts).  For
+    10¹² rows swap exact distincts for ``approx_count_distinct`` and
+    keep the same output schema.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(col).alias(f"__dist_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    arms = ", ".join(
+        f"'{c}', __n_{c}, __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in columns
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(columns)}, {arms})"
+            " AS (column, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        )
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )
+
+
+def table_profile_oracle_sql(
+    rows_sql: str,
+    columns: list[str],
+) -> str:
+    """DuckDB replay of :func:`table_profile`."""
+    arms = []
+    for c in columns:
+        arms.append(f"""
+            SELECT '{c}' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   min({c})::VARCHAR AS min_s,
+                   max({c})::VARCHAR AS max_s
+            FROM ({rows_sql})""")
+    return " UNION ALL ".join(arms) + ' ORDER BY "column"'

@@ -975,3 +975,57 @@ def changepoint_cusum_oracle_sql(
                CAST(stat AS BIGINT) AS stat
         FROM stats WHERE r = 1 ORDER BY event_type
     """
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per epoch-day split of the active-user count into NEW (first
+    ever appearance is this day) and RETURNING — the growth-accounting
+    census every ingestion dashboard carries.
+
+    Scale shape: dedupe to (user, day) map-side, derive each user's
+    first day with ONE more aggregation on the same key (co-partitioned
+    — AQE elides the second exchange), then a per-day count.  No
+    windows over raw events; everything shuffles the deduped pairs.
+    """
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    first = ud.groupBy("u").agg(F.min("d").alias("f"))
+    return (
+        ud.join(first, "u")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("f"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("d") > F.col("f"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+def new_vs_returning_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT user_id, ts FROM events",
+) -> str:
+    """DuckDB replay of :func:`new_vs_returning`."""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT {user_sql} AS u,
+                   epoch_us({ts_sql}) // 86400000000 AS d
+            FROM ({rows_sql})
+        ),
+        first AS (SELECT u, min(d) AS f FROM ud GROUP BY u)
+        SELECT CAST(ud.d AS BIGINT) AS day,
+               CAST(sum(CASE WHEN ud.d = first.f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN ud.d > first.f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM ud JOIN first ON first.u = ud.u
+        GROUP BY ud.d ORDER BY day
+    """

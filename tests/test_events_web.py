@@ -617,3 +617,22 @@ def test_changepoint_flat_series_zero(spark):
     assert r["cp_bucket"] == min(
         x["cp_bucket"] for x in changepoint_cusum(df, "t", "ts").collect()
     )
+
+
+def test_new_vs_returning_split(spark):
+    from pii_spark.events import new_vs_returning
+
+    day = 86400
+    rows = [
+        (1, _tsec(0)),           # u1 new on day 0
+        (2, _tsec(0)),           # u2 new on day 0
+        (1, _tsec(day)),         # u1 returning on day 1
+        (3, _tsec(day)),         # u3 new on day 1
+        (1, _tsec(day + 60)),    # same user-day, deduped
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {r["day"]: (r["n_new"], r["n_returning"])
+           for r in new_vs_returning(df, "u", "ts").collect()}
+    base = min(out)
+    assert out[base] == (2, 0)
+    assert out[base + 1] == (1, 1)

@@ -158,3 +158,18 @@ def test_corr_exact_power_sum_replay(spark):
     vy = n * sum(b * b for b in ys) - sum(ys) ** 2
     assert (r["cov_n"], r["varx_n"], r["vary_n"]) == (cov, vx, vy)
     assert r["r2_x1e6"] == cov * cov * 1_000_000 // (vx * vy)
+
+
+def test_table_profile_nulls_distincts_minmax(spark):
+    from pii_spark.diagnostics import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        ["k", "s"],
+    )
+    out = {r["column"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2  # distinct ignores NULL
+    assert out["k"]["min_s"] == "1" and out["k"]["max_s"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "b"
