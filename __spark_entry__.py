@@ -3150,6 +3150,15 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Jaccard ≥ 0.7 pairs via AllPairs/PPJoin prefix filtering —
+    # candidate rule is a complete filter, output equals the naive join
+    corpus = _neardup_corpus(spark, sf_dir)
+    return dedup.prefix_jaccard_pairs(
+        corpus, "doc_id", "text3", n=5, t_x100=70
+    ).orderBy("doc_a", "doc_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3304,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_percentiles": q_weighted_percentiles,
         "table_profile": q_table_profile,
         "new_vs_returning": q_new_vs_returning,
+        "prefix_jaccard": q_prefix_jaccard,
     }
 
 
@@ -3379,6 +3389,19 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "new_vs_returning": new_vs_returning_oracle_sql(),
+        "prefix_jaccard": f"""
+            WITH {_overlap_ctes(_NEARDUP_CASE)}
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(ni AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - ni AS BIGINT) AS uni,
+                   CAST(ni * 10000 // (sa.n + sb.n - ni) AS BIGINT)
+                       AS jac_x10000
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE ni * 100 >= 70 * (sa.n + sb.n - ni)
+            ORDER BY doc_a, doc_b
+        """,
         "weighted_percentiles": weighted_percentiles_oracle_sql(
             group_sql="lang",
             value_sql="n_chars",

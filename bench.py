@@ -229,6 +229,7 @@ def main() -> None:
         "weighted_percentiles",
         "table_profile",
         "new_vs_returning",
+        "prefix_jaccard",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1349,3 +1349,101 @@ def near_dedup_best(
         .select(F.col("doc").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    t_x100: int = 80,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact Jaccard ≥ t pairs via PREFIX FILTERING (the AllPairs /
+    PPJoin candidate rule — Bayardo et al. WWW'07, public literature):
+    order each doc's shingle set by global rarity and index only its
+    first ``m − ⌈t·m⌉ + 1`` elements; two sets with J ≥ t MUST share a
+    prefix element under any single global order, so joining on prefix
+    elements yields a complete candidate set that is dramatically
+    smaller than the all-shared-shingles join
+    (:func:`_shingle_pair_counts`) — rare elements index few docs, and
+    the Zipf head never enters the index at all.  Candidates are then
+    verified EXACTLY, so the output equals the naive computation
+    row-for-row; the filter is a performance device, not an
+    approximation (unlike MinHash-LSH, which can miss pairs).
+
+    The threshold gate is cross-multiplied (``inter·100 ≥ t_x100 ·
+    union``) and ``jac_x10000`` is a floor division — integer-exact.
+
+    Scale shape: one shingle count (map-side partial), one
+    co-partitioned (doc-keyed) sort to build rarity-ordered signatures,
+    one self-join ON PREFIX ELEMENTS ONLY, then verification joins that
+    carry signature arrays for candidate pairs only.  The global
+    rarity order is (count, element) — computed per element, never a
+    global sort of docs.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
+    base = _materialize(base, materialize)  # sizes + signature + verify
+    sh = base.select("doc", F.explode("shs").alias("sh"))
+    rarity = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    sig = (
+        sh.join(rarity, "sh")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("sh")))
+            ).alias("sig"),
+        )
+        .withColumn("m", F.size("sig"))
+        # prefix length m − ⌈t·m⌉ + 1, never below 1 for m ≥ 1
+        .withColumn(
+            "plen",
+            F.greatest(
+                F.expr(f"m - ((m * {t_x100} + 99) div 100) + 1"), F.lit(1)
+            ),
+        )
+    )
+    prefix = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.slice("sig", 1, F.col("plen")), lambda s: s.getField("sh")
+            )
+        ).alias("sh"),
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "sh")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    av = base.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shs").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    bv = base.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shs").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= t_x100 * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("uni").cast("long").alias("uni"),
+            F.expr("inter * 10000 div uni").alias("jac_x10000"),
+        )
+    )

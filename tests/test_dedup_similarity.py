@@ -1056,3 +1056,56 @@ def test_span_dedup_id_col_named_doc(spark):
     assert "doc" in out.columns
     got = {r.doc: r.n_lines_removed for r in out.collect()}
     assert got == {1: 0, 2: 3}
+
+
+def test_prefix_jaccard_matches_naive(spark):
+    from pii_spark.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different words about spark catalyst planning"),
+        (4, "another unrelated document mentioning parquet and arrow"),
+        (5, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["uni"], r["jac_x10000"])
+        for r in prefix_jaccard_pairs(
+            df, "doc_id", "text", n=3, t_x100=50, materialize=False
+        ).collect()
+    }
+    # naive pair set (same shingle space, J >= 0.5) must agree exactly
+    naive_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, materialize=False
+        ).collect()
+    }
+    assert set(got) == naive_pairs
+
+    # pure-python replay of the (1, 5) exact-dup pair
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    s1, s5 = sh(rows[0][1]), sh(rows[4][1])
+    inter = len(s1 & s5)
+    uni = len(s1 | s5)
+    assert got[(1, 5)] == (inter, uni, inter * 10000 // uni)
+
+
+def test_prefix_jaccard_boundary_inclusive(spark):
+    from pii_spark.dedup import prefix_jaccard_pairs
+
+    # docs with exactly J = 0.5 at t = 0.5 must be INCLUDED
+    # sets via 1-gram shingles: {a,b,c,d} vs {a,b,e,f} → inter 2, uni 6 → 1/3
+    # use {a,b,c} vs {a,b,c,d,e,f} → hmm: pick J exactly 0.5: {a,b} vs {a,b,c,d}? inter 2 uni 4 → 0.5
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = prefix_jaccard_pairs(
+        df, "doc_id", "text", n=1, t_x100=50, materialize=False
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["jac_x10000"] == 5000
