@@ -3159,6 +3159,38 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch-anchored week-over-week order-revenue growth per segment
+    from pii_spark.events import period_growth
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rows = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderdate").alias("ts"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return period_growth(rows, ["segment"], "ts", "cents").orderBy(
+        "segment", "period"
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi-width histogram of event value cents per type with exact
+    # integer shares
+    from pii_spark.events import value_histogram
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return value_histogram(ev, ["event_type"], "cents", 1000).orderBy(
+        "event_type", "bucket"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3314,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "new_vs_returning": q_new_vs_returning,
         "prefix_jaccard": q_prefix_jaccard,
+        "weekly_growth": q_weekly_growth,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -3363,6 +3397,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.events import (
         changepoint_cusum_oracle_sql,
         new_vs_returning_oracle_sql,
+        period_growth_oracle_sql,
+        value_histogram_oracle_sql,
     )
     from pii_spark.affinity import copartner_degree_oracle_sql
     from pii_spark.retrieval import token_pmi_oracle_sql
@@ -3389,6 +3425,23 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "new_vs_returning": new_vs_returning_oracle_sql(),
+        "weekly_growth": period_growth_oracle_sql(
+            group_sql="c_mktsegment",
+            ts_sql="o_orderdate",
+            value_sql="CAST(round(o_totalprice * 100) AS BIGINT)",
+            rows_sql=(
+                "SELECT c_mktsegment, o_orderdate, o_totalprice"
+                " FROM orders JOIN customer ON o_custkey = c_custkey"
+            ),
+            group_name="segment",
+        ),
+        "value_histogram": value_histogram_oracle_sql(
+            group_sql="event_type",
+            value_sql="CAST(round(value * 100) AS BIGINT)",
+            rows_sql="SELECT event_type, value FROM events",
+            bucket_width=1000,
+            group_name="event_type",
+        ),
         "prefix_jaccard": f"""
             WITH {_overlap_ctes(_NEARDUP_CASE)}
             SELECT da AS doc_a, db AS doc_b,

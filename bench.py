@@ -230,6 +230,8 @@ def main() -> None:
         "table_profile",
         "new_vs_returning",
         "prefix_jaccard",
+        "weekly_growth",
+        "value_histogram",
     ]
     qmap = E.queries()
     for name in bench_queries:

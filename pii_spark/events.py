@@ -1029,3 +1029,129 @@ def new_vs_returning_oracle_sql(
         FROM ud JOIN first ON first.u = ud.u
         GROUP BY ud.d ORDER BY day
     """
+
+
+def period_growth(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    period_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Period-over-period growth per group: epoch-anchored periods
+    (``unix_micros // period_us`` — stable under data arrival, same
+    anchoring as the cohort triangle), per-(group, period) integer
+    value sums, and the lag ratio ``growth_x10000 = cur · 10000 //
+    prev`` (NULL for each group's first period or a zero base).
+
+    Scale shape: one aggregation keyed by (group, period) — map-side
+    partials do the work — then a lag window over the SMALL aggregated
+    series (periods per group, not rows).
+    """
+    period = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {period_us}"
+    )
+    per = (
+        df.groupBy(*group_cols, period.alias("period"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("value"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("period")
+    prev = F.lag("value").over(w)
+    return per.select(
+        *group_cols,
+        "period",
+        "value",
+        F.when(prev.isNull() | (prev == 0), F.lit(None))
+        .otherwise(F.expr(
+            "value * 10000 div lag(value) over"
+            f" (partition by {', '.join(group_cols)} order by period)"
+        ))
+        .cast("long")
+        .alias("growth_x10000"),
+    )
+
+
+def period_growth_oracle_sql(
+    group_sql: str,
+    ts_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    period_us: int = 7 * 86_400_000_000,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`period_growth` (one group col)."""
+    return f"""
+        WITH per AS (
+            SELECT {group_sql} AS g,
+                   epoch_us({ts_sql}) // {period_us} AS period,
+                   sum({value_sql}) AS value
+            FROM ({rows_sql}) GROUP BY 1, 2
+        )
+        SELECT g AS {group_name}, CAST(period AS BIGINT) AS period,
+               CAST(value AS BIGINT) AS value,
+               CAST(CASE WHEN lag(value) OVER w IS NULL
+                         OR lag(value) OVER w = 0 THEN NULL
+                    ELSE value * 10000 // lag(value) OVER w END AS BIGINT)
+                   AS growth_x10000
+        FROM per
+        WINDOW w AS (PARTITION BY g ORDER BY period)
+        ORDER BY {group_name}, period
+    """
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Equi-width histogram of an integer value column per group:
+    ``bucket = value div width`` (integral division truncates toward
+    zero in BOTH Spark and DuckDB — verified, so negative values bucket
+    identically), count and exact share ``n · 10000 // group_total``.
+
+    Scale shape: one count keyed by (group, bucket) with map-side
+    partials; per-group totals ride a broadcast join of the (tiny)
+    per-group rollup.  The fixed width keeps the bucket id a pure
+    projection — no global quantile pass (that's
+    ``range_boundaries``' job when equal-mass buckets are wanted).
+    """
+    bucket = F.expr(f"{value_col} div {bucket_width}")
+    per = (
+        df.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = per.groupBy(*group_cols).agg(F.sum("n").alias("__tot"))
+    return (
+        per.join(F.broadcast(totals), list(group_cols))
+        .select(
+            *group_cols,
+            "bucket",
+            "n",
+            F.expr("n * 10000 div __tot").alias("share_x10000"),
+        )
+    )
+
+
+def value_histogram_oracle_sql(
+    group_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    bucket_width: int,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`value_histogram`."""
+    return f"""
+        WITH per AS (
+            SELECT {group_sql} AS g,
+                   ({value_sql}) // {bucket_width} AS bucket,
+                   count(*) AS n
+            FROM ({rows_sql}) GROUP BY 1, 2
+        ),
+        tot AS (SELECT g, sum(n) AS t FROM per GROUP BY g)
+        SELECT per.g AS {group_name}, CAST(bucket AS BIGINT) AS bucket,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * 10000 // t AS BIGINT) AS share_x10000
+        FROM per JOIN tot ON tot.g = per.g
+        ORDER BY {group_name}, bucket
+    """

@@ -636,3 +636,34 @@ def test_new_vs_returning_split(spark):
     base = min(out)
     assert out[base] == (2, 0)
     assert out[base + 1] == (1, 1)
+
+
+def test_period_growth_lag_ratio(spark):
+    from pii_spark.events import period_growth
+
+    day = 86400
+    rows = [
+        ("g", _tsec(0), 100),           # period 0 of 2-day periods
+        ("g", _tsec(2 * day), 300),     # next period: 3x growth
+        ("g", _tsec(4 * day), 150),     # then halved
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "v"])
+    out = period_growth(
+        df, ["g"], "ts", "v", period_us=2 * day * 1_000_000
+    ).orderBy("period").collect()
+    assert [r["value"] for r in out] == [100, 300, 150]
+    assert out[0]["growth_x10000"] is None
+    assert out[1]["growth_x10000"] == 300 * 10000 // 100
+    assert out[2]["growth_x10000"] == 150 * 10000 // 300
+
+
+def test_value_histogram_buckets_and_shares(spark):
+    from pii_spark.events import value_histogram
+
+    rows = [("a", v) for v in (0, 5, 10, 15, 25)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["bucket"]: r for r in
+           value_histogram(df, ["g"], "v", 10).collect()}
+    assert {b: r["n"] for b, r in out.items()} == {0: 2, 1: 2, 2: 1}
+    assert out[0]["share_x10000"] == 2 * 10000 // 5
+    assert out[2]["share_x10000"] == 1 * 10000 // 5
