@@ -3191,6 +3191,37 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BFS hop layers (≤3) from the most co-purchased part over the
+    # min-shared-2 co-purchase graph; iterative frontier expansion
+    from pii_spark.graph import bfs_layers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bi = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    edges = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.i") != F.col("y.i"))
+        .groupBy(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    source = (
+        bi.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("i").asc())
+        .limit(1)
+        .select(F.col("i").alias("node"))
+    )
+    out = bfs_layers(edges, "src", "dst", source, max_depth=3)
+    return out.select(
+        "node", F.col("depth").cast("long").alias("depth")
+    ).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3348,11 +3379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "weekly_growth": q_weekly_growth,
         "value_histogram": q_value_histogram,
+        "bfs_layers": q_bfs_layers,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from pii_spark.graph import pagerank_oracle_sql
+    from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
     from pii_spark.events import (
         ab_conversion_oracle_sql,
         burst_buckets_oracle_sql,
@@ -3425,6 +3457,24 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "new_vs_returning": new_vs_returning_oracle_sql(),
+        "bfs_layers": bfs_layers_oracle_sql(
+            edges_sql="""
+                SELECT x.i AS src, y.i AS dst
+                FROM (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                      FROM lineitem) x
+                JOIN (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                      FROM lineitem) y
+                    ON x.b = y.b AND x.i <> y.i
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            """,
+            source_sql="""
+                SELECT i AS node FROM (
+                    SELECT l_partkey AS i, count(DISTINCT l_orderkey) AS c
+                    FROM lineitem GROUP BY 1
+                ) ORDER BY c DESC, i ASC LIMIT 1
+            """,
+            max_depth=3,
+        ),
         "weekly_growth": period_growth_oracle_sql(
             group_sql="c_mktsegment",
             ts_sql="o_orderdate",

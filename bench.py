@@ -232,6 +232,7 @@ def main() -> None:
         "prefix_jaccard",
         "weekly_growth",
         "value_histogram",
+        "bfs_layers",
     ]
     qmap = E.queries()
     for name in bench_queries:

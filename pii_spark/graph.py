@@ -299,3 +299,68 @@ def triangle_census_oracle_sql(edges_sql: str) -> str:
                    AS global_cc_x10000
         FROM stats CROSS JOIN tri
     """
+
+
+def bfs_layers(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    source: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Breadth-first layers from a source node set: every node
+    reachable within ``max_depth`` hops, labeled with its MINIMUM hop
+    distance.  ``edges`` must already contain both directions if the
+    graph is undirected; ``source`` is a one-column DataFrame of seed
+    node ids at depth 0.
+
+    Scale shape: the classic iterative frontier expansion — per hop
+    one join of the (small) frontier against the edge table keyed on
+    ``src_col`` and one anti-join against the visited set, both
+    broadcast while frontiers are small (AQE decides).  ``max_depth``
+    is a driver-side loop bound, so the plan is a fixed-depth DAG —
+    no checkpointing needed at shallow depths (deep traversals should
+    localCheckpoint each layer like ``connected_components`` does).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    visited = source.select(
+        F.col(source.columns[0]).alias("node"), F.lit(0).alias("depth")
+    ).distinct()
+    frontier = visited.select("node")
+    for hop in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("depth"))
+        )
+        frontier = nxt
+    return visited
+
+
+def bfs_layers_oracle_sql(
+    edges_sql: str,
+    source_sql: str,
+    max_depth: int = 3,
+    node_name: str = "node",
+) -> str:
+    """DuckDB replay of :func:`bfs_layers` via a depth-bounded
+    recursive CTE + min(depth) rollup (path enumeration is bounded by
+    the depth cap, so cycles terminate)."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+        walk(node, depth) AS (
+            SELECT node, 0 FROM ({source_sql})
+            UNION ALL
+            SELECT e.dst, walk.depth + 1
+            FROM walk JOIN e ON e.src = walk.node
+            WHERE walk.depth < {max_depth}
+        )
+        SELECT node AS {node_name}, CAST(min(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY node ORDER BY {node_name}
+    """

@@ -88,3 +88,30 @@ def test_pagerank_oracle_sql_matches_spark(spark):
     )
     ora = dict(duckdb.connect().execute(sql).fetchall())
     assert got == ora
+
+
+def test_bfs_layers_min_depth_and_cap(spark):
+    from pii_spark.graph import bfs_layers
+
+    # path graph 1-2-3-4-5 plus shortcut 1-3 (both directions listed)
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["depth"] for r in
+           bfs_layers(edges, "src", "dst", src, max_depth=2).collect()}
+    # shortcut gives 3 depth 1; 4 reachable at depth 2; 5 beyond cap
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_layers_disconnected_absent(spark):
+    from pii_spark.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (8, 9), (9, 8)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"] for r in
+           bfs_layers(edges, "src", "dst", src, max_depth=3).collect()}
+    assert out == {1, 2}
