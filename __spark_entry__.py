@@ -3222,6 +3222,28 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HdrHistogram-style inter-event gap census: log2 microsecond
+    # buckets via binary-string length, exact in both engines
+    from pii_spark.events import gap_log2_histogram
+
+    return gap_log2_histogram(
+        _events(spark, sf_dir), ["user_id"], "event_type", "ts",
+        tiebreak=["event_id"],
+    ).orderBy("event_type", "bucket")
+
+
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # header-vs-detail integrity: recompute order totals from lines in
+    # fixed-order integer arithmetic and census the differences
+    from pii_spark.diagnostics import revenue_reconciliation
+
+    return revenue_reconciliation(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3380,6 +3402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_growth": q_weekly_growth,
         "value_histogram": q_value_histogram,
         "bfs_layers": q_bfs_layers,
+        "gap_histogram": q_gap_histogram,
+        "revenue_reconciliation": q_revenue_reconciliation,
     }
 
 
@@ -3423,11 +3447,13 @@ def oracle_sql() -> dict[str, str]:
 
     from pii_spark.diagnostics import (
         corr_exact_oracle_sql,
+        revenue_reconciliation_oracle_sql,
         ship_delay_oracle_sql,
         table_profile_oracle_sql,
     )
     from pii_spark.events import (
         changepoint_cusum_oracle_sql,
+        gap_log2_histogram_oracle_sql,
         new_vs_returning_oracle_sql,
         period_growth_oracle_sql,
         value_histogram_oracle_sql,
@@ -3457,6 +3483,8 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "new_vs_returning": new_vs_returning_oracle_sql(),
+        "gap_histogram": gap_log2_histogram_oracle_sql(),
+        "revenue_reconciliation": revenue_reconciliation_oracle_sql(),
         "bfs_layers": bfs_layers_oracle_sql(
             edges_sql="""
                 SELECT x.i AS src, y.i AS dst

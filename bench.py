@@ -233,6 +233,8 @@ def main() -> None:
         "weekly_growth",
         "value_histogram",
         "bfs_layers",
+        "gap_histogram",
+        "revenue_reconciliation",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -527,3 +527,80 @@ def table_profile_oracle_sql(
                    max({c})::VARCHAR AS max_s
             FROM ({rows_sql})""")
     return " UNION ALL ".join(arms) + ' ORDER BY "column"'
+
+
+def revenue_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Header-vs-detail reconciliation audit: recompute each order's
+    total from its lines entirely in integers —
+
+      line_net_cents = cents(extendedprice) · (100 − disc_x100)
+                       · (100 + tax_x100) // 10000
+
+    — and census the per-order difference against the header's
+    ``o_totalprice`` cents.  One output row: ``n_orders, n_exact``
+    (diff = 0), ``n_header_higher, n_lines_higher, max_abs_diff_cents,
+    sum_abs_diff_cents``.  The recompute rule is part of the operator's
+    contract (fixed multiply/floor order), so the audit replays
+    bit-for-bit in SQL; what it MEASURES is whether the warehouse's
+    header rollup drifted from the detail rows — the reconciliation
+    every finance-grade ingest runs before trusting either table.
+
+    Scale shape: the orderkey big×big equi-join again (bucket both
+    sides at write time to kill the exchanges), one per-order partial
+    aggregation, then a one-row rollup.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT)) div 10000"
+        ).alias("net_cents"),
+    )
+    per = li.groupBy("l_orderkey").agg(F.sum("net_cents").alias("line_cents"))
+    j = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("hdr_cents"),
+    ).join(per, F.col("o_orderkey") == F.col("l_orderkey"))
+    diff = F.col("hdr_cents") - F.col("line_cents")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(diff > 0, 1).otherwise(0)).alias("n_header_higher"),
+        F.sum(F.when(diff < 0, 1).otherwise(0)).alias("n_lines_higher"),
+        F.max(F.abs(diff)).alias("max_abs_diff_cents"),
+        F.sum(F.abs(diff)).alias("sum_abs_diff_cents"),
+    )
+
+
+def revenue_reconciliation_oracle_sql() -> str:
+    """DuckDB replay of :func:`revenue_reconciliation` over the
+    driver's orders/lineitem views."""
+    return """
+        WITH per AS (
+            SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                       // 10000) AS line_cents
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                       - per.line_cents AS diff
+            FROM orders JOIN per ON o_orderkey = l_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact,
+               CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_header_higher,
+               CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lines_higher,
+               CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_cents,
+               CAST(sum(abs(diff)) AS BIGINT) AS sum_abs_diff_cents
+        FROM j
+    """

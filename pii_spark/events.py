@@ -1179,3 +1179,64 @@ def value_histogram_oracle_sql(
         FROM per JOIN tot ON tot.g = per.g
         ORDER BY {group_name}, bucket
     """
+
+
+def gap_log2_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    type_col: str,
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """HdrHistogram-style latency census of inter-event gaps: per
+    ``type_col``, the count of consecutive-event gaps falling in each
+    power-of-two microsecond bucket — ``bucket = len(bin(gap_us))``
+    (i.e. ⌊log₂ gap⌋ + 1; gap 0 → bucket 0).  Binary-string length is
+    an exact integer in both engines, so the log bucketing never
+    touches floats.  Log buckets keep the histogram domain ~60 rows no
+    matter how heavy the tail — the fixed-width histogram's failure
+    mode on latency data.
+
+    Scale shape: one lag window keyed by ``key_cols`` (the only
+    data-sized shuffle), then a count over the tiny (type, bucket)
+    domain — map-side partials absorb everything.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    bucket = F.when(F.col("__gap") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("__gap"))).cast("long")
+    )
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(F.col(type_col).alias("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def gap_log2_histogram_oracle_sql(
+    key_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT user_id, ts, event_id, event_type FROM events",
+    tiebreak_sql: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`gap_log2_histogram`."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH gaps AS (
+            SELECT {type_sql} AS event_type,
+                   epoch_us({ts_sql}) - lag(epoch_us({ts_sql})) OVER (
+                       PARTITION BY {key_sql} ORDER BY {ts_sql}{tb})
+                       AS gap
+            FROM ({rows_sql})
+        )
+        SELECT event_type,
+               CAST(CASE WHEN gap = 0 THEN 0
+                    ELSE length(bin(gap)) END AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, bucket
+    """

@@ -667,3 +667,28 @@ def test_value_histogram_buckets_and_shares(spark):
     assert {b: r["n"] for b, r in out.items()} == {0: 2, 1: 2, 2: 1}
     assert out[0]["share_x10000"] == 2 * 10000 // 5
     assert out[2]["share_x10000"] == 1 * 10000 // 5
+
+
+def test_gap_log2_histogram_buckets(spark):
+    from pii_spark.events import gap_log2_histogram
+
+    # gaps: 1s, 3s, 1s (us: 1e6 → 20 bits; 3e6 → 22 bits)
+    rows = [
+        (1, _tsec(0), 0, "a"), (1, _tsec(1), 1, "a"),
+        (1, _tsec(4), 2, "a"), (2, _tsec(0), 3, "a"), (2, _tsec(1), 4, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "t"])
+    out = {r["bucket"]: r["n"] for r in gap_log2_histogram(
+        df, ["u"], "t", "ts", tiebreak=["eid"]).collect()}
+    assert out == {1_000_000 .bit_length(): 2, 3_000_000 .bit_length(): 1}
+
+
+def test_gap_log2_zero_gap_bucket_zero(spark):
+    from pii_spark.events import gap_log2_histogram
+
+    ts = _tsec(0)
+    df = spark.createDataFrame(
+        [(1, ts, 0, "a"), (1, ts, 1, "a")], ["u", "ts", "eid", "t"]
+    )
+    out = gap_log2_histogram(df, ["u"], "t", "ts", tiebreak=["eid"]).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 1

@@ -173,3 +173,24 @@ def test_table_profile_nulls_distincts_minmax(spark):
     assert out["k"]["min_s"] == "1" and out["k"]["max_s"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "b"
+
+
+def test_revenue_reconciliation_exact_and_drifted(spark):
+    from pii_spark.diagnostics import revenue_reconciliation
+
+    li = spark.createDataFrame(
+        [
+            (1, 100.00, 0.10, 0.05),   # net cents = 10000*90*105//10000 = 9450
+            (1, 50.00, 0.00, 0.00),    # 5000
+            (2, 10.00, 0.00, 0.00),    # 1000
+        ],
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    orders = spark.createDataFrame(
+        [(1, 144.50), (2, 12.00)],   # order 1 exact (14450), order 2 header +100
+        ["o_orderkey", "o_totalprice"],
+    )
+    r = revenue_reconciliation(orders, li).collect()[0]
+    assert r["n_orders"] == 2 and r["n_exact"] == 1
+    assert r["n_header_higher"] == 1 and r["n_lines_higher"] == 0
+    assert r["max_abs_diff_cents"] == 200 and r["sum_abs_diff_cents"] == 200
