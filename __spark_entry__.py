@@ -3244,6 +3244,26 @@ def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-step event-subsequence mining within 10-minute-gap sessions;
+    # map-side array slide, TakeOrdered top-20
+    from pii_spark.events import session_trigrams_topk
+
+    return session_trigrams_topk(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        gap_sec=600, k=20, tiebreak=["event_id"],
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label quantized squared-norm census of the embedding table —
+    # float-free magnitude audit (zero-vector / un-normalized detection)
+    from pii_spark.similarity import embedding_norm_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_norm_audit(emb, "label", "embedding").orderBy("label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3404,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_layers": q_bfs_layers,
         "gap_histogram": q_gap_histogram,
         "revenue_reconciliation": q_revenue_reconciliation,
+        "session_trigrams": q_session_trigrams,
+        "embedding_norms": q_embedding_norms,
     }
 
 
@@ -3418,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         funnel_oracle_sql,
         rolling_distinct_users_oracle_sql,
         session_paths_oracle_sql,
+        session_trigrams_oracle_sql,
         spearman_drift_oracle_sql,
     )
     from pii_spark.affinity import affinity_topk_oracle_sql
@@ -3444,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         postings_index_oracle_sql,
         tfidf_topk_oracle_sql,
     )
+    from pii_spark.similarity import embedding_norm_audit_oracle_sql
 
     from pii_spark.diagnostics import (
         corr_exact_oracle_sql,
@@ -3485,6 +3509,8 @@ def oracle_sql() -> dict[str, str]:
         "new_vs_returning": new_vs_returning_oracle_sql(),
         "gap_histogram": gap_log2_histogram_oracle_sql(),
         "revenue_reconciliation": revenue_reconciliation_oracle_sql(),
+        "session_trigrams": session_trigrams_oracle_sql(gap_sec=600, k=20),
+        "embedding_norms": embedding_norm_audit_oracle_sql(),
         "bfs_layers": bfs_layers_oracle_sql(
             edges_sql="""
                 SELECT x.i AS src, y.i AS dst

@@ -235,6 +235,8 @@ def main() -> None:
         "bfs_layers",
         "gap_histogram",
         "revenue_reconciliation",
+        "session_trigrams",
+        "embedding_norms",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1240,3 +1240,119 @@ def gap_log2_histogram_oracle_sql(
         FROM gaps WHERE gap IS NOT NULL
         GROUP BY 1, 2 ORDER BY event_type, bucket
     """
+
+
+def session_trigrams_topk(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_sec: float,
+    k: int = 20,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sequential-pattern mining one level below
+    :func:`session_paths_topk`: the top-``k`` 3-step event-type
+    subsequences (consecutive within a session, '>'-joined) across all
+    sessions.  Where the path census fragments on long tails (every
+    long session is unique), trigrams aggregate — the classic n-gram
+    trade in sequence mining.
+
+    Scale shape: identical to the path census (one user-keyed shuffle
+    for sessionize + ordered collect), then a MAP-SIDE slide over each
+    session's type array (``transform`` over an index sequence — no
+    position join), a count over the small trigram domain, and a
+    TakeOrdered top-k with (n desc, trigram asc) total order.
+    """
+    gap_us = int(round(gap_sec * 1_000_000))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sort_cols = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    struct_fields = [c.alias(f"o{i}") for i, c in enumerate(sort_cols)] + [
+        F.col(type_col).alias("y")
+    ]
+    seqs = (
+        df.withColumn("__sid", sid)
+        .groupBy(F.col(user_col), F.col("__sid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*struct_fields))),
+                lambda x: x.getField("y"),
+            ).alias("types")
+        )
+    )
+    tris = seqs.select(
+        F.explode(
+            F.when(
+                F.size("types") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("types") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("types", i),
+                        F.element_at("types", i + 1),
+                        F.element_at("types", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("trigram")
+    )
+    return (
+        tris.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(k)
+    )
+
+
+def session_trigrams_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    type_sql: str = "event_type",
+    rows_sql: str = "SELECT user_id, ts, event_id, event_type FROM events",
+    gap_sec: float = 600.0,
+    k: int = 20,
+    tiebreak_sql: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`session_trigrams_topk`."""
+    gap_us = int(round(gap_sec * 1_000_000))
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH seq AS (
+            SELECT {user_sql} AS u, {ts_sql} AS ts{tb},
+                   {type_sql} AS t,
+                   CASE WHEN lag(epoch_us({ts_sql})) OVER w IS NULL
+                             OR epoch_us({ts_sql})
+                                - lag(epoch_us({ts_sql})) OVER w > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ({rows_sql})
+            WINDOW w AS (PARTITION BY {user_sql} ORDER BY {ts_sql}{tb})
+        ),
+        sess AS (
+            SELECT u, ts{tb}, t,
+                   sum(new_s) OVER (PARTITION BY u ORDER BY ts{tb}
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        arrs AS (
+            SELECT u, sid, list(t ORDER BY ts{tb}) AS types
+            FROM sess GROUP BY u, sid
+        ),
+        tris AS (
+            SELECT g.tri FROM arrs,
+            UNNEST(CASE WHEN len(types) >= 3 THEN
+                list_transform(range(1, len(types) - 1),
+                    i -> types[i] || '>' || types[i + 1] || '>'
+                         || types[i + 2])
+                ELSE [] END) AS g(tri)
+        )
+        SELECT tri AS trigram, CAST(count(*) AS BIGINT) AS n
+        FROM tris GROUP BY tri
+        ORDER BY n DESC, trigram ASC LIMIT {k}
+    """

@@ -694,3 +694,62 @@ def int_cosine_pairs(
         )
     )
     return out.select("id_a", "id_b", "_ab", "_aa", "_bb", "sim")
+
+
+def embedding_norm_audit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label vector-magnitude census with NO float aggregation:
+    each component is quantized ``q = round(x · scale)`` (float32 →
+    double is a widening cast, identical in every engine), the squared
+    norm ``Σ q²`` is an exact integer, and the per-label stats are
+    integer min/max/floor-mean.  The audit catches the two classic
+    embedding-table corruptions — zero/denormal vectors from a failed
+    encoder batch and un-normalized rows mixed into a cosine index —
+    without trusting any engine's float summation order.
+
+    Scale shape: the quantize + square-sum runs inside the row
+    (``aggregate`` over the array — whole-stage codegen, no UDF), then
+    ONE map-side-partial aggregation keyed by label.
+    """
+    q2 = F.expr(
+        f"aggregate({vec_col}, CAST(0 AS BIGINT), (acc, x) ->"
+        f" acc + CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+        f"     * CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    return (
+        df.select(F.col(label_col).alias("label"), q2.alias("__q2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__q2").alias("min_q2"),
+            F.max("__q2").alias("max_q2"),
+            F.expr("sum(__q2) div count(1)").alias("avg_q2"),
+        )
+    )
+
+
+def embedding_norm_audit_oracle_sql(
+    label_sql: str = "label",
+    vec_sql: str = "embedding",
+    rows_sql: str = "SELECT label, embedding FROM embeddings",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`embedding_norm_audit`."""
+    return f"""
+        WITH q AS (
+            SELECT {label_sql} AS label,
+                   (SELECT sum(CAST(round(u.x::DOUBLE * {scale}) AS BIGINT)
+                               * CAST(round(u.x::DOUBLE * {scale}) AS BIGINT))
+                    FROM UNNEST({vec_sql}) AS u(x)) AS q2
+            FROM ({rows_sql})
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(q2) AS BIGINT) AS min_q2,
+               CAST(max(q2) AS BIGINT) AS max_q2,
+               CAST(sum(q2) // count(*) AS BIGINT) AS avg_q2
+        FROM q GROUP BY label ORDER BY label
+    """

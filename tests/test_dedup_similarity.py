@@ -1109,3 +1109,18 @@ def test_prefix_jaccard_boundary_inclusive(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["jac_x10000"] == 5000
+
+
+def test_embedding_norm_audit_quantized_exact(spark):
+    from pii_spark.similarity import embedding_norm_audit
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [0.5, 0.5]), (1, [0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    out = {r["label"]: r for r in
+           embedding_norm_audit(df, "label", "embedding", scale=100).collect()}
+    # label 0: q2 of [100,0] = 10000; [50,50] = 5000
+    assert out[0]["min_q2"] == 5000 and out[0]["max_q2"] == 10000
+    assert out[0]["avg_q2"] == (10000 + 5000) // 2
+    assert out[1]["max_q2"] == 0  # the dead-encoder giveaway

@@ -692,3 +692,24 @@ def test_gap_log2_zero_gap_bucket_zero(spark):
     )
     out = gap_log2_histogram(df, ["u"], "t", "ts", tiebreak=["eid"]).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 1
+
+
+def test_session_trigrams_slide_and_topk(spark):
+    from pii_spark.events import session_trigrams_topk
+
+    rows = [
+        # one 4-event session: a>b>c, b>c>d
+        (1, _tsec(0), 0, "a"), (1, _tsec(1), 1, "b"),
+        (1, _tsec(2), 2, "c"), (1, _tsec(3), 3, "d"),
+        # a second user repeats a>b>c exactly
+        (2, _tsec(0), 4, "a"), (2, _tsec(1), 5, "b"), (2, _tsec(2), 6, "c"),
+        # 2-event session yields no trigram
+        (3, _tsec(0), 7, "a"), (3, _tsec(1), 8, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "t"])
+    out = session_trigrams_topk(
+        df, "u", "ts", "t", gap_sec=600, k=5, tiebreak=["eid"]
+    ).collect()
+    got = {r["trigram"]: r["n"] for r in out}
+    assert got == {"a>b>c": 2, "b>c>d": 1}
+    assert out[0]["trigram"] == "a>b>c"
