@@ -3264,6 +3264,49 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_audit(emb, "label", "embedding").orderBy("label")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # are two labels' embedding clusters the same direction?  exact
+    # cos² + sign between quantized centroids, fully relational
+    from pii_spark.similarity import label_centroid_similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroid_similarity(emb, "label", "embedding").orderBy(
+        "label_a", "label_b"
+    )
+
+
+def q_ip_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # /16 block census of IPv4 literals planted on doc_id % 7 == 2
+    from pii_spark.detect import ip_block_census
+
+    d = F.col("doc_id")
+    ip = F.concat(
+        F.lit(" src 10."), (d % 200).cast("string"),
+        F.lit("."), (d % 50).cast("string"),
+        F.lit("."), (d % 9 + 1).cast("string"),
+        F.lit(" dst 172.16."), (d % 30).cast("string"), F.lit(".5"),
+    )
+    docs = _docs(spark, sf_dir).withColumn(
+        "content",
+        F.when(d % 7 == 2, F.concat(F.col("text"), ip)).otherwise(
+            F.col("text")
+        ),
+    )
+    return ip_block_census(docs, "doc_id", "content", prefix_octets=2).orderBy(
+        "block"
+    )
+
+
+_IP_CORPUS_SQL = """
+SELECT doc_id, text || CASE WHEN doc_id % 7 = 2 THEN
+    ' src 10.' || (doc_id % 200)::VARCHAR || '.' || (doc_id % 50)::VARCHAR
+    || '.' || (doc_id % 9 + 1)::VARCHAR
+    || ' dst 172.16.' || (doc_id % 30)::VARCHAR || '.5'
+    ELSE '' END AS content
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3426,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_reconciliation": q_revenue_reconciliation,
         "session_trigrams": q_session_trigrams,
         "embedding_norms": q_embedding_norms,
+        "label_centroids": q_label_centroids,
+        "ip_blocks": q_ip_blocks,
     }
 
 
@@ -3467,7 +3512,11 @@ def oracle_sql() -> dict[str, str]:
         postings_index_oracle_sql,
         tfidf_topk_oracle_sql,
     )
-    from pii_spark.similarity import embedding_norm_audit_oracle_sql
+    from pii_spark.similarity import (
+        embedding_norm_audit_oracle_sql,
+        label_centroid_similarity_oracle_sql,
+    )
+    from pii_spark.detect import ip_block_census_oracle_sql
 
     from pii_spark.diagnostics import (
         corr_exact_oracle_sql,
@@ -3511,6 +3560,13 @@ def oracle_sql() -> dict[str, str]:
         "revenue_reconciliation": revenue_reconciliation_oracle_sql(),
         "session_trigrams": session_trigrams_oracle_sql(gap_sec=600, k=20),
         "embedding_norms": embedding_norm_audit_oracle_sql(),
+        "label_centroids": label_centroid_similarity_oracle_sql(),
+        "ip_blocks": ip_block_census_oracle_sql(
+            id_sql="doc_id",
+            text_sql="content",
+            rows_sql=_IP_CORPUS_SQL,
+            prefix_octets=2,
+        ),
         "bfs_layers": bfs_layers_oracle_sql(
             edges_sql="""
                 SELECT x.i AS src, y.i AS dst

@@ -237,6 +237,8 @@ def main() -> None:
         "revenue_reconciliation",
         "session_trigrams",
         "embedding_norms",
+        "label_centroids",
+        "ip_blocks",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -568,3 +568,74 @@ def entropy_secrets(
         .withColumn("entropy", shannon_entropy_udf(F.col("candidate")))
     )
     return cands.filter(F.col("entropy") >= threshold)
+
+
+IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+
+
+def ip_block_census(
+    df,
+    id_col: str,
+    text_col: str,
+    prefix_octets: int = 2,
+):
+    """Network-telemetry companion to the IP detection pattern: extract
+    every IPv4 literal (same character class as the pattern bank's
+    ``ipv4`` rule), roll it up to its first-``prefix_octets`` block
+    (/8 or /16), and census ``block → n_mentions, n_docs`` — the "which
+    networks does this corpus talk about" audit that decides whether IP
+    scrubbing needs allowlists (RFC-1918 blocks vs public space).
+
+    Scale shape: extraction and block derivation are pure JVM regex +
+    string ops in the row (one ``regexp_extract_all`` + explode — the
+    same shape the detection engine's trigger pre-filter uses); the
+    census is one (block)-keyed count with a distinct-doc partial.
+    """
+    from pyspark.sql import functions as F
+
+    # F.regexp_extract_all with a lit() pattern — NOT F.expr with an
+    # embedded SQL string literal, whose default escape mode would eat
+    # the regex's backslashes (\\b -> backspace)
+    ips = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(IPV4_RE), F.lit(0))
+        ).alias("ip"),
+    )
+    block = F.array_join(
+        F.slice(F.split(F.col("ip"), r"\."), 1, prefix_octets), "."
+    )
+    return (
+        ips.withColumn("block", block)
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def ip_block_census_oracle_sql(
+    id_sql: str,
+    text_sql: str,
+    rows_sql: str,
+    prefix_octets: int = 2,
+) -> str:
+    """DuckDB replay of :func:`ip_block_census`."""
+    return f"""
+        WITH ips AS (
+            SELECT {id_sql} AS doc, u.ip
+            FROM ({rows_sql}),
+                 UNNEST(regexp_extract_all({text_sql},
+                     '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))
+                     AS u(ip)
+        )
+        SELECT array_to_string(string_split(ip, '.')[1:{prefix_octets}], '.')
+                   AS block,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        FROM ips GROUP BY 1 ORDER BY block
+    """

@@ -753,3 +753,108 @@ def embedding_norm_audit_oracle_sql(
                CAST(sum(q2) // count(*) AS BIGINT) AS avg_q2
         FROM q GROUP BY label ORDER BY label
     """
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise similarity of per-label centroids, entirely relational
+    and float-free: components quantize to ``q = round(x·scale)``,
+    each label's centroid dimension is the floor-mean integer, and for
+    every label pair the EXACT outputs are ``dot`` plus ``cos2_x1e6 =
+    dot²·10⁶ // (|a|²·|b|²)`` and the dot's sign (the same
+    square-and-sign move as ``diagnostics.corr_exact`` — cosine needs a
+    square root, its square doesn't).
+
+    The audit this feeds: are two labels' embedding clusters secretly
+    the same direction (a labeling bug / near-duplicate classes)?
+
+    Scale shape: one posexplode to (label, dim, q) — map-side partial
+    sums shrink it to |labels|·dims rows — then centroid math and the
+    label-pair join run on that TINY table; vectors are never
+    collected to the driver and never pairwise-joined row-to-row.
+    """
+    q = F.expr(
+        f"transform({vec_col}, x ->"
+        f" CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    dims = (
+        df.select(F.col(label_col).alias("label"), F.posexplode(q))
+        .groupBy("label", "pos")
+        .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", F.expr("s div n").alias("c"))
+    )
+    norms = dims.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    pairs = (
+        dims.alias("a")
+        .join(dims.alias("b"), "pos")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            F.expr(
+                "CASE WHEN n2a = 0 OR n2b = 0 THEN NULL ELSE"
+                " CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+                " div (CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT) END"
+            ).alias("cos2_x1e6"),
+            F.expr(
+                "CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("sign"),
+        )
+    )
+
+
+def label_centroid_similarity_oracle_sql(
+    label_sql: str = "label",
+    vec_sql: str = "embedding",
+    rows_sql: str = "SELECT label, embedding FROM embeddings",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`label_centroid_similarity` (dims via
+    range-unnest indexing; HUGEINT products)."""
+    return f"""
+        WITH rows_in AS (
+            SELECT {label_sql} AS label, {vec_sql} AS v FROM ({rows_sql})
+        ),
+        comp AS (
+            SELECT label, u.i - 1 AS pos,
+                   CAST(round(v[u.i]::DOUBLE * {scale}) AS BIGINT) AS q
+            FROM rows_in, UNNEST(range(1, len(v) + 1)) AS u(i)
+        ),
+        dims AS (
+            SELECT label, pos, sum(q) // count(*) AS c
+            FROM comp GROUP BY 1, 2
+        ),
+        norms AS (SELECT label, sum(c * c) AS n2 FROM dims GROUP BY label),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.c * b.c) AS dot
+            FROM dims a JOIN dims b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT p.label_a, p.label_b, CAST(p.dot AS BIGINT) AS dot,
+               CAST(CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL ELSE
+                    (p.dot::HUGEINT * p.dot * 1000000)
+                    // (na.n2::HUGEINT * nb.n2) END AS BIGINT) AS cos2_x1e6,
+               CAST(CASE WHEN p.dot > 0 THEN 1 WHEN p.dot < 0 THEN -1
+                    ELSE 0 END AS BIGINT) AS sign
+        FROM pairs p
+        JOIN norms na ON na.label = p.label_a
+        JOIN norms nb ON nb.label = p.label_b
+        ORDER BY label_a, label_b
+    """

@@ -1124,3 +1124,19 @@ def test_embedding_norm_audit_quantized_exact(spark):
     assert out[0]["min_q2"] == 5000 and out[0]["max_q2"] == 10000
     assert out[0]["avg_q2"] == (10000 + 5000) // 2
     assert out[1]["max_q2"] == 0  # the dead-encoder giveaway
+
+
+def test_label_centroid_similarity_directions(spark):
+    from pii_spark.similarity import label_centroid_similarity
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),     # centroid (scale, 0)
+        (1, [0.0, 1.0]),                      # orthogonal
+        (2, [-1.0, 0.0]),                     # anti-parallel to 0
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    out = {(r["label_a"], r["label_b"]): r for r in
+           label_centroid_similarity(df, "label", "embedding", scale=100).collect()}
+    assert out[(0, 1)]["dot"] == 0 and out[(0, 1)]["sign"] == 0
+    assert out[(0, 2)]["cos2_x1e6"] == 1_000_000 and out[(0, 2)]["sign"] == -1
+    assert out[(1, 2)]["dot"] == 0

@@ -172,3 +172,19 @@ def test_byte_offsets_multibyte_between_matches():
         (len("a@b.co 한글한글 ".encode("utf-8")),
          len("a@b.co 한글한글 c@d.co".encode("utf-8"))),
     ]
+
+
+def test_ip_block_census_blocks_and_doc_counts(spark):
+    from pii_spark.detect import ip_block_census
+
+    rows = [
+        (1, "ping 10.0.0.1 and 10.0.5.9 then 172.16.3.3"),
+        (2, "also 10.0.9.9; bogus 999.1.1.1 ignored"),
+        (3, "no ips here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["block"]: (r["n_mentions"], r["n_docs"]) for r in
+           ip_block_census(df, "doc_id", "text", prefix_octets=2).collect()}
+    assert out["10.0"] == (3, 2)
+    assert out["172.16"] == (1, 1)
+    assert "999.1" not in out
