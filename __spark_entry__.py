@@ -3307,6 +3307,16 @@ FROM documents
 """
 
 
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil–Sen robust hourly-volume trend per event type (median of
+    # quantized pairwise slopes — outage-resistant, integer-exact)
+    from pii_spark.events import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir), "event_type", "ts").orderBy(
+        "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3471,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "label_centroids": q_label_centroids,
         "ip_blocks": q_ip_blocks,
+        "volume_trend": q_volume_trend,
     }
 
 
@@ -3487,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         session_paths_oracle_sql,
         session_trigrams_oracle_sql,
         spearman_drift_oracle_sql,
+        theil_sen_oracle_sql,
     )
     from pii_spark.affinity import affinity_topk_oracle_sql
     from pii_spark.privacy import k_anonymity_classes_oracle_sql
@@ -3561,6 +3573,7 @@ def oracle_sql() -> dict[str, str]:
         "session_trigrams": session_trigrams_oracle_sql(gap_sec=600, k=20),
         "embedding_norms": embedding_norm_audit_oracle_sql(),
         "label_centroids": label_centroid_similarity_oracle_sql(),
+        "volume_trend": theil_sen_oracle_sql(),
         "ip_blocks": ip_block_census_oracle_sql(
             id_sql="doc_id",
             text_sql="content",

@@ -239,6 +239,7 @@ def main() -> None:
         "embedding_norms",
         "label_centroids",
         "ip_blocks",
+        "volume_trend",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1356,3 +1356,102 @@ def session_trigrams_oracle_sql(
         FROM tris GROUP BY tri
         ORDER BY n DESC, trigram ASC LIMIT {k}
     """
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Robust volume trend per type: the Theil–Sen estimator — the
+    MEDIAN of all pairwise slopes of the bucketed volume series —
+    quantized so it replays exactly:
+
+      slope_q(i<j) = (vⱼ − vᵢ) · 10⁶ div (j − i)
+      trend_x1e6   = nearest-rank median of slope_q (ties stable)
+
+    Unlike the least-squares slope (``corr_exact``'s cov/var), one
+    crazy bucket (an outage, a backfill) barely moves this — the
+    breakdown point is ~29%.  The quantization (floor at 10⁶) is part
+    of the operator contract; it changes the estimate by < 1e-6
+    events/bucket, far below any decision threshold.
+
+    Scale shape: the pair set is O(B²) PER TYPE where B is the number
+    of time buckets — bounded by the observation window, not the data;
+    the data-sized work is the one (type, bucket) count.  The median
+    is a per-type rank window over that bounded pair table.
+    """
+    bucket = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
+    per = (
+        df.groupBy(F.col(type_col).alias("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    idx = per.withColumn("i", F.row_number().over(wo))
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            "event_type",
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            F.expr("(b.v - a.v) * 1000000 div (b.i - a.i)").alias("slope_q"),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.col("slope_q").asc(), F.col("i").asc(), F.col("j").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("r", F.row_number().over(wrank)).withColumn(
+        "np", F.count(F.lit(1)).over(wall)
+    )
+    return (
+        ranked.filter(F.col("r") == F.expr("(np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").alias("n_pairs"),
+            F.col("slope_q").alias("trend_x1e6"),
+        )
+    )
+
+
+def theil_sen_oracle_sql(
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT event_type, ts FROM events",
+    bucket_us: int = 3_600_000_000,
+) -> str:
+    """DuckDB replay of :func:`theil_sen_trend`."""
+    return f"""
+        WITH per AS (
+            SELECT {type_sql} AS event_type,
+                   epoch_us({ts_sql}) // {bucket_us} AS bucket,
+                   count(*) AS v
+            FROM ({rows_sql}) GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY bucket) AS i
+            FROM per
+        ),
+        slopes AS (
+            SELECT a.event_type, a.i AS i, b.i AS j,
+                   (b.v - a.v) * 1000000 // (b.i - a.i) AS slope_q
+            FROM idx a JOIN idx b
+                ON a.event_type = b.event_type AND a.i < b.i
+        ),
+        ranked AS (
+            SELECT event_type, slope_q,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope_q, i, j) AS r,
+                   count(*) OVER (PARTITION BY event_type) AS np
+            FROM slopes
+        )
+        SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+               CAST(slope_q AS BIGINT) AS trend_x1e6
+        FROM ranked WHERE r = (np + 1) // 2
+        ORDER BY event_type
+    """

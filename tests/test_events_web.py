@@ -713,3 +713,25 @@ def test_session_trigrams_slide_and_topk(spark):
     got = {r["trigram"]: r["n"] for r in out}
     assert got == {"a>b>c": 2, "b>c>d": 1}
     assert out[0]["trigram"] == "a>b>c"
+
+
+def test_theil_sen_ignores_outlier_bucket(spark):
+    from pii_spark.events import theil_sen_trend
+
+    # hourly counts 1,2,3,4,50,6 — least squares would be dragged by
+    # the 50; the pairwise-slope median stays ~1 event/hour
+    counts = [1, 2, 3, 4, 50, 6]
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [("a", _tsec(h * 3600 + j)) for j in range(c)]
+    df = spark.createDataFrame(rows, ["t", "ts"])
+    r = theil_sen_trend(df, "t", "ts").collect()[0]
+    # python replay
+    slopes = sorted(
+        (counts[j] - counts[i]) * 1_000_000 // (j - i)
+        for i in range(len(counts)) for j in range(i + 1, len(counts))
+    )
+    np = len(slopes)
+    assert r["n_pairs"] == np
+    assert r["trend_x1e6"] == slopes[(np + 1) // 2 - 1]
+    assert abs(r["trend_x1e6"]) <= 2_000_000  # robust: ~1/hr, not ~10/hr
