@@ -3317,6 +3317,34 @@ def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hamilton largest-remainder apportionment of an exactly-1000-doc
+    # eval budget across languages, weighted by token mass
+    from pii_spark.curation import quota_allocation
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    return quota_allocation(docs, ["lang"], "toks", budget=1000).orderBy(
+        "lang"
+    )
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5%-trimmed mean of event cents per type — robust location, exact
+    from pii_spark.diagnostics import trimmed_mean
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_mean(
+        ev, ["event_type"], "cents", trim_x100=5, tiebreak=["event_id"]
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3482,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "ip_blocks": q_ip_blocks,
         "volume_trend": q_volume_trend,
+        "quota_allocation": q_quota_allocation,
+        "trimmed_mean": q_trimmed_mean,
     }
 
 
@@ -3517,8 +3547,10 @@ def oracle_sql() -> dict[str, str]:
 
     from pii_spark.curation import (
         group_reservoir_oracle_sql,
+        quota_allocation_oracle_sql,
         weighted_percentiles_oracle_sql,
     )
+    from pii_spark.diagnostics import trimmed_mean_oracle_sql
     from pii_spark.affinity import neighborhood_jaccard_oracle_sql
     from pii_spark.retrieval import (
         postings_index_oracle_sql,
@@ -3574,6 +3606,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": embedding_norm_audit_oracle_sql(),
         "label_centroids": label_centroid_similarity_oracle_sql(),
         "volume_trend": theil_sen_oracle_sql(),
+        "quota_allocation": quota_allocation_oracle_sql(
+            group_sql="lang",
+            weight_sql="len(regexp_split_to_array(trim(text), '\\s+'))",
+            rows_sql="SELECT lang, text FROM documents",
+            budget=1000,
+            group_name="lang",
+        ),
+        "trimmed_mean": trimmed_mean_oracle_sql(
+            group_sql="event_type",
+            value_sql="CAST(round(value * 100) AS BIGINT)",
+            rows_sql="SELECT event_type, event_id, value FROM events",
+            trim_x100=5,
+            tiebreak_sql="event_id",
+            group_name="event_type",
+        ),
         "ip_blocks": ip_block_census_oracle_sql(
             id_sql="doc_id",
             text_sql="content",

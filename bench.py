@@ -240,6 +240,8 @@ def main() -> None:
         "label_centroids",
         "ip_blocks",
         "volume_trend",
+        "quota_allocation",
+        "trimmed_mean",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1139,3 +1139,84 @@ def weighted_percentiles_oracle_sql(
         GROUP BY g, q_x10000
         ORDER BY {group_name}, q_x10000
     """
+
+
+def quota_allocation(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``budget`` of samples/slots across groups proportionally to
+    ``weight_col``, exactly — ``Σ alloc == budget`` always, no float
+    shares, ties on the remainder break by group (a total order):
+
+      floor_g = budget · wg div W
+      alloc_g = floor_g + 1 for the (budget − Σ floor) largest
+                remainders (budget·wg mod W)
+
+    This is the "give me EXACTLY one million eval docs, split like the
+    corpus" primitive that proportional-rounding-per-group gets wrong
+    (off by ±|groups| and nondeterministically so).
+
+    Scale shape: one aggregation keyed by the group, then the
+    apportionment runs on the |groups|-row table (a single window).
+    """
+    w = df.groupBy(*group_cols).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("w")
+    )
+    tot = w.agg(F.sum("w").alias("__tw"))
+    base = w.join(F.broadcast(tot)).select(
+        *group_cols,
+        "w",
+        F.expr(f"{budget} * w div __tw").alias("floor_alloc"),
+        F.expr(f"{budget} * w % __tw").alias("__rem"),
+    )
+    order = [F.col("__rem").desc()] + [F.col(c).asc() for c in group_cols]
+    wr = Window.orderBy(*order)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__leftover", F.lit(budget) - F.sum("floor_alloc").over(wall)
+    )
+    return ranked.select(
+        *group_cols,
+        "w",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("__r") <= F.col("__leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+def quota_allocation_oracle_sql(
+    group_sql: str,
+    weight_sql: str,
+    rows_sql: str,
+    budget: int,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`quota_allocation`."""
+    return f"""
+        WITH w AS (
+            SELECT {group_sql} AS g, sum({weight_sql}) AS w
+            FROM ({rows_sql}) GROUP BY 1
+        ),
+        tot AS (SELECT sum(w) AS tw FROM w),
+        base AS (
+            SELECT g, w.w AS w, {budget} * w.w // tw AS floor_alloc,
+                   {budget} * w.w % tw AS rem
+            FROM w CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, g ASC) AS r,
+                   {budget} - sum(floor_alloc) OVER () AS leftover
+            FROM base
+        )
+        SELECT g AS {group_name}, CAST(w AS BIGINT) AS w,
+               CAST(floor_alloc + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked ORDER BY {group_name}
+    """

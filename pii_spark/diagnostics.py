@@ -604,3 +604,84 @@ def revenue_reconciliation_oracle_sql() -> str:
                CAST(sum(abs(diff)) AS BIGINT) AS sum_abs_diff_cents
         FROM j
     """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim_x100: int = 5,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Two-sided trimmed mean per group, exactly: drop the
+    ``k = n · trim_x100 div 100`` smallest AND largest values (by rank
+    under (value, tiebreak) — tied values are interchangeable so the
+    kept SUM is deterministic), then ``mean_x100 = sum · 100 div kept``.
+    The robust location estimate between the mean (trim 0) and the
+    median (trim 50) — what a latency/spend dashboard should show when
+    a handful of rows are garbage.
+
+    Scale shape: one rank window keyed by the group + one conditional
+    aggregation on the same partitioning — the
+    :func:`value_concentration` shape; the same equi-depth-cut upgrade
+    applies for pathological single groups.
+    """
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wg = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("long")
+    ranked = (
+        df.withColumn("__i", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .withColumn("__k", F.expr(f"__n * {trim_x100} div 100"))
+    )
+    keep = (F.col("__i") > F.col("__k")) & (
+        F.col("__i") <= F.col("__n") - F.col("__k")
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.max("__n").alias("n"),
+            F.max(F.expr("__n - 2 * __k")).alias("kept"),
+            F.sum(F.when(keep, v).otherwise(F.lit(0))).alias("sum_kept"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "kept",
+            "sum_kept",
+            F.expr("sum_kept * 100 div kept").alias("mean_x100"),
+        )
+    )
+
+
+def trimmed_mean_oracle_sql(
+    group_sql: str,
+    value_sql: str,
+    rows_sql: str,
+    trim_x100: int = 5,
+    tiebreak_sql: str = "",
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`trimmed_mean` (one group col)."""
+    tb = f", {tiebreak_sql}" if tiebreak_sql else ""
+    return f"""
+        WITH ranked AS (
+            SELECT {group_sql} AS g, {value_sql} AS v,
+                   row_number() OVER (PARTITION BY {group_sql}
+                       ORDER BY {value_sql}{tb}) AS i,
+                   count(*) OVER (PARTITION BY {group_sql}) AS n
+            FROM ({rows_sql})
+        ),
+        gated AS (
+            SELECT g, v, i, n, n * {trim_x100} // 100 AS k FROM ranked
+        )
+        SELECT g AS {group_name},
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(n - 2 * k) AS BIGINT) AS kept,
+               CAST(sum(CASE WHEN i > k AND i <= n - k THEN v ELSE 0 END)
+                    AS BIGINT) AS sum_kept,
+               CAST(sum(CASE WHEN i > k AND i <= n - k THEN v ELSE 0 END)
+                    * 100 // max(n - 2 * k) AS BIGINT) AS mean_x100
+        FROM gated GROUP BY g ORDER BY {group_name}
+    """

@@ -680,3 +680,26 @@ def test_weighted_percentiles_tie_and_boundary(spark):
         ).collect()
     }
     assert out == {2500: 1, 5000: 2, 7500: 3, 10000: 4}
+
+
+def test_quota_allocation_sums_exactly_to_budget(spark):
+    from pii_spark.curation import quota_allocation
+
+    rows = [("a", 1)] * 3 + [("b", 1)] * 3 + [("c", 1)] * 1
+    df = spark.createDataFrame(rows, ["g", "w"])
+    out = {r["g"]: r["alloc"] for r in
+           quota_allocation(df, ["g"], "w", budget=10).collect()}
+    assert sum(out.values()) == 10
+    # shares 10*3/7=4.28..., 4.28..., 1.42... → floors 4,4,1, leftover 1
+    # remainders: a,b tie (2/7), c (3/7) → c gets the +1
+    assert out == {"a": 4, "b": 4, "c": 2}
+
+
+def test_quota_allocation_remainder_tiebreak_by_group(spark):
+    from pii_spark.curation import quota_allocation
+
+    df = spark.createDataFrame([("x", 1), ("y", 1)], ["g", "w"])
+    out = {r["g"]: r["alloc"] for r in
+           quota_allocation(df, ["g"], "w", budget=3).collect()}
+    # floors 1,1; equal remainders; 'x' < 'y' wins the leftover
+    assert out == {"x": 2, "y": 1}

@@ -194,3 +194,16 @@ def test_revenue_reconciliation_exact_and_drifted(spark):
     assert r["n_orders"] == 2 and r["n_exact"] == 1
     assert r["n_header_higher"] == 1 and r["n_lines_higher"] == 0
     assert r["max_abs_diff_cents"] == 200 and r["sum_abs_diff_cents"] == 200
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from pii_spark.diagnostics import trimmed_mean
+
+    vals = [1000] + [10] * 18 + [-500]  # outliers both ends; n=20, k=1
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["g", "id", "v"]
+    )
+    r = trimmed_mean(df, ["g"], "v", trim_x100=5, tiebreak=["id"]).collect()[0]
+    assert r["n"] == 20 and r["kept"] == 18
+    assert r["sum_kept"] == 180
+    assert r["mean_x100"] == 180 * 100 // 18
