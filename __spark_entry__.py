@@ -3345,6 +3345,16 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini–Simpson language diversity per source (log-free index:
+    # monoculture 0 → evenly mixed 1 − 1/k), exact integers
+    from pii_spark.curation import category_diversity
+
+    return category_diversity(
+        _docs(spark, sf_dir), ["source"], "lang"
+    ).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3512,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_trend": q_volume_trend,
         "quota_allocation": q_quota_allocation,
         "trimmed_mean": q_trimmed_mean,
+        "lang_diversity": q_lang_diversity,
     }
 
 
@@ -3546,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
     from pii_spark.curation import (
+        category_diversity_oracle_sql,
         group_reservoir_oracle_sql,
         quota_allocation_oracle_sql,
         weighted_percentiles_oracle_sql,
@@ -3612,6 +3624,12 @@ def oracle_sql() -> dict[str, str]:
             rows_sql="SELECT lang, text FROM documents",
             budget=1000,
             group_name="lang",
+        ),
+        "lang_diversity": category_diversity_oracle_sql(
+            group_sql="source",
+            cat_sql="lang",
+            rows_sql="SELECT source, lang FROM documents",
+            group_name="source",
         ),
         "trimmed_mean": trimmed_mean_oracle_sql(
             group_sql="event_type",

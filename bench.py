@@ -242,6 +242,7 @@ def main() -> None:
         "volume_trend",
         "quota_allocation",
         "trimmed_mean",
+        "lang_diversity",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1220,3 +1220,69 @@ def quota_allocation_oracle_sql(
                     AS BIGINT) AS alloc
         FROM ranked ORDER BY {group_name}
     """
+
+
+def category_diversity(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Gini–Simpson diversity of a categorical column per group —
+    the probability two random rows of the group differ on the
+    category, exactly:
+
+      simpson_x1e6 = (n² − Σ nᵢ²) · 10⁶ div n²
+
+    The log-free diversity index (Shannon entropy needs ``ln``; this
+    replays bit-for-bit).  The mixture-audit question it answers:
+    which sources are monoculture (one language) and which are
+    genuinely mixed?  0 = monoculture, → 1 − 1/k for k even classes.
+
+    Scale shape: one (group, category) count — map-side partial — then
+    a per-group rollup of the tiny category table; Σnᵢ² runs in
+    DECIMAL(38,0) so billion-row groups can't overflow the square.
+    """
+    per = df.groupBy(*group_cols, F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per.groupBy(*group_cols)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum(
+                F.col("__n").cast("decimal(38,0)") * F.col("__n")
+            ).alias("__sq"),
+        )
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cats").cast("long").alias("n_cats"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * n - __sq) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("simpson_x1e6"),
+        )
+    )
+
+
+def category_diversity_oracle_sql(
+    group_sql: str,
+    cat_sql: str,
+    rows_sql: str,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`category_diversity`."""
+    return f"""
+        WITH per AS (
+            SELECT {group_sql} AS g, {cat_sql} AS c, count(*) AS n
+            FROM ({rows_sql}) GROUP BY 1, 2
+        )
+        SELECT g AS {group_name},
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cats,
+               CAST((sum(n)::HUGEINT * sum(n) - sum(n::HUGEINT * n))
+                    * 1000000 // (sum(n)::HUGEINT * sum(n)) AS BIGINT)
+                   AS simpson_x1e6
+        FROM per GROUP BY g ORDER BY {group_name}
+    """

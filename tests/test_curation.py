@@ -703,3 +703,15 @@ def test_quota_allocation_remainder_tiebreak_by_group(spark):
            quota_allocation(df, ["g"], "w", budget=3).collect()}
     # floors 1,1; equal remainders; 'x' < 'y' wins the leftover
     assert out == {"x": 2, "y": 1}
+
+
+def test_category_diversity_monoculture_and_even(spark):
+    from pii_spark.curation import category_diversity
+
+    rows = [("mono", "en")] * 5 + [("even", "en")] * 3 + [("even", "ko")] * 3
+    df = spark.createDataFrame(rows, ["g", "lang"])
+    out = {r["g"]: r for r in
+           category_diversity(df, ["g"], "lang").collect()}
+    assert out["mono"]["simpson_x1e6"] == 0 and out["mono"]["n_cats"] == 1
+    # two even classes: 1 - 2*(3/6)^2 = 0.5
+    assert out["even"]["simpson_x1e6"] == (36 - 18) * 1_000_000 // 36
