@@ -3355,6 +3355,16 @@ def q_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # capacity census: max simultaneous 10-minute-gap sessions per
+    # event type via the +1/−1 sweep line
+    from pii_spark.events import peak_concurrency
+
+    return peak_concurrency(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", gap_sec=600
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3523,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_allocation": q_quota_allocation,
         "trimmed_mean": q_trimmed_mean,
         "lang_diversity": q_lang_diversity,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -3584,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
         changepoint_cusum_oracle_sql,
         gap_log2_histogram_oracle_sql,
         new_vs_returning_oracle_sql,
+        peak_concurrency_oracle_sql,
         period_growth_oracle_sql,
         value_histogram_oracle_sql,
     )
@@ -3625,6 +3637,7 @@ def oracle_sql() -> dict[str, str]:
             budget=1000,
             group_name="lang",
         ),
+        "peak_concurrency": peak_concurrency_oracle_sql(gap_sec=600),
         "lang_diversity": category_diversity_oracle_sql(
             group_sql="source",
             cat_sql="lang",

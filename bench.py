@@ -243,6 +243,7 @@ def main() -> None:
         "quota_allocation",
         "trimmed_mean",
         "lang_diversity",
+        "peak_concurrency",
     ]
     qmap = E.queries()
     for name in bench_queries:

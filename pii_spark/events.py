@@ -1455,3 +1455,134 @@ def theil_sen_oracle_sql(
         FROM ranked WHERE r = (np + 1) // 2
         ORDER BY event_type
     """
+
+
+def peak_concurrency(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    gap_sec: float = 600.0,
+) -> DataFrame:
+    """Maximum number of SIMULTANEOUS sessions per type — the
+    capacity-planning census.  Sessions are the same gap construction
+    as :func:`sessionize` per (user, type); each contributes +1 at its
+    first event and −1 one microsecond after its last; the peak is the
+    max running sum with +1s ordered before −1s at equal timestamps
+    (touching sessions count as concurrent).  Outputs per type:
+    ``n_sessions, peak, peak_us`` (the earliest microsecond attaining
+    the peak — order-invariant even though intermediate running values
+    permute under ties).
+
+    Scale shape: one (user, type)-keyed window to sessionize, a
+    per-session bound aggregation on the same keys, then the sweep —
+    a window ordered by time PER TYPE.  Few huge types make that sort
+    the bottleneck at fleet scale; pre-split by day and stitch
+    (carrying each day's closing concurrency) like any sweep-line.
+    """
+    gap_us = int(round(gap_sec * 1_000_000))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, type_col).orderBy(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = (
+        df.withColumn("__us", us)
+        .withColumn("__sid", sid)
+        .groupBy(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("event_type"),
+            F.col("__sid"),
+        )
+        .agg(F.min("__us").alias("s"), F.max("__us").alias("e"))
+    )
+    deltas = bounds.select(
+        "event_type", F.col("s").alias("us"), F.lit(1).alias("d")
+    ).unionByName(
+        bounds.select(
+            "event_type", (F.col("e") + 1).alias("us"), F.lit(-1).alias("d")
+        )
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("d").desc()
+    )
+    run = deltas.withColumn(
+        "run",
+        F.sum("d").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wall = Window.partitionBy("event_type")
+    peaked = run.withColumn("peak", F.max("run").over(wall))
+    return (
+        peaked.filter(F.col("run") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.min("us").alias("peak_us"),
+            F.max("peak").alias("peak"),
+        )
+        .join(
+            bounds.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_sessions")
+            ),
+            "event_type",
+        )
+        .select("event_type", "n_sessions", "peak", "peak_us")
+    )
+
+
+def peak_concurrency_oracle_sql(
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT user_id, event_type, ts FROM events",
+    gap_sec: float = 600.0,
+) -> str:
+    """DuckDB replay of :func:`peak_concurrency`."""
+    gap_us = int(round(gap_sec * 1_000_000))
+    return f"""
+        WITH seq AS (
+            SELECT {user_sql} AS u, {type_sql} AS t,
+                   epoch_us({ts_sql}) AS us,
+                   CASE WHEN lag(epoch_us({ts_sql})) OVER w IS NULL
+                             OR epoch_us({ts_sql})
+                                - lag(epoch_us({ts_sql})) OVER w > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ({rows_sql})
+            WINDOW w AS (PARTITION BY {user_sql}, {type_sql}
+                         ORDER BY {ts_sql})
+        ),
+        sess AS (
+            SELECT u, t, us,
+                   sum(new_s) OVER (PARTITION BY u, t ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        bounds AS (
+            SELECT u, t, sid, min(us) AS s, max(us) AS e
+            FROM sess GROUP BY u, t, sid
+        ),
+        deltas AS (
+            SELECT t, s AS us, 1 AS d FROM bounds
+            UNION ALL
+            SELECT t, e + 1 AS us, -1 AS d FROM bounds
+        ),
+        runs AS (
+            SELECT t, us, d,
+                   sum(d) OVER (PARTITION BY t ORDER BY us, d DESC
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM deltas
+        ),
+        peaks AS (
+            SELECT t, max(run) AS peak FROM runs GROUP BY t
+        )
+        SELECT r.t AS event_type,
+               CAST((SELECT count(*) FROM bounds b WHERE b.t = r.t)
+                    AS BIGINT) AS n_sessions,
+               CAST(p.peak AS BIGINT) AS peak,
+               CAST(min(r.us) AS BIGINT) AS peak_us
+        FROM runs r JOIN peaks p ON p.t = r.t AND r.run = p.peak
+        GROUP BY r.t, p.peak ORDER BY event_type
+    """

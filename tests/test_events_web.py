@@ -735,3 +735,39 @@ def test_theil_sen_ignores_outlier_bucket(spark):
     assert r["n_pairs"] == np
     assert r["trend_x1e6"] == slopes[(np + 1) // 2 - 1]
     assert abs(r["trend_x1e6"]) <= 2_000_000  # robust: ~1/hr, not ~10/hr
+
+
+def test_peak_concurrency_sweep(spark):
+    from pii_spark.events import peak_concurrency
+
+    # u1 session [0, 10], u2 session [5, 20], u3 session [100, 110]:
+    # overlap of u1/u2 → peak 2 at us of 5s
+    rows = [
+        (1, "a", _tsec(0)), (1, "a", _tsec(10)),
+        (2, "a", _tsec(5)), (2, "a", _tsec(20)),
+        (3, "a", _tsec(100)), (3, "a", _tsec(110)),
+    ]
+    df = spark.createDataFrame(rows, ["u", "t", "ts"])
+    r = peak_concurrency(df, "u", "t", "ts", gap_sec=600).collect()[0]
+    # one session per user: the 600s gap merges each user's two events
+    assert r["n_sessions"] == 3
+    assert r["peak"] == 2
+    base = r["peak_us"] % 86_400_000_000  # seconds into the day, in us
+    assert base == 5 * 1_000_000
+
+
+def test_peak_concurrency_touching_sessions_concurrent(spark):
+    from pii_spark.events import peak_concurrency
+
+    # u2 starts exactly when u1 ends — inclusive bounds → concurrent
+    rows = [(1, "a", _tsec(0)), (1, "a", _tsec(10)),
+            (2, "a", _tsec(10)), (2, "a", _tsec(20))]
+    df = spark.createDataFrame(rows, ["u", "t", "ts"])
+    r = peak_concurrency(df, "u", "t", "ts", gap_sec=5).collect()[0]
+    # gap 5s splits each user's events into separate sessions? no —
+    # u1 events are 10s apart > 5s → 2 sessions; u2 likewise → 4 total
+    assert r["n_sessions"] == 4
+    # at t=10s three point-sessions coexist: u1's second, u2's first,
+    # and u1's first ended at 10s+1us later? u1 first session is [0,0],
+    # ends before. At 10s: u1-second [10,10] and u2-first [10,10] → 2
+    assert r["peak"] == 2
