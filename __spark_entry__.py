@@ -3365,6 +3365,29 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-nation Pareto frontier of customers over (account balance,
+    # order revenue) — the undominated trade-off curve, O(n log n) sweep
+    from pii_spark.curation import pareto_frontier
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    pts = cust.join(rev, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        "rev_cents",
+        "c_custkey",
+    )
+    return pareto_frontier(
+        pts, ["nation"], "bal_cents", "rev_cents", "c_custkey"
+    ).orderBy("nation", F.col("x").desc(), F.col("y").desc())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3534,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "lang_diversity": q_lang_diversity,
         "peak_concurrency": q_peak_concurrency,
+        "customer_skyline": q_customer_skyline,
     }
 
 
@@ -3570,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.curation import (
         category_diversity_oracle_sql,
         group_reservoir_oracle_sql,
+        pareto_frontier_oracle_sql,
         quota_allocation_oracle_sql,
         weighted_percentiles_oracle_sql,
     )
@@ -3638,6 +3663,20 @@ def oracle_sql() -> dict[str, str]:
             group_name="lang",
         ),
         "peak_concurrency": peak_concurrency_oracle_sql(gap_sec=600),
+        "customer_skyline": pareto_frontier_oracle_sql(
+            group_sql="c_nationkey",
+            x_sql="CAST(round(c_acctbal * 100) AS BIGINT)",
+            y_sql="rev_cents",
+            id_sql="c_custkey",
+            rows_sql="""
+                SELECT c_nationkey, c_acctbal, c_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS rev_cents
+                FROM customer JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_nationkey, c_acctbal, c_custkey
+            """,
+            group_name="nation",
+        ),
         "lang_diversity": category_diversity_oracle_sql(
             group_sql="source",
             cat_sql="lang",

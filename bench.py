@@ -244,6 +244,7 @@ def main() -> None:
         "trimmed_mean",
         "lang_diversity",
         "peak_concurrency",
+        "customer_skyline",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1286,3 +1286,80 @@ def category_diversity_oracle_sql(
                    AS simpson_x1e6
         FROM per GROUP BY g ORDER BY {group_name}
     """
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Two-objective skyline per group: the points not DOMINATED by any
+    other (dominated = another point ≥ on both objectives and > on at
+    least one, both maximized).  The multi-objective selection
+    primitive ("best quality AND best freshness — show me the
+    trade-off curve, not one argmax").
+
+    Output: one row per distinct frontier (x, y) with the minimum
+    ``id_col`` among its holders as representative.  The frontier SET
+    is algorithm-independent, so the oracle can verify it with a naive
+    NOT-EXISTS dominance scan while this implementation uses the
+    O(n log n) sweep: sort (x desc, y desc) within the group and keep a
+    point iff its y strictly exceeds the running max of all earlier
+    points' y — earlier points have ≥ x, so any with y ≥ yours
+    dominates you (exact-duplicate points collapse in the dedup step).
+
+    Scale shape: one dedup + one rank window keyed by ``group_cols`` —
+    never a pairwise join; the classic skyline shape.
+    """
+    pts = (
+        df.select(
+            *group_cols,
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy(*group_cols, "x", "y")
+        .agg(F.min("__id").alias("rep_id"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("x").desc(), F.col("y").desc()
+    )
+    prev_max = F.max("y").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("__pm", prev_max)
+        .filter(F.col("__pm").isNull() | (F.col("y") > F.col("__pm")))
+        .select(*group_cols, "x", "y", "rep_id")
+    )
+
+
+def pareto_frontier_oracle_sql(
+    group_sql: str,
+    x_sql: str,
+    y_sql: str,
+    id_sql: str,
+    rows_sql: str,
+    group_name: str = "g",
+) -> str:
+    """DuckDB replay of :func:`pareto_frontier` via the naive
+    NOT-EXISTS dominance scan (same set, different algorithm — the
+    point of the check)."""
+    return f"""
+        WITH pts AS (
+            SELECT {group_sql} AS g, CAST({x_sql} AS BIGINT) AS x,
+                   CAST({y_sql} AS BIGINT) AS y,
+                   min({id_sql}) AS rep_id
+            FROM ({rows_sql}) GROUP BY 1, 2, 3
+        )
+        SELECT a.g AS {group_name}, a.x, a.y, a.rep_id
+        FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.g = a.g AND b.x >= a.x AND b.y >= a.y
+              AND (b.x > a.x OR b.y > a.y)
+        )
+        ORDER BY {group_name}, x DESC, y DESC
+    """

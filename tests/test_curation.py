@@ -715,3 +715,40 @@ def test_category_diversity_monoculture_and_even(spark):
     assert out["mono"]["simpson_x1e6"] == 0 and out["mono"]["n_cats"] == 1
     # two even classes: 1 - 2*(3/6)^2 = 0.5
     assert out["even"]["simpson_x1e6"] == (36 - 18) * 1_000_000 // 36
+
+
+def test_pareto_frontier_dominance(spark):
+    from pii_spark.curation import pareto_frontier
+
+    pts = [
+        ("g", 5, 5, 1),   # frontier
+        ("g", 5, 3, 2),   # dominated by (5,5)
+        ("g", 3, 7, 3),   # frontier (higher y)
+        ("g", 7, 1, 4),   # frontier (higher x)
+        ("g", 2, 2, 5),   # dominated by everything
+        ("g", 5, 5, 6),   # duplicate of frontier point → min id rep
+    ]
+    df = spark.createDataFrame(pts, ["g", "x", "y", "id"])
+    out = {(r["x"], r["y"]): r["rep_id"] for r in
+           pareto_frontier(df, ["g"], "x", "y", "id").collect()}
+    assert set(out) == {(5, 5), (3, 7), (7, 1)}
+    assert out[(5, 5)] == 1  # min id among duplicates
+
+
+def test_pareto_frontier_matches_naive(spark):
+    from pii_spark.curation import pareto_frontier
+    import random
+
+    rng = random.Random(7)
+    pts = [("g", rng.randrange(20), rng.randrange(20), i) for i in range(80)]
+    df = spark.createDataFrame(pts, ["g", "x", "y", "id"])
+    got = {(r["x"], r["y"]) for r in
+           pareto_frontier(df, ["g"], "x", "y", "id").collect()}
+    uniq = {(x, y) for _, x, y, _ in pts}
+    naive = {
+        (x, y) for (x, y) in uniq
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for (bx, by) in uniq
+        )
+    }
+    assert got == naive
