@@ -3388,6 +3388,21 @@ def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", F.col("x").desc(), F.col("y").desc())
 
 
+def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact total-variation distance between the two epoch-anchored
+    # 15-day halves of each type's value distribution (PSI without ln)
+    from pii_spark.events import distribution_drift_tvd
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return distribution_drift_tvd(
+        ev, "event_type", "ts", "cents", bucket_width=1000, half_days=15
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3558,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_diversity": q_lang_diversity,
         "peak_concurrency": q_peak_concurrency,
         "customer_skyline": q_customer_skyline,
+        "value_drift_tvd": q_value_drift_tvd,
     }
 
 
@@ -3618,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.events import (
         changepoint_cusum_oracle_sql,
+        distribution_drift_oracle_sql,
         gap_log2_histogram_oracle_sql,
         new_vs_returning_oracle_sql,
         peak_concurrency_oracle_sql,
@@ -3663,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
             group_name="lang",
         ),
         "peak_concurrency": peak_concurrency_oracle_sql(gap_sec=600),
+        "value_drift_tvd": distribution_drift_oracle_sql(
+            bucket_width=1000, half_days=15
+        ),
         "customer_skyline": pareto_frontier_oracle_sql(
             group_sql="c_nationkey",
             x_sql="CAST(round(c_acctbal * 100) AS BIGINT)",

@@ -245,6 +245,7 @@ def main() -> None:
         "lang_diversity",
         "peak_concurrency",
         "customer_skyline",
+        "value_drift_tvd",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1586,3 +1586,114 @@ def peak_concurrency_oracle_sql(
         FROM runs r JOIN peaks p ON p.t = r.t AND r.run = p.peak
         GROUP BY r.t, p.peak ORDER BY event_type
     """
+
+
+def distribution_drift_tvd(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int = 1000,
+    half_days: int = 15,
+) -> DataFrame:
+    """Distribution drift per type as the exact TOTAL VARIATION
+    distance between two epoch-anchored time halves (``(epoch_day div
+    half_days) % 2``) of the value distribution, bucketed equi-width:
+
+      tvd_x1e6 = Σᵢ |n1ᵢ·N2 − n2ᵢ·N1| · 10⁶ div (2·N1·N2)
+
+    — the cross-multiplied form of ½·Σ|p−q|, so no float shares (the
+    reason PSI, with its ``ln``, is NOT used).  0 = identical
+    distributions, 10⁶ = disjoint.  NULL when either half is empty.
+
+    Scale shape: one count keyed by (type, half, bucket) — map-side
+    partial — then the comparison runs on the tiny bucket census via a
+    full-outer self-join per type and a one-row-per-type rollup.
+    """
+    half = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+        f" div {half_days}) % 2"
+    )
+    bucket = F.expr(f"{value_col} div {bucket_width}")
+    per = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            half.alias("h"),
+            bucket.alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h1 = per.filter(F.col("h") == 0).select(
+        "event_type", "b", F.col("n").alias("n1")
+    )
+    h2 = per.filter(F.col("h") == 1).select(
+        "event_type", "b", F.col("n").alias("n2")
+    )
+    joined = h1.join(h2, ["event_type", "b"], "full_outer").select(
+        "event_type",
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+    )
+    totals = joined.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    return (
+        joined.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.sum(
+                F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+            ).alias("__num"),
+        )
+        .select(
+            "event_type",
+            F.col("t1").cast("long").alias("n_first"),
+            F.col("t2").cast("long").alias("n_second"),
+            F.expr(
+                "CASE WHEN t1 = 0 OR t2 = 0 THEN NULL"
+                " ELSE __num * 1000000 div (2 * t1 * t2) END"
+            ).alias("tvd_x1e6"),
+        )
+    )
+
+
+def distribution_drift_oracle_sql(
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    value_sql: str = "CAST(round(value * 100) AS BIGINT)",
+    rows_sql: str = "SELECT event_type, ts, value FROM events",
+    bucket_width: int = 1000,
+    half_days: int = 15,
+) -> str:
+    """DuckDB replay of :func:`distribution_drift_tvd`."""
+    return f"""
+        WITH per AS (
+            SELECT {type_sql} AS event_type,
+                   (epoch_us({ts_sql}) // 86400000000 // {half_days}) % 2
+                       AS h,
+                   ({value_sql}) // {bucket_width} AS b,
+                   count(*) AS n
+            FROM ({rows_sql}) GROUP BY 1, 2, 3
+        ),
+        pivoted AS (
+            SELECT event_type, b,
+                   sum(CASE WHEN h = 0 THEN n ELSE 0 END) AS n1,
+                   sum(CASE WHEN h = 1 THEN n ELSE 0 END) AS n2
+            FROM per GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, sum(n1) AS t1, sum(n2) AS t2
+            FROM pivoted GROUP BY 1
+        )
+        SELECT p.event_type,
+               CAST(t.t1 AS BIGINT) AS n_first,
+               CAST(t.t2 AS BIGINT) AS n_second,
+               CAST(CASE WHEN t.t1 = 0 OR t.t2 = 0 THEN NULL
+                    ELSE sum(abs(p.n1 * t.t2 - p.n2 * t.t1)) * 1000000
+                         // (2 * t.t1 * t.t2) END AS BIGINT) AS tvd_x1e6
+        FROM pivoted p JOIN tot t USING (event_type)
+        GROUP BY p.event_type, t.t1, t.t2
+        ORDER BY event_type
+    """

@@ -771,3 +771,25 @@ def test_peak_concurrency_touching_sessions_concurrent(spark):
     # and u1's first ended at 10s+1us later? u1 first session is [0,0],
     # ends before. At 10s: u1-second [10,10] and u2-first [10,10] → 2
     assert r["peak"] == 2
+
+
+def test_distribution_drift_tvd_extremes(spark):
+    from pii_spark.events import distribution_drift_tvd
+
+    day = 86400
+    # "same": identical single-bucket distributions both halves → 0
+    rows = [("same", _tsec(0), 5), ("same", _tsec(16 * day), 5)]
+    # "moved": disjoint buckets across halves → 1e6
+    rows += [("moved", _tsec(0), 5), ("moved", _tsec(16 * day), 5000)]
+    # "half": one half empty → NULL
+    rows += [("half", _tsec(0), 5)]
+    df = spark.createDataFrame(rows, ["t", "ts", "v"])
+    out = {r["event_type"]: r for r in distribution_drift_tvd(
+        df, "t", "ts", "v", bucket_width=1000, half_days=15).collect()}
+    # epoch-anchored halves: _tsec(0) is 2024-01-01 (epoch day 19723,
+    # 19723//15=1314 odd→h=1); +16d crosses into the next 15-day block
+    a, b = out["same"]["n_first"], out["same"]["n_second"]
+    assert (a, b) in ((1, 1),)
+    assert out["same"]["tvd_x1e6"] == 0
+    assert out["moved"]["tvd_x1e6"] == 1_000_000
+    assert out["half"]["tvd_x1e6"] is None
