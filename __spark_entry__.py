@@ -3403,6 +3403,30 @@ def q_value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly-cohort cumulative value curve (integer cents), the value
+    # twin of the retention triangle
+    from pii_spark.events import cohort_ltv
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cohort_ltv(ev, "user_id", "ts", "cents").orderBy(
+        "cohort", "period"
+    )
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU / trailing-30d actives per epoch day, exact ratio
+    from pii_spark.events import stickiness_ratio
+
+    return stickiness_ratio(
+        _events(spark, sf_dir), "user_id", "ts", long_days=30
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3574,6 +3598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "customer_skyline": q_customer_skyline,
         "value_drift_tvd": q_value_drift_tvd,
+        "cohort_ltv": q_cohort_ltv,
+        "stickiness": q_stickiness,
     }
 
 
@@ -3634,8 +3660,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.events import (
         changepoint_cusum_oracle_sql,
+        cohort_ltv_oracle_sql,
         distribution_drift_oracle_sql,
         gap_log2_histogram_oracle_sql,
+        stickiness_oracle_sql,
         new_vs_returning_oracle_sql,
         peak_concurrency_oracle_sql,
         period_growth_oracle_sql,
@@ -3683,6 +3711,8 @@ def oracle_sql() -> dict[str, str]:
         "value_drift_tvd": distribution_drift_oracle_sql(
             bucket_width=1000, half_days=15
         ),
+        "cohort_ltv": cohort_ltv_oracle_sql(),
+        "stickiness": stickiness_oracle_sql(long_days=30),
         "customer_skyline": pareto_frontier_oracle_sql(
             group_sql="c_nationkey",
             x_sql="CAST(round(c_acctbal * 100) AS BIGINT)",

@@ -246,6 +246,8 @@ def main() -> None:
         "peak_concurrency",
         "customer_skyline",
         "value_drift_tvd",
+        "cohort_ltv",
+        "stickiness",
     ]
     qmap = E.queries()
     for name in bench_queries:

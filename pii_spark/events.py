@@ -1697,3 +1697,145 @@ def distribution_drift_oracle_sql(
         GROUP BY p.event_type, t.t1, t.t2
         ORDER BY event_type
     """
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort value curve: users grouped by their epoch-anchored first
+    period, each cohort's per-period value sum and RUNNING cumulative —
+    the "how much has the week-N cohort produced by week N+k" table
+    that sits next to the retention triangle (:func:`cohort_retention`
+    counts actives; this sums integer value).
+
+    Scale shape: one user-keyed aggregation for first periods, a
+    co-partitioned join back (AQE reuses the exchange), one
+    (cohort, period) aggregation, then a running-sum window over the
+    TINY cohort × period grid.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {period_us}"
+        ).alias("w"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    first = ev.groupBy("u").agg(F.min("w").alias("w0"))
+    grid = (
+        ev.join(first, "u")
+        .groupBy(F.col("w0").alias("cohort"), (F.col("w") - F.col("w0")).alias("period"))
+        .agg(F.sum("v").alias("value"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("period")
+    return grid.withColumn(
+        "cum_value",
+        F.sum("value").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def cohort_ltv_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    value_sql: str = "CAST(round(value * 100) AS BIGINT)",
+    rows_sql: str = "SELECT user_id, ts, value FROM events",
+    period_us: int = 7 * 86_400_000_000,
+) -> str:
+    """DuckDB replay of :func:`cohort_ltv`."""
+    return f"""
+        WITH ev AS (
+            SELECT {user_sql} AS u,
+                   epoch_us({ts_sql}) // {period_us} AS w,
+                   {value_sql} AS v
+            FROM ({rows_sql})
+        ),
+        first AS (SELECT u, min(w) AS w0 FROM ev GROUP BY u),
+        grid AS (
+            SELECT first.w0 AS cohort, ev.w - first.w0 AS period,
+                   sum(ev.v) AS value
+            FROM ev JOIN first ON first.u = ev.u
+            GROUP BY 1, 2
+        )
+        SELECT CAST(cohort AS BIGINT) AS cohort,
+               CAST(period AS BIGINT) AS period,
+               CAST(value AS BIGINT) AS value,
+               CAST(sum(value) OVER (PARTITION BY cohort ORDER BY period
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+        FROM grid ORDER BY cohort, period
+    """
+
+
+def stickiness_ratio(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    long_days: int = 30,
+) -> DataFrame:
+    """DAU/MAU stickiness per epoch-day: daily distinct actives over
+    trailing-``long_days`` distinct actives, exact —
+    ``stickiness_x10000 = dau · 10000 // mau``.  The engagement-depth
+    ratio every growth dashboard carries (≈ days-used-per-month).
+
+    Scale shape: the :func:`rolling_distinct_users` construction run at
+    two window lengths over ONE (user, day) dedup — the 1-day arm is
+    the dedup itself; the ``long_days`` arm fans out map-side and
+    broadcast-semi-joins to observed days; the final join aligns two
+    tiny per-day tables.
+    """
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("u").cast("long").alias("dau")
+    )
+    observed = ud.select("d").distinct()
+    fanned = ud.select(
+        "u", F.explode(F.expr(f"sequence(d, d + {long_days - 1})")).alias("wend")
+    )
+    mau = (
+        fanned.join(
+            F.broadcast(observed.withColumnRenamed("d", "wend")), "wend", "semi"
+        )
+        .groupBy(F.col("wend").alias("day"))
+        .agg(F.countDistinct("u").cast("long").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.expr("dau * 10000 div mau").alias("stickiness_x10000"),
+    )
+
+
+def stickiness_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    rows_sql: str = "SELECT user_id, ts FROM events",
+    long_days: int = 30,
+) -> str:
+    """DuckDB replay of :func:`stickiness_ratio` (range-join form)."""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT {user_sql} AS u,
+                   epoch_us({ts_sql}) // 86400000000 AS d
+            FROM ({rows_sql})
+        ),
+        obs AS (SELECT DISTINCT d FROM ud),
+        dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud GROUP BY 1),
+        mau AS (
+            SELECT obs.d AS day, count(DISTINCT ud.u) AS mau
+            FROM obs JOIN ud ON ud.d BETWEEN obs.d - {long_days - 1} AND obs.d
+            GROUP BY 1
+        )
+        SELECT CAST(dau.day AS BIGINT) AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(mau.mau AS BIGINT) AS mau,
+               CAST(dau.dau * 10000 // mau.mau AS BIGINT)
+                   AS stickiness_x10000
+        FROM dau JOIN mau ON mau.day = dau.day
+        ORDER BY day
+    """

@@ -793,3 +793,37 @@ def test_distribution_drift_tvd_extremes(spark):
     assert out["same"]["tvd_x1e6"] == 0
     assert out["moved"]["tvd_x1e6"] == 1_000_000
     assert out["half"]["tvd_x1e6"] is None
+
+
+def test_cohort_ltv_cumulative(spark):
+    from pii_spark.events import cohort_ltv
+
+    day = 86400
+    rows = [
+        (1, _tsec(0), 100),           # cohort w0, period 0
+        (1, _tsec(8 * day), 50),      # period 1 (7-day periods)
+        (2, _tsec(8 * day), 30),      # later cohort, its period 0
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "v"])
+    out = {(r["cohort"], r["period"]): (r["value"], r["cum_value"])
+           for r in cohort_ltv(df, "u", "ts", "v").collect()}
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts[0], cohorts[-1]
+    assert out[(c0, 0)] == (100, 100)
+    assert out[(c0, 1)] == (50, 150)
+    assert out[(c1, 0)] == (30, 30)
+
+
+def test_stickiness_bounds_and_exactness(spark):
+    from pii_spark.events import stickiness_ratio
+
+    day = 86400
+    rows = [(1, _tsec(0)), (2, _tsec(0)), (1, _tsec(1 * day))]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {r["day"]: r for r in
+           stickiness_ratio(df, "u", "ts", long_days=30).collect()}
+    base = min(out)
+    assert out[base]["dau"] == 2 and out[base]["mau"] == 2
+    assert out[base]["stickiness_x10000"] == 10000
+    assert out[base + 1]["dau"] == 1 and out[base + 1]["mau"] == 2
+    assert out[base + 1]["stickiness_x10000"] == 5000
