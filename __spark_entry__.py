@@ -3427,6 +3427,18 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # does first- vs last-touch attribution even differ here?  exact
+    # single- vs multi-touch census over click→purchase windows
+    from pii_spark.events import touch_attribution_compare
+
+    return touch_attribution_compare(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        touch_type="click", convert_type="purchase",
+        horizon_sec=86400.0, tiebreak="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3600,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_tvd": q_value_drift_tvd,
         "cohort_ltv": q_cohort_ltv,
         "stickiness": q_stickiness,
+        "touch_attribution": q_touch_attribution,
     }
 
 
@@ -3664,6 +3677,7 @@ def oracle_sql() -> dict[str, str]:
         distribution_drift_oracle_sql,
         gap_log2_histogram_oracle_sql,
         stickiness_oracle_sql,
+        touch_attribution_oracle_sql,
         new_vs_returning_oracle_sql,
         peak_concurrency_oracle_sql,
         period_growth_oracle_sql,
@@ -3713,6 +3727,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cohort_ltv": cohort_ltv_oracle_sql(),
         "stickiness": stickiness_oracle_sql(long_days=30),
+        "touch_attribution": touch_attribution_oracle_sql(
+            touch_type="click",
+            convert_type="purchase",
+            horizon_sec=86400.0,
+        ),
         "customer_skyline": pareto_frontier_oracle_sql(
             group_sql="c_nationkey",
             x_sql="CAST(round(c_acctbal * 100) AS BIGINT)",

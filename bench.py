@@ -248,6 +248,7 @@ def main() -> None:
         "value_drift_tvd",
         "cohort_ltv",
         "stickiness",
+        "touch_attribution",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1839,3 +1839,113 @@ def stickiness_oracle_sql(
         FROM dau JOIN mau ON mau.day = dau.day
         ORDER BY day
     """
+
+
+def touch_attribution_compare(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    horizon_sec: float = 86400.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-touch vs last-touch attribution census: for every
+    conversion, the earliest and latest ``touch_type`` event of the
+    same user strictly before it within ``horizon_sec``; one output row
+    of exact counts — ``n_conversions, n_attributed`` (≥1 touch in
+    window), ``n_single_touch`` (first == last), ``n_multi_touch`` —
+    the number that says whether the first/last-touch model choice
+    even matters for this stream.
+
+    Scale shape: a user-keyed equi-join between conversions and
+    touches with the window predicate as a post-join filter — both
+    sides pre-filtered to their type, so the join carries only the
+    funnel events; at fleet scale bucket the time axis like
+    ``error_impact`` does to keep the join equi-only.  The min/max
+    touch per conversion is a (ts, tiebreak) struct min/max —
+    map-side combinable, no window.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    horizon_us = int(round(horizon_sec * 1_000_000))
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    conv = df.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("u"), us.alias("cus"), tb.alias("cid")
+    )
+    touch = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("u"), us.alias("tus"), tb.alias("tid")
+    )
+    j = conv.join(touch, "u").filter(
+        (F.col("tus") < F.col("cus"))
+        & (F.col("cus") - F.col("tus") <= horizon_us)
+    )
+    per = j.groupBy("u", "cus", "cid").agg(
+        F.min(F.struct("tus", "tid")).alias("first_t"),
+        F.max(F.struct("tus", "tid")).alias("last_t"),
+    )
+    attributed = per.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.sum(
+            F.when(
+                (F.col("first_t.tus") == F.col("last_t.tus"))
+                & (F.col("first_t.tid") == F.col("last_t.tid")),
+                1,
+            ).otherwise(0)
+        ).alias("n_single_touch"),
+    )
+    total = conv.agg(F.count(F.lit(1)).alias("n_conversions"))
+    return total.crossJoin(attributed).select(
+        "n_conversions",
+        "n_attributed",
+        "n_single_touch",
+        (F.col("n_attributed") - F.col("n_single_touch")).alias(
+            "n_multi_touch"
+        ),
+    )
+
+
+def touch_attribution_oracle_sql(
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    type_sql: str = "event_type",
+    rows_sql: str = "SELECT user_id, ts, event_type, event_id FROM events",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    horizon_sec: float = 86400.0,
+    tiebreak_sql: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`touch_attribution_compare`."""
+    horizon_us = int(round(horizon_sec * 1_000_000))
+    return f"""
+        WITH conv AS (
+            SELECT {user_sql} AS u, epoch_us({ts_sql}) AS cus,
+                   {tiebreak_sql} AS cid
+            FROM ({rows_sql}) WHERE {type_sql} = '{convert_type}'
+        ),
+        touch AS (
+            SELECT {user_sql} AS u, epoch_us({ts_sql}) AS tus,
+                   {tiebreak_sql} AS tid
+            FROM ({rows_sql}) WHERE {type_sql} = '{touch_type}'
+        ),
+        per AS (
+            SELECT c.u, c.cus, c.cid,
+                   min(ROW(t.tus, t.tid)) AS first_t,
+                   max(ROW(t.tus, t.tid)) AS last_t
+            FROM conv c JOIN touch t ON t.u = c.u
+            WHERE t.tus < c.cus AND c.cus - t.tus <= {horizon_us}
+            GROUP BY 1, 2, 3
+        ),
+        agg AS (
+            SELECT count(*) AS n_attributed,
+                   sum(CASE WHEN first_t = last_t THEN 1 ELSE 0 END)
+                       AS n_single
+            FROM per
+        )
+        SELECT CAST((SELECT count(*) FROM conv) AS BIGINT)
+                   AS n_conversions,
+               CAST(n_attributed AS BIGINT) AS n_attributed,
+               CAST(n_single AS BIGINT) AS n_single_touch,
+               CAST(n_attributed - n_single AS BIGINT) AS n_multi_touch
+        FROM agg
+    """

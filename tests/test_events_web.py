@@ -827,3 +827,26 @@ def test_stickiness_bounds_and_exactness(spark):
     assert out[base]["stickiness_x10000"] == 10000
     assert out[base + 1]["dau"] == 1 and out[base + 1]["mau"] == 2
     assert out[base + 1]["stickiness_x10000"] == 5000
+
+
+def test_touch_attribution_window_and_multi(spark):
+    from pii_spark.events import touch_attribution_compare
+
+    rows = [
+        # purchase with two clicks in window → multi-touch
+        (1, _tsec(0), 0, "click"), (1, _tsec(10), 1, "click"),
+        (1, _tsec(20), 2, "purchase"),
+        # purchase with one click → single-touch
+        (2, _tsec(0), 3, "click"), (2, _tsec(5), 4, "purchase"),
+        # purchase whose only click is OUTSIDE the horizon → unattributed
+        (3, _tsec(0), 5, "click"), (3, _tsec(200), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "t"])
+    r = touch_attribution_compare(
+        df, "u", "ts", "t", "click", "purchase",
+        horizon_sec=60.0, tiebreak="eid",
+    ).collect()[0]
+    assert r["n_conversions"] == 3
+    assert r["n_attributed"] == 2
+    assert r["n_single_touch"] == 1
+    assert r["n_multi_touch"] == 1
