@@ -1394,7 +1394,7 @@ def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MMR diversity-aware selection over each query's BM25 top-20:
     # greedy integer argmax of lam*rel - (1-lam)*max squared-cosine to
-    # the already-chosen set, unrolled as k distributed stages
+    # the already-chosen set, one applyInPandas pass per query group
     from pii_spark.retrieval import mmr_diversify
 
     return mmr_diversify(

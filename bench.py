@@ -45,6 +45,10 @@ def main() -> None:
             shuffle_partitions=cpus,
         )
         .config("spark.ui.enabled", "false")
+        # progress bars interleave with stdout and have truncated the
+        # driver's JSON tail capture before (BENCH_r03 "parsed": null) —
+        # the one JSON line below must be the only stdout this run emits
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
@@ -250,6 +254,9 @@ def main() -> None:
         "stickiness",
         "touch_attribution",
     ]
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    if only:
+        bench_queries = [q for q in bench_queries if q in only]
     qmap = E.queries()
     for name in bench_queries:
         timed(name, lambda n=name: _force(qmap[n](spark, sf_dir)), passes=3)
@@ -259,7 +266,8 @@ def main() -> None:
     # re-verify it — slower by design, so bench both
     from pii_spark import dedup as _dedup
 
-    timed(
+    if not only or "fingerprint_overlap_xxhash64" in only:
+        timed(
         "fingerprint_overlap_xxhash64",
         lambda: _force(
             _dedup.fingerprint_overlap_pairs(
@@ -268,24 +276,25 @@ def main() -> None:
             )
         ),
         passes=3,
-    )
+        )
 
     # contamination likewise benches the md5 portable mode in the driver
     # query (DuckDB-verifiable) — time the 8-byte xxhash64 scale path too
-    _docs_c = E._docs(spark, sf_dir).select("doc_id", "text")
-    _bench_c = _docs_c.filter(F.col("doc_id") % 25 == 0).select(
-        F.substring("text", 41, 120).alias("text")
-    )
-    timed(
-        "contamination_xxhash64",
-        lambda: _force(
-            _dedup.contamination_check(
-                _docs_c, _bench_c, "doc_id", "text", bench_text_col="text",
-                k=25, w=16, min_shared=2,
-            )
-        ),
-        passes=3,
-    )
+    if not only or "contamination_xxhash64" in only:
+        _docs_c = E._docs(spark, sf_dir).select("doc_id", "text")
+        _bench_c = _docs_c.filter(F.col("doc_id") % 25 == 0).select(
+            F.substring("text", 41, 120).alias("text")
+        )
+        timed(
+            "contamination_xxhash64",
+            lambda: _force(
+                _dedup.contamination_check(
+                    _docs_c, _bench_c, "doc_id", "text", bench_text_col="text",
+                    k=25, w=16, min_shared=2,
+                )
+            ),
+            passes=3,
+        )
 
     corpus.unpersist()
     e2e_sec = timings["e2e_filter_scrub"]

@@ -659,3 +659,15 @@ def test_changepoint_single_data_shuffle(spark):
 
     p = plan(E.q_changepoint(spark, SF_DIR))
     assert count_python_nodes(p) == 0
+
+
+def test_mmr_greedy_is_one_pandas_group_pass(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_diverse_retrieval(spark, SF_DIR))
+    # the k-step greedy must be ONE FlatMapGroupsInPandas over query
+    # groups, not k unrolled join/window stages (the r3 40.7s shape)
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M)) == 1
+    # no per-step anti-joins survive: the only joins left are the BM25
+    # candidate/vector equi-joins — none of the unroll's LeftAnti
+    assert "LeftAnti" not in p
