@@ -361,6 +361,19 @@ def send_email(
             client.starttls(context=_tls_context())  # email.go:195-205
             client.ehlo()
         if cfg.smtp_username and cfg.smtp_password:
+            # Go's smtp.PlainAuth refuses plaintext credentials except to
+            # localhost (email.go:223-230); mirror that — never send AUTH
+            # PLAIN over an unencrypted channel a STARTTLS-stripping MITM
+            # could be reading.
+            encrypted = cfg.use_tls or isinstance(client.sock, ssl.SSLSocket)
+            local = cfg.smtp_host in ("localhost", "127.0.0.1", "::1")
+            if not (encrypted or local):
+                raise smtplib.SMTPException(
+                    "refusing PLAIN auth on unencrypted connection to "
+                    f"{cfg.smtp_host!r}: server did not upgrade to TLS "
+                    "(set use_tls, use a STARTTLS-capable server, or "
+                    "connect to localhost)"
+                )
             client.login(cfg.smtp_username, cfg.smtp_password)
         client.sendmail(cfg.email_from, list(cfg.email_to), message)
     finally:

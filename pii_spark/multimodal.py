@@ -189,7 +189,18 @@ def decode_bmp(data: bytes) -> np.ndarray:
     top_down = h_signed < 0
     h = abs(h_signed)
     stride = ((bpp * w + 31) // 32) * 4
+    # Validate header-declared geometry against the actual payload BEFORE
+    # allocating: a corrupt/adversarial 54-byte header claiming huge
+    # dimensions would otherwise force a multi-GB np.empty (MemoryError
+    # is not in decode_image's fallback set, so the stage would die
+    # instead of degrading).
+    if w * h > 64_000_000:
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
+    if pix_off + stride * h > len(data):
+        raise ValueError("truncated BMP raster (header larger than payload)")
     if bpp == 8:
+        if 14 + hdr_size + 4 * (struct.unpack_from("<I", data, 46)[0] or 256) > pix_off:
+            raise ValueError("BMP palette overlaps raster offset")
         n_colors = struct.unpack_from("<I", data, 46)[0] or 256
         pal = np.frombuffer(
             data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size

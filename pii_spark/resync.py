@@ -59,6 +59,10 @@ class _SourceState:
     #: pile-up); its late result, if any, is discarded (stale context,
     #: like the reference's cancelled ctx)
     pending: object | None = None
+    #: per-source single-thread executor: a hung source can occupy at
+    #: most ITS OWN worker, never starve another source's fetches (a
+    #: shared pool let 4 hung sources queue-starve every healthy one)
+    pool: object | None = None
 
 
 @dataclass
@@ -104,7 +108,6 @@ class ResyncScheduler:
         self._base_bank_factory = base_bank_factory
         self._bank = base_bank_factory()
         self._last_errors: list[str] = []
-        self._pool = None  # lazy ThreadPoolExecutor for fetch deadlines
 
     # ------------------------------------------------------------------
     def tick(self, now: float) -> ResyncReport:
@@ -162,15 +165,20 @@ class ResyncScheduler:
                     f"{self.policy.fetch_timeout_sec:g}s deadline"
                 )
             st.pending = None  # finished late: stale result, discard
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(
-                max_workers=4, thread_name_prefix="resync-fetch"
+        if st.pool is None:
+            st.pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="resync-fetch"
             )
-        fut = self._pool.submit(st.fetch)
+        fut = st.pool.submit(st.fetch)
         try:
             return fut.result(timeout=self.policy.fetch_timeout_sec)
         except FutureTimeout:
-            st.pending = fut
+            # Defensive: with a 1-thread per-source pool the future has
+            # always started by now, but if it somehow hasn't, cancel
+            # rather than park — a parked never-ran future would
+            # re-error as "still hung" forever.
+            if not fut.cancel():
+                st.pending = fut  # genuinely running → don't relaunch
             raise TimeoutError(
                 f"fetch timed out after {self.policy.fetch_timeout_sec:g}s"
             ) from None

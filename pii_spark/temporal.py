@@ -83,7 +83,9 @@ def asof_join(
         *[F.col(c) for c in on],
         _micros(F.col(right_ts)).alias("__ts_us"),
         F.lit(0).alias("__side"),
-        F.col(tie).cast("long").alias("__tie"),
+        # raw tie column — any orderable type; casting to long turned
+        # string ids into NULLs, making the tie-break nondeterministic
+        F.col(tie).alias("__tie"),
         payload.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
@@ -93,7 +95,9 @@ def asof_join(
         *[F.col(c) for c in on],
         _micros(F.col(left_ts)).alias("__ts_us"),
         F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
+        # left rows never tie-compete with right rows (__side differs),
+        # so their __tie is a typed NULL placeholder
+        F.lit(None).cast(right.schema[tie].dataType).alias("__tie"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c) for c in left.columns if c not in on],
     )
@@ -183,12 +187,16 @@ def interval_join(
                             *[pt[c] for c in pt_out])
     if how == "inner":
         return matched
+    # NULL-safe anti-join: plain equality would make an interval row
+    # containing a NULL never match itself in `matched`, duplicating it
+    # as a spurious empty row.
+    m = matched.select(*[F.col(c) for c in intervals.columns]).distinct()
+    anti_cond = None
+    for c in intervals.columns:
+        clause = intervals[c].eqNullSafe(m[c])
+        anti_cond = clause if anti_cond is None else (anti_cond & clause)
     empties = (
-        intervals.join(
-            matched.select(*[F.col(c) for c in intervals.columns]).distinct(),
-            on=list(intervals.columns),
-            how="left_anti",
-        ).select(
+        intervals.join(m, anti_cond, "left_anti").select(
             *[F.col(c) for c in intervals.columns],
             *[F.lit(None).cast(matched.schema[c].dataType).alias(c)
               for c in pt_out],

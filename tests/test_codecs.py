@@ -204,3 +204,24 @@ def test_synth_pcm_closed_form():
     s = M.synth_pcm(seed=5, n=4)
     exp = [((5 * 7 + i * 13) % 65536) - 32768 for i in range(4)]
     assert s.tolist() == exp
+
+
+def test_bmp_adversarial_header_raises_not_allocates():
+    # regression: a 54-byte header claiming huge dimensions forced a
+    # multi-GB np.empty before any payload-size check; MemoryError is
+    # not in decode_image's fallback set, so the executor stage died
+    # instead of degrading to the fake decoder
+    tiny = M.encode_bmp(np.zeros((2, 2), dtype=np.uint8))
+    forged = bytearray(tiny)
+    struct.pack_into("<ii", forged, 18, 60_000, 60_000)  # 3.6e9 pixels
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(forged))
+    # decode_image degrades to the deterministic fake, never aborts
+    px = M.decode_image(bytes(forged), {"height": 4, "width": 4})
+    assert px.shape == (4, 4)
+
+
+def test_bmp_truncated_raster_raises_value_error():
+    ok = M.encode_bmp(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    with pytest.raises(ValueError):
+        M.decode_bmp(ok[: len(ok) - 5])  # raster shorter than header claims

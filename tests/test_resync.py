@@ -177,3 +177,38 @@ def test_hung_fetcher_degrades_to_error_requeue():
         _time.sleep(0.05)
     assert sched.status()["sources"]["src-a"]["synced"] is True
     assert calls["n"] == 2  # exactly one relaunch after the hang cleared
+
+
+def test_hung_source_does_not_starve_healthy_sources():
+    # regression: a shared 4-worker pool let 4 hung sources queue-starve
+    # a healthy source's fetch (it timed out before ever starting, then
+    # was parked as "still hung" forever).  Per-source single-thread
+    # executors isolate hangs.
+    import threading
+
+    gate = threading.Event()
+    calls = {"ok": 0}
+
+    def hung():
+        gate.wait(10.0)
+        return _rulesets()
+
+    def healthy():
+        calls["ok"] += 1
+        return _rulesets()
+
+    fetchers = {f"hung-{i}": hung for i in range(4)}
+    fetchers["ok-src"] = healthy
+    sched = ResyncScheduler(
+        fetchers, [],
+        policy=ResyncPolicy(fetch_timeout_sec=0.2, error_requeue_sec=60.0),
+    )
+    rep = sched.tick(0.0)
+    assert rep.fetched == ["ok-src"]          # healthy fetch ran despite hangs
+    assert calls["ok"] == 1
+    assert set(rep.fetch_errors) == {f"hung-{i}" for i in range(4)}
+    # and it keeps working on subsequent ticks while the hangs persist
+    rep2 = sched.tick(3600.0)
+    assert rep2.fetched == ["ok-src"]
+    assert all("still hung" in rep2.fetch_errors[k] for k in rep2.fetch_errors)
+    gate.set()

@@ -235,3 +235,38 @@ def test_gapfill_zero_sum_is_not_marked_filled(spark):
         ).collect()
     }
     assert out == {0: (0, 0), 1: (None, 1), 2: (5, 0)}
+
+
+# --------------------------------------------------- regression fixes
+
+
+def test_asof_join_string_tie_col_is_deterministic(spark):
+    # regression: tie_col was cast to long, so a string event id became
+    # NULL for every row and "greatest tie wins" was silently arbitrary
+    left = _mk(spark, [("k", _ts(10), "L1")], ["key", "ts", "lid"])
+    right = _mk(
+        spark,
+        [("k", _ts(5), "evt-b"), ("k", _ts(5), "evt-z"), ("k", _ts(5), "evt-a")],
+        ["key", "rts", "rid"],
+    )
+    out = asof_join(left, right, ["key"], "ts", "rts", ["rid"]).collect()
+    assert len(out) == 1
+    assert out[0]["rid_asof"] == "evt-z"  # greatest string id wins
+
+
+def test_interval_join_left_null_interval_column_not_duplicated(spark):
+    # regression: the left-anti back-join used plain equality, so an
+    # interval row with a NULL column never matched itself and was
+    # emitted twice (once joined, once as a spurious empty row)
+    iv = _mk(
+        spark,
+        [("k", None, _ts(0), _ts(100)), ("k", "named", _ts(200), _ts(300))],
+        ["key", "label", "s", "e"],
+    )
+    pts = _mk(spark, [("k", _ts(50), 7)], ["key", "pts", "val"])
+    out = interval_join(pts, iv, ["key"], "pts", "s", "e", how="left")
+    rows = sorted(out.collect(), key=lambda r: str(r["label"]))
+    assert len(rows) == 2  # one matched (NULL label), one genuinely empty
+    by_label = {r["label"]: r for r in rows}
+    assert by_label[None]["val"] == 7        # NULL-labeled interval matched once
+    assert by_label["named"]["val"] is None  # empty interval survives once
