@@ -298,20 +298,49 @@ def main() -> None:
 
     corpus.unpersist()
     e2e_sec = timings["e2e_filter_scrub"]
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_filter_scrub_sec",
-                "value": e2e_sec,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_files": n_files,
-                "files_per_sec": round(n_files / e2e_sec, 1) if e2e_sec else None,
-                "cpus": cpus,
-            }
-        )
-    )
+    envelope = {
+        "metric": "e2e_filter_scrub_sec",
+        "value": e2e_sec,
+        "unit": "sec",
+        "sf": sf,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / e2e_sec, 1) if e2e_sec else None,
+        "cpus": cpus,
+        "full_queries": "BENCH/last_run.json",
+        "queries": {},
+    }
+
+    # Full per-query map goes to a file; stdout must stay one line under the
+    # driver's 2000-char tail window (BENCH_r03 "parsed": null happened
+    # because the 149-entry dict alone exceeds it — no amount of progress-bar
+    # suppression can fix a line that is structurally too long).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
+        json.dump({**envelope, "queries": timings}, f, indent=1)
+
+    priority = [
+        "e2e_filter_scrub", "e2e_clean_corpus", "detect_by_pattern",
+        "scrub_email_partial", "dedup_exact", "minhash_near_dup",
+        "quality_pipeline", "quality_classifier", "langid_distribution",
+        "diverse_retrieval", "semdedup", "kmeans_clusters", "bm25_search",
+        "domain_pagerank", "triangle_census", "contamination",
+        "sequence_pack", "bpe_encode", "prefix_jaccard", "span_dedup",
+        "substring_dedup", "bpe_learn", "image_features", "ewma_value",
+        "embedding_near_dup", "ann_cosine_topk_ivf", "table_profile",
+        "volume_trend", "bloom_probe", "hll_distinct",
+    ]
+    budget = 1900 - len(json.dumps(envelope))
+    shown: dict[str, float] = {}
+    for name in priority:
+        if name not in timings:
+            continue
+        entry = len(json.dumps({name: timings[name]})) + 2
+        if budget - entry < 0:
+            break
+        budget -= entry
+        shown[name] = timings[name]
+    envelope["queries"] = shown
+    print(json.dumps(envelope))
     spark.stop()
 
 
