@@ -1,0 +1,160 @@
+"""Hot-key sessionize: presplit='day' vs unsplit single-window.
+
+A Zipfian event stream (one bot owns most rows) breaks the classic
+``Window.partitionBy(user)`` sessionize: the bot's entire history sorts
+in ONE task, so the stage wall time is the straggler regardless of
+cluster size.  ``sessionize(..., presplit='day')`` bounds each task's
+sort at one (user, day) bucket and stitches boundary sessions back via
+a per-(user, day) bounds table — output proven row-identical to the
+unsplit plan (oracle `sessions_presplit`, tests in test_events_web.py).
+
+Usage::
+
+    python BENCH/session_skew.py    # prints JSON, rewrites BENCH/SESSIONS.md
+
+Corpus: ``SESS_ROWS`` synthetic events over 30 days; the hot user owns
+``SESS_HOT_FRAC`` of them, the rest spread over 50k normal users.
+Deterministic (id-derived timestamps), materialized to parquet once so
+both variants scan byte-identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("SESS_ROWS", "5000000"))
+HOT_FRAC = float(os.environ.get("SESS_HOT_FRAC", "0.8"))
+CORPUS_DIR = os.environ.get("SESS_CORPUS_DIR", "/tmp/pii_spark_session_skew")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DAYS = 30
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{CPUS}]").appName(
+                "session-skew-bench"
+            ),
+            shuffle_partitions=CPUS,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _prepare(spark):
+    from pyspark.sql import functions as F
+
+    if os.path.exists(CORPUS_DIR):
+        shutil.rmtree(CORPUS_DIR)
+    hot_n = int(ROWS * HOT_FRAC)
+    span_us = DAYS * 86_400 * 1_000_000
+    base = F.lit(1_704_067_200_000_000)  # 2024-01-01 UTC in µs
+    df = (
+        spark.range(ROWS)
+        .withColumn(
+            "user_id",
+            F.when(F.col("id") < hot_n, F.lit(0)).otherwise(
+                (F.xxhash64("id") % 50_000 + 50_000) % 50_000 + 1
+            ),
+        )
+        # id-derived pseudo-random offset inside the 30-day span; hot
+        # user's events land densely (~2.3M/day at defaults) so the
+        # unsplit sort is genuinely one giant task
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                (base + (F.xxhash64("id", F.lit(7)) % span_us + span_us)
+                 % span_us).cast("long")
+            ),
+        )
+        .select("user_id", "ts")
+    )
+    df.write.mode("overwrite").parquet(CORPUS_DIR)
+    return spark.read.parquet(CORPUS_DIR).count()
+
+
+def _run(spark, presplit):
+    from pyspark.sql import functions as F
+
+    from pii_spark.events import sessionize
+
+    ev = spark.read.parquet(CORPUS_DIR)
+    t0 = time.time()
+    out = sessionize(ev, ["user_id"], "ts", gap_sec=600, presplit=presplit)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(user_id, ts, session_idx))").alias("chk"),
+        (F.max("session_idx") + 1).alias("hot_sessions"),
+    ).collect()[0]
+    return time.time() - t0, int(agg["n"]), int(agg["chk"])
+
+
+def main() -> None:
+    spark = _session()
+    n = _prepare(spark)
+    t_unsplit, n1, chk1 = _run(spark, None)
+    t_split, n2, chk2 = _run(spark, "day")
+    assert (n1, chk1) == (n2, chk2), "presplit output diverged from unsplit"
+    res = {
+        "rows": n,
+        "hot_frac": HOT_FRAC,
+        "days": DAYS,
+        "cpus": CPUS,
+        "unsplit_sec": round(t_unsplit, 2),
+        "presplit_day_sec": round(t_split, 2),
+        "speedup": round(t_unsplit / t_split, 2),
+        "checksum_equal": True,
+    }
+    print(json.dumps(res))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SESSIONS.md"), "w") as f:
+        f.write(
+            f"""# BENCH/SESSIONS — hot-key sessionize presplit
+
+Same gap-600s sessionize over the same {n:,}-event stream (one bot
+user owns {HOT_FRAC:.0%} of all events across {DAYS} days,
+`local[{CPUS}]`), two plans:
+
+| plan | wall (s) |
+|---|---|
+| `Window.partitionBy(user)` (unsplit) | {res['unsplit_sec']} |
+| `presplit='day'` (bucket + stitch) | {res['presplit_day_sec']} |
+
+**Presplit is {res['speedup']}× faster** and byte-identical (xxhash64
+checksum over (user, ts, session_idx) equal; the `sessions_presplit`
+driver oracle proves the stitch against a split-free SQL replay).  The
+unsplit plan sorts the bot's {int(n * HOT_FRAC):,} events in ONE task —
+a straggler no cluster size fixes; presplit bounds every task's sort at
+one (user, day) bucket (~{int(n * HOT_FRAC / DAYS):,} rows) and rebases
+local indices with a per-(user, day) bounds table ({DAYS}
+rows for the bot — negligible).
+
+At 10^12-event scale the same knob applies per key-granularity:
+'hour' for minute-level bots, 'day' for human-scale keys; the bounds
+table stays `keys × buckets` rows, orders of magnitude below the event
+count.
+
+Reproduce: `python BENCH/session_skew.py` (env: `SESS_ROWS`,
+`SESS_HOT_FRAC`, `SESS_CORPUS_DIR`, `SPARK_GRAFT_CPUS`).
+"""
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2814,6 +2814,29 @@ def q_incident_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_idx")
 
 
+def q_sessions_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hot-key-safe sessionize: window partitions on (user, day) then
+    # stitches boundary-straddling sessions back via the per-(key, day)
+    # bounds table — the oracle below is the plain UNSPLIT sessionize,
+    # so a hash match proves the stitch is exact.  gap=12h over ~11h
+    # mean inter-event gaps makes midnight-straddling sessions and
+    # chained single-session-bucket merges common, not incidental.
+    from pii_spark.events import session_stats
+
+    out = session_stats(
+        _events(spark, sf_dir), ["user_id"], "ts", gap_sec=43200,
+        presplit="day",
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"),
+        "duration_us",
+    ).orderBy("user_id", "session_idx")
+
+
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-window training-example chunking, 32-token windows with
     # stride 24 (25% overlap); zero-shuffle narrow plan
@@ -3569,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_audit": q_leakage_audit,
         "corpus_datasheet": q_corpus_datasheet,
         "incident_sessions": q_incident_sessions,
+        "sessions_presplit": q_sessions_presplit,
         "chunk_windows": q_chunk_windows,
         "url_domains": q_url_domains,
         "vocab_topk": q_vocab_topk,
@@ -5518,6 +5542,33 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                                     > 600000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s2 AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_idx
+                FROM s
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+            FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # deliberately split-free: the plain single-window sessionize
+        # (gap > 12h in integer µs).  Spark runs the presplit='day'
+        # path, so a value-hash match certifies the cross-midnight
+        # stitch reproduces the unsplit numbering exactly.
+        "sessions_presplit": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 43200000000
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),

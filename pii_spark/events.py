@@ -23,18 +23,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+#: presplit granularities accepted by :func:`sessionize`, in seconds
+_PRESPLIT_SEC = {"hour": 3_600, "day": 86_400, "week": 7 * 86_400}
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],
     ts_col: str,
     gap_sec: float,
     session_col: str = "session_idx",
+    presplit: str | int | None = None,
 ) -> DataFrame:
     """Assign each event a dense 0-based ``session_col`` per key:
     an event starts a new session iff it is the key's first or follows
     its predecessor by more than ``gap_sec`` seconds.  Ties on ``ts``
     are ordered deterministically by the remaining columns' hash so
-    re-runs agree."""
+    re-runs agree.
+
+    ``presplit`` ('hour' | 'day' | 'week' | seconds | None) is the
+    hot-key escape hatch: with it, the window partitions on
+    (key, time-bucket) instead of (key), so one pathological key — a
+    bot with 10M events — sorts one bucket per task instead of its
+    entire history in a single task.  Sessions straddling bucket
+    boundaries are stitched back via a per-(key, bucket) bounds table
+    (one row per key-bucket, ~data/86400th the event count for 'day'):
+    a bucket's first local session merges into the previous bucket's
+    last session iff the actual timestamp gap is within ``gap_sec``
+    (empty buckets in between are fine — the test is on timestamps,
+    not bucket adjacency), and a running offset over buckets rebases
+    local indices to the exact unsplit numbering.  Output is
+    row-for-row identical to ``presplit=None``."""
     # integer-microsecond math: the boundary test (gap > gap_sec) is
     # exact and engine-independent (no float rounding at the threshold).
     # TIMESTAMP_NTZ (what parquet event logs usually carry) is cast to
@@ -42,14 +61,77 @@ def sessionize(
     # default_spark_conf) so the wall-clock is taken as-is.
     gap_us = int(round(gap_sec * 1_000_000))
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    prev = F.lag(micros).over(w)
-    gap = micros - prev
-    new_s = F.when(prev.isNull() | (gap > gap_us), 1).otherwise(0)
-    running = F.sum(new_s).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if presplit is None:
+        w = Window.partitionBy(*key_cols).orderBy(ts_col)
+        prev = F.lag(micros).over(w)
+        gap = micros - prev
+        new_s = F.when(prev.isNull() | (gap > gap_us), 1).otherwise(0)
+        running = F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(session_col, (running - 1).cast("long"))
+
+    bucket_sec = _PRESPLIT_SEC.get(presplit, presplit)
+    if not isinstance(bucket_sec, int) or bucket_sec <= 0:
+        raise ValueError(
+            f"presplit must be one of {sorted(_PRESPLIT_SEC)} or a positive "
+            f"int of seconds, got {presplit!r}"
+        )
+    bucket_us = bucket_sec * 1_000_000
+    out_cols = [F.col(c) for c in df.columns]
+
+    # 1) local sessionize within (key, bucket) — the skew-bounded sort
+    b = df.withColumn("_ps_us", micros).withColumn(
+        "_ps_bkt", F.floor(F.col("_ps_us") / F.lit(bucket_us))
     )
-    return df.withColumn(session_col, (running - 1).cast("long"))
+    wl = Window.partitionBy(*key_cols, "_ps_bkt").orderBy(ts_col)
+    prev = F.lag(F.col("_ps_us")).over(wl)
+    new_s = F.when(prev.isNull() | ((F.col("_ps_us") - prev) > gap_us), 1).otherwise(0)
+    local = b.withColumn(
+        "_ps_local",
+        (F.sum(new_s).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("long"),
+    )
+
+    # 2) bounds table: one row per (key, bucket) — independent of how
+    # many events the hot key produced inside each bucket
+    bounds = local.groupBy(*key_cols, "_ps_bkt").agg(
+        (F.max("_ps_local") + 1).alias("_ps_n"),
+        F.min("_ps_us").alias("_ps_first"),
+        F.max("_ps_us").alias("_ps_last"),
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_ps_bkt")
+    prev_last = F.lag(F.col("_ps_last")).over(wb)
+    merge = F.when(
+        prev_last.isNotNull() & ((F.col("_ps_first") - prev_last) <= gap_us), 1
+    ).otherwise(0)
+    contributed = F.col("_ps_n") - F.col("_ps_merge")
+    bounds = (
+        bounds.withColumn("_ps_merge", merge)
+        .withColumn(
+            "_ps_base",
+            F.coalesce(
+                F.sum(contributed).over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(*key_cols, "_ps_bkt", "_ps_merge", "_ps_base")
+    )
+
+    # 3) rebase: global = base + local - merge (a merged bucket's local
+    # session 0 IS the previous bucket's last session, possibly chained
+    # through single-session buckets — the exclusive running sum of
+    # contributed sessions absorbs the chain exactly)
+    joined = local.join(bounds, [*key_cols, "_ps_bkt"], "inner")
+    return joined.select(
+        *out_cols,
+        (F.col("_ps_base") + F.col("_ps_local") - F.col("_ps_merge"))
+        .cast("long")
+        .alias(session_col),
+    )
 
 
 def session_stats(
@@ -57,12 +139,14 @@ def session_stats(
     key_cols: list[str],
     ts_col: str,
     gap_sec: float,
+    presplit: str | int | None = None,
 ) -> DataFrame:
     """Per-(key, session) incident summary: event count, first/last
     timestamp, duration in seconds.  One shuffle (the sessionize
     window), then a partial-aggregated groupBy on the same keys —
-    AQE coalesces the exchange since the partitioning is compatible."""
-    s = sessionize(df, key_cols, ts_col, gap_sec)
+    AQE coalesces the exchange since the partitioning is compatible.
+    ``presplit`` forwards to :func:`sessionize` for hot-key splitting."""
+    s = sessionize(df, key_cols, ts_col, gap_sec, presplit=presplit)
     return s.groupBy(*key_cols, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("first_ts"),

@@ -850,3 +850,105 @@ def test_touch_attribution_window_and_multi(spark):
     assert r["n_attributed"] == 2
     assert r["n_single_touch"] == 1
     assert r["n_multi_touch"] == 1
+
+
+# ---------------------------------------------------------------------------
+# sessionize presplit (hot-key bucket split + cross-boundary stitch)
+# ---------------------------------------------------------------------------
+
+
+def _dts(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def test_presplit_matches_unsplit_on_boundary_straddle(spark):
+    from pii_spark.events import sessionize
+
+    # one session straddles midnight (23:59 -> 00:01), one does not
+    ev = spark.createDataFrame(
+        [
+            (1, _dts(1, 10, 0)),
+            (1, _dts(1, 23, 59)),
+            (1, _dts(2, 0, 1)),    # 2 min after prev -> same session
+            (1, _dts(2, 12, 0)),   # 12h later -> new session
+            (2, _dts(1, 23, 0)),
+            (2, _dts(2, 1, 0)),    # 2h gap > 600s -> new session
+        ],
+        "user_id long, ts timestamp",
+    )
+    base = sessionize(ev, ["user_id"], "ts", gap_sec=600)
+    split = sessionize(ev, ["user_id"], "ts", gap_sec=600, presplit="day")
+    key = lambda rows: sorted((r.user_id, r.ts, r.session_idx) for r in rows)
+    assert key(split.collect()) == key(base.collect())
+    got = {(r.user_id, r.ts): r.session_idx for r in split.collect()}
+    assert got[(1, _dts(2, 0, 1))] == got[(1, _dts(1, 23, 59))]
+    assert got[(2, _dts(2, 1, 0))] == got[(2, _dts(1, 23, 0))] + 1
+
+
+def test_presplit_chained_single_session_buckets(spark):
+    from pii_spark.events import sessionize
+
+    # one session runs through THREE days (each day a single local
+    # session that merges backwards) plus an unmerged tail session
+    ev = spark.createDataFrame(
+        [(1, _dts(1, 23, 0)), (1, _dts(2, 0, 30)), (1, _dts(2, 23, 30)),
+         (1, _dts(3, 1, 0)), (1, _dts(3, 22, 0))],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(ev, ["user_id"], "ts", gap_sec=2 * 3600, presplit="day")
+    got = {r.ts: r.session_idx for r in out.collect()}
+    # days 1-2 chain via <=2h gaps; 23:30 is 23h after 0:30 -> new, then
+    # 1:00 next day merges to it, 22:00 is 21h later -> new again
+    assert got[_dts(1, 23, 0)] == 0 and got[_dts(2, 0, 30)] == 0
+    assert got[_dts(2, 23, 30)] == 1 and got[_dts(3, 1, 0)] == 1
+    assert got[_dts(3, 22, 0)] == 2
+
+
+def test_presplit_stitches_across_empty_buckets(spark):
+    from pii_spark.events import sessionize
+
+    # gap_sec (3 days) exceeds the bucket width: an entirely empty day
+    # sits inside one session; the stitch must test timestamps, not
+    # bucket adjacency
+    ev = spark.createDataFrame(
+        [(1, _dts(1, 12, 0)), (1, _dts(3, 12, 0)), (1, _dts(9, 12, 0))],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(ev, ["user_id"], "ts", gap_sec=3 * 86400, presplit="day")
+    got = {r.ts: r.session_idx for r in out.collect()}
+    assert got[_dts(1, 12, 0)] == 0 and got[_dts(3, 12, 0)] == 0
+    assert got[_dts(9, 12, 0)] == 1
+
+
+def test_presplit_randomized_equivalence(spark):
+    import random
+
+    from pii_spark.events import sessionize
+
+    rng = random.Random(42)
+    rows = []
+    for uid in range(8):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randint(0, 3600))
+        for _ in range(200):
+            t += dt.timedelta(seconds=rng.randint(1, 6 * 3600))
+            rows.append((uid, t))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    for presplit in ("hour", "day", 40_000):
+        base = sessionize(ev, ["user_id"], "ts", gap_sec=1800)
+        split = sessionize(ev, ["user_id"], "ts", gap_sec=1800,
+                           presplit=presplit)
+        key = lambda rows: sorted(
+            (r.user_id, r.ts, r.session_idx) for r in rows)
+        assert key(split.collect()) == key(base.collect()), presplit
+
+
+def test_presplit_rejects_bad_granularity(spark):
+    import pytest
+
+    from pii_spark.events import sessionize
+
+    ev = spark.createDataFrame([(1, _dts(1))], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="presplit"):
+        sessionize(ev, ["user_id"], "ts", gap_sec=60, presplit="fortnight")
+    with pytest.raises(ValueError, match="presplit"):
+        sessionize(ev, ["user_id"], "ts", gap_sec=60, presplit=0)
