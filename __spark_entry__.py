@@ -423,6 +423,95 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full BPE tokenizer training (Sennrich 2016): 10 greedy merge
+    # rounds over the corpus word frame.  Learned over the
+    # lowercase-ASCII word stream so every symbol stays in [a-z_] and
+    # the oracle's <sym> token wrapping is collision-free.  The oracle
+    # replays all 10 rounds in chained CTEs (pair counts → argmax →
+    # non-overlapping left-to-right replace == the greedy merge), so a
+    # hash match certifies the entire learning trajectory, tie-breaks
+    # included.
+    from pii_spark.quality import bpe_learn
+
+    docs = _docs(spark, sf_dir).select(
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0), " "
+        ).alias("t")
+    ).filter(F.col("t") != "")
+    merges, _ = bpe_learn(docs, "t", n_merges=10, eow="_", min_count=2)
+    rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank long, lhs string, rhs string, n long"
+    ).orderBy("merge_rank")
+
+
+def _bpe_learn_oracle_sql(k: int = 10) -> str:
+    """Chained-CTE replay of k greedy BPE merge rounds.  Segmentation
+    state is a <sym><sym>… string; applying merge (l, r) is
+    replace('<l><r>' → '<lr>'), which scans left-to-right without
+    re-matching into replaced text — exactly the greedy non-overlapping
+    merge bpe_learn's apply_merge performs.  Wrapped tokens share no
+    boundary characters, so adjacent merges ('aaaa' → 'aa','aa') work.
+
+    Every chained CTE is MATERIALIZED: seg{i} is referenced twice (by
+    p{i+1} and seg{i+1}), so default CTE inlining would re-expand the
+    chain 2^k times — the parquet scan multiplies exponentially and
+    exhausts file handles before it exhausts CPU."""
+    parts = [
+        """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(t, ' ')) AS w FROM (
+                SELECT array_to_string(
+                    regexp_extract_all(text, '[a-z]+'), ' ') AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+        seg0 AS MATERIALIZED (
+            SELECT cnt,
+                   '<' || array_to_string(str_split(w, ''), '><') || '><_>'
+                       AS seg
+            FROM wc
+        )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+        p{i} AS MATERIALIZED (
+            SELECT syms[j] AS l, syms[j+1] AS r, sum(cnt) AS n
+            FROM (SELECT cnt,
+                         str_split(substr(seg, 2, length(seg) - 2), '><')
+                             AS syms
+                  FROM seg{i - 1}),
+                 UNNEST(range(1, len(syms))) AS u(j)
+            GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT l, r, CAST(n AS BIGINT) AS n FROM p{i}
+            WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1
+        ),
+        seg{i} AS MATERIALIZED (
+            SELECT cnt,
+                   replace(seg,
+                           '<' || (SELECT l FROM m{i}) || '><'
+                               || (SELECT r FROM m{i}) || '>',
+                           '<' || (SELECT l || r FROM m{i}) || '>') AS seg
+            FROM seg{i - 1}
+        )"""
+        )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, n FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, n
+        FROM ({sel}) ORDER BY merge_rank"""
+    )
+    return "".join(parts)
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic global shuffle + shard assignment: reproducible
     # training-epoch permutation — shard via sha-bucket mod, position
@@ -3503,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "corpus_shuffle": q_corpus_shuffle,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_learn": q_bpe_learn,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
@@ -4170,6 +4260,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.nl - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
             FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id ORDER BY b.doc_id
         """,
+        # 10-round greedy merge replay; see _bpe_learn_oracle_sql for
+        # why wrapped-token replace() IS the greedy merge
+        "bpe_learn": _bpe_learn_oracle_sql(10),
         "bpe_pair_counts": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -167,6 +167,8 @@ def main() -> None:
         "containment_pairs",
         "span_dedup",
         "bpe_pair_counts",
+        "bpe_learn",
+        "sessions_presplit",
         "corpus_shuffle",
         "temperature_sample",
         "code_stats",
