@@ -2437,13 +2437,15 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal DECODE verification: each row carries a REAL image
-    # payload (BMP for odd doc_id, binary PGM for even — both built by
-    # the from-scratch encoders) whose pixel field is the closed form
-    # px[i] = (doc_id*31 + i*7) mod 256.  The query emits the decoded
-    # shape and the exact pixel sum; the DuckDB oracle recomputes both
-    # from the arithmetic alone, so a header/stride/padding misparse in
-    # decode_bmp/decode_pnm breaks the hash — this verifies the decoder,
-    # not just the transport.
+    # payload — doc_id%3==0 a truecolor PNG (zlib + per-row filter
+    # cycle, channels r/g/b distinct closed forms), %3==1 a BMP, %3==2
+    # a binary PGM (gray field (doc_id*31 + i*7) mod 256) — all built
+    # by the from-scratch encoders.  The query emits the decoded shape
+    # and the exact pixel sum; the DuckDB oracle recomputes both from
+    # the arithmetic alone (incl. the BT.601 integer luminance for the
+    # PNG rows), so a header/stride/filter/channel-order misparse in
+    # decode_png/decode_bmp/decode_pnm breaks the hash — this verifies
+    # the decoders, not just the plumbing.
     from pyspark.sql.functions import pandas_udf
 
     from pii_spark import multimodal as M
@@ -2453,8 +2455,13 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for d in doc_id:
             d = int(d)
-            px = M.synth_gray(d, d % 16 + 8, d % 8 + 8)
-            out.append(M.encode_bmp(px) if d % 2 else M.encode_pgm(px))
+            h, w = d % 16 + 8, d % 8 + 8
+            if d % 3 == 0:
+                out.append(M.encode_png(M.synth_rgb(d, h, w)))
+            elif d % 3 == 1:
+                out.append(M.encode_bmp(M.synth_gray(d, h, w)))
+            else:
+                out.append(M.encode_pgm(M.synth_gray(d, h, w)))
         return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(
@@ -5225,18 +5232,29 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN hits h USING (doc_id)
             ORDER BY t.doc_id
         """,
-        # decode verification: the Spark side parses a REAL BMP/PGM
+        # decode verification: the Spark side parses a REAL PNG/BMP/PGM
         # payload; the oracle recomputes the decoded shape and exact
-        # pixel sum from the closed-form pixel field alone — any
-        # header/stride/padding misparse breaks the hash
+        # pixel sum from the closed-form pixel fields alone — PNG rows
+        # replay the integer BT.601 luminance over the three distinct
+        # channel fields, so any filter/stride/channel-order misparse
+        # breaks the hash
         "image_features": """
             SELECT doc_id AS media_id,
                    CAST(doc_id % 16 + 8 AS INT) AS height,
                    CAST(doc_id % 8 + 8 AS INT) AS width,
                    CAST((doc_id % 16 + 8) * (doc_id % 8 + 8) AS BIGINT) AS n_pixels,
-                   CAST(list_sum(list_transform(
-                        range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
-                        i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS sum_pixels
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN
+                        list_sum(list_transform(
+                            range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                            i -> (299 * ((doc_id * 31 + i * 7) % 256)
+                                  + 587 * ((doc_id * 37 + i * 11) % 256)
+                                  + 114 * ((doc_id * 41 + i * 13) % 256)
+                                  + 500) // 1000))
+                   ELSE
+                        list_sum(list_transform(
+                            range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                            i -> (doc_id * 31 + i * 7) % 256))
+                   END AS BIGINT) AS sum_pixels
             FROM documents ORDER BY media_id
         """,
         # exact re-implementation of the SimHash fingerprint in SQL:

@@ -9,17 +9,20 @@ Decoding is REAL for the uncompressed container formats that are
 parseable from scratch with the stdlib ``struct`` module — no codec
 libraries needed:
 
-- **images**: BMP (BITMAPINFOHEADER; 8-bit palette / 24-bit / 32-bit,
-  bottom-up or top-down, 4-byte row padding) and PNM (P2/P5 grayscale,
-  P3/P6 RGB, ASCII or binary raster, header comments);
+- **images**: PNG (zlib inflate + the five spec unfilters; 8-bit
+  gray/RGB/RGBA/gray+alpha/palette, non-interlaced), BMP
+  (BITMAPINFOHEADER; 8-bit palette / 24-bit / 32-bit, bottom-up or
+  top-down, 4-byte row padding) and PNM (P2/P5 grayscale, P3/P6 RGB,
+  ASCII or binary raster, header comments);
 - **audio**: RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE, any
   channel count, word-aligned chunk walk).
 
-RGB collapses to grayscale via integer BT.601 luminance.  Compressed
-formats (PNG/JPEG/MP3/...) try PIL if present; otherwise fall back to
-the clearly-marked deterministic fake (pixels/samples derived from
-sha256 of the payload) so unknown payloads still flow through the
-pipeline with reproducible statistics instead of killing the stage.
+RGB collapses to grayscale via integer BT.601 luminance.  Formats
+beyond stdlib reach (JPEG/MP3/16-bit or Adam7 PNG/...) try PIL if
+present; otherwise fall back to the clearly-marked deterministic fake
+(pixels/samples derived from sha256 of the payload) so unknown
+payloads still flow through the pipeline with reproducible statistics
+instead of killing the stage.
 
 Scale notes: media rows are large; ``repartition_media`` salts by
 (media_id) hash so no partition holds correlated giant files, and the
@@ -146,6 +149,183 @@ def decode_pnm(data: bytes) -> np.ndarray:
         rgb = raster.reshape(h, w, 3)
         return _bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
     return raster.reshape(h, w)
+
+
+# ---- PNG (stdlib zlib inflate + the five spec filters) ---------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (bit depth 8, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray, filters: str = "cycle") -> bytes:
+    """uint8 pixels → real non-interlaced 8-bit PNG.  (h, w) arrays
+    become grayscale (color type 0), (h, w, 3) truecolor (type 2),
+    (h, w, 4) truecolor+alpha (type 6).  ``filters='cycle'`` applies
+    filter type ``row % 5`` so a decoder must get all five unfilters
+    right; ``'none'`` emits unfiltered rows."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        color, nch = 0, 1
+        flat = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        color, nch = (2, 3) if px.shape[2] == 3 else (6, 4)
+        flat = px
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w = flat.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prior = bytes(w * nch)
+    for y in range(h):
+        cur = flat[y].tobytes()
+        ft = (y % 5) if filters == "cycle" else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += cur
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (cur[x] - (cur[x - nch] if x >= nch else 0)) & 0xFF
+                for x in range(len(cur))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((cur[x] - prior[x]) & 0xFF for x in range(len(cur)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (cur[x] - ((cur[x - nch] if x >= nch else 0) + prior[x]) // 2)
+                & 0xFF
+                for x in range(len(cur))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (cur[x] - _paeth(
+                    cur[x - nch] if x >= nch else 0,
+                    prior[x],
+                    prior[x - nch] if x >= nch else 0,
+                )) & 0xFF
+                for x in range(len(cur))
+            )
+        prior = cur
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → grayscale uint8 (h, w), from scratch: chunk walk,
+    zlib inflate of the concatenated IDAT stream, all five spec
+    unfilters (None/Sub/Up/Average/Paeth), 8-bit color types 0 (gray),
+    2 (RGB), 3 (palette via PLTE), 4 (gray+alpha) and 6 (RGBA).  Color
+    collapses through integer BT.601; alpha is ignored (features run on
+    intensity).  16-bit depth and Adam7 interlace raise ValueError —
+    decode_image degrades those to the marked fake instead of dying."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, ln = 8, len(data)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= ln:
+        size = struct.unpack_from(">I", data, i)[0]
+        tag = data[i + 4:i + 8]
+        body = data[i + 8:i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + (left + prior[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                ul = prior[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        prior = bytes(cur)
+        out[y] = np.frombuffer(prior, dtype=np.uint8)
+    if color == 0:
+        return out
+    if color == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        return _bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    px = out.reshape(h, w, nch)
+    if color == 4:  # gray + alpha: intensity channel only
+        return np.ascontiguousarray(px[:, :, 0])
+    return _bt601(px[:, :, 0], px[:, :, 1], px[:, :, 2])
 
 
 # ---- BMP (BITMAPINFOHEADER) -----------------------------------------------
@@ -287,6 +467,18 @@ def synth_gray(seed: int, h: int, w: int, frame: int = 0) -> np.ndarray:
     return ((seed * 31 + frame * 17 + i * 7) % 256).astype(np.uint8).reshape(h, w)
 
 
+def synth_rgb(seed: int, h: int, w: int) -> np.ndarray:
+    """Closed-form RGB field with DISTINCT per-channel arithmetic —
+    r[i] = (seed*31 + i*7) % 256, g[i] = (seed*37 + i*11) % 256,
+    b[i] = (seed*41 + i*13) % 256 — so a channel-order or luminance
+    bug changes the decoded sum a SQL oracle recomputes."""
+    i = np.arange(h * w, dtype=np.int64)
+    r = (seed * 31 + i * 7) % 256
+    g = (seed * 37 + i * 11) % 256
+    b = (seed * 41 + i * 13) % 256
+    return np.stack([r, g, b], axis=1).astype(np.uint8).reshape(h, w, 3)
+
+
 def synth_pcm(seed: int, n: int) -> np.ndarray:
     """Closed-form int16 signal: s[i] = ((seed*7 + i*13) mod 65536) -
     32768."""
@@ -334,12 +526,14 @@ def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
 def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
     """bytes → grayscale uint8 array (h, w).
 
-    BMP and PNM payloads are parsed for real (magic-byte dispatch to
-    the from-scratch codecs above); anything else tries PIL, then falls
-    back to the deterministic fake with dimensions from meta (default
-    32×32)."""
+    PNG, BMP and PNM payloads are parsed for real (magic-byte dispatch
+    to the from-scratch codecs above); anything else tries PIL, then
+    falls back to the deterministic fake with dimensions from meta
+    (default 32×32)."""
     b = bytes(data) if data is not None else b""
     try:
+        if b[:8] == PNG_SIG:
+            return decode_png(b)
         if b[:2] == b"BM":
             return decode_bmp(b)
         if b[:2] in (b"P2", b"P3", b"P5", b"P6"):

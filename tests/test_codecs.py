@@ -225,3 +225,134 @@ def test_bmp_truncated_raster_raises_value_error():
     ok = M.encode_bmp(np.arange(16, dtype=np.uint8).reshape(4, 4))
     with pytest.raises(ValueError):
         M.decode_bmp(ok[: len(ok) - 5])  # raster shorter than header claims
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + the five spec filters)
+# ---------------------------------------------------------------------------
+
+
+def test_png_gray_roundtrip_all_filters():
+    # h=10 with filters='cycle' exercises every filter type twice
+    px = M.synth_gray(seed=3, h=10, w=7)
+    assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+    assert np.array_equal(M.decode_png(M.encode_png(px, filters="none")), px)
+
+
+def test_png_each_filter_type_roundtrip():
+    # single-row images pin each filter type in isolation (row 0 gets
+    # filter 0 under 'cycle'), so craft rasters by hand per type
+    import zlib
+
+    base = M.encode_png(M.synth_gray(seed=1, h=1, w=6))
+    w = 6
+    px = np.array([[10, 250, 3, 77, 200, 128],
+                   [9, 251, 4, 76, 201, 127]], dtype=np.uint8)
+    for ft in range(5):
+        rows = bytearray()
+        prior = bytes(w)
+        for y in range(2):
+            cur = px[y].tobytes()
+            rows.append(ft)
+            if ft == 0:
+                rows += cur
+            elif ft == 1:
+                rows += bytes((cur[x] - (cur[x - 1] if x else 0)) & 0xFF
+                              for x in range(w))
+            elif ft == 2:
+                rows += bytes((cur[x] - prior[x]) & 0xFF for x in range(w))
+            elif ft == 3:
+                rows += bytes(
+                    (cur[x] - ((cur[x - 1] if x else 0) + prior[x]) // 2) & 0xFF
+                    for x in range(w))
+            else:
+                rows += bytes(
+                    (cur[x] - M._paeth(cur[x - 1] if x else 0, prior[x],
+                                       prior[x - 1] if x else 0)) & 0xFF
+                    for x in range(w))
+            prior = cur
+        ihdr = struct.pack(">IIBBBBB", w, 2, 8, 0, 0, 0, 0)
+        data = (M.PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + M._png_chunk(b"IEND", b""))
+        assert np.array_equal(M.decode_png(data), px), f"filter {ft}"
+
+
+def test_png_rgb_collapses_via_bt601():
+    rgb = M.synth_rgb(seed=9, h=6, w=5)
+    want = M._bt601(rgb[:, :, 0].astype(np.int64),
+                    rgb[:, :, 1].astype(np.int64),
+                    rgb[:, :, 2].astype(np.int64))
+    assert np.array_equal(M.decode_png(M.encode_png(rgb)), want)
+
+
+def test_png_rgba_ignores_alpha():
+    rgb = M.synth_rgb(seed=4, h=5, w=4)
+    alpha = ((np.arange(20) * 11) % 256).astype(np.uint8).reshape(5, 4)
+    rgba = np.dstack([rgb, alpha])
+    assert np.array_equal(M.decode_png(M.encode_png(rgba)),
+                          M.decode_png(M.encode_png(rgb)))
+
+
+def test_png_palette_and_gray_alpha_decode():
+    import zlib
+
+    # color type 3: 4x3 indexed image over a 4-entry palette
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], dtype=np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    data = (M.PNG_SIG
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+            + M._png_chunk(b"PLTE", pal.tobytes())
+            + M._png_chunk(b"IDAT", zlib.compress(raw))
+            + M._png_chunk(b"IEND", b""))
+    rgb = pal[idx]
+    want = M._bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    assert np.array_equal(M.decode_png(data), want)
+    # color type 4 (gray+alpha): intensity channel passes through
+    g = M.synth_gray(seed=2, h=3, w=4)
+    ga = np.dstack([g, np.full((3, 4), 7, dtype=np.uint8)])
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+    data = (M.PNG_SIG
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 4, 0, 0, 0))
+            + M._png_chunk(b"IDAT", zlib.compress(raw))
+            + M._png_chunk(b"IEND", b""))
+    assert np.array_equal(M.decode_png(data), g)
+
+
+def test_png_unsupported_variants_raise_then_degrade():
+    px = M.synth_gray(seed=6, h=4, w=4)
+    ok = M.encode_png(px)
+    # 16-bit depth
+    deep = bytearray(ok)
+    deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(deep))
+    # Adam7 interlace
+    adam = bytearray(ok)
+    adam[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(adam))
+    # corrupt IDAT stream
+    bad = bytearray(ok)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(bad))
+    # truncated payload
+    with pytest.raises(ValueError):
+        M.decode_png(ok[:30])
+    # decode_image degrades every one of those to the marked fake
+    for payload in (bytes(deep), bytes(adam), bytes(bad), ok[:30]):
+        out = M.decode_image(payload, {"height": 4, "width": 4})
+        assert out.shape == (4, 4)
+    # ...but decodes the intact PNG for real
+    assert np.array_equal(M.decode_image(ok, None), px)
+
+
+def test_png_adversarial_dimensions_raise_before_alloc():
+    px = M.synth_gray(seed=8, h=2, w=2)
+    forged = bytearray(M.encode_png(px))
+    struct.pack_into(">II", forged, 16, 60_000, 60_000)  # IHDR w, h
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(forged))
