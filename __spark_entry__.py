@@ -409,6 +409,40 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: planted shared blocks for substring_dedup — both ≥ the 40-char
+#: threshold so every planted copy must be cut from every carrier
+_SUB_S1 = " QQ-SHARED-BOILERPLATE-BLOCK-ALPHA-0123456789-COPYME-ALPHA-END-QQ"
+_SUB_S2 = " ZZ-LICENSE-HEADER-SHARED-SEGMENT-BETA-ABCDEFGHIJKLMNOP-BETA-END-ZZ"
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # character-granular EXACT substring dedup (Lee et al. ExactSubstr):
+    # every char inside a ≥40-char substring occurring ≥2 times
+    # corpus-wide is cut from ALL copies.  The Spark plan is anchored
+    # (winnowed k-gram anchors + bounded extension — text shuffles only
+    # ±24-char anchor slices); the oracle is the DEFINITION itself — a
+    # full 40-gram multiset replay that rebuilds each cut doc char by
+    # char — so a hash match proves the anchor/extension machinery
+    # reproduces the exhaustive semantics, organic duplicates included.
+    from pii_spark.dedup import substring_dedup
+
+    d = F.col("doc_id")
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 10 == 0, F.lit(_SUB_S1)).otherwise(F.lit("")),
+            F.when(d % 15 == 0, F.lit(_SUB_S2)).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = substring_dedup(corpus, "doc_id", "t", min_len=40, k=16)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE tokenizer training, iteration 1: char+eow symbol-pair counts
     # over the corpus, top-20 under a total (n desc, pair asc) order —
@@ -3601,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
         "span_dedup": q_span_dedup,
+        "substring_dedup": q_substring_dedup,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
         "quality_classifier": q_quality_classifier,
@@ -4230,6 +4265,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # independent span-dedup re-derivation: spans compared by TEXT
         # (the engine groups by xxhash64 — the oracle never trusts it)
+        # the exhaustive definition replayed literally: 40-gram multiset
+        # → duplicated grams → covered char positions → char-by-char
+        # rebuild of the cut text.  Spark's anchored plan must reproduce
+        # this bit-for-bit, organic duplicates included.
+        "substring_dedup": f"""
+            WITH corpus AS MATERIALIZED (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 10 = 0 THEN '{_SUB_S1}' ELSE '' END
+                       || CASE WHEN doc_id % 15 = 0 THEN '{_SUB_S2}' ELSE '' END
+                           AS t
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT doc_id, i, substr(t, i, 40) AS g
+                FROM corpus, UNNEST(range(1, length(t) - 40 + 2)) AS u(i)
+                WHERE length(t) >= 40
+            ),
+            dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            occ AS (SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+            pos AS MATERIALIZED (
+                SELECT DISTINCT doc_id, j
+                FROM occ, UNNEST(range(i, i + 40)) AS v(j)
+            ),
+            chars AS MATERIALIZED (
+                SELECT doc_id, j, substr(t, j, 1) AS ch
+                FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(j)
+            ),
+            rebuilt AS (
+                SELECT c.doc_id,
+                       coalesce(string_agg(ch, '' ORDER BY j)
+                                FILTER (WHERE p.j IS NULL), '') AS clean,
+                       count(p.j) AS n_removed
+                FROM chars c LEFT JOIN pos p USING (doc_id, j)
+                GROUP BY c.doc_id
+            )
+            SELECT co.doc_id,
+                   sha256(coalesce(r.clean, '')) AS clean_sha256,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM corpus co LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY co.doc_id
+        """,
         "span_dedup": f"""
             WITH corpus AS (SELECT doc_id, {_SPAN_CASE} AS t FROM documents),
             l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM corpus),

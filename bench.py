@@ -166,6 +166,7 @@ def main() -> None:
         "adaptive_quality_gate",
         "containment_pairs",
         "span_dedup",
+        "substring_dedup",
         "bpe_pair_counts",
         "bpe_learn",
         "sessions_presplit",

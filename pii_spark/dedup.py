@@ -1447,3 +1447,274 @@ def prefix_jaccard_pairs(
             F.expr("inter * 10000 div uni").alias("jac_x10000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact cross-document substring dedup (anchor + extension)
+# ---------------------------------------------------------------------------
+
+def _anchor_positions(code_points: "np.ndarray", k: int, w: int) -> "np.ndarray":
+    """Winnowing anchor positions over the k-gram rolling-hash stream:
+    the rightmost minimum of every w-window (Schleimer et al., SIGMOD
+    2003).  Selection is a pure function of window CONTENT, so two
+    copies of the same substring select the same anchors wherever the
+    window fits inside the copy — the coverage guarantee
+    :func:`substring_dedup` builds on."""
+    import numpy as np
+
+    n = len(code_points) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(1099511628211)  # FNV-1a prime; overflow wraps (deterministic)
+    cps = code_points.astype(np.uint64)
+    for j in range(k):
+        h = h * B + cps[j:j + n]
+    if n <= w:
+        return np.array([n - 1 - h[::-1].argmin()], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)[:, ::-1]
+    sel = np.arange(len(sw), dtype=np.int64) + (w - 1) - sw.argmin(axis=1)
+    return np.unique(sel)
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    k: int = 16,
+    out_col: str = "clean_text",
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Remove every character that lies inside a duplicated substring of
+    length ≥ ``min_len`` — character-granular exact substring dedup
+    (Lee et al., ACL 2022 "Deduplicating Training Data Makes Language
+    Models Better", the ExactSubstr variant; complements
+    :func:`span_dedup`'s line-granular windows).  A position is
+    *duplicated* iff some length-``min_len`` substring containing it
+    occurs ≥ 2 times corpus-wide (other doc, or another offset of the
+    same doc).  Both copies are cut — the published setting for
+    memorization removal.  Deterministic; no RNG.
+
+    Plan (L = min_len, three stages, text never shuffles in bulk):
+
+    1. **Anchors** — one Arrow pass per doc: k-gram rolling hashes,
+       winnowed with window w = L - k + 1, so every L-gram IS one
+       window and therefore contains ≥ 1 anchor; selection is content-
+       determined, so the two copies of any duplicated L-gram select
+       the SAME anchor k-gram at the same content-relative offset.
+       Each anchor ships (gram, doc, pos, ±(L-k)-char context slices)
+       — ~2L bytes × anchor density 2/(w+1), i.e. ~4 bytes per corpus
+       byte; the only text that shuffles.
+    2. **Extension** — group by the anchor *string* (exact, no hash-
+       collision handling): occurrences collapse to distinct context
+       classes; each class pair extends left/right by common suffix/
+       prefix of the slices; span ≥ L ⇒ every member occurrence emits
+       the matched interval.  The ±(L-k) cap cannot under-cover: a
+       longer true match's remainder contains further anchors (every
+       L-window has one) whose own extensions emit the rest.  Work is
+       Σ_buckets m² over DISTINCT context classes (identical copies
+       collapse), the same candidate-bound regime as prefix_jaccard;
+       ``hot_cap`` bounds m for boilerplate-heavy corpora (classes
+       beyond the cap are dropped loudly via a warning column — set
+       None (default) for exact).
+    3. **Cut** — intervals (8-byte triples) aggregate per doc, join
+       back to the corpus (interval side is the small side; AQE
+       broadcasts it at real scale), one Arrow pass merges overlaps
+       and rebuilds the kept text.
+
+    Returns (id, out_col, n_removed).  Docs with nothing duplicated
+    pass through byte-identical with n_removed = 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    L = int(min_len)
+    if k >= L:
+        raise ValueError(f"k ({k}) must be < min_len ({L})")
+    w = L - k + 1
+    ctx = L - k
+
+    anchor_schema = StructType([
+        StructField("gram", StringType()),
+        StructField("doc", LongType()),
+        StructField("pos", LongType()),
+        StructField("lctx", StringType()),
+        StructField("rctx", StringType()),
+    ])
+
+    def emit_anchors(batches):
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None or len(t) < L:
+                    continue
+                cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                for p in _anchor_positions(cps, k, w):
+                    p = int(p)
+                    rows.append((
+                        t[p:p + k], int(did), p,
+                        t[max(0, p - ctx):p], t[p + k:p + k + ctx],
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["gram", "doc", "pos", "lctx", "rctx"]
+            )
+
+    anchors = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .mapInPandas(emit_anchors, anchor_schema)
+    )
+
+    iv_schema = StructType([
+        StructField("doc", LongType()),
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+    ])
+
+    def _pad_matrix(strs: list[str], reverse: bool) -> "np.ndarray":
+        """Code-point matrix, each row padded with a PER-ROW-UNIQUE
+        sentinel above the Unicode range so padding never equals
+        padding — common-prefix math then needs no length masks."""
+        width = max((len(s) for s in strs), default=0) or 1
+        m = np.arange(len(strs), dtype=np.int64)[:, None] + 0x110000
+        out = np.broadcast_to(m, (len(strs), width)).copy()
+        for i, s in enumerate(strs):
+            if s:
+                cp = np.frombuffer(
+                    (s[::-1] if reverse else s).encode("utf-32-le"),
+                    dtype=np.uint32,
+                ).astype(np.int64)
+                out[i, : len(cp)] = cp
+        return out
+
+    def _extend_bucket(rows, out: list) -> None:
+        classes: dict[tuple[str, str], list[tuple[int, int]]] = {}
+        for doc, pos, lc, rc in rows:
+            classes.setdefault((lc, rc), []).append((int(doc), int(pos)))
+        keys = sorted(classes)  # deterministic
+        if hot_cap is not None and len(keys) > hot_cap:
+            keys = keys[:hot_cap]
+        m = len(keys)
+        occs = [classes[key] for key in keys]
+        lefts = [key[0] for key in keys]
+        rights = [key[1] for key in keys]
+        # Every pair interval contains the anchor [0, k), so the union
+        # of a class's passing-pair intervals is the single interval
+        # [-max l, k + max r) — one output row per OCCURRENCE instead
+        # of per pair (the naive per-pair emit is the real m² blowup:
+        # boilerplate buckets made it dominate wall time).
+        best_l = np.full(m, -1, dtype=np.int64)
+        best_r = np.full(m, -1, dtype=np.int64)
+        if m > 1:
+            A = _pad_matrix(lefts, reverse=True)   # suffix → reversed prefix
+            B = _pad_matrix(rights, reverse=False)
+            width = A.shape[1] + B.shape[1]
+            blk = max(1, 4_000_000 // max(1, m * width))
+            for i0 in range(0, m, blk):
+                i1 = min(i0 + blk, m)
+                l = (A[i0:i1, None, :] == A[None, :, :]).cumprod(axis=2).sum(axis=2)
+                r = (B[i0:i1, None, :] == B[None, :, :]).cumprod(axis=2).sum(axis=2)
+                ok = (l + k + r) >= L
+                ok[np.arange(i1 - i0), np.arange(i0, i1)] = False  # self
+                # symmetric: the (j, i) sweep updates j's bests, so a
+                # one-directional max per row covers both pair sides
+                best_l[i0:i1] = np.where(ok, l, -1).max(axis=1)
+                best_r[i0:i1] = np.where(ok, r, -1).max(axis=1)
+        for i in range(m):  # self-match: identical slice occurring twice
+            if len(occs[i]) >= 2 and len(lefts[i]) + k + len(rights[i]) >= L:
+                best_l[i] = max(best_l[i], len(lefts[i]))
+                best_r[i] = max(best_r[i], len(rights[i]))
+        out.extend(
+            (doc, pos - int(best_l[i]), pos + k + int(best_r[i]))
+            for i in range(m)
+            if best_l[i] >= 0
+            for doc, pos in occs[i]
+        )
+
+    def extend_stream(batches):
+        """Per-partition fold over gram-sorted rows: groups are
+        contiguous, so one Arrow stream handles every bucket with zero
+        per-group Spark overhead (groupBy().applyInPandas() pays a
+        per-group plan round-trip — with ~1 bucket per 2 anchors that
+        overhead WAS the wall time).  The final gram of each batch may
+        continue in the next, so it carries over."""
+        carry: list | None = None
+        carry_gram = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: list = []
+            grams = pdf["gram"].to_numpy()
+            rows = list(zip(pdf["doc"], pdf["pos"], pdf["lctx"], pdf["rctx"]))
+            # bucket boundaries inside this batch
+            starts = [0] + [
+                i for i in range(1, len(grams)) if grams[i] != grams[i - 1]
+            ] + [len(grams)]
+            for b in range(len(starts) - 1):
+                s, e = starts[b], starts[b + 1]
+                bucket = rows[s:e]
+                if b == 0 and carry is not None and grams[0] == carry_gram:
+                    bucket = carry + bucket
+                elif b == 0 and carry is not None:
+                    _extend_bucket(carry, out)
+                if e == len(grams):  # last bucket may straddle batches
+                    carry, carry_gram = bucket, grams[-1]
+                else:
+                    _extend_bucket(bucket, out)
+            yield pd.DataFrame(out, columns=["doc", "start", "end"])
+        if carry is not None:
+            out = []
+            _extend_bucket(carry, out)
+            yield pd.DataFrame(out, columns=["doc", "start", "end"])
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    intervals = (
+        anchors.repartition(n_part, "gram")
+        .sortWithinPartitions("gram")
+        .mapInPandas(extend_stream, iv_schema)
+    )
+    per_doc = intervals.groupBy("doc").agg(
+        F.collect_list(F.struct("start", "end")).alias("ivs")
+    )
+
+    out_schema = StructType([
+        StructField("_id", LongType()),
+        StructField(out_col, StringType()),
+        StructField("n_removed", LongType()),
+    ])
+
+    def cut(batches):
+        for pdf in batches:
+            rows = []
+            for did, t, ivs in zip(pdf["_id"], pdf["_t"], pdf["ivs"]):
+                if ivs is None or len(ivs) == 0:
+                    rows.append((int(did), t, 0))
+                    continue
+                spans = sorted((int(s["start"]), int(s["end"])) for s in ivs)
+                merged = []
+                for s, e in spans:
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                kept = []
+                prev = 0
+                removed = 0
+                for s, e in merged:
+                    kept.append(t[prev:s])
+                    removed += min(e, len(t)) - s
+                    prev = e
+                kept.append(t[prev:])
+                rows.append((int(did), "".join(kept), removed))
+            yield pd.DataFrame(rows, columns=["_id", out_col, "n_removed"])
+
+    joined = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(per_doc, F.col("_id") == F.col("doc"), "left")
+        .select("_id", "_t", "ivs")
+    )
+    return joined.mapInPandas(cut, out_schema).withColumnRenamed("_id", id_col)

@@ -1140,3 +1140,98 @@ def test_label_centroid_similarity_directions(spark):
     assert out[(0, 1)]["dot"] == 0 and out[(0, 1)]["sign"] == 0
     assert out[(0, 2)]["cos2_x1e6"] == 1_000_000 and out[(0, 2)]["sign"] == -1
     assert out[(1, 2)]["dot"] == 0
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (character-granular exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def _brute_substring_dedup(docs: dict, L: int) -> dict:
+    """Literal definition: cut every char covered by an L-gram that
+    occurs >= 2 times corpus-wide."""
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.values():
+        for i in range(len(t) - L + 1):
+            cnt[t[i:i + L]] += 1
+    out = {}
+    for d, t in docs.items():
+        dup = [False] * len(t)
+        for i in range(len(t) - L + 1):
+            if cnt[t[i:i + L]] >= 2:
+                for j in range(i, i + L):
+                    dup[j] = True
+        out[d] = ("".join(c for c, m in zip(t, dup) if not m), sum(dup))
+    return out
+
+
+def _substring_fixture():
+    import random
+
+    rng = random.Random(7)
+    shared1 = "".join(rng.choice("abcdef ") for _ in range(80))
+    shared2 = "".join(rng.choice("xyzuvw ") for _ in range(55))
+    docs = {}
+    for d in range(40):
+        t = "".join(rng.choice("abcdefghij klmnop") for _ in range(rng.randint(10, 400)))
+        if d % 4 == 0:  # mid-document splice
+            t = t[: len(t) // 2] + shared1 + t[len(t) // 2:]
+        if d % 6 == 0:  # tail splice
+            t += shared2
+        if d == 13:  # self-duplication inside one doc
+            t = t + t[:60]
+        docs[d] = t
+    docs[40] = docs[1]  # identical twins: both cut entirely
+    docs[41] = docs[1]
+    return docs
+
+
+def test_substring_dedup_matches_definition(spark):
+    from pii_spark.dedup import substring_dedup
+
+    docs = _substring_fixture()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for L, k in ((40, 16), (32, 8)):
+        ref = _brute_substring_dedup(docs, L)
+        got = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in substring_dedup(df, "doc_id", "text", min_len=L, k=k).collect()
+        }
+        assert got == ref, f"L={L} k={k}"
+
+
+def test_substring_dedup_twins_cut_to_empty(spark):
+    from pii_spark.dedup import substring_dedup
+
+    t = "x" * 10 + "abcdefghij" * 8  # 90 chars, shared verbatim
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in substring_dedup(df, "doc_id", "text", min_len=40).collect()}
+    # NOTE the repetitive tail also self-duplicates, but the whole doc
+    # is one duplicated region either way: both copies cut to empty
+    assert got == {1: ("", len(t)), 2: ("", len(t))}
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    from pii_spark.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "short"), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in substring_dedup(df, "doc_id", "text", min_len=40).collect()}
+    # identical but below min_len: kept; None text passes through
+    assert got[1] == ("short", 0) and got[2] == ("short", 0)
+    assert got[3] == (None, 0)
+
+
+def test_substring_dedup_rejects_k_ge_L(spark):
+    import pytest
+
+    from pii_spark.dedup import substring_dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        substring_dedup(df, "doc_id", "text", min_len=16, k=16)
