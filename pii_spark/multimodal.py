@@ -764,3 +764,86 @@ def audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("sum_sq_raw", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:
+    """Frame-level energy over the decoded PCM stream: one row per
+    ``frame``-sample window (tail partial included, its ``n`` smaller),
+    with the exact integer Σ s² at int16 scale — the hop-level feature
+    a speech-data pipeline gates on (silence trim, clipping detection).
+    Decode + framing fuse into ONE ``mapInPandas`` pass (UDTF-shaped:
+    row → n_frames rows); per-frame sums are numpy reductions, exact
+    for PCM-16 input, so a SQL oracle replays them arithmetically."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                samples, _ = decode_audio(data, meta)
+                raw = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+                for f in range(0, max(len(raw), 1), frame):
+                    seg = raw[f:f + frame]
+                    if len(seg) == 0 and f > 0:
+                        break
+                    rows.append(
+                        (int(mid), f // frame, int(len(seg)),
+                         int((seg * seg).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n", "sum_sq_raw"]
+            )
+
+    return df.mapInPandas(fn, schema=AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_DIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("next_idx", IntegerType()),
+        StructField("sum_abs_diff", LongType()),
+    ]
+)
+
+
+def video_frame_diffs(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Temporal-difference features between consecutive SAMPLED frames:
+    Σ |px_f − px_g| over the decoded pixels of each sampled pair — the
+    scene-change / static-clip signal a video curation pass thresholds
+    on.  Demux + decode + diff fuse into one ``mapInPandas`` pass (the
+    pair lives inside one row's payload, so no self-join and no second
+    Arrow exchange — same fusion argument as video_frame_features)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                frame_size = _meta_int(meta, "frame_size", 64)
+                payload = bytes(data) if data is not None else b""
+                idxs = list(range(0, len(payload) // frame_size, every_n))
+                for a, b in zip(idxs, idxs[1:]):
+                    pa = decode_image(
+                        payload[a * frame_size:(a + 1) * frame_size], None
+                    ).astype(np.int64)
+                    pb = decode_image(
+                        payload[b * frame_size:(b + 1) * frame_size], None
+                    ).astype(np.int64)
+                    rows.append(
+                        (int(mid), a, b, int(np.abs(pa - pb).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "next_idx", "sum_abs_diff"],
+            )
+
+    return df.mapInPandas(fn, schema=VIDEO_DIFF_SCHEMA)
