@@ -409,6 +409,14 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: nearest-neighbor source index for the 6x5 resize oracle: output
+#: cell i (row-major) samples source pixel (y*h//6, x*w//5) of the
+#: h=(doc_id%16+8) x w=(doc_id%8+8) synthetic image
+_RESIZE_SRC = (
+    "((((i // 5) * (doc_id % 16 + 8)) // 6) * (doc_id % 8 + 8)"
+    " + (((i % 5) * (doc_id % 8 + 8)) // 5))"
+)
+
 #: planted shared blocks for substring_dedup — both ≥ the 40-char
 #: threshold so every planted copy must be cut from every carrier
 _SUB_S1 = " QQ-SHARED-BOILERPLATE-BLOCK-ALPHA-0123456789-COPYME-ALPHA-END-QQ"
@@ -2590,6 +2598,117 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_frame_features(media, every_n=2).orderBy("media_id", "frame_idx")
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # resize ROUND-TRIP through the real codecs: the same mixed
+    # PNG/BMP/PGM payloads as image_features, nearest-neighbor resized
+    # to 6x5, re-encoded as PGM, then DECODED AGAIN for the pixel sum.
+    # The oracle recomputes the sampled grid arithmetically (src index
+    # (y*h//6)*w + (x*w//5), luminance for the PNG rows), so a bug in
+    # either decode, the sampling grid, or the PGM re-encode breaks it.
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def image_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w = d % 16 + 8, d % 8 + 8
+            if d % 3 == 0:
+                out.append(M.encode_png(M.synth_rgb(d, h, w)))
+            elif d % 3 == 1:
+                out.append(M.encode_bmp(M.synth_gray(d, h, w)))
+            else:
+                out.append(M.encode_pgm(M.synth_gray(d, h, w)))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        image_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.image_features(M.resize_images(media, out_h=6, out_w=5))
+        .select("media_id", "height", "width", "sum_pixels")
+        .orderBy("media_id")
+    )
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-level PCM energy (silence-trim / clipping signal): the same
+    # real RIFF/WAVE payloads as audio_features, framed at 1024 samples
+    # (partial tail kept), exact integer sum-of-squares per frame —
+    # decode + framing fused in one mapInPandas pass, every frame sum
+    # recomputed arithmetically by the oracle
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rate, n = (d % 4 + 1) * 4000, (d % 8 + 1) * 1000
+            out.append(M.encode_wav(M.synth_pcm(d, n), rate))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.audio_frame_energy(media, frame=1024)
+        .select("media_id", "frame_idx", "n", "sum_sq_raw")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def q_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scene-change signal: sum |px_a - px_b| between consecutive SAMPLED
+    # frames (every 2nd) of the same real PGM-frame containers as
+    # video_frames — demux + decode + diff fused in one pass; the
+    # oracle replays |(a-b)*17 drift| over the closed-form fields
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def video_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w, nf = 4 + d % 4, 4 + d % 2, d % 6 + 1
+            out.append(
+                b"".join(
+                    M.encode_pgm(M.synth_gray(d, h, w, frame=f)) for f in range(nf)
+                )
+            )
+        return pd.Series(out)
+
+    media = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            video_payload(F.col("doc_id")).alias("data"),
+        )
+        .withColumn(
+            "meta",
+            F.create_map(
+                F.lit("frame_size"),
+                (F.length("data") / (F.col("media_id") % 6 + 1))
+                .cast("int").cast("string"),
+            ),
+        )
+    )
+    return M.video_frame_diffs(media, every_n=2).orderBy("media_id", "frame_idx")
+
+
 def q_channel_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6 channel lookup + F9 severity gate + T1 per-channel cap + A7
     # stats (incl. the LastAlertSent status analog), end-to-end through
@@ -3713,6 +3832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "image_resize": q_image_resize,
+        "audio_frame_energy": q_audio_frame_energy,
+        "video_temporal_diff": q_video_temporal_diff,
         "license_detect": q_license_detect,
         "contamination": q_contamination,
         "sequence_pack": q_sequence_pack,
@@ -5443,6 +5565,65 @@ def oracle_sql() -> dict[str, str]:
                         range(0, h * w),
                         i -> (doc_id * 31 + f * 17 + i * 7) % 256)) AS BIGINT)
                        AS sum_pixels
+            FROM fr ORDER BY media_id, frame_idx
+        """,
+        # resize round-trip: the 6x5 nearest-neighbor grid sampled from
+        # the decoded pixels — src index (y*h//6)*w + (x*w//5), with the
+        # BT.601 luminance replayed for the PNG (RGB) rows.  Any bug in
+        # decode, the sampling grid, or the PGM re-encode+re-decode
+        # changes these sums.
+        "image_resize": f"""
+            SELECT doc_id AS media_id,
+                   CAST(6 AS INT) AS height, CAST(5 AS INT) AS width,
+                   CAST(list_sum(list_transform(range(0, 30), i ->
+                        CASE WHEN doc_id % 3 = 0 THEN
+                            (299 * ((doc_id * 31 + {_RESIZE_SRC} * 7) % 256)
+                             + 587 * ((doc_id * 37 + {_RESIZE_SRC} * 11) % 256)
+                             + 114 * ((doc_id * 41 + {_RESIZE_SRC} * 13) % 256)
+                             + 500) // 1000
+                        ELSE (doc_id * 31 + {_RESIZE_SRC} * 7) % 256
+                        END)) AS BIGINT) AS sum_pixels
+            FROM documents ORDER BY media_id
+        """,
+        # frame-level Σs² replayed arithmetically: ceil(n/1024) frames,
+        # partial tail kept with its true length
+        "audio_frame_energy": """
+            WITH m AS (
+                SELECT doc_id, (doc_id % 8 + 1) * 1000 AS n FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, n,
+                       unnest(range(0, CAST(ceil(n / 1024.0) AS BIGINT))) AS f
+                FROM m
+            )
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+                   CAST(least(1024, n - f * 1024) AS INT) AS n,
+                   CAST(list_sum(list_transform(
+                        range(f * 1024, f * 1024 + least(1024, n - f * 1024)),
+                        j -> ((doc_id * 7 + j * 13) % 65536 - 32768)
+                           * ((doc_id * 7 + j * 13) % 65536 - 32768)))
+                        AS BIGINT) AS sum_sq_raw
+            FROM fr ORDER BY media_id, frame_idx
+        """,
+        # temporal diff between consecutive SAMPLED frames (a, a+2):
+        # Σ|px_a - px_b| over the closed-form fields
+        "video_temporal_diff": """
+            WITH m AS (
+                SELECT doc_id, 4 + doc_id % 4 AS h, 4 + doc_id % 2 AS w,
+                       doc_id % 6 + 1 AS nf
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, h, w, unnest(range(0, nf - 2, 2)) AS a
+                FROM m WHERE nf > 2
+            )
+            SELECT doc_id AS media_id, CAST(a AS INT) AS frame_idx,
+                   CAST(a + 2 AS INT) AS next_idx,
+                   CAST(list_sum(list_transform(
+                        range(0, h * w),
+                        i -> abs(((doc_id * 31 + a * 17 + i * 7) % 256)
+                               - ((doc_id * 31 + (a + 2) * 17 + i * 7) % 256))))
+                        AS BIGINT) AS sum_abs_diff
             FROM fr ORDER BY media_id, frame_idx
         """,
         # quality_pipeline: full-stack scale-free oracle — heuristic

@@ -134,6 +134,9 @@ def main() -> None:
         "image_features",
         "audio_features",
         "video_frames",
+        "image_resize",
+        "audio_frame_energy",
+        "video_temporal_diff",
         "quality_pipeline",
         "near_dup_clusters",
         "boilerplate_removal",

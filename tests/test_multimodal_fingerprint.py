@@ -171,3 +171,60 @@ def test_winnow_portable_hash_mode_agrees(spark):
     a = sorted((r.doc_a, r.doc_b) for r in fast.collect())
     b = sorted((r.doc_a, r.doc_b) for r in portable.collect())
     assert a == b == [(1, 2)]
+
+
+def test_audio_frame_energy_exact_sums(spark):
+    import numpy as np
+
+    # 2500 samples at frame 1024 → frames of 1024, 1024, 452
+    pcm = M.synth_pcm(seed=3, n=2500)
+    df = spark.createDataFrame(
+        [(5, "audio", M.encode_wav(pcm, 8000), None)], M.MEDIA_SCHEMA
+    )
+    rows = sorted(M.audio_frame_energy(df, frame=1024).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.n) for r in rows] == [(0, 1024), (1, 1024), (2, 452)]
+    raw = pcm.astype(np.int64)
+    for r in rows:
+        seg = raw[r.frame_idx * 1024:(r.frame_idx + 1) * 1024]
+        assert r.sum_sq_raw == int((seg * seg).sum())
+
+
+def test_audio_frame_energy_empty_payload_one_zero_frame(spark):
+    df = spark.createDataFrame(
+        [(6, "audio", M.encode_wav(M.synth_pcm(1, 0), 8000), None)],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.audio_frame_energy(df).collect()
+    assert [(r.frame_idx, r.n, r.sum_sq_raw) for r in rows] == [(0, 0, 0)]
+
+
+def test_video_frame_diffs_closed_form(spark):
+    import numpy as np
+
+    # 5 frames → sampled 0,2,4 → pairs (0,2) and (2,4)
+    h, w, d = 4, 5, 11
+    frames = [M.encode_pgm(M.synth_gray(d, h, w, frame=f)) for f in range(5)]
+    fs = len(frames[0])
+    df = spark.createDataFrame(
+        [(d, "video", b"".join(frames), {"frame_size": str(fs)})],
+        M.MEDIA_SCHEMA,
+    )
+    rows = sorted(M.video_frame_diffs(df, every_n=2).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.next_idx) for r in rows] == [(0, 2), (2, 4)]
+    for r in rows:
+        pa = M.synth_gray(d, h, w, frame=r.frame_idx).astype(np.int64)
+        pb = M.synth_gray(d, h, w, frame=r.next_idx).astype(np.int64)
+        assert r.sum_abs_diff == int(np.abs(pa - pb).sum())
+
+
+def test_video_frame_diffs_too_few_frames_empty(spark):
+    frames = [M.encode_pgm(M.synth_gray(1, 4, 4, frame=f)) for f in range(2)]
+    fs = len(frames[0])
+    df = spark.createDataFrame(
+        [(1, "video", b"".join(frames), {"frame_size": str(fs)})],
+        M.MEDIA_SCHEMA,
+    )
+    # sampled frames: just [0] → no consecutive pair
+    assert M.video_frame_diffs(df, every_n=2).count() == 0
