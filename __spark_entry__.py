@@ -451,6 +451,36 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental ExactSubstr: docs %4<=1 are the committed corpus
+    # (reduced to its persisted anchor index — committed text is never
+    # re-read), %4>=2 the new batch.  New-batch chars duplicating
+    # committed content OR other new content are cut; committed docs
+    # are immutable.  The splices plant cross-split shared blocks, and
+    # the oracle replays the definition over the FULL union corpus,
+    # rebuilding only the new docs.
+    from pii_spark.dedup import substring_anchor_index, substring_dedup_incremental
+
+    d = F.col("doc_id")
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 10 == 0, F.lit(_SUB_S1)).otherwise(F.lit("")),
+            F.when(d % 15 == 0, F.lit(_SUB_S2)).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    committed = corpus.filter(d % 4 <= 1)
+    new = corpus.filter(d % 4 >= 2)
+    index = substring_anchor_index(committed, "doc_id", "t", min_len=40, k=16)
+    out = substring_dedup_incremental(new, index, "doc_id", "t", min_len=40, k=16)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE tokenizer training, iteration 1: char+eow symbol-pair counts
     # over the corpus, top-20 under a total (n desc, pair asc) order —
@@ -3755,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_incremental": q_substring_dedup_incremental,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
         "quality_classifier": q_quality_classifier,
@@ -4387,6 +4418,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # independent span-dedup re-derivation: spans compared by TEXT
         # (the engine groups by xxhash64 — the oracle never trusts it)
+        # incremental replay: duplicated grams counted over the FULL
+        # union corpus, but only new-batch (%4>=2) docs are rebuilt —
+        # committed docs are immutable by contract
+        "substring_dedup_incremental": f"""
+            WITH corpus AS MATERIALIZED (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 10 = 0 THEN '{_SUB_S1}' ELSE '' END
+                       || CASE WHEN doc_id % 15 = 0 THEN '{_SUB_S2}' ELSE '' END
+                           AS t
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT doc_id, i, substr(t, i, 40) AS g
+                FROM corpus, UNNEST(range(1, length(t) - 40 + 2)) AS u(i)
+                WHERE length(t) >= 40
+            ),
+            dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            occ AS (
+                SELECT doc_id, i FROM grams JOIN dupg USING (g)
+                WHERE doc_id % 4 >= 2
+            ),
+            pos AS MATERIALIZED (
+                SELECT DISTINCT doc_id, j
+                FROM occ, UNNEST(range(i, i + 40)) AS v(j)
+            ),
+            chars AS MATERIALIZED (
+                SELECT doc_id, j, substr(t, j, 1) AS ch
+                FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(j)
+                WHERE doc_id % 4 >= 2
+            ),
+            rebuilt AS (
+                SELECT c.doc_id,
+                       coalesce(string_agg(ch, '' ORDER BY j)
+                                FILTER (WHERE p.j IS NULL), '') AS clean,
+                       count(p.j) AS n_removed
+                FROM chars c LEFT JOIN pos p USING (doc_id, j)
+                GROUP BY c.doc_id
+            )
+            SELECT co.doc_id,
+                   sha256(coalesce(r.clean, '')) AS clean_sha256,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM corpus co LEFT JOIN rebuilt r USING (doc_id)
+            WHERE co.doc_id % 4 >= 2
+            ORDER BY co.doc_id
+        """,
         # the exhaustive definition replayed literally: 40-gram multiset
         # → duplicated grams → covered char positions → char-by-char
         # rebuild of the cut text.  Spark's anchored plan must reproduce

@@ -170,6 +170,7 @@ def main() -> None:
         "containment_pairs",
         "span_dedup",
         "substring_dedup",
+        "substring_dedup_incremental",
         "bpe_pair_counts",
         "bpe_learn",
         "sessions_presplit",

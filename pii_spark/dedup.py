@@ -1477,61 +1477,23 @@ def _anchor_positions(code_points: "np.ndarray", k: int, w: int) -> "np.ndarray"
     return np.unique(sel)
 
 
-def substring_dedup(
+def substring_anchor_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
     min_len: int = 40,
     k: int = 16,
-    out_col: str = "clean_text",
-    hot_cap: int | None = None,
 ) -> DataFrame:
-    """Remove every character that lies inside a duplicated substring of
-    length ≥ ``min_len`` — character-granular exact substring dedup
-    (Lee et al., ACL 2022 "Deduplicating Training Data Makes Language
-    Models Better", the ExactSubstr variant; complements
-    :func:`span_dedup`'s line-granular windows).  A position is
-    *duplicated* iff some length-``min_len`` substring containing it
-    occurs ≥ 2 times corpus-wide (other doc, or another offset of the
-    same doc).  Both copies are cut — the published setting for
-    memorization removal.  Deterministic; no RNG.
-
-    Plan (L = min_len, three stages, text never shuffles in bulk):
-
-    1. **Anchors** — one Arrow pass per doc: k-gram rolling hashes,
-       winnowed with window w = L - k + 1, so every L-gram IS one
-       window and therefore contains ≥ 1 anchor; selection is content-
-       determined, so the two copies of any duplicated L-gram select
-       the SAME anchor k-gram at the same content-relative offset.
-       Each anchor ships (gram, doc, pos, ±(L-k)-char context slices)
-       — ~2L bytes × anchor density 2/(w+1), i.e. ~4 bytes per corpus
-       byte; the only text that shuffles.
-    2. **Extension** — group by the anchor *string* (exact, no hash-
-       collision handling): occurrences collapse to distinct context
-       classes; each class pair extends left/right by common suffix/
-       prefix of the slices; span ≥ L ⇒ every member occurrence emits
-       the matched interval.  The ±(L-k) cap cannot under-cover: a
-       longer true match's remainder contains further anchors (every
-       L-window has one) whose own extensions emit the rest.  Work is
-       Σ_buckets m² over DISTINCT context classes (identical copies
-       collapse), the same candidate-bound regime as prefix_jaccard;
-       ``hot_cap`` bounds m for boilerplate-heavy corpora (classes
-       beyond the cap are dropped loudly via a warning column — set
-       None (default) for exact).
-    3. **Cut** — intervals (8-byte triples) aggregate per doc, join
-       back to the corpus (interval side is the small side; AQE
-       broadcasts it at real scale), one Arrow pass merges overlaps
-       and rebuilds the kept text.
-
-    Returns (id, out_col, n_removed).  Docs with nothing duplicated
-    pass through byte-identical with n_removed = 0.
-    """
+    """The (gram, doc, pos, lctx, rctx) anchor index substring dedup
+    probes: winnowed k-gram anchors with ±(min_len-k)-char context
+    slices (see :func:`substring_dedup` for the coverage guarantee).
+    A committed corpus PERSISTS this frame bucketed by ``gram`` so
+    incremental batches probe it with a bucket-local join — the
+    committed text itself is never re-read."""
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql.types import (
-        ArrayType, LongType, StringType, StructField, StructType,
-    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     L = int(min_len)
     if k >= L:
@@ -1564,18 +1526,132 @@ def substring_dedup(
                 rows, columns=["gram", "doc", "pos", "lctx", "rctx"]
             )
 
-    anchors = (
+    return (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .mapInPandas(emit_anchors, anchor_schema)
     )
 
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    k: int = 16,
+    out_col: str = "clean_text",
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Remove every character that lies inside a duplicated substring of
+    length ≥ ``min_len`` — character-granular exact substring dedup
+    (Lee et al., ACL 2022 "Deduplicating Training Data Makes Language
+    Models Better", the ExactSubstr variant; complements
+    :func:`span_dedup`'s line-granular windows).  A position is
+    *duplicated* iff some length-``min_len`` substring containing it
+    occurs ≥ 2 times corpus-wide (other doc, or another offset of the
+    same doc).  Both copies are cut — the published setting for
+    memorization removal.  Deterministic; no RNG.
+
+    Plan (L = min_len, three stages, text never shuffles in bulk):
+
+    1. **Anchors** (:func:`substring_anchor_index`) — one Arrow pass
+       per doc: k-gram rolling hashes, winnowed with window
+       w = L - k + 1, so every L-gram IS one window and therefore
+       contains ≥ 1 anchor; selection is content-determined, so the
+       two copies of any duplicated L-gram select the SAME anchor
+       k-gram at the same content-relative offset.  Each anchor ships
+       (gram, doc, pos, ±(L-k)-char context slices) — ~2L bytes ×
+       anchor density 2/(w+1), i.e. ~4 bytes per corpus byte; the only
+       text that shuffles.
+    2. **Extension** — group by the anchor *string* (exact, no hash-
+       collision handling): occurrences collapse to distinct context
+       classes; each class pair extends left/right by common suffix/
+       prefix of the slices; span ≥ L ⇒ every member occurrence emits
+       the matched interval.  The ±(L-k) cap cannot under-cover: a
+       longer true match's remainder contains further anchors (every
+       L-window has one) whose own extensions emit the rest.  Work is
+       Σ_buckets m² over DISTINCT context classes (identical copies
+       collapse), the same candidate-bound regime as prefix_jaccard;
+       ``hot_cap`` bounds m for boilerplate-heavy corpora (set None
+       (default) for exact).
+    3. **Cut** — intervals (8-byte triples) aggregate per doc, join
+       back to the corpus (interval side is the small side; AQE
+       broadcasts it at real scale), one Arrow pass merges overlaps
+       and rebuilds the kept text.
+
+    Returns (id, out_col, n_removed).  Docs with nothing duplicated
+    pass through byte-identical with n_removed = 0.
+    """
+    anchors = substring_anchor_index(df, id_col, text_col, min_len, k)
+    intervals = _substring_intervals(
+        anchors.withColumn("is_new", F.lit(True)), min_len, k, hot_cap
+    )
+    return _substring_cut(df, id_col, text_col, intervals, out_col)
+
+
+def substring_dedup_incremental(
+    new_df: DataFrame,
+    committed_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    k: int = 16,
+    out_col: str = "clean_text",
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr: cut from the NEW batch every character
+    inside a ≥ ``min_len`` substring that also occurs in the committed
+    corpus (via its persisted :func:`substring_anchor_index`) or
+    elsewhere in the batch itself.  The committed snapshot is immutable
+    — its docs are extension partners, never re-cut and never re-read:
+    only the index rows whose gram appears in the new batch join in
+    (at fleet scale the index is bucketed by gram, so the probe is a
+    bucket-local join keyed by 16-char grams, volume ∝ the NEW batch's
+    anchor count — the incremental contract shared with
+    minhash_incremental_pairs / bloom probes).
+
+    Exactness carries over: a duplicated L-gram between a new doc and
+    a committed doc selects the same content-relative anchor in both
+    (winnowing is content-determined), and that anchor is in the
+    committed index by construction.
+    """
+    new_anchors = substring_anchor_index(
+        new_df, id_col, text_col, min_len, k
+    ).withColumn("is_new", F.lit(True))
+    probe = committed_index.join(
+        new_anchors.select("gram").distinct(), "gram", "left_semi"
+    ).withColumn("is_new", F.lit(False))
+    intervals = _substring_intervals(
+        new_anchors.unionByName(probe), min_len, k, hot_cap
+    )
+    return _substring_cut(new_df, id_col, text_col, intervals, out_col)
+
+
+def _substring_intervals(
+    anchors: DataFrame,
+    min_len: int,
+    k: int,
+    hot_cap: int | None,
+) -> DataFrame:
+    """Anchor-bucket extension → duplicated intervals (doc, start, end),
+    emitted only for ``is_new`` occurrences (the batch path flags all
+    rows new; the incremental path flags committed partners false).
+    Runs as repartition(gram) → sortWithinPartitions → ONE mapInPandas
+    with cross-batch bucket carry: buckets ≈ anchors/2, so a per-group
+    applyInPandas would pay a per-group round-trip that measured as the
+    whole wall time (33.6 s → 2.6 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    L = int(min_len)
     iv_schema = StructType([
         StructField("doc", LongType()),
         StructField("start", LongType()),
         StructField("end", LongType()),
     ])
 
-    def _pad_matrix(strs: list[str], reverse: bool) -> "np.ndarray":
+    def _pad_matrix(strs: list, reverse: bool) -> "np.ndarray":
         """Code-point matrix, each row padded with a PER-ROW-UNIQUE
         sentinel above the Unicode range so padding never equals
         padding — common-prefix math then needs no length masks."""
@@ -1592,9 +1668,11 @@ def substring_dedup(
         return out
 
     def _extend_bucket(rows, out: list) -> None:
-        classes: dict[tuple[str, str], list[tuple[int, int]]] = {}
-        for doc, pos, lc, rc in rows:
-            classes.setdefault((lc, rc), []).append((int(doc), int(pos)))
+        classes: dict = {}
+        for doc, pos, lc, rc, is_new in rows:
+            classes.setdefault((lc, rc), []).append(
+                (int(doc), int(pos), bool(is_new))
+            )
         keys = sorted(classes)  # deterministic
         if hot_cap is not None and len(keys) > hot_cap:
             keys = keys[:hot_cap]
@@ -1632,15 +1710,14 @@ def substring_dedup(
             (doc, pos - int(best_l[i]), pos + k + int(best_r[i]))
             for i in range(m)
             if best_l[i] >= 0
-            for doc, pos in occs[i]
+            for doc, pos, is_new in occs[i]
+            if is_new
         )
 
     def extend_stream(batches):
         """Per-partition fold over gram-sorted rows: groups are
         contiguous, so one Arrow stream handles every bucket with zero
-        per-group Spark overhead (groupBy().applyInPandas() pays a
-        per-group plan round-trip — with ~1 bucket per 2 anchors that
-        overhead WAS the wall time).  The final gram of each batch may
+        per-group Spark overhead.  The final gram of each batch may
         continue in the next, so it carries over."""
         carry: list | None = None
         carry_gram = None
@@ -1649,8 +1726,8 @@ def substring_dedup(
                 continue
             out: list = []
             grams = pdf["gram"].to_numpy()
-            rows = list(zip(pdf["doc"], pdf["pos"], pdf["lctx"], pdf["rctx"]))
-            # bucket boundaries inside this batch
+            rows = list(zip(pdf["doc"], pdf["pos"], pdf["lctx"],
+                            pdf["rctx"], pdf["is_new"]))
             starts = [0] + [
                 i for i in range(1, len(grams)) if grams[i] != grams[i - 1]
             ] + [len(grams)]
@@ -1671,16 +1748,31 @@ def substring_dedup(
             _extend_bucket(carry, out)
             yield pd.DataFrame(out, columns=["doc", "start", "end"])
 
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    intervals = (
+    n_part = anchors.sparkSession.sparkContext.defaultParallelism
+    return (
         anchors.repartition(n_part, "gram")
         .sortWithinPartitions("gram")
         .mapInPandas(extend_stream, iv_schema)
     )
+
+
+def _substring_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    intervals: DataFrame,
+    out_col: str,
+) -> DataFrame:
+    """Merge each doc's duplicated intervals and rebuild the kept text
+    in one Arrow pass; docs without intervals pass through unchanged
+    (left join, null interval list)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     per_doc = intervals.groupBy("doc").agg(
         F.collect_list(F.struct("start", "end")).alias("ivs")
     )
-
     out_schema = StructType([
         StructField("_id", LongType()),
         StructField(out_col, StringType()),

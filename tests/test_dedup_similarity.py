@@ -1235,3 +1235,60 @@ def test_substring_dedup_rejects_k_ge_L(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         substring_dedup(df, "doc_id", "text", min_len=16, k=16)
+
+
+def test_substring_dedup_incremental_matches_batch_restriction(spark):
+    from pii_spark.dedup import (
+        substring_anchor_index,
+        substring_dedup,
+        substring_dedup_incremental,
+    )
+
+    docs = _substring_fixture()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    committed = df.filter("doc_id % 3 != 0")
+    new = df.filter("doc_id % 3 = 0")
+    index = substring_anchor_index(committed, "doc_id", "text", min_len=40, k=16)
+    inc = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup_incremental(
+            new, index, "doc_id", "text", min_len=40, k=16
+        ).collect()
+    }
+    # ground truth: the batch path over the union corpus, restricted to
+    # the new docs (batch path itself is definition-verified above)
+    full = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup(df, "doc_id", "text", min_len=40, k=16).collect()
+    }
+    want = {d: full[d] for d in inc}
+    assert inc == want
+    assert set(inc) == {d for d in docs if d % 3 == 0}  # new docs only
+
+
+def test_substring_dedup_incremental_committed_partner_only(spark):
+    from pii_spark.dedup import (
+        substring_anchor_index,
+        substring_dedup_incremental,
+    )
+
+    block = "THE-COMMITTED-BOILERPLATE-BLOCK-1234567890-END"  # 46 >= 40
+    committed = spark.createDataFrame(
+        [(1, "committed prefix " + block + " committed suffix")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "new head " + block + " new tail"),
+         (3, "nothing shared here at all, stays intact")],
+        "doc_id long, text string",
+    )
+    index = substring_anchor_index(committed, "doc_id", "text", min_len=40, k=16)
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in substring_dedup_incremental(
+               new, index, "doc_id", "text", min_len=40, k=16).collect()}
+    # the duplicated region is ' ' + block + ' ' (48 chars): BOTH
+    # surrounding spaces also match the committed context, and the
+    # definition cuts every char inside a shared >=40-gram
+    assert got[2] == ("new headnew tail", len(block) + 2)
+    assert got[3] == ("nothing shared here at all, stays intact", 0)
+    assert 1 not in got  # committed snapshot is immutable and absent
