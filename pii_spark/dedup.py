@@ -1614,9 +1614,14 @@ def substring_dedup_incremental(
     (winnowing is content-determined), and that anchor is in the
     committed index by construction.
     """
-    new_anchors = substring_anchor_index(
-        new_df, id_col, text_col, min_len, k
-    ).withColumn("is_new", F.lit(True))
+    # the anchor frame feeds BOTH the probe's gram set and the union —
+    # persist it so the new batch is decoded/anchored exactly once
+    # (bounded: ~7% of the batch's chars ride along as slices)
+    new_anchors = (
+        substring_anchor_index(new_df, id_col, text_col, min_len, k)
+        .withColumn("is_new", F.lit(True))
+        .persist()
+    )
     probe = committed_index.join(
         new_anchors.select("gram").distinct(), "gram", "left_semi"
     ).withColumn("is_new", F.lit(False))

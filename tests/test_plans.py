@@ -671,3 +671,64 @@ def test_mmr_greedy_is_one_pandas_group_pass(spark):
     # no per-step anti-joins survive: the only joins left are the BM25
     # candidate/vector equi-joins — none of the unroll's LeftAnti
     assert "LeftAnti" not in p
+
+
+def test_sessionize_presplit_windows_on_key_and_bucket(spark):
+    from pii_spark.events import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan(sessionize(ev, ["user_id"], "ts", 600, presplit="day"))
+    # the event-sized window must partition on (key, bucket) — the
+    # hot-key split — while only the tiny bounds frame windows on the
+    # bare key
+    assert "windowspecdefinition(user_id#" in p.replace("L", "")
+    assert re.search(r"windowspecdefinition\(user_id#\d+L?, _ps_bkt", p)
+    # no Python anywhere: the whole stitch is JVM window/agg/join work
+    assert count_python_nodes(p) == 0
+
+
+def test_sessionize_unsplit_single_window_no_python(spark):
+    from pii_spark.events import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan(sessionize(ev, ["user_id"], "ts", 600))
+    # lag + running-sum compile to two Window nodes over ONE exchange
+    # (same partitioning) — the whole thing is a single shuffle
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert count_python_nodes(p) == 0
+
+
+def test_substring_dedup_text_never_in_anchor_exchange(spark):
+    import __spark_entry__ as E
+    from pii_spark.dedup import substring_anchor_index, _substring_intervals
+
+    d = F.col("doc_id")
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("t")
+    )
+    anchors = substring_anchor_index(corpus, "doc_id", "t").withColumn(
+        "is_new", F.lit(True)
+    )
+    p = plan(_substring_intervals(anchors, 40, 16, None))
+    # exactly one exchange (hash on gram) feeds exactly one extension
+    # pass; the full text column _t never reaches any exchange — only
+    # the bounded anchor slices shuffle
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    args = re.findall(r"Arguments: hashpartitioning\(gram#\d+.*", p)
+    assert args and "_t#" not in args[0]
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2  # anchors+extend
+
+
+def test_substring_incremental_probe_is_semi_join_on_gram(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_substring_dedup_incremental(spark, SF_DIR))
+    # the committed index joins in via LeftSemi on gram (probe), and
+    # the committed corpus' text is never re-decoded a second time:
+    # anchor extraction runs once per split = 2 MapInPandas + 1 cut
+    assert "LeftSemi" in p
+    # 2 anchor extractions (one per split) + extend + cut; the new
+    # batch's anchor frame is persisted, so its UDF appears ONCE and
+    # the probe branch reads the InMemory cache instead of re-decoding
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 4
+    assert "InMemoryTableScan" in p
