@@ -1503,6 +1503,29 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(pairs, "doc_a", "doc_b")
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core decomposition (iterative peeling to fixpoint) of a sparse
+    # co-purchase slice: parts sharing an order, orders % 9 == 0 only —
+    # sparse enough that the 5-core actually peels (2–5 rounds at the
+    # driver scales, measured).  The oracle replays 12 chained peel
+    # rounds; peeling is idempotent at the fixpoint, so 12 ≥ true
+    # convergence is exact.
+    from pii_spark.graph import k_core
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).filter(F.col("l_orderkey") % 9 == 0)
+    a, b = li.alias("x"), li.alias("y")
+    e = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return k_core(e, k=5).orderBy("node")
+
+
 def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-skew census of a prospective join key (docs/SCALE.md's
     # measurement side): exact max/mean ratio, Gini, and the salt
@@ -3825,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "user_state_history": q_user_state_history,
         "triangle_census": q_triangle_census,
+        "k_core": q_k_core,
         "key_skew_audit": q_key_skew_audit,
         "range_partition_cuts": q_range_partition_cuts,
         "referential_audit": q_referential_audit,
@@ -3947,7 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         key_skew_oracle_sql,
         referential_audit_oracle_sql,
     )
-    from pii_spark.graph import triangle_census_oracle_sql
+    from pii_spark.graph import k_core_oracle_sql, triangle_census_oracle_sql
     from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
@@ -4262,6 +4286,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_JACCARD_PAIRS_CTES}"
             " SELECT doc_a AS src, doc_b AS dst FROM jpairs"
             " WHERE jac >= 0.8"
+        ),
+        "k_core": k_core_oracle_sql(
+            "SELECT x.l_partkey AS src, y.l_partkey AS dst"
+            " FROM lineitem x JOIN lineitem y"
+            " ON x.l_orderkey = y.l_orderkey"
+            " AND x.l_partkey < y.l_partkey"
+            " WHERE x.l_orderkey % 9 = 0",
+            k=5, rounds=12,
         ),
         "key_skew_audit": key_skew_oracle_sql(
             key_sql="l_partkey",

@@ -214,6 +214,7 @@ def main() -> None:
         "value_outliers",
         "user_state_history",
         "triangle_census",
+        "k_core",
         "key_skew_audit",
         "range_partition_cuts",
         "referential_audit",

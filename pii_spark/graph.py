@@ -364,3 +364,108 @@ def bfs_layers_oracle_sql(
         SELECT node AS {node_name}, CAST(min(depth) AS BIGINT) AS depth
         FROM walk GROUP BY node ORDER BY {node_name}
     """
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Vertices of the k-core — the maximal subgraph in which every
+    vertex has degree ≥ k — with each survivor's within-core degree:
+    ``(node, core_deg)``.  Classic iterative peeling: drop every vertex
+    with degree < k, recompute degrees, repeat to fixpoint (ONeil /
+    Seidman's cores; the standard curation lens for "how densely is
+    this dup/co-occurrence cluster knit").
+
+    Distributed shape: each round = one degree aggregate (map-side
+    combine, 8-byte keys) + two semi-joins filtering the edge list; no
+    vertex state beyond the shrinking edge set.  Convergence needs at
+    most |V| rounds but in practice a handful — the loop stops at the
+    first round that removes nothing (edge count unchanged ⇒ vertex
+    set unchanged ⇒ fixpoint), costing one bounded driver-side count
+    per round (same adjudication as connected_components' convergence
+    check).  ``checkpoint_every`` truncates lineage like the other
+    iterative operators here.
+
+    Input may contain duplicates, self-loops, or both directions;
+    normalized away up front.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = und.localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for i in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionAll(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:  # nothing removed → fixpoint
+            break
+        n_edges = n_next
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Chained-CTE replay of ``rounds`` peel rounds (each MATERIALIZED —
+    every round is referenced twice, so default inlining would blow up
+    2^rounds like the bpe_learn oracle).  Peeling is idempotent at the
+    fixpoint, so any ``rounds`` ≥ the true convergence count is exact;
+    the paired test asserts the fixture converges well inside it."""
+    parts = [
+        f"""
+        WITH raw AS MATERIALIZED ({edges_sql}),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT n, count(*) AS deg FROM (
+                SELECT a AS n FROM e{i - 1}
+                UNION ALL SELECT b FROM e{i - 1}
+            ) GROUP BY n HAVING count(*) >= {k}
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT a, b FROM e{i - 1}
+            WHERE a IN (SELECT n FROM d{i}) AND b IN (SELECT n FROM d{i})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+            SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY n ORDER BY node"""
+    )
+    return "".join(parts)
