@@ -1613,6 +1613,12 @@ def substring_dedup_incremental(
     a committed doc selects the same content-relative anchor in both
     (winnowing is content-determined), and that anchor is in the
     committed index by construction.
+
+    The new batch's anchor frame is persisted (it feeds both the probe
+    and the union); the cache entry lives as long as the returned
+    frame's lineage — a driver looping over many batches should
+    ``unpersist``/``clearCache`` between batches like any cached
+    intermediate.
     """
     # the anchor frame feeds BOTH the probe's gram set and the union —
     # persist it so the new batch is decoded/anchored exactly once

@@ -722,6 +722,10 @@ def test_substring_dedup_text_never_in_anchor_exchange(spark):
 def test_substring_incremental_probe_is_semi_join_on_gram(spark):
     import __spark_entry__ as E
 
+    # CacheManager matches persisted subtrees from EARLIER queries by
+    # logical-plan equality, which perturbs this query's plan shape
+    # when the oracle suite ran first — pin the cold-cache plan
+    spark.catalog.clearCache()
     p = plan(E.q_substring_dedup_incremental(spark, SF_DIR))
     # the committed index joins in via LeftSemi on gram (probe), and
     # the committed corpus' text is never re-decoded a second time:
