@@ -3764,6 +3764,63 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_import_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dependency-popularity census: synthesized python-family code with
+    # import lines cycling on doc_id (plain import / from-import /
+    # indented import / the raw word-salad line as noise) — mirrored
+    # verbatim in SQL so both engines extract from identical content
+    from pii_spark.quality import import_census
+
+    d = F.col("doc_id")
+    mod1 = (
+        F.when(d % 6 == 0, "os")
+        .when(d % 6 == 1, "sys")
+        .when(d % 6 == 2, "json")
+        .when(d % 6 == 3, "numpy.linalg")
+        .when(d % 6 == 4, "pandas.core.frame")
+        .otherwise("collections")
+    )
+    mod2 = (
+        F.when(d % 3 == 0, "os.path")
+        .when(d % 3 == 1, "numpy")
+        .otherwise("flask")
+    )
+    code = F.concat_ws(
+        "\n",
+        F.concat(F.lit("import "), mod1),
+        F.when(d % 4 > 0, F.concat(F.lit("from "), mod2, F.lit(" import x"))),
+        F.when(d % 5 == 0, F.lit("    import re")),
+        F.col("text"),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 23).cast("string")).alias("repo"),
+        d.alias("file_id"),
+        code.alias("content"),
+    )
+    return import_census(
+        corpus, "repo", "file_id", "content", family="python"
+    ).orderBy("package")
+
+
+def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep-threshold calibration over a noisy-correlated (score, label)
+    # pair: one conditional aggregate over the corpus, stack-unpivoted
+    # into the grid — confusion counts + integer-floor F1 per threshold
+    from pii_spark.quality import calibration_sweep
+
+    d = F.col("doc_id")
+    score = (d * 37) % 1000
+    label = F.when(
+        score >= 450, F.when(d % 17 == 0, 0).otherwise(1)
+    ).otherwise(F.when(d % 13 == 0, 1).otherwise(0))
+    scored = _docs(spark, sf_dir).select(
+        score.cast("long").alias("score"), label.cast("int").alias("label")
+    )
+    return calibration_sweep(
+        scored, "score", "label", thresholds=[200, 350, 450, 500, 650, 800]
+    ).orderBy("thr")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3811,6 +3868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
+        "import_census": q_import_census,
+        "calibration_sweep": q_calibration_sweep,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4018,9 +4077,46 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.affinity import copartner_degree_oracle_sql
     from pii_spark.retrieval import token_pmi_oracle_sql
+    from pii_spark.quality import (
+        calibration_sweep_oracle_sql,
+        import_census_oracle_sql,
+    )
 
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     return {
+        "import_census": import_census_oracle_sql(
+            repo_sql="repo",
+            file_sql="file_id",
+            content_sql="content",
+            rows_sql="""
+                SELECT 'r' || (doc_id % 23)::VARCHAR AS repo,
+                       doc_id AS file_id,
+                       concat_ws(chr(10),
+                           'import ' || CASE doc_id % 6
+                               WHEN 0 THEN 'os' WHEN 1 THEN 'sys'
+                               WHEN 2 THEN 'json' WHEN 3 THEN 'numpy.linalg'
+                               WHEN 4 THEN 'pandas.core.frame'
+                               ELSE 'collections' END,
+                           CASE WHEN doc_id % 4 > 0 THEN
+                               'from ' || CASE doc_id % 3
+                                   WHEN 0 THEN 'os.path' WHEN 1 THEN 'numpy'
+                                   ELSE 'flask' END || ' import x' END,
+                           CASE WHEN doc_id % 5 = 0 THEN '    import re' END,
+                           text) AS content
+                FROM documents
+            """,
+            family="python",
+        ),
+        "calibration_sweep": calibration_sweep_oracle_sql(
+            score_sql="(doc_id * 37) % 1000",
+            label_sql="""
+                CASE WHEN (doc_id * 37) % 1000 >= 450
+                     THEN CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END
+                     ELSE CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END END
+            """,
+            rows_sql="SELECT doc_id FROM documents",
+            thresholds=[200, 350, 450, 500, 650, 800],
+        ),
         "token_pmi": token_pmi_oracle_sql(
             text_sql="text",
             rows_sql="SELECT text FROM documents",

@@ -736,3 +736,31 @@ def test_substring_incremental_probe_is_semi_join_on_gram(spark):
     # the probe branch reads the InMemory cache instead of re-decoding
     assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 4
     assert "InMemoryTableScan" in p
+
+
+def test_import_census_pure_jvm_single_agg_exchange(spark):
+    from pii_spark.quality import import_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("r").alias("repo"), F.col("doc_id"), F.col("text").alias("content")
+    )
+    p = plan(import_census(docs, "repo", "doc_id", "content"))
+    assert count_python_nodes(p) == 0        # regex extraction stays JVM-side
+    # census = one hash-partitioned exchange on package (+ the distinct
+    # expand's partials); no join of any kind
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_calibration_sweep_no_crossjoin_single_row_exchange(spark):
+    from pii_spark.quality import calibration_sweep
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 1000).alias("score"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    p = plan(calibration_sweep(docs, "score", "label", [100, 500, 900]))
+    # the grid is plan literals: no join/cartesian expansion of the corpus,
+    # zero Python, and exactly one exchange (the 1-row final aggregate)
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
