@@ -3821,6 +3821,19 @@ def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SentencePiece-style Viterbi segmentation of the corpus vocab
+    # against the default scored piece lexicon — integer composite-cost
+    # DP; oracle unrolls the same DP as chained CTEs
+    from pii_spark.quality import unigram_segment
+
+    return (
+        unigram_segment(_docs(spark, sf_dir), "text")
+        .select("word", "n_occ", "cost", "n_pieces")
+        .orderBy("word")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -3870,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "import_census": q_import_census,
         "calibration_sweep": q_calibration_sweep,
+        "unigram_segment": q_unigram_segment,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4080,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import (
         calibration_sweep_oracle_sql,
         import_census_oracle_sql,
+        unigram_segment_oracle_sql,
     )
 
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
@@ -4116,6 +4131,10 @@ def oracle_sql() -> dict[str, str]:
             """,
             rows_sql="SELECT doc_id FROM documents",
             thresholds=[200, 350, 450, 500, 650, 800],
+        ),
+        "unigram_segment": unigram_segment_oracle_sql(
+            text_sql="text",
+            rows_sql="SELECT text FROM documents",
         ),
         "token_pmi": token_pmi_oracle_sql(
             text_sql="text",

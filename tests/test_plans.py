@@ -764,3 +764,16 @@ def test_calibration_sweep_no_crossjoin_single_row_exchange(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert count_python_nodes(p) == 0
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_unigram_segment_python_only_after_vocab_agg(spark):
+    from pii_spark.quality import unigram_segment
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(unigram_segment(docs, "text"))
+    # tokenize/filter/census are JVM; exactly one Python node (the DP
+    # over the distinct vocab) and exactly one data exchange (the word
+    # census) — the corpus text never reaches Python
+    assert count_python_nodes(p) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Join" not in p and "CartesianProduct" not in p
