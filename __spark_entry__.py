@@ -3802,6 +3802,92 @@ def q_import_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("package")
 
 
+def _func_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized python files with top-level def/class blocks whose
+    # bodies cycle on doc_id residues (so identical functions recur
+    # across files and repos), plus top-level noise lines and the raw
+    # word-salad text — mirrored verbatim in _FUNC_CORPUS_SQL.
+    # the f-family (d%40 × d%7 bodies) saturates all 23 repos as the
+    # corpus grows (gcd(280,23)=1) — boilerplate the overlap cap
+    # drops at scale; the g/h-family keys on (repo+parity)%23 so each
+    # body lives in EXACTLY two adjacent repos at every scale — the
+    # planted vendored-copy signal the cap must keep
+    d = F.col("doc_id")
+    k = (d % 23 + d % 2) % 23
+    code = F.concat_ws(
+        "\n",
+        F.lit("import os"),
+        F.concat(F.lit("def f"), (d % 40).cast("string"), F.lit("():")),
+        F.concat(F.lit("    x = "), (d % 7).cast("string")),
+        F.lit("    return x * 2"),
+        F.lit(""),
+        F.concat(F.lit("def g"), k.cast("string"), F.lit("():")),
+        F.concat(F.lit("    return "), k.cast("string")),
+        F.lit(""),
+        F.concat(F.lit("def h"), k.cast("string"), F.lit("():")),
+        F.concat(F.lit("    return "), (k * 3).cast("string")),
+        F.lit(""),
+        F.when(d % 3 == 0, F.concat(F.lit("class C"), (d % 11).cast("string"), F.lit(":"))),
+        F.when(d % 3 == 0, F.lit("    def m(self):")),
+        F.when(d % 3 == 0, F.concat(F.lit("        return "), (d % 5).cast("string"))),
+        F.lit("print('eof')"),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 23).cast("string")).alias("repo"),
+        d.alias("file_id"),
+        code.alias("content"),
+    )
+
+
+_FUNC_CORPUS_SQL = """
+    SELECT 'r' || (doc_id % 23)::VARCHAR AS repo,
+           doc_id AS file_id,
+           concat_ws(chr(10),
+               'import os',
+               'def f' || (doc_id % 40)::VARCHAR || '():',
+               '    x = ' || (doc_id % 7)::VARCHAR,
+               '    return x * 2',
+               '',
+               'def g' || ((doc_id % 23 + doc_id % 2) % 23)::VARCHAR || '():',
+               '    return ' || ((doc_id % 23 + doc_id % 2) % 23)::VARCHAR,
+               '',
+               'def h' || ((doc_id % 23 + doc_id % 2) % 23)::VARCHAR || '():',
+               '    return ' || (((doc_id % 23 + doc_id % 2) % 23) * 3)::VARCHAR,
+               '',
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'class C' || (doc_id % 11)::VARCHAR || ':' END,
+               CASE WHEN doc_id % 3 = 0 THEN '    def m(self):' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '        return ' || (doc_id % 5)::VARCHAR END,
+               'print(''eof'')',
+               text) AS content
+    FROM documents
+"""
+
+
+def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # function-level duplicate census over the synthesized code corpus:
+    # extraction + sha fused into the scan, one sha-keyed aggregate
+    from pii_spark.quality import function_dedup
+
+    return function_dedup(
+        _func_code_corpus(spark, sf_dir), "repo", "file_id", "content"
+    ).orderBy("body_sha")
+
+
+def q_repo_function_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vendored-copy detector: repo pairs by shared function bodies,
+    # hot shas (fan-out > 15 repos) dropped before the pair join —
+    # the cap is small enough to actually bite on this corpus
+    from pii_spark.quality import repo_function_overlap
+
+    return repo_function_overlap(
+        _func_code_corpus(spark, sf_dir), "repo", "file_id", "content",
+        max_repos_per_sha=15, min_shared=2,
+    ).orderBy("repo_a", "repo_b")
+
+
 def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-threshold calibration over a noisy-correlated (score, label)
     # pair: one conditional aggregate over the corpus, stack-unpivoted
@@ -3884,6 +3970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_census": q_import_census,
         "calibration_sweep": q_calibration_sweep,
         "unigram_segment": q_unigram_segment,
+        "function_dedup": q_function_dedup,
+        "repo_function_overlap": q_repo_function_overlap,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4093,7 +4181,9 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.retrieval import token_pmi_oracle_sql
     from pii_spark.quality import (
         calibration_sweep_oracle_sql,
+        function_dedup_oracle_sql,
         import_census_oracle_sql,
+        repo_function_overlap_oracle_sql,
         unigram_segment_oracle_sql,
     )
 
@@ -4135,6 +4225,19 @@ def oracle_sql() -> dict[str, str]:
         "unigram_segment": unigram_segment_oracle_sql(
             text_sql="text",
             rows_sql="SELECT text FROM documents",
+        ),
+        "function_dedup": function_dedup_oracle_sql(
+            repo_sql="repo",
+            file_sql="file_id",
+            content_sql="content",
+            rows_sql=_FUNC_CORPUS_SQL,
+        ),
+        "repo_function_overlap": repo_function_overlap_oracle_sql(
+            repo_sql="repo",
+            content_sql="content",
+            rows_sql=_FUNC_CORPUS_SQL,
+            max_repos_per_sha=15,
+            min_shared=2,
         ),
         "token_pmi": token_pmi_oracle_sql(
             text_sql="text",

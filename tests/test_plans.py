@@ -777,3 +777,49 @@ def test_unigram_segment_python_only_after_vocab_agg(spark):
     assert count_python_nodes(p) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_extract_functions_fused_into_scan_zero_exchange(spark):
+    from pii_spark.quality import extract_functions
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("r").alias("repo"), F.col("doc_id"), F.col("text").alias("content")
+    )
+    p = plan(extract_functions(docs, "repo", "doc_id", "content"))
+    # block regex + head parse + sha all JVM, fused into the scan
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_function_dedup_body_never_shuffles(spark):
+    from pii_spark.quality import function_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("r").alias("repo"), F.col("doc_id"), F.col("text").alias("content")
+    )
+    p = plan(function_dedup(docs, "repo", "doc_id", "content"))
+    assert count_python_nodes(p) == 0
+    assert "Join" not in p and "CartesianProduct" not in p
+    # the census exchange carries fixed-width rows keyed on the sha —
+    # the block text is projected away before any exchange (no
+    # exchange row schema mentions `body`)
+    for seg in re.findall(r"Exchange[^\n]*\n(?:.*\n)*?(?=\n|\Z)", p):
+        assert "body#" not in seg.split("\n")[0]
+    assert "body_sha" in p
+
+
+def test_repo_function_overlap_joins_on_sha_only(spark):
+    from pii_spark.quality import repo_function_overlap
+
+    # repo must be non-constant or Catalyst folds repo_a < repo_b to
+    # false and collapses the whole plan to an empty LocalTableScan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        F.col("doc_id"), F.col("text").alias("content"),
+    )
+    p = plan(repo_function_overlap(docs, "repo", "doc_id", "content"))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p
+    # pair generation is an equi-join on body_sha over the distinct
+    # (repo, sha) projection — fixed-width rows, never body text
+    assert re.search(r"Left keys \[1\]: \[body_sha", p)
