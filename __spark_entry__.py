@@ -3888,6 +3888,66 @@ def q_repo_function_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def _json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized crawl-record JSON sidecars: url/lang always present,
+    # score optional (absent when d%5==0), opt planted as JSON null
+    # (d%7==0), tags array + nested object always, and every 13th
+    # record truncated mid-string (malformed) — mirrored verbatim in
+    # _JSON_CORPUS_SQL
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit('{"url":"https://d'), (d % 7).cast("string"),
+        F.lit(".example.com/p/"), d.cast("string"),
+        F.lit('","lang":"'), F.col("lang"), F.lit('"'),
+        F.when(d % 5 != 0,
+               F.concat(F.lit(',"score":'), (d % 100).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(',"opt":null')).otherwise(F.lit("")),
+        F.lit(',"tags":["t'), (d % 3).cast("string"),
+        F.lit('","t'), (d % 11).cast("string"),
+        F.lit('"],"nested":{"tokens":'), (d % 500).cast("string"),
+        F.lit("}}"),
+    )
+    j = F.when(d % 13 == 0, F.substring(base, 1, 25)).otherwise(base)
+    return _docs(spark, sf_dir).select(j.alias("j"))
+
+
+_JSON_CORPUS_SQL = """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN substr(b, 1, 25) ELSE b END AS j
+    FROM (
+        SELECT doc_id,
+               '{"url":"https://d' || (doc_id % 7)::VARCHAR
+               || '.example.com/p/' || doc_id::VARCHAR
+               || '","lang":"' || lang || '"'
+               || CASE WHEN doc_id % 5 <> 0
+                       THEN ',"score":' || (doc_id % 100)::VARCHAR
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ',"opt":null' ELSE '' END
+               || ',"tags":["t' || (doc_id % 3)::VARCHAR
+               || '","t' || (doc_id % 11)::VARCHAR
+               || '"],"nested":{"tokens":' || (doc_id % 500)::VARCHAR
+               || '}}' AS b
+        FROM documents
+    )
+"""
+
+
+def q_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed from_json extraction with malformed-record accounting:
+    # per-lang rollup; corrupt docs land in __invalid__, never vanish
+    from pii_spark.metadata import metadata_rollup
+
+    return metadata_rollup(_json_corpus(spark, sf_dir), "j").orderBy("lang")
+
+
+def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema discovery over heterogeneous JSON: top-level key presence
+    # + JSON-null counts over the valid subset
+    from pii_spark.metadata import json_key_census
+
+    return json_key_census(_json_corpus(spark, sf_dir), "j").orderBy("key")
+
+
 def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-threshold calibration over a noisy-correlated (score, label)
     # pair: one conditional aggregate over the corpus, stack-unpivoted
@@ -3972,6 +4032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": q_unigram_segment,
         "function_dedup": q_function_dedup,
         "repo_function_overlap": q_repo_function_overlap,
+        "metadata_rollup": q_metadata_rollup,
+        "json_key_census": q_json_key_census,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4179,6 +4241,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.affinity import copartner_degree_oracle_sql
     from pii_spark.retrieval import token_pmi_oracle_sql
+    from pii_spark.metadata import (
+        json_key_census_oracle_sql,
+        metadata_rollup_oracle_sql,
+    )
     from pii_spark.quality import (
         calibration_sweep_oracle_sql,
         function_dedup_oracle_sql,
@@ -4238,6 +4304,12 @@ def oracle_sql() -> dict[str, str]:
             rows_sql=_FUNC_CORPUS_SQL,
             max_repos_per_sha=15,
             min_shared=2,
+        ),
+        "metadata_rollup": metadata_rollup_oracle_sql(
+            json_sql="j", rows_sql=_JSON_CORPUS_SQL,
+        ),
+        "json_key_census": json_key_census_oracle_sql(
+            json_sql="j", rows_sql=_JSON_CORPUS_SQL,
         ),
         "token_pmi": token_pmi_oracle_sql(
             text_sql="text",

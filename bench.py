@@ -261,6 +261,13 @@ def main() -> None:
         "cohort_ltv",
         "stickiness",
         "touch_attribution",
+        "import_census",
+        "calibration_sweep",
+        "unigram_segment",
+        "function_dedup",
+        "repo_function_overlap",
+        "metadata_rollup",
+        "json_key_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

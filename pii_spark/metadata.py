@@ -1,0 +1,199 @@
+"""JSON metadata parsing for web-document corpora.
+
+Web-scale training-data pipelines carry per-document metadata as JSON
+sidecars (WARC headers, crawl records, JSONL exports).  This module
+parses them with Spark's NATIVE JSON machinery — one JVM
+``from_json`` per row, fused into the scan, zero Python — with
+explicit malformed-record accounting (PERMISSIVE mode + corrupt-record
+column, the Spark-idiomatic analogue of a DLQ), plus a schema-discovery
+census over heterogeneous documents.
+
+Beyond-reference surface (the reference scans file content only,
+`scanner.go`); this is the pipeline brief's metadata arm.  Every
+operator has a DuckDB oracle twin built on DuckDB's native JSON
+functions (``json_valid`` / ``json_extract_string`` / ``json_keys`` /
+``json_type``), so an independent JSON parser re-verifies Spark's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import MapType, StringType
+
+#: name of the corrupt-record column appended to parse schemas.
+CORRUPT_COL = "_corrupt"
+
+
+def with_metadata(
+    df: DataFrame,
+    json_col: str,
+    schema_ddl: str,
+    prefix: str = "meta_",
+) -> DataFrame:
+    """Typed metadata extraction: parse ``json_col`` against a DDL
+    schema (``"url string, score bigint, nested struct<tokens:
+    bigint>"``) and flatten each field to a ``prefix``-ed column, plus
+    ``{prefix}valid`` (false for malformed JSON — fields of a corrupt
+    row are NULL, never silently zero).
+
+    Scale shape: ONE ``JsonToStructs`` per row (a single Jackson parse
+    regardless of field count — N ``get_json_object`` calls would
+    re-parse N times), fused into the scan; zero exchanges, zero
+    Python.  Missing fields are NULL (schema drift tolerant);
+    malformed records are counted, not dropped and not poisoning the
+    job (PERMISSIVE + corrupt-record column).
+    """
+    if CORRUPT_COL in schema_ddl:
+        raise ValueError(f"with_metadata: schema must not define {CORRUPT_COL!r}")
+    full = f"{schema_ddl}, {CORRUPT_COL} string"
+    parsed = df.withColumn(
+        "_meta",
+        F.from_json(
+            F.col(json_col),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    field_names = [f.name for f in parsed.schema["_meta"].dataType.fields
+                   if f.name != CORRUPT_COL]
+    out = parsed.select(
+        "*",
+        *[F.col(f"_meta.{n}").alias(f"{prefix}{n}") for n in field_names],
+        # from_json yields a NULL corrupt field for clean rows and the
+        # raw text for malformed ones; an entirely-null input row
+        # parses to a null struct — also invalid
+        (F.col(f"_meta.{CORRUPT_COL}").isNull()
+         & F.col("_meta").isNotNull()).alias(f"{prefix}valid"),
+    ).drop("_meta")
+    return out
+
+
+def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema discovery over heterogeneous JSON: per top-level key,
+    how many valid documents carry it and in how many it is JSON
+    ``null`` — the census that decides which metadata fields are
+    reliable enough to promote into a typed schema.  Emits
+    ``key, n_docs, n_null``.
+
+    Scale shape: parse to ``map<string,string>`` (one Jackson pass),
+    explode keys, one key-keyed aggregate with map-side partials —
+    the exchange carries (key, is_null) pairs, never document text.
+    Malformed documents parse to a NULL map and are excluded (count
+    them via :func:`with_metadata`'s valid flag).
+    """
+    m = F.from_json(F.col(json_col), MapType(StringType(), StringType()))
+    kv = df.select(F.explode(m).alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
+
+
+def domain_of(url: Column) -> Column:
+    """Host part of an http(s) URL (JVM regex; empty string if absent)."""
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+
+def metadata_rollup(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Per-language metadata rollup over the demo crawl-record schema
+    ``{url, lang, score?, tags[], nested{tokens}}`` — the
+    end-to-end exercise of :func:`with_metadata`: malformed docs land
+    in the ``__invalid__`` group instead of vanishing, optional fields
+    aggregate NULL-safely, arrays and nested structs extract typed.
+    Emits ``lang, n_docs, n_valid, n_scored, sum_score, sum_tokens,
+    n_tags, n_domains``.
+    """
+    meta = with_metadata(
+        df,
+        json_col,
+        "url string, lang string, score bigint, "
+        "tags array<string>, nested struct<tokens: bigint>",
+    )
+    return (
+        meta.select(
+            F.coalesce(F.col("meta_lang"), F.lit("__invalid__")).alias("lang"),
+            F.col("meta_valid").cast("int").alias("ok"),
+            F.col("meta_score").alias("score"),
+            F.col("meta_nested").getField("tokens").alias("tokens"),
+            F.when(
+                F.col("meta_tags").isNotNull(), F.size(F.col("meta_tags"))
+            ).cast("long").alias("n_tag"),
+            domain_of(F.col("meta_url")).alias("domain"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_valid"),
+            F.count("score").alias("n_scored"),
+            F.sum("score").alias("sum_score"),
+            F.sum("tokens").alias("sum_tokens"),
+            F.sum("n_tag").alias("n_tags"),
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+        )
+    )
+
+
+def metadata_rollup_oracle_sql(json_sql: str, rows_sql: str) -> str:
+    """DuckDB replay of :func:`metadata_rollup` — native JSON functions
+    guarded by ``json_valid`` (DuckDB's extract THROWS on malformed
+    input where Spark's PERMISSIVE mode yields NULLs, so every access
+    is CASE-gated)."""
+    return f"""
+        WITH src AS (SELECT {json_sql} AS j FROM ({rows_sql})),
+        p AS (
+            SELECT json_valid(j) AS ok,
+                   CASE WHEN json_valid(j)
+                        THEN json_extract_string(j, '$.lang') END AS lang,
+                   CASE WHEN json_valid(j)
+                        THEN TRY_CAST(json_extract(j, '$.score') AS BIGINT)
+                        END AS score,
+                   CASE WHEN json_valid(j)
+                        THEN TRY_CAST(json_extract(j, '$.nested.tokens')
+                                      AS BIGINT) END AS tokens,
+                   CASE WHEN json_valid(j)
+                        THEN json_array_length(j, '$.tags') END AS n_tag,
+                   CASE WHEN json_valid(j)
+                        THEN regexp_extract(
+                            json_extract_string(j, '$.url'),
+                            '^https?://([^/]+)', 1) END AS domain
+            FROM src
+        )
+        SELECT coalesce(lang, '__invalid__') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(count(score) AS BIGINT) AS n_scored,
+               CAST(sum(score) AS BIGINT) AS sum_score,
+               CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_tag) AS BIGINT) AS n_tags,
+               CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+        FROM p GROUP BY 1 ORDER BY lang
+    """
+
+
+def json_key_census_oracle_sql(json_sql: str, rows_sql: str) -> str:
+    """DuckDB replay of :func:`json_key_census`: ``json_keys`` over
+    pre-filtered valid docs (filter BEFORE unnest — ``json_keys``
+    throws on malformed input).  Null-ness via ``json_extract IS
+    NULL``: the key is guaranteed to exist (it came from
+    ``json_keys``), and DuckDB 1.0's *computed*-path extract maps a
+    JSON ``null`` to SQL NULL (``json_type`` with a computed path
+    does too, where the constant-path variant returns ``'NULL'`` —
+    don't mix them).  Keys must be JSON-path-safe (no dots/quotes),
+    which this corpus guarantees."""
+    return f"""
+        WITH valid AS (
+            SELECT j FROM (SELECT {json_sql} AS j FROM ({rows_sql}))
+            WHERE json_valid(j)
+        )
+        SELECT u.k AS key,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN json_extract(j, '$.' || u.k) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM valid, UNNEST(json_keys(j)) AS u(k)
+        GROUP BY 1 ORDER BY key
+    """

@@ -1,0 +1,53 @@
+"""JSON metadata parsing: typed extraction, malformed accounting,
+key census (pii_spark/metadata.py)."""
+
+import pytest
+
+
+def test_with_metadata_typed_fields_and_corrupt_flag(spark):
+    from pii_spark.metadata import with_metadata
+
+    rows = [
+        ('{"url":"https://a.com/x","score":7,"nested":{"tokens":3}}',),
+        ('{"url":"https://b.com/y"}',),          # score/nested missing
+        ('{"url":"https://c.com/z", "score": ',),  # malformed
+        (None,),                                  # null input row
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = with_metadata(
+        df, "j", "url string, score bigint, nested struct<tokens: bigint>"
+    ).collect()
+    assert (out[0].meta_url, out[0].meta_score, out[0].meta_nested.tokens,
+            out[0].meta_valid) == ("https://a.com/x", 7, 3, True)
+    # missing fields are NULL but the row is valid (schema drift)
+    assert (out[1].meta_score, out[1].meta_nested, out[1].meta_valid) == (
+        None, None, True)
+    # malformed and null inputs: fields NULL, valid False — never a
+    # silent zero, never a dropped row
+    assert (out[2].meta_url, out[2].meta_valid) == (None, False)
+    assert (out[3].meta_url, out[3].meta_valid) == (None, False)
+    with pytest.raises(ValueError, match="_corrupt"):
+        with_metadata(df, "j", "_corrupt string")
+
+
+def test_with_metadata_prefix_and_original_columns(spark):
+    from pii_spark.metadata import with_metadata
+
+    df = spark.createDataFrame([(1, '{"a":"x"}')], "id long, j string")
+    row = with_metadata(df, "j", "a string", prefix="m_").collect()[0]
+    assert (row.id, row.j, row.m_a, row.m_valid) == (1, '{"a":"x"}', "x", True)
+
+
+def test_json_key_census_counts_and_null_detection(spark):
+    from pii_spark.metadata import json_key_census
+
+    rows = [
+        ('{"a":"x","b":null}',),
+        ('{"a":"y","c":[1,2],"d":{"k":1}}',),   # array/object values count as present
+        ('{"b":null}',),
+        ("broken {",),                           # malformed: excluded entirely
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {r.key: (r.n_docs, r.n_null) for r in json_key_census(df, "j").collect()}
+    assert got == {"a": (2, 0), "b": (2, 2), "c": (1, 0), "d": (1, 0)}

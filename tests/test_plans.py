@@ -823,3 +823,22 @@ def test_repo_function_overlap_joins_on_sha_only(spark):
     # pair generation is an equi-join on body_sha over the distinct
     # (repo, sha) projection — fixed-width rows, never body text
     assert re.search(r"Left keys \[1\]: \[body_sha", p)
+
+
+def test_metadata_rollup_single_parse_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_metadata_rollup(spark, SF_DIR))
+    assert count_python_nodes(p) == 0
+    assert "Join" not in p and "CartesianProduct" not in p
+    # ONE Jackson parse per row: a single from_json materializes every
+    # field (N get_json_object calls would re-parse N times)
+    assert p.count("from_json") == 1
+
+
+def test_json_key_census_single_agg_exchange_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_json_key_census(spark, SF_DIR))
+    assert count_python_nodes(p) == 0
+    assert "Join" not in p
