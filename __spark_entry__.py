@@ -3967,6 +3967,64 @@ def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gate-overlap ablation matrix over a defect-spliced corpus: each
+    # defect cycles on a different doc_id residue so gates co-fire on
+    # residue coincidences; autogen marker is a prefix (512-char
+    # window), the 1.1MB max_size splice also trips line-length —
+    # mirrored verbatim in SQL
+    from pii_spark.quality import filter_ablation
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.when(d % 11 == 0, F.lit("// DO NOT EDIT\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(d % 9 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("x"), 1200))
+               ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.repeat(F.lit("\nSAME LINE"), 30)
+               ).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("0123456789 "), 60))
+               ).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit("\nplease kill yourself now")
+               ).otherwise(F.lit("")),
+        F.when(d % 1000 == 137, F.repeat(F.lit("z"), 1100000)
+               ).otherwise(F.lit("")),
+    )
+    corpus = _docs(spark, sf_dir).select(content.alias("content"))
+    return filter_ablation(corpus, "content").orderBy("gate_a", "gate_b")
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intra-doc paragraph dedup over a corpus with planted repeats
+    # (p1 ¶ p2 ¶ p1, every 4th doc + ¶ p2): per-lang before/after
+    # char+paragraph counts plus a sha-prefix checksum certifying the
+    # exact cleaned text byte-for-byte
+    from pii_spark.dedup import dedup_paragraphs
+
+    d, sep = F.col("doc_id"), "\n\n"
+    p1 = F.substring("text", 1, 60)
+    p2 = F.substring("text", 61, 60)
+    before = F.concat_ws(sep, p1, p2, p1)
+    before = F.when(d % 4 == 0, F.concat(before, F.lit(sep), p2)).otherwise(before)
+    base = _docs(spark, sf_dir).select("lang", before.alias("text"))
+    cleaned = dedup_paragraphs(base, "text", sep=sep, out_col="clean")
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars_before"),
+            F.sum(F.length("clean")).alias("chars_after"),
+            F.sum(F.size(F.split("text", sep, -1))).alias("paras_before"),
+            F.sum(F.size(F.split("clean", sep, -1))).alias("paras_after"),
+            F.sum(
+                F.conv(F.substring(F.sha2(F.col("clean"), 256), 1, 8), 16, 10)
+                .cast("long")
+            ).alias("sha_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SentencePiece-style Viterbi segmentation of the corpus vocab
     # against the default scored piece lexicon — integer composite-cost
@@ -4034,6 +4092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_function_overlap": q_repo_function_overlap,
         "metadata_rollup": q_metadata_rollup,
         "json_key_census": q_json_key_census,
+        "filter_ablation": q_filter_ablation,
+        "para_dedup": q_para_dedup,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4247,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.quality import (
         calibration_sweep_oracle_sql,
+        filter_ablation_oracle_sql,
         function_dedup_oracle_sql,
         import_census_oracle_sql,
         repo_function_overlap_oracle_sql,
@@ -4311,6 +4372,68 @@ def oracle_sql() -> dict[str, str]:
         "json_key_census": json_key_census_oracle_sql(
             json_sql="j", rows_sql=_JSON_CORPUS_SQL,
         ),
+        "filter_ablation": filter_ablation_oracle_sql(
+            content_sql="""
+                CASE WHEN doc_id % 11 = 0 THEN '// DO NOT EDIT' || chr(10)
+                     ELSE '' END
+                || text
+                || CASE WHEN doc_id % 9 = 0 THEN chr(10) || repeat('x', 1200)
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN repeat(chr(10) || 'SAME LINE', 30) ELSE '' END
+                || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || repeat('0123456789 ', 60)
+                        ELSE '' END
+                || CASE WHEN doc_id % 23 = 0
+                        THEN chr(10) || 'please kill yourself now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 1000 = 137
+                        THEN repeat('z', 1100000) ELSE '' END
+            """,
+            rows_sql="SELECT doc_id, text FROM documents",
+        ),
+        # para_dedup: order-preserving intra-doc paragraph dedup —
+        # first-occurrence order rebuilt via MIN(ordinal) per distinct
+        # paragraph (DuckDB lacks WITH ORDINALITY; index via range())
+        "para_dedup": """
+            WITH src AS (
+                SELECT doc_id, lang,
+                       substr(text, 1, 60) || chr(10) || chr(10)
+                       || substr(text, 61, 60) || chr(10) || chr(10)
+                       || substr(text, 1, 60)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN chr(10) || chr(10) || substr(text, 61, 60)
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            ss AS (
+                SELECT doc_id, lang, text,
+                       string_split(text, chr(10) || chr(10)) AS l
+                FROM src
+            ),
+            firsts AS (
+                SELECT doc_id, lang, text, l[i] AS p, MIN(i) AS fi
+                FROM ss, UNNEST(range(1, len(l) + 1)) AS u(i)
+                GROUP BY doc_id, lang, text, l[i]
+            ),
+            cleaned AS (
+                SELECT doc_id, any_value(lang) AS lang,
+                       any_value(text) AS text,
+                       string_agg(p, chr(10) || chr(10) ORDER BY fi) AS clean
+                FROM firsts GROUP BY doc_id
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS chars_before,
+                   CAST(sum(length(clean)) AS BIGINT) AS chars_after,
+                   CAST(sum(len(string_split(text, chr(10) || chr(10))))
+                        AS BIGINT) AS paras_before,
+                   CAST(sum(len(string_split(clean, chr(10) || chr(10))))
+                        AS BIGINT) AS paras_after,
+                   CAST(sum(CAST('0x' || substr(sha256(clean), 1, 8)
+                                 AS BIGINT)) AS BIGINT) AS sha_sum
+            FROM cleaned GROUP BY lang ORDER BY lang
+        """,
         "token_pmi": token_pmi_oracle_sql(
             text_sql="text",
             rows_sql="SELECT text FROM documents",

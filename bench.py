@@ -268,6 +268,8 @@ def main() -> None:
         "repo_function_overlap",
         "metadata_rollup",
         "json_key_census",
+        "filter_ablation",
+        "para_dedup",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1821,3 +1821,34 @@ def _substring_cut(
         .select("_id", "_t", "ivs")
     )
     return joined.mapInPandas(cut, out_schema).withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# intra-document paragraph dedup (order-preserving)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove exact duplicate paragraphs WITHIN each document, keeping
+    the first occurrence in place — scraped pages repeat nav blocks /
+    footers / cookie banners several times per page, and cross-document
+    passes (:func:`remove_frequent_lines`, span dedup) only catch them
+    when they recur across the corpus.  Order-preserving: the output is
+    the original paragraph sequence minus later repeats.
+
+    Scale shape: ``array_distinct(split(...))`` is a single codegen'd
+    JVM expression per row (array_distinct keeps first occurrences in
+    order — pinned by test) — zero shuffle, zero Python, embarrassingly
+    parallel.  ``sep`` is a literal separator, regex-escaped before the
+    split; split keeps trailing empties (limit -1) so a trailing
+    separator round-trips.
+    """
+    import re as _re
+
+    out = out_col or text_col
+    paras = F.split(F.col(text_col), _re.escape(sep), -1)
+    return df.withColumn(out, F.array_join(F.array_distinct(paras), sep))

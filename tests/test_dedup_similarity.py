@@ -1292,3 +1292,27 @@ def test_substring_dedup_incremental_committed_partner_only(spark):
     assert got[2] == ("new headnew tail", len(block) + 2)
     assert got[3] == ("nothing shared here at all, stays intact", 0)
     assert 1 not in got  # committed snapshot is immutable and absent
+
+
+def test_dedup_paragraphs_order_sep_and_out_col(spark):
+    """First occurrence kept in place; regex metachars in sep are
+    escaped; trailing separator round-trips; out_col leaves source."""
+    from pii_spark.dedup import dedup_paragraphs
+
+    rows = [
+        ("B\n\nA\n\nC\n\nA\n\nB",),
+        ("solo",),
+        ("X\n\nX\n\n",),      # trailing sep -> trailing empty kept once
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.text for r in dedup_paragraphs(df, "text").collect()]
+    assert got == ["B\n\nA\n\nC", "solo", "X\n\n"]
+    # metachar separator must be literal, not a regex
+    df2 = spark.createDataFrame([("a|b|a|c",), ("x.y.x",)], "text string")
+    assert [r.o for r in dedup_paragraphs(df2, "text", sep="|", out_col="o").collect()] == [
+        "a|b|c", "x.y.x"]
+    assert [r.o for r in dedup_paragraphs(df2, "text", sep=".", out_col="o").collect()] == [
+        "a|b|a|c", "x.y"]
+    # out_col preserves the original column
+    row = dedup_paragraphs(df2, "text", sep="|", out_col="o").collect()[0]
+    assert row.text == "a|b|a|c"

@@ -842,3 +842,27 @@ def test_json_key_census_single_agg_exchange_no_python(spark):
     p = plan(E.q_json_key_census(spark, SF_DIR))
     assert count_python_nodes(p) == 0
     assert "Join" not in p
+
+
+def test_filter_ablation_one_agg_pass_no_python(spark):
+    from pii_spark.quality import filter_ablation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(filter_ablation(docs, "content"))
+    # the whole matrix is ONE map-side-combining aggregate: no grid
+    # join, no second scan, zero Python, one (1-row) exchange
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_dedup_paragraphs_rowlocal_zero_shuffle(spark):
+    from pii_spark.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(dedup_paragraphs(docs, "text"))
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0
