@@ -3994,6 +3994,29 @@ def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_ablation(corpus, "content").orderBy("gate_a", "gate_b")
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-defined chunk dedup: five shared ~300-char blocks are
+    # spliced at offsets that VARY per doc (prefix length cycles mod
+    # 37), so fixed-stride spans would never line up but CDC's
+    # content-keyed boundaries re-find the identical interior chunks
+    from pii_spark.dedup import cdc_dedup
+
+    d = F.col("doc_id")
+    shared = F.repeat(
+        F.concat(F.lit("shared sentence "), (d % 5).cast("string"),
+                 F.lit(" of the common block. ")),
+        8,
+    )
+    text2 = F.concat(
+        F.expr("substring(text, 1, CAST(40 + doc_id % 37 AS INT))"),
+        F.lit(" "), shared, F.lit(" "), F.col("text"),
+    )
+    corpus = _docs(spark, sf_dir).select(d.alias("id"), text2.alias("text"))
+    return cdc_dedup(corpus, "id", "text", w=16, divisor=64).orderBy(
+        "chunk_sha"
+    )
+
+
 def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intra-doc paragraph dedup over a corpus with planted repeats
     # (p1 ¶ p2 ¶ p1, every 4th doc + ¶ p2): per-lang before/after
@@ -4094,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_census": q_json_key_census,
         "filter_ablation": q_filter_ablation,
         "para_dedup": q_para_dedup,
+        "cdc_dedup": q_cdc_dedup,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4392,6 +4416,48 @@ def oracle_sql() -> dict[str, str]:
             """,
             rows_sql="SELECT doc_id, text FROM documents",
         ),
+        # cdc_dedup: stateless content-defined chunking — boundary at
+        # char i iff first-8-hex(md5(w-gram ending at i)) % divisor
+        # == 0; chunks between consecutive boundaries (+ sentinels),
+        # census on sha256(chunk)
+        "cdc_dedup": """
+            WITH src AS (
+                SELECT doc_id AS id,
+                       substr(text, 1, CAST(40 + doc_id % 37 AS INT))
+                       || ' '
+                       || repeat('shared sentence ' || (doc_id % 5)::VARCHAR
+                                 || ' of the common block. ', 8)
+                       || ' ' || text AS text
+                FROM documents
+            ),
+            pos AS (
+                SELECT s.id, u.i
+                FROM src s, UNNEST(range(16, length(s.text) + 1)) AS u(i)
+                WHERE CAST('0x' || substr(md5(substr(s.text, u.i - 15, 16)),
+                                          1, 8) AS BIGINT) % 64 = 0
+            ),
+            b AS (
+                SELECT id, i FROM pos
+                UNION SELECT id, 0 FROM src
+                UNION SELECT id, length(text) FROM src
+            ),
+            iv AS (
+                SELECT id, i AS e,
+                       lag(i) OVER (PARTITION BY id ORDER BY i) AS s
+                FROM b
+            ),
+            chunks AS (
+                SELECT iv.id, substr(src.text, iv.s + 1, iv.e - iv.s) AS chunk
+                FROM iv JOIN src ON src.id = iv.id
+                WHERE iv.s IS NOT NULL
+            )
+            SELECT sha256(chunk) AS chunk_sha,
+                   CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+            FROM chunks GROUP BY 1
+            HAVING count(*) >= 2 ORDER BY chunk_sha
+        """,
         # para_dedup: order-preserving intra-doc paragraph dedup —
         # first-occurrence order rebuilt via MIN(ordinal) per distinct
         # paragraph (DuckDB lacks WITH ORDINALITY; index via range())

@@ -270,6 +270,7 @@ def main() -> None:
         "json_key_census",
         "filter_ablation",
         "para_dedup",
+        "cdc_dedup",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
@@ -309,6 +310,29 @@ def main() -> None:
                     _docs_c, _bench_c, "doc_id", "text", bench_text_col="text",
                     k=25, w=16, min_shared=2,
                 )
+            ),
+            passes=3,
+        )
+
+    # cdc_dedup's driver query runs the portable-md5 boundary mode
+    # (DuckDB-verifiable, O(n·w) JVM md5 scan); time the vectorized
+    # gear-hash production path over the same spliced corpus too
+    if not only or "cdc_dedup_gear" in only:
+        _d = F.col("doc_id")
+        _shared = F.repeat(
+            F.concat(F.lit("shared sentence "), (_d % 5).cast("string"),
+                     F.lit(" of the common block. ")), 8)
+        _t2 = F.concat(
+            F.expr("substring(text, 1, CAST(40 + doc_id % 37 AS INT))"),
+            F.lit(" "), _shared, F.lit(" "), F.col("text"))
+        _corpus = E._docs(spark, sf_dir).select(_d.alias("id"), _t2.alias("text"))
+        timed(
+            "cdc_dedup_gear",
+            lambda: _force(
+                _dedup.cdc_chunks_gear(_corpus, "id", "text", w=16, divisor=64)
+                .groupBy("chunk_sha")
+                .agg(F.count(F.lit(1)).alias("n_copies"))
+                .filter(F.col("n_copies") >= 2)
             ),
             passes=3,
         )

@@ -1852,3 +1852,192 @@ def dedup_paragraphs(
     out = out_col or text_col
     paras = F.split(F.col(text_col), _re.escape(sep), -1)
     return df.withColumn(out, F.array_join(F.array_distinct(paras), sep))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+def cdc_boundary_positions_col(text, w: int = 16, divisor: int = 64):
+    """Stateless content-defined chunk boundaries: position ``i`` (1-
+    based, ``w ≤ i ≤ len``) is a boundary iff the hash of the w-gram
+    ENDING at ``i`` is ≡ 0 (mod ``divisor``).  Hash = first 8 md5 hex
+    digits as an integer — the portable form every DuckDB oracle in
+    this repo replays bit-for-bit.  Pure JVM (sequence → transform →
+    filter higher-order functions); expected chunk length ≈ divisor.
+
+    Stateless by design: no min/max chunk clamps, so a boundary
+    depends only on its local w bytes — that is what makes chunking
+    SHIFT-ROBUST (an insertion re-chunks only the window it touches,
+    unlike fixed-stride spans where everything downstream shifts) and
+    exactly SQL-replayable.  The production gear path
+    (:func:`cdc_chunks_gear`) notes where a max-length clamp would go.
+    """
+    n = F.length(text)
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring(text, i - (w - 1), w)), 1, 8), 16, 10
+    ).cast("long")
+    return F.filter(
+        F.sequence(F.lit(w), n),
+        lambda i: gram_hash(i) % divisor == 0,
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Explode each document into content-defined chunks: substrings
+    between consecutive boundaries of
+    :func:`cdc_boundary_positions_col` (plus the start/end sentinels).
+    Emits ``id, chunk_idx, chunk_len, chunk_sha`` — the chunk TEXT is
+    hashed and dropped before any downstream exchange.
+
+    Scale shape: boundary detection + slicing + hashing are one fused
+    JVM projection per row (zero Python, zero shuffle) — the md5-per-
+    position cost is O(n·w) like the winnowing scan in this module;
+    consumers aggregate on ``chunk_sha`` (fixed-width rows).  A doc
+    with no eligible position is one whole-doc chunk — at fleet scale
+    the gear path's max-length clamp bounds that tail.
+    """
+    bounds = F.array_distinct(
+        F.concat(
+            F.array(F.lit(0)),
+            cdc_boundary_positions_col(F.col(text_col), w, divisor),
+            F.array(F.length(F.col(text_col))),
+        )
+    )
+    # zip consecutive bounds -> (start, end) -> substring slices
+    starts = F.slice(bounds, 1, F.size(bounds) - 1)
+    ends = F.slice(bounds, 2, F.size(bounds) - 1)
+    chunks = F.zip_with(
+        starts, ends,
+        lambda a, b: F.substring(F.col(text_col), a + 1, b - a),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    return out.select(
+        "id",
+        "chunk_idx",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+    )
+
+
+def cdc_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 16,
+    divisor: int = 64,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Cross-document CDC chunk-duplicate census: chunks appearing ≥
+    ``min_copies`` times, with fan-out.  Emits ``chunk_sha, chunk_len,
+    n_copies, n_docs``.  The storage-dedup shape: shared regions
+    surface as identical interior chunks even when their byte offsets
+    differ between documents (which defeats fixed-stride
+    ``span_dedup``).  One sha-keyed aggregate; text never shuffles.
+    """
+    ch = cdc_chunks(df, id_col, text_col, w, divisor)
+    return (
+        ch.groupBy("chunk_sha")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") >= int(min_copies))
+    )
+
+
+#: deterministic 256-entry gear table (splitmix64 over the byte value —
+#: reproducible everywhere, no RNG state).
+def _gear_table() -> np.ndarray:
+    x = (np.arange(256, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)) \
+        * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def cdc_gear_boundaries_py(data: bytes, w: int = 16, divisor: int = 64) -> list:
+    """Reference gear-hash boundary finder (same stateless contract as
+    the md5 mode, different hash): position i is a boundary iff
+    gear_hash(window ending at i) % divisor == 0, where gear_hash =
+    Σ_j table[b_{i-j}] << j  (mod 2⁶⁴)."""
+    g = _gear_table()
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(w, len(data) + 1):
+        h = 0
+        for j, b in enumerate(data[i - w: i]):
+            h = (h + (int(g[b]) << (w - 1 - j))) & mask  # wrap mod 2^64
+        if h % divisor == 0:
+            out.append(i)
+    return out
+
+
+def cdc_chunks_gear(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Production CDC path: vectorized gear hash over Arrow batches —
+    the rolling window is a (n-w+1, w) byte matrix times a power-of-two
+    weight vector, computed as wrapping uint64 elementwise multiply +
+    sum (numpy's mod-2⁶⁴ overflow IS the gear modulus), so the scan is
+    O(n·w) vector ops with no per-char Python loop.  Same stateless
+    boundary contract as :func:`cdc_chunks` under a different hash;
+    emits ``id, chunk_idx, chunk_len, chunk_sha`` (sha256 of the chunk
+    BYTES).  A fleet deployment would add a max-length clamp here
+    (stateful, cheap in this already-sequential slicer) to bound the
+    no-boundary tail; omitted to keep the two modes contract-identical.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    gear = _gear_table()
+    pows = (np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64))
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk_len", LongType()),
+        StructField("chunk_sha", StringType()),
+    ])
+
+    def _chunks(batches):
+        for pdf in batches:
+            ids, idxs, lens, shas = [], [], [], []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                if n >= w:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    wins = np.lib.stride_tricks.sliding_window_view(arr, w)
+                    h = (gear[wins] * pows).sum(axis=1, dtype=np.uint64)
+                    pos = (np.nonzero(h % np.uint64(divisor) == 0)[0] + w)
+                else:
+                    pos = np.empty(0, dtype=np.int64)
+                bounds = np.unique(np.concatenate(([0], pos, [n])))
+                for k in range(len(bounds) - 1):
+                    piece = data[bounds[k]: bounds[k + 1]]
+                    ids.append(did)
+                    idxs.append(k)
+                    lens.append(len(piece))
+                    shas.append(hashlib.sha256(piece).hexdigest())
+            yield pd.DataFrame(
+                {"id": ids, "chunk_idx": idxs, "chunk_len": lens,
+                 "chunk_sha": shas}
+            )
+
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(_chunks, schema=schema)

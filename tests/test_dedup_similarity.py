@@ -1316,3 +1316,79 @@ def test_dedup_paragraphs_order_sep_and_out_col(spark):
     # out_col preserves the original column
     row = dedup_paragraphs(df2, "text", sep="|", out_col="o").collect()[0]
     assert row.text == "a|b|a|c"
+
+
+def test_cdc_chunks_partition_text_exactly(spark):
+    from pii_spark.dedup import cdc_chunks
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "short",                       # < w: one whole-doc chunk
+        "x" * 200,                     # degenerate repeat
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    rows = cdc_chunks(df, "id", "text", w=16, divisor=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for i, t in enumerate(texts):
+        got = sorted(by_id[i], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in got] == list(range(len(got)))
+        assert sum(r.chunk_len for r in got) == len(t)  # exact partition
+    assert len(by_id[1]) == 1  # sub-window doc = single chunk
+
+
+def test_cdc_shift_robustness_interior_chunks_survive_prefix(spark):
+    """THE content-defined property: inserting a prefix re-chunks only
+    the splice neighbourhood — interior chunks of the common region
+    keep their hashes, where fixed-stride spans would all shift."""
+    from pii_spark.dedup import cdc_chunks
+
+    # non-periodic body: a periodic one has only |period| distinct
+    # windows and can (15% at divisor=32) contain no boundary at all
+    body = " ".join(f"word{i} tok{i * 7} item{i * i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, body), (2, "UNRELATED-PREFIX-OF-ODD-LENGTH!! " + body)],
+        "id long, text string",
+    )
+    rows = cdc_chunks(df, "id", "text", w=16, divisor=32).collect()
+    shas = {1: set(), 2: set()}
+    for r in rows:
+        shas[r.id].add(r.chunk_sha)
+    shared = shas[1] & shas[2]
+    # most of doc 1's chunks reappear in doc 2 despite the offset shift
+    assert len(shared) >= max(2, len(shas[1]) - 2)
+
+
+def test_cdc_dedup_census_counts(spark):
+    from pii_spark.dedup import cdc_dedup
+
+    blk = "please deduplicate this very block of recurring text. " * 6
+    df = spark.createDataFrame(
+        [(1, "aaa " + blk), (2, "bb " + blk), (3, "totally different words")],
+        "id long, text string",
+    )
+    out = cdc_dedup(df, "id", "text", w=16, divisor=32).collect()
+    assert out, "planted shared block must yield duplicated chunks"
+    assert all(r.n_copies >= 2 for r in out)
+    assert any(r.n_docs == 2 for r in out)
+
+
+def test_cdc_gear_matches_reference_and_partitions_bytes(spark):
+    from pii_spark.dedup import cdc_chunks_gear, cdc_gear_boundaries_py
+    import hashlib as _hl
+    import numpy as _np
+
+    text = "gear hashed content defined chunking test " * 12 + "héllo ünïcode"
+    df = spark.createDataFrame([(7, text)], "id long, text string")
+    rows = sorted(cdc_chunks_gear(df, "id", "text", w=16, divisor=32).collect(),
+                  key=lambda r: r.chunk_idx)
+    data = text.encode("utf-8")
+    # reference boundary finder -> reference chunks
+    pos = cdc_gear_boundaries_py(data, w=16, divisor=32)
+    bounds = sorted(set([0] + pos + [len(data)]))
+    want = [data[bounds[k]:bounds[k + 1]] for k in range(len(bounds) - 1)]
+    assert [r.chunk_len for r in rows] == [len(c) for c in want]
+    assert [r.chunk_sha for r in rows] == [_hl.sha256(c).hexdigest() for c in want]
+    assert sum(r.chunk_len for r in rows) == len(data)  # byte partition

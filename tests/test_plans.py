@@ -866,3 +866,18 @@ def test_dedup_paragraphs_rowlocal_zero_shuffle(spark):
     p = plan(dedup_paragraphs(docs, "text"))
     assert "Exchange" not in p
     assert count_python_nodes(p) == 0
+
+
+def test_cdc_chunks_fused_scan_and_census_sha_keyed(spark):
+    from pii_spark.dedup import cdc_chunks, cdc_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(cdc_chunks(docs, "doc_id", "text"))
+    # boundary detection + slicing + hashing fused into the scan
+    assert "Exchange" not in p
+    assert count_python_nodes(p) == 0
+    p2 = plan(cdc_dedup(docs, "doc_id", "text"))
+    assert count_python_nodes(p2) == 0
+    assert "Join" not in p2
+    # census exchange carries (sha, len, id) — never chunk text
+    assert "chunk_sha" in p2
