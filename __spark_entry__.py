@@ -3967,6 +3967,34 @@ def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+def q_record_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC-shaped container unpack: every doc carries a response record
+    # (Content-Length mismatched on d%7==0 — the truncated-fetch
+    # detector must flag it), a metadata record, and (d%3==0) a
+    # header-only record with no blank line (empty body) — mirrored
+    # verbatim in SQL
+    from pii_spark.metadata import record_unpack
+
+    d = F.col("doc_id")
+    body1 = F.expr("substring(text, 1, CAST(50 + doc_id % 13 AS INT))")
+    len1 = (F.length(body1) + F.when(d % 7 == 0, 1).otherwise(0))
+    rec1 = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nContent-Type: text/html\n"
+              "Content-Length: "),
+        len1.cast("string"), F.lit("\n\n"), body1,
+    )
+    body2 = F.concat(F.lit('{"k":'), (d % 9).cast("string"), F.lit("}"))
+    rec2 = F.concat(
+        F.lit("WARC-Type: metadata\nContent-Type: application/json\n"
+              "Content-Length: "),
+        F.length(body2).cast("string"), F.lit("\n\n"), body2,
+    )
+    rec3 = F.when(d % 3 == 0, F.lit("WARC-Type: request\nContent-Type: none"))
+    blob = F.concat_ws("\n---RECORD---\n", rec1, rec2, rec3)
+    corpus = _docs(spark, sf_dir).select(d.alias("id"), blob.alias("blob"))
+    return record_unpack(corpus, "id", "blob").orderBy("id", "record_idx")
+
+
 def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate-overlap ablation matrix over a defect-spliced corpus: each
     # defect cycles on a different doc_id residue so gates co-fire on
@@ -4118,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ablation": q_filter_ablation,
         "para_dedup": q_para_dedup,
         "cdc_dedup": q_cdc_dedup,
+        "record_unpack": q_record_unpack,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4328,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.metadata import (
         json_key_census_oracle_sql,
         metadata_rollup_oracle_sql,
+        record_unpack_oracle_sql,
     )
     from pii_spark.quality import (
         calibration_sweep_oracle_sql,
@@ -4395,6 +4425,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_key_census": json_key_census_oracle_sql(
             json_sql="j", rows_sql=_JSON_CORPUS_SQL,
+        ),
+        "record_unpack": record_unpack_oracle_sql(
+            id_sql="doc_id",
+            blob_sql="""
+                concat_ws(chr(10) || '---RECORD---' || chr(10),
+                    'WARC/1.0' || chr(10) || 'WARC-Type: response'
+                    || chr(10) || 'Content-Type: text/html'
+                    || chr(10) || 'Content-Length: '
+                    || (length(substr(text, 1,
+                                      CAST(50 + doc_id % 13 AS INT)))
+                        + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                       )::VARCHAR
+                    || chr(10) || chr(10)
+                    || substr(text, 1, CAST(50 + doc_id % 13 AS INT)),
+                    'WARC-Type: metadata' || chr(10)
+                    || 'Content-Type: application/json' || chr(10)
+                    || 'Content-Length: '
+                    || length('{"k":' || (doc_id % 9)::VARCHAR || '}')::VARCHAR
+                    || chr(10) || chr(10)
+                    || '{"k":' || (doc_id % 9)::VARCHAR || '}',
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'WARC-Type: request' || chr(10)
+                              || 'Content-Type: none' END
+                )
+            """,
+            rows_sql="SELECT doc_id, text FROM documents",
         ),
         "filter_ablation": filter_ablation_oracle_sql(
             content_sql="""

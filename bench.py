@@ -271,6 +271,7 @@ def main() -> None:
         "filter_ablation",
         "para_dedup",
         "cdc_dedup",
+        "record_unpack",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

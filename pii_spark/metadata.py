@@ -197,3 +197,120 @@ def json_key_census_oracle_sql(json_sql: str, rows_sql: str) -> str:
         FROM valid, UNNEST(json_keys(j)) AS u(k)
         GROUP BY 1 ORDER BY key
     """
+
+
+# ---------------------------------------------------------------------------
+# multi-record container unpack (WARC-shaped ingest)
+# ---------------------------------------------------------------------------
+
+def record_unpack(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    record_sep: str = "\n---RECORD---\n",
+    type_header: str = "WARC-Type",
+    ctype_header: str = "Content-Type",
+    length_header: str = "Content-Length",
+) -> DataFrame:
+    """Unpack a crawl-container blob (WARC-shaped: records separated by
+    ``record_sep``, each record = header lines then a blank line then
+    the body) into one row per record with parsed headers and a body
+    digest: ``id, record_idx, rec_type, content_type, declared_len,
+    body_len, len_ok, body_sha``.  ``len_ok`` cross-checks the
+    declared Content-Length against the actual body — the standard
+    truncated-fetch detector.  A record with no blank line has an
+    empty body (header-only records).
+
+    Scale shape: split + posexplode + header regexes + sha are one
+    fused JVM projection (zero Python); the body text exists only
+    inside the projection — consumers get its sha/length, so nothing
+    document-sized shuffles.  At real scale the container file maps
+    1:1 to this operator via ``spark.read.text`` with a custom line
+    separator (``option("lineSep", record_sep)``), keeping records
+    splittable across executors.
+    """
+    import re as _re
+
+    rec = F.posexplode(
+        F.split(F.col(blob_col), _re.escape(record_sep), -1)
+    )
+    recs = df.select(F.col(id_col).alias("id"), rec.alias("record_idx", "rec"))
+    head = F.substring_index(F.col("rec"), "\n\n", 1)
+    # body starts after head + the two newlines; substring past the end
+    # yields '' in both Spark and DuckDB, so header-only records get ''
+    body = F.expr("substring(rec, length(substring_index(rec, '\\n\\n', 1)) + 3)")
+
+    def hdr(name: str) -> Column:
+        return F.regexp_extract(head, f"(?m)^{_re.escape(name)}: (.*)$", 1)
+
+    # regexp_extract yields '' on a missing header; ANSI mode refuses
+    # ''::long, so gate the cast (NULL declared_len for absent headers)
+    declared = F.when(
+        hdr(length_header).rlike("^[0-9]+$"), hdr(length_header)
+    ).cast("long")
+    return recs.select(
+        "id",
+        F.col("record_idx").cast("long").alias("record_idx"),
+        hdr(type_header).alias("rec_type"),
+        hdr(ctype_header).alias("content_type"),
+        declared.alias("declared_len"),
+        F.length(body).cast("long").alias("body_len"),
+        (declared == F.length(body)).alias("len_ok"),
+        F.sha2(body, 256).alias("body_sha"),
+    )
+
+
+def record_unpack_oracle_sql(
+    id_sql: str,
+    blob_sql: str,
+    rows_sql: str,
+    record_sep: str = "\n---RECORD---\n",
+) -> str:
+    """DuckDB replay of :func:`record_unpack` — same split (index via
+    range() over the record list), same header regexes, same
+    past-the-end-substr empty-body convention."""
+    # build the separator as a SQL expression chunk by chunk (newlines
+    # cannot appear raw inside a quoted literal reliably)
+    parts, buf = [], ""
+    for c in record_sep:
+        if c == "\n":
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append("chr(10)")
+        else:
+            buf += c
+    if buf:
+        parts.append(f"'{buf}'")
+    sep_sql = " || ".join(parts)
+    return f"""
+        WITH src AS (
+            SELECT {id_sql} AS id,
+                   string_split({blob_sql}, {sep_sql}) AS recs
+            FROM ({rows_sql})
+        ),
+        r AS (
+            SELECT id, u.i - 1 AS record_idx, recs[u.i] AS rec
+            FROM src, UNNEST(range(1, len(recs) + 1)) AS u(i)
+        ),
+        p AS (
+            SELECT id, record_idx,
+                   split_part(rec, chr(10) || chr(10), 1) AS head,
+                   substr(rec,
+                          length(split_part(rec, chr(10) || chr(10), 1)) + 3)
+                       AS body
+            FROM r
+        )
+        SELECT id,
+               CAST(record_idx AS BIGINT) AS record_idx,
+               regexp_extract(head, '(?m)^WARC-Type: (.*)$', 1) AS rec_type,
+               regexp_extract(head, '(?m)^Content-Type: (.*)$', 1)
+                   AS content_type,
+               TRY_CAST(regexp_extract(head, '(?m)^Content-Length: (.*)$', 1)
+                        AS BIGINT) AS declared_len,
+               CAST(length(body) AS BIGINT) AS body_len,
+               TRY_CAST(regexp_extract(head, '(?m)^Content-Length: (.*)$', 1)
+                        AS BIGINT) = length(body) AS len_ok,
+               sha256(body) AS body_sha
+        FROM p ORDER BY id, record_idx
+    """

@@ -51,3 +51,40 @@ def test_json_key_census_counts_and_null_detection(spark):
     df = spark.createDataFrame(rows, "j string")
     got = {r.key: (r.n_docs, r.n_null) for r in json_key_census(df, "j").collect()}
     assert got == {"a": (2, 0), "b": (2, 2), "c": (1, 0), "d": (1, 0)}
+
+
+def test_record_unpack_headers_bodies_and_len_check(spark):
+    from pii_spark.metadata import record_unpack
+    import hashlib
+
+    body = "hello <b>world</b>"
+    blob = (
+        "WARC/1.0\nWARC-Type: response\nContent-Type: text/html\n"
+        f"Content-Length: {len(body)}\n\n{body}"
+        "\n---RECORD---\n"
+        "WARC-Type: metadata\nContent-Length: 99\n\nshort"   # mismatch
+        "\n---RECORD---\n"
+        "WARC-Type: request\nContent-Type: none"              # header-only
+    )
+    df = spark.createDataFrame([(1, blob)], "id long, blob string")
+    rows = sorted(record_unpack(df, "id", "blob").collect(),
+                  key=lambda r: r.record_idx)
+    r0, r1, r2 = rows
+    assert (r0.rec_type, r0.content_type, r0.declared_len, r0.body_len,
+            r0.len_ok) == ("response", "text/html", len(body), len(body), True)
+    assert r0.body_sha == hashlib.sha256(body.encode()).hexdigest()
+    # declared 99 vs actual 5 — the truncated-fetch detector fires
+    assert (r1.declared_len, r1.body_len, r1.len_ok) == (99, 5, False)
+    # header-only record: empty body, NULL declared length and len_ok
+    assert (r2.rec_type, r2.content_type) == ("request", "none")
+    assert (r2.declared_len, r2.body_len, r2.len_ok) == (None, 0, None)
+    assert r2.body_sha == hashlib.sha256(b"").hexdigest()
+
+
+def test_record_unpack_body_may_contain_blank_lines(spark):
+    from pii_spark.metadata import record_unpack
+
+    blob = "WARC-Type: x\n\npara one\n\npara two"
+    df = spark.createDataFrame([(1, blob)], "id long, blob string")
+    r = record_unpack(df, "id", "blob").collect()[0]
+    assert r.body_len == len("para one\n\npara two")

@@ -881,3 +881,11 @@ def test_cdc_chunks_fused_scan_and_census_sha_keyed(spark):
     assert "Join" not in p2
     # census exchange carries (sha, len, id) — never chunk text
     assert "chunk_sha" in p2
+
+
+def test_record_unpack_fused_projection_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.q_record_unpack(spark, SF_DIR))
+    assert count_python_nodes(p) == 0
+    assert "Join" not in p
