@@ -4112,6 +4112,114 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+
+def _cnorm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # comment-variant code corpus: bodies cycle on (parity, d%40, d%7)
+    # so each normalized body recurs corpus-wide, while comments /
+    # trailing whitespace / blank lines cycle on independent residues
+    # (d%9 copyright year, d%3 block comment, d%4 rev, d%5 trailing
+    # spaces, d%6 blank line) — raw shas differ inside every normalized
+    # cluster, the signal exact dedup cannot see.  Mirrored verbatim in
+    # _CNORM_CORPUS_SQL.
+    d = F.col("doc_id")
+    trail = F.when(d % 5 == 0, F.lit("  ")).otherwise(F.lit(""))
+    slash = F.concat_ws(
+        "\n",
+        F.concat(F.lit("// copyright 20"), (d % 9).cast("string")),
+        F.concat(F.lit("int f"), (d % 40).cast("string"), F.lit("() {")),
+        F.concat(F.lit("    return "), (d % 7).cast("string"), F.lit(";"), trail),
+        F.lit("}"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("/* rev\n "), (d % 4).cast("string"), F.lit(" */"))),
+        F.when(d % 6 == 0, F.lit("")),
+    )
+    hashc = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# note "), (d % 9).cast("string")),
+        F.concat(F.lit("def f"), (d % 40).cast("string"), F.lit("():")),
+        F.concat(F.lit("    return "), (d % 7).cast("string"), trail),
+    )
+    return _docs(spark, sf_dir).select(
+        d.alias("id"),
+        F.when(d % 2 == 0, slash).otherwise(hashc).alias("content"),
+        F.when(d % 2 == 0, F.lit("slash")).otherwise(F.lit("hash")).alias("fam"),
+    )
+
+
+_CNORM_CORPUS_SQL = """
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN concat_ws(chr(10),
+               '// copyright 20' || (doc_id % 9)::VARCHAR,
+               'int f' || (doc_id % 40)::VARCHAR || '() {',
+               '    return ' || (doc_id % 7)::VARCHAR || ';'
+                   || CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END,
+               '}',
+               CASE WHEN doc_id % 3 = 0
+                    THEN '/* rev' || chr(10) || ' '
+                         || (doc_id % 4)::VARCHAR || ' */' END,
+               CASE WHEN doc_id % 6 = 0 THEN '' END)
+           ELSE concat_ws(chr(10),
+               '# note ' || (doc_id % 9)::VARCHAR,
+               'def f' || (doc_id % 40)::VARCHAR || '():',
+               '    return ' || (doc_id % 7)::VARCHAR
+                   || CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END)
+           END AS content,
+           CASE WHEN doc_id % 2 = 0 THEN 'slash' ELSE 'hash' END AS fam
+    FROM documents
+"""
+
+
+def q_comment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # comment/whitespace-insensitive exact dedup: clusters byte-distinct
+    # files that are identical once comments + trailing ws + blank
+    # lines are stripped — license-header/copyright-year variants.
+    # comment_only=true rows are exactly the dups a raw-sha pass misses.
+    from pii_spark.dedup import comment_insensitive_dedup
+
+    return comment_insensitive_dedup(
+        _cnorm_corpus(spark, sf_dir), "id", "content", "fam", min_copies=2
+    ).orderBy("norm_sha")
+
+
+def _brace_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brace-structure corpus: nested wrap depth cycles d%6, every 13th
+    # doc leaks an unclosed '{', every 17th closes before it opens —
+    # the truncated/corrupt shapes the balance gate must flag.
+    # Mirrored verbatim in _BRACE_CORPUS_SQL.
+    d = F.col("doc_id")
+    content = F.concat(
+        F.when(d % 17 == 0, F.lit("}")).otherwise(F.lit("")),
+        F.expr("repeat('{', CAST(doc_id % 6 AS INT))"),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 30),
+        F.lit(" "),
+        F.expr("repeat('}', CAST(doc_id % 6 AS INT))"),
+        F.when(d % 13 == 0, F.lit("{")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(content.alias("content"))
+
+
+_BRACE_CORPUS_SQL = """
+    SELECT CASE WHEN doc_id % 17 = 0 THEN '}' ELSE '' END
+           || repeat('{', CAST(doc_id % 6 AS INT))
+           || ' ' || substr(text, 1, 30) || ' '
+           || repeat('}', CAST(doc_id % 6 AS INT))
+           || CASE WHEN doc_id % 13 = 0 THEN '{' ELSE '' END AS content
+    FROM documents
+"""
+
+
+def q_brace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # syntax-sanity census: max {}-nesting depth histogram + unbalanced
+    # (truncated/corrupt) file counts per depth bucket — one pure-JVM
+    # fold, domain-bounded output
+    from pii_spark.quality import brace_nesting_audit
+
+    return brace_nesting_audit(
+        _brace_corpus(spark, sf_dir), "content"
+    ).orderBy("max_depth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -4147,6 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "cdc_dedup": q_cdc_dedup,
         "record_unpack": q_record_unpack,
+        "comment_dedup": q_comment_dedup,
+        "brace_audit": q_brace_audit,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4312,6 +4422,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
+    from pii_spark.dedup import comment_insensitive_oracle_sql
+    from pii_spark.quality import brace_nesting_oracle_sql
 
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
@@ -4472,7 +4584,19 @@ def oracle_sql() -> dict[str, str]:
             """,
             rows_sql="SELECT doc_id, text FROM documents",
         ),
-        # cdc_dedup: stateless content-defined chunking — boundary at
+
+        "comment_dedup": comment_insensitive_oracle_sql(
+            id_sql="id",
+            content_sql="content",
+            family_sql="fam",
+            rows_sql=_CNORM_CORPUS_SQL,
+            min_copies=2,
+        ),
+        "brace_audit": brace_nesting_oracle_sql(
+            content_sql="content",
+            rows_sql=_BRACE_CORPUS_SQL,
+        ),
+       # cdc_dedup: stateless content-defined chunking — boundary at
         # char i iff first-8-hex(md5(w-gram ending at i)) % divisor
         # == 0; chunks between consecutive boundaries (+ sentinels),
         # census on sha256(chunk)

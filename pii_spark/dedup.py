@@ -2041,3 +2041,141 @@ def cdc_chunks_gear(
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(text_col).alias("text"))
     return src.mapInPandas(_chunks, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# comment-insensitive exact dedup (code-corpus normalizer)
+# ---------------------------------------------------------------------------
+
+#: comment-stripping regexes per comment family.  RE2-safe by
+#: construction (no lookaround, no backrefs) so the DuckDB oracle runs
+#: the *same* pattern: block comments use the classic unambiguous
+#: `/* ([^*] | *+[^*/])* *+ /` form; line comments eat to end-of-line.
+#: Known approximation (documented, shared by both engines): comment
+#: markers inside string literals are stripped too — a lexer would be
+#: needed for exactness, and CCNet-grade normalizers accept this.
+COMMENT_STRIP_RES: dict[str, list[str]] = {
+    "slash": [r"/\*([^*]|\*+[^*/])*\*+/", r"//[^\n]*"],
+    "hash": [r"#[^\n]*"],
+    "dash": [r"--[^\n]*"],
+}
+
+
+def comment_normalized_col(content: Column, family: str) -> Column:
+    """``content`` with the family's comments stripped, every line
+    right-trimmed, and blank lines dropped — a pure Column expression
+    (regexp_replace + split/transform/filter/array_join), zero Python.
+    """
+    out = content
+    for pat in COMMENT_STRIP_RES[family]:
+        out = F.regexp_replace(out, pat, "")
+    lines = F.transform(F.split(out, "\n", -1), lambda l: F.rtrim(l))
+    return F.array_join(F.filter(lines, lambda l: l != ""), "\n")
+
+
+def comment_insensitive_dedup(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    family_col: str,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Exact dedup on comment/whitespace-NORMALIZED content: clusters of
+    files that are byte-distinct but identical once comments, trailing
+    whitespace, and blank lines are removed — the license-header /
+    copyright-year / doc-tweak variants a raw sha pass keeps as
+    "distinct".  Emits per-cluster ``norm_sha, n_files, n_raw_shas,
+    keep_id, comment_only`` (``comment_only`` = the cluster holds >1
+    distinct raw sha, i.e. the dup was INVISIBLE to exact dedup) for
+    clusters of ≥ ``min_copies`` files.
+
+    ``family_col`` holds the comment family per row ('slash' | 'hash' |
+    'dash'); unknown families pass through un-stripped (still
+    whitespace-normalized).
+
+    Scale shape: normalization + both hashes fuse into the scan
+    (codegen, zero Python); the exchange carries (norm_sha, raw_sha,
+    id) — fixed-width rows, the text never shuffles; the census is one
+    sha-keyed aggregate with map-side partials.  Identical shape to the
+    exact-dedup path at 10¹² files, paying only ~3 regex passes more
+    per row map-side.
+    """
+    content = F.col(content_col)
+    fam = F.col(family_col)
+    norm = None
+    for family in COMMENT_STRIP_RES:
+        col = comment_normalized_col(content, family)
+        norm = F.when(fam == family, col) if norm is None else norm.when(
+            fam == family, col
+        )
+    passthrough = F.array_join(
+        F.filter(
+            F.transform(F.split(content, "\n", -1), lambda l: F.rtrim(l)),
+            lambda l: l != "",
+        ),
+        "\n",
+    )
+    norm = norm.otherwise(passthrough)
+    keyed = df.select(
+        F.sha2(norm, 256).alias("norm_sha"),
+        F.sha2(content, 256).alias("raw_sha"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    return (
+        keyed.groupBy("norm_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("raw_sha").cast("long").alias("n_raw_shas"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_files") >= int(min_copies))
+        .withColumn("comment_only", F.col("n_raw_shas") > 1)
+    )
+
+
+def _comment_norm_sql(content_sql: str, family: str) -> str:
+    out = content_sql
+    for pat in COMMENT_STRIP_RES[family]:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '', 'g')"
+    return (
+        "array_to_string(list_filter(list_transform("
+        f"string_split({out}, chr(10)), l -> rtrim(l)), l -> l <> ''), chr(10))"
+    )
+
+
+def comment_insensitive_oracle_sql(
+    id_sql: str,
+    content_sql: str,
+    family_sql: str,
+    rows_sql: str,
+    min_copies: int = 2,
+) -> str:
+    """DuckDB replay of :func:`comment_insensitive_dedup` — same strip
+    regexes (RE2 on both sides), same rtrim/blank-drop normalization,
+    same sha census."""
+    branches = "".join(
+        f"WHEN {family_sql} = '{fam}' THEN {_comment_norm_sql(content_sql, fam)} "
+        for fam in COMMENT_STRIP_RES
+    )
+    passthrough = (
+        "array_to_string(list_filter(list_transform("
+        f"string_split({content_sql}, chr(10)), l -> rtrim(l)),"
+        " l -> l <> ''), chr(10))"
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT sha256(CASE {branches} ELSE {passthrough} END) AS norm_sha,
+                   sha256({content_sql}) AS raw_sha,
+                   CAST({id_sql} AS BIGINT) AS id
+            FROM ({rows_sql})
+        )
+        SELECT norm_sha,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(count(DISTINCT raw_sha) AS BIGINT) AS n_raw_shas,
+               MIN(id) AS keep_id,
+               count(DISTINCT raw_sha) > 1 AS comment_only
+        FROM keyed GROUP BY 1
+        HAVING count(*) >= {int(min_copies)}
+        ORDER BY norm_sha
+    """

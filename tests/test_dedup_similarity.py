@@ -1392,3 +1392,48 @@ def test_cdc_gear_matches_reference_and_partitions_bytes(spark):
     assert [r.chunk_len for r in rows] == [len(c) for c in want]
     assert [r.chunk_sha for r in rows] == [_hl.sha256(c).hexdigest() for c in want]
     assert sum(r.chunk_len for r in rows) == len(data)  # byte partition
+
+
+def test_comment_insensitive_dedup_clusters_variants(spark):
+    from pii_spark.dedup import comment_insensitive_dedup
+
+    rows = [
+        # same body, different comments / trailing ws / blank lines
+        (1, "// (c) 2020\nint f() {\n    return 1;\n}", "slash"),
+        (2, "// (c) 2021\nint f() {\n    return 1;   \n}\n\n", "slash"),
+        (3, "/* multi\nline */int f() {\n    return 1;\n}", "slash"),
+        # genuinely different body — its own (singleton) cluster
+        (4, "int f() {\n    return 2;\n}", "slash"),
+        # hash family incl. trailing comment on a code line
+        (5, "# note a\ndef f():\n    return 1", "hash"),
+        (6, "def f():\n    return 1  # trailing", "hash"),
+        (7, "def f():\n    return 1", "hash"),
+        # unknown family: whitespace-normalized only, NOT stripped
+        (10, "x = 1  # kept verbatim", "weird"),
+        (11, "x = 1  # kept verbatim   \n", "weird"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, fam string")
+    out = {r.keep_id: r for r in
+           comment_insensitive_dedup(df, "id", "content", "fam").collect()}
+    # slash cluster: 3 byte-distinct files collapse, invisible to raw sha
+    assert out[1].n_files == 3 and out[1].n_raw_shas == 3
+    assert out[1].comment_only
+    # singleton body dropped by min_copies
+    assert 4 not in out
+    # hash cluster
+    assert out[5].n_files == 3 and out[5].comment_only
+    # unknown family: '#' NOT stripped, so only the ws-variant pair joins
+    assert out[10].n_files == 2 and out[10].n_raw_shas == 2
+
+
+def test_comment_normalized_col_preserves_code(spark):
+    from pii_spark.dedup import comment_normalized_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a = 1 // half\nkeep /* gone */ this\n\n  tail  ",)], "c string"
+    )
+    got = df.select(
+        comment_normalized_col(F.col("c"), "slash").alias("n")
+    ).first().n
+    assert got == "a = 1\nkeep  this\n  tail"
