@@ -4220,6 +4220,140 @@ def q_brace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("max_depth")
 
 
+
+_LANG_BODIES = {
+    "python": "def main():\n    return 1\n",
+    "go": "package main\nfunc main() {}\n",
+    "javascript": "const x = 1\nfunction go() {}\n",
+    "java": "public class Main {\n  public static void main(String[] a) {}\n}",
+    "shell": "#!/bin/sh\necho hi",
+    "c": "#include <stdio.h>\nint main() { return 0; }",
+}
+_LANG_ORDER = ["python", "go", "javascript", "java", "shell", "c"]
+
+
+def _langid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declared lang cycles d%6; the BODY is written for lang
+    # (d%6 + [d%11==0]) % 6 — every 11th file is mislabeled by one
+    # position — and every 13th file is word salad (detector must say
+    # 'unknown').  Mirrored verbatim in _LANGID_CORPUS_SQL.
+    d = F.col("doc_id")
+    e = ((d % 6) + F.when(d % 11 == 0, 1).otherwise(0)) % 6
+    body = F.when(d % 13 == 0, F.substring(F.col("text"), 1, 40))
+    for i, lang in enumerate(_LANG_ORDER):
+        body = body.when(e == i, F.lit(_LANG_BODIES[lang]))
+    declared = None
+    for i, lang in enumerate(_LANG_ORDER):
+        declared = (
+            F.when(d % 6 == i, lang) if declared is None
+            else declared.when(d % 6 == i, lang)
+        )
+    return _docs(spark, sf_dir).select(
+        declared.alias("lang"), body.alias("content")
+    )
+
+
+def _sql_str(s: str) -> str:
+    parts = s.split("\n")
+    lit = " || chr(10) || ".join("'" + p.replace("'", "''") + "'" for p in parts)
+    return lit
+
+
+_LANGID_CORPUS_SQL = (
+    "SELECT CASE "
+    + "".join(
+        f"WHEN doc_id % 6 = {i} THEN '{lang}' "
+        for i, lang in enumerate(_LANG_ORDER)
+    )
+    + "END AS lang, CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 40) "
+    + "".join(
+        f"WHEN (doc_id % 6 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)"
+        f" % 6 = {i} THEN {_sql_str(_LANG_BODIES[lang])} "
+        for i, lang in enumerate(_LANG_ORDER)
+    )
+    + "END AS content FROM documents"
+)
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declared-vs-detected language confusion census: catches
+    # mislabeled files before per-language gates/quotas key on the
+    # wrong label; output bounded by |langs|^2
+    from pii_spark.quality import lang_confusion
+
+    return lang_confusion(
+        _langid_corpus(spark, sf_dir), "content", "lang"
+    ).orderBy("declared", "detected")
+
+
+def _path_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized repo paths: directory prefix cycles d%7 (vendored /
+    # node_modules / dist trees included), lockfiles every 31st,
+    # minified assets every 9th, protobuf-generated every 23rd —
+    # mirrored verbatim in _PATH_CORPUS_SQL.
+    d = F.col("doc_id")
+    prefixes = ["src/", "lib/", "vendor/pkg/", "node_modules/a/",
+                "dist/", "docs/", "x/y/"]
+    prefix = None
+    for i, p in enumerate(prefixes):
+        prefix = (
+            F.when(d % 7 == i, p) if prefix is None
+            else prefix.when(d % 7 == i, p)
+        )
+    bases = ["main", "util", "index", "app", "mod"]
+    base = None
+    for i, b in enumerate(bases):
+        base = F.when(d % 5 == i, b) if base is None else base.when(d % 5 == i, b)
+    exts = [".py", ".js", ".go", ".css"]
+    ext = None
+    for i, x in enumerate(exts):
+        ext = F.when(d % 4 == i, x) if ext is None else ext.when(d % 4 == i, x)
+    fname = (
+        F.when(d % 31 == 0, F.lit("package-lock.json"))
+        .when(d % 9 == 0, F.lit("app.min.js"))
+        .when(d % 23 == 0, F.lit("types_pb2.py"))
+        .otherwise(F.concat(base, ext))
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(prefix, fname).alias("path"),
+        F.col("n_chars").alias("n_bytes"),
+    )
+
+
+_PATH_CORPUS_SQL = """
+    SELECT (CASE doc_id % 7
+                WHEN 0 THEN 'src/' WHEN 1 THEN 'lib/'
+                WHEN 2 THEN 'vendor/pkg/' WHEN 3 THEN 'node_modules/a/'
+                WHEN 4 THEN 'dist/' WHEN 5 THEN 'docs/'
+                ELSE 'x/y/' END)
+           || (CASE WHEN doc_id % 31 = 0 THEN 'package-lock.json'
+                    WHEN doc_id % 9 = 0 THEN 'app.min.js'
+                    WHEN doc_id % 23 = 0 THEN 'types_pb2.py'
+                    ELSE (CASE doc_id % 5
+                              WHEN 0 THEN 'main' WHEN 1 THEN 'util'
+                              WHEN 2 THEN 'index' WHEN 3 THEN 'app'
+                              ELSE 'mod' END)
+                         || (CASE doc_id % 4
+                                 WHEN 0 THEN '.py' WHEN 1 THEN '.js'
+                                 WHEN 2 THEN '.go' ELSE '.css' END)
+               END) AS path,
+           n_chars AS n_bytes
+    FROM documents
+"""
+
+
+def q_path_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manifest-scan ingest gate: per path-rule (vendored / minified /
+    # generated / build output / lockfile, first match wins) file and
+    # byte counts + the kept remainder — prunes subtrees before any
+    # content I/O
+    from pii_spark.curation import path_gate
+
+    return path_gate(
+        _path_corpus(spark, sf_dir), "path", "n_bytes"
+    ).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -4257,6 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_unpack": q_record_unpack,
         "comment_dedup": q_comment_dedup,
         "brace_audit": q_brace_audit,
+        "lang_mismatch": q_lang_mismatch,
+        "path_gate": q_path_gate,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4424,6 +4560,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
     from pii_spark.dedup import comment_insensitive_oracle_sql
     from pii_spark.quality import brace_nesting_oracle_sql
+    from pii_spark.quality import lang_confusion_oracle_sql
+    from pii_spark.curation import path_gate_oracle_sql
 
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
@@ -4595,6 +4733,16 @@ def oracle_sql() -> dict[str, str]:
         "brace_audit": brace_nesting_oracle_sql(
             content_sql="content",
             rows_sql=_BRACE_CORPUS_SQL,
+        ),
+        "lang_mismatch": lang_confusion_oracle_sql(
+            content_sql="content",
+            declared_sql="lang",
+            rows_sql=_LANGID_CORPUS_SQL,
+        ),
+        "path_gate": path_gate_oracle_sql(
+            path_sql="path",
+            bytes_sql="n_bytes",
+            rows_sql=_PATH_CORPUS_SQL,
         ),
        # cdc_dedup: stateless content-defined chunking — boundary at
         # char i iff first-8-hex(md5(w-gram ending at i)) % divisor

@@ -1363,3 +1363,88 @@ def pareto_frontier_oracle_sql(
         )
         ORDER BY {group_name}, x DESC, y DESC
     """
+
+
+# ---------------------------------------------------------------------------
+# path-based ingest gate (vendored / generated / build-output filters)
+# ---------------------------------------------------------------------------
+
+#: (rule name, RE2-safe path regex) in PRIORITY order — first match
+#: attributes the drop, so per-rule counts sum to the drop total.
+#: These are the standard code-corpus ingest exclusions (The Stack /
+#: CodeParrot-style): vendored trees, minified assets, generated
+#: sources, build output, lockfiles.
+DEFAULT_PATH_RULES: list[tuple[str, str]] = [
+    ("vendored", r"(^|/)(vendor|third_party|node_modules)/"),
+    ("minified", r"\.min\.(js|css)$"),
+    ("generated", r"(_pb2\.py|\.pb\.go|\.generated\.[a-z]+)$"),
+    ("build_output", r"(^|/)(dist|build|target)/"),
+    ("lockfile",
+     r"(^|/)(package-lock\.json|yarn\.lock|Cargo\.lock|poetry\.lock)$"),
+]
+
+
+def path_gate_label_col(
+    path: Column, rules: list[tuple[str, str]] | None = None
+) -> Column:
+    """First-matching-rule label for a file path ('kept' when no rule
+    fires) — a pure Column regex chain, zero Python, zero shuffle."""
+    out = None
+    for name, pat in rules or DEFAULT_PATH_RULES:
+        cond = path.rlike(pat)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out.otherwise(F.lit("kept"))
+
+
+def path_gate(
+    df: DataFrame,
+    path_col: str,
+    bytes_col: str,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Path-rule ingest census: per rule (first match wins, plus the
+    'kept' remainder), file count and byte volume — the numbers an
+    ingest run reports before any content is even read.  At 10¹²
+    files this gate belongs in the manifest scan: it prunes whole
+    directory subtrees from the listing BEFORE content I/O, which is
+    why it is path-only by construction.
+
+    Scale shape: one map-side regex chain + one tiny aggregate; the
+    exchange carries (rule, partial count, partial sum) — output
+    bounded by the rule count.
+    """
+    return (
+        df.select(
+            path_gate_label_col(F.col(path_col), rules).alias("rule"),
+            F.col(bytes_col).cast("long").alias("b"),
+        )
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("b").alias("n_bytes"),
+        )
+    )
+
+
+def path_gate_oracle_sql(
+    path_sql: str,
+    bytes_sql: str,
+    rows_sql: str,
+    rules: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB replay of :func:`path_gate` — same rule chain, same
+    priority order (RE2 on both sides)."""
+    branches = "".join(
+        f"WHEN regexp_matches({path_sql}, '{pat}') THEN '{name}' "
+        for name, pat in [
+            (n, p.replace("'", "''")) for n, p in (rules or DEFAULT_PATH_RULES)
+        ]
+    )
+    return f"""
+        SELECT CASE {branches} ELSE 'kept' END AS rule,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CAST({bytes_sql} AS BIGINT)) AS BIGINT) AS n_bytes
+        FROM ({rows_sql})
+        GROUP BY 1
+        ORDER BY rule
+    """

@@ -752,3 +752,30 @@ def test_pareto_frontier_matches_naive(spark):
         )
     }
     assert got == naive
+
+
+def test_path_gate_first_match_and_kept_remainder(spark):
+    from pii_spark.curation import path_gate
+
+    rows = [
+        ("src/main.py", 10),
+        ("vendor/pkg/util.go", 20),
+        ("node_modules/a/index.js", 30),
+        # vendored outranks minified (first match wins)
+        ("node_modules/a/app.min.js", 40),
+        ("assets/app.min.css", 50),
+        ("proto/types_pb2.py", 60),
+        ("dist/bundle.js", 70),
+        ("package-lock.json", 80),          # at repo root (^ anchor)
+        ("sub/yarn.lock", 90),
+        ("docs/readme.md", 100),
+    ]
+    df = spark.createDataFrame(rows, "path string, n_bytes long")
+    got = {r.rule: (r.n_files, r.n_bytes)
+           for r in path_gate(df, "path", "n_bytes").collect()}
+    assert got["vendored"] == (3, 90)
+    assert got["minified"] == (1, 50)
+    assert got["generated"] == (1, 60)
+    assert got["build_output"] == (1, 70)
+    assert got["lockfile"] == (2, 170)
+    assert got["kept"] == (2, 110)
