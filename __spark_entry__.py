@@ -4354,6 +4354,74 @@ def q_path_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule")
 
 
+
+def _version_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-commit file history: key = doc_id div 3, version = doc_id
+    # % 3 (the tail key is left version-incomplete on purpose — the
+    # churn op must read it as a deletion).  Per version: one stable
+    # line, one line rewritten every version, one line added at v1,
+    # one line dropped after v0, plus a version-length text slice.
+    # Mirrored verbatim in _VERSION_CORPUS_SQL.
+    d = F.col("doc_id")
+    k = F.expr("doc_id div 3")
+    v = d % 3
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("shared "), (k % 100).cast("string")),
+        F.concat(F.lit("alpha "), ((k + v) % 50).cast("string")),
+        F.when(v >= 1, F.concat(F.lit("added1 "), (k % 30).cast("string"))),
+        F.when(v == 0, F.concat(F.lit("gone "), (k % 20).cast("string"))),
+        F.expr("substring(text, 1, CAST(20 + doc_id % 5 AS INT))"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (k % 17).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), k.cast("string")).alias("path"),
+        v.alias("version"),
+        (F.col("n_chars") + v * 7).alias("n_bytes"),
+        content.alias("content"),
+    )
+
+
+_VERSION_CORPUS_SQL = """
+    SELECT 'r' || ((doc_id // 3) % 17)::VARCHAR AS repo,
+           'p' || (doc_id // 3)::VARCHAR AS path,
+           doc_id % 3 AS version,
+           n_chars + (doc_id % 3) * 7 AS n_bytes,
+           concat_ws(chr(10),
+               'shared ' || ((doc_id // 3) % 100)::VARCHAR,
+               'alpha ' || (((doc_id // 3) + doc_id % 3) % 50)::VARCHAR,
+               CASE WHEN doc_id % 3 >= 1
+                    THEN 'added1 ' || ((doc_id // 3) % 30)::VARCHAR END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'gone ' || ((doc_id // 3) % 20)::VARCHAR END,
+               substr(text, 1, CAST(20 + doc_id % 5 AS INT))
+           ) AS content
+    FROM documents
+"""
+
+
+def q_head_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # latest-version selection census: head vs superseded byte volume
+    # per repo — orderable-struct max, no window sort, content unread
+    from pii_spark.temporal import head_snapshot_census
+
+    return head_snapshot_census(
+        _version_corpus(spark, sf_dir), "repo", "path", "version", "n_bytes"
+    ).orderBy("repo")
+
+
+def q_commit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # line-level added/removed census between consecutive versions;
+    # lines shuffle as 8-byte hashes, the oracle replays the naive
+    # per-transition anti-join
+    from pii_spark.temporal import version_line_churn
+
+    return version_line_churn(
+        _version_corpus(spark, sf_dir), "path", "version", "content",
+        n_versions=3,
+    ).orderBy("t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -4393,6 +4461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brace_audit": q_brace_audit,
         "lang_mismatch": q_lang_mismatch,
         "path_gate": q_path_gate,
+        "head_snapshot": q_head_snapshot,
+        "commit_churn": q_commit_churn,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4562,6 +4632,10 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import brace_nesting_oracle_sql
     from pii_spark.quality import lang_confusion_oracle_sql
     from pii_spark.curation import path_gate_oracle_sql
+    from pii_spark.temporal import (
+        head_snapshot_oracle_sql,
+        version_line_churn_oracle_sql,
+    )
 
     from pii_spark.diagnostics import value_concentration_oracle_sql
 
@@ -4743,6 +4817,20 @@ def oracle_sql() -> dict[str, str]:
             path_sql="path",
             bytes_sql="n_bytes",
             rows_sql=_PATH_CORPUS_SQL,
+        ),
+        "head_snapshot": head_snapshot_oracle_sql(
+            repo_sql="repo",
+            path_sql="path",
+            version_sql="version",
+            bytes_sql="n_bytes",
+            rows_sql=_VERSION_CORPUS_SQL,
+        ),
+        "commit_churn": version_line_churn_oracle_sql(
+            key_sql="path",
+            version_sql="version",
+            content_sql="content",
+            rows_sql=_VERSION_CORPUS_SQL,
+            n_versions=3,
         ),
        # cdc_dedup: stateless content-defined chunking — boundary at
         # char i iff first-8-hex(md5(w-gram ending at i)) % divisor

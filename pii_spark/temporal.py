@@ -385,3 +385,203 @@ def scd2_oracle_sql(
         FROM intervals
         ORDER BY k, valid_from_us
     """
+
+
+# ---------------------------------------------------------------------------
+# version-history operators (multi-commit code-corpus ingest)
+# ---------------------------------------------------------------------------
+
+def head_snapshot_census(
+    df: DataFrame,
+    repo_col: str,
+    path_col: str,
+    version_col: str,
+    bytes_col: str,
+) -> DataFrame:
+    """Latest-version selection census over a multi-commit file table:
+    per repo, how many distinct paths exist, how many total versions
+    were ingested, the byte volume of the HEAD snapshot (max version
+    per path) and the superseded volume older versions pin — the
+    numbers that decide whether an ingest keeps full history or
+    head-only.
+
+    Scale shape: head selection is an orderable-struct ``max`` — ONE
+    (repo, path)-keyed aggregate with map-side partials, no window
+    sort, content never read; the repo rollup reuses the same
+    partitioning (repo is a prefix of the first grouping key, AQE
+    coalesces).  At 10¹² files this is strictly cheaper than the
+    row_number()-over-window idiom, which sorts every partition.
+    """
+    head = F.max(
+        F.struct(
+            F.col(version_col).cast("long").alias("v"),
+            F.col(bytes_col).cast("long").alias("b"),
+        )
+    )
+    per_path = (
+        df.groupBy(F.col(repo_col).alias("repo"), F.col(path_col).alias("path"))
+        .agg(
+            head.alias("head"),
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col(bytes_col).cast("long")).alias("total_bytes"),
+        )
+    )
+    return (
+        per_path.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum("n_versions").alias("n_versions"),
+            F.sum(F.col("head")["b"]).alias("head_bytes"),
+            F.sum(F.col("total_bytes") - F.col("head")["b"]).alias(
+                "superseded_bytes"
+            ),
+        )
+    )
+
+
+def head_snapshot_oracle_sql(
+    repo_sql: str,
+    path_sql: str,
+    version_sql: str,
+    bytes_sql: str,
+    rows_sql: str,
+) -> str:
+    """DuckDB replay of :func:`head_snapshot_census` by a different
+    mechanism: ``arg_max`` (max_by) instead of the orderable-struct
+    max."""
+    return f"""
+        WITH per_path AS (
+            SELECT {repo_sql} AS repo, {path_sql} AS path,
+                   arg_max(CAST({bytes_sql} AS BIGINT),
+                           CAST({version_sql} AS BIGINT)) AS head_b,
+                   CAST(count(*) AS BIGINT) AS n_versions,
+                   CAST(sum(CAST({bytes_sql} AS BIGINT)) AS BIGINT)
+                       AS total_bytes
+            FROM ({rows_sql})
+            GROUP BY 1, 2
+        )
+        SELECT repo,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(sum(n_versions) AS BIGINT) AS n_versions,
+               CAST(sum(head_b) AS BIGINT) AS head_bytes,
+               CAST(sum(total_bytes - head_b) AS BIGINT) AS superseded_bytes
+        FROM per_path GROUP BY 1
+        ORDER BY repo
+    """
+
+
+def version_line_churn(
+    df: DataFrame,
+    key_col: str,
+    version_col: str,
+    content_col: str,
+    n_versions: int,
+) -> DataFrame:
+    """Line-level churn between consecutive versions of each file:
+    for every transition t → t+1 (versions range 0..``n_versions``-1
+    globally), the number of distinct lines ADDED (present in t+1,
+    absent in t), REMOVED (the reverse), and how many files changed at
+    all — the commit-churn profile an incremental ingest uses to size
+    its delta passes.  A key with no rows at version t+1 is a DELETED
+    file (every version-t line counts removed); no rows at t is a
+    CREATED file (every t+1 line counts added).
+
+    Scale shape: ONE exchange keyed (key, xxhash64(line)) — lines
+    leave the mapper as 8-byte hashes, text never shuffles; per-line
+    version sets are tiny arrays (≤ n_versions) and the transition
+    census is a map-side explode over them, second shuffle is the
+    n_versions-row rollup.  No self-join: the naive
+    per-transition anti-join (which the DuckDB oracle deliberately
+    runs) would scan the line table 2·(n_versions−1) times.
+    """
+    nv = int(n_versions)
+    lines = df.select(
+        F.col(key_col).alias("k"),
+        F.col(version_col).cast("int").alias("v"),
+        F.explode(
+            F.array_distinct(F.split(F.col(content_col), "\n", -1))
+        ).alias("line"),
+    )
+    per_line = (
+        lines.select("k", "v", F.xxhash64("line").alias("lh"))
+        .groupBy("k", "lh")
+        .agg(F.collect_set("v").alias("vs"))
+    )
+    trans = per_line.select(
+        "k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nv - 2)),
+                lambda t: F.struct(
+                    t.alias("t"),
+                    (
+                        F.array_contains("vs", t + 1)
+                        & ~F.array_contains("vs", t)
+                    ).alias("added"),
+                    (
+                        F.array_contains("vs", t)
+                        & ~F.array_contains("vs", t + 1)
+                    ).alias("removed"),
+                ),
+            )
+        ).alias("tr"),
+    )
+    return (
+        trans.select(
+            "k",
+            F.col("tr")["t"].alias("t"),
+            F.col("tr")["added"].cast("int").alias("a"),
+            F.col("tr")["removed"].cast("int").alias("r"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("a").cast("long").alias("n_added"),
+            F.sum("r").cast("long").alias("n_removed"),
+            F.countDistinct(
+                F.when((F.col("a") == 1) | (F.col("r") == 1), F.col("k"))
+            ).cast("long").alias("n_changed_files"),
+        )
+    )
+
+
+def version_line_churn_oracle_sql(
+    key_sql: str,
+    version_sql: str,
+    content_sql: str,
+    rows_sql: str,
+    n_versions: int,
+) -> str:
+    """DuckDB replay of :func:`version_line_churn` by the NAIVE
+    algorithm: per-transition NOT EXISTS anti-joins over the distinct
+    (key, version, line) table — different plan, same counts."""
+    nv = int(n_versions)
+    return f"""
+        WITH lines AS (
+            SELECT DISTINCT {key_sql} AS k, CAST({version_sql} AS INT) AS v,
+                   u.line AS line
+            FROM ({rows_sql}),
+                 UNNEST(string_split({content_sql}, chr(10))) AS u(line)
+        ),
+        tr AS (SELECT unnest(generate_series(0, {nv - 2})) AS t),
+        flags AS (
+            SELECT tr.t, b.k,
+                   CAST(sum(CASE WHEN b.v = tr.t + 1 AND NOT EXISTS (
+                       SELECT 1 FROM lines a
+                       WHERE a.k = b.k AND a.v = tr.t AND a.line = b.line
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN b.v = tr.t AND NOT EXISTS (
+                       SELECT 1 FROM lines c
+                       WHERE c.k = b.k AND c.v = tr.t + 1 AND c.line = b.line
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM tr, lines b
+            WHERE b.v IN (tr.t, tr.t + 1)
+            GROUP BY 1, 2
+        )
+        SELECT CAST(t AS INT) AS t,
+               CAST(sum(n_added) AS BIGINT) AS n_added,
+               CAST(sum(n_removed) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN n_added + n_removed > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed_files
+        FROM flags GROUP BY 1
+        ORDER BY t
+    """

@@ -270,3 +270,49 @@ def test_interval_join_left_null_interval_column_not_duplicated(spark):
     by_label = {r["label"]: r for r in rows}
     assert by_label[None]["val"] == 7        # NULL-labeled interval matched once
     assert by_label["named"]["val"] is None  # empty interval survives once
+
+
+def test_head_snapshot_census_picks_max_version(spark):
+    from pii_spark.temporal import head_snapshot_census
+
+    rows = [
+        # repo r1, path a: 3 versions, head = v2 (100 bytes)
+        ("r1", "a", 0, 10), ("r1", "a", 1, 50), ("r1", "a", 2, 100),
+        # repo r1, path b: single version
+        ("r1", "b", 0, 7),
+        # repo r2: one path, two versions out of order
+        ("r2", "c", 1, 9), ("r2", "c", 0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, version long, n_bytes long"
+    )
+    got = {r.repo: r for r in head_snapshot_census(
+        df, "repo", "path", "version", "n_bytes").collect()}
+    assert got["r1"].n_paths == 2 and got["r1"].n_versions == 4
+    assert got["r1"].head_bytes == 107           # 100 + 7
+    assert got["r1"].superseded_bytes == 60      # 10 + 50
+    assert got["r2"].head_bytes == 9 and got["r2"].superseded_bytes == 4
+
+
+def test_version_line_churn_add_remove_create_delete(spark):
+    from pii_spark.temporal import version_line_churn
+
+    rows = [
+        # path p: line 'x' stable; 'old' removed at t=0; 'new' added at t=0
+        ("p", 0, "x\nold"),
+        ("p", 1, "x\nnew"),
+        ("p", 2, "x\nnew"),          # unchanged at t=1
+        # path q: created at version 1 (2 lines added at t=0)
+        ("q", 1, "a\nb"),
+        ("q", 2, "a\nb"),
+        # path z: deleted after version 1 (1 line removed at t=1)
+        ("z", 0, "only"),
+        ("z", 1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "path string, version long, c string")
+    got = {r.t: r for r in version_line_churn(
+        df, "path", "version", "c", n_versions=3).collect()}
+    assert (got[0].n_added, got[0].n_removed) == (1 + 2, 1)
+    assert got[0].n_changed_files == 2           # p and q
+    assert (got[1].n_added, got[1].n_removed) == (0, 1)
+    assert got[1].n_changed_files == 1           # z only
