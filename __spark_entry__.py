@@ -4422,6 +4422,162 @@ def q_commit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t")
 
 
+
+def _log_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # code docs with pasted-log splices: every 6th doc carries a
+    # repeated timestamp+stack-frame block (repeat count cycles d%4+2,
+    # so the 30% threshold flips within the family), every doc_id%6==3
+    # a two-line Python traceback — mirrored verbatim in
+    # _LOG_CORPUS_SQL.
+    d = F.col("doc_id")
+    blk = F.concat(
+        F.lit("2024-03-15 12:00:05 INFO run "), (d % 7).cast("string"),
+        F.lit("\n    at com.example.A(B.java:1)\n"),
+    )
+    logpart = F.when(
+        d % 6 == 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), (d % 4 + 2).cast("int")),
+                        lambda _: blk),
+            "",
+        ),
+    )
+    tb = F.when(
+        d % 6 == 3,
+        F.lit('Traceback (most recent call last)\n  File "a.py", line 3'),
+    )
+    content = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.concat(F.lit("x = "), (d % 9).cast("string")),
+        logpart,
+        tb,
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), content.alias("content")
+    )
+
+
+_LOG_CORPUS_SQL = """
+    SELECT lang,
+           concat_ws(chr(10),
+               text,
+               'x = ' || (doc_id % 9)::VARCHAR,
+               CASE WHEN doc_id % 6 = 0 THEN repeat(
+                   '2024-03-15 12:00:05 INFO run ' || (doc_id % 7)::VARCHAR
+                   || chr(10) || '    at com.example.A(B.java:1)' || chr(10),
+                   CAST(doc_id % 4 + 2 AS INT)) END,
+               CASE WHEN doc_id % 6 = 3
+                    THEN 'Traceback (most recent call last)' || chr(10)
+                         || '  File "a.py", line 3' END
+           ) AS content
+    FROM documents
+"""
+
+
+def q_log_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pasted-log detector: per-lang census of files whose line share of
+    # timestamps/stack-frames/tracebacks exceeds 30% — the structural
+    # gate perplexity misses (logs are regular text)
+    from pii_spark.quality import log_contamination
+
+    return log_contamination(
+        _log_corpus(spark, sf_dir), "content", "lang", threshold_pct=30
+    ).orderBy("lang")
+
+
+def _ident_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identifier-rich code lines (camelCase, snake_case, SCREAMING) on
+    # top of the word-salad text — mirrored verbatim in
+    # _IDENT_CORPUS_SQL.
+    d = F.col("doc_id")
+    content = F.concat_ws(
+        "\n",
+        F.lit("def parseHttpResponse():"),
+        F.concat(F.lit("    userName_"), (d % 5).cast("string"),
+                 F.lit(" = fetchUserData()")),
+        F.concat(F.lit("    MAX_RETRY_COUNT = "), (d % 3).cast("string")),
+        F.concat(F.lit("    camelCaseVar"), (d % 7).cast("string"),
+                 F.lit(" = 1")),
+        F.substring(F.col("text"), 1, 25),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), content.alias("content")
+    )
+
+
+_IDENT_CORPUS_SQL = """
+    SELECT lang,
+           concat_ws(chr(10),
+               'def parseHttpResponse():',
+               '    userName_' || (doc_id % 5)::VARCHAR
+                   || ' = fetchUserData()',
+               '    MAX_RETRY_COUNT = ' || (doc_id % 3)::VARCHAR,
+               '    camelCaseVar' || (doc_id % 7)::VARCHAR || ' = 1',
+               substr(text, 1, 25)
+           ) AS content
+    FROM documents
+"""
+
+
+def q_identifier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # naming-vocabulary census: identifiers split on camelCase +
+    # snake_case, lowercased, top-10 subtokens per lang with a total
+    # tie order — Partial WindowGroupLimit keeps the rank map-side
+    from pii_spark.quality import identifier_subtoken_topk
+
+    return identifier_subtoken_topk(
+        _ident_corpus(spark, sf_dir), "content", "lang", k=10, min_len=2
+    ).orderBy("lang", F.col("n").desc(), "subtoken")
+
+
+def _blob_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # base64-splice corpus: every 5th doc carries a data-URI blob whose
+    # run length cycles 48/56/64 chars (straddling the 20% threshold
+    # against the doc's own length), every 25th a 320-char blob that
+    # always trips it — mirrored verbatim in _BLOB_CORPUS_SQL.
+    d = F.col("doc_id")
+    unit = F.lit("QmFzZTY0")
+    reps = F.when(d % 25 == 0, F.lit(40)).otherwise((d % 3 + 6))
+    blob = F.concat(
+        F.lit("\ndata:application/octet-stream;base64,"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), reps.cast("int")),
+                        lambda _: unit),
+            "",
+        ),
+    )
+    content = F.concat(
+        F.col("text"), F.when(d % 5 == 0, blob).otherwise(F.lit(""))
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), content.alias("content")
+    )
+
+
+_BLOB_CORPUS_SQL = """
+    SELECT lang,
+           text || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'data:application/octet-stream;base64,'
+                    || repeat('QmFzZTY0',
+                              CAST(CASE WHEN doc_id % 25 = 0 THEN 40
+                                        ELSE doc_id % 3 + 6 END AS INT))
+               ELSE '' END AS content
+    FROM documents
+"""
+
+
+def q_blob_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedded-binary detector: per-lang census of files whose chars
+    # sit >20% inside long base64 runs — vendored assets / data: URIs /
+    # pasted weights that pass line-length and alpha-ratio gates
+    from pii_spark.detect import blob_share_gate
+
+    return blob_share_gate(
+        _blob_corpus(spark, sf_dir), "content", "lang", threshold_pct=20
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -4463,6 +4619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_gate": q_path_gate,
         "head_snapshot": q_head_snapshot,
         "commit_churn": q_commit_churn,
+        "log_contamination": q_log_contamination,
+        "identifier_census": q_identifier_census,
+        "blob_share": q_blob_share,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4632,6 +4791,11 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import brace_nesting_oracle_sql
     from pii_spark.quality import lang_confusion_oracle_sql
     from pii_spark.curation import path_gate_oracle_sql
+    from pii_spark.quality import (
+        identifier_subtoken_oracle_sql,
+        log_contamination_oracle_sql,
+    )
+    from pii_spark.detect import blob_share_oracle_sql
     from pii_spark.temporal import (
         head_snapshot_oracle_sql,
         version_line_churn_oracle_sql,
@@ -4831,6 +4995,25 @@ def oracle_sql() -> dict[str, str]:
             content_sql="content",
             rows_sql=_VERSION_CORPUS_SQL,
             n_versions=3,
+        ),
+        "log_contamination": log_contamination_oracle_sql(
+            content_sql="content",
+            lang_sql="lang",
+            rows_sql=_LOG_CORPUS_SQL,
+            threshold_pct=30,
+        ),
+        "identifier_census": identifier_subtoken_oracle_sql(
+            content_sql="content",
+            lang_sql="lang",
+            rows_sql=_IDENT_CORPUS_SQL,
+            k=10,
+            min_len=2,
+        ),
+        "blob_share": blob_share_oracle_sql(
+            content_sql="content",
+            lang_sql="lang",
+            rows_sql=_BLOB_CORPUS_SQL,
+            threshold_pct=20,
         ),
        # cdc_dedup: stateless content-defined chunking — boundary at
         # char i iff first-8-hex(md5(w-gram ending at i)) % divisor

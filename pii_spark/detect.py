@@ -639,3 +639,83 @@ def ip_block_census_oracle_sql(
                CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
         FROM ips GROUP BY 1 ORDER BY block
     """
+
+
+# ---------------------------------------------------------------------------
+# embedded-blob share gate (base64/data-URI payload detection)
+# ---------------------------------------------------------------------------
+
+#: RE2-safe run of base64-alphabet chars (40+, optional padding) —
+#: embedded assets, data: URIs, serialized weights pasted into source.
+BLOB_RUN_RE = r"[A-Za-z0-9+/]{40,}={0,2}"
+
+
+def blob_share_gate(
+    df: DataFrame,
+    content_col: str,
+    lang_col: str,
+    threshold_pct: int = 20,
+) -> DataFrame:
+    """Embedded-binary-blob census: per language, how many files are
+    blob-heavy — more than ``threshold_pct`` % of their characters sit
+    inside long base64-alphabet runs.  Such files (vendored assets,
+    data: URIs, pasted model weights) poison tokenizers and dedup
+    shingles while passing line-length and alpha-ratio gates.
+    Emits ``lang, n_docs, n_flagged, blob_chars, total_chars``.
+
+    Scale shape: one map-side ``regexp_extract_all`` + an
+    ``F.aggregate`` length fold (pure JVM, zero Python); exchange
+    carries (lang, 4 partial counts), output bounded by |langs|.
+    Integer cross-multiplied flag (blob·100 > total·pct) — float-free,
+    reproduced exactly by the oracle.
+    """
+    content = F.col(content_col)
+    runs = F.regexp_extract_all(content, F.lit(BLOB_RUN_RE), 0)
+    blob_chars = F.aggregate(
+        runs, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    total = F.length(content).cast("long")
+    flagged = (blob_chars * 100) > (total * int(threshold_pct))
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            blob_chars.alias("bc"),
+            total.alias("tc"),
+            flagged.alias("fl"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("fl").cast("int")).cast("long").alias("n_flagged"),
+            F.sum("bc").alias("blob_chars"),
+            F.sum("tc").alias("total_chars"),
+        )
+    )
+
+
+def blob_share_oracle_sql(
+    content_sql: str,
+    lang_sql: str,
+    rows_sql: str,
+    threshold_pct: int = 20,
+) -> str:
+    """DuckDB replay of :func:`blob_share_gate` — same RE2 run pattern,
+    same integer cross-multiplied flag."""
+    return f"""
+        WITH per AS (
+            SELECT {lang_sql} AS lang,
+                   CAST(coalesce(list_sum(list_transform(
+                       regexp_extract_all({content_sql}, '{BLOB_RUN_RE}'),
+                       x -> length(x))), 0) AS BIGINT) AS bc,
+                   CAST(length({content_sql}) AS BIGINT) AS tc
+            FROM ({rows_sql})
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN bc * 100 > tc * {int(threshold_pct)}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(bc) AS BIGINT) AS blob_chars,
+               CAST(sum(tc) AS BIGINT) AS total_chars
+        FROM per GROUP BY 1
+        ORDER BY lang
+    """

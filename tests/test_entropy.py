@@ -52,3 +52,20 @@ def test_candidate_regex_shape():
     assert not pat.fullmatch("A" * 23)
     assert pat.fullmatch("abc123+/=_-" + "x" * 13)
     assert not pat.search("with spaces " + "short")
+
+
+def test_blob_share_gate_counts_runs_and_flags(spark):
+    from pii_spark.detect import blob_share_gate
+
+    blob = "A" * 25 + "b" * 25          # one 50-char base64-alphabet run
+    clean = "short text with no blobs at all, honest!"
+    padded = "x," + "Q" * 39            # 39 < 40 -> not a run
+    df = spark.createDataFrame(
+        [("py", blob), ("py", clean), ("go", padded)],
+        "lang string, content string",
+    )
+    got = {r.lang: r for r in
+           blob_share_gate(df, "content", "lang", threshold_pct=20).collect()}
+    assert got["py"].blob_chars == 50
+    assert got["py"].n_flagged == 1      # 50/50 chars > 20%
+    assert got["go"].blob_chars == 0 and got["go"].n_flagged == 0
