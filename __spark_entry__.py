@@ -4578,6 +4578,125 @@ def q_blob_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+
+def _type2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # four structural templates (d%4) whose identifiers (d%10), numeric
+    # literals (d%6) and comments (d%9) all vary independently — every
+    # template is ONE Type-2 clone class but many Type-1 normal forms,
+    # the systematically-renamed-copy signal.  Mirrored verbatim in
+    # _TYPE2_CORPUS_SQL.
+    d = F.col("doc_id")
+    i10 = (d % 10).cast("string")
+    n6 = (d % 6).cast("string")
+    rev = (d % 9).cast("string")
+    s0 = F.concat(F.lit("// rev "), rev, F.lit("\nint calcTotal"), i10,
+                  F.lit("(int a) {\n    return a + "), n6, F.lit(";\n}"))
+    s1 = F.concat(F.lit("// rev "), rev, F.lit("\nvoid log"), i10,
+                  F.lit("() {\n    print(\"msg"), n6, F.lit("\");\n}"))
+    s2 = F.concat(F.lit("// rev "), rev,
+                  F.lit("\nint main() {\n    for (int i = 0; i < "), n6,
+                  F.lit("; i = i + 1) total"), i10, F.lit(" = total"), i10,
+                  F.lit(" + i;\n    return total"), i10, F.lit(";\n}"))
+    s3 = F.concat(F.lit("# rev "), rev, F.lit("\ndef helper"), i10,
+                  F.lit("(n):\n    return n * "), n6)
+    content = (
+        F.when(d % 4 == 0, s0).when(d % 4 == 1, s1)
+        .when(d % 4 == 2, s2).otherwise(s3)
+    )
+    fam = F.when(d % 4 == 3, F.lit("hash")).otherwise(F.lit("slash"))
+    return _docs(spark, sf_dir).select(
+        d.alias("id"), content.alias("content"), fam.alias("fam")
+    )
+
+
+_TYPE2_CORPUS_SQL = """
+    SELECT doc_id AS id,
+           CASE doc_id % 4
+               WHEN 0 THEN '// rev ' || (doc_id % 9)::VARCHAR
+                   || chr(10) || 'int calcTotal' || (doc_id % 10)::VARCHAR
+                   || '(int a) {' || chr(10) || '    return a + '
+                   || (doc_id % 6)::VARCHAR || ';' || chr(10) || '}'
+               WHEN 1 THEN '// rev ' || (doc_id % 9)::VARCHAR
+                   || chr(10) || 'void log' || (doc_id % 10)::VARCHAR
+                   || '() {' || chr(10) || '    print("msg'
+                   || (doc_id % 6)::VARCHAR || '");' || chr(10) || '}'
+               WHEN 2 THEN '// rev ' || (doc_id % 9)::VARCHAR
+                   || chr(10) || 'int main() {' || chr(10)
+                   || '    for (int i = 0; i < ' || (doc_id % 6)::VARCHAR
+                   || '; i = i + 1) total' || (doc_id % 10)::VARCHAR
+                   || ' = total' || (doc_id % 10)::VARCHAR || ' + i;'
+                   || chr(10) || '    return total'
+                   || (doc_id % 10)::VARCHAR || ';' || chr(10) || '}'
+               ELSE '# rev ' || (doc_id % 9)::VARCHAR || chr(10)
+                   || 'def helper' || (doc_id % 10)::VARCHAR
+                   || '(n):' || chr(10) || '    return n * '
+                   || (doc_id % 6)::VARCHAR
+           END AS content,
+           CASE WHEN doc_id % 4 = 3 THEN 'hash' ELSE 'slash' END AS fam
+    FROM documents
+"""
+
+
+def q_type2_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-2 clone detection: identifier/literal-normalized dedup —
+    # finds systematically-renamed copies invisible to exact AND
+    # comment-insensitive (Type-1) passes; rename_only marks them
+    from pii_spark.dedup import type2_clone_census
+
+    return type2_clone_census(
+        _type2_corpus(spark, sf_dir), "id", "content", "fam", min_copies=2
+    ).orderBy("t2_sha")
+
+
+def _notebook_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ipynb-shaped notebooks: a code cell with two fragments, a
+    # markdown cell on d%3==0, an empty-source code cell always, and
+    # every 13th doc truncated mid-JSON (the invalid-accounting path).
+    # Mirrored verbatim in _NOTEBOOK_CORPUS_SQL.
+    d = F.col("doc_id")
+    j = F.concat(
+        F.lit('{"cells":[{"cell_type":"code","source":["import os\\n","x = '),
+        (d % 7).cast("string"),
+        F.lit('"]},'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('{"cell_type":"markdown","source":["# doc '),
+                     (d % 5).cast("string"), F.lit('"]},')),
+        ).otherwise(F.lit("")),
+        F.lit('{"cell_type":"code","source":[]}]}'),
+    )
+    j = F.when(d % 13 == 0, F.substring(j, 1, 30)).otherwise(j)
+    return _docs(spark, sf_dir).select(d.alias("id"), j.alias("j"))
+
+
+_NOTEBOOK_CORPUS_SQL = """
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 13 = 0 THEN substr(b, 1, 30) ELSE b END AS j
+    FROM (
+        SELECT doc_id,
+               '{"cells":[{"cell_type":"code","source":["import os\\n","x = '
+               || (doc_id % 7)::VARCHAR || '"]},'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '{"cell_type":"markdown","source":["# doc '
+                            || (doc_id % 5)::VARCHAR || '"]},'
+                       ELSE '' END
+               || '{"cell_type":"code","source":[]}]}' AS b
+        FROM documents
+    )
+"""
+
+
+def q_notebook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ipynb cell explode with typed schema pruning (outputs never
+    # materialize) + malformed-record accounting; per-cell sha of the
+    # ''-joined source fragments
+    from pii_spark.metadata import notebook_cells
+
+    return notebook_cells(
+        _notebook_corpus(spark, sf_dir), "id", "j"
+    ).orderBy("id", "cell_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -4622,6 +4741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_contamination": q_log_contamination,
         "identifier_census": q_identifier_census,
         "blob_share": q_blob_share,
+        "type2_clones": q_type2_clones,
+        "notebook_cells": q_notebook_cells,
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4796,6 +4917,8 @@ def oracle_sql() -> dict[str, str]:
         log_contamination_oracle_sql,
     )
     from pii_spark.detect import blob_share_oracle_sql
+    from pii_spark.dedup import type2_clone_oracle_sql
+    from pii_spark.metadata import notebook_cells_oracle_sql
     from pii_spark.temporal import (
         head_snapshot_oracle_sql,
         version_line_churn_oracle_sql,
@@ -5014,6 +5137,18 @@ def oracle_sql() -> dict[str, str]:
             lang_sql="lang",
             rows_sql=_BLOB_CORPUS_SQL,
             threshold_pct=20,
+        ),
+        "type2_clones": type2_clone_oracle_sql(
+            id_sql="id",
+            content_sql="content",
+            family_sql="fam",
+            rows_sql=_TYPE2_CORPUS_SQL,
+            min_copies=2,
+        ),
+        "notebook_cells": notebook_cells_oracle_sql(
+            id_sql="id",
+            json_sql="j",
+            rows_sql=_NOTEBOOK_CORPUS_SQL,
         ),
        # cdc_dedup: stateless content-defined chunking — boundary at
         # char i iff first-8-hex(md5(w-gram ending at i)) % divisor

@@ -272,6 +272,17 @@ def main() -> None:
         "para_dedup",
         "cdc_dedup",
         "record_unpack",
+        "comment_dedup",
+        "brace_audit",
+        "lang_mismatch",
+        "path_gate",
+        "head_snapshot",
+        "commit_churn",
+        "log_contamination",
+        "identifier_census",
+        "blob_share",
+        "type2_clones",
+        "notebook_cells",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -2179,3 +2179,145 @@ def comment_insensitive_oracle_sql(
         HAVING count(*) >= {int(min_copies)}
         ORDER BY norm_sha
     """
+
+
+# ---------------------------------------------------------------------------
+# Type-2 clone census (identifier/literal-normalized dedup)
+# ---------------------------------------------------------------------------
+
+#: fully-covering code tokenization: identifiers | integer literals |
+#: everything else (operators/whitespace/punctuation, greedily) —
+#: every character lands in exactly one token, so re-joining the
+#: transformed tokens is deterministic.  RE2-safe.
+CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_]+"
+
+#: keywords preserved through Type-2 normalization — without these,
+#: `for` and `while` loops (or `def` and `class` blocks) would merge.
+TYPE2_KEYWORDS: tuple[str, ...] = (
+    "def", "return", "if", "else", "elif", "for", "while", "import",
+    "from", "class", "int", "void", "float", "double", "char", "const",
+    "let", "var", "function", "func", "new", "static", "public",
+    "private", "package", "print",
+)
+
+
+def type2_normalized_col(
+    content: Column, family: str, keywords: tuple[str, ...] = TYPE2_KEYWORDS
+) -> Column:
+    """Type-2 clone normal form: Type-1 normalization (comments,
+    trailing ws, blank lines — :func:`comment_normalized_col`) then
+    every non-keyword identifier → ``ID`` and every integer literal →
+    ``N``, keeping operators/keywords/layout.  Pure Column pipeline:
+    regex tokenize (fully covering, so join reconstructs), transform
+    with an isin/rlike case chain, join — zero Python."""
+    base = comment_normalized_col(content, family)
+    toks = F.regexp_extract_all(base, F.lit(CODE_TOKEN_RE), 0)
+
+    def norm_tok(t: Column) -> Column:
+        return (
+            F.when(t.isin(*keywords), t)
+            .when(t.rlike(r"^[A-Za-z_]"), F.lit("ID"))
+            .when(t.rlike(r"^[0-9]"), F.lit("N"))
+            .otherwise(t)
+        )
+
+    return F.array_join(F.transform(toks, norm_tok), "")
+
+
+def type2_clone_census(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    family_col: str,
+    min_copies: int = 2,
+    keywords: tuple[str, ...] = TYPE2_KEYWORDS,
+) -> DataFrame:
+    """Type-2 clone detection (Bellon et al.'s clone taxonomy): files
+    identical up to identifier names and numeric literals — the
+    systematically-renamed copies Type-1 (comment/whitespace) dedup
+    keeps apart.  Emits per-cluster ``t2_sha, n_files, n_t1_shas,
+    keep_id, rename_only`` where ``n_t1_shas`` counts the distinct
+    Type-1 normal forms inside the cluster (``rename_only`` = >1:
+    the cluster is INVISIBLE to both exact and Type-1 dedup).
+
+    Scale shape: same as :func:`comment_insensitive_dedup` — all
+    normalization fuses into the scan (regex tokenize + transform,
+    zero Python), the exchange carries two 32-byte shas + an id, one
+    sha-keyed aggregate with map-side partials.
+    """
+    content = F.col(content_col)
+    fam = F.col(family_col)
+    t1 = None
+    t2 = None
+    for family in COMMENT_STRIP_RES:
+        c1 = comment_normalized_col(content, family)
+        c2 = type2_normalized_col(content, family, keywords)
+        t1 = F.when(fam == family, c1) if t1 is None else t1.when(fam == family, c1)
+        t2 = F.when(fam == family, c2) if t2 is None else t2.when(fam == family, c2)
+    keyed = df.select(
+        F.sha2(t2, 256).alias("t2_sha"),
+        F.sha2(t1, 256).alias("t1_sha"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    return (
+        keyed.groupBy("t2_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("t1_sha").cast("long").alias("n_t1_shas"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_files") >= int(min_copies))
+        .withColumn("rename_only", F.col("n_t1_shas") > 1)
+    )
+
+
+def _type2_norm_sql(
+    content_sql: str, family: str, keywords: tuple[str, ...]
+) -> str:
+    base = _comment_norm_sql(content_sql, family)
+    kw = ", ".join(f"'{k}'" for k in keywords)
+    return (
+        "array_to_string(list_transform("
+        f"regexp_extract_all({base}, '{CODE_TOKEN_RE}'), "
+        f"t -> CASE WHEN t IN ({kw}) THEN t "
+        "WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID' "
+        "WHEN regexp_matches(t, '^[0-9]') THEN 'N' "
+        "ELSE t END), '')"
+    )
+
+
+def type2_clone_oracle_sql(
+    id_sql: str,
+    content_sql: str,
+    family_sql: str,
+    rows_sql: str,
+    min_copies: int = 2,
+    keywords: tuple[str, ...] = TYPE2_KEYWORDS,
+) -> str:
+    """DuckDB replay of :func:`type2_clone_census` — same tokenization,
+    same keyword set, same two-level sha census."""
+    t1 = "".join(
+        f"WHEN {family_sql} = '{fam}' THEN {_comment_norm_sql(content_sql, fam)} "
+        for fam in COMMENT_STRIP_RES
+    )
+    t2 = "".join(
+        f"WHEN {family_sql} = '{fam}' "
+        f"THEN {_type2_norm_sql(content_sql, fam, keywords)} "
+        for fam in COMMENT_STRIP_RES
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT sha256(CASE {t2} END) AS t2_sha,
+                   sha256(CASE {t1} END) AS t1_sha,
+                   CAST({id_sql} AS BIGINT) AS id
+            FROM ({rows_sql})
+        )
+        SELECT t2_sha,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(count(DISTINCT t1_sha) AS BIGINT) AS n_t1_shas,
+               MIN(id) AS keep_id,
+               count(DISTINCT t1_sha) > 1 AS rename_only
+        FROM keyed GROUP BY 1
+        HAVING count(*) >= {int(min_copies)}
+        ORDER BY t2_sha
+    """

@@ -314,3 +314,114 @@ def record_unpack_oracle_sql(
                sha256(body) AS body_sha
         FROM p ORDER BY id, record_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# notebook (ipynb-shaped) cell extraction
+# ---------------------------------------------------------------------------
+
+#: typed schema for the ipynb subset a code-corpus ingest needs: cell
+#: list with type + source-fragment array.  Extra keys (outputs,
+#: execution_count, metadata) are pruned by from_json — never parsed,
+#: never shipped.
+NOTEBOOK_SCHEMA = (
+    "struct<cells: array<struct<cell_type: string, source: array<string>>>>"
+)
+
+
+def notebook_cells(df: DataFrame, id_col: str, json_col: str) -> DataFrame:
+    """Explode ipynb-shaped notebook JSON into per-cell rows:
+    ``id, cell_idx, cell_type, n_fragments, src_sha`` (sha256 of the
+    ''-joined source fragments — ipynb embeds newlines in the
+    fragments, so the join IS the cell text).  Corrupt documents never
+    vanish: any doc that fails to yield a ``cells`` ARRAY (truncated
+    JSON, or valid JSON without one — PERMISSIVE ``from_json`` nulls
+    the field either way) emits one ``cell_idx=-1,
+    cell_type='__invalid__'`` row (empty sha), the malformed-record
+    accounting a crawl ingest needs.  Valid notebooks with an empty
+    cells array emit nothing.
+
+    Scale shape: ``from_json`` with a pruned typed schema (outputs —
+    the bulk of real notebooks — are never materialized) fuses into
+    the scan; posexplode is map-side; no shuffle at all in this
+    operator.  Cell text reduces to a 32-byte sha before anything
+    downstream groups on it.
+    """
+    parsed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.from_json(F.col(json_col), NOTEBOOK_SCHEMA).alias("nb"),
+    )
+    has_cells = F.col("nb").isNotNull() & F.col("nb")["cells"].isNotNull()
+    valid = (
+        parsed.filter(has_cells)
+        .select(
+            "id",
+            F.posexplode(F.col("nb")["cells"]).alias("cell_idx", "cell"),
+        )
+        .select(
+            "id",
+            F.col("cell_idx").cast("int").alias("cell_idx"),
+            F.coalesce(F.col("cell")["cell_type"], F.lit("")).alias(
+                "cell_type"
+            ),
+            F.coalesce(F.size(F.col("cell")["source"]), F.lit(0))
+            .cast("long")
+            .alias("n_fragments"),
+            F.sha2(
+                F.coalesce(
+                    F.array_join(F.col("cell")["source"], ""), F.lit("")
+                ),
+                256,
+            ).alias("src_sha"),
+        )
+    )
+    invalid = parsed.filter(~has_cells).select(
+        "id",
+        F.lit(-1).cast("int").alias("cell_idx"),
+        F.lit("__invalid__").alias("cell_type"),
+        F.lit(0).cast("long").alias("n_fragments"),
+        F.lit("").alias("src_sha"),
+    )
+    return valid.unionByName(invalid)
+
+
+def notebook_cells_oracle_sql(id_sql: str, json_sql: str, rows_sql: str) -> str:
+    """DuckDB replay of :func:`notebook_cells` — json_valid +
+    json_array_length + per-index extraction instead of from_json +
+    posexplode."""
+    return f"""
+        WITH src AS (
+            SELECT CAST({id_sql} AS BIGINT) AS id, {json_sql} AS j
+            FROM ({rows_sql})
+        ),
+        valid AS (
+            SELECT id, j, json_array_length(j, '$.cells') AS nc
+            FROM src
+            WHERE json_valid(j)
+              AND json_array_length(j, '$.cells') IS NOT NULL
+        ),
+        cells AS (
+            SELECT id,
+                   unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS i,
+                   j
+            FROM valid WHERE nc > 0
+        )
+        SELECT id,
+               CAST(i AS INT) AS cell_idx,
+               coalesce(json_extract_string(
+                   j, '$.cells[' || i || '].cell_type'), '') AS cell_type,
+               CAST(coalesce(len(CAST(json_extract(
+                   j, '$.cells[' || i || '].source') AS VARCHAR[])), 0)
+                   AS BIGINT) AS n_fragments,
+               sha256(coalesce(array_to_string(CAST(json_extract(
+                   j, '$.cells[' || i || '].source') AS VARCHAR[]), ''), ''))
+                   AS src_sha
+        FROM cells
+        UNION ALL
+        SELECT id, -1 AS cell_idx, '__invalid__' AS cell_type,
+               CAST(0 AS BIGINT) AS n_fragments, '' AS src_sha
+        FROM src
+        WHERE NOT json_valid(j)
+           OR json_array_length(j, '$.cells') IS NULL
+        ORDER BY id, cell_idx
+    """

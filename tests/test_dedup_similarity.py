@@ -1437,3 +1437,27 @@ def test_comment_normalized_col_preserves_code(spark):
         comment_normalized_col(F.col("c"), "slash").alias("n")
     ).first().n
     assert got == "a = 1\nkeep  this\n  tail"
+
+
+def test_type2_clone_census_merges_renamed_copies(spark):
+    from pii_spark.dedup import type2_clone_census
+
+    rows = [
+        # same structure, renamed identifiers + different literals
+        (1, "// a\nint calcTotal(int a) {\n    return a + 1;\n}", "slash"),
+        (2, "// b\nint computeSum(int x) {\n    return x + 42;\n}", "slash"),
+        # keyword difference keeps structures apart (for vs while)
+        (3, "int f() {\n    for (;;) x = 1;\n}", "slash"),
+        (4, "int g() {\n    while (1) y = 2;\n}", "slash"),
+        (5, "int h() {\n    while (9) z = 3;\n}", "slash"),
+        # hash family, renamed python helpers
+        (6, "# v1\ndef helper(n):\n    return n * 2", "hash"),
+        (7, "def aux(m):\n    return m * 77", "hash"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, fam string")
+    out = {r.keep_id: r for r in
+           type2_clone_census(df, "id", "content", "fam").collect()}
+    assert out[1].n_files == 2 and out[1].rename_only       # 1+2 merge
+    assert 3 not in out                                     # for-loop alone
+    assert out[4].n_files == 2                              # 4+5 merge
+    assert out[6].n_files == 2 and out[6].n_t1_shas == 2    # 6+7 merge

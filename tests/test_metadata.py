@@ -88,3 +88,29 @@ def test_record_unpack_body_may_contain_blank_lines(spark):
     df = spark.createDataFrame([(1, blob)], "id long, blob string")
     r = record_unpack(df, "id", "blob").collect()[0]
     assert r.body_len == len("para one\n\npara two")
+
+
+def test_notebook_cells_explodes_and_accounts_invalid(spark):
+    from pii_spark.metadata import notebook_cells
+    import hashlib
+
+    ok = ('{"cells":[{"cell_type":"code","source":["a\\n","b"]},'
+          '{"cell_type":"markdown","source":["# t"]},'
+          '{"cell_type":"code","source":[]}]}')
+    empty = '{"cells":[]}'
+    trunc = '{"cells":[{"cell_'
+    no_cells = '{"metadata":{}}'
+    df = spark.createDataFrame(
+        [(1, ok), (2, empty), (3, trunc), (4, no_cells)], "id long, j string"
+    )
+    rows = sorted(notebook_cells(df, "id", "j").collect(),
+                  key=lambda r: (r.id, r.cell_idx))
+    by = {(r.id, r.cell_idx): r for r in rows}
+    assert by[(1, 0)].cell_type == "code" and by[(1, 0)].n_fragments == 2
+    assert by[(1, 0)].src_sha == hashlib.sha256(b"a\nb").hexdigest()
+    assert by[(1, 1)].cell_type == "markdown"
+    assert by[(1, 2)].n_fragments == 0
+    assert (2, -1) not in by and not any(r.id == 2 for r in rows)  # empty ok
+    assert by[(3, -1)].cell_type == "__invalid__"
+    assert by[(4, -1)].cell_type == "__invalid__"   # no cells array
+    assert len(rows) == 5
