@@ -283,6 +283,12 @@ def main() -> None:
         "blob_share",
         "type2_clones",
         "notebook_cells",
+        "pii_cooccurrence",
+        "dup_histogram",
+        "priority_backlog",
+        "license_conflicts",
+        "url_secrets",
+        "entity_decode",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

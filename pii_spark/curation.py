@@ -1448,3 +1448,177 @@ def path_gate_oracle_sql(
         GROUP BY 1
         ORDER BY rule
     """
+
+
+# ---------------------------------------------------------------------------
+# repo-level license conflict census
+# ---------------------------------------------------------------------------
+
+COPYLEFT_LICENSES = ("gpl-3.0", "gpl-2.0", "gpl", "agpl-3.0", "lgpl")
+
+
+def repo_license_conflicts(
+    df: DataFrame, repo_col: str, content_col: str
+) -> DataFrame:
+    """Per-repo license rollup: distinct detected licenses (unknowns
+    excluded), a ``conflict`` flag (≥2 distinct — vendored GPL code
+    inside an MIT repo is the classic poison a repo-level admission
+    gate must catch even when every FILE passes the per-file filter),
+    and a ``has_copyleft`` flag.  Emits ``repo, n_files, n_licensed,
+    licenses, n_licenses, has_copyleft, conflict``.
+
+    Scale shape: per-file detection is the :func:`license_col` rlike
+    chain over a 2000-char head (fused into the scan); the exchange
+    carries (repo, license-id) — one repo-keyed aggregate, the license
+    set per repo is bounded by the marker bank size.
+    """
+    lic = license_col(F.col(content_col))
+    per = df.select(F.col(repo_col).alias("repo"), lic.alias("lic"))
+    known = F.when(F.col("lic") != "unknown", F.col("lic"))
+    return (
+        per.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum((F.col("lic") != "unknown").cast("int"))
+            .cast("long")
+            .alias("n_licensed"),
+            F.array_sort(F.collect_set(known)).alias("lic_set"),
+        )
+        .select(
+            "repo",
+            "n_files",
+            "n_licensed",
+            F.array_join("lic_set", ",").alias("licenses"),
+            F.size("lic_set").cast("long").alias("n_licenses"),
+            F.arrays_overlap(
+                "lic_set", F.array(*[F.lit(c) for c in COPYLEFT_LICENSES])
+            ).alias("has_copyleft"),
+            (F.size("lic_set") >= 2).alias("conflict"),
+        )
+    )
+
+
+def _license_case_sql(content_sql: str, head_chars: int = 2000) -> str:
+    head = f"substr({content_sql}, 1, {head_chars})"
+    branches = "".join(
+        f"WHEN regexp_matches({head}, '{pat.replace(chr(39), chr(39) * 2)}') "
+        f"THEN '{lic}' "
+        for lic, pat in LICENSE_MARKERS
+    )
+    return f"CASE {branches} ELSE 'unknown' END"
+
+
+def repo_license_conflicts_oracle_sql(
+    repo_sql: str, content_sql: str, rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`repo_license_conflicts` — same marker
+    bank in the same priority order ((?is) flags are RE2 on both
+    sides)."""
+    cl = ", ".join(f"'{c}'" for c in COPYLEFT_LICENSES)
+    return f"""
+        WITH per AS (
+            SELECT {repo_sql} AS repo,
+                   {_license_case_sql(content_sql)} AS lic
+            FROM ({rows_sql})
+        ),
+        agg AS (
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN lic <> 'unknown' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_licensed,
+                   coalesce(list_sort(list_distinct(list(lic)
+                       FILTER (lic <> 'unknown'))), []) AS lic_set
+            FROM per GROUP BY 1
+        )
+        SELECT repo, n_files, n_licensed,
+               coalesce(array_to_string(lic_set, ','), '') AS licenses,
+               CAST(len(lic_set) AS BIGINT) AS n_licenses,
+               len(list_intersect(lic_set, [{cl}])) > 0 AS has_copyleft,
+               len(lic_set) >= 2 AS conflict
+        FROM agg
+        ORDER BY repo
+    """
+
+
+# ---------------------------------------------------------------------------
+# sensitive query-parameter census over extracted URLs
+# ---------------------------------------------------------------------------
+
+#: RE2-safe sensitive-parameter matcher (group 1 = canonical name).
+URL_SECRET_PARAM_RE = (
+    r"[?&](api_?key|access_?token|token|secret|password|auth|signature)="
+)
+
+
+def url_secret_params(
+    df: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """Census of SECRET-BEARING query parameters in URLs embedded in
+    document text — `?api_key=`, `&token=`, `&password=` — credentials
+    that leak through a corpus even after the regex bank scrubs inline
+    keys (the secret sits inside a URL the email/key patterns never
+    claim).  Emits ``param, n_urls, n_docs, n_domains``.
+
+    Scale shape: URL extraction + param matching are map-side regex
+    (the URL fan-out is the only row growth); doc distinctness runs as
+    an exact per-(param, doc) pre-aggregate, never ``countDistinct``
+    over the raw fan-out.
+    """
+    urls = extract_urls(df, id_cols, text_col)
+    hits = urls.select(
+        *id_cols,
+        "domain",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("url")), F.lit(URL_SECRET_PARAM_RE), 1
+            )
+        ).alias("param"),
+    )
+    per_doc = hits.groupBy("param", *id_cols).agg(
+        F.count(F.lit(1)).alias("n_in_doc"),
+        F.countDistinct("domain").cast("long").alias("nd"),
+    )
+    return per_doc.groupBy("param").agg(
+        F.sum("n_in_doc").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nd").alias("n_domains"),
+    )
+
+
+def url_secret_params_oracle_sql(
+    id_sql: str, text_sql: str, rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`url_secret_params` — same URL regex,
+    same param matcher, same per-doc pre-aggregate (n_domains sums the
+    per-(param, doc) distinct-domain counts, exactly as the Spark
+    plan does)."""
+    url_re = URL_REGEX.replace("'", "''")
+    param_re = URL_SECRET_PARAM_RE.replace("'", "''")
+    return f"""
+        WITH urls AS (
+            SELECT {id_sql} AS id, u.url AS url,
+                   lower(regexp_extract(u.url, '^https?://([^/:?#]+)', 1))
+                       AS domain
+            FROM ({rows_sql}),
+                 UNNEST(regexp_extract_all({text_sql}, '{url_re}', 0))
+                     AS u(url)
+        ),
+        hits AS (
+            SELECT id, domain, p.param AS param
+            FROM urls,
+                 UNNEST(regexp_extract_all(lower(url), '{param_re}', 1))
+                     AS p(param)
+        ),
+        per_doc AS (
+            SELECT param, id,
+                   CAST(count(*) AS BIGINT) AS n_in_doc,
+                   CAST(count(DISTINCT domain) AS BIGINT) AS nd
+            FROM hits GROUP BY 1, 2
+        )
+        SELECT param,
+               CAST(sum(n_in_doc) AS BIGINT) AS n_urls,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nd) AS BIGINT) AS n_domains
+        FROM per_doc GROUP BY 1
+        ORDER BY param
+    """

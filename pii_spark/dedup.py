@@ -2321,3 +2321,49 @@ def type2_clone_oracle_sql(
         HAVING count(*) >= {int(min_copies)}
         ORDER BY t2_sha
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size histogram
+# ---------------------------------------------------------------------------
+
+def dup_cluster_histogram(df: DataFrame, content_col: str) -> DataFrame:
+    """Exact-dup cluster SIZE distribution: for each cluster size, how
+    many clusters and how many files sit in them — the skew diagnostic
+    that sizes a dedup pass (one 10⁶-copy boilerplate cluster needs a
+    hot-key plan; a million pairs do not).  Emits ``cluster_size,
+    n_clusters, n_files``.
+
+    Scale shape: sha fused into the scan (text never shuffles), one
+    sha-keyed count with map-side partials, then a histogram aggregate
+    over the Zipf-bounded size domain — output rows = distinct cluster
+    sizes, independent of corpus size.
+    """
+    sizes = (
+        df.select(F.sha2(F.col(content_col), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_files"),
+        )
+    )
+
+
+def dup_cluster_histogram_oracle_sql(content_sql: str, rows_sql: str) -> str:
+    """DuckDB replay of :func:`dup_cluster_histogram`."""
+    return f"""
+        WITH sizes AS (
+            SELECT sha256({content_sql}) AS sha,
+                   CAST(count(*) AS BIGINT) AS cluster_size
+            FROM ({rows_sql}) GROUP BY 1
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_files
+        FROM sizes GROUP BY 1
+        ORDER BY cluster_size
+    """

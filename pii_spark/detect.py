@@ -719,3 +719,97 @@ def blob_share_oracle_sql(
         FROM per GROUP BY 1
         ORDER BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# PII pattern co-occurrence matrix
+# ---------------------------------------------------------------------------
+
+def pii_cooccurrence(
+    df: DataFrame,
+    content_col: str,
+    bank: PatternBank,
+    pattern_names: list[str],
+) -> DataFrame:
+    """Upper-triangle co-fire matrix over the pattern bank: for every
+    pattern pair (a ≤ b), how many documents match BOTH (diagonal =
+    per-pattern totals) — the risk-correlation readout that decides
+    which PII types travel together (an email+password file is a
+    credential leak; email alone is a mailing list).  Regex-level
+    trigger semantics (no checksum validators), matching the bank's
+    trigger pre-filter stage.
+
+    Scale shape: ONE conditional aggregate over the corpus — every
+    flag is a JVM rlike fused into the scan, the exchange carries one
+    partial row of |pairs| counters per task, and the unpivot explodes
+    a single row.  Adding a pattern costs one regex pass, not a join.
+    """
+    content = F.col(content_col)
+    names = list(pattern_names)
+    flags = {}
+    for n in names:
+        spec = bank.get_pattern_spec(n)
+        if spec is None:
+            raise ValueError(f"unknown pattern: {n!r}")
+        f = None
+        for rule in spec.patterns:
+            c = content.rlike(rule.regex)
+            f = c if f is None else (f | c)
+        flags[n] = f
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    row = df.agg(
+        *[
+            F.sum((flags[a] & flags[b]).cast("int"))
+            .cast("long")
+            .alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("pat_a"),
+                    F.lit(b).alias("pat_b"),
+                    F.coalesce(F.col(f"`{a}__{b}`"), F.lit(0)).alias("n_both"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("r")
+    return row.select(stacked).select("r.pat_a", "r.pat_b", "r.n_both")
+
+
+def pii_cooccurrence_oracle_sql(
+    content_sql: str,
+    rows_sql: str,
+    bank: PatternBank,
+    pattern_names: list[str],
+) -> str:
+    """DuckDB replay of :func:`pii_cooccurrence` — the bank's rules are
+    Go-RE2 ports, so the SAME pattern strings run under DuckDB's RE2."""
+    names = list(pattern_names)
+
+    def flag(n: str) -> str:
+        spec = bank.get_pattern_spec(n)
+        ors = " OR ".join(
+            f"regexp_matches({content_sql}, "
+            f"'{rule.regex.replace(chr(39), chr(39) * 2)}')"
+            for rule in spec.patterns
+        )
+        return f"({ors})"
+
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    selects = ", ".join(
+        f"CAST(sum(CASE WHEN {flag(a)} AND {flag(b)} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{a}' AS pat_a, '{b}' AS pat_b, c{i} AS n_both FROM agg"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"""
+        WITH agg AS (SELECT {selects} FROM ({rows_sql}))
+        SELECT * FROM ({unpivot}) ORDER BY pat_a, pat_b
+    """

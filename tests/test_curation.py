@@ -779,3 +779,42 @@ def test_path_gate_first_match_and_kept_remainder(spark):
     assert got["build_output"] == (1, 70)
     assert got["lockfile"] == (2, 170)
     assert got["kept"] == (2, 110)
+
+
+def test_repo_license_conflicts_flags_mixed_repos(spark):
+    from pii_spark.curation import repo_license_conflicts
+
+    mit = "/* Permission is hereby granted, free of charge, x */"
+    gpl = "/* GNU General Public License version 3 */"
+    apache = "/* Licensed under the Apache License, Version 2.0 */"
+    rows = [
+        ("clean", mit + "\ncode"), ("clean", mit + "\nmore"),
+        ("mixed", mit + "\na"), ("mixed", gpl + "\nb"),
+        ("mixed", apache + "\nc"), ("mixed", "no header at all"),
+        ("bare", "nothing"), ("bare", "still nothing"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {r.repo: r for r in
+           repo_license_conflicts(df, "repo", "content").collect()}
+    assert got["clean"].licenses == "mit" and not got["clean"].conflict
+    assert got["mixed"].n_licenses == 3 and got["mixed"].conflict
+    assert got["mixed"].has_copyleft
+    assert got["mixed"].n_licensed == 3          # the no-header file isn't
+    assert got["bare"].licenses == "" and not got["bare"].has_copyleft
+
+
+def test_url_secret_params_census(spark):
+    from pii_spark.curation import url_secret_params
+
+    rows = [
+        (1, "x https://a.com/v1?api_key=S1 and https://b.com/?token=T"),
+        (2, "y https://a.com/p?q=1&access_token=zz plain http://c.com/"),
+        (3, "no urls here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r.param: (r.n_urls, r.n_docs, r.n_domains)
+           for r in url_secret_params(df, ["doc_id"], "content").collect()}
+    assert got["api_key"] == (1, 1, 1)
+    assert got["token"] == (1, 1, 1)
+    assert got["access_token"] == (1, 1, 1)
+    assert len(got) == 3                 # benign params never appear

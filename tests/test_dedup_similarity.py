@@ -1461,3 +1461,13 @@ def test_type2_clone_census_merges_renamed_copies(spark):
     assert 3 not in out                                     # for-loop alone
     assert out[4].n_files == 2                              # 4+5 merge
     assert out[6].n_files == 2 and out[6].n_t1_shas == 2    # 6+7 merge
+
+
+def test_dup_cluster_histogram_shapes(spark):
+    from pii_spark.dedup import dup_cluster_histogram
+
+    rows = [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, "c string")
+    got = {r.cluster_size: (r.n_clusters, r.n_files)
+           for r in dup_cluster_histogram(df, "c").collect()}
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
