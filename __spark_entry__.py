@@ -1107,6 +1107,225 @@ def q_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7-flavor bilateral trade matrix: cross-nation revenue by
+    # (supplier nation, customer nation, ship year).  Both nation dims
+    # + supplier + customer broadcast; lineitem ⋈ orders is the one
+    # shuffle join (both fact-sized at scale — sort-merge on orderkey,
+    # AQE-coalesced).  Exact integer cents·(100−disc).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(price * (100 - disc)).alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4-flavor EXISTS semi-join: orders counted per priority
+    # when at least one lineitem shipped after the order date (the
+    # sandbox schema's commit/receipt proxy).  LEFT SEMI keeps the
+    # orders side single-scan and never duplicates an order with many
+    # late items — the plan shape Q4 exists to test.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8-flavor market share: NATION_1 suppliers' integer-ppm
+    # share of EUROPE-customer revenue per order year — one conditional
+    # aggregate (no second scan for the numerator), dims broadcast,
+    # share as exact floor-div ppm so both engines agree bit-for-bit.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cnat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    snat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    vol = price * (100 - disc)
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))
+        ).alias("nation_rev_c4"),
+        F.sum(vol).alias("total_rev_c4"),
+    )
+    return agg.select(
+        "yr",
+        "nation_rev_c4",
+        "total_rev_c4",
+        F.expr("nation_rev_c4 * 1000000 div total_rev_c4").alias("share_ppm"),
+    ).orderBy("yr")
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14-flavor promo share per ship month: conditional
+    # aggregate over lineitem ⋈ broadcast(part), integer-ppm share —
+    # single fact scan, no numerator/denominator double pass.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    price = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    vol = price * (100 - disc)
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+            ).alias("promo_rev_c4"),
+            F.sum(vol).alias("total_rev_c4"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev_c4",
+        "total_rev_c4",
+        F.expr("promo_rev_c4 * 1000000 div total_rev_c4").alias("promo_ppm"),
+    ).orderBy("ship_month")
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18-flavor large-volume orders: aggregate lineitem first
+    # (HAVING Σqty > 250.00), then join the small survivor set back to
+    # orders ⋈ broadcast(customer) — the aggregate-before-join shape
+    # that keeps the fact table from ever widening.  The survivor set
+    # is a tiny fraction (top ~1.5% of orders), so the join back is
+    # broadcast-able at any scale.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    qty = _cents(F.col("l_quantity"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("qty_c"))
+        .filter(F.col("qty_c") > 25000)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_date"),
+            _cents(F.col("o_totalprice")).alias("total_c"),
+            "qty_c",
+        )
+        .orderBy(F.desc("qty_c"), F.asc("o_orderkey"))
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22-flavor: above-average-balance customers with no recent
+    # orders (none since 2000-01-01), rolled up per market segment.
+    # The global average balance is a one-row aggregate cross-joined in
+    # (broadcast nested loop, the repo's established scalar-subquery
+    # idiom); recency is a LEFT ANTI against the date-filtered orders
+    # scan — dynamic-partition-pruning-friendly at scale.  Integer
+    # cents with floor-div average so DuckDB replays exactly.
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+        F.col("c_acctbal"),
+    )
+    avgbal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.expr("sum(bal_c) div count(*)").alias("avg_bal_c")
+        )
+    )
+    recent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avgbal)).filter(
+        F.col("bal_c") > F.col("avg_bal_c")
+    )
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_c").alias("bal_sum_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_event_volume_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # native tumbling-window aggregation (F.window, the batch twin of
     # the streaming windowed aggs): 6-hour event volume per event_type
@@ -5047,6 +5266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "market_revenue_topk": q_market_revenue_topk,
         "region_part_revenue": q_region_part_revenue,
+        "trade_matrix": q_trade_matrix,
+        "order_priority_check": q_order_priority_check,
+        "market_share": q_market_share,
+        "promo_share": q_promo_share,
+        "big_orders": q_big_orders,
+        "idle_customers": q_idle_customers,
         "event_volume_windows": q_event_volume_windows,
         "orders_pivot": q_orders_pivot,
         "revenue_rollup": q_revenue_rollup,
@@ -6425,6 +6650,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(sum(v) AS BIGINT) AS value_m
             FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "trade_matrix": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS ship_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "order_priority_check": """
+            SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "market_share": """
+            WITH rev AS (
+                SELECT year(o.o_orderdate) AS yr, n1.n_name AS supp_nation,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS v
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                JOIN region r ON n2.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+            )
+            SELECT CAST(yr AS INT) AS yr,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN v
+                                 ELSE 0 END) AS BIGINT) AS nation_rev_c4,
+                   CAST(sum(v) AS BIGINT) AS total_rev_c4,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN v
+                                 ELSE 0 END) * 1000000
+                        // sum(v) AS BIGINT) AS share_ppm
+            FROM rev GROUP BY yr ORDER BY yr
+        """,
+        "promo_share": """
+            WITH rev AS (
+                SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+                       p.p_type,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS v
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+                        AS BIGINT) AS promo_rev_c4,
+                   CAST(sum(v) AS BIGINT) AS total_rev_c4,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+                        * 1000000 // sum(v) AS BIGINT) AS promo_ppm
+            FROM rev GROUP BY ship_month ORDER BY ship_month
+        """,
+        "big_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+            )
+            SELECT c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS VARCHAR) AS o_date,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c,
+                   CAST(b.qty_c AS BIGINT) AS qty_c
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY qty_c DESC, o.o_orderkey ASC
+        """,
+        "idle_customers": """
+            WITH ab AS (
+                SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       // count(*) AS avg_bal_c
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_sum_c
+            FROM customer c, ab
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > ab.avg_bal_c
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
+            ORDER BY 1
         """,
         "region_part_revenue": """
             SELECT r.r_name, p.p_brand,
