@@ -5195,6 +5195,229 @@ def q_entity_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _testmix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized repo manifests: repo = doc_id div 25, path cycles
+    # d%6 across src / tests-dir / lib / go-_test / rb-_spec / docs,
+    # loc = n_chars % 97 + 3 — mirrored verbatim in _TESTMIX_SQL.
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("src/main_"), ds, F.lit(".py")))
+        .when(d % 6 == 1, F.concat(F.lit("tests/test_"), ds, F.lit(".py")))
+        .when(d % 6 == 2, F.concat(F.lit("lib/util_"), ds, F.lit(".go")))
+        .when(d % 6 == 3, F.concat(F.lit("pkg/run_"), ds, F.lit("_test.go")))
+        .when(d % 6 == 4, F.concat(F.lit("app/x_"), ds, F.lit("_spec.rb")))
+        .otherwise(F.concat(F.lit("docs/readme_"), ds, F.lit(".md")))
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("repo_"), F.expr("doc_id div 25")).alias("repo"),
+        path.alias("path"),
+        (F.col("n_chars") % 97 + 3).alias("loc"),
+    )
+
+
+_TESTMIX_SQL = """
+    SELECT 'repo_' || (doc_id // 25) AS repo,
+           (CASE doc_id % 6
+                WHEN 0 THEN 'src/main_' || doc_id || '.py'
+                WHEN 1 THEN 'tests/test_' || doc_id || '.py'
+                WHEN 2 THEN 'lib/util_' || doc_id || '.go'
+                WHEN 3 THEN 'pkg/run_' || doc_id || '_test.go'
+                WHEN 4 THEN 'app/x_' || doc_id || '_spec.rb'
+                ELSE 'docs/readme_' || doc_id || '.md' END) AS path,
+           n_chars % 97 + 3 AS loc
+    FROM documents
+"""
+
+
+def q_test_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-repo test-vs-source training-mix rollup (file + LoC counts,
+    # integer per-mille test share) over a synthesized path manifest
+    from pii_spark.curation import test_mix_rollup
+
+    return test_mix_rollup(
+        _testmix_corpus(spark, sf_dir), "repo", "path", "loc"
+    ).orderBy("repo")
+
+
+def _branch_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized code bodies with doc_id-derived branch density:
+    # (d%9) "if a { x } else if b { y }" lines, one "while t && u:"
+    # line every 5th doc, a "switch/case/catch" block every 7th,
+    # (d%13)+1 plain lines — mirrored verbatim in _BRANCH_SQL.
+    d = F.col("doc_id")
+    branchy = F.concat(
+        F.expr(
+            "repeat('if a { x } else if b { y }\\n', doc_id % 9)"
+        ),
+        F.when(d % 5 == 0, F.lit("while t && u:\n")).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.lit("switch v { case 1: catch (e) {} }\n")
+        ).otherwise(F.lit("")),
+        F.expr("repeat('plain line\\n', doc_id % 13 + 1)"),
+        F.lit("done"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), branchy.alias("content")
+    )
+
+
+_BRANCH_SQL = """
+    SELECT lang,
+           repeat('if a { x } else if b { y }' || chr(10), doc_id % 9)
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN 'while t && u:' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0
+                    THEN 'switch v { case 1: catch (e) {} }' || chr(10)
+                    ELSE '' END)
+           || repeat('plain line' || chr(10), doc_id % 13 + 1)
+           || 'done' AS content
+    FROM documents
+"""
+
+
+def q_branch_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cyclomatic-proxy census: per (lang, density bucket) file count +
+    # branch/line totals, exact integer per-mille density
+    from pii_spark.quality import branch_density_census
+
+    return branch_density_census(
+        _branch_corpus(spark, sf_dir), "content", "lang"
+    ).orderBy("lang", "bucket")
+
+
+def _indent_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized indentation shapes: unit u = 2·(d%3)+2; a two-level
+    # space ladder, a tab line every 4th doc, a whitespace-only
+    # (non-voting) line every 6th, flat files every 7th — mirrored
+    # verbatim in _INDENT_SQL.
+    d = F.col("doc_id")
+    ladder = F.concat(
+        F.lit("top\n"),
+        F.expr("repeat(' ', 2 * (doc_id % 3) + 2)"),
+        F.lit("a\n"),
+        F.expr("repeat(' ', 2 * (2 * (doc_id % 3) + 2))"),
+        F.lit("b"),
+        F.when(d % 4 == 0, F.lit("\n\tc")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("\n   ")).otherwise(F.lit("")),
+    )
+    content = F.when(d % 7 == 0, F.lit("top only\nno indent")).otherwise(
+        ladder
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), content.alias("content")
+    )
+
+
+_INDENT_SQL = """
+    SELECT lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'top only' || chr(10) || 'no indent'
+                ELSE 'top' || chr(10)
+                     || repeat(' ', 2 * (doc_id % 3) + 2) || 'a' || chr(10)
+                     || repeat(' ', 2 * (2 * (doc_id % 3) + 2)) || 'b'
+                     || (CASE WHEN doc_id % 4 = 0
+                              THEN chr(10) || chr(9) || 'c' ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0
+                              THEN chr(10) || '   ' ELSE '' END)
+           END AS content
+    FROM documents
+"""
+
+
+def q_indent_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # indentation style/unit census per language: tab vs space vs
+    # mixed vs flat, inferred indent width from min positive space run
+    from pii_spark.quality import indent_unit_census
+
+    return indent_unit_census(
+        _indent_corpus(spark, sf_dir), "content", "lang"
+    ).orderBy("lang", "style", "unit")
+
+
+def _manifest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized requirements-style manifests: a pinned lib every
+    # even doc, a ranged dep every 3rd, a bare name every 5th, a
+    # comment every 4th, an editable install (→ other) every 11th,
+    # plus a blank line — mirrored verbatim in _MANIFEST_SQL.
+    d = F.col("doc_id")
+    content = F.concat_ws(
+        "\n",
+        F.when(d % 2 == 0, F.concat(F.lit("lib"), (d % 13).cast("string"), F.lit("==1."), (d % 7).cast("string"), F.lit(".0"))),
+        F.when(d % 3 == 0, F.concat(F.lit("rangedep"), (d % 5).cast("string"), F.lit(">=2.0"))),
+        F.when(d % 5 == 0, F.concat(F.lit("barepkg"), (d % 4).cast("string"))),
+        F.when(d % 4 == 0, F.lit("# locked by tooling")),
+        F.when(d % 11 == 0, F.lit("-e git+https://example.invalid/x.git")),
+        F.lit(""),
+        F.lit("commonlib~=3.1"),
+    )
+    return _docs(spark, sf_dir).select(content.alias("content"))
+
+
+_MANIFEST_SQL = """
+    SELECT concat_ws(chr(10),
+           CASE WHEN doc_id % 2 = 0
+                THEN 'lib' || (doc_id % 13) || '==1.' || (doc_id % 7) || '.0' END,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'rangedep' || (doc_id % 5) || '>=2.0' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'barepkg' || (doc_id % 4) END,
+           CASE WHEN doc_id % 4 = 0 THEN '# locked by tooling' END,
+           CASE WHEN doc_id % 11 = 0
+                THEN '-e git+https://example.invalid/x.git' END,
+           '',
+           'commonlib~=3.1') AS content
+    FROM documents
+"""
+
+
+def q_dep_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dependency-pinning census: line/package/manifest counts per
+    # constraint class (pinned / ranged / bare / other)
+    from pii_spark.curation import dep_pin_census
+
+    return dep_pin_census(
+        _manifest_corpus(spark, sf_dir), "content"
+    ).orderBy("pin_class")
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2-flavor argmin join: per part, the supplier with the
+    # lowest exact integer unit price (cents² per unit via floor-div;
+    # supplier-key tie-break).  The argmin is a struct-min — ONE
+    # aggregate, no window sort, no self-join; part + supplier dims
+    # broadcast onto the already-aggregated (tiny) winner set.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    best = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) * 100"
+                " div CAST(round(l_quantity * 100) AS BIGINT)"
+            ).alias("unit_c2"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_c2", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.unit_c2").alias("unit_c2"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), "s_suppkey")
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_c2")
+        .orderBy("p_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -5272,6 +5495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "big_orders": q_big_orders,
         "idle_customers": q_idle_customers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "test_mix": q_test_mix,
+        "branch_density": q_branch_density,
+        "indent_census": q_indent_census,
+        "dep_pins": q_dep_pins,
         "event_volume_windows": q_event_volume_windows,
         "orders_pivot": q_orders_pivot,
         "revenue_rollup": q_revenue_rollup,
@@ -5420,6 +5648,11 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
     from pii_spark.dedup import comment_insensitive_oracle_sql
     from pii_spark.quality import brace_nesting_oracle_sql
+    from pii_spark.quality import (
+        branch_density_oracle_sql,
+        indent_unit_oracle_sql,
+    )
+    from pii_spark.curation import dep_pin_oracle_sql, test_mix_oracle_sql
     from pii_spark.quality import lang_confusion_oracle_sql
     from pii_spark.curation import path_gate_oracle_sql
     from pii_spark.quality import (
@@ -6651,6 +6884,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS value_m
             FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "min_cost_supplier": """
+            WITH u AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+                       // CAST(round(l_quantity * 100) AS BIGINT) AS unit_c2
+                FROM lineitem
+            ),
+            r AS (
+                SELECT l_partkey, l_suppkey, unit_c2,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY unit_c2, l_suppkey) AS rn
+                FROM u
+            )
+            SELECT p.p_partkey, p.p_brand,
+                   r.l_suppkey AS s_suppkey, s.s_name,
+                   CAST(r.unit_c2 AS BIGINT) AS unit_c2
+            FROM r
+            JOIN part p ON r.l_partkey = p.p_partkey
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rn = 1
+            ORDER BY p.p_partkey
+        """,
+        "test_mix": test_mix_oracle_sql("repo", "path", "loc", _TESTMIX_SQL),
+        "branch_density": branch_density_oracle_sql(
+            "content", "lang", _BRANCH_SQL
+        ),
+        "indent_census": indent_unit_oracle_sql(
+            "content", "lang", _INDENT_SQL
+        ),
+        "dep_pins": dep_pin_oracle_sql("content", _MANIFEST_SQL),
         "trade_matrix": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l.l_shipdate) AS INT) AS ship_year,

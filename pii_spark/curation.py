@@ -1622,3 +1622,172 @@ def url_secret_params_oracle_sql(
         FROM per_doc GROUP BY 1
         ORDER BY param
     """
+
+
+# ---------------------------------------------------------------------------
+# training-mix: test-vs-source rollup per repository
+# ---------------------------------------------------------------------------
+
+#: Test-file path pattern shared verbatim with the DuckDB oracle:
+#: tests/ (or test/) directories anywhere in the path, test_-prefixed
+#: basenames, and _test./_spec. suffixed basenames (Go/Ruby/JS
+#: conventions).  RE2-safe.
+TEST_PATH_RE = r"(^|/)tests?/|(^|/)test_[^/]*$|_(test|spec)\.[A-Za-z0-9]+$"
+
+
+def test_mix_rollup(
+    df: DataFrame, repo_col: str, path_col: str, loc_col: str
+) -> DataFrame:
+    """Per-repo test-vs-source mix: file and line-of-code counts split
+    by the :data:`TEST_PATH_RE` path convention, plus the exact
+    integer per-mille test-LoC share (``div``, both engines floor).
+    The training-mix signal a curator reads before deciding whether a
+    corpus over- or under-samples test code relative to production
+    code (tests are repetitive assertion scaffolding — useful, but a
+    corpus that is 40% tests skews generation style).
+
+    Scale shape: path classification is one map-side regex; the
+    exchange carries (repo, four partial sums) — one row per repo.
+    Manifest-only input (path + loc): the content column never ships.
+    """
+    is_test = F.col(path_col).rlike(TEST_PATH_RE)
+    loc = F.col(loc_col).cast("long")
+    return (
+        df.select(
+            F.col(repo_col).alias("repo"),
+            is_test.alias("__t"),
+            loc.alias("__loc"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_test_files"),
+            F.sum("__loc").alias("loc_total"),
+            F.sum(F.when(F.col("__t"), F.col("__loc")).otherwise(F.lit(0)))
+            .alias("loc_test"),
+        )
+        .withColumn(
+            "test_loc_pml", F.expr("loc_test * 1000 div loc_total")
+        )
+    )
+
+
+def test_mix_oracle_sql(
+    repo_sql: str, path_sql: str, loc_sql: str, rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`test_mix_rollup` — same regex, same
+    integer per-mille."""
+    return f"""
+        WITH per AS (
+            SELECT {repo_sql} AS repo,
+                   CASE WHEN regexp_matches({path_sql},
+                        '{TEST_PATH_RE}') THEN 1 ELSE 0 END AS t,
+                   CAST({loc_sql} AS BIGINT) AS loc
+            FROM ({rows_sql})
+        )
+        SELECT repo,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(t) AS BIGINT) AS n_test_files,
+               CAST(sum(loc) AS BIGINT) AS loc_total,
+               CAST(sum(CASE WHEN t = 1 THEN loc ELSE 0 END) AS BIGINT)
+                   AS loc_test,
+               CAST(sum(CASE WHEN t = 1 THEN loc ELSE 0 END) * 1000
+                    // sum(loc) AS BIGINT) AS test_loc_pml
+        FROM per GROUP BY repo
+        ORDER BY repo
+    """
+
+
+# ---------------------------------------------------------------------------
+# dependency-manifest pin census
+# ---------------------------------------------------------------------------
+
+#: Requirement-line classifier shared verbatim with the oracle, in
+#: PRIORITY order (first match wins): exact pin, bounded range, bare
+#: (unpinned) name.  Lines matching none (comments, blanks, editable
+#: installs, URLs) fall into ``other``.
+PIN_CLASS_RULES: list[tuple[str, str]] = [
+    ("pinned", r"^[A-Za-z0-9_.-]+==[0-9][A-Za-z0-9_.-]*$"),
+    ("ranged", r"^[A-Za-z0-9_.-]+(>=|<=|~=|\^|>|<)[0-9][A-Za-z0-9_.,<>= -]*$"),
+    ("bare", r"^[A-Za-z0-9_.-]+$"),
+]
+
+#: Package-name prefix (the part before any version operator).
+PKG_NAME_RE = r"^[A-Za-z0-9_.-]+"
+
+
+def dep_pin_census(df: DataFrame, content_col: str) -> DataFrame:
+    """Dependency-pinning census over requirements-style manifests:
+    per constraint class (``pinned`` / ``ranged`` / ``bare`` /
+    ``other``) the line count, distinct package-name count, and how
+    many manifests contain at least one such line.  Reproducibility
+    hygiene for a code corpus — heavily-unpinned ecosystems are where
+    supply-chain/staleness noise concentrates, and a curator may
+    weight them differently.
+
+    Scale shape: explode is line-bounded (manifests are tiny); the
+    per-class rollup exchanges (class, pkg) pairs already reduced
+    map-side by the distinct — output rows ≤ 4.
+    """
+    # id BEFORE the explode (separate projection): putting the
+    # nondeterministic id in the same select as the generator would
+    # stamp each exploded LINE with its own id, not each manifest
+    base = df.select(
+        F.monotonically_increasing_id().alias("__mid"),
+        F.col(content_col).alias("__c"),
+    )
+    lines = base.select(
+        "__mid", F.explode(F.split(F.col("__c"), "\n", -1)).alias("__l")
+    ).select("__mid", F.trim(F.col("__l")).alias("__l"))
+    cls = None
+    for name, pat in PIN_CLASS_RULES:
+        hit = F.col("__l").rlike(pat)
+        cls = F.when(hit, name) if cls is None else cls.when(hit, name)
+    cls = cls.otherwise("other")
+    tagged = lines.filter(F.col("__l") != "").select(
+        "__mid",
+        cls.alias("pin_class"),
+        F.regexp_extract(F.col("__l"), PKG_NAME_RE, 0).alias("__pkg"),
+    )
+    return tagged.groupBy("pin_class").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct(
+            F.when(F.col("__pkg") != "", F.col("__pkg"))
+        ).cast("long").alias("n_pkgs"),
+        F.countDistinct("__mid").cast("long").alias("n_manifests"),
+    )
+
+
+def dep_pin_oracle_sql(content_sql: str, rows_sql: str) -> str:
+    """DuckDB replay of :func:`dep_pin_census` — same priority chain,
+    same trim/blank handling."""
+    cases = " ".join(
+        f"WHEN regexp_matches(l, '{pat}') THEN '{name}'"
+        for name, pat in PIN_CLASS_RULES
+    )
+    return f"""
+        WITH src AS (
+            SELECT row_number() OVER () AS mid, {content_sql} AS c
+            FROM ({rows_sql})
+        ),
+        ln AS (
+            SELECT mid,
+                   trim(unnest(regexp_split_to_array(c, '\\n'))) AS l
+            FROM src
+        ),
+        tagged AS (
+            SELECT mid,
+                   CASE {cases} ELSE 'other' END AS pin_class,
+                   regexp_extract(l, '{PKG_NAME_RE}', 0) AS pkg
+            FROM ln WHERE l <> ''
+        )
+        SELECT pin_class,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT CASE WHEN pkg <> '' THEN pkg END)
+                    AS BIGINT) AS n_pkgs,
+               CAST(count(DISTINCT mid) AS BIGINT) AS n_manifests
+        FROM tagged GROUP BY 1
+        ORDER BY pin_class
+    """
