@@ -5418,6 +5418,117 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _risk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized risky-call bodies: (d%4) eval lines, exec every 5th,
+    # os.system every 7th, shell=True every 6th, a backtick command
+    # every 11th, pickle.loads every 13th, benign filler — mirrored
+    # verbatim in _RISK_SQL.
+    d = F.col("doc_id")
+    content = F.concat(
+        F.expr("repeat('eval(x); ', doc_id % 4)"),
+        F.when(d % 5 == 0, F.lit("exec(code)\n")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit('os.system("ls")\n')).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0, F.lit("subprocess.run(cmd, shell=True)\n")
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("x = `rm -rf tmp`\n")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("obj = pickle.loads(blob)\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("value = compute()"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("lang"), content.alias("content")
+    )
+
+
+_RISK_SQL = """
+    SELECT lang,
+           repeat('eval(x); ', doc_id % 4)
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN 'exec(code)' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0
+                    THEN 'os.system("ls")' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 6 = 0
+                    THEN 'subprocess.run(cmd, shell=True)' || chr(10)
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0
+                    THEN 'x = ' || chr(96) || 'rm -rf tmp' || chr(96)
+                         || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0
+                    THEN 'obj = pickle.loads(blob)' || chr(10) ELSE '' END)
+           || 'value = compute()' AS content
+    FROM documents
+"""
+
+
+def q_shell_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dangerous-call security-lint census per (lang, rule): hit and
+    # file counts, zero-hit rules dropped
+    from pii_spark.quality import shell_risk_census
+
+    return shell_risk_census(
+        _risk_corpus(spark, sf_dir), "content", "lang"
+    ).orderBy("lang", "rule")
+
+
+def _concentration_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-file (lang, repo, loc) manifest with planted whales: repo =
+    # doc_id % 37, every 17th file is 40× the LoC — mirrored verbatim
+    # in _CONCENTRATION_SQL.
+    d = F.col("doc_id")
+    loc = (F.col("n_chars") % 211 + 10) * F.when(d % 17 == 0, 40).otherwise(1)
+    return _docs(spark, sf_dir).select(
+        F.col("lang"),
+        F.concat(F.lit("r"), (d % 37).cast("string")).alias("repo"),
+        loc.alias("loc"),
+    )
+
+
+_CONCENTRATION_SQL = """
+    SELECT lang, 'r' || (doc_id % 37) AS repo,
+           (n_chars % 211 + 10)
+           * (CASE WHEN doc_id % 17 = 0 THEN 40 ELSE 1 END) AS loc
+    FROM documents
+"""
+
+
+def q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language top-decile repo LoC share (ntile(10), exact
+    # per-mille) — the repo-cap trigger signal
+    from pii_spark.curation import corpus_concentration
+
+    return corpus_concentration(
+        _concentration_corpus(spark, sf_dir), "lang", "repo", "loc"
+    ).orderBy("lang")
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-segment balance quartiles (ntile(4), custkey tie-break):
+    # customer count + exact integer cents sum/min/max per quartile
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment",
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal_c"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_c").alias("bal_sum_c"),
+            F.min("bal_c").alias("bal_min_c"),
+            F.max("bal_c").alias("bal_max_c"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -5500,6 +5611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_density": q_branch_density,
         "indent_census": q_indent_census,
         "dep_pins": q_dep_pins,
+        "shell_risk": q_shell_risk,
+        "corpus_concentration": q_corpus_concentration,
+        "customer_quartiles": q_customer_quartiles,
         "event_volume_windows": q_event_volume_windows,
         "orders_pivot": q_orders_pivot,
         "revenue_rollup": q_revenue_rollup,
@@ -5653,6 +5767,8 @@ def oracle_sql() -> dict[str, str]:
         indent_unit_oracle_sql,
     )
     from pii_spark.curation import dep_pin_oracle_sql, test_mix_oracle_sql
+    from pii_spark.quality import shell_risk_oracle_sql
+    from pii_spark.curation import corpus_concentration_oracle_sql
     from pii_spark.quality import lang_confusion_oracle_sql
     from pii_spark.curation import path_gate_oracle_sql
     from pii_spark.quality import (
@@ -6914,6 +7030,28 @@ def oracle_sql() -> dict[str, str]:
             "content", "lang", _INDENT_SQL
         ),
         "dep_pins": dep_pin_oracle_sql("content", _MANIFEST_SQL),
+        "shell_risk": shell_risk_oracle_sql("content", "lang", _RISK_SQL),
+        "corpus_concentration": corpus_concentration_oracle_sql(
+            "lang", "repo", "loc", _CONCENTRATION_SQL
+        ),
+        "customer_quartiles": """
+            WITH q AS (
+                SELECT c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY CAST(round(c_acctbal * 100)
+                                                    AS BIGINT) DESC,
+                                               c_custkey ASC) AS quartile
+                FROM customer
+            )
+            SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(bal_c) AS BIGINT) AS bal_sum_c,
+                   CAST(min(bal_c) AS BIGINT) AS bal_min_c,
+                   CAST(max(bal_c) AS BIGINT) AS bal_max_c
+            FROM q GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "trade_matrix": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l.l_shipdate) AS INT) AS ship_year,

@@ -1791,3 +1791,83 @@ def dep_pin_oracle_sql(content_sql: str, rows_sql: str) -> str:
         FROM tagged GROUP BY 1
         ORDER BY pin_class
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus concentration: top-decile repo share per language
+# ---------------------------------------------------------------------------
+
+
+def corpus_concentration(
+    df: DataFrame, lang_col: str, repo_col: str, loc_col: str
+) -> DataFrame:
+    """How top-heavy is each language's slice of the corpus?  Per
+    language: repo count, total LoC, and the exact integer per-mille
+    LoC share held by the top decile of repos (``ntile(10)`` by
+    descending per-repo LoC, repo-name tie-break so both engines cut
+    identical deciles).  A language where the top 10% of repos own
+    80% of the lines needs repo-level caps before training.
+
+    Scale shape: stage 1 reduces to one row per (lang, repo) —
+    map-side combine does the heavy lifting; the ntile window sorts
+    only the per-repo rollup (repos ≪ files), partitioned by lang.
+    """
+    per_repo = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.col(repo_col).alias("repo"),
+            F.col(loc_col).cast("long").alias("loc"),
+        )
+        .groupBy("lang", "repo")
+        .agg(F.sum("loc").alias("repo_loc"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("repo_loc"), F.asc("repo")
+    )
+    deciled = per_repo.withColumn("dec", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_repos"),
+            F.sum("repo_loc").alias("loc_total"),
+            F.sum(
+                F.when(F.col("dec") == 1, F.col("repo_loc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("loc_top_decile"),
+        )
+        .withColumn(
+            "top_decile_pml",
+            F.expr("loc_top_decile * 1000 div loc_total"),
+        )
+    )
+
+
+def corpus_concentration_oracle_sql(
+    lang_sql: str, repo_sql: str, loc_sql: str, rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`corpus_concentration` — ntile semantics
+    match (both split remainders into the leading tiles)."""
+    return f"""
+        WITH per_repo AS (
+            SELECT {lang_sql} AS lang, {repo_sql} AS repo,
+                   sum(CAST({loc_sql} AS BIGINT)) AS repo_loc
+            FROM ({rows_sql})
+            GROUP BY 1, 2
+        ),
+        deciled AS (
+            SELECT lang, repo_loc,
+                   ntile(10) OVER (PARTITION BY lang
+                                   ORDER BY repo_loc DESC, repo ASC) AS dec
+            FROM per_repo
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_repos,
+               CAST(sum(repo_loc) AS BIGINT) AS loc_total,
+               CAST(sum(CASE WHEN dec = 1 THEN repo_loc ELSE 0 END)
+                    AS BIGINT) AS loc_top_decile,
+               CAST(sum(CASE WHEN dec = 1 THEN repo_loc ELSE 0 END) * 1000
+                    // sum(repo_loc) AS BIGINT) AS top_decile_pml
+        FROM deciled GROUP BY lang
+        ORDER BY lang
+    """

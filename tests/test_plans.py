@@ -889,3 +889,74 @@ def test_record_unpack_fused_projection_no_python(spark):
     p = plan(E.q_record_unpack(spark, SF_DIR))
     assert count_python_nodes(p) == 0
     assert "Join" not in p
+
+
+def test_branch_density_pure_jvm_single_agg(spark):
+    from pii_spark.quality import branch_density_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.col("text").alias("content")
+    )
+    p = plan(branch_density_census(docs, "content", "lang"))
+    assert count_python_nodes(p) == 0  # both regex counts JVM-side
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_indent_census_pure_jvm_no_explode(spark):
+    from pii_spark.quality import indent_unit_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.col("text").alias("content")
+    )
+    p = plan(indent_unit_census(docs, "content", "lang"))
+    assert count_python_nodes(p) == 0  # array fold stays in codegen
+    # per-file inference is map-side: no Generate (explode) node — the
+    # line array never becomes rows
+    assert "Generate" not in p
+    assert "Join" not in p
+
+
+def test_shell_risk_single_scan_all_rules(spark):
+    from pii_spark.quality import shell_risk_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.col("text").alias("content")
+    )
+    p = plan(shell_risk_census(docs, "content", "lang"))
+    assert count_python_nodes(p) == 0
+    # one parquet scan feeds all six rule counters (the stack explode
+    # runs on already-counted integers, not on content)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Join" not in p
+
+
+def test_test_mix_manifest_only_no_content_column(spark):
+    from pii_spark.curation import test_mix_rollup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("r").alias("repo"),
+        F.col("source").alias("path"),
+        F.col("n_chars").alias("loc"),
+    )
+    p = plan(test_mix_rollup(docs, "repo", "path", "loc"))
+    assert count_python_nodes(p) == 0
+    # column pruning: the scan reads only the two manifest columns
+    assert "ReadSchema: struct<source:string,n_chars" in p
+    assert "Join" not in p
+
+
+def test_corpus_concentration_window_sorts_repo_rollup_only(spark):
+    from pii_spark.curation import corpus_concentration
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.col("source").alias("repo"), F.col("n_chars").alias("loc")
+    )
+    p = plan(corpus_concentration(docs, "lang", "repo", "loc"))
+    assert count_python_nodes(p) == 0
+    # the ntile window must sit ABOVE the (lang, repo) pre-aggregate —
+    # partial aggregation happens before any sort, so the window input
+    # is the per-repo rollup, never the raw file rows
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "Join" not in p
