@@ -5529,6 +5529,198 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fill-in-the-middle (PSM) training transform: deterministic cut
+    # points from (doc_id, length), exact part lengths + the sha of
+    # the emitted <pre>prefix<suf>suffix<mid>middle string — pure JVM
+    # column arithmetic, zero shuffle
+    from pii_spark.curation import fim_transform
+
+    out = fim_transform(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_pre",
+        "n_mid",
+        "n_suf",
+        F.sha2(F.col("psm"), 256).alias("psm_sha"),
+    ).orderBy("doc_id")
+
+
+def _manifest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized repo-tree manifest: 2-3 directory levels cycling on
+    # doc_id mod 7/13/3, every 11th file at the repo root (exercises
+    # the no-directory guard) — mirrored verbatim in _MANIFEST_PATH_SQL
+    d = F.col("doc_id")
+    fname = F.concat(F.lit("f"), d.cast("string"), F.lit(".py"))
+    deep = F.concat(
+        F.lit("r"), (d % 7).cast("string"),
+        F.lit("/m"), (d % 13).cast("string"),
+        F.when(d % 3 == 0, F.concat(F.lit("/sub"), (d % 4).cast("string")))
+        .otherwise(F.lit("")),
+        F.lit("/"), fname,
+    )
+    return _docs(spark, sf_dir).select(
+        F.when(d % 11 == 0, fname).otherwise(deep).alias("path"),
+        F.col("n_chars").alias("size"),
+    )
+
+
+_MANIFEST_PATH_SQL = """
+    SELECT CASE WHEN doc_id % 11 = 0
+                THEN 'f' || doc_id || '.py'
+                ELSE 'r' || (doc_id % 7) || '/m' || (doc_id % 13)
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN '/sub' || (doc_id % 4) ELSE '' END)
+                     || '/f' || doc_id || '.py'
+           END AS path,
+           n_chars AS size
+    FROM documents
+"""
+
+
+def q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # du(1)-style directory-tree rollup: every ancestor prefix of every
+    # file, with depth, file count, cumulative size — blowup bounded by
+    # tree depth, one groupBy on (dir, depth)
+    from pii_spark.curation import dir_rollup
+
+    return dir_rollup(
+        _manifest_paths(spark, sf_dir), "path", "size"
+    ).orderBy("dir", "depth")
+
+
+def _import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthesized module import graph over doc_id node ids: two noise
+    # arms into a fixed 4096-node space, planted self-loops every 97th
+    # module, planted 2-cycles on the %10∈{0,5} pairs, planted
+    # 3-cycles on the %30∈{0,10,20} triples — mirrored verbatim in
+    # _IMPORT_EDGE_SQL.  Edges to ids past the corpus edge just dangle
+    # (nodes are implicit); both engines agree because both build from
+    # the same table.
+    d = F.col("doc_id")
+    arms = F.array(
+        F.struct(d.alias("src"), ((d * 3 + 1) % 4096).alias("dst")),
+        F.struct(d.alias("src"), ((d * 7 + 2) % 4096).alias("dst")),
+        F.struct(
+            d.alias("src"),
+            F.when(d % 97 == 0, d).alias("dst"),
+        ),
+        F.struct(
+            d.alias("src"),
+            F.when(d % 10 == 0, d + 5)
+            .when(d % 10 == 5, d - 5)
+            .alias("dst"),
+        ),
+        F.struct(
+            d.alias("src"),
+            F.when((d % 30 == 0) | (d % 30 == 10), d + 10)
+            .when(d % 30 == 20, d - 20)
+            .alias("dst"),
+        ),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(arms).alias("e"))
+        .select("e.src", "e.dst")
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+_IMPORT_EDGE_SQL = """
+    SELECT doc_id AS src, dst FROM (
+        SELECT doc_id, (doc_id * 3 + 1) % 4096 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 2) % 4096 FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, doc_id - 5 FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id, doc_id + 10 FROM documents
+        WHERE doc_id % 30 IN (0, 10)
+        UNION ALL
+        SELECT doc_id, doc_id - 20 FROM documents WHERE doc_id % 30 = 20
+    )
+"""
+
+
+def q_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # circular-import audit: all directed cycles of length ≤ 3 in the
+    # module graph, canonicalized (smallest node leads, -1 sentinel
+    # slots) — k-way self-equi-joins with strict-minimum pruning, no
+    # iteration
+    from pii_spark.graph import short_cycles
+
+    return short_cycles(
+        _import_edges(spark, sf_dir), "src", "dst", max_len=3
+    ).orderBy("cycle_len", "n1", "n2", "n3")
+
+
+#: blocklist for q_domain_blocklist — suffix semantics, so
+#: 'nottracker.io' (arm 4) must stay clean while 'x.tracker.io' drops
+_BLOCKLIST = ["ads.example.com", "tracker.io", "spam.net"]
+
+
+def _domain_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # six deterministic domain shapes cycling on doc_id % 6: subdomain
+    # of a blocked entry (0, 1, 5), exact blocked entry (2), clean
+    # sibling under the same registrable domain (3), and the
+    # endswith-trap 'nottracker.io' (4) — mirrored in _DOMAIN_SQL
+    d = F.col("doc_id")
+    dom = (
+        F.when(d % 6 == 0, F.concat(F.lit("cdn"), (d % 3).cast("string"),
+                                    F.lit(".ads.example.com")))
+        .when(d % 6 == 1, F.concat(F.lit("site"), (d % 5).cast("string"),
+                                   F.lit(".tracker.io")))
+        .when(d % 6 == 2, F.lit("tracker.io"))
+        .when(d % 6 == 3, F.concat(F.lit("good"), (d % 7).cast("string"),
+                                   F.lit(".example.com")))
+        .when(d % 6 == 4, F.lit("nottracker.io"))
+        .otherwise(F.lit("a.b.spam.net"))
+    )
+    return _docs(spark, sf_dir).select(F.col("lang"), dom.alias("domain"))
+
+
+_DOMAIN_SQL = """
+    SELECT lang,
+           CASE doc_id % 6
+               WHEN 0 THEN 'cdn' || (doc_id % 3) || '.ads.example.com'
+               WHEN 1 THEN 'site' || (doc_id % 5) || '.tracker.io'
+               WHEN 2 THEN 'tracker.io'
+               WHEN 3 THEN 'good' || (doc_id % 7) || '.example.com'
+               WHEN 4 THEN 'nottracker.io'
+               ELSE 'a.b.spam.net'
+           END AS domain
+    FROM documents
+"""
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-decontamination gate census: suffix-chain blocklist matching
+    # (subdomains drop, endswith lookalikes survive), attributed to the
+    # matching entry — zero shuffle until the final census groupBy
+    from pii_spark.curation import domain_blocklist_gate
+
+    out = domain_blocklist_gate(
+        _domain_rows(spark, sf_dir), "domain", _BLOCKLIST
+    )
+    return (
+        out.groupBy(
+            "lang",
+            "blocked",
+            F.coalesce(F.col("block_match"), F.lit("")).alias("block_match"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("domain").alias("n_domains"),
+        )
+        .orderBy("lang", "blocked", "block_match")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
@@ -5614,6 +5806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_risk": q_shell_risk,
         "corpus_concentration": q_corpus_concentration,
         "customer_quartiles": q_customer_quartiles,
+        "fim_split": q_fim_split,
+        "dir_rollup": q_dir_rollup,
+        "import_cycles": q_import_cycles,
+        "domain_blocklist": q_domain_blocklist,
         "event_volume_windows": q_event_volume_windows,
         "orders_pivot": q_orders_pivot,
         "revenue_rollup": q_revenue_rollup,
@@ -5769,6 +5965,12 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.curation import dep_pin_oracle_sql, test_mix_oracle_sql
     from pii_spark.quality import shell_risk_oracle_sql
     from pii_spark.curation import corpus_concentration_oracle_sql
+    from pii_spark.curation import (
+        dir_rollup_oracle_sql,
+        domain_blocklist_oracle_sql,
+        fim_oracle_sql,
+    )
+    from pii_spark.graph import short_cycles_oracle_sql
     from pii_spark.quality import lang_confusion_oracle_sql
     from pii_spark.curation import path_gate_oracle_sql
     from pii_spark.quality import (
@@ -7031,6 +7233,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dep_pins": dep_pin_oracle_sql("content", _MANIFEST_SQL),
         "shell_risk": shell_risk_oracle_sql("content", "lang", _RISK_SQL),
+        "fim_split": f"""
+            SELECT f.id AS doc_id, d.lang, f.n_pre, f.n_mid, f.n_suf,
+                   sha256(f.psm) AS psm_sha
+            FROM ({fim_oracle_sql("doc_id", "text",
+                                  "SELECT doc_id, text FROM documents")}) f
+            JOIN documents d ON d.doc_id = f.id
+            ORDER BY doc_id
+        """,
+        "dir_rollup": dir_rollup_oracle_sql(
+            "path", "size", _MANIFEST_PATH_SQL
+        ),
+        "import_cycles": short_cycles_oracle_sql(_IMPORT_EDGE_SQL, max_len=3),
+        "domain_blocklist": f"""
+            WITH gated AS ({domain_blocklist_oracle_sql(
+                "domain", _BLOCKLIST, _DOMAIN_SQL)})
+            SELECT lang, blocked,
+                   coalesce(block_match, '') AS block_match,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+            FROM gated
+            GROUP BY 1, 2, 3
+            ORDER BY lang, blocked, block_match
+        """,
         "corpus_concentration": corpus_concentration_oracle_sql(
             "lang", "repo", "loc", _CONCENTRATION_SQL
         ),

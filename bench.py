@@ -289,6 +289,13 @@ def main() -> None:
         "license_conflicts",
         "url_secrets",
         "entity_decode",
+        "shell_risk",
+        "corpus_concentration",
+        "customer_quartiles",
+        "fim_split",
+        "dir_rollup",
+        "import_cycles",
+        "domain_blocklist",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

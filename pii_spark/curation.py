@@ -1871,3 +1871,252 @@ def corpus_concentration_oracle_sql(
         FROM deciled GROUP BY lang
         ORDER BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle (FIM) training transform
+# ---------------------------------------------------------------------------
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    pre_mod: int = 7,
+    suf_mod: int = 5,
+    pre_tok: str = "<|fim_prefix|>",
+    suf_tok: str = "<|fim_suffix|>",
+    mid_tok: str = "<|fim_middle|>",
+) -> DataFrame:
+    """Rewrite each document into the PSM (prefix-suffix-middle)
+    fill-in-the-middle training format: two deterministic cut points
+    split the text into prefix / middle / suffix, and the emitted
+    training string is ``<pre>prefix<suf>suffix<mid>middle`` — the
+    infilling objective code models train on (Bavarian et al. 2022).
+    Production FIM draws the cuts from an RNG; here they are pure
+    functions of (id, length) — ``a = L/3 + id % pre_mod``,
+    ``b = max(a, 2L/3 - id % suf_mod)``, both clamped to [0, L] — so
+    every engine, run, and partitioning produces byte-identical output
+    (the same determinism contract as :func:`hash_sample`).
+
+    Output: the input row plus ``n_pre``/``n_mid``/``n_suf`` (exact
+    char counts, summing to ``length(content)``) and ``psm`` (the
+    transformed string).
+
+    Scale shape: pure JVM column arithmetic — zero shuffle, zero
+    Python, survives any partitioning; the transform is applied where
+    the data already lives.
+    """
+    c = F.col(content_col)
+    L = F.length(c)
+    a = F.least(
+        L, (F.floor(L / 3) + F.col(id_col) % pre_mod).cast("int")
+    ).cast("int")
+    b = F.least(
+        L,
+        F.greatest(
+            a.cast("long"),
+            F.floor(L * 2 / 3) - F.col(id_col) % suf_mod,
+        ).cast("int"),
+    ).cast("int")
+    prefix = c.substr(F.lit(1), a)
+    middle = c.substr(a + F.lit(1), b - a)
+    suffix = c.substr(b + F.lit(1), L)
+    return (
+        df.withColumn("n_pre", a.cast("long"))
+        .withColumn("n_mid", (b - a).cast("long"))
+        .withColumn("n_suf", (L - b).cast("long"))
+        .withColumn(
+            "psm",
+            F.concat(
+                F.lit(pre_tok), prefix,
+                F.lit(suf_tok), suffix,
+                F.lit(mid_tok), middle,
+            ),
+        )
+    )
+
+
+def fim_oracle_sql(
+    id_sql: str,
+    content_sql: str,
+    rows_sql: str,
+    pre_mod: int = 7,
+    suf_mod: int = 5,
+    pre_tok: str = "<|fim_prefix|>",
+    suf_tok: str = "<|fim_suffix|>",
+    mid_tok: str = "<|fim_middle|>",
+) -> str:
+    """DuckDB replay of :func:`fim_transform` — same cut arithmetic,
+    same clamps; the caller selects/digests the ``psm`` column."""
+    return f"""
+        WITH rows_ AS (
+            SELECT {id_sql} AS id, {content_sql} AS c
+            FROM ({rows_sql})
+        ),
+        cut AS (
+            SELECT id, c, length(c) AS L,
+                   least(length(c),
+                         length(c) // 3 + id % {pre_mod}) AS a
+            FROM rows_
+        ),
+        cut2 AS (
+            SELECT id, c, L, a,
+                   least(L, greatest(a, L * 2 // 3 - id % {suf_mod})) AS b
+            FROM cut
+        )
+        SELECT id, c, L, a, b,
+               CAST(a AS BIGINT) AS n_pre,
+               CAST(b - a AS BIGINT) AS n_mid,
+               CAST(L - b AS BIGINT) AS n_suf,
+               '{pre_tok}' || substr(c, 1, a)
+               || '{suf_tok}' || substr(c, b + 1, L)
+               || '{mid_tok}' || substr(c, a + 1, b - a) AS psm
+        FROM cut2
+    """
+
+
+# ---------------------------------------------------------------------------
+# hierarchical directory rollup
+# ---------------------------------------------------------------------------
+
+
+def dir_rollup(df: DataFrame, path_col: str, size_col: str) -> DataFrame:
+    """Cumulative rollup over the directory tree implied by a path
+    column: one output row per directory prefix (every ancestor of
+    every file) with ``depth``, file count, and total size — the
+    du(1)-style manifest view a curator reads to find which subtrees
+    dominate a repo ("vendored/ is 80% of the bytes").
+
+    Each file explodes into its ``depth`` ancestor prefixes (path
+    segments minus the filename), so the blowup is bounded by the
+    tree depth — single digits for real repos — and the rollup is one
+    groupBy over (dir, depth) 8-byte-hashable keys with map-side
+    combine.  Files at the root (no '/') contribute nothing.  Pure
+    JVM (split/transform/slice/array_join inside codegen), no Python.
+    """
+    parts = F.split(F.col(path_col), "/")
+    ndirs = F.size(parts) - 1
+    prefixes = F.when(
+        ndirs >= 1,
+        F.expr(
+            f"transform(sequence(1, size(split({path_col}, '/')) - 1), "
+            f"d -> struct(d AS depth, "
+            f"array_join(slice(split({path_col}, '/'), 1, d), '/') AS dir))"
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(
+            F.explode(prefixes).alias("p"),
+            F.col(size_col).cast("long").alias("__sz"),
+        )
+        .select(
+            F.col("p.dir").alias("dir"),
+            F.col("p.depth").cast("int").alias("depth"),
+            "__sz",
+        )
+        .groupBy("dir", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__sz").alias("total_size"),
+        )
+    )
+
+
+def dir_rollup_oracle_sql(
+    path_sql: str, size_sql: str, rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`dir_rollup` — list-slice prefixes via
+    ``generate_series`` (empty for rootless paths, matching the
+    Spark guard)."""
+    return f"""
+        WITH rows_ AS (
+            SELECT {path_sql} AS path, CAST({size_sql} AS BIGINT) AS sz
+            FROM ({rows_sql})
+        ),
+        parts AS (
+            SELECT string_split(path, '/') AS p, sz FROM rows_
+        ),
+        pref AS (
+            SELECT array_to_string(p[1:d], '/') AS dir,
+                   CAST(d AS INT) AS depth, sz
+            FROM parts,
+                 unnest(generate_series(1, len(p) - 1)) AS t(d)
+        )
+        SELECT dir, depth,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(sz) AS BIGINT) AS total_size
+        FROM pref GROUP BY 1, 2
+        ORDER BY dir, depth
+    """
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist gate (suffix matching)
+# ---------------------------------------------------------------------------
+
+
+def domain_blocklist_gate(
+    df: DataFrame, domain_col: str, blocklist: list[str]
+) -> DataFrame:
+    """Mark rows whose domain is on — or is a subdomain of — any
+    blocklist entry: ``cdn.ads.example.com`` is blocked by
+    ``ads.example.com`` and by ``example.com`` (registrable-suffix
+    semantics, the standard URL-filter shape for corpus
+    decontamination).  Adds ``blocked`` (boolean) and
+    ``block_match`` (the lexicographically smallest matching entry,
+    NULL when clean) so drop decisions are attributable.
+
+    Implementation: the domain's dot-suffix chain (``a.b.c`` →
+    ``[a.b.c, b.c, c]``) is built with transform/slice inside codegen
+    and intersected against the blocklist as a literal array — zero
+    shuffle, zero Python, no join node; the gate runs where the data
+    lives.  This literal-array form is for operationally small lists
+    (≲ thousands).  For a blocklist table too big to inline, explode
+    the suffix chain and broadcast-equi-join it against the list
+    instead — same row semantics, one broadcast, still no wide
+    exchange.
+    """
+    parts = F.split(F.col(domain_col), r"\.")
+    suffixes = F.expr(
+        f"transform(sequence(1, size(split({domain_col}, '\\\\.'))), "
+        f"i -> array_join(slice(split({domain_col}, '\\\\.'), i, "
+        f"size(split({domain_col}, '\\\\.')) - i + 1), '.'))"
+    )
+    lit_list = F.array(*[F.lit(x) for x in sorted(set(blocklist))])
+    hits = F.array_intersect(suffixes, lit_list)
+    return df.withColumn("block_match", F.array_min(hits)).withColumn(
+        "blocked", F.size(hits) > 0
+    )
+
+
+def domain_blocklist_oracle_sql(
+    domain_sql: str, blocklist: list[str], rows_sql: str
+) -> str:
+    """DuckDB replay of :func:`domain_blocklist_gate` — same suffix
+    chain, same intersect, same min-entry attribution."""
+    entries = ", ".join(
+        "'" + x.replace("'", "''") + "'" for x in sorted(set(blocklist))
+    )
+    return f"""
+        WITH rows_ AS (
+            SELECT *, {domain_sql} AS __dom FROM ({rows_sql})
+        ),
+        sufs AS (
+            SELECT *,
+                   list_intersect(
+                       list_transform(
+                           range(1, len(string_split(__dom, '.')) + 1),
+                           i -> array_to_string(
+                               (string_split(__dom, '.'))[i:len(
+                                   string_split(__dom, '.'))], '.')
+                       ),
+                       [{entries}]
+                   ) AS __hits
+            FROM rows_
+        )
+        SELECT * EXCLUDE (__dom, __hits),
+               list_aggregate(__hits, 'min') AS block_match,
+               len(__hits) > 0 AS blocked
+        FROM sufs
+    """

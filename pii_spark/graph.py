@@ -469,3 +469,118 @@ def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         ) GROUP BY n ORDER BY node"""
     )
     return "".join(parts)
+
+
+def short_cycles(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_len: int = 3
+) -> DataFrame:
+    """Enumerate directed cycles of length ≤ ``max_len`` (1, 2, or 3)
+    in canonical form — the circular-import / circular-dependency
+    audit over a module import graph.  Canonicalization: the cycle is
+    reported rotated so its smallest node leads, one row per cycle:
+    ``(cycle_len, n1, n2, n3)`` with unused slots as -1 sentinels (so
+    the result hash-compares without NULL ambiguity).
+
+    Distributed shape: length-k cycles are k-way self-equi-joins of
+    the deduped edge list on 8-byte node keys — no BFS state, no
+    iteration.  The strict-minimum predicates (``n1 < n2``,
+    ``n1 < n3``) make each cycle appear exactly once AND prune the
+    join fan-out before the next hop.  Work is Σ_k (edges per node)^k
+    for k ≤ 3 — the same wedge bound as :func:`triangle_census`, on
+    directed wedges.  max_len > 3 needs the iterative frontier of
+    :func:`bfs_layers` instead; this operator refuses rather than
+    silently explode.
+    """
+    if max_len not in (1, 2, 3):
+        raise ValueError(f"max_len must be 1, 2, or 3, got {max_len!r}")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct()
+    neg = F.lit(-1).cast("long")
+    outs = [
+        e.filter(F.col("a") == F.col("b")).select(
+            F.lit(1).alias("cycle_len"),
+            F.col("a").alias("n1"),
+            neg.alias("n2"),
+            neg.alias("n3"),
+        )
+    ]
+    if max_len >= 2:
+        e1, e2 = e.alias("e1"), e.alias("e2")
+        outs.append(
+            e1.join(
+                e2,
+                (F.col("e1.b") == F.col("e2.a"))
+                & (F.col("e2.b") == F.col("e1.a"))
+                & (F.col("e1.a") < F.col("e1.b")),
+            ).select(
+                F.lit(2).alias("cycle_len"),
+                F.col("e1.a").alias("n1"),
+                F.col("e1.b").alias("n2"),
+                neg.alias("n3"),
+            )
+        )
+    if max_len >= 3:
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        outs.append(
+            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(
+                e3,
+                (F.col("e2.b") == F.col("e3.a"))
+                & (F.col("e3.b") == F.col("e1.a")),
+            )
+            .filter(
+                (F.col("e1.a") < F.col("e2.a"))
+                & (F.col("e1.a") < F.col("e3.a"))
+                & (F.col("e2.a") != F.col("e3.a"))
+            )
+            .select(
+                F.lit(3).alias("cycle_len"),
+                F.col("e1.a").alias("n1"),
+                F.col("e2.a").alias("n2"),
+                F.col("e3.a").alias("n3"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def short_cycles_oracle_sql(edges_sql: str, max_len: int = 3) -> str:
+    """DuckDB replay of :func:`short_cycles` — identical join
+    predicates and canonicalization."""
+    arms = [
+        """
+        SELECT 1 AS cycle_len, a AS n1,
+               CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3
+        FROM e WHERE a = b"""
+    ]
+    if max_len >= 2:
+        arms.append(
+            """
+        SELECT 2, e1.a, e1.b, CAST(-1 AS BIGINT)
+        FROM e e1 JOIN e e2
+          ON e1.b = e2.a AND e2.b = e1.a AND e1.a < e1.b"""
+        )
+    if max_len >= 3:
+        arms.append(
+            """
+        SELECT 3, e1.a, e2.a, e3.a
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
+        WHERE e1.a < e2.a AND e1.a < e3.a AND e2.a <> e3.a"""
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH raw AS ({edges_sql}),
+        e AS (
+            SELECT DISTINCT CAST(src AS BIGINT) AS a,
+                            CAST(dst AS BIGINT) AS b
+            FROM raw
+        )
+        SELECT CAST(cycle_len AS INT) AS cycle_len, n1, n2, n3
+        FROM ({union})
+        ORDER BY cycle_len, n1, n2, n3
+    """

@@ -960,3 +960,52 @@ def test_corpus_concentration_window_sorts_repo_rollup_only(spark):
     win_pos = p.find("Window")
     assert agg_pos != -1 and win_pos != -1
     assert "Join" not in p
+
+
+def test_fim_transform_pure_jvm_no_shuffle(spark):
+    from pii_spark.curation import fim_transform
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(fim_transform(docs, "doc_id", "text").select("n_pre", "psm"))
+    assert count_python_nodes(p) == 0  # cut arithmetic stays in codegen
+    assert "Join" not in p
+    assert "Exchange" not in p  # map-only: applied where the data lives
+
+
+def test_dir_rollup_single_scan_depth_bounded(spark):
+    from pii_spark.curation import dir_rollup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("a/b/"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("n_chars").alias("size"),
+    )
+    p = plan(dir_rollup(docs, "path", "size"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Join" not in p
+
+
+def test_domain_blocklist_gate_map_only(spark):
+    from pii_spark.curation import domain_blocklist_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("source").alias("domain")
+    )
+    p = plan(domain_blocklist_gate(docs, "domain", ["a.com", "b.io"]))
+    assert count_python_nodes(p) == 0
+    # literal-array intersect: no join node, no explode, no exchange —
+    # the gate is a pure projection over the scan
+    assert "Join" not in p
+    assert "Generate" not in p
+    assert "Exchange" not in p
+
+
+def test_short_cycles_no_cartesian(spark):
+    from pii_spark.graph import short_cycles
+
+    e = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 1) % 64).alias("dst")
+    )
+    p = plan(short_cycles(e, "src", "dst"))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p  # all hops are equi-joins
