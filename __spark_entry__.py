@@ -162,6 +162,40 @@ def q_detect_by_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deobfuscated_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # evasion-canonicalization recall gate: five obfuscated-email
+    # families (bracketed [at]/[dot], (at)/(dot), zero-width splices,
+    # Cyrillic homoglyph domain, fullwidth block) spliced per doc_id%6;
+    # detection runs on BOTH the raw and the deobfuscated text, so the
+    # result row per family shows the recall the canonicalization pass
+    # buys (raw misses all five planted families; canon catches all)
+    from pii_spark.evasion import deobfuscate_text
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    splice = (
+        F.when(d % 6 == 0, F.concat(F.lit(" reach user"), ds, F.lit(" [at] example [dot] com now")))
+        .when(d % 6 == 1, F.concat(F.lit(" mail dev"), ds, F.lit("(at)corp(dot)io")))
+        .when(d % 6 == 2, F.concat(F.lit(" zw us​er"), ds, F.lit("@exam‍ple.com")))
+        .when(d % 6 == 3, F.concat(F.lit(" cy user"), ds, F.lit("@exаmple.com")))
+        .when(d % 6 == 4, F.concat(F.lit(" fw ｆｗ"), ds, F.lit("＠ｅｘａｍｐｌｅ．ｃｏｍ")))
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).withColumn("content", F.concat(F.col("text"), splice))
+    canon = deobfuscate_text(corpus, "content", "canon")
+    udf = make_detect_udf(PatternBank(), pattern_names=["email"])
+    return (
+        canon.withColumn("raw_hits", F.size(udf(F.col("content"))))
+        .withColumn("canon_hits", F.size(udf(F.col("canon"))))
+        .groupBy((d % 6).alias("obf_kind"))
+        .agg(
+            F.sum("raw_hits").cast("long").alias("raw_findings"),
+            F.sum("canon_hits").cast("long").alias("canon_findings"),
+        )
+        .orderBy("obf_kind")
+    )
+
+
 def q_detect_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D2 validation gate + D3 Luhn: even ids get a valid card, odd an invalid
     d = F.col("doc_id")
@@ -5724,6 +5758,7 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
+        "deobfuscated_detect": q_deobfuscated_detect,
         "detect_luhn": q_detect_luhn,
         "scrub_email_partial": q_scrub_email_partial,
         "mask_hash": q_mask_hash,
@@ -5930,6 +5965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pii_spark.evasion import deobfuscate_sql as _deobfuscate_sql
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
     from pii_spark.events import (
         ab_conversion_oracle_sql,
@@ -6631,6 +6667,22 @@ def oracle_sql() -> dict[str, str]:
             k=5,
             sensitive_sql="c_mktsegment",
         ),
+        "deobfuscated_detect": f"""
+            WITH corpus AS (
+                SELECT doc_id, text || CASE
+                    WHEN doc_id % 6 = 0 THEN ' reach user' || doc_id::VARCHAR || ' [at] example [dot] com now'
+                    WHEN doc_id % 6 = 1 THEN ' mail dev' || doc_id::VARCHAR || '(at)corp(dot)io'
+                    WHEN doc_id % 6 = 2 THEN ' zw us​er' || doc_id::VARCHAR || '@exam‍ple.com'
+                    WHEN doc_id % 6 = 3 THEN ' cy user' || doc_id::VARCHAR || '@exаmple.com'
+                    WHEN doc_id % 6 = 4 THEN ' fw ｆｗ' || doc_id::VARCHAR || '＠ｅｘａｍｐｌｅ．ｃｏｍ'
+                    ELSE '' END AS content
+                FROM documents
+            )
+            SELECT doc_id % 6 AS obf_kind,
+                   CAST(sum(len(regexp_extract_all(content, '{EMAIL_RE}'))) AS BIGINT) AS raw_findings,
+                   CAST(sum(len(regexp_extract_all({_deobfuscate_sql("content")}, '{EMAIL_RE}'))) AS BIGINT) AS canon_findings
+            FROM corpus GROUP BY obf_kind ORDER BY obf_kind
+        """,
         "detect_by_pattern": f"""
             WITH corpus AS ({_PII_CORPUS_SQL}),
             m AS (

@@ -1,0 +1,111 @@
+"""PII-evasion canonicalization: fold the cheap obfuscation tricks that
+defeat a regex bank BEFORE detection runs.
+
+The reference engine matches its patterns against the raw text
+(``/root/reference/internal/detector/engine.go:168-216``), so
+``alice [at] example [dot] com``, a zero-width space spliced into a
+token, or a Cyrillic ``а`` inside a domain all sail past the email
+regex.  At corpus scale these are not exotic: crawled code comments and
+README files obfuscate contact addresses exactly this way, and secrets
+pasted through chat clients pick up zero-width joiners.  This module is
+the canonicalization pass a quality/PII pipeline runs between
+:func:`pii_spark.quality.normalize_text` (CRLF/control/NFC) and the
+detector, folding three evasion families:
+
+1. **Zero-width characters** (U+200B..U+200D ZWSP/ZWNJ/ZWJ, U+2060
+   word-joiner, U+FEFF BOM-as-ZWNBSP) — stripped.  They are invisible,
+   so removal never changes what a human reads.
+2. **Confusable homoglyphs** — a bounded, explicit table of Cyrillic
+   and Greek letters that render identically to ASCII (UTS #39's
+   highest-confidence confusables), plus the complete fullwidth ASCII
+   block U+FF01..U+FF5E (systematic offset to U+0021..U+007E, the same
+   fold NFKC applies) — mapped via single-pass ``translate``.
+3. **Spelled-out email punctuation** — `` [at] ``/``(at)``/``{at}`` →
+   ``@`` and the same bracket families for ``dot`` → ``.``, case
+   insensitive, absorbing surrounding whitespace.  Only *bracketed*
+   forms fold: bare `` at ``/`` dot `` words are everyday prose in a
+   code corpus, and a false ``@`` would manufacture PII findings.
+
+Every step is a JVM-side ``translate``/``regexp_replace`` — zero
+Python, fused into the scan (the plan gate pins this).  Each pattern
+stays inside the Java-regex ∩ RE2 common subset (no lookaround, no
+backreferences), so :func:`deobfuscate_sql` can emit the *same* chain
+as ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Invisible characters used to split tokens without changing rendering.
+ZERO_WIDTH = "​‌‍⁠﻿"
+_ZERO_WIDTH_RE = "[" + ZERO_WIDTH + "]"
+
+#: High-confidence Cyrillic/Greek → ASCII confusables (UTS #39 class;
+#: letters whose glyphs are indistinguishable from ASCII in common
+#: fonts).  Kept to the unambiguous set — this is a fold that must
+#: never rewrite legitimate non-Latin prose into mojibake, so lookalikes
+#: with distinct renderings (e.g. Cyrillic ``б``) are excluded.
+_CYRILLIC_FROM = "аеорсухіѕјԛԝАВЕКМНОРСТХІЅЈ"
+_CYRILLIC_TO = "aeopcyxisjqwABEKMHOPCTXISJ"
+_GREEK_FROM = "οανρτυικΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_GREEK_TO = "oavptuikABEZHIKMNOPTYX"
+
+#: Fullwidth ASCII block U+FF01..U+FF5E → U+0021..U+007E ('!'..'~'),
+#: the systematic offset NFKC applies; built programmatically so the
+#: table cannot drift from the spec.
+_FULLWIDTH_FROM = "".join(chr(0xFF01 + i) for i in range(0x5E))
+_FULLWIDTH_TO = "".join(chr(0x21 + i) for i in range(0x5E))
+
+HOMOGLYPH_FROM = _CYRILLIC_FROM + _GREEK_FROM + _FULLWIDTH_FROM
+HOMOGLYPH_TO = _CYRILLIC_TO + _GREEK_TO + _FULLWIDTH_TO
+
+#: Bracketed spelled-out ``at``/``dot``.  Bracket families: [] () {} <>.
+#: Surrounding horizontal whitespace is absorbed so ``alice [at] example``
+#: folds to ``alice@example``.  Java-regex ∩ RE2 subset only.
+_AT_RE = r"(?i)[ \t]*[\[({<][ \t]*at[ \t]*[\])}>][ \t]*"
+_DOT_RE = r"(?i)[ \t]*[\[({<][ \t]*dot[ \t]*[\])}>][ \t]*"
+
+
+def deobfuscate_col(col: Column) -> Column:
+    """The canonicalization chain as a single Column expression:
+    zero-width strip → homoglyph/fullwidth fold → bracketed at/dot
+    rewrite.  Order matters: zero-width first (so ``[a​t]`` still
+    matches the ``at`` pattern), fold second (so a fullwidth ``［ａｔ］``
+    becomes ``[at]`` before the rewrite)."""
+    c = F.regexp_replace(col, _ZERO_WIDTH_RE, "")
+    c = F.translate(c, HOMOGLYPH_FROM, HOMOGLYPH_TO)
+    c = F.regexp_replace(c, _AT_RE, "@")
+    c = F.regexp_replace(c, _DOT_RE, ".")
+    return c
+
+
+def deobfuscate_text(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Apply :func:`deobfuscate_col` to ``text_col`` (in place unless
+    ``out_col`` names a new column).  Pure JVM map stage — no Python,
+    no shuffle; at 10¹² files this fuses into the ingest scan exactly
+    like :func:`pii_spark.quality.normalize_text`, and the two compose
+    (normalize first: NFC composition keeps the confusable table small
+    because decomposed sequences re-compose before the fold)."""
+    return df.withColumn(out_col or text_col, deobfuscate_col(F.col(text_col)))
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def deobfuscate_sql(expr: str) -> str:
+    """The identical chain as ANSI SQL (DuckDB-ready) over ``expr`` —
+    the oracle twin of :func:`deobfuscate_col`.  Every regex is shared
+    verbatim with the Spark side; ``translate`` has identical
+    semantics in both engines."""
+    c = f"regexp_replace({expr}, {_sql_quote(_ZERO_WIDTH_RE)}, '', 'g')"
+    c = (
+        f"translate({c}, {_sql_quote(HOMOGLYPH_FROM)},"
+        f" {_sql_quote(HOMOGLYPH_TO)})"
+    )
+    c = f"regexp_replace({c}, {_sql_quote(_AT_RE)}, '@', 'g')"
+    c = f"regexp_replace({c}, {_sql_quote(_DOT_RE)}, '.', 'g')"
+    return c

@@ -1,0 +1,96 @@
+"""PII-evasion canonicalization (pii_spark.evasion).
+
+Three families fold (zero-width, confusable/fullwidth, bracketed
+at/dot); prose must NOT fold; the Spark chain and its SQL oracle twin
+must agree byte-for-byte; and the whole pass stays JVM-side (no Python
+exchange in the plan).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.evasion import (
+    HOMOGLYPH_FROM,
+    HOMOGLYPH_TO,
+    deobfuscate_col,
+    deobfuscate_sql,
+    deobfuscate_text,
+)
+
+SAMPLES = [
+    ("alice [at] example [dot] com", "alice@example.com"),
+    ("bob(at)corp(dot)io", "bob@corp.io"),
+    ("grace {AT} mail {DOT} org", "grace@mail.org"),
+    ("hank < at >edu< dot >net", "hank@edu.net"),
+    # zero-width splices vanish
+    ("c​ar​ol@ex‍ample.com", "carol@example.com"),
+    ("bom﻿@word⁠joiner.io", "bom@wordjoiner.io"),
+    # Cyrillic / Greek confusables fold to ASCII
+    ("dаve@exаmple.com", "dave@example.com"),
+    ("ορs@grεek.com", "ops@grεek.com"),  # ε NOT in table
+    # fullwidth block folds systematically
+    ("ＥＶＥ＠ＥＸ．ＣＯＭ", "EVE@EX.COM"),
+    ("frank ｛at｝ example ｛dot｝ net", "frank@example.net"),
+    # prose with bare at/dot words must NOT fold
+    ("look at this dot file", "look at this dot file"),
+    ("at the start", "at the start"),
+    ("plain@fine.com", "plain@fine.com"),
+]
+
+
+def test_homoglyph_table_is_aligned():
+    assert len(HOMOGLYPH_FROM) == len(HOMOGLYPH_TO)
+    # the fullwidth block is the complete systematic offset
+    assert "＠" in HOMOGLYPH_FROM  # ＠
+    i = HOMOGLYPH_FROM.index("＠")
+    assert HOMOGLYPH_TO[i] == "@"
+
+
+def test_deobfuscate_samples(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(SAMPLES)], "id long, t string"
+    )
+    got = {
+        r.id: r.o
+        for r in df.select("id", deobfuscate_col(F.col("t")).alias("o")).collect()
+    }
+    for i, (_, want) in enumerate(SAMPLES):
+        assert got[i] == want, (SAMPLES[i][0], got[i], want)
+
+
+def test_sql_twin_matches_spark(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(SAMPLES)], "id long, t string"
+    )
+    got = {
+        r.id: r.o
+        for r in df.select("id", deobfuscate_col(F.col("t")).alias("o")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(id BIGINT, t VARCHAR)")
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?)", [(i, s) for i, (s, _) in enumerate(SAMPLES)]
+    )
+    exp = dict(con.execute(f"SELECT id, {deobfuscate_sql('t')} FROM s").fetchall())
+    assert got == exp
+
+
+def test_deobfuscate_is_jvm_only(spark):
+    from tests.test_plans import count_python_nodes, plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(deobfuscate_text(docs, "text", "canon"))
+    assert count_python_nodes(p) == 0
+    assert "Exchange" not in p  # pure map stage, fused into the scan
+
+
+def test_idempotent(spark):
+    # canonicalizing twice == once (folded text contains no foldables)
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(SAMPLES)], "id long, t string"
+    )
+    once = deobfuscate_text(df, "t", "o1")
+    twice = deobfuscate_text(once, "o1", "o2")
+    bad = twice.filter(F.col("o1") != F.col("o2")).count()
+    assert bad == 0
