@@ -1779,6 +1779,54 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(e, k=5).orderBy("node")
 
 
+def q_dead_code_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dead-code census: per-repo call-graph reachability from each
+    # repo's entrypoint, run over ALL repos in ONE distributed frontier
+    # loop (reachable_multi keys every join on the (repo, node)
+    # composite, so a million repos would advance together).  Synth
+    # graph: repo = doc_id % 29, function index i = doc_id // 29, each
+    # function calls 2i+1, (5i+7)%128 and (11i+3)%128 within its repo;
+    # root is i=0.  Calls to indexes past the repo's function count
+    # dangle (extern symbols) and drop in the final intersect.
+    from pii_spark.graph import reachable_multi
+
+    d = F.col("doc_id")
+    funcs = _docs(spark, sf_dir).select(
+        (d % 29).cast("long").alias("repo"),
+        F.expr("CAST(doc_id DIV 29 AS BIGINT)").alias("i"),
+    )
+    i = F.col("i")
+    edges = (
+        funcs.select("repo", i.alias("src"), (i * 2 + 1).alias("dst"))
+        .unionByName(
+            funcs.select("repo", i.alias("src"), ((i * 5 + 7) % 128).alias("dst"))
+        )
+        .unionByName(
+            funcs.select("repo", i.alias("src"), ((i * 11 + 3) % 128).alias("dst"))
+        )
+    )
+    roots = funcs.filter(i == 0).select("repo", i.alias("node"))
+    reach = reachable_multi(edges, roots, graph_col="repo", node_col="node")
+    alive = reach.join(
+        funcs.withColumnRenamed("i", "node"), ["repo", "node"], "left_semi"
+    )
+    nf = funcs.groupBy("repo").agg(F.count(F.lit(1)).alias("n_funcs"))
+    nr = alive.groupBy("repo").agg(F.count(F.lit(1)).alias("n_reach"))
+    return (
+        nf.join(nr, "repo", "left")
+        .select(
+            "repo",
+            F.col("n_funcs").cast("long"),
+            F.coalesce(F.col("n_reach"), F.lit(0)).cast("long").alias("n_reachable"),
+            F.expr(
+                "CAST((n_funcs - coalesce(n_reach, 0)) * 10000"
+                " DIV n_funcs AS BIGINT)"
+            ).alias("dead_x10000"),
+        )
+        .orderBy("repo")
+    )
+
+
 def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-skew census of a prospective join key (docs/SCALE.md's
     # measurement side): exact max/mean ratio, Gini, and the salt
@@ -5864,6 +5912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history": q_user_state_history,
         "triangle_census": q_triangle_census,
         "k_core": q_k_core,
+        "dead_code_share": q_dead_code_share,
         "key_skew_audit": q_key_skew_audit,
         "range_partition_cuts": q_range_partition_cuts,
         "referential_audit": q_referential_audit,
@@ -5987,7 +6036,11 @@ def oracle_sql() -> dict[str, str]:
         key_skew_oracle_sql,
         referential_audit_oracle_sql,
     )
-    from pii_spark.graph import k_core_oracle_sql, triangle_census_oracle_sql
+    from pii_spark.graph import (
+        k_core_oracle_sql,
+        reachable_multi_oracle_sql,
+        triangle_census_oracle_sql,
+    )
     from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
@@ -6647,6 +6700,35 @@ def oracle_sql() -> dict[str, str]:
             " WHERE x.l_orderkey % 9 = 0",
             k=5, rounds=12,
         ),
+        "dead_code_share": f"""
+            WITH funcs AS (
+                SELECT CAST(doc_id % 29 AS BIGINT) AS repo,
+                       CAST(doc_id // 29 AS BIGINT) AS i
+                FROM documents
+            ),
+            reach AS ({reachable_multi_oracle_sql(
+                edges_sql=(
+                    "SELECT repo AS graph, i AS src, i*2+1 AS dst FROM funcs"
+                    " UNION ALL SELECT repo, i, (i*5+7) % 128 FROM funcs"
+                    " UNION ALL SELECT repo, i, (i*11+3) % 128 FROM funcs"
+                ),
+                roots_sql="SELECT repo AS graph, i AS node FROM funcs WHERE i = 0",
+                graph_name="repo",
+                node_name="node",
+            )}),
+            alive AS (
+                SELECT r.repo, r.node FROM reach r
+                JOIN funcs f ON f.repo = r.repo AND f.i = r.node
+            ),
+            nf AS (SELECT repo, count(*) AS n_funcs FROM funcs GROUP BY repo),
+            nr AS (SELECT repo, count(*) AS n_reach FROM alive GROUP BY repo)
+            SELECT nf.repo,
+                   CAST(n_funcs AS BIGINT) AS n_funcs,
+                   CAST(coalesce(n_reach, 0) AS BIGINT) AS n_reachable,
+                   CAST((n_funcs - coalesce(n_reach, 0)) * 10000 // n_funcs
+                        AS BIGINT) AS dead_x10000
+            FROM nf LEFT JOIN nr ON nf.repo = nr.repo ORDER BY nf.repo
+        """,
         "key_skew_audit": key_skew_oracle_sql(
             key_sql="l_partkey",
             rows_sql="SELECT l_partkey FROM lineitem",

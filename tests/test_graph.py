@@ -176,3 +176,62 @@ def test_k_core_normalizes_dups_selfloops_directions(spark):
     df = spark.createDataFrame(tri, "src long, dst long")
     got = {r.node: r.core_deg for r in k_core(df, k=2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# reachable_multi (many-graph frontier loop)
+# ---------------------------------------------------------------------------
+
+
+def test_reachable_multi_isolates_graphs_and_min_depth(spark):
+    from pii_spark.graph import reachable_multi
+
+    # graph 0: 0→1→2→3 plus a shortcut 0→2 (min depth of 2 is 1);
+    # graph 1: a 3-cycle 0→1→2→0 (termination despite the cycle);
+    # node 9 exists only as an unreachable island target in graph 0
+    edges = [
+        (0, 0, 1), (0, 1, 2), (0, 2, 3), (0, 0, 2), (0, 8, 9),
+        (1, 0, 1), (1, 1, 2), (1, 2, 0),
+    ]
+    roots = [(0, 0), (1, 0)]
+    e = spark.createDataFrame(edges, "graph long, src long, dst long")
+    r = spark.createDataFrame(roots, "graph long, node long")
+    got = {
+        (row.graph, row.node): row.depth
+        for row in reachable_multi(e, r, graph_col="graph").collect()
+    }
+    assert got == {
+        (0, 0): 0, (0, 1): 1, (0, 2): 1, (0, 3): 2,
+        (1, 0): 0, (1, 1): 1, (1, 2): 2,
+    }
+
+
+def test_reachable_multi_matches_recursive_sql_oracle(spark):
+    import random
+
+    import duckdb
+
+    from pii_spark.graph import reachable_multi, reachable_multi_oracle_sql
+
+    rng = random.Random(11)
+    edges = [
+        (g, rng.randint(0, 30), rng.randint(0, 30))
+        for g in range(5)
+        for _ in range(40)
+    ]
+    roots = [(g, 0) for g in range(5)]
+    e = spark.createDataFrame(edges, "graph long, src long, dst long")
+    r = spark.createDataFrame(roots, "graph long, node long")
+    got = sorted(
+        (row.graph, row.node)
+        for row in reachable_multi(e, r, graph_col="graph").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(graph BIGINT, src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?,?)", edges)
+    con.execute("CREATE TABLE r(graph BIGINT, node BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?,?)", roots)
+    exp = con.execute(
+        reachable_multi_oracle_sql("SELECT * FROM e", "SELECT * FROM r")
+    ).fetchall()
+    assert got == sorted((a, b) for a, b in exp)
