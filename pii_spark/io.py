@@ -94,8 +94,17 @@ class TableIO:
     # snapshot commits (atomic append emulation)
     # ------------------------------------------------------------------
 
-    def snapshots(self, name: str) -> list[dict]:
-        """Committed snapshot manifests, oldest first."""
+    def snapshots(self, name: str, include_replaced: bool = False) -> list[dict]:
+        """Committed snapshot manifests, oldest first.
+
+        A manifest may carry a top-level ``replaces`` list naming
+        snapshot ids it supersedes (written by :meth:`compact`); those
+        are hidden from the default listing so readers union each row
+        exactly once.  ``include_replaced=True`` returns everything —
+        progress/idempotency readers (e.g. the pipeline's
+        completed-bucket scan) want the full commit history, which
+        stays on disk forever: compaction hides manifests, it never
+        deletes them."""
         cd = self._commits_dir(name)
         if self.catalog:  # Iceberg: native snapshot metadata table,
             # normalized to the manifest shape ({snapshot_id, meta, ...})
@@ -124,6 +133,14 @@ class TableIO:
             if f.endswith(".json"):
                 with open(os.path.join(cd, f)) as fh:
                     out.append(json.load(fh))
+        if not include_replaced:
+            # superseded ids accumulate from ALL manifests (a chained
+            # compaction's intermediate manifest is itself replaced,
+            # but the ids IT replaced must stay hidden transitively)
+            replaced: set = set()
+            for s in out:
+                replaced.update(s.get("replaces") or [])
+            out = [s for s in out if s.get("snapshot_id") not in replaced]
         # sorted(listdir) is lexicographic by snapshot id, which is not
         # commit order for arbitrary ids — order by the commit timestamp
         # (filename as tie-break) to honour the "oldest first" contract
@@ -237,6 +254,154 @@ class TableIO:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(cd, f"{snapshot_id}.json"))  # THE commit
         return True
+
+    # ------------------------------------------------------------------
+    # table maintenance: small-file compaction + orphan GC
+    # ------------------------------------------------------------------
+
+    def compact(
+        self,
+        name: str,
+        target_rows_per_file: int = 4_000_000,
+        min_snapshots: int = 2,
+    ) -> dict:
+        """Rewrite all live snapshots of a snapshot table into ONE
+        right-sized snapshot (Iceberg's ``rewrite_data_files``).  A
+        10¹²-file pipeline committing per-bucket-group snapshots leaves
+        thousands of small parquet files per table; every subsequent
+        read pays their open/footer cost and the scheduler their task
+        fan-out, so periodic compaction is table hygiene, not an
+        optimization.
+
+        Safety protocol (same crash-atomicity as :meth:`write_snapshot`):
+        the compacted data lands in an uncommitted ``snap-compact-…/``
+        dir, is read back and row-count-verified against the live
+        union, and only then does ONE atomic manifest rename publish it
+        — a manifest carrying ``replaces: [old ids]``, which hides the
+        old manifests from readers (:meth:`snapshots`) without deleting
+        them, so a crash at ANY point leaves either the old view or the
+        new view, never both and never neither.  Old manifests stay on
+        disk forever — ``snapshot_committed`` idempotency keys and the
+        pipeline's completed-bucket progress scan (``include_replaced``)
+        keep working across compactions; only the superseded DATA dirs
+        become orphans, reclaimed separately by :meth:`gc_orphans`.
+
+        Deterministic + idempotent: the compacted snapshot id is a hash
+        of the sorted replaced ids, so re-running after a crash resumes
+        (already-committed → no-op) and compacting an unchanged table
+        is a no-op.  Manifest ``bucket_counts`` metadata is merged by
+        key so :meth:`committed_row_count` stays exact.
+
+        Catalog mode delegates to Iceberg's own maintenance
+        (``CALL <cat>.system.rewrite_data_files``) — raising here keeps
+        the parquet emulation honest instead of faking it.
+        """
+        import hashlib
+        import math
+
+        if self.catalog:
+            raise NotImplementedError(
+                "catalog mode: use Iceberg's native maintenance — "
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self._ident(name)}')"
+            )
+        snaps = self.snapshots(name)
+        if len(snaps) < min_snapshots:
+            return {
+                "compacted": False,
+                "reason": f"{len(snaps)} live snapshot(s) < {min_snapshots}",
+            }
+        ids = [s["snapshot_id"] for s in snaps]
+        dirs = [d for s in snaps for d in s["dirs"]]
+        cid = (
+            "compact-"
+            + hashlib.sha256("\n".join(sorted(ids)).encode()).hexdigest()[:12]
+        )
+        if self.snapshot_committed(name, cid):
+            return {"compacted": False, "reason": "already committed",
+                    "snapshot_id": cid}
+        merged_counts: dict = {}
+        for s in snaps:
+            for k, v in ((s.get("meta") or {}).get("bucket_counts") or {}).items():
+                merged_counts[k] = merged_counts.get(k, 0) + int(v)
+
+        def _n_parquet(ds):
+            return sum(
+                1
+                for d in ds
+                for _, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        files_before = _n_parquet(dirs)
+        snap_dir = os.path.join(self.path(name), f"snap-{cid}")
+        rows = 0
+        has_data = False
+        if dirs:
+            df = self.spark.read.parquet(*dirs)
+            rows = df.count()
+            n_files = max(1, math.ceil(rows / target_rows_per_file))
+            df.repartition(n_files).write.mode("overwrite").parquet(snap_dir)
+            written = self.spark.read.parquet(snap_dir).count()
+            if written != rows:
+                raise RuntimeError(
+                    f"compaction of {name!r} wrote {written} rows, live "
+                    f"union has {rows} — NOT committing (orphan dir "
+                    f"{snap_dir} left for inspection)"
+                )
+            has_data = True
+        manifest = {
+            "snapshot_id": cid,
+            "dirs": [snap_dir] if has_data else [],
+            "replaces": ids,
+            "meta": {"bucket_counts": merged_counts} if merged_counts else {},
+            "committed_at": time.time(),
+        }
+        cd = self._commits_dir(name)
+        os.makedirs(cd, exist_ok=True)
+        tmp = os.path.join(cd, f".{cid}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(cd, f"{cid}.json"))  # THE commit
+        return {
+            "compacted": True,
+            "snapshot_id": cid,
+            "rows": rows,
+            "replaced_snapshots": len(ids),
+            "files_before": files_before,
+            "files_after": _n_parquet([snap_dir]) if has_data else 0,
+        }
+
+    def gc_orphans(self, name: str) -> list[str]:
+        """Delete ``snap-*`` data directories not referenced by any
+        LIVE manifest: superseded-by-compaction data and crashed
+        uncommitted writes.  Manifest files are never touched.  Run
+        only while no writer is active on the table (an in-flight
+        ``write_snapshot``'s not-yet-committed dir is indistinguishable
+        from a crashed one — the standard Iceberg
+        ``remove_orphan_files`` caveat)."""
+        import shutil
+
+        p = self.path(name)
+        if self.catalog or not os.path.isdir(p):
+            return []
+        live = {
+            os.path.abspath(d)
+            for s in self.snapshots(name)
+            for d in s["dirs"]
+        }
+        removed = []
+        for entry in sorted(os.listdir(p)):
+            full = os.path.abspath(os.path.join(p, entry))
+            if (
+                entry.startswith("snap-")
+                and os.path.isdir(full)
+                and full not in live
+            ):
+                shutil.rmtree(full)
+                removed.append(full)
+        return removed
 
     def _session_table(self, name: str) -> str:
         """Session-catalog identifier for bucketed tables, namespaced by

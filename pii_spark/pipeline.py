@@ -216,7 +216,9 @@ class Pipeline:
         """Buckets whose group snapshot is committed — read from the
         scrubbed_files manifests (the atomic source of truth)."""
         done: set[int] = set()
-        for snap in self.io.snapshots("scrubbed_files"):
+        # include_replaced: compaction hides superseded manifests from
+        # data readers, but bucket PROGRESS lives in the full history
+        for snap in self.io.snapshots("scrubbed_files", include_replaced=True):
             meta = snap.get("meta", {})
             if meta.get("run_id") == run_id:
                 done.update(int(b) for b in meta.get("buckets", []))

@@ -1,0 +1,127 @@
+"""Snapshot-table compaction + orphan GC (TableIO.compact/gc_orphans).
+
+The contract under test: compaction rewrites N live snapshots into one
+right-sized snapshot, published by a single atomic manifest that hides
+(never deletes) the old manifests — so readers see each row exactly
+once before, during, and after; idempotency keys survive; orphaned data
+dirs are reclaimable separately; and the pipeline's resume stays a
+no-op across a compaction.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_spark.io import TableIO
+
+
+def _mk(io, n_snaps=6, rows_per=20):
+    for s in range(n_snaps):
+        df = io.spark.range(s * rows_per, (s + 1) * rows_per).select(
+            F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("sha")
+        )
+        io.write_snapshot(
+            df, "t", f"s{s}", meta={"bucket_counts": {str(s): rows_per}}
+        )
+
+
+def _shas(io, name="t"):
+    return sorted(r.sha for r in io.read(name).select("sha").collect())
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    _mk(io)
+    before = _shas(io)
+    files_before = sum(
+        1
+        for _, _, files in os.walk(io.path("t"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    res = io.compact("t", target_rows_per_file=1000)
+    assert res["compacted"] is True
+    assert res["rows"] == 120
+    assert res["replaced_snapshots"] == 6
+    assert res["files_after"] < res["files_before"] == files_before
+    assert res["files_after"] == 1  # 120 rows < 1000 target → one file
+    # byte-identical content, exactly once
+    assert _shas(io) == before
+    # one live snapshot; full history still visible to progress readers
+    assert len(io.snapshots("t")) == 1
+    assert len(io.snapshots("t", include_replaced=True)) == 7
+    # idempotency keys survive: every old snapshot still "committed"
+    for s in range(6):
+        assert io.snapshot_committed("t", f"s{s}")
+    # committed_row_count stays exact (merged bucket_counts)
+    assert io.committed_row_count("t") == 120
+
+
+def test_compact_is_idempotent_and_noop_below_threshold(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    _mk(io, n_snaps=2)
+    assert io.compact("t")["compacted"] is True
+    # unchanged table → deterministic id already committed → no-op
+    again = io.compact("t")
+    assert again["compacted"] is False
+    # single live snapshot is below min_snapshots
+    assert "1 live snapshot" in io.compact("t", min_snapshots=2).get(
+        "reason", io.compact("t")["reason"]
+    )
+
+
+def test_chained_compaction_hides_transitively(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    _mk(io, n_snaps=3)
+    io.compact("t")
+    # new appends after the first compaction
+    df = spark.range(900, 960).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+    io.write_snapshot(df, "t", "late", meta={"bucket_counts": {"late": 60}})
+    before = _shas(io)
+    res = io.compact("t")
+    assert res["compacted"] is True and res["replaced_snapshots"] == 2
+    assert _shas(io) == before
+    assert len(io.read("t").collect()) == 120
+    # transitive hiding: s0..s2, compact-1, late all hidden; one live
+    assert len(io.snapshots("t")) == 1
+    assert len(io.snapshots("t", include_replaced=True)) == 6
+    assert io.committed_row_count("t") == 120
+
+
+def test_gc_orphans_reclaims_replaced_data_only(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    _mk(io, n_snaps=4)
+    before = _shas(io)
+    io.compact("t")
+    # plus one crashed uncommitted write (data dir, no manifest)
+    crash_dir = os.path.join(io.path("t"), "snap-crashed")
+    spark.range(5).write.parquet(crash_dir)
+    removed = io.gc_orphans("t")
+    # 4 replaced data dirs + 1 crashed dir reclaimed
+    assert len(removed) == 5
+    assert not os.path.isdir(crash_dir)
+    # live data untouched, manifests all still present
+    assert _shas(io) == before
+    assert len(io.snapshots("t", include_replaced=True)) == 5
+    assert io.gc_orphans("t") == []  # second pass: nothing left
+
+
+def test_resume_stays_noop_across_compaction(spark, tmp_path):
+    from pii_spark.pipeline import Pipeline, PipelineConfig
+    from pii_spark.synth import generate_code_files
+
+    io = TableIO(spark, str(tmp_path))
+    pipe = Pipeline(
+        spark, io, PipelineConfig(n_buckets=4, bucket_group_size=2)
+    )
+    df = spark.createDataFrame(generate_code_files(60))
+    r1 = pipe.run(df, "runA")
+    assert r1["n_files"] > 0
+    assert io.compact("scrubbed_files")["compacted"] is True
+    io.gc_orphans("scrubbed_files")
+    # progress survives the compaction: nothing reprocesses
+    r2 = pipe.resume(df, "runA")
+    assert r2["buckets_processed"] == 0
