@@ -296,6 +296,8 @@ def main() -> None:
         "dir_rollup",
         "import_cycles",
         "domain_blocklist",
+        "deobfuscated_detect",
+        "dead_code_share",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
