@@ -2077,11 +2077,16 @@ def domain_blocklist_gate(
     instead — same row semantics, one broadcast, still no wide
     exchange.
     """
+    # Built on a bound Column (not an interpolated F.expr string) so
+    # column names needing backticks — dots, spaces, hyphens — resolve
+    # correctly instead of parse-erroring or silently hitting a
+    # different column.
     parts = F.split(F.col(domain_col), r"\.")
-    suffixes = F.expr(
-        f"transform(sequence(1, size(split({domain_col}, '\\\\.'))), "
-        f"i -> array_join(slice(split({domain_col}, '\\\\.'), i, "
-        f"size(split({domain_col}, '\\\\.')) - i + 1), '.'))"
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + F.lit(1)), "."
+        ),
     )
     lit_list = F.array(*[F.lit(x) for x in sorted(set(blocklist))])
     hits = F.array_intersect(suffixes, lit_list)

@@ -2108,14 +2108,7 @@ def comment_insensitive_dedup(
         norm = F.when(fam == family, col) if norm is None else norm.when(
             fam == family, col
         )
-    passthrough = F.array_join(
-        F.filter(
-            F.transform(F.split(content, "\n", -1), lambda l: F.rtrim(l)),
-            lambda l: l != "",
-        ),
-        "\n",
-    )
-    norm = norm.otherwise(passthrough)
+    norm = norm.otherwise(_t1_passthrough_col(content))
     keyed = df.select(
         F.sha2(norm, 256).alias("norm_sha"),
         F.sha2(content, 256).alias("raw_sha"),
@@ -2158,11 +2151,7 @@ def comment_insensitive_oracle_sql(
         f"WHEN {family_sql} = '{fam}' THEN {_comment_norm_sql(content_sql, fam)} "
         for fam in COMMENT_STRIP_RES
     )
-    passthrough = (
-        "array_to_string(list_filter(list_transform("
-        f"string_split({content_sql}, chr(10)), l -> rtrim(l)),"
-        " l -> l <> ''), chr(10))"
-    )
+    passthrough = _t1_passthrough_sql(content_sql)
     return f"""
         WITH keyed AS (
             SELECT sha256(CASE {branches} ELSE {passthrough} END) AS norm_sha,
@@ -2201,16 +2190,23 @@ TYPE2_KEYWORDS: tuple[str, ...] = (
 )
 
 
-def type2_normalized_col(
-    content: Column, family: str, keywords: tuple[str, ...] = TYPE2_KEYWORDS
-) -> Column:
-    """Type-2 clone normal form: Type-1 normalization (comments,
-    trailing ws, blank lines — :func:`comment_normalized_col`) then
-    every non-keyword identifier → ``ID`` and every integer literal →
-    ``N``, keeping operators/keywords/layout.  Pure Column pipeline:
-    regex tokenize (fully covering, so join reconstructs), transform
-    with an isin/rlike case chain, join — zero Python."""
-    base = comment_normalized_col(content, family)
+def _t1_passthrough_col(content: Column) -> Column:
+    """Whitespace-normalized Type-1 fallback for unknown comment
+    families: rtrim every line, drop blanks — identical to the
+    passthrough branch in :func:`comment_insensitive_dedup`."""
+    return F.array_join(
+        F.filter(
+            F.transform(F.split(content, "\n", -1), lambda l: F.rtrim(l)),
+            lambda l: l != "",
+        ),
+        "\n",
+    )
+
+
+def _type2_tokens_col(base: Column, keywords: tuple[str, ...]) -> Column:
+    """Rename-folding half of the Type-2 normal form: tokenize ``base``
+    (fully covering regex, so join reconstructs) and fold every
+    non-keyword identifier → ``ID``, integer literal → ``N``."""
     toks = F.regexp_extract_all(base, F.lit(CODE_TOKEN_RE), 0)
 
     def norm_tok(t: Column) -> Column:
@@ -2222,6 +2218,19 @@ def type2_normalized_col(
         )
 
     return F.array_join(F.transform(toks, norm_tok), "")
+
+
+def type2_normalized_col(
+    content: Column, family: str, keywords: tuple[str, ...] = TYPE2_KEYWORDS
+) -> Column:
+    """Type-2 clone normal form: Type-1 normalization (comments,
+    trailing ws, blank lines — :func:`comment_normalized_col`) then
+    every non-keyword identifier → ``ID`` and every integer literal →
+    ``N``, keeping operators/keywords/layout.  Pure Column pipeline:
+    regex tokenize (fully covering, so join reconstructs), transform
+    with an isin/rlike case chain, join — zero Python."""
+    base = comment_normalized_col(content, family)
+    return _type2_tokens_col(base, keywords)
 
 
 def type2_clone_census(
@@ -2254,6 +2263,15 @@ def type2_clone_census(
         c2 = type2_normalized_col(content, family, keywords)
         t1 = F.when(fam == family, c1) if t1 is None else t1.when(fam == family, c1)
         t2 = F.when(fam == family, c2) if t2 is None else t2.when(fam == family, c2)
+    # Unknown comment families fall through to the same
+    # whitespace-normalized passthrough comment_insensitive_dedup uses
+    # (T1) and its tokenized rename-folded form (T2) — without it every
+    # unknown-family row hashes sha2(NULL) and silently collapses into
+    # one NULL-sha mega-cluster flagged rename_only.
+    t1_pass = _t1_passthrough_col(content)
+    t2_pass = _type2_tokens_col(t1_pass, keywords)
+    t1 = t1.otherwise(t1_pass)
+    t2 = t2.otherwise(t2_pass)
     keyed = df.select(
         F.sha2(t2, 256).alias("t2_sha"),
         F.sha2(t1, 256).alias("t1_sha"),
@@ -2271,19 +2289,30 @@ def type2_clone_census(
     )
 
 
-def _type2_norm_sql(
-    content_sql: str, family: str, keywords: tuple[str, ...]
-) -> str:
-    base = _comment_norm_sql(content_sql, family)
+def _t1_passthrough_sql(content_sql: str) -> str:
+    return (
+        "array_to_string(list_filter(list_transform("
+        f"string_split({content_sql}, chr(10)), l -> rtrim(l)),"
+        " l -> l <> ''), chr(10))"
+    )
+
+
+def _type2_tokens_sql(base_sql: str, keywords: tuple[str, ...]) -> str:
     kw = ", ".join(f"'{k}'" for k in keywords)
     return (
         "array_to_string(list_transform("
-        f"regexp_extract_all({base}, '{CODE_TOKEN_RE}'), "
+        f"regexp_extract_all({base_sql}, '{CODE_TOKEN_RE}'), "
         f"t -> CASE WHEN t IN ({kw}) THEN t "
         "WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID' "
         "WHEN regexp_matches(t, '^[0-9]') THEN 'N' "
         "ELSE t END), '')"
     )
+
+
+def _type2_norm_sql(
+    content_sql: str, family: str, keywords: tuple[str, ...]
+) -> str:
+    return _type2_tokens_sql(_comment_norm_sql(content_sql, family), keywords)
 
 
 def type2_clone_oracle_sql(
@@ -2305,10 +2334,12 @@ def type2_clone_oracle_sql(
         f"THEN {_type2_norm_sql(content_sql, fam, keywords)} "
         for fam in COMMENT_STRIP_RES
     )
+    t1_pass = _t1_passthrough_sql(content_sql)
+    t2_pass = _type2_tokens_sql(t1_pass, keywords)
     return f"""
         WITH keyed AS (
-            SELECT sha256(CASE {t2} END) AS t2_sha,
-                   sha256(CASE {t1} END) AS t1_sha,
+            SELECT sha256(CASE {t2} ELSE {t2_pass} END) AS t2_sha,
+                   sha256(CASE {t1} ELSE {t1_pass} END) AS t1_sha,
                    CAST({id_sql} AS BIGINT) AS id
             FROM ({rows_sql})
         )

@@ -450,12 +450,23 @@ def reachable_multi(
     depth = 0
     while n_front > 0 and depth < max_iter:
         depth += 1
-        f_side = frontier.select("g", "n")
+        # Rename the frontier's columns before joining back against
+        # ``e``: with checkpoint_every == 0 (or > 1) the frontier's
+        # lineage still CONTAINS ``e``, so dataset-qualified refs like
+        # f_side["g"] == e["g"] trip Spark's AMBIGUOUS_SELF_JOIN
+        # detection (the attribute exists in both subtrees).  With
+        # distinct output names on each side, plain name-based
+        # resolution is unambiguous regardless of checkpoint cadence.
+        f_side = frontier.select(
+            F.col("g").alias("fg"), F.col("n").alias("fn")
+        )
         if n_front <= broadcast_max_rows:
             f_side = F.broadcast(f_side)
         step = (
-            f_side.join(e, (f_side["g"] == e["g"]) & (f_side["n"] == e["s"]))
-            .select(e["g"].alias("g"), F.col("t").alias("n"))
+            f_side.join(
+                e, (F.col("fg") == F.col("g")) & (F.col("fn") == F.col("s"))
+            )
+            .select(F.col("g"), F.col("t").alias("n"))
             .distinct()
         )
         v_side = visited.select("g", "n")

@@ -495,6 +495,16 @@ def version_line_churn(
     runs) would scan the line table 2·(n_versions−1) times.
     """
     nv = int(n_versions)
+    if nv < 2:
+        # F.sequence(0, nv-2) with nv=1 would yield the DESCENDING
+        # sequence [0, -1] (Spark sequences run downward when stop <
+        # start), emitting spurious t=0/t=-1 transition rows where the
+        # oracle's generate_series(0, -1) is empty.  No transitions
+        # exist with fewer than two versions — refuse loudly.
+        raise ValueError(
+            f"version_line_churn needs n_versions >= 2 (got {nv}): "
+            "a single version has no t -> t+1 transitions"
+        )
     lines = df.select(
         F.col(key_col).alias("k"),
         F.col(version_col).cast("int").alias("v"),
@@ -555,6 +565,11 @@ def version_line_churn_oracle_sql(
     algorithm: per-transition NOT EXISTS anti-joins over the distinct
     (key, version, line) table — different plan, same counts."""
     nv = int(n_versions)
+    if nv < 2:
+        raise ValueError(
+            f"version_line_churn needs n_versions >= 2 (got {nv}): "
+            "a single version has no t -> t+1 transitions"
+        )
     return f"""
         WITH lines AS (
             SELECT DISTINCT {key_sql} AS k, CAST({version_sql} AS INT) AS v,

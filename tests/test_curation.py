@@ -818,3 +818,23 @@ def test_url_secret_params_census(spark):
     assert got["token"] == (1, 1, 1)
     assert got["access_token"] == (1, 1, 1)
     assert len(got) == 3                 # benign params never appear
+
+
+def test_domain_blocklist_gate_quoted_column_names(spark):
+    # Regression (r4 ADVICE): the suffix chain was built by
+    # interpolating the column name into an F.expr string, so names
+    # needing backticks (dots, hyphens, spaces) parse-errored or bound
+    # to a different column.  Now built on a bound Column.
+    from pii_spark.curation import domain_blocklist_gate
+
+    rows = [("cdn.ads.example.com",), ("good.org",), ("example.com",)]
+    df = spark.createDataFrame(rows, ["site.domain-name"])
+    got = {
+        r["site.domain-name"]: (r.blocked, r.block_match)
+        for r in domain_blocklist_gate(
+            df, "`site.domain-name`", ["ads.example.com", "example.com"]
+        ).collect()
+    }
+    assert got["cdn.ads.example.com"] == (True, "ads.example.com")
+    assert got["good.org"] == (False, None)
+    assert got["example.com"] == (True, "example.com")

@@ -1471,3 +1471,46 @@ def test_dup_cluster_histogram_shapes(spark):
     got = {r.cluster_size: (r.n_clusters, r.n_files)
            for r in dup_cluster_histogram(df, "c").collect()}
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+
+
+def test_type2_clone_census_unknown_family_passthrough(spark):
+    # Regression (r4 ADVICE): unknown comment families had no
+    # .otherwise() branch, so every such row hashed sha2(NULL) and
+    # collapsed into ONE NULL-sha mega-cluster flagged rename_only.
+    # Now they get the whitespace-normalized passthrough (T1) and its
+    # rename-folded form (T2), mirroring comment_insensitive_dedup.
+    import duckdb
+
+    from pii_spark.dedup import type2_clone_census, type2_clone_oracle_sql
+
+    rows = [
+        (1, "foo = 1\n", "weirdlang"),
+        (2, "bar = 2   \n", "weirdlang"),     # renames/ws of 1 -> same T2
+        (3, "totally(different, 3)\n", "weirdlang"),  # distinct structure
+        (4, "// c\nint f(int a) { return a; }", "slash"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, fam string")
+    out = {r.keep_id: r for r in
+           type2_clone_census(df, "id", "content", "fam", min_copies=1)
+           .collect()}
+    # 1+2 merge as a rename-only pair; 3 is its OWN cluster, not glued
+    # to them by a shared NULL sha; known family untouched
+    assert out[1].n_files == 2 and out[1].rename_only
+    assert out[3].n_files == 1 and not out[3].rename_only
+    assert out[4].n_files == 1
+    assert len(out) == 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, content VARCHAR, fam VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    exp = con.execute(
+        type2_clone_oracle_sql("id", "content", "fam", "SELECT * FROM t",
+                               min_copies=1)
+    ).df()
+    got_shas = {r.keep_id: (r.t2_sha, r.n_files, r.n_t1_shas, r.rename_only)
+                for r in type2_clone_census(
+                    df, "id", "content", "fam", min_copies=1).collect()}
+    exp_shas = {int(k): (s, int(n), int(t), bool(ro)) for s, n, t, k, ro in
+                zip(exp.t2_sha, exp.n_files, exp.n_t1_shas, exp.keep_id,
+                    exp.rename_only)}
+    assert got_shas == exp_shas

@@ -235,3 +235,33 @@ def test_reachable_multi_matches_recursive_sql_oracle(spark):
         reachable_multi_oracle_sql("SELECT * FROM e", "SELECT * FROM r")
     ).fetchall()
     assert got == sorted((a, b) for a, b in exp)
+
+
+def test_reachable_multi_checkpoint_cadence_invariant(spark):
+    # Regression (r4 ADVICE): with checkpoint_every=0 or >1 the
+    # frontier's lineage contains the edge table, and dataset-qualified
+    # join refs tripped AMBIGUOUS_SELF_JOIN.  Correctness must not
+    # depend on the checkpoint cadence.
+    from pii_spark.graph import reachable_multi
+
+    edges = [
+        ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "c", "a"),  # cycle
+        ("g1", "c", "d"),
+        ("g2", "x", "y"), ("g2", "y", "z"),
+    ]
+    roots = [("g1", "a"), ("g2", "x")]
+    e = spark.createDataFrame(edges, "graph string, src string, dst string")
+    r = spark.createDataFrame(roots, "graph string, node string")
+    want = None
+    for cadence in (0, 1, 3):
+        got = sorted(
+            (row.graph, row.node, row.depth)
+            for row in reachable_multi(
+                e, r, graph_col="graph", checkpoint_every=cadence
+            ).collect()
+        )
+        if want is None:
+            want = got
+            assert ("g1", "d", 3) in got and ("g2", "z", 2) in got
+        else:
+            assert got == want, f"cadence {cadence} diverged"

@@ -316,3 +316,22 @@ def test_version_line_churn_add_remove_create_delete(spark):
     assert got[0].n_changed_files == 2           # p and q
     assert (got[1].n_added, got[1].n_removed) == (0, 1)
     assert got[1].n_changed_files == 1           # z only
+
+
+def test_version_line_churn_rejects_single_version(spark):
+    # Regression (r4 ADVICE): n_versions=1 built F.sequence(0, -1),
+    # which in Spark is the DESCENDING [0, -1] and emitted spurious
+    # transition rows while the oracle's generate_series(0,-1) was
+    # empty.  Degenerate input must be refused loudly on both sides.
+    import pytest as _pytest
+
+    from pii_spark.temporal import (
+        version_line_churn,
+        version_line_churn_oracle_sql,
+    )
+
+    df = spark.createDataFrame([("p", 0, "x")], "path string, v long, c string")
+    with _pytest.raises(ValueError, match="n_versions >= 2"):
+        version_line_churn(df, "path", "v", "c", n_versions=1)
+    with _pytest.raises(ValueError, match="n_versions >= 2"):
+        version_line_churn_oracle_sql("path", "v", "c", "SELECT 1", 1)
