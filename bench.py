@@ -55,16 +55,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
 
     def timed(name: str, fn, passes: int = 1) -> None:
         """Median of ``passes`` runs — the host shows sporadic multi-second
-        JVM stalls; a single sample would report them as pipeline cost."""
+        JVM stalls; a single sample would report them as pipeline cost.
+        The full [min, median, max] triple is kept per query so a
+        noise-inflated sweep is SELF-DIAGNOSING from the record alone
+        (round 4's driver sweep recorded 2-4.6x inflation on unchanged
+        queries and the median-only envelope could not show it)."""
         times = []
         for _ in range(passes):
             t0 = time.time()
             fn()
             times.append(time.time() - t0)
-        timings[name] = round(sorted(times)[len(times) // 2], 3)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
+        spreads[name] = [round(times[0], 3), timings[name], round(times[-1], 3)]
+
+    def sentinel() -> list[float]:
+        """Fixed JVM-only probe (no Python workers, no I/O, no overflow
+        under ANSI mode): xor-fold of xxhash64(id) over 50M rows.  Timed
+        at sweep start AND end so host pressure during the sweep is
+        measurable from the record — a loaded host inflates the sentinel
+        identically to real queries, while a true regression leaves the
+        sentinel flat."""
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).selectExpr(
+                "bit_xor(xxhash64(id)) AS s"
+            ).collect()
+            times.append(round(time.time() - t0, 3))
+        return sorted(times)
 
     # headline: end-to-end quality + scrub over the PII-spliced corpus
     corpus = E._pii_corpus(spark, sf_dir).select(
@@ -83,6 +106,8 @@ def main() -> None:
     _force(with_scrub(with_quality(warm, "content", declared_lang_col=None),
                       "content", PatternBank()))
 
+    sentinel_start = sentinel()
+
     def e2e():
         out = with_scrub(
             with_quality(corpus, "content", declared_lang_col="lang"),
@@ -91,7 +116,7 @@ def main() -> None:
         ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_text"), 256))
         _force(out)
 
-    timed("e2e_filter_scrub", e2e, passes=3)
+    timed("e2e_filter_scrub", e2e, passes=5)
 
     # clean corpus (no planted PII): shows the trigger pre-filter payoff —
     # rows with no candidate pattern cost zero Python scrub work
@@ -365,6 +390,7 @@ def main() -> None:
         )
 
     corpus.unpersist()
+    sentinel_end = sentinel()
     e2e_sec = timings["e2e_filter_scrub"]
     envelope = {
         "metric": "e2e_filter_scrub_sec",
@@ -374,6 +400,13 @@ def main() -> None:
         "n_files": n_files,
         "files_per_sec": round(n_files / e2e_sec, 1) if e2e_sec else None,
         "cpus": cpus,
+        # [min, median, max] of the 5 headline passes + the JVM-only
+        # sentinel at sweep start/end: if these are wide or the end
+        # sentinel is inflated vs start, the HOST was loaded — compare
+        # medians across rounds, not single samples.
+        "e2e_spread": spreads["e2e_filter_scrub"],
+        "sentinel_start": sentinel_start,
+        "sentinel_end": sentinel_end,
         "full_queries": "BENCH/last_run.json",
         "queries": {},
     }
@@ -384,7 +417,8 @@ def main() -> None:
     # suppression can fix a line that is structurally too long).
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
-        json.dump({**envelope, "queries": timings}, f, indent=1)
+        json.dump({**envelope, "queries": timings, "spread": spreads}, f,
+                  indent=1)
 
     priority = [
         "e2e_filter_scrub", "e2e_clean_corpus", "detect_by_pattern",
