@@ -4390,6 +4390,22 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SentencePiece-style unigram-LM *vocabulary training* via EM
+    # (Kudo ACL'18) — the tokenizer-training twin of bpe_learn: seed
+    # vocab from frequent substrings, then per round Viterbi-count
+    # E-step + integer-cost M-step + prune.  Emits the full trajectory
+    # (round, piece, cnt, cost); oracle replays every round as chained
+    # materialized CTEs with the same packed tie key.
+    from pii_spark.quality import unigram_train
+
+    rows, _lex = unigram_train(_docs(spark, sf_dir), "text")
+    return spark.createDataFrame(
+        [(int(r), p, int(c), int(cost)) for r, p, c, cost in rows],
+        "round BIGINT, piece STRING, cnt BIGINT, cost BIGINT",
+    ).orderBy("round", "piece")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -5831,6 +5847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_census": q_import_census,
         "calibration_sweep": q_calibration_sweep,
         "unigram_segment": q_unigram_segment,
+        "unigram_train": q_unigram_train,
         "function_dedup": q_function_dedup,
         "repo_function_overlap": q_repo_function_overlap,
         "metadata_rollup": q_metadata_rollup,
@@ -6134,6 +6151,7 @@ def oracle_sql() -> dict[str, str]:
         import_census_oracle_sql,
         repo_function_overlap_oracle_sql,
         unigram_segment_oracle_sql,
+        unigram_train_oracle_sql,
     )
 
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
@@ -6172,6 +6190,10 @@ def oracle_sql() -> dict[str, str]:
             thresholds=[200, 350, 450, 500, 650, 800],
         ),
         "unigram_segment": unigram_segment_oracle_sql(
+            text_sql="text",
+            rows_sql="SELECT text FROM documents",
+        ),
+        "unigram_train": unigram_train_oracle_sql(
             text_sql="text",
             rows_sql="SELECT text FROM documents",
         ),
