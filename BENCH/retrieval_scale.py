@@ -147,13 +147,16 @@ def main() -> None:
         "  scan; per-query work is linear in matched postings (the",
         "  vocabulary gate fires before any join).",
         "- **The MMR greedy itself is corpus-size independent** (q·m²",
-        "  integer rows).  The MMR−BM25 gap that DOES grow with corpus",
-        "  size is the candidate stage's second corpus pass — candidates",
-        "  join back to the docs table for text to vectorize — i.e. one",
-        "  extra scan+join, linear, not the greedy.  The old k-step",
-        "  DataFrame unroll instead paid ~4k shuffle stages of fixed",
-        "  overhead (40.7 s at the sf0.1 cell); the fused greedy pays one",
-        "  exchange plus that linear scan.",
+        "  integer rows).  The round-5 candidate stage eagerly persists",
+        "  the q·m BM25 result BEFORE the self-joins are built (the old",
+        "  late persist left pre-persist plan copies that re-derived BM25",
+        "  from the scan — 42 FileScans in the executed plan vs 3 now)",
+        "  and broadcast-gates ONE pass over the docs table for candidate",
+        "  text, so only q·m texts ever cross the Arrow boundary.  The",
+        "  remaining MMR−BM25 gap is that single pruned pass plus fixed",
+        "  per-job overhead — roughly flat in corpus size.  (History: the",
+        "  r3 k-step unroll paid ~4k shuffle stages — 40.7 s at sf0.1;",
+        "  the r4 fused greedy brought it to ~3 s.)",
         "- At 10¹²-doc scale the BM25 row stays shuffle-light: postings",
         "  aggregate map-side (8-byte keys), df/stats broadcast, and the",
         "  top-k window partitions by query — no corpus-sized sort.",

@@ -66,28 +66,33 @@ def bm25_topk(
             ["query", "t"],
         )
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
-        ).alias("t"),
-    )
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    tk = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    # global stats: one column-pruned pass, aggregated map-side to a
+    # single broadcast row
     stats = F.broadcast(
-        dl.agg(
+        docs.select(F.size(tk).alias("dl")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
         )
     )
-    # query-vocabulary gate FIRST: everything downstream is linear in
-    # the matched postings, not the corpus token count
-    qtoks = toks.filter(F.col("t").isin(terms))
-    tf = qtoks.groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # postings pass: tokenize ONCE, keep dl + the query-vocabulary
+    # subset row-wise (no corpus-wide explode, no doc-keyed dl shuffle
+    # — dl rides the matched posting rows as 8 bytes)
+    base = docs.select(F.col(id_col).alias("doc"), tk.alias("tk")).select(
+        "doc",
+        F.size("tk").alias("dl"),
+        F.filter("tk", lambda x: x.isin(terms)).alias("qtk"),
+    )
+    tf = (
+        base.filter(F.size("qtk") > 0)
+        .select("doc", "dl", F.explode("qtk").alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
     df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "t")
         .join(qdf, "t")
-        .join(dl, "doc")
         .crossJoin(stats)
         .withColumn(
             "contrib",
@@ -251,10 +256,16 @@ def mmr_diversify(
 
     from pii_spark.similarity import hashed_count_vector_udf
 
-    cands = bm25_topk(spark, docs, id_col, text_col, queries, k=m)
-    mx = cands.groupBy("query").agg(F.max("score_x1e6").alias("mx"))
+    # the BM25 result is q·m rows — persist it EAGERLY, before any of
+    # the four downstream consumers (mx, pairs×2, state) exist, so the
+    # corpus-scanning BM25 subtree runs exactly once.  (Persisting
+    # after the self-joins are built leaves pre-persist plan copies
+    # that re-derive BM25 from the parquet scan — measured 42 FileScans
+    # in the executed plan vs 3 for this form.)
+    raw = bm25_topk(spark, docs, id_col, text_col, queries, k=m).persist()
+    mx = raw.groupBy("query").agg(F.max("score_x1e6").alias("mx"))
     cands = (
-        cands.join(F.broadcast(mx), "query")
+        raw.join(F.broadcast(mx), "query")
         .select(
             "query",
             "doc",
@@ -263,18 +274,22 @@ def mmr_diversify(
                 " ELSE score_x1e6 * 10000 div mx END"
             ).alias("rel_x10000"),
         )
+        .persist()
     )
-    cdocs = (
-        cands.select("doc")
-        .distinct()
-        .join(
-            docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")),
-            "doc",
-        )
-    )
+    cands.count()    # eager: materialize BM25 once, then drop the raw
+    raw.unpersist()  # cache — cands (q·m rows) is the only state kept
+    # candidate text: ONE broadcast-gated pass over the docs table —
+    # the q·m candidate ids broadcast to the scan, so no corpus
+    # shuffle, and the hashing-trick UDF runs AFTER the join: only the
+    # q·m candidate texts ever cross the Arrow boundary.  persist()
+    # because the pair builder consumes vecs twice (va/vb sides).
+    cdocs = docs.join(
+        F.broadcast(cands.select(F.col("doc").alias(id_col)).distinct()),
+        id_col,
+    ).select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     vecs = cdocs.select(
         "doc", hashed_count_vector_udf(dim, salt)(F.col("__t")).alias("v")
-    )
+    ).persist()
 
     def dot(a, b):
         return F.aggregate(
@@ -310,10 +325,6 @@ def mmr_diversify(
             ).alias("sim2_x10000"),
         )
     )
-    # cands feeds both the self-join (pairs) and the state union below;
-    # persisting it stops Catalyst from re-running the BM25 subtree per
-    # reference.  Its size is <= queries*m rows — always tiny.
-    cands = cands.persist()
     doc_type = cands.schema["doc"].dataType
     lam, om = lam_x1000, 1000 - lam_x1000
 
