@@ -2833,15 +2833,16 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal DECODE verification: each row carries a REAL image
-    # payload — doc_id%3==0 a truecolor PNG (zlib + per-row filter
-    # cycle, channels r/g/b distinct closed forms), %3==1 a BMP, %3==2
-    # a binary PGM (gray field (doc_id*31 + i*7) mod 256) — all built
-    # by the from-scratch encoders.  The query emits the decoded shape
-    # and the exact pixel sum; the DuckDB oracle recomputes both from
-    # the arithmetic alone (incl. the BT.601 integer luminance for the
-    # PNG rows), so a header/stride/filter/channel-order misparse in
-    # decode_png/decode_bmp/decode_pnm breaks the hash — this verifies
-    # the decoders, not just the plumbing.
+    # payload — doc_id%4==0 a truecolor PNG (zlib + per-row filter
+    # cycle, channels r/g/b distinct closed forms), %4==1 a BMP, %4==2
+    # an INTERLACED GIF89a (real LZW, 4-pass row order), %4==3 a binary
+    # PGM (gray field (doc_id*31 + i*7) mod 256) — all built by the
+    # from-scratch encoders.  The query emits the decoded shape and the
+    # exact pixel sum; the DuckDB oracle recomputes both from the
+    # arithmetic alone (incl. the BT.601 integer luminance for the PNG
+    # rows), so a header/stride/filter/LZW/interlace/channel-order
+    # misparse in decode_png/decode_bmp/decode_gif/decode_pnm breaks
+    # the hash — this verifies the decoders, not just the plumbing.
     from pyspark.sql.functions import pandas_udf
 
     from pii_spark import multimodal as M
@@ -2852,10 +2853,12 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in doc_id:
             d = int(d)
             h, w = d % 16 + 8, d % 8 + 8
-            if d % 3 == 0:
+            if d % 4 == 0:
                 out.append(M.encode_png(M.synth_rgb(d, h, w)))
-            elif d % 3 == 1:
+            elif d % 4 == 1:
                 out.append(M.encode_bmp(M.synth_gray(d, h, w)))
+            elif d % 4 == 2:
+                out.append(M.encode_gif(M.synth_gray(d, h, w), interlace=True))
             else:
                 out.append(M.encode_pgm(M.synth_gray(d, h, w)))
         return pd.Series(out)
@@ -2954,11 +2957,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resize ROUND-TRIP through the real codecs: the same mixed
-    # PNG/BMP/PGM payloads as image_features, nearest-neighbor resized
-    # to 6x5, re-encoded as PGM, then DECODED AGAIN for the pixel sum.
-    # The oracle recomputes the sampled grid arithmetically (src index
-    # (y*h//6)*w + (x*w//5), luminance for the PNG rows), so a bug in
-    # either decode, the sampling grid, or the PGM re-encode breaks it.
+    # PNG/BMP/GIF/PGM payloads as image_features, nearest-neighbor
+    # resized to 6x5, re-encoded as PGM, then DECODED AGAIN for the
+    # pixel sum.  The oracle recomputes the sampled grid arithmetically
+    # (src index (y*h//6)*w + (x*w//5), luminance for the PNG rows), so
+    # a bug in either decode (incl. GIF LZW + interlace), the sampling
+    # grid, or the PGM re-encode breaks it.
     from pyspark.sql.functions import pandas_udf
 
     from pii_spark import multimodal as M
@@ -2969,10 +2973,12 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in doc_id:
             d = int(d)
             h, w = d % 16 + 8, d % 8 + 8
-            if d % 3 == 0:
+            if d % 4 == 0:
                 out.append(M.encode_png(M.synth_rgb(d, h, w)))
-            elif d % 3 == 1:
+            elif d % 4 == 1:
                 out.append(M.encode_bmp(M.synth_gray(d, h, w)))
+            elif d % 4 == 2:
+                out.append(M.encode_gif(M.synth_gray(d, h, w), interlace=True))
             else:
                 out.append(M.encode_pgm(M.synth_gray(d, h, w)))
         return pd.Series(out)
@@ -8196,7 +8202,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 16 + 8 AS INT) AS height,
                    CAST(doc_id % 8 + 8 AS INT) AS width,
                    CAST((doc_id % 16 + 8) * (doc_id % 8 + 8) AS BIGINT) AS n_pixels,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN
                         list_sum(list_transform(
                             range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
                             i -> (299 * ((doc_id * 31 + i * 7) % 256)
@@ -8330,7 +8336,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(6 AS INT) AS height, CAST(5 AS INT) AS width,
                    CAST(list_sum(list_transform(range(0, 30), i ->
-                        CASE WHEN doc_id % 3 = 0 THEN
+                        CASE WHEN doc_id % 4 = 0 THEN
                             (299 * ((doc_id * 31 + {_RESIZE_SRC} * 7) % 256)
                              + 587 * ((doc_id * 37 + {_RESIZE_SRC} * 11) % 256)
                              + 114 * ((doc_id * 41 + {_RESIZE_SRC} * 13) % 256)

@@ -405,6 +405,215 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
+# ---- GIF (87a/89a, LZW) -----------------------------------------------------
+
+def _lzw_compress(idx: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over an index stream: dictionary-building
+    compressor emitting variable-width little-endian codes, CLEAR on
+    table overflow at 4096 (the spec maximum), EOI terminated."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq = b""
+    for v in idx.tobytes():
+        cand = seq + bytes([v])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset, like every real-world encoder
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = bytes([v])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode: variable-width codes grow at table size
+    2^width (up to 12 bits), CLEAR resets, EOI stops, KwKwK case
+    handled.  Stops once ``n_expected`` indices are produced (some
+    encoders pad the final sub-block)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("GIF LZW stream ended before raster complete")
+    return bytes(out[:n_expected])
+
+
+#: GIF interlace passes: (first row, step) per the 87a spec appendix E
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
+    """Grayscale uint8 (h, w) → real GIF89a: 256-entry gray global
+    color table (index == intensity), one image block, genuine LZW
+    compression with table resets, optional 4-pass interlace."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    img_desc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    if interlace:
+        order = [y for first, step in _GIF_INTERLACE
+                 for y in range(first, h, step)]
+        stream = px[order].ravel()
+    else:
+        stream = px.ravel()
+    lzw = _lzw_compress(stream, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a" + lsd + gct + img_desc + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → grayscale uint8 (h, w), from scratch: header +
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped (incl. GCE/comment/application), first image block
+    LZW-decoded (variable-width codes, CLEAR/EOI, KwKwK), 4-pass
+    interlace undone, palette collapsed through integer BT.601.
+    Animated GIFs yield their first frame — the standard corpus
+    treatment.  Transparency is ignored (features run on intensity)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image block")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("truncated GIF: no image block")
+    _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
+    pal = gct
+    if iflags & 0x80:  # local color table wins
+        n = 2 << (iflags & 0x07)
+        pal = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF image with no color table")
+    if pos >= len(data):
+        raise ValueError("truncated GIF image block")
+    min_code_size = data[pos]
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
+    pos += 1
+    lzw = bytearray()
+    while pos < len(data) and data[pos] != 0:
+        size = data[pos]
+        chunk = data[pos + 1:pos + 1 + size]
+        if len(chunk) < size:
+            raise ValueError("truncated GIF data sub-block")
+        lzw += chunk
+        pos += 1 + size
+    idx = np.frombuffer(
+        _lzw_decompress(bytes(lzw), min_code_size, w * h), dtype=np.uint8
+    )
+    if int(idx.max()) >= len(pal):
+        raise ValueError("GIF color index out of range")
+    raster = idx.reshape(h, w)
+    if iflags & 0x40:  # undo 4-pass interlace
+        out = np.empty((h, w), dtype=np.uint8)
+        row = 0
+        for first, step in _GIF_INTERLACE:
+            for y in range(first, h, step):
+                out[y] = raster[row]
+                row += 1
+        raster = out
+    rgb = pal[raster]
+    return _bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+
+
 # ---- WAV (RIFF PCM) -------------------------------------------------------
 
 def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
@@ -526,16 +735,18 @@ def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
 def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
     """bytes → grayscale uint8 array (h, w).
 
-    PNG, BMP and PNM payloads are parsed for real (magic-byte dispatch
-    to the from-scratch codecs above); anything else tries PIL, then
-    falls back to the deterministic fake with dimensions from meta
-    (default 32×32)."""
+    PNG, BMP, GIF and PNM payloads are parsed for real (magic-byte
+    dispatch to the from-scratch codecs above); anything else tries
+    PIL, then falls back to the deterministic fake with dimensions
+    from meta (default 32×32)."""
     b = bytes(data) if data is not None else b""
     try:
         if b[:8] == PNG_SIG:
             return decode_png(b)
         if b[:2] == b"BM":
             return decode_bmp(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(b)
         if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
             return decode_pnm(b)
     except (ValueError, struct.error):

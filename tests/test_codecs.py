@@ -356,3 +356,93 @@ def test_png_adversarial_dimensions_raise_before_alloc():
     struct.pack_into(">II", forged, 16, 60_000, 60_000)  # IHDR w, h
     with pytest.raises(ValueError):
         M.decode_png(bytes(forged))
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (16, 24), (33, 31), (5, 200)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(h, w, interlace):
+    px = _arr(11, h, w)
+    got = M.decode_gif(M.encode_gif(px, interlace=interlace))
+    assert got.shape == (h, w)
+    assert np.array_equal(got, px)
+
+
+def test_gif_lzw_table_reset_path():
+    # 128x128 of sha-noise drives the LZW dictionary past 4096 entries,
+    # forcing the mid-stream CLEAR + rebuild on both sides
+    px = _arr(42, 128, 128)
+    assert np.array_equal(M.decode_gif(M.encode_gif(px)), px)
+
+
+def test_gif_extreme_patterns():
+    # constant raster (maximal LZW run-length) and full 0..255 ramp
+    flat = np.full((20, 20), 137, dtype=np.uint8)
+    assert np.array_equal(M.decode_gif(M.encode_gif(flat)), flat)
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    assert np.array_equal(M.decode_gif(M.encode_gif(ramp)), ramp)
+
+
+def test_gif_skips_extension_blocks():
+    # hand-splice a graphics-control extension (the animated-GIF
+    # prelude our encoder never emits) between the GCT and the image
+    # descriptor — the decoder must walk past it
+    px = _arr(5, 10, 10)
+    raw = M.encode_gif(px)
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    spliced = raw[:13 + 768] + gce + raw[13 + 768:]
+    assert np.array_equal(M.decode_gif(spliced), px)
+
+
+def test_gif_local_color_table_wins():
+    # craft an image whose LOCAL color table inverts the global one;
+    # the decoder must use the local table
+    px = _arr(3, 4, 4)
+    raw = bytearray(M.encode_gif(px))
+    # image descriptor starts right after header(6)+LSD(7)+GCT(768)
+    desc_off = 6 + 7 + 768
+    assert raw[desc_off] == 0x2C
+    raw[desc_off + 9] |= 0x87  # local table present, 256 entries
+    lct = bytes(v for g in range(256) for v in (255 - g,) * 3)
+    raw = bytes(raw[:desc_off + 10]) + lct + bytes(raw[desc_off + 10:])
+    assert np.array_equal(M.decode_gif(raw), 255 - px)
+
+
+def test_gif_rejects_malformed_then_degrades():
+    px = _arr(7, 6, 6)
+    ok = M.encode_gif(px)
+    with pytest.raises(ValueError):
+        M.decode_gif(b"NOTGIF" + ok[6:])
+    with pytest.raises(ValueError):
+        M.decode_gif(ok[:40])  # truncated mid-GCT / no image block
+    forged = bytearray(ok)
+    desc_off = 6 + 7 + 768
+    struct.pack_into("<HH", forged, desc_off + 5, 60_000, 60_000)
+    with pytest.raises(ValueError):
+        M.decode_gif(bytes(forged))  # implausible dims pre-alloc
+    # decode_image degrades all of those to the marked fake
+    for payload in (ok[:40], bytes(forged)):
+        assert M.decode_image(payload, {"height": 4, "width": 4}).shape == (4, 4)
+    # ...and decodes the intact GIF for real
+    assert np.array_equal(M.decode_image(ok, None), px)
+
+
+def test_gif_fuzzed_bytes_raise_only_value_error():
+    # single-byte corruption anywhere in the payload must surface as
+    # ValueError (decode_image's degrade set) — never IndexError or a
+    # silent wrong-shape success that would kill/poison a Spark stage
+    px = _arr(9, 12, 12)
+    raw = M.encode_gif(px)
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        b = bytearray(raw)
+        i = int(rng.integers(6, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            out = M.decode_gif(bytes(b))
+            assert out.dtype == np.uint8
+        except (ValueError, struct.error):
+            pass
