@@ -4412,6 +4412,20 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round", "piece")
 
 
+def q_unigram_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train→segment ROUND-TRIP: EM-learn the unigram vocab, then
+    # Viterbi-segment the corpus vocabulary against the LEARNED
+    # lexicon; the oracle replays the whole composition (EM chain +
+    # segmentation DP) as one chained-CTE SQL statement
+    from pii_spark.quality import unigram_train_segment
+
+    return (
+        unigram_train_segment(_docs(spark, sf_dir), "text")
+        .select("word", "n_occ", "cost", "n_pieces")
+        .orderBy("word")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -5854,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_sweep": q_calibration_sweep,
         "unigram_segment": q_unigram_segment,
         "unigram_train": q_unigram_train,
+        "unigram_train_segment": q_unigram_train_segment,
         "function_dedup": q_function_dedup,
         "repo_function_overlap": q_repo_function_overlap,
         "metadata_rollup": q_metadata_rollup,
@@ -6158,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         repo_function_overlap_oracle_sql,
         unigram_segment_oracle_sql,
         unigram_train_oracle_sql,
+        unigram_train_segment_oracle_sql,
     )
 
     _vocab = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
@@ -6200,6 +6216,10 @@ def oracle_sql() -> dict[str, str]:
             rows_sql="SELECT text FROM documents",
         ),
         "unigram_train": unigram_train_oracle_sql(
+            text_sql="text",
+            rows_sql="SELECT text FROM documents",
+        ),
+        "unigram_train_segment": unigram_train_segment_oracle_sql(
             text_sql="text",
             rows_sql="SELECT text FROM documents",
         ),
