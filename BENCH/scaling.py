@@ -129,6 +129,7 @@ def main() -> None:
         print(json.dumps(run_once(int(sys.argv[1]))))
         return
 
+    load_start = os.getloadavg()
     prepare()
     results = {}
     for cpus in (8, 32):
@@ -153,11 +154,18 @@ def main() -> None:
     )
     rp = json.loads(pipe_out.stdout.strip().splitlines()[-1])
 
+    load_end = os.getloadavg()
     summary = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3),
-               "pipeline_with_sinks": rp}
+               "pipeline_with_sinks": rp,
+               "host_load_1m": [round(load_start[0], 2), round(load_end[0], 2)],
+               "measured_utc": time.strftime("%Y-%m-%d %H:%M", time.gmtime())}
     print(json.dumps(summary))
 
     md = f"""# BENCH — measured baseline + scaling evidence
+
+Measured {summary['measured_utc']} UTC; host 1-min load at sweep
+start/end: {summary['host_load_1m']} (pressure sentinel — a loaded host
+shows here, so a noisy record is self-diagnosing).
 
 Protocol (BASELINE.md): the N→4N executor scaling criterion is evidenced
 by running the identical job on the identical input at `local[8]` and
@@ -183,8 +191,11 @@ passes (measured: {r8.get('passes')} @8, {r32.get('passes')} @32).
 
 Full pipeline INCLUDING sinks (scrubbed + findings parquet writes,
 per-group checkpoint commits, metrics tables; `BENCH/pipeline_scale.py`):
-**{rp['files_per_sec']:,} files/sec** over {rp['n_files']:,} files at
-`local[{rp['cpus']}]` ({rp['wall_sec']}s wall, {rp['buckets']} buckets).
+**{rp['files_per_sec_median']:,} files/sec median** over
+{rp['n_files']:,} files at `local[{rp['cpus']}]` (walls
+{rp['wall_sec_all']} s, {rp['buckets']} buckets; min–max throughput
+{rp['files_per_sec_min']:,}–{rp['files_per_sec_max']:,}, spread
+±{rp['spread_pct']}%) — one un-timed warm pass, then the median of five.
 
 Reproduce: `python BENCH/scaling.py` (env: `SCALING_REPS`,
 `SPARK_GRAFT_SF_DIR`, `SCALING_CORPUS_DIR`).

@@ -2876,6 +2876,58 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # baseline-JPEG DECODE verification: each row carries a REAL
+    # ITU-T T.81 payload built by the from-scratch encoder over the
+    # 8×8-block-constant field synth_blocky (block j value =
+    # (doc_id*31 + j*7) mod 256) — doc_id%3==0 grayscale with the
+    # all-ones quant table, %3==1 YCbCr 4:4:4 with quant DC=8/AC=16
+    # plus DRI/RST3, %3==2 YCbCr 4:2:0 with DRI/RST2.  Block-constant
+    # content is DC-only, so the float-DCT round-trip is bit-exact in
+    # every mode (gray-content RGB makes the YCbCr leg exact too,
+    # verified over all 256 values), and the DuckDB oracle recomputes
+    # the decoded pixel sum from the block arithmetic alone — a
+    # Huffman/zigzag/dequant/IDCT/restart/chroma-upsample misparse in
+    # decode_jpeg breaks the hash.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 8
+
+    @pandas_udf("binary")
+    def jpeg_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w = d % 16 + 8, d % 8 + 8
+            gray = M.synth_blocky(d, h, w)
+            if d % 3 == 0:
+                out.append(M.encode_jpeg(gray, "gray"))
+            elif d % 3 == 1:
+                rgb = np.stack([gray] * 3, axis=2)
+                out.append(M.encode_jpeg(rgb, "444", quant=qt,
+                                         restart_interval=3))
+            else:
+                rgb = np.stack([gray] * 3, axis=2)
+                out.append(M.encode_jpeg(rgb, "420", restart_interval=2))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.image_features(media)
+        .select("media_id", "height", "width", "n_pixels", "sum_pixels")
+        .orderBy("media_id")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal audio DECODE verification: real RIFF/WAVE PCM-16
     # payloads with the closed-form signal s[i] = ((doc_id*7 + i*13)
@@ -5987,6 +6039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pipeline": q_quality_pipeline,
         "fingerprint_overlap": q_fingerprint_overlap,
         "image_features": q_image_features,
+        "jpeg_decode": q_jpeg_decode,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
@@ -8234,6 +8287,27 @@ def oracle_sql() -> dict[str, str]:
                             range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
                             i -> (doc_id * 31 + i * 7) % 256))
                    END AS BIGINT) AS sum_pixels
+            FROM documents ORDER BY media_id
+        """,
+        # baseline-JPEG decode verification: the decoded pixel sum is
+        # recomputed from the 8×8-block-constant arithmetic alone —
+        # pixel (y, x) belongs to block j = (y//8)*ceil(w/8) + x//8
+        # with value (doc_id*31 + j*7) mod 256; block-constant content
+        # round-trips the float DCT bit-exactly in all three encoded
+        # modes (gray / 4:4:4 / 4:2:0 with restarts), so one formula
+        # covers every row
+        "jpeg_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 16 + 8 AS INT) AS height,
+                   CAST(doc_id % 8 + 8 AS INT) AS width,
+                   CAST((doc_id % 16 + 8) * (doc_id % 8 + 8) AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                        i -> (doc_id * 31
+                              + ((i // (doc_id % 8 + 8)) // 8
+                                   * ((doc_id % 8 + 8 + 7) // 8)
+                                 + (i % (doc_id % 8 + 8)) // 8) * 7) % 256))
+                       AS BIGINT) AS sum_pixels
             FROM documents ORDER BY media_id
         """,
         # exact re-implementation of the SimHash fingerprint in SQL:

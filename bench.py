@@ -157,6 +157,7 @@ def main() -> None:
         "langid_distribution",
         "fingerprint_overlap",
         "image_features",
+        "jpeg_decode",
         "audio_features",
         "video_frames",
         "image_resize",
@@ -289,6 +290,7 @@ def main() -> None:
         "import_census",
         "calibration_sweep",
         "unigram_segment",
+        "unigram_train_segment",
         "function_dedup",
         "repo_function_overlap",
         "metadata_rollup",

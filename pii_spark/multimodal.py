@@ -17,9 +17,12 @@ libraries needed:
 - **audio**: RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE, any
   channel count, word-aligned chunk walk).
 
-RGB collapses to grayscale via integer BT.601 luminance.  Formats
-beyond stdlib reach (JPEG/MP3/16-bit or Adam7 PNG/...) try PIL if
-present; otherwise fall back to the clearly-marked deterministic fake
+RGB collapses to grayscale via integer BT.601 luminance.  Baseline
+sequential JPEG (ITU-T T.81: 8×8 DCT, zigzag, Annex-K Huffman,
+DRI/RSTn, grayscale + YCbCr 4:4:4/4:2:0) and GIF (LZW) are decoded
+from scratch too.  Formats beyond stdlib reach (progressive JPEG, MP3,
+16-bit or Adam7 PNG, ...) try PIL if present; otherwise fall back to
+the clearly-marked deterministic fake
 (pixels/samples derived from sha256 of the payload) so unknown
 payloads still flow through the pipeline with reproducible statistics
 instead of killing the stage.
@@ -614,6 +617,503 @@ def decode_gif(data: bytes) -> np.ndarray:
     return _bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
 
 
+# ---- JPEG (baseline sequential DCT, ITU-T T.81) -----------------------------
+#
+# From-scratch baseline JPEG: forward/inverse 8×8 DCT, zigzag, canonical
+# Huffman entropy coding with the Annex K.3 tables, byte stuffing,
+# DRI/RSTn restart markers, 1-component grayscale plus 3-component
+# YCbCr at 4:4:4 and 4:2:0 sampling.  Only public-spec knowledge; no
+# codec libraries.
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row-major) index for each T.81 zigzag position:
+    diagonals of constant row+col, even diagonals running
+    bottom-left → top-right."""
+    cells = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+    )
+    return np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+#: orthonormal DCT-II basis: C[u, x] = c(u)·cos((2x+1)uπ/16);
+#: fdct = C·B·Cᵀ, idct = Cᵀ·S·C
+_JPEG_DCT = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: standard Huffman tables, T.81 Annex K.3 (BITS counts per code
+#: length 1..16, then HUFFVAL in code order)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _huff_encode_table(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value → (code, length)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) → value."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing; flush pads
+    with 1-bits (T.81 F.1.2.3) so a restart/EOI marker can follow."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.buf = (self.buf << width) | (code & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            byte = (self.buf >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.buf &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # 1-padding to the byte boundary
+
+    def marker(self, lo: int) -> None:
+        self.flush()
+        self.out += bytes((0xFF, lo))
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: unstuffs
+    0xFF 0x00, stops at any real marker (restart markers are consumed
+    explicitly via :meth:`expect_rst`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # a real marker mid-read = truncated scan
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in JPEG scan"
+                        if nxt is not None else "truncated JPEG entropy stream"
+                    )
+            else:
+                self.pos += 1
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_rst(self, idx: int) -> None:
+        self.n = 0  # discard pad bits to the byte boundary
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            raise ValueError(f"missing JPEG restart marker RST{idx % 8}")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.12 EXTEND: map `size` received bits back to the signed
+    coefficient (low half of the category is the negative range)."""
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader,
+                      table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clip = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean with round-half-up — the conventional chroma
+    subsampler.  Odd dims are edge-padded first."""
+    h, w = plane.shape
+    p = _pad_to(plane, h + h % 2, w + w % 2).astype(np.int64)
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint8)
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    mode: str = "gray",
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image → baseline sequential JFIF.  ``mode``: ``gray``
+    ((h, w) input, 1 component), ``444`` or ``420`` ((h, w, 3) RGB
+    input, YCbCr with the named chroma sampling).  ``quant`` is a
+    64-entry natural-order table (default all-ones — lossless for
+    block-constant content, see :func:`synth_blocky`);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs.  Standard Annex-K Huffman tables serve every component."""
+    if mode == "gray":
+        planes = [(np.asarray(px, dtype=np.uint8), 1, 1)]
+        h, w = planes[0][0].shape
+    elif mode in ("444", "420"):
+        arr = np.asarray(px, dtype=np.uint8)
+        h, w = arr.shape[:2]
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if mode == "444":
+            planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        else:
+            planes = [(y, 2, 2), (_downsample2(cb), 1, 1),
+                      (_downsample2(cr), 1, 1)]
+    else:
+        raise ValueError(f"unsupported JPEG encode mode {mode!r}")
+    q = (np.ones(64, dtype=np.int64) if quant is None
+         else np.asarray(quant, dtype=np.int64).reshape(64))
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("JPEG quant entries must be in 1..255")
+    hmax = max(hs for _, hs, _ in planes)
+    vmax = max(vs for _, _, vs in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, 8 * mcuy * vs, 8 * mcux * hs).astype(np.float64) - 128.0
+        for p, hs, vs in planes
+    ]
+
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    zz = _JPEG_ZZ
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wr.marker(0xD0 + rst_idx % 8)
+                rst_idx += 1
+                preds = [0] * len(planes)
+            for ci, (plane, (_, hs, vs)) in enumerate(zip(padded, planes)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        block = plane[r0:r0 + 8, c0:c0 + 8]
+                        coef = _JPEG_DCT @ block @ _JPEG_DCT.T
+                        qz = np.rint(coef.ravel() / q).astype(np.int64)[zz]
+                        diff = int(qz[0]) - preds[ci]
+                        preds[ci] = int(qz[0])
+                        size = abs(diff).bit_length()
+                        code, length = dc_tab[size]
+                        wr.put(code, length)
+                        if size:
+                            wr.put(diff if diff > 0 else diff + (1 << size) - 1,
+                                   size)
+                        nz = np.nonzero(qz[1:])[0]
+                        last = int(nz[-1]) + 1 if len(nz) else 0
+                        k = 1
+                        while k <= last:
+                            run = 0
+                            while qz[k] == 0:
+                                run += 1
+                                k += 1
+                            while run > 15:
+                                code, length = ac_tab[0xF0]  # ZRL
+                                wr.put(code, length)
+                                run -= 16
+                            v = int(qz[k])
+                            size = abs(v).bit_length()
+                            code, length = ac_tab[(run << 4) | size]
+                            wr.put(code, length)
+                            wr.put(v if v > 0 else v + (1 << size) - 1, size)
+                            k += 1
+                        if last < 63:
+                            code, length = ac_tab[0x00]  # EOB
+                            wr.put(code, length)
+            mcu_count += 1
+    wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in zz))
+    sof_comps = b"".join(
+        bytes((ci + 1, (hs << 4) | vs, 0))
+        for ci, (_, hs, vs) in enumerate(planes)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes)) + sof_comps)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(
+        0xDA,
+        bytes([len(planes)])
+        + b"".join(bytes((ci + 1, 0x00)) for ci in range(len(planes)))
+        + bytes((0, 63, 0)),
+    )
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos
+            + bytes(wr.out) + b"\xff\xd9")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → grayscale uint8 (h, w), from
+    scratch: marker walk (APPn/COM skipped), DQT (8/16-bit), DHT
+    (canonical rebuild), DRI + RSTn resync, SOF0/SOF1 with arbitrary
+    sampling factors ≤ 4, interleaved MCU entropy decode (EXTEND,
+    ZRL/EOB, byte unstuffing), dequant + zigzag + float IDCT per
+    block.  3-component scans upsample chroma (nearest), convert
+    YCbCr→RGB, and collapse through the same integer BT.601 as every
+    other codec here — so a chroma decode bug shifts the output even
+    though the return value is grayscale.  Progressive (SOF2) and
+    arithmetic-coded JPEGs raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    h = w = 0
+    restart_interval = 0
+    scan_pos = -1
+    scan_sel: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq:
+                    vals = struct.unpack_from(">64H", body, off)
+                    off += 128
+                else:
+                    vals = struct.unpack_from("64B", body, off)
+                    off += 64
+                nat = np.empty(64, dtype=np.int64)
+                nat[_JPEG_ZZ] = vals
+                qtabs[tq] = nat
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = tuple(body[off + 1:off + 17])
+                n = sum(bits)
+                if len(bits) < 16 or off + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = tuple(body[off + 17:off + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                off += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline(+ext) sequential
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                 body[7 + 3 * i] & 0x0F, body[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: header parsed; entropy data follows
+            ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
+            ids = [c[0] for c in comps]
+            scan_sel = [
+                (ids.index(body[1 + 2 * i]),
+                 body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            scan_pos = pos
+            break
+        # APPn / COM / anything else: skipped
+    if not comps or scan_pos < 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan_sel) != len(comps):
+        raise ValueError("non-interleaved JPEG scans not supported")
+    if h < 1 or w < 1 or h * w > 64_000_000:
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+    if any(not (1 <= hs <= 4 and 1 <= vs <= 4) for _, hs, vs, _ in comps):
+        raise ValueError("JPEG sampling factors must be in 1..4")
+
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((8 * mcuy * vs, 8 * mcux * hs), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    reader = _JpegBitReader(data, scan_pos)
+    preds = [0] * len(comps)
+    zz = _JPEG_ZZ
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.expect_rst(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, td, ta in scan_sel:
+                _cid, hs, vs, tq = comps[ci]
+                if tq not in qtabs or (0, td) not in htabs or (1, ta) not in htabs:
+                    raise ValueError("JPEG scan references a missing table")
+                q = qtabs[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        qz = np.zeros(64, dtype=np.int64)
+                        size = _jpeg_huff_decode(reader, htabs[(0, td)])
+                        if size > 16:
+                            raise ValueError("JPEG DC category overrun")
+                        preds[ci] += _jpeg_extend(reader.receive(size), size)
+                        qz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _jpeg_huff_decode(reader, htabs[(1, ta)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            s = rs & 0x0F
+                            qz[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+                        coef = np.empty(64, dtype=np.float64)
+                        coef[zz] = qz * q
+                        block = _JPEG_DCT.T @ coef.reshape(8, 8) @ _JPEG_DCT
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = block
+            mcu_count += 1
+
+    full = []
+    for (pl, (_, hs, vs, _)) in zip(planes, comps):
+        px8 = np.clip(np.rint(pl + 128.0), 0, 255).astype(np.uint8)
+        up = np.repeat(np.repeat(px8, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        return full[0]
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
+    to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.int64)  # noqa: E731
+    r = to8(y + 1.402 * cr)
+    g = to8(y - 0.344136 * cb - 0.714136 * cr)
+    b = to8(y + 1.772 * cb)
+    return _bt601(r, g, b)
+
+
 # ---- WAV (RIFF PCM) -------------------------------------------------------
 
 def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
@@ -688,6 +1188,19 @@ def synth_rgb(seed: int, h: int, w: int) -> np.ndarray:
     return np.stack([r, g, b], axis=1).astype(np.uint8).reshape(h, w, 3)
 
 
+def synth_blocky(seed: int, h: int, w: int) -> np.ndarray:
+    """Closed-form 8×8-block-constant gray field: every pixel of DCT
+    block j (row-major over the ceil(w/8)-wide block grid) has value
+    (seed*31 + j*7) mod 256.  Block-constant content survives the
+    float DCT round-trip bit-exactly (DC-only blocks, unit or
+    DC-divisible quant), so a SQL oracle can recompute decoded JPEG
+    statistics arithmetically."""
+    bw = -(-w // 8)
+    j = (np.arange(h, dtype=np.int64)[:, None] // 8) * bw \
+        + (np.arange(w, dtype=np.int64)[None, :] // 8)
+    return ((seed * 31 + j * 7) % 256).astype(np.uint8)
+
+
 def synth_pcm(seed: int, n: int) -> np.ndarray:
     """Closed-form int16 signal: s[i] = ((seed*7 + i*13) mod 65536) -
     32768."""
@@ -735,10 +1248,10 @@ def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
 def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
     """bytes → grayscale uint8 array (h, w).
 
-    PNG, BMP, GIF and PNM payloads are parsed for real (magic-byte
-    dispatch to the from-scratch codecs above); anything else tries
-    PIL, then falls back to the deterministic fake with dimensions
-    from meta (default 32×32)."""
+    PNG, BMP, GIF, baseline JPEG and PNM payloads are parsed for real
+    (magic-byte dispatch to the from-scratch codecs above); anything
+    else tries PIL, then falls back to the deterministic fake with
+    dimensions from meta (default 32×32)."""
     b = bytes(data) if data is not None else b""
     try:
         if b[:8] == PNG_SIG:
@@ -747,6 +1260,8 @@ def decode_image(data: bytes, meta: dict | None) -> np.ndarray:
             return decode_bmp(b)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(b)
+        if b[:2] == b"\xff\xd8":
+            return decode_jpeg(b)
         if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
             return decode_pnm(b)
     except (ValueError, struct.error):

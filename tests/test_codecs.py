@@ -446,3 +446,153 @@ def test_gif_fuzzed_bytes_raise_only_value_error():
             assert out.dtype == np.uint8
         except (ValueError, struct.error):
             pass
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU-T T.81)
+# ---------------------------------------------------------------------------
+
+def _blocky(seed: int, h: int, w: int) -> np.ndarray:
+    return M.synth_blocky(seed, h, w)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (13, 21), (5, 200), (1, 1)])
+def test_jpeg_gray_blocky_exact(h, w):
+    # block-constant content is DC-only per 8x8 block: the float DCT
+    # round-trip with the all-ones quant table is bit-exact
+    px = _blocky(h * 100 + w, h, w)
+    got = M.decode_jpeg(M.encode_jpeg(px, "gray"))
+    assert got.shape == (h, w)
+    assert np.array_equal(got, px)
+
+
+def test_jpeg_gray_arbitrary_near_lossless():
+    # arbitrary content with unit quant: only float-DCT rounding
+    px = _arr(3, 32, 48)
+    got = M.decode_jpeg(M.encode_jpeg(px, "gray"))
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
+
+
+@pytest.mark.parametrize("mode", ["444", "420"])
+def test_jpeg_color_gray_content_exact(mode):
+    # r==g==b makes the YCbCr leg exact (Y=v, Cb=Cr=128 for all 256
+    # values), so block-constant color payloads round-trip bit-exactly
+    blocks = np.arange(256, dtype=np.int64).reshape(16, 16)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    assert np.array_equal(M.decode_jpeg(M.encode_jpeg(rgb, mode)), img)
+
+
+@pytest.mark.parametrize("mode", ["444", "420"])
+def test_jpeg_truecolor_tolerance_and_channel_order(mode):
+    # true-color content: YCbCr uint8 round-trip costs at most a few
+    # codes of luminance; channel-swapped input must decode DIFFERENT
+    # (the per-channel closed forms are distinct).  4:2:0 needs chroma
+    # the subsampler can carry losslessly, so its fixture is color
+    # blocks constant over 16x16 (chroma stays 8x8-block-constant
+    # after the 2x2 mean); 4:4:4 takes per-pixel color as-is.
+    if mode == "444":
+        rgb = M.synth_rgb(5, 24, 32)
+    else:
+        small = M.synth_rgb(5, 2, 3)
+        rgb = np.repeat(np.repeat(small, 16, axis=0), 16, axis=1)
+    ref = M._bt601(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    got = M.decode_jpeg(M.encode_jpeg(rgb, mode))
+    assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 2
+    swapped = rgb[:, :, ::-1]
+    got_sw = M.decode_jpeg(M.encode_jpeg(np.ascontiguousarray(swapped), mode))
+    assert not np.array_equal(got_sw, got)
+
+
+def test_jpeg_quant_and_restart_markers_exact():
+    # DC quant 8 divides the DC coefficient 8*(v-128) exactly, and AC
+    # coefficients are all zero for blocky content — so a non-trivial
+    # quant table plus DRI/RSTn resync still round-trips bit-exactly
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 8
+    px = _blocky(9, 29, 37)
+    got = M.decode_jpeg(M.encode_jpeg(px, "gray", quant=qt, restart_interval=2))
+    assert np.array_equal(got, px)
+    rgb = np.stack([px] * 3, axis=2)
+    got = M.decode_jpeg(M.encode_jpeg(rgb, "420", quant=qt, restart_interval=3))
+    assert np.array_equal(got, px)
+
+
+def test_jpeg_16bit_dqt_and_sof1_and_appn():
+    # header variants our encoder never emits: a 16-bit (Pq=1) DQT, the
+    # extended-sequential SOF1 marker, and APP0/COM segments to skip
+    px = _blocky(4, 16, 16)
+    raw = M.encode_jpeg(px, "gray")
+    # locate segments
+    def seg_off(marker):
+        i = 2
+        while i < len(raw):
+            assert raw[i] == 0xFF
+            if raw[i + 1] == marker:
+                return i
+            (ln,) = struct.unpack_from(">H", raw, i + 2)
+            i += 2 + ln
+        raise AssertionError(f"marker {marker:02x} not found")
+
+    dqt_off = seg_off(0xDB)
+    (dqt_len,) = struct.unpack_from(">H", raw, dqt_off + 2)
+    zz_vals = raw[dqt_off + 5:dqt_off + 5 + 64]
+    wide = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + b"\x10" + b"".join(
+        struct.pack(">H", v) for v in zz_vals
+    )
+    spliced = raw[:dqt_off] + wide + raw[dqt_off + 2 + dqt_len:]
+    assert np.array_equal(M.decode_jpeg(spliced), px)
+    # SOF0 -> SOF1 (extended sequential, same decode path)
+    sof_off = seg_off(0xC0)
+    as_sof1 = bytearray(raw)
+    as_sof1[sof_off + 1] = 0xC1
+    assert np.array_equal(M.decode_jpeg(bytes(as_sof1)), px)
+    # APP0 + COM right after SOI must be walked past
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    assert np.array_equal(M.decode_jpeg(raw[:2] + app0 + com + raw[2:]), px)
+
+
+def test_jpeg_rejects_malformed_then_degrades():
+    px = _blocky(7, 16, 16)
+    ok = M.encode_jpeg(px, "gray")
+    with pytest.raises(ValueError):
+        M.decode_jpeg(b"NO" + ok[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        M.decode_jpeg(ok[:20])  # truncated before SOS
+    prog = bytearray(ok)
+    # SOF0 -> SOF2 (progressive) must be refused loudly
+    i = 2
+    while prog[i + 1] != 0xC0:
+        (ln,) = struct.unpack_from(">H", prog, i + 2)
+        i += 2 + ln
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(prog))
+    # missing restart marker where DRI promises one
+    with_rst = M.encode_jpeg(px, "gray", restart_interval=1)
+    no_rst = with_rst.replace(b"\xff\xd0", b"\x00\x00", 1)
+    with pytest.raises(ValueError):
+        M.decode_jpeg(no_rst)
+    # decode_image degrades all of those to the marked fake...
+    for payload in (ok[:20], bytes(prog)):
+        assert M.decode_image(payload, {"height": 4, "width": 4}).shape == (4, 4)
+    # ...and decodes the intact JPEG for real
+    assert np.array_equal(M.decode_image(ok, None), px)
+
+
+def test_jpeg_fuzzed_bytes_raise_only_value_error():
+    # single-byte corruption must surface as ValueError (decode_image's
+    # degrade set) — never IndexError/KeyError or a non-uint8 success
+    px = _blocky(11, 24, 24)
+    raw = M.encode_jpeg(px, "444" if False else "gray", restart_interval=2)
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        b = bytearray(raw)
+        i = int(rng.integers(2, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            out = M.decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8
+        except (ValueError, struct.error):
+            pass
