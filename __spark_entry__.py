@@ -2928,6 +2928,90 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Motion-JPEG DEMUX + DECODE verification: each row is a real MJPEG
+    # stream — (doc_id%3 + 2) back-to-back JFIF frames of VARYING byte
+    # length (frame f encodes synth_blocky(doc_id, h, w, frame=f) as
+    # grayscale / 4:4:4+RST / 4:2:0 by f%3), so fixed-size slicing
+    # cannot fake the split: demux_mjpeg must walk segments and the
+    # stuffed entropy stream to each true EOI.  video_frame_features
+    # samples every 2nd frame and emits exact decoded pixel sums; the
+    # oracle recomputes them from the (seed, frame, block) arithmetic.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def mjpeg_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w = d % 16 + 8, d % 8 + 8
+            frames = []
+            for f in range(d % 3 + 2):
+                px = M.synth_blocky(d, h, w, frame=f)
+                if f % 3 == 0:
+                    frames.append(M.encode_jpeg(px, "gray"))
+                elif f % 3 == 1:
+                    frames.append(M.encode_jpeg(np.stack([px] * 3, axis=2),
+                                                "444", restart_interval=3))
+                else:
+                    frames.append(M.encode_jpeg(np.stack([px] * 3, axis=2),
+                                                "420"))
+            out.append(b"".join(frames))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        mjpeg_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.video_frame_features(media, every_n=2)
+        .select("media_id", "frame_idx", "height", "width", "sum_pixels")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G.711 companded-audio DECODE verification: real RIFF/WAVE
+    # payloads with format tag 7 (μ-law, even doc_id) or 6 (A-law, odd)
+    # whose sample bytes follow the closed form (doc_id*13 + i*7) mod
+    # 256; decode_wav expands them through the segment/quantization
+    # arithmetic (classic g711.c semantics) and the oracle replays that
+    # expansion in SQL — sum_sq_raw is exact over the expanded int16
+    # samples, so a bias/segment/sign bug in either law breaks the hash.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def g711_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rate, n = (d % 4 + 1) * 4000, (d % 8 + 1) * 500
+            i = np.arange(n, dtype=np.int64)
+            payload = bytes(((d * 13 + i * 7) % 256).astype(np.uint8))
+            out.append(M.encode_wav_raw(payload, rate, 7 if d % 2 == 0 else 6))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        g711_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.audio_features(media)
+        .select("media_id", "sample_rate", "n_samples", "sum_sq_raw")
+        .orderBy("media_id")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal audio DECODE verification: real RIFF/WAVE PCM-16
     # payloads with the closed-form signal s[i] = ((doc_id*7 + i*13)
@@ -6040,6 +6124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": q_fingerprint_overlap,
         "image_features": q_image_features,
         "jpeg_decode": q_jpeg_decode,
+        "mjpeg_frames": q_mjpeg_frames,
+        "g711_audio": q_g711_audio,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
@@ -8308,6 +8394,59 @@ def oracle_sql() -> dict[str, str]:
                                    * ((doc_id % 8 + 8 + 7) // 8)
                                  + (i % (doc_id % 8 + 8)) // 8) * 7) % 256))
                        AS BIGINT) AS sum_pixels
+            FROM documents ORDER BY media_id
+        """,
+        # MJPEG demux+decode: every 2nd frame of the (doc_id%3 + 2)-
+        # frame stream; the decoded sum adds the per-frame offset f*17
+        # to the same block arithmetic as jpeg_decode — if demux split
+        # at a wrong byte the decoded frame (and its sum) changes
+        "mjpeg_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(t.f AS INT) AS frame_idx,
+                   CAST(doc_id % 16 + 8 AS INT) AS height,
+                   CAST(doc_id % 8 + 8 AS INT) AS width,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                        i -> (doc_id * 31 + t.f * 17
+                              + ((i // (doc_id % 8 + 8)) // 8
+                                   * ((doc_id % 8 + 8 + 7) // 8)
+                                 + (i % (doc_id % 8 + 8)) // 8) * 7) % 256))
+                       AS BIGINT) AS sum_pixels
+            FROM documents, UNNEST(range(0, doc_id % 3 + 2, 2)) AS t(f)
+            ORDER BY media_id, frame_idx
+        """,
+        # G.711 expansion replayed in SQL: byte (doc_id*13 + i*7) mod
+        # 256 → linear int16 via the segment/quantization closed form —
+        # μ-law (even doc_id): u = 255 - b, t = ((u%16)*8 + 132) <<
+        # ((u//16)%8), lin = ±(t - 132); A-law (odd): a = b XOR 85,
+        # seg 0 → t+8, seg 1 → t+264, else (t+264) << (seg-1), sign
+        # bit SET means positive — then sum lin²
+        "g711_audio": """
+            SELECT doc_id AS media_id,
+                   CAST((doc_id % 4 + 1) * 4000 AS INT) AS sample_rate,
+                   CAST((doc_id % 8 + 1) * 500 AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                     list_transform(
+                       list_transform(range(0, (doc_id % 8 + 1) * 500),
+                                      i -> (doc_id * 13 + i * 7) % 256),
+                       b -> CASE WHEN doc_id % 2 = 0 THEN
+                              CASE WHEN 255 - b >= 128
+                                   THEN 132 - (((255 - b) % 16) * 8 + 132)
+                                          * (1 << (((255 - b) // 16) % 8))
+                                   ELSE (((255 - b) % 16) * 8 + 132)
+                                          * (1 << (((255 - b) // 16) % 8)) - 132
+                              END
+                            ELSE
+                              (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+                              * (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                                      THEN (xor(b, 85) % 16) * 16 + 8
+                                      WHEN (xor(b, 85) // 16) % 8 = 1
+                                      THEN (xor(b, 85) % 16) * 16 + 264
+                                      ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                           * (1 << ((xor(b, 85) // 16) % 8 - 1))
+                                 END)
+                            END),
+                     v -> v * v)) AS BIGINT) AS sum_sq_raw
             FROM documents ORDER BY media_id
         """,
         # exact re-implementation of the SimHash fingerprint in SQL:

@@ -158,6 +158,8 @@ def main() -> None:
         "fingerprint_overlap",
         "image_features",
         "jpeg_decode",
+        "mjpeg_frames",
+        "g711_audio",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -1129,11 +1129,50 @@ def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law byte → linear int16 (classic public-domain
+    g711.c semantics: bias 0x84, 3-bit segment, 4-bit quantization;
+    output range ±32124)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear int16 (g711.c semantics: XOR
+    0x55, segment 0 adds 8, segment 1 adds 0x108, higher segments
+    shift; sign bit SET means positive; output range ±32256)."""
+    a = b.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    mag = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, mag, -mag)
+
+
+def encode_wav_raw(payload: bytes, rate: int, fmt_tag: int,
+                   bits: int = 8, channels: int = 1) -> bytes:
+    """Wrap pre-encoded sample bytes (e.g. G.711 μ-law/A-law) in a
+    RIFF/WAVE container with the given format tag."""
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float32 mono samples in [-1, 1], sample_rate).
-    PCM only (format tag 1); 8-bit unsigned or 16-bit signed LE; multi-
-    channel input averages to mono.  Walks RIFF chunks with word
-    alignment, tolerating extra chunks (LIST, fact, ...)."""
+    Format tags: 1 (linear PCM, 8-bit unsigned / 16-bit signed LE),
+    6 (G.711 A-law) and 7 (G.711 μ-law) — the two companded telephony
+    codings, expanded via the closed-form segment/quantization
+    arithmetic so an oracle can replay the expansion; multi-channel
+    input averages to mono.  Walks RIFF chunks with word alignment,
+    tolerating extra chunks (LIST, fact, ...)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, ln = 12, len(data)
@@ -1151,6 +1190,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         i = body_off + size + (size & 1)  # word-aligned chunk walk
     if fmt_tag is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag in (6, 7):  # G.711 A-law / μ-law: 8-bit companded
+        if bits not in (None, 8):
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        by = np.frombuffer(raw, dtype=np.uint8)
+        lin = _alaw_to_linear(by) if fmt_tag == 6 else _ulaw_to_linear(by)
+        x = lin.astype(np.float32) / 32768.0
+        if channels and channels > 1:
+            x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+        return x.astype(np.float32), int(rate)
     if fmt_tag != 1:
         raise ValueError(f"non-PCM WAV unsupported (format {fmt_tag})")
     if bits == 16:
@@ -1188,17 +1236,17 @@ def synth_rgb(seed: int, h: int, w: int) -> np.ndarray:
     return np.stack([r, g, b], axis=1).astype(np.uint8).reshape(h, w, 3)
 
 
-def synth_blocky(seed: int, h: int, w: int) -> np.ndarray:
+def synth_blocky(seed: int, h: int, w: int, frame: int = 0) -> np.ndarray:
     """Closed-form 8×8-block-constant gray field: every pixel of DCT
     block j (row-major over the ceil(w/8)-wide block grid) has value
-    (seed*31 + j*7) mod 256.  Block-constant content survives the
-    float DCT round-trip bit-exactly (DC-only blocks, unit or
-    DC-divisible quant), so a SQL oracle can recompute decoded JPEG
-    statistics arithmetically."""
+    (seed*31 + frame*17 + j*7) mod 256.  Block-constant content
+    survives the float DCT round-trip bit-exactly (DC-only blocks,
+    unit or DC-divisible quant), so a SQL oracle can recompute decoded
+    JPEG statistics arithmetically."""
     bw = -(-w // 8)
     j = (np.arange(h, dtype=np.int64)[:, None] // 8) * bw \
         + (np.arange(w, dtype=np.int64)[None, :] // 8)
-    return ((seed * 31 + j * 7) % 256).astype(np.uint8)
+    return ((seed * 31 + frame * 17 + j * 7) % 256).astype(np.uint8)
 
 
 def synth_pcm(seed: int, n: int) -> np.ndarray:
@@ -1383,24 +1431,85 @@ VIDEO_FRAME_SCHEMA = StructType(
 )
 
 
+def demux_mjpeg(data: bytes) -> list[bytes]:
+    """Split a Motion-JPEG stream (back-to-back JFIF frames, the shape
+    an MJPEG AVI track or multipart HTTP camera stream carries) into
+    per-frame byte slices.  A naive ``find(FFD9)`` is wrong — 0xFFD9
+    can occur inside segment payloads (e.g. DQT values 255,217) — so
+    each frame is walked for real: length-prefixed segments to SOS,
+    then the entropy-coded stream honoring byte stuffing (FF00) and
+    restart markers, to the true EOI."""
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError("MJPEG: expected SOI at frame boundary")
+        i = pos + 2
+        while True:  # length-prefixed segments up to and incl. SOS
+            if i + 4 > n or data[i] != 0xFF:
+                raise ValueError("truncated MJPEG frame header")
+            marker = data[i + 1]
+            if 0xD0 <= marker <= 0xD9:
+                raise ValueError(
+                    f"unexpected bare marker 0xFF{marker:02X} before SOS"
+                )
+            (seglen,) = struct.unpack_from(">H", data, i + 2)
+            i += 2 + seglen
+            if marker == 0xDA:
+                break
+        while True:  # entropy-coded stream to EOI
+            if i + 1 >= n:
+                raise ValueError("truncated MJPEG entropy stream")
+            if data[i] != 0xFF:
+                i += 1
+            elif data[i + 1] == 0x00 or 0xD0 <= data[i + 1] <= 0xD7:
+                i += 2
+            elif data[i + 1] == 0xD9:
+                i += 2
+                break
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{data[i + 1]:02X} in MJPEG scan"
+                )
+        frames.append(data[pos:i])
+        pos = i
+    return frames
+
+
+def _split_frames(payload: bytes, meta: dict | None) -> list[bytes]:
+    """Video payload → per-frame payload slices.  MJPEG streams
+    (payload opens with an SOI) get the real marker-walk demux;
+    anything else is the meta-declared fixed-size-frame container.
+    A malformed MJPEG stream degrades to the fixed-size path (whose
+    frames then degrade per-frame inside decode_image) — one corrupt
+    row must not kill a million-row batch."""
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return demux_mjpeg(payload)
+        except (ValueError, struct.error):
+            pass
+    frame_size = _meta_int(meta, "frame_size", 64)
+    n_frames = len(payload) // frame_size
+    return [
+        payload[i * frame_size:(i + 1) * frame_size] for i in range(n_frames)
+    ]
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Explode each video payload into every-Nth frame (UDTF-shaped
-    mapInPandas: one input row → many output rows).  The container
-    format is meta-declared fixed-size frames concatenated in ``data``
-    (each frame itself a decodable image payload, e.g. PGM); a real
-    ffmpeg demux would replace the slicing only."""
+    mapInPandas: one input row → many output rows).  Containers:
+    MJPEG (variable-size frames, real demux) or meta-declared
+    fixed-size frames concatenated in ``data`` (each frame itself a
+    decodable image payload, e.g. PGM)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                frame_size = _meta_int(meta, "frame_size", 64)
                 payload = bytes(data) if data is not None else b""
-                n_frames = len(payload) // frame_size
-                for i in range(0, n_frames, every_n):
-                    rows.append(
-                        (int(mid), i, payload[i * frame_size:(i + 1) * frame_size])
-                    )
+                frames = _split_frames(payload, meta)
+                for i in range(0, len(frames), every_n):
+                    rows.append((int(mid), i, frames[i]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
@@ -1432,13 +1541,10 @@ def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                frame_size = _meta_int(meta, "frame_size", 64)
                 payload = bytes(data) if data is not None else b""
-                n_frames = len(payload) // frame_size
-                for i in range(0, n_frames, every_n):
-                    px = decode_image(
-                        payload[i * frame_size:(i + 1) * frame_size], None
-                    )
+                frames = _split_frames(payload, meta)
+                for i in range(0, len(frames), every_n):
+                    px = decode_image(frames[i], None)
                     rows.append(
                         (int(mid), i, int(px.shape[0]), int(px.shape[1]),
                          int(px.astype(np.int64).sum()))
@@ -1554,16 +1660,12 @@ def video_frame_diffs(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                frame_size = _meta_int(meta, "frame_size", 64)
                 payload = bytes(data) if data is not None else b""
-                idxs = list(range(0, len(payload) // frame_size, every_n))
+                frames = _split_frames(payload, meta)
+                idxs = list(range(0, len(frames), every_n))
                 for a, b in zip(idxs, idxs[1:]):
-                    pa = decode_image(
-                        payload[a * frame_size:(a + 1) * frame_size], None
-                    ).astype(np.int64)
-                    pb = decode_image(
-                        payload[b * frame_size:(b + 1) * frame_size], None
-                    ).astype(np.int64)
+                    pa = decode_image(frames[a], None).astype(np.int64)
+                    pb = decode_image(frames[b], None).astype(np.int64)
                     rows.append(
                         (int(mid), a, b, int(np.abs(pa - pb).sum()))
                     )

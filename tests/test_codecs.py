@@ -596,3 +596,75 @@ def test_jpeg_fuzzed_bytes_raise_only_value_error():
             assert out.dtype == np.uint8
         except (ValueError, struct.error):
             pass
+
+
+# ---------------------------------------------------------------------------
+# MJPEG demux + G.711 companded WAV
+# ---------------------------------------------------------------------------
+
+def test_mjpeg_demux_mixed_modes_and_ffd9_bait():
+    # frames of varying length/mode, with a DQT crafted so the raw
+    # bytes FF D9 appear INSIDE frame 0's header — a naive find(FFD9)
+    # split would cut mid-DQT; the marker walk must not
+    qt_bait = np.full(64, 16, dtype=np.int64)
+    qt_bait[0] = 8
+    qt_bait[1] = 255  # zigzag positions 1,2 emit natural 1 then 8:
+    qt_bait[8] = 217  # ... the byte pair FF D9
+    frames = []
+    for f in range(5):
+        px = M.synth_blocky(9, 24, 16, frame=f)
+        if f % 3 == 0:
+            frames.append(M.encode_jpeg(px, "gray", quant=qt_bait))
+        elif f % 3 == 1:
+            frames.append(M.encode_jpeg(np.stack([px] * 3, axis=2), "444",
+                                        restart_interval=2))
+        else:
+            frames.append(M.encode_jpeg(np.stack([px] * 3, axis=2), "420"))
+    stream = b"".join(frames)
+    assert stream.find(b"\xff\xd9") < len(frames[0]) - 2  # bait is live
+    got = M.demux_mjpeg(stream)
+    assert [len(x) for x in got] == [len(x) for x in frames]
+    for f, fr in enumerate(got):
+        assert np.array_equal(M.decode_image(fr, None),
+                              M.synth_blocky(9, 24, 16, frame=f))
+
+
+def test_mjpeg_split_frames_degrades():
+    # malformed MJPEG (SOI then garbage) falls back to fixed-size
+    # slicing instead of killing the batch; intact streams demux
+    bad = b"\xff\xd8" + b"\x00" * 50
+    assert len(M._split_frames(bad, {"frame_size": 13})) == 4
+    px = M.synth_blocky(3, 8, 8)
+    stream = M.encode_jpeg(px, "gray") * 3
+    assert len(M._split_frames(stream, None)) == 3
+    with pytest.raises(ValueError):
+        M.demux_mjpeg(bad)
+
+
+def test_g711_expansion_reference_values():
+    # spot values from the G.711 tables (g711.c semantics): μ-law 0xFF
+    # decodes to 0, 0x80 to +32124, 0x00 to -32124; A-law 0x55 to -8,
+    # 0xD5 to +8, 0xAA (a=0xFF) to +32256, 0x2A to -32256
+    b = np.arange(256, dtype=np.uint8)
+    u, a = M._ulaw_to_linear(b), M._alaw_to_linear(b)
+    assert (int(u[0xFF]), int(u[0x80]), int(u[0x00])) == (0, 32124, -32124)
+    assert (int(a[0x55]), int(a[0xD5])) == (-8, 8)
+    assert (int(a[0xAA]), int(a[0x2A])) == (32256, -32256)
+    # both laws are sign-antisymmetric about the sign bit
+    assert np.array_equal(u[:128], -u[128:])
+    assert np.array_equal(a[:128], -a[128:])
+
+
+@pytest.mark.parametrize("tag", [6, 7])
+def test_g711_wav_roundtrip_through_decode_audio(tag):
+    pay = bytes(((7 * 13 + np.arange(777) * 7) % 256).astype(np.uint8))
+    wav = M.encode_wav_raw(pay, 8000, tag)
+    x, rate = M.decode_audio(wav, None)
+    assert rate == 8000 and len(x) == 777
+    raw = np.rint(x.astype(np.float64) * 32768).astype(np.int64)
+    fn = M._alaw_to_linear if tag == 6 else M._ulaw_to_linear
+    assert np.array_equal(raw, fn(np.frombuffer(pay, dtype=np.uint8)))
+    # stereo G.711 averages to mono like the PCM path
+    wav2 = M.encode_wav_raw(pay[:776], 8000, tag, channels=2)
+    x2, _ = M.decode_audio(wav2, None)
+    assert len(x2) == 388
