@@ -2975,6 +2975,55 @@ def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII in image METADATA: doc_id%3==1 rows carry a real APP1/Exif
+    # block with a GPS IFD (closed-form deg/min/sec rationals), %3==2
+    # rows carry EXIF without GPS, %3==0 rows carry none.  The operator
+    # parses the TIFF structure, surgically re-serializes it without
+    # the GPS IFD, and re-decodes the scrubbed JPEG — the oracle checks
+    # the parsed coordinates ARITHMETICALLY, that no GPS survives the
+    # scrub (gps_after must be false), and that the decoded pixel sum
+    # is untouched (metadata scrub may not alter pixels).
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def exif_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            h, w = d % 16 + 8, d % 8 + 8
+            base = M.encode_jpeg(M.synth_blocky(d, h, w), "gray")
+            if d % 3 == 1:
+                gps = {
+                    "lat_ref": "N" if d % 2 == 0 else "S",
+                    "lat": [(d % 90, 1), (d % 60, 1), ((d * 3) % 60, 1)],
+                    "lon_ref": "E" if d % 4 < 2 else "W",
+                    "lon": [(d % 180, 1), ((d * 7) % 60, 1),
+                            ((d * 11) % 60, 1)],
+                }
+                base = M.insert_app1(
+                    base, M.encode_exif_app1(make=f"Cam{d % 5}", gps=gps))
+            elif d % 3 == 2:
+                base = M.insert_app1(
+                    base, M.encode_exif_app1(make=f"Cam{d % 5}"))
+            out.append(base)
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        exif_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.image_exif_scrub(media, mode="gps")
+        .orderBy("media_id")
+    )
+
+
 def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G.711 companded-audio DECODE verification: real RIFF/WAVE
     # payloads with format tag 7 (μ-law, even doc_id) or 6 (A-law, odd)
@@ -6126,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "mjpeg_frames": q_mjpeg_frames,
         "g711_audio": q_g711_audio,
+        "exif_gps_scrub": q_exif_gps_scrub,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
@@ -8414,6 +8464,41 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS sum_pixels
             FROM documents, UNNEST(range(0, doc_id % 3 + 2, 2)) AS t(f)
             ORDER BY media_id, frame_idx
+        """,
+        # image-metadata PII: GPS presence, the parsed deg/min/sec, the
+        # post-scrub invariants (no surviving GPS, pixel sum unchanged)
+        # — all recomputed from the fixture arithmetic
+        "exif_gps_scrub": """
+            SELECT doc_id AS media_id,
+                   doc_id % 3 <> 0 AS had_exif,
+                   doc_id % 3 = 1 AS had_gps,
+                   CASE WHEN doc_id % 3 = 1 THEN
+                        CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END
+                   END AS lat_ref,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 90 AS INT) END
+                       AS lat_deg,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 60 AS INT) END
+                       AS lat_min,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id * 3) % 60 AS INT) END
+                       AS lat_sec,
+                   CASE WHEN doc_id % 3 = 1 THEN
+                        CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END
+                   END AS lon_ref,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 180 AS INT) END
+                       AS lon_deg,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id * 7) % 60 AS INT) END
+                       AS lon_min,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id * 11) % 60 AS INT) END
+                       AS lon_sec,
+                   FALSE AS gps_after,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 16 + 8) * (doc_id % 8 + 8)),
+                        i -> (doc_id * 31
+                              + ((i // (doc_id % 8 + 8)) // 8
+                                   * ((doc_id % 8 + 8 + 7) // 8)
+                                 + (i % (doc_id % 8 + 8)) // 8) * 7) % 256))
+                       AS BIGINT) AS sum_pixels
+            FROM documents ORDER BY media_id
         """,
         # G.711 expansion replayed in SQL: byte (doc_id*13 + i*7) mod
         # 256 → linear int16 via the segment/quantization closed form —

@@ -160,6 +160,7 @@ def main() -> None:
         "jpeg_decode",
         "mjpeg_frames",
         "g711_audio",
+        "exif_gps_scrub",
         "audio_features",
         "video_frames",
         "image_resize",

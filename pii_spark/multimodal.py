@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -1114,6 +1115,253 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _bt601(r, g, b)
 
 
+# ---- EXIF (JPEG APP1 / TIFF IFD) — GPS is PII -------------------------------
+#
+# EXIF metadata rides in a JPEG APP1 segment as a little TIFF file:
+# byte-order mark, IFD0 (12-byte tag entries, out-of-line values),
+# and pointer tags to sub-IFDs — 0x8825 points at the GPS IFD whose
+# latitude/longitude rationals are straight-up PII in crawled images.
+# This block parses that structure from scratch (both byte orders),
+# and scrubs it either surgically (re-serialize the TIFF without the
+# GPS IFD, keeping camera metadata) or wholesale (drop the APP1
+# segment) — the media-column counterpart of the text scrub pipeline
+# (reference semantics: detect → redact, engine.go; here the "match"
+# is a GPS IFD and the "mask" is structural removal).
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                   10: 8, 11: 4, 12: 8}
+_TAG_GPS_IFD = 0x8825
+_TAG_EXIF_IFD = 0x8769
+
+
+def _read_ifd(tiff: bytes, off: int, bo: str) -> list[tuple[int, int, int, bytes]]:
+    """One IFD at ``off`` → [(tag, type, count, value_bytes)]; values
+    stored out-of-line are fetched, so entries are self-contained."""
+    if off + 2 > len(tiff):
+        raise ValueError("truncated EXIF IFD")
+    (n,) = struct.unpack_from(bo + "H", tiff, off)
+    entries = []
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(tiff):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, e)
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            raise ValueError(f"unknown EXIF type {typ}")
+        if size <= 4:
+            val = tiff[e + 8:e + 8 + size]
+        else:
+            (voff,) = struct.unpack_from(bo + "I", tiff, e + 8)
+            if voff + size > len(tiff):
+                raise ValueError("EXIF value offset out of range")
+            val = tiff[voff:voff + size]
+        entries.append((tag, typ, cnt, val))
+    return entries
+
+
+def _rationals(val: bytes, cnt: int, bo: str) -> list[tuple[int, int]]:
+    return [struct.unpack_from(bo + "II", val, 8 * i) for i in range(cnt)]
+
+
+def parse_exif(jpeg: bytes) -> dict | None:
+    """Walk the JPEG segment chain to the first APP1/Exif payload and
+    parse IFD0 (+ GPS IFD if pointed at).  Returns ``None`` when no
+    EXIF is present; otherwise a dict with ``make`` (ASCII tag 0x010F
+    if present) and, when tag 0x8825 exists, ``gps`` =
+    {lat_ref, lat: [(num, den)×3], lon_ref, lon: [...]}.  Raises
+    ValueError on structurally-broken EXIF (callers degrade)."""
+    if jpeg[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            break
+        marker = jpeg[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 ahead of scan
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = jpeg[pos + 10:pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        return None
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad EXIF byte-order mark")
+    (magic,) = struct.unpack_from(bo + "H", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic in EXIF")
+    (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    out: dict = {}
+    gps_off = None
+    for tag, typ, cnt, val in _read_ifd(tiff, ifd0_off, bo):
+        if tag == 0x010F and typ == 2:
+            out["make"] = val.rstrip(b"\x00").decode("ascii", "replace")
+        elif tag == _TAG_GPS_IFD and typ == 4:
+            (gps_off,) = struct.unpack_from(bo + "I", val)
+    if gps_off is not None:
+        gps: dict = {}
+        for tag, typ, cnt, val in _read_ifd(tiff, gps_off, bo):
+            if tag == 1 and typ == 2:
+                gps["lat_ref"] = val.rstrip(b"\x00").decode("ascii", "replace")
+            elif tag == 2 and typ == 5:
+                gps["lat"] = _rationals(val, cnt, bo)
+            elif tag == 3 and typ == 2:
+                gps["lon_ref"] = val.rstrip(b"\x00").decode("ascii", "replace")
+            elif tag == 4 and typ == 5:
+                gps["lon"] = _rationals(val, cnt, bo)
+        out["gps"] = gps
+    return out
+
+
+def _serialize_ifds(ifds: list[list[tuple[int, int, int, bytes]]]) -> bytes:
+    """Canonical little-endian TIFF from per-IFD entry lists.  IFD k's
+    pointer-to-sub-IFD entries must already carry a placeholder; this
+    helper lays IFDs out back-to-back (entries sorted by tag, data
+    area after each IFD) and returns the full TIFF block with IFD
+    offsets resolved.  ``ifds[0]`` is IFD0; a (0x8769 → index) pointer
+    is re-wired to wherever that IFD lands."""
+    # first pass: compute each IFD's size (header 2 + 12n + next 4 + data)
+    layouts = []
+    off = 8  # after TIFF header
+    for entries in ifds:
+        entries = sorted(entries, key=lambda t: t[0])
+        data_sizes = [len(v) if len(v) > 4 else 0 for _, _, _, v in entries]
+        base = off
+        data_off = base + 2 + 12 * len(entries) + 4
+        layouts.append((base, data_off, entries, data_sizes))
+        off = data_off + sum(data_sizes)
+    ifd_bases = [b for b, _, _, _ in layouts]
+    parts = [b"II", struct.pack("<H", 42), struct.pack("<I", ifd_bases[0])]
+    for base, data_off, entries, data_sizes in layouts:
+        body = [struct.pack("<H", len(entries))]
+        data = []
+        d = data_off
+        for (tag, typ, cnt, val), dsz in zip(entries, data_sizes):
+            if tag in (_TAG_EXIF_IFD, _TAG_GPS_IFD) and typ == 4:
+                # pointer entries carry the target IFD *index*
+                idx = struct.unpack("<I", val)[0]
+                val = struct.pack("<I", ifd_bases[idx])
+            if len(val) <= 4:
+                body.append(struct.pack("<HHI", tag, typ, cnt)
+                            + val.ljust(4, b"\x00"))
+            else:
+                body.append(struct.pack("<HHII", tag, typ, cnt, d))
+                data.append(val)
+                d += dsz
+        body.append(struct.pack("<I", 0))  # no next IFD
+        parts.append(b"".join(body) + b"".join(data))
+    return b"".join(parts)
+
+
+def encode_exif_app1(make: str | None = None,
+                     gps: dict | None = None) -> bytes:
+    """Build a JPEG APP1/Exif segment (II order).  ``gps`` =
+    {lat_ref, lat: [(num, den)×3], lon_ref, lon: [...]} plants a GPS
+    IFD; ``make`` plants the camera-make ASCII tag."""
+    ifd0: list[tuple[int, int, int, bytes]] = []
+    ifds = [ifd0]
+    if make is not None:
+        mb = make.encode("ascii") + b"\x00"
+        ifd0.append((0x010F, 2, len(mb), mb))
+    if gps is not None:
+        entries = []
+        for ref_tag, coord_tag, ref_key, coord_key in (
+            (1, 2, "lat_ref", "lat"), (3, 4, "lon_ref", "lon"),
+        ):
+            rb = gps[ref_key].encode("ascii") + b"\x00"
+            entries.append((ref_tag, 2, len(rb), rb))
+            vals = b"".join(struct.pack("<II", n, d)
+                            for n, d in gps[coord_key])
+            entries.append((coord_tag, 5, len(gps[coord_key]), vals))
+        ifd0.append((_TAG_GPS_IFD, 4, 1, struct.pack("<I", len(ifds))))
+        ifds.append(entries)
+    tiff = _serialize_ifds(ifds)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def strip_exif(jpeg: bytes, mode: str = "gps") -> bytes:
+    """Scrub EXIF from a JPEG.  ``mode='all'`` drops every APP1/Exif
+    segment wholesale; ``mode='gps'`` re-serializes the TIFF block
+    without the GPS IFD (camera metadata survives, location PII does
+    not).  The entropy-coded image bytes are untouched either way —
+    the decoded pixels are bit-identical before/after.  Payloads
+    without EXIF return unchanged; a structurally-broken APP1 falls
+    back to dropping that segment (scrub must fail CLOSED: when the
+    metadata cannot be parsed, remove it)."""
+    if mode not in ("gps", "all"):
+        raise ValueError(f"unsupported strip_exif mode {mode!r}")
+    if jpeg[:2] != b"\xff\xd8":
+        return jpeg
+    out = bytearray(jpeg[:2])
+    pos = 2
+    n = len(jpeg)
+    while pos + 4 <= n and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xDA, 0xD9):
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        seg = jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xE1 and seg[4:10] == b"Exif\x00\x00":
+            if mode == "all":
+                continue
+            try:
+                rewritten = _exif_without_gps(seg[10:])
+            except (ValueError, struct.error):
+                continue  # unparseable EXIF: fail closed, drop it
+            body = b"Exif\x00\x00" + rewritten
+            out += b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        else:
+            out += seg
+    out += jpeg[pos:]
+    return bytes(out)
+
+
+def _exif_without_gps(tiff: bytes) -> bytes:
+    """Re-serialize a TIFF/EXIF block with the GPS IFD (tag 0x8825)
+    removed.  Keeps IFD0's other entries and a pointed-at Exif sub-IFD
+    (0x8769); any other pointer structure raises (caller then drops
+    the whole segment — fail closed)."""
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad EXIF byte-order mark")
+    (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    ifd0 = _read_ifd(tiff, ifd0_off, bo)
+    out0: list[tuple[int, int, int, bytes]] = []
+    ifds = [out0]
+    for tag, typ, cnt, val in ifd0:
+        if tag == _TAG_GPS_IFD:
+            continue
+        if tag == _TAG_EXIF_IFD and typ == 4:
+            (sub_off,) = struct.unpack_from(bo + "I", val)
+            sub = _read_ifd(tiff, sub_off, bo)
+            if any(t in (_TAG_EXIF_IFD, _TAG_GPS_IFD) for t, _, _, _ in sub):
+                raise ValueError("nested EXIF pointer IFDs unsupported")
+            out0.append((tag, typ, cnt, struct.pack("<I", len(ifds))))
+            ifds.append(sub)
+            continue
+        out0.append((tag, typ, cnt, val))
+    return _serialize_ifds(ifds)
+
+
 # ---- WAV (RIFF PCM) -------------------------------------------------------
 
 def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
@@ -1555,6 +1803,78 @@ def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=VIDEO_FRAME_FEATURES_SCHEMA)
+
+
+EXIF_SCRUB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("had_exif", BooleanType()),
+        StructField("had_gps", BooleanType()),
+        StructField("lat_ref", StringType()),
+        StructField("lat_deg", IntegerType()),
+        StructField("lat_min", IntegerType()),
+        StructField("lat_sec", IntegerType()),
+        StructField("lon_ref", StringType()),
+        StructField("lon_deg", IntegerType()),
+        StructField("lon_min", IntegerType()),
+        StructField("lon_sec", IntegerType()),
+        StructField("gps_after", BooleanType()),
+        StructField("sum_pixels", LongType()),
+    ]
+)
+
+
+def image_exif_scrub(df: DataFrame, mode: str = "gps") -> DataFrame:
+    """Detect-and-redact for image METADATA: GPS coordinates in a JPEG
+    APP1/Exif block are location PII, the media-column analogue of the
+    text pipeline's findings (reference semantics detect → redact,
+    `internal/detector/engine.go`; the "finding" here is a GPS IFD and
+    the "mask" is structural removal via :func:`strip_exif`).  Emits,
+    per image: whether EXIF/GPS was present, the parsed coordinate
+    rationals (floored to integer deg/min/sec), whether any GPS
+    survives in the SCRUBBED payload (must be false — asserted by the
+    oracle, not just by this code), and the decoded pixel sum of the
+    scrubbed payload (must equal the original's — scrubbing metadata
+    may not touch pixels).  One linear Arrow pass; text-free rows and
+    parse failures degrade per-row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                try:
+                    info = parse_exif(payload)
+                except (ValueError, struct.error):
+                    info = None
+                gps = (info or {}).get("gps")
+                scrubbed = strip_exif(payload, mode=mode)
+                try:
+                    after = parse_exif(scrubbed)
+                except (ValueError, struct.error):
+                    after = None
+                px = decode_image(scrubbed, None)
+
+                def dms(which: str):
+                    if not gps or which not in gps:
+                        return (None, None, None)
+                    return tuple(int(n // d) for n, d in gps[which][:3])
+
+                la = dms("lat")
+                lo = dms("lon")
+                rows.append(
+                    (int(mid), info is not None, bool(gps),
+                     (gps or {}).get("lat_ref"), la[0], la[1], la[2],
+                     (gps or {}).get("lon_ref"), lo[0], lo[1], lo[2],
+                     bool((after or {}).get("gps")),
+                     int(px.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in EXIF_SCRUB_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(fn, schema=EXIF_SCRUB_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

@@ -668,3 +668,73 @@ def test_g711_wav_roundtrip_through_decode_audio(tag):
     wav2 = M.encode_wav_raw(pay[:776], 8000, tag, channels=2)
     x2, _ = M.decode_audio(wav2, None)
     assert len(x2) == 388
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFD) — GPS scrub
+# ---------------------------------------------------------------------------
+
+_GPS = {"lat_ref": "N", "lat": [(37, 1), (33, 1), (12, 1)],
+        "lon_ref": "E", "lon": [(127, 1), (5, 1), (44, 1)]}
+
+
+def test_exif_parse_and_gps_strip_preserves_pixels():
+    px = M.synth_blocky(7, 16, 24)
+    j = M.insert_app1(M.encode_jpeg(px, "gray"),
+                      M.encode_exif_app1(make="TestCam", gps=_GPS))
+    info = M.parse_exif(j)
+    assert info["make"] == "TestCam"
+    assert info["gps"]["lat"] == _GPS["lat"] and info["gps"]["lon_ref"] == "E"
+    assert np.array_equal(M.decode_jpeg(j), px)  # APP1 is decode-inert
+    s = M.strip_exif(j, "gps")
+    after = M.parse_exif(s)
+    assert after["make"] == "TestCam" and "gps" not in after  # surgical
+    assert np.array_equal(M.decode_jpeg(s), px)
+    s2 = M.strip_exif(j, "all")
+    assert M.parse_exif(s2) is None and np.array_equal(M.decode_jpeg(s2), px)
+
+
+def test_exif_no_metadata_passthrough_and_idempotence():
+    base = M.encode_jpeg(M.synth_blocky(3, 8, 8), "gray")
+    assert M.parse_exif(base) is None
+    assert M.strip_exif(base, "gps") == base
+    j = M.insert_app1(base, M.encode_exif_app1(make="C", gps=_GPS))
+    once = M.strip_exif(j, "gps")
+    assert M.strip_exif(once, "gps") == once  # idempotent
+
+
+def test_exif_big_endian_mm_order():
+    # hand-build an MM (big-endian) TIFF block — our encoder only emits
+    # II, so this exercises the parser's other byte-order path
+    ifd0 = struct.pack(">H", 1)  # 1 entry: GPS pointer -> offset 26
+    ifd0 += struct.pack(">HHII", 0x8825, 4, 1, 26)
+    ifd0 += struct.pack(">I", 0)
+    # GPS IFD at 26: lat_ref 'S\0' inline + lat rationals at offset
+    gps_entries = struct.pack(">H", 2)
+    gps_entries += struct.pack(">HHI", 1, 2, 2) + b"S\x00\x00\x00"
+    gps_entries += struct.pack(">HHII", 2, 5, 3, 56)
+    gps_entries += struct.pack(">I", 0)
+    rats = b"".join(struct.pack(">II", n, d)
+                    for n, d in [(10, 1), (20, 1), (30, 1)])
+    tiff = b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8) \
+        + ifd0 + gps_entries + rats
+    assert len(b"MM\x00\x2a") + 4 + len(ifd0) == 26  # layout sanity
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    j = M.insert_app1(M.encode_jpeg(M.synth_blocky(1, 8, 8), "gray"), app1)
+    info = M.parse_exif(j)
+    assert info["gps"]["lat_ref"] == "S"
+    assert info["gps"]["lat"] == [(10, 1), (20, 1), (30, 1)]
+    # and the MM block survives the gps-strip (re-serialized as II)
+    assert "gps" not in (M.parse_exif(M.strip_exif(j, "gps")) or {})
+
+
+def test_exif_broken_app1_fails_closed():
+    # unparseable Exif payload: gps-mode must DROP the segment (scrub
+    # fails closed), never keep unparsed metadata or kill the row
+    base = M.encode_jpeg(M.synth_blocky(5, 8, 16), "gray")
+    broken = M.insert_app1(
+        base, b"\xff\xe1" + struct.pack(">H", 12) + b"Exif\x00\x00ZZZZ")
+    s = M.strip_exif(broken, "gps")
+    assert M.parse_exif(s) is None
+    assert np.array_equal(M.decode_jpeg(s), M.synth_blocky(5, 8, 16))
