@@ -3024,6 +3024,48 @@ def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII in audio METADATA: doc_id%3==1 rows carry a RIFF LIST/INFO
+    # chunk whose ICMT comment embeds a real e-mail, %3==2 rows carry
+    # PII-free INFO, %3==0 rows carry none.  The operator runs the
+    # actual text detect→mask engine over the field values,
+    # re-serializes the WAV, and re-parses/re-decodes the scrubbed
+    # bytes — the oracle replays the partial-mask splice textually,
+    # asserts no PII survives (pii_after false) and that the decoded
+    # PCM energy is untouched.
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            base = M.encode_wav(M.synth_pcm(d, (d % 8 + 1) * 500), 8000)
+            if d % 3 == 1:
+                base = M.insert_wav_info(base, {
+                    "artist": f"agent {d % 7}",
+                    "comment": f"contact user{d}@mail{d % 5}.example.com"
+                               f" for row {d}",
+                })
+            elif d % 3 == 2:
+                base = M.insert_wav_info(base, {"artist": f"agent {d % 7}"})
+            out.append(base)
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        M.audio_meta_scrub(media, patterns=("email",))
+        .orderBy("media_id")
+    )
+
+
 def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G.711 companded-audio DECODE verification: real RIFF/WAVE
     # payloads with format tag 7 (μ-law, even doc_id) or 6 (A-law, odd)
@@ -6176,6 +6218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frames": q_mjpeg_frames,
         "g711_audio": q_g711_audio,
         "exif_gps_scrub": q_exif_gps_scrub,
+        "wav_meta_scrub": q_wav_meta_scrub,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
@@ -8498,6 +8541,29 @@ def oracle_sql() -> dict[str, str]:
                                    * ((doc_id % 8 + 8 + 7) // 8)
                                  + (i % (doc_id % 8 + 8)) // 8) * 7) % 256))
                        AS BIGINT) AS sum_pixels
+            FROM documents ORDER BY media_id
+        """,
+        # audio-metadata PII: the partial-mask splice of the embedded
+        # e-mail is replayed textually ('us' + '*'×(len-2) inside the
+        # comment), no-PII-survives and PCM-energy-unchanged are
+        # asserted arithmetically from the fixture closed forms
+        "wav_meta_scrub": """
+            SELECT doc_id AS media_id,
+                   doc_id % 3 <> 0 AS had_info,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+                       AS n_findings,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'agent ' || (doc_id % 7)::VARCHAR END AS artist,
+                   CASE WHEN doc_id % 3 = 1 THEN
+                        'contact us'
+                        || repeat('*', 20 + length(doc_id::VARCHAR))
+                        || ' for row ' || doc_id::VARCHAR END AS comment,
+                   FALSE AS pii_after,
+                   CAST(list_sum(list_transform(
+                        range(0, (doc_id % 8 + 1) * 500),
+                        i -> ((doc_id * 7 + i * 13) % 65536 - 32768)
+                           * ((doc_id * 7 + i * 13) % 65536 - 32768)))
+                       AS BIGINT) AS sum_sq_raw
             FROM documents ORDER BY media_id
         """,
         # G.711 expansion replayed in SQL: byte (doc_id*13 + i*7) mod

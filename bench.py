@@ -161,6 +161,7 @@ def main() -> None:
         "mjpeg_frames",
         "g711_audio",
         "exif_gps_scrub",
+        "wav_meta_scrub",
         "audio_features",
         "video_frames",
         "image_resize",

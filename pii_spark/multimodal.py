@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -1460,6 +1460,112 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), int(rate)
 
 
+# ---- WAV LIST/INFO metadata — free-text tags are a PII surface --------------
+#
+# RIFF's LIST/INFO chunk carries free-text tags (IART artist, ICMT
+# comment, INAM title, ...) that crawled audio routinely fills with
+# names, e-mails and phone numbers — the audio counterpart of EXIF GPS.
+# This block parses/serializes the chunk from scratch and scrubs the
+# field VALUES through the text pipeline's detect→mask engine, leaving
+# every other chunk (in particular the PCM ``data``) byte-identical
+# (reference semantics detect → redact, internal/detector/engine.go +
+# redactor.go, applied to a media container).
+
+_INFO_FIELD_NAMES = {b"IART": "artist", b"ICMT": "comment",
+                     b"ICOP": "copyright", b"INAM": "title",
+                     b"IGNR": "genre", b"ISFT": "software"}
+_INFO_FIELD_TAGS = {v: k for k, v in _INFO_FIELD_NAMES.items()}
+
+
+def _riff_chunks(data: bytes) -> list[tuple[bytes, bytes]]:
+    """RIFF/WAVE bytes → ordered [(chunk_id, body_bytes)] (word-aligned
+    walk; pad bytes are not part of the body)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, ln, out = 12, len(data), []
+    while i + 8 <= ln:
+        cid = data[i:i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        out.append((cid, data[i + 8:i + 8 + size]))
+        i += 8 + size + (size & 1)
+    return out
+
+
+def _riff_build(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Inverse of :func:`_riff_chunks` — canonical word-aligned layout."""
+    body = bytearray()
+    for cid, cbody in chunks:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + bytes(body)
+
+
+def _info_body(fields: dict[str, str]) -> bytes:
+    """{field_name: ascii value} → LIST body (``INFO`` + NUL-terminated,
+    word-aligned sub-chunks, tag order deterministic by field name)."""
+    body = bytearray(b"INFO")
+    for name in sorted(fields):
+        tag = _INFO_FIELD_TAGS.get(name, name.encode("ascii")[:4].ljust(4))
+        val = fields[name].encode("utf-8") + b"\x00"
+        body += tag + struct.pack("<I", len(val)) + val
+        if len(val) & 1:
+            body += b"\x00"
+    return bytes(body)
+
+
+def _parse_info_body(body: bytes) -> dict[str, str]:
+    i, ln, out = 4, len(body), {}
+    while i + 8 <= ln:
+        tag = body[i:i + 4]
+        (size,) = struct.unpack_from("<I", body, i + 4)
+        val = body[i + 8:i + 8 + size].rstrip(b"\x00")
+        name = _INFO_FIELD_NAMES.get(tag, tag.decode("ascii", "replace"))
+        out[name] = val.decode("utf-8", "replace")
+        i += 8 + size + (size & 1)
+    return out
+
+
+def insert_wav_info(wav: bytes, fields: dict[str, str]) -> bytes:
+    """Insert a LIST/INFO chunk right after ``fmt `` (fixture helper)."""
+    chunks = _riff_chunks(wav)
+    out = []
+    for cid, body in chunks:
+        out.append((cid, body))
+        if cid == b"fmt ":
+            out.append((b"LIST", _info_body(fields)))
+    return _riff_build(out)
+
+
+def parse_wav_info(data: bytes) -> dict[str, str] | None:
+    """First LIST/INFO chunk → {field_name: value}, or ``None``."""
+    for cid, body in _riff_chunks(data):
+        if cid == b"LIST" and body[:4] == b"INFO":
+            return _parse_info_body(body)
+    return None
+
+
+def scrub_wav_info(
+    data: bytes, redact: "Callable[[str], tuple[str, int]]"
+) -> tuple[bytes, int]:
+    """Rewrite every LIST/INFO field value through ``redact`` (value →
+    (masked value, n_findings)); all other chunks — crucially the PCM
+    ``data`` chunk — pass through byte-identical.  Returns the
+    re-serialized WAV and the total finding count."""
+    out, n = [], 0
+    for cid, body in _riff_chunks(data):
+        if cid == b"LIST" and body[:4] == b"INFO":
+            fields = _parse_info_body(body)
+            masked = {}
+            for k, v in fields.items():
+                mv, kn = redact(v)
+                masked[k] = mv
+                n += kn
+            body = _info_body(masked)
+        out.append((cid, body))
+    return _riff_build(out), n
+
+
 # ---------------------------------------------------------------------------
 # deterministic synthetic payloads (tests / driver oracles)
 # ---------------------------------------------------------------------------
@@ -1875,6 +1981,73 @@ def image_exif_scrub(df: DataFrame, mode: str = "gps") -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=EXIF_SCRUB_SCHEMA)
+
+
+AUDIO_META_SCRUB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("had_info", BooleanType()),
+        StructField("n_findings", IntegerType()),
+        StructField("artist", StringType()),
+        StructField("comment", StringType()),
+        StructField("pii_after", BooleanType()),
+        StructField("sum_sq_raw", LongType()),
+    ]
+)
+
+
+def audio_meta_scrub(
+    df: DataFrame, patterns: tuple[str, ...] = ("email",)
+) -> DataFrame:
+    """Detect-and-redact for audio METADATA: RIFF LIST/INFO free-text
+    tags (artist, comment, ...) carry names/e-mails/phones in crawled
+    audio — the audio twin of :func:`image_exif_scrub`.  Each field
+    value runs through the REAL text engine (detect → mask splice,
+    reference engine.go + redactor.go semantics) with the given builtin
+    pattern subset; the WAV is re-serialized with masked fields and the
+    PCM ``data`` chunk byte-identical.  Emits, per clip: whether INFO
+    was present, the finding count, the post-scrub artist/comment
+    values parsed back FROM THE RE-SERIALIZED BYTES (so the oracle
+    checks the masked text actually landed in the container), whether
+    any PII survives a re-detect of the scrubbed fields (must be
+    false), and Σ s² over the decoded samples of the SCRUBBED payload
+    (must equal the original's — metadata scrub may not touch audio).
+    One linear Arrow pass; the engine is built once per batch iterator,
+    not per row."""
+
+    names = list(patterns)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pii_spark.engine import builtin_engine
+
+        eng = builtin_engine(validation=True)
+
+        def redact(text: str) -> tuple[str, int]:
+            r = eng.redact_with_patterns(text, names)
+            return r.redacted_text, r.redacted_count
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                info = parse_wav_info(payload)
+                scrubbed, n = scrub_wav_info(payload, redact)
+                after = parse_wav_info(scrubbed) or {}
+                pii_after = any(
+                    eng.detect_with_patterns(v, names) for v in after.values()
+                )
+                samples, _rate = decode_wav(scrubbed)
+                raw = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+                rows.append(
+                    (int(mid), info is not None, int(n),
+                     after.get("artist"), after.get("comment"),
+                     bool(pii_after), int((raw * raw).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCRUB_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=AUDIO_META_SCRUB_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

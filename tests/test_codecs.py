@@ -738,3 +738,64 @@ def test_exif_broken_app1_fails_closed():
     s = M.strip_exif(broken, "gps")
     assert M.parse_exif(s) is None
     assert np.array_equal(M.decode_jpeg(s), M.synth_blocky(5, 8, 16))
+
+
+# ---------------------------------------------------------------------------
+# WAV LIST/INFO metadata — PII scrub
+# ---------------------------------------------------------------------------
+
+def _redact_email(text):
+    from pii_spark.engine import builtin_engine
+    r = builtin_engine(validation=True).redact_with_patterns(text, ["email"])
+    return r.redacted_text, r.redacted_count
+
+
+def test_wav_info_roundtrip_and_scrub_preserves_pcm():
+    pcm = M.synth_pcm(11, 777)  # odd byte-count data chunk exercises pad
+    wav = M.encode_wav(pcm, 16000)
+    w = M.insert_wav_info(wav, {"artist": "agent 4",
+                                "comment": "mail a.b@c.example.org now",
+                                "title": "clip#11"})
+    info = M.parse_wav_info(w)
+    assert info == {"artist": "agent 4",
+                    "comment": "mail a.b@c.example.org now",
+                    "title": "clip#11"}
+    s, n = M.scrub_wav_info(w, _redact_email)
+    assert n == 1
+    after = M.parse_wav_info(s)
+    assert after["artist"] == "agent 4" and after["title"] == "clip#11"
+    assert after["comment"] == "mail a." + "*" * 15 + " now"
+    a, ra = M.decode_wav(s)
+    b, rb = M.decode_wav(w)
+    assert ra == rb == 16000 and np.array_equal(a, b)  # PCM untouched
+
+
+def test_wav_info_absent_is_passthrough_and_idempotent():
+    wav = M.encode_wav(M.synth_pcm(2, 64), 8000)
+    assert M.parse_wav_info(wav) is None
+    s, n = M.scrub_wav_info(wav, _redact_email)
+    assert s == wav and n == 0  # byte-identical passthrough
+    w = M.insert_wav_info(wav, {"comment": "x@y.example.com"})
+    once, n1 = M.scrub_wav_info(w, _redact_email)
+    twice, n2 = M.scrub_wav_info(once, _redact_email)
+    assert n1 == 1 and n2 == 0 and twice == once  # idempotent
+
+
+def test_wav_info_odd_length_value_padding_and_unknown_tag():
+    wav = M.encode_wav(M.synth_pcm(3, 50), 8000)
+    # "ab" -> value+NUL = 3 bytes (odd) -> pad byte; unknown 4CC kept
+    w = M.insert_wav_info(wav, {"artist": "ab", "IKEY": "v1"})
+    info = M.parse_wav_info(w)
+    assert info["artist"] == "ab" and info["IKEY"] == "v1"
+    s, _ = M.scrub_wav_info(w, _redact_email)
+    assert M.parse_wav_info(s) == info  # stable re-serialization
+    a, _ = M.decode_wav(s)
+    assert len(a) == 50
+
+
+def test_wav_info_non_ascii_value_utf8():
+    wav = M.encode_wav(M.synth_pcm(4, 32), 8000)
+    w = M.insert_wav_info(wav, {"comment": "café ☕ u@v.example.com"})
+    assert M.parse_wav_info(w)["comment"] == "café ☕ u@v.example.com"
+    s, n = M.scrub_wav_info(w, _redact_email)
+    assert n == 1 and "u@v" not in M.parse_wav_info(s)["comment"]
