@@ -3712,6 +3712,77 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs, ["doc_id"], "t").orderBy("domain")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl opt-out with RFC 9309 semantics: site1 has a specific
+    # "trainbot" group, so for that domain the * rules are IGNORED
+    # ENTIRELY (/private is NOT blocked there); longest-prefix wins
+    # (/private/ok allow beats /private disallow), allow beats
+    # disallow on ties.  The oracle states expected allow/deny and the
+    # winning rule closed-form from doc_id — intent, not a replay.
+    from pii_spark.curation import robots_gate
+
+    rules = []
+    for k in range(3):
+        dom = f"site{k}.example.com"
+        rules += [(dom, "*", "disallow", "/private"),
+                  (dom, "*", "allow", "/private/ok")]
+        if k % 2 == 0:
+            rules.append((dom, "*", "disallow", "/tmp"))
+        else:
+            rules += [(dom, "trainbot", "disallow", "/a/1"),
+                      (dom, "trainbot", "allow", "/a")]
+    rdf = spark.createDataFrame(
+        rules, ["domain", "agent", "rule_type", "path_prefix"])
+    d = F.col("doc_id")
+    v = d % 5
+    path = (
+        F.when(v == 0, F.concat(F.lit("/a/"), (d % 7).cast("string")))
+        .when(v == 1, F.lit("/private/x"))
+        .when(v == 2, F.lit("/private/ok/y"))
+        .when(v == 3, F.lit("/tmp/z"))
+        .otherwise(F.lit("/b"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("site"), (d % 3).cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        path.alias("path"),
+    )
+    return robots_gate(docs, rdf, "trainbot").orderBy("doc_id")
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fetch-layer dedup: six syntactic variants of the same resource
+    # (scheme/host case, www., default :443 port, trailing slash +
+    # fragment, tracking params, shuffled param order) must collapse to
+    # one canonical URL — the oracle states the EXPECTED canonical form
+    # closed-form from doc_id, so it checks intent, not a replay of the
+    # canonicalizer.
+    from pii_spark.curation import url_canonical_dedup
+
+    d = F.col("doc_id")
+    g = (d % 20).cast("string")
+    k = (d % 20 % 5).cast("string")
+    v = d % 6
+    base = F.concat(F.lit("site"), k, F.lit(".example.com/a/"), g)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://SITE"), k, F.lit(".EXAMPLE.COM/a/"), g,
+            F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(
+            F.lit("https://www.site"), k, F.lit(".example.com/a/"), g))
+        .when(v == 3, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com:443/a/"), g,
+            F.lit("/?a=1&utm_medium=email&b=2")))
+        .when(v == 4, F.concat(
+            F.lit("https://"), base, F.lit("?utm_source=x&gclid=123")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("/#frag")))
+    )
+    urls = _docs(spark, sf_dir).select(url.alias("url"), "doc_id")
+    return url_canonical_dedup(urls, "url", "doc_id").orderBy("canon_url")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language top-10 tokens by document frequency, total-ordered
     # (doc_freq desc, token asc) so rank is engine-exact
@@ -6238,6 +6309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_presplit": q_sessions_presplit,
         "chunk_windows": q_chunk_windows,
         "url_domains": q_url_domains,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "robots_gate": q_robots_gate,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -9120,6 +9193,49 @@ def oracle_sql() -> dict[str, str]:
         # URL splice mirrored verbatim; domain = lowered host part of
         # each https?://\S+ match; doc distinctness via per-(domain,doc)
         # pre-aggregate exactly like the Spark plan
+        # RFC 9309 opt-out: expected allow/deny + winning rule stated
+        # closed-form — site1's specific trainbot group suppresses the
+        # * group entirely; longest prefix wins; allow beats disallow
+        "robots_gate": """
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 3 AS VARCHAR)
+                          || '.example.com' AS domain,
+                   CASE doc_id % 5
+                        WHEN 0 THEN '/a/' || CAST(doc_id % 7 AS VARCHAR)
+                        WHEN 1 THEN '/private/x'
+                        WHEN 2 THEN '/private/ok/y'
+                        WHEN 3 THEN '/tmp/z'
+                        ELSE '/b' END AS path,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN NOT (doc_id % 5 = 0 AND doc_id % 7 = 1)
+                        ELSE NOT (doc_id % 5 IN (1, 3)) END AS allowed,
+                   CASE WHEN doc_id % 3 = 1 THEN
+                        CASE WHEN doc_id % 5 = 0 THEN
+                             CASE WHEN doc_id % 7 = 1
+                                  THEN '/a/1' ELSE '/a' END END
+                   ELSE
+                        CASE doc_id % 5 WHEN 1 THEN '/private'
+                             WHEN 2 THEN '/private/ok'
+                             WHEN 3 THEN '/tmp' END
+                   END AS matched_rule
+            FROM documents ORDER BY doc_id
+        """,
+        # fetch-layer dedup: the oracle states the EXPECTED canonical
+        # URL closed-form per doc (intent, not a canonicalizer replay)
+        # and aggregates — six variants per (g) must collapse to two
+        # canon groups (with / without the real a=1&b=2 query)
+        "url_canonical_dedup": """
+            WITH c AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 20 % 5 AS VARCHAR)
+                       || '.example.com/a/' || CAST(doc_id % 20 AS VARCHAR)
+                       || CASE WHEN doc_id % 6 IN (1, 3)
+                               THEN '?a=1&b=2' ELSE '' END AS canon_url
+                FROM documents
+            )
+            SELECT canon_url, COUNT(*) AS n_urls, MIN(doc_id) AS min_id
+            FROM c GROUP BY canon_url ORDER BY canon_url
+        """,
         "url_domains": r"""
             WITH corpus AS (
                 SELECT doc_id,

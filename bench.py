@@ -162,6 +162,8 @@ def main() -> None:
         "g711_audio",
         "exif_gps_scrub",
         "wav_meta_scrub",
+        "url_canonical_dedup",
+        "robots_gate",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -514,6 +514,75 @@ def extract_urls(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
     )
 
 
+#: query parameters that identify a click, not a resource — dropping
+#: them is the single highest-yield URL dedup move on crawled corpora
+TRACKING_PARAM_REGEX = (
+    r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+)
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of a URL string column, entirely in JVM
+    expressions (regexp extracts + array ops inside codegen — no
+    Python, no shuffle): lowercase scheme and host, strip a leading
+    ``www.``, drop the default port (80/http, 443/https), strip the
+    fragment and trailing path slashes, drop tracking query parameters
+    (:data:`TRACKING_PARAM_REGEX`) and sort the survivors so parameter
+    order can't defeat dedup.  Crawl dedup by canonical URL routinely
+    collapses 6+ syntactic variants of the same resource — the
+    fetch-layer counterpart of content dedup (``dedup.py``)."""
+    nofrag = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(TRACKING_PARAM_REGEX),
+    ))
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")),
+    )
+
+
+def url_canonical_dedup(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Group URL rows by canonical form → ``(canon_url, n_urls,
+    min_id)``.  The canonicalization is a narrow projection; the only
+    shuffle is the final hash aggregate on the canonical string (with
+    map-side partial aggregation), so at crawl scale cost is one
+    exchange of (canon, count) pairs — never the raw URL list."""
+    return (
+        df.select(
+            canonical_url_col(F.col(url_col)).alias("canon_url"),
+            F.col(id_col),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min(id_col).alias("min_id"),
+        )
+    )
+
+
 def domain_stats(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
     """Per-domain corpus footprint: total URL occurrences and distinct
     documents — the table a blocklist decision is made from.  One hash
@@ -561,6 +630,64 @@ def domain_gate(
         .agg(F.max(F.col("__bad_domain").isNotNull()).alias("__blocked"))
     )
     return hit.filter(~F.col("__blocked")).drop("__blocked")
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    domain_col_name: str = "domain",
+    path_col_name: str = "path",
+) -> DataFrame:
+    """Crawl opt-out gate with robots.txt semantics (RFC 9309): per
+    (domain, path), the governing rule group is the most specific
+    user-agent match — if the domain has ANY rule for ``agent``, only
+    that group applies and the ``*`` group is ignored entirely;
+    within the group the longest-path-prefix rule wins and an allow
+    beats a disallow of equal length.  No matching rule → allowed.
+
+    ``rules`` is ``(domain, agent, rule_type allow|disallow,
+    path_prefix)`` — robots policies are tiny next to the corpus, so
+    the effective-group resolution is computed on the rules table
+    alone and the corpus joins against a **broadcast** of it; fan-out
+    is the per-doc matching-rule count and the only corpus-side
+    shuffle is the final hash aggregate per document.  Output adds
+    ``allowed`` (bool) and ``matched_rule`` (winning prefix or NULL).
+    """
+    r = rules.alias("r")
+    has_spec = r.groupBy("domain").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("__spec")
+    )
+    eff = (
+        r.join(F.broadcast(has_spec), "domain")
+        .where(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("__spec") == 0))
+        )
+        .select("domain", "rule_type", "path_prefix")
+    )
+    joined = df.join(
+        F.broadcast(eff),
+        (df[domain_col_name] == eff["domain"])
+        & df[path_col_name].startswith(eff["path_prefix"]),
+        "left",
+    ).drop(eff["domain"])
+    win = F.max(
+        F.when(
+            F.col("path_prefix").isNotNull(),
+            F.struct(
+                F.length("path_prefix").alias("l"),
+                (F.col("rule_type") == "allow").cast("int").alias("a"),
+                F.col("path_prefix").alias("p"),
+            ),
+        )
+    ).alias("__w")
+    out = joined.groupBy(*df.columns).agg(win)
+    return out.select(
+        *df.columns,
+        (F.col("__w").isNull() | (F.col("__w.a") == 1)).alias("allowed"),
+        F.col("__w.p").alias("matched_rule"),
+    )
 
 
 def source_overlap_matrix(

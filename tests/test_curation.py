@@ -838,3 +838,86 @@ def test_domain_blocklist_gate_quoted_column_names(spark):
     assert got["cdn.ads.example.com"] == (True, "ads.example.com")
     assert got["good.org"] == (False, None)
     assert got["example.com"] == (True, "example.com")
+
+
+def test_canonical_url_col_edge_cases(spark):
+    from pii_spark.curation import canonical_url_col
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Example.COM:80/Path/Sub/",   # case, www, default port,
+         "http://example.com/Path/Sub"),          # trailing slash; path case kept
+        ("https://example.com:8443/x",            # NON-default port survives
+         "https://example.com:8443/x"),
+        ("https://example.com/?utm_source=a&b=1&a=2&gclid=z#frag",
+         "https://example.com?a=2&b=1"),          # tracking dropped, sorted
+        ("https://example.com", "https://example.com"),  # no path at all
+        ("https://example.com/?utm_campaign=x",   # ONLY tracking params
+         "https://example.com"),
+        ("http://example.com:8080/",              # http non-default port
+         "http://example.com:8080"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_url_canonical_dedup_collapses_variants(spark):
+    from pii_spark.curation import url_canonical_dedup
+
+    variants = [
+        "https://site.example.com/a",
+        "HTTPS://SITE.EXAMPLE.COM/a",
+        "https://www.site.example.com/a/",
+        "https://site.example.com:443/a?utm_source=x",
+        "https://site.example.com/a#sec",
+    ]
+    df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(variants)], ["url", "id"])
+    out = url_canonical_dedup(df, "url", "id").collect()
+    assert len(out) == 1
+    assert out[0].canon_url == "https://site.example.com/a"
+    assert out[0].n_urls == 5 and out[0].min_id == 0
+
+
+def test_robots_gate_semantics(spark):
+    from pii_spark.curation import robots_gate
+
+    rules = spark.createDataFrame(
+        [
+            ("d1", "*", "disallow", "/private"),
+            ("d1", "*", "allow", "/private/ok"),
+            ("d1", "bot", "disallow", "/only"),
+            # d2: equal-length tie — allow must win
+            ("d2", "*", "allow", "/x"),
+            ("d2", "*", "disallow", "/x"),
+        ],
+        ["domain", "agent", "rule_type", "path_prefix"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "d1", "/private/secret"),  # * would block — but bot group
+            (1, "d1", "/only/this"),       # bot's own disallow
+            (2, "d1", "/free"),            # no rule → allowed
+            (3, "d2", "/x/y"),             # tie → allow wins
+            (4, "d9", "/anything"),        # unknown domain → allowed
+        ],
+        ["doc_id", "domain", "path"],
+    )
+    got = {r.doc_id: (r.allowed, r.matched_rule)
+           for r in robots_gate(docs, rules, "bot").collect()}
+    assert got == {
+        0: (True, None),        # specific group suppresses * entirely
+        1: (False, "/only"),
+        2: (True, None),
+        3: (True, "/x"),
+        4: (True, None),
+    }
+    # a * agent sees d1's * group (longest prefix /private/ok wins)
+    got2 = {r.doc_id: (r.allowed, r.matched_rule)
+            for r in robots_gate(
+                docs.where(F.col("doc_id") == 0)
+                    .withColumn("path", F.lit("/private/ok/a")),
+                rules, "crawler").collect()}
+    assert got2 == {0: (True, "/private/ok")}
