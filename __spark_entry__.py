@@ -3712,6 +3712,62 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs, ["doc_id"], "t").orderBy("domain")
 
 
+def q_archive_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary archive ingest: even doc_ids are REAL ZIPs (members
+    # alternate stored/deflate), odd doc_ids are REAL ustar tars
+    # (gzip-wrapped when doc_id%4==1) — the from-scratch parsers
+    # explode them into per-member rows whose path/size/sha256 the
+    # oracle recomputes from the member-content closed form; crc_ok
+    # asserts the CRC32 / header-checksum verification fired.
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark.metadata import unpack_archive
+
+    @pandas_udf("binary")
+    def archive_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            members = [
+                (f"dir{m % 2}/f{m}.txt",
+                 (f"member {m} of archive {d}:" + "x" * (d % 17)).encode())
+                for m in range(d % 4 + 1)
+            ]
+            if d % 2 == 0:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    for m, (path, body) in enumerate(members):
+                        zi = zipfile.ZipInfo(path, (1980, 1, 1, 0, 0, 0))
+                        z.writestr(zi, body,
+                                   zipfile.ZIP_STORED if (d + m) % 2
+                                   else zipfile.ZIP_DEFLATED)
+                out.append(buf.getvalue())
+            else:
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as t:
+                    for path, body in members:
+                        ti = tarfile.TarInfo(path)
+                        ti.size, ti.mtime = len(body), 0
+                        t.addfile(ti, io.BytesIO(body))
+                raw = buf.getvalue()
+                out.append(gzip.compress(raw, mtime=0)
+                           if d % 4 == 1 else raw)
+        return pd.Series(out)
+
+    blobs = _docs(spark, sf_dir).select(
+        "doc_id", archive_payload(F.col("doc_id")).alias("blob"))
+    return (
+        unpack_archive(blobs, "doc_id", "blob")
+        .withColumnRenamed("id", "media_id")
+        .orderBy("media_id", "member_idx")
+    )
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl opt-out with RFC 9309 semantics: site1 has a specific
     # "trainbot" group, so for that domain the * rules are IGNORED
@@ -6311,6 +6367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "url_canonical_dedup": q_url_canonical_dedup,
         "robots_gate": q_robots_gate,
+        "archive_unpack": q_archive_unpack,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -9193,6 +9250,28 @@ def oracle_sql() -> dict[str, str]:
         # URL splice mirrored verbatim; domain = lowered host part of
         # each https?://\S+ match; doc distinctness via per-(domain,doc)
         # pre-aggregate exactly like the Spark plan
+        # archive ingest: member identity recomputed from the content
+        # closed form (path arithmetic, byte length, sha256); crc_ok
+        # TRUE asserts both parsers' integrity checks passed
+        "archive_unpack": """
+            WITH m AS (
+                SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS mi
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(mi AS INT) AS member_idx,
+                   'dir' || CAST(mi % 2 AS VARCHAR) || '/f'
+                          || CAST(mi AS VARCHAR) || '.txt' AS path,
+                   CAST(length('member ' || CAST(mi AS VARCHAR)
+                               || ' of archive ' || CAST(doc_id AS VARCHAR)
+                               || ':') + doc_id % 17 AS BIGINT) AS n_bytes,
+                   sha256('member ' || CAST(mi AS VARCHAR)
+                          || ' of archive ' || CAST(doc_id AS VARCHAR)
+                          || ':' || repeat('x', CAST(doc_id % 17 AS INT)))
+                       AS body_sha,
+                   TRUE AS crc_ok
+            FROM m ORDER BY media_id, member_idx
+        """,
         # RFC 9309 opt-out: expected allow/deny + winning rule stated
         # closed-form — site1's specific trainbot group suppresses the
         # * group entirely; longest prefix wins; allow beats disallow

@@ -164,6 +164,7 @@ def main() -> None:
         "wav_meta_scrub",
         "url_canonical_dedup",
         "robots_gate",
+        "archive_unpack",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -425,3 +425,132 @@ def notebook_cells_oracle_sql(id_sql: str, json_sql: str, rows_sql: str) -> str:
            OR json_array_length(j, '$.cells') IS NULL
         ORDER BY id, cell_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# binary archive unpack (ZIP / ustar tar, optionally gzipped)
+# ---------------------------------------------------------------------------
+#
+# Code corpora arrive as archives — repo tarballs, wheel/jar-style
+# zips.  These parsers are from-scratch struct walks (PKWARE APPNOTE
+# 4.3 central directory; POSIX ustar 512-byte headers) with stdlib
+# zlib doing the actual inflate, so the only thing trusted is the
+# byte layout.  The Spark operator is one linear Arrow pass that
+# emits per-member identity (path, size, sha, crc check) — member
+# CONTENT never leaves the pass, so nothing archive-sized shuffles.
+
+def zip_members(data: bytes) -> list[tuple[str, bytes, bool]]:
+    """ZIP bytes → [(member_path, content, crc_ok)] via the central
+    directory (authoritative; local headers are only used to locate
+    the data start).  Methods: 0 stored, 8 deflate."""
+    import struct as _s
+    import zlib as _z
+
+    eocd = data.rfind(b"PK\x05\x06")
+    if eocd < 0 or eocd + 22 > len(data):
+        raise ValueError("no ZIP end-of-central-directory")
+    n_total, cd_size, cd_off = _s.unpack_from("<H I I", data, eocd + 10)
+    out, pos = [], cd_off
+    for _ in range(n_total):
+        if data[pos:pos + 4] != b"PK\x01\x02":
+            raise ValueError("bad ZIP central header")
+        (method,) = _s.unpack_from("<H", data, pos + 10)
+        crc, csize, usize = _s.unpack_from("<III", data, pos + 16)
+        nlen, elen, clen = _s.unpack_from("<HHH", data, pos + 28)
+        (loff,) = _s.unpack_from("<I", data, pos + 42)
+        name = data[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        if data[loff:loff + 4] != b"PK\x03\x04":
+            raise ValueError("bad ZIP local header")
+        lnlen, lelen = _s.unpack_from("<HH", data, loff + 26)
+        dstart = loff + 30 + lnlen + lelen
+        raw = data[dstart:dstart + csize]
+        if method == 0:
+            body = raw
+        elif method == 8:
+            body = _z.decompress(raw, -15)
+        else:
+            raise ValueError(f"unsupported ZIP method {method}")
+        if len(body) != usize:
+            raise ValueError("ZIP member size mismatch")
+        out.append((name, body, _z.crc32(body) & 0xFFFFFFFF == crc))
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def tar_members(data: bytes) -> list[tuple[str, bytes, bool]]:
+    """ustar bytes → [(member_path, content, checksum_ok)]; a gzip
+    wrapper (magic 1f 8b) is transparently inflated.  Only regular
+    files (typeflag '0'/NUL) are emitted; size is the octal header
+    field, content is padded to 512-byte blocks; two zero blocks (or
+    end of data) terminate."""
+    import zlib as _z
+
+    if data[:2] == b"\x1f\x8b":
+        data = _z.decompress(data, 31)
+    out, i = [], 0
+    while i + 512 <= len(data):
+        hdr = data[i:i + 512]
+        if hdr == b"\x00" * 512:
+            break
+        name = hdr[0:100].rstrip(b"\x00").decode("utf-8", "replace")
+        size = int((hdr[124:136].rstrip(b"\x00 ") or b"0"), 8)
+        # header checksum: sum of header bytes with the chksum field
+        # itself read as spaces
+        declared = int((hdr[148:156].rstrip(b"\x00 ") or b"0"), 8)
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        typeflag = hdr[156:157]
+        body = data[i + 512:i + 512 + size]
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, body, actual == declared))
+        i += 512 + (size + 511) // 512 * 512
+    return out
+
+
+def archive_members(data: bytes) -> list[tuple[str, bytes, bool]]:
+    """Format sniff: PK local-header magic → ZIP; gzip magic or a
+    ``ustar`` tag at offset 257 → tar."""
+    if data[:4] == b"PK\x03\x04":
+        return zip_members(data)
+    if data[:2] == b"\x1f\x8b" or data[257:262] == b"ustar":
+        return tar_members(data)
+    raise ValueError("unrecognized archive format")
+
+
+def unpack_archive(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """UDTF-shaped archive explode: one input row (binary archive) →
+    one output row per member with ``(id, member_idx, path, n_bytes,
+    body_sha, crc_ok)``.  One linear Arrow pass; per-member content is
+    hashed inside the pass and discarded, so downstream sees fixed
+    ~100-byte rows regardless of archive size.  An unparseable archive
+    degrades to a single ``member_idx = -1`` row (never a lost task).
+    """
+    import hashlib as _h
+
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BooleanType as _B, IntegerType as _I, LongType as _L,
+        StringType as _S, StructField as _SF, StructType as _ST,
+    )
+
+    schema = _ST([
+        _SF("id", _L()), _SF("member_idx", _I()), _SF("path", _S()),
+        _SF("n_bytes", _L()), _SF("body_sha", _S()), _SF("crc_ok", _B()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                try:
+                    members = archive_members(payload)
+                except (ValueError, OSError, EOFError):
+                    rows.append((int(rid), -1, "__invalid__", 0, "", False))
+                    continue
+                for mi, (path, body, ok) in enumerate(members):
+                    rows.append((int(rid), mi, path, len(body),
+                                 _h.sha256(body).hexdigest(), bool(ok)))
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(fn, schema=schema)

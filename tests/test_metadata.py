@@ -114,3 +114,86 @@ def test_notebook_cells_explodes_and_accounts_invalid(spark):
     assert by[(3, -1)].cell_type == "__invalid__"
     assert by[(4, -1)].cell_type == "__invalid__"   # no cells array
     assert len(rows) == 5
+
+
+# ---------------------------------------------------------------------------
+# binary archive unpack
+# ---------------------------------------------------------------------------
+
+def _mk_zip(members, comment=b""):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        if comment:
+            z.comment = comment
+        for i, (path, body) in enumerate(members):
+            zi = zipfile.ZipInfo(path, (1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, body,
+                       zipfile.ZIP_DEFLATED if i % 2 else zipfile.ZIP_STORED)
+    return buf.getvalue()
+
+
+def _mk_tar(members, gz=False, with_dir=False):
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        if with_dir:
+            d = tarfile.TarInfo("somedir")
+            d.type, d.mtime = tarfile.DIRTYPE, 0
+            t.addfile(d)
+        for path, body in members:
+            ti = tarfile.TarInfo(path)
+            ti.size, ti.mtime = len(body), 0
+            t.addfile(ti, io.BytesIO(body))
+    raw = buf.getvalue()
+    return gzip.compress(raw, mtime=0) if gz else raw
+
+
+def test_zip_members_with_eocd_comment_and_crc_corruption():
+    from pii_spark.metadata import zip_members
+
+    data = _mk_zip([("a.txt", b"alpha"), ("d/b.txt", b"beta!")],
+                   comment=b"trailing comment")
+    got = zip_members(data)
+    assert [(p, b) for p, b, _ in got] == [("a.txt", b"alpha"),
+                                           ("d/b.txt", b"beta!")]
+    assert all(ok for _, _, ok in got)
+    # flip a stored byte -> crc must fail for that member, not raise
+    idx = data.index(b"alpha")
+    bad = data[:idx] + b"Alpha" + data[idx + 5:]
+    assert [ok for _, _, ok in zip_members(bad)] == [False, True]
+
+
+def test_tar_members_skips_dirs_and_checks_header_sum():
+    from pii_spark.metadata import archive_members, tar_members
+
+    data = _mk_tar([("x.txt", b"xx"), ("y/z.txt", b"yyy")], with_dir=True)
+    got = tar_members(data)
+    assert [(p, b) for p, b, _ in got] == [("x.txt", b"xx"),
+                                           ("y/z.txt", b"yyy")]
+    assert all(ok for _, _, ok in got)
+    # corrupt a header byte inside the name field -> checksum mismatch
+    bad = bytearray(data)
+    hdr0 = data.index(b"x.txt")
+    bad[hdr0] ^= 0xFF
+    assert any(not ok for _, _, ok in tar_members(bytes(bad)))
+    # gzip wrapper sniffed transparently
+    assert archive_members(_mk_tar([("g.txt", b"g")], gz=True))[0][1] == b"g"
+
+
+def test_unpack_archive_degrades_on_garbage(spark):
+    from pii_spark.metadata import unpack_archive
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mk_zip([("m.txt", b"ok")]))),
+         (2, bytearray(b"not an archive at all"))],
+        "id long, blob binary",
+    )
+    rows = {r.id: r for r in unpack_archive(df, "id", "blob").collect()}
+    assert rows[1].path == "m.txt" and rows[1].n_bytes == 2 and rows[1].crc_ok
+    assert rows[2].member_idx == -1 and rows[2].path == "__invalid__"
