@@ -3768,6 +3768,59 @@ def q_archive_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spectok_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer control-string splices: GPT-style sentinels (d%4),
+    # SentencePiece markers (d%5), BERT brackets + chat template
+    # (d%7), FIM triple (d%9) — mirrored verbatim in
+    # _SPECTOK_CORPUS_SQL; the oracle replays the SAME alternation
+    # regex, so any token already in the base text counts identically
+    # on both sides.
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0,
+               F.lit(" <|endoftext|> next <|endoftext|>")).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit(" <s>seq</s> and <unk> pad <pad>")).otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.lit(" [CLS] x [SEP] <|im_start|>user<|im_end|>")
+               ).otherwise(F.lit("")),
+        F.when(d % 9 == 0,
+               F.lit(" <|fim_prefix|>a<|fim_middle|>b<|fim_suffix|>")
+               ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", content.alias("t"))
+
+
+_SPECTOK_CORPUS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' <|endoftext|> next <|endoftext|>' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' <s>seq</s> and <unk> pad <pad>' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' [CLS] x [SEP] <|im_start|>user<|im_end|>'
+                   ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                   THEN ' <|fim_prefix|>a<|fim_middle|>b<|fim_suffix|>'
+                   ELSE '' END AS t
+    FROM documents
+"""
+
+
+def q_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer control-string contamination census — literal
+    # <|endoftext|>/chat-template/BERT markers in corpus text corrupt
+    # example boundaries at encode time; one alternation regex pass,
+    # per-(token, doc) pre-aggregate, tiny per-token rollup
+    from pii_spark.quality import special_token_audit
+
+    return special_token_audit(
+        _spectok_corpus(spark, sf_dir), ["doc_id"], "t"
+    ).orderBy("token")
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl opt-out with RFC 9309 semantics: site1 has a specific
     # "trainbot" group, so for that domain the * rules are IGNORED
@@ -6368,6 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "robots_gate": q_robots_gate,
         "archive_unpack": q_archive_unpack,
+        "special_tokens": q_special_tokens,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -6441,7 +6495,11 @@ def oracle_sql() -> dict[str, str]:
         reachable_multi_oracle_sql,
         triangle_census_oracle_sql,
     )
-    from pii_spark.quality import encoding_audit_oracle_sql, mad_outlier_oracle_sql
+    from pii_spark.quality import (
+        encoding_audit_oracle_sql,
+        mad_outlier_oracle_sql,
+        special_token_oracle_sql,
+    )
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
     from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
@@ -9272,6 +9330,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS crc_ok
             FROM m ORDER BY media_id, member_idx
         """,
+        # tokenizer-sentinel census: the SAME escaped longest-first
+        # alternation regex replayed over the verbatim-mirrored splice
+        # corpus (leftmost-first alternation agrees Java-vs-RE2)
+        "special_tokens": special_token_oracle_sql(
+            "doc_id", "t", _SPECTOK_CORPUS_SQL
+        ) + " ORDER BY token",
         # RFC 9309 opt-out: expected allow/deny + winning rule stated
         # closed-form — site1's specific trainbot group suppresses the
         # * group entirely; longest prefix wins; allow beats disallow

@@ -165,6 +165,7 @@ def main() -> None:
         "url_canonical_dedup",
         "robots_gate",
         "archive_unpack",
+        "special_tokens",
         "audio_features",
         "video_frames",
         "image_resize",
