@@ -3715,11 +3715,14 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_archive_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary archive ingest: even doc_ids are REAL ZIPs (members
     # alternate stored/deflate), odd doc_ids are REAL ustar tars
-    # (gzip-wrapped when doc_id%4==1) — the from-scratch parsers
-    # explode them into per-member rows whose path/size/sha256 the
-    # oracle recomputes from the member-content closed form; crc_ok
-    # asserts the CRC32 / header-checksum verification fired.
+    # wrapped per doc_id%8 — 1 gzip, 3 bzip2, 5 xz, 7 bare — the
+    # from-scratch parsers explode them into per-member rows whose
+    # path/size/sha256 the oracle recomputes from the member-content
+    # closed form (wrapper-invariant); crc_ok asserts the CRC32 /
+    # header-checksum verification fired.
+    import bz2
     import gzip
+    import lzma
     import io
     import tarfile
     import zipfile
@@ -3755,8 +3758,14 @@ def q_archive_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ti.size, ti.mtime = len(body), 0
                         t.addfile(ti, io.BytesIO(body))
                 raw = buf.getvalue()
-                out.append(gzip.compress(raw, mtime=0)
-                           if d % 4 == 1 else raw)
+                wrap = d % 8
+                if wrap == 1:
+                    raw = gzip.compress(raw, mtime=0)
+                elif wrap == 3:
+                    raw = bz2.compress(raw)
+                elif wrap == 5:
+                    raw = lzma.compress(raw)
+                out.append(raw)
         return pd.Series(out)
 
     blobs = _docs(spark, sf_dir).select(
@@ -3765,6 +3774,57 @@ def q_archive_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpack_archive(blobs, "doc_id", "blob")
         .withColumnRenamed("id", "media_id")
         .orderBy("media_id", "member_idx")
+    )
+
+
+def q_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # commit-corpus churn census: each doc_id synthesizes a REAL
+    # multi-file unified git diff (renames when (d+m)%7==0, binary
+    # files when (d+m)%11==0 — binary wins, hunk/±-line counts from
+    # the (d+m+k) moduli); diff_file_stats parses it JVM-side and the
+    # oracle restates every per-file row closed-form.
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark.metadata import diff_file_stats
+
+    @pandas_udf("string")
+    def diff_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            parts = [f"commit {d}\n"]
+            for m in range(d % 3 + 1):
+                old = f"src/mod{m}/file{d % 5}.py"
+                binary = (d + m) % 11 == 0
+                rename = (not binary) and (d + m) % 7 == 0
+                new = f"src/mod{m}/renamed{d % 5}.py" if rename else old
+                parts.append(f"diff --git a/{old} b/{new}\n")
+                if rename:
+                    parts.append("similarity index 85%\n"
+                                 f"rename from {old}\nrename to {new}\n")
+                if binary:
+                    parts.append("index 0000000..1111111 100644\n"
+                                 f"Binary files a/{old} and b/{new} differ\n")
+                    continue
+                parts.append("index 2222222..3333333 100644\n"
+                             f"--- a/{old}\n+++ b/{new}\n")
+                for k in range((d + m) % 2 + 1):
+                    na, nr = (d + m + k) % 4, (d + m + k) % 3
+                    parts.append(
+                        f"@@ -{k * 10 + 1},{nr + 1} "
+                        f"+{k * 10 + 1},{na + 1} @@ ctx\n")
+                    parts.extend(f"-old line {k}-{j}\n" for j in range(nr))
+                    parts.extend(f"+new line {k}-{j}\n" for j in range(na))
+                    parts.append(" unchanged\n")
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    diffs = _docs(spark, sf_dir).select(
+        "doc_id", diff_payload(F.col("doc_id")).alias("patch"))
+    return (
+        diff_file_stats(diffs, "doc_id", "patch")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "file_idx")
     )
 
 
@@ -6422,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "archive_unpack": q_archive_unpack,
         "special_tokens": q_special_tokens,
+        "diff_stats": q_diff_stats,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -9336,6 +9397,51 @@ def oracle_sql() -> dict[str, str]:
         "special_tokens": special_token_oracle_sql(
             "doc_id", "t", _SPECTOK_CORPUS_SQL
         ) + " ORDER BY token",
+        # unified-diff churn: every per-file row restated closed-form
+        # from the fixture moduli — binary ((d+m)%11) beats rename
+        # ((d+m)%7); hunk k of file m adds (d+m+k)%4 / removes
+        # (d+m+k)%3 lines
+        "diff_stats": """
+            WITH f AS (
+                SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS m
+                FROM documents
+            ),
+            flags AS (
+                SELECT doc_id, m,
+                       (doc_id + m) % 11 = 0 AS is_binary,
+                       (doc_id + m) % 11 <> 0
+                           AND (doc_id + m) % 7 = 0 AS is_rename
+                FROM f
+            ),
+            h AS (
+                SELECT doc_id, m,
+                       unnest(range(0, (doc_id + m) % 2 + 1)) AS k
+                FROM flags WHERE NOT is_binary
+            ),
+            hs AS (
+                SELECT doc_id, m,
+                       CAST(count(*) AS BIGINT) AS nh,
+                       CAST(sum((doc_id + m + k) % 4) AS BIGINT) AS na,
+                       CAST(sum((doc_id + m + k) % 3) AS BIGINT) AS nr
+                FROM h GROUP BY 1, 2
+            )
+            SELECT flags.doc_id,
+                   CAST(m AS INT) AS file_idx,
+                   'src/mod' || CAST(m AS VARCHAR) || '/file'
+                       || CAST(flags.doc_id % 5 AS VARCHAR) || '.py'
+                       AS old_path,
+                   'src/mod' || CAST(m AS VARCHAR)
+                       || CASE WHEN is_rename THEN '/renamed'
+                               ELSE '/file' END
+                       || CAST(flags.doc_id % 5 AS VARCHAR) || '.py'
+                       AS new_path,
+                   coalesce(nh, 0) AS n_hunks,
+                   coalesce(na, 0) AS n_added,
+                   coalesce(nr, 0) AS n_removed,
+                   is_rename, is_binary
+            FROM flags LEFT JOIN hs USING (doc_id, m)
+            ORDER BY doc_id, file_idx
+        """,
         # RFC 9309 opt-out: expected allow/deny + winning rule stated
         # closed-form — site1's specific trainbot group suppresses the
         # * group entirely; longest prefix wins; allow beats disallow

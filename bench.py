@@ -166,6 +166,7 @@ def main() -> None:
         "robots_gate",
         "archive_unpack",
         "special_tokens",
+        "diff_stats",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -479,14 +479,21 @@ def zip_members(data: bytes) -> list[tuple[str, bytes, bool]]:
 
 def tar_members(data: bytes) -> list[tuple[str, bytes, bool]]:
     """ustar bytes → [(member_path, content, checksum_ok)]; a gzip
-    wrapper (magic 1f 8b) is transparently inflated.  Only regular
-    files (typeflag '0'/NUL) are emitted; size is the octal header
-    field, content is padded to 512-byte blocks; two zero blocks (or
-    end of data) terminate."""
+    (1f 8b), bzip2 (``BZh``) or xz (fd ``7zXZ``) wrapper is
+    transparently inflated — all three stream codecs are stdlib.  Only
+    regular files (typeflag '0'/NUL) are emitted; size is the octal
+    header field, content is padded to 512-byte blocks; two zero
+    blocks (or end of data) terminate."""
     import zlib as _z
 
     if data[:2] == b"\x1f\x8b":
         data = _z.decompress(data, 31)
+    elif data[:3] == b"BZh":
+        import bz2 as _bz2
+        data = _bz2.decompress(data)
+    elif data[:6] == b"\xfd7zXZ\x00":
+        import lzma as _lzma
+        data = _lzma.decompress(data)
     out, i = [], 0
     while i + 512 <= len(data):
         hdr = data[i:i + 512]
@@ -507,11 +514,16 @@ def tar_members(data: bytes) -> list[tuple[str, bytes, bool]]:
 
 
 def archive_members(data: bytes) -> list[tuple[str, bytes, bool]]:
-    """Format sniff: PK local-header magic → ZIP; gzip magic or a
-    ``ustar`` tag at offset 257 → tar."""
+    """Format sniff: PK local-header magic → ZIP; gzip/bzip2/xz magic
+    or a ``ustar`` tag at offset 257 → tar."""
     if data[:4] == b"PK\x03\x04":
         return zip_members(data)
-    if data[:2] == b"\x1f\x8b" or data[257:262] == b"ustar":
+    if (
+        data[:2] == b"\x1f\x8b"
+        or data[:3] == b"BZh"
+        or data[:6] == b"\xfd7zXZ\x00"
+        or data[257:262] == b"ustar"
+    ):
         return tar_members(data)
     raise ValueError("unrecognized archive format")
 
@@ -554,3 +566,84 @@ def unpack_archive(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# unified-diff parsing (commit datasets)
+# ---------------------------------------------------------------------------
+#
+# Commit corpora (CommitPack-style) carry git patches as TEXT — one
+# unified diff per commit.  The churn census every commit-data
+# pipeline needs (which files changed, how many lines, renames,
+# binary blobs) is pure line-anchored regex, so it runs entirely
+# JVM-side: split on file boundaries inside codegen, count hunk/±
+# lines with ``regexp_count``, zero Python.
+
+# one hunk header: @@ -l[,n] +l[,n] @@
+_HUNK_RE = r"(?m)^@@ -\d+(,\d+)? \+\d+(,\d+)? @@"
+# the ---/+++ file headers (git paths or /dev/null for create/delete);
+# anchored forms so ordinary ±content lines can't collide unless they
+# literally reproduce a header, which the anchors make explicit
+_OLD_HDR_RE = r"(?m)^--- (a/|/dev/null)"
+_NEW_HDR_RE = r"(?m)^\+\+\+ (b/|/dev/null)"
+
+
+def diff_file_stats(df: DataFrame, id_col: str, diff_col: str) -> DataFrame:
+    """Per-FILE churn stats from unified-diff text: one output row per
+    file touched, ``(id, file_idx, old_path, new_path, n_hunks,
+    n_added, n_removed, is_rename, is_binary)``.  ``old_path`` /
+    ``new_path`` are NULL for created / deleted files (``/dev/null``
+    sides); renames report both names whether or not edits rode along.
+
+    Scale shape: the diff text splits on ``^diff --git`` boundaries and
+    posexplodes — the ONLY row growth is the true file fan-out; every
+    count is a JVM ``regexp_count`` over the file's own segment, fused
+    into the same stage, no shuffle at all (callers aggregate the
+    per-file rows however they need).  Heuristic caveat, documented:
+    a ±content line that byte-for-byte reproduces a ``--- a/`` /
+    ``+++ b/`` header line would be miscounted — git itself disambiguates
+    those only via hunk length arithmetic.
+    """
+    seg = F.col("seg")
+
+    def first_group(pattern: str) -> Column:
+        return F.nullif(F.regexp_extract(seg, pattern, 1), F.lit(""))
+
+    old_path = F.coalesce(
+        first_group(r"(?m)^rename from (.+)$"),
+        first_group(r"(?m)^--- a/(.+)$"),
+        first_group(r"(?m)^Binary files a/(.+?) and b/.+ differ$"),
+    )
+    new_path = F.coalesce(
+        first_group(r"(?m)^rename to (.+)$"),
+        first_group(r"(?m)^\+\+\+ b/(.+)$"),
+        first_group(r"(?m)^Binary files a/.+? and b/(.+) differ$"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.col(diff_col), r"(?m)^diff --git ")
+            ).alias("pos", "seg"),
+        )
+        .filter(F.col("pos") >= 1)  # seg 0 = commit-message preamble
+        .select(
+            "id",
+            (F.col("pos") - 1).cast("int").alias("file_idx"),
+            old_path.alias("old_path"),
+            new_path.alias("new_path"),
+            F.regexp_count(seg, F.lit(_HUNK_RE)).cast("long").alias("n_hunks"),
+            (
+                F.regexp_count(seg, F.lit(r"(?m)^\+"))
+                - F.regexp_count(seg, F.lit(_NEW_HDR_RE))
+            ).cast("long").alias("n_added"),
+            (
+                F.regexp_count(seg, F.lit(r"(?m)^-"))
+                - F.regexp_count(seg, F.lit(_OLD_HDR_RE))
+            ).cast("long").alias("n_removed"),
+            (F.regexp_count(seg, F.lit(r"(?m)^rename from ")) > 0)
+            .alias("is_rename"),
+            (F.regexp_count(seg, F.lit(r"(?m)^Binary files ")) > 0)
+            .alias("is_binary"),
+        )
+    )

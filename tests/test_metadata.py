@@ -197,3 +197,91 @@ def test_unpack_archive_degrades_on_garbage(spark):
     rows = {r.id: r for r in unpack_archive(df, "id", "blob").collect()}
     assert rows[1].path == "m.txt" and rows[1].n_bytes == 2 and rows[1].crc_ok
     assert rows[2].member_idx == -1 and rows[2].path == "__invalid__"
+
+
+# ---------------------------------------------------------------------------
+# unified-diff churn parsing
+# ---------------------------------------------------------------------------
+
+_DIFF_FIXTURE = """commit deadbeef
+Author: someone
+
+    message line that mentions diff --git inline (not at line start)
+
+diff --git a/src/app.py b/src/app.py
+index 1111111..2222222 100644
+--- a/src/app.py
++++ b/src/app.py
+@@ -1,3 +2,4 @@ def main():
+-old one
+-old two
++new one
++new two
++new three
+ context
+@@ -10,1 +11,1 @@
+-x
++y
+diff --git a/gone.txt b/gone.txt
+deleted file mode 100644
+index 3333333..0000000
+--- a/gone.txt
++++ /dev/null
+@@ -1,1 +0,0 @@
+-bye
+diff --git a/fresh.txt b/fresh.txt
+new file mode 100644
+index 0000000..4444444
+--- /dev/null
++++ b/fresh.txt
+@@ -0,0 +1,1 @@
++hello
+diff --git a/old_name.py b/new_name.py
+similarity index 100%
+rename from old_name.py
+rename to new_name.py
+diff --git a/logo.png b/logo.png
+index 5555555..6666666 100644
+Binary files a/logo.png and b/logo.png differ
+"""
+
+
+def test_diff_file_stats_edge_cases(spark):
+    from pii_spark.metadata import diff_file_stats
+
+    df = spark.createDataFrame([(7, _DIFF_FIXTURE)], "id long, patch string")
+    rows = {r.file_idx: r for r in diff_file_stats(df, "id", "patch").collect()}
+    assert len(rows) == 5  # the in-message "diff --git" is mid-line
+
+    edited = rows[0]
+    assert (edited.old_path, edited.new_path) == ("src/app.py", "src/app.py")
+    assert (edited.n_hunks, edited.n_added, edited.n_removed) == (2, 4, 3)
+    assert not edited.is_rename and not edited.is_binary
+
+    deleted = rows[1]
+    assert deleted.old_path == "gone.txt" and deleted.new_path is None
+    assert (deleted.n_hunks, deleted.n_added, deleted.n_removed) == (1, 0, 1)
+
+    created = rows[2]
+    assert created.old_path is None and created.new_path == "fresh.txt"
+    assert (created.n_hunks, created.n_added, created.n_removed) == (1, 1, 0)
+
+    renamed = rows[3]
+    assert (renamed.old_path, renamed.new_path) == ("old_name.py", "new_name.py")
+    assert renamed.is_rename and renamed.n_hunks == 0
+
+    binary = rows[4]
+    assert binary.is_binary and (binary.old_path, binary.new_path) == (
+        "logo.png", "logo.png")
+    assert (binary.n_hunks, binary.n_added, binary.n_removed) == (0, 0, 0)
+
+
+def test_archive_members_sniffs_bz2_and_xz_tars():
+    import bz2
+    import lzma
+
+    from pii_spark.metadata import archive_members
+
+    raw = _mk_tar([("c.txt", b"ccc")])
+    assert archive_members(bz2.compress(raw))[0][1] == b"ccc"
+    assert archive_members(lzma.compress(raw))[0][1] == b"ccc"
