@@ -167,6 +167,7 @@ def main() -> None:
         "archive_unpack",
         "special_tokens",
         "diff_stats",
+        "diff_secret_scan",
         "audio_features",
         "video_frames",
         "image_resize",

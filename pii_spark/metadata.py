@@ -647,3 +647,47 @@ def diff_file_stats(df: DataFrame, id_col: str, diff_col: str) -> DataFrame:
             .alias("is_binary"),
         )
     )
+
+
+def diff_side_text(df: DataFrame, id_col: str, diff_col: str) -> DataFrame:
+    """Split a unified diff into its ADDED and REMOVED text: two rows
+    per patch, ``(id, side, txt)`` with ``side`` in ``('added',
+    'removed')`` and ``txt`` the newline-joined content of that side's
+    lines, leading ``+``/``-`` markers stripped, ``+++``/``---`` file
+    headers and context lines excluded.  This is the gitleaks-shaped
+    front end: a secret scan over ``added`` text reports credentials a
+    commit INTRODUCES (context lines would double-report every legacy
+    finding on every touching commit); ``removed`` text is the
+    rotation/cleanup signal.
+
+    Scale shape: split / filter / transform / array_join all fuse into
+    the scan (whole-stage codegen, zero Python); the explode emits
+    exactly two rows per input row.
+    """
+    lines = F.split(F.col(diff_col), "\n", -1)
+
+    def side_text(mark: str, header: str) -> Column:
+        kept = F.filter(
+            lines,
+            lambda l: l.startswith(mark) & ~l.startswith(header),
+        )
+        return F.array_join(
+            F.transform(kept, lambda l: l.substr(F.lit(2), F.length(l))),
+            "\n",
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("added").alias("side"),
+                    side_text("+", "+++").alias("txt"),
+                ),
+                F.struct(
+                    F.lit("removed").alias("side"),
+                    side_text("-", "---").alias("txt"),
+                ),
+            )
+        ).alias("s"),
+    ).select("id", "s.side", "s.txt")

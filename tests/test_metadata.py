@@ -285,3 +285,19 @@ def test_archive_members_sniffs_bz2_and_xz_tars():
     raw = _mk_tar([("c.txt", b"ccc")])
     assert archive_members(bz2.compress(raw))[0][1] == b"ccc"
     assert archive_members(lzma.compress(raw))[0][1] == b"ccc"
+
+
+def test_diff_side_text_strips_markers_and_excludes_headers(spark):
+    from pii_spark.metadata import diff_side_text
+
+    df = spark.createDataFrame([(1, _DIFF_FIXTURE)], "id long, patch string")
+    got = {r.side: r.txt for r in diff_side_text(df, "id", "patch").collect()}
+    added = got["added"].split("\n")
+    removed = got["removed"].split("\n")
+    assert "new one" in added and "hello" in added and "y" in added
+    assert "old one" in removed and "bye" in removed and "x" in removed
+    # headers stripped, context lines absent, markers gone
+    assert not any(l.startswith("++") or l.startswith("+") for l in added)
+    assert not any("b/fresh.txt" == l for l in added)
+    assert not any("a/gone.txt" == l for l in removed)
+    assert "context" not in added and "context" not in removed
