@@ -3828,6 +3828,47 @@ def q_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content reconstruction from (base, diff): per doc a 5-11-line
+    # base plus a two-hunk patch (insert after line 0; replace line 4
+    # — with a deliberately WRONG removed-line when doc_id%9==0, so
+    # the atomic-failure path returns the base unchanged with ok=false
+    # and exactly one hunk applied); the oracle rebuilds the expected
+    # post-image closed-form and compares sha256 + line count.
+    from pii_spark.metadata import apply_patch
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    n = (d % 7 + 5).cast("int")
+    base = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(
+                F.lit("line "), i.cast("string"), F.lit(" of doc "), ds),
+        ),
+        "\n",
+    )
+    patch = F.concat(
+        F.lit("@@ -1,1 +1,2 @@\n line 0 of doc "), ds,
+        F.lit("\n+inserted alpha "), ds, F.lit("\n"),
+        F.lit("@@ -5,1 +6,1 @@\n-line "),
+        F.when(d % 9 == 0, F.lit("99")).otherwise(F.lit("4")),
+        F.lit(" of doc "), ds,
+        F.lit("\n+edited line 4 of doc "), ds, F.lit("\n"),
+    )
+    fix = _docs(spark, sf_dir).select(
+        "doc_id", base.alias("base"), patch.alias("patch"))
+    res = apply_patch(fix, "doc_id", "base", "patch")
+    return res.select(
+        F.col("id").alias("doc_id"),
+        "ok",
+        F.col("n_hunks_applied").cast("int").alias("n_applied"),
+        F.sha2(F.col("patched"), 256).alias("patched_sha"),
+        F.size(F.split(F.col("patched"), "\n", -1)).cast("long")
+        .alias("n_lines"),
+    ).orderBy("doc_id")
+
+
 def _diffsec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commit patches with PLANTED side-attributed secrets: added-side
     # email (d%3) and AWS key (d%4), removed-side phone (d%5) and a
@@ -6564,6 +6605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "special_tokens": q_special_tokens,
         "diff_stats": q_diff_stats,
         "diff_secret_scan": q_diff_secret_scan,
+        "apply_patch": q_apply_patch,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -9561,6 +9603,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_matches,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM pd_ GROUP BY 1, 2 ORDER BY pattern, side
+        """,
+        # patch application: expected post-image rebuilt closed-form
+        # (1-based DuckDB list slices: [1]=line0, [2:4]=lines1-3,
+        # [6:n]=lines5..n-1); d%9==0 rows must come back UNCHANGED
+        # (atomic failure after exactly one verified hunk)
+        "apply_patch": """
+            WITH b AS (
+                SELECT doc_id, doc_id % 7 + 5 AS n,
+                       list_transform(
+                           range(0, doc_id % 7 + 5),
+                           i -> 'line ' || CAST(i AS VARCHAR)
+                                || ' of doc ' || CAST(doc_id AS VARCHAR)
+                       ) AS orig
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id, n,
+                       CASE WHEN doc_id % 9 = 0 THEN orig
+                            ELSE list_concat(list_concat(list_concat(
+                                     list_concat(
+                                         [orig[1]],
+                                         ['inserted alpha '
+                                          || CAST(doc_id AS VARCHAR)]),
+                                     orig[2:4]),
+                                     ['edited line 4 of doc '
+                                      || CAST(doc_id AS VARCHAR)]),
+                                     orig[6:n])
+                       END AS plist
+                FROM b
+            )
+            SELECT doc_id,
+                   doc_id % 9 <> 0 AS ok,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 2 END
+                        AS INT) AS n_applied,
+                   sha256(array_to_string(plist, chr(10))) AS patched_sha,
+                   CAST(len(plist) AS BIGINT) AS n_lines
+            FROM e ORDER BY doc_id
         """,
         # RFC 9309 opt-out: expected allow/deny + winning rule stated
         # closed-form — site1's specific trainbot group suppresses the

@@ -168,6 +168,7 @@ def main() -> None:
         "special_tokens",
         "diff_stats",
         "diff_secret_scan",
+        "apply_patch",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -691,3 +691,106 @@ def diff_side_text(df: DataFrame, id_col: str, diff_col: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("id", "s.side", "s.txt")
+
+
+# ---------------------------------------------------------------------------
+# unified-diff application (content reconstruction)
+# ---------------------------------------------------------------------------
+
+_HUNK_HDR = __import__("re").compile(
+    r"^@@ -(\d+)(?:,(\d+))? \+\d+(?:,\d+)? @@"
+)
+
+
+def apply_unified_patch(base: str, patch: str) -> tuple[str, int, bool]:
+    """Apply a single-file unified diff to ``base``: returns
+    ``(patched, n_hunks_applied, ok)``.  Application is ATOMIC — any
+    context/removed-line mismatch (or out-of-order hunk) returns the
+    base unchanged with ``ok=False`` and ``n_hunks_applied`` counting
+    the hunks that had verified before the failure.  Pure-insertion
+    hunks use the unified ``-a,0`` convention (insert AFTER line a);
+    ``\\ No newline at end of file`` markers are ignored.
+    """
+    lines = base.split("\n")
+    out: list[str] = []
+    cur = 0
+    applied = 0
+    plines = patch.split("\n")
+    i = 0
+    while i < len(plines):
+        m = _HUNK_HDR.match(plines[i])
+        i += 1
+        if not m:
+            continue
+        a = int(m.group(1))
+        b = int(m.group(2)) if m.group(2) is not None else 1
+        start = a if b == 0 else a - 1  # -a,0 = insert AFTER line a
+        if start < cur or start > len(lines):
+            return base, applied, False
+        out.extend(lines[cur:start])
+        cur = start
+        while i < len(plines):
+            hl = plines[i]
+            if hl.startswith("@@") or hl.startswith("diff "):
+                break
+            i += 1
+            if hl.startswith("\\"):
+                continue  # "\ No newline at end of file"
+            if hl.startswith("+"):
+                out.append(hl[1:])
+            elif hl.startswith(" ") or hl.startswith("-"):
+                if cur >= len(lines) or lines[cur] != hl[1:]:
+                    return base, applied, False
+                if hl.startswith(" "):
+                    out.append(lines[cur])
+                cur += 1
+            elif hl == "":
+                # trailing blank inside a hunk = an empty context line
+                # only when base still has one; otherwise patch tail
+                if cur < len(lines) and lines[cur] == "":
+                    out.append("")
+                    cur += 1
+        applied += 1
+    out.extend(lines[cur:])
+    return "\n".join(out), applied, True
+
+
+def apply_patch(
+    df: DataFrame, id_col: str, base_col: str, patch_col: str
+) -> DataFrame:
+    """Reconstruct post-commit file content from ``(base, patch)``
+    pairs — the storage-halving read path for commit corpora (keep one
+    content version plus diffs; materialize the other on demand).
+    Emits ``(id, patched, n_hunks_applied, ok)``; failed applications
+    degrade to the unchanged base with ``ok=false``, never a lost row.
+
+    Scale shape: one linear Arrow pass (``mapInPandas``); each row's
+    work is O(|base| + |patch|) with no shuffle — callers partition
+    however the corpus is already laid out.  Python is unavoidable
+    here (stateful per-file hunk walk), so it is batch-vectorized, not
+    per-row UDF-dispatched.
+    """
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BooleanType as _B, IntegerType as _I, LongType as _L,
+        StringType as _S, StructField as _SF, StructType as _ST,
+    )
+
+    schema = _ST([
+        _SF("id", _L()), _SF("patched", _S()),
+        _SF("n_hunks_applied", _I()), _SF("ok", _B()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for rid, base, patch in zip(
+                pdf[id_col], pdf[base_col], pdf[patch_col]
+            ):
+                patched, n, ok = apply_unified_patch(
+                    base or "", patch or "")
+                rows.append((int(rid), patched, n, ok))
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(fn, schema=schema)

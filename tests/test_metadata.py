@@ -301,3 +301,67 @@ def test_diff_side_text_strips_markers_and_excludes_headers(spark):
     assert not any("b/fresh.txt" == l for l in added)
     assert not any("a/gone.txt" == l for l in removed)
     assert "context" not in added and "context" not in removed
+
+
+# ---------------------------------------------------------------------------
+# unified-diff application
+# ---------------------------------------------------------------------------
+
+def test_apply_unified_patch_roundtrips_difflib_patches():
+    import difflib
+    import random
+
+    from pii_spark.metadata import apply_unified_patch
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n = rng.randint(3, 40)
+        old = [f"w{rng.randint(0, 9)} line {i}" for i in range(n)]
+        new = list(old)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.choice(["del", "ins", "edit"])
+            if op == "del" and new:
+                del new[rng.randrange(len(new))]
+            elif op == "ins":
+                new.insert(rng.randint(0, len(new)), f"ins {trial} {rng.random():.3f}")
+            elif new:
+                new[rng.randrange(len(new))] += " edited"
+        patch = "\n".join(
+            difflib.unified_diff(old, new, "a/f", "b/f", lineterm=""))
+        patched, n_applied, ok = apply_unified_patch("\n".join(old), patch)
+        assert ok, f"trial {trial} failed after {n_applied} hunks"
+        assert patched == "\n".join(new), f"trial {trial} mismatch"
+
+
+def test_apply_unified_patch_rejects_out_of_order_and_bad_context():
+    from pii_spark.metadata import apply_unified_patch
+
+    base = "\n".join(f"l{i}" for i in range(6))
+    # second hunk targets a line BEFORE the first — must refuse, atomic
+    patch = "@@ -5,1 +5,1 @@\n-l4\n+L4\n@@ -2,1 +2,1 @@\n-l1\n+L1\n"
+    patched, n, ok = apply_unified_patch(base, patch)
+    assert not ok and n == 1 and patched == base
+    # wrong context line
+    patched, n, ok = apply_unified_patch(base, "@@ -1,1 +1,1 @@\n lX\n")
+    assert not ok and n == 0 and patched == base
+    # "\ No newline at end of file" marker ignored
+    patched, n, ok = apply_unified_patch(
+        base, "@@ -6,1 +6,1 @@\n-l5\n+L5\n\\ No newline at end of file\n")
+    assert ok and patched.endswith("L5")
+
+
+def test_apply_patch_dataframe_degrades_per_row(spark):
+    from pii_spark.metadata import apply_patch
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb", "@@ -1,1 +1,1 @@\n-a\n+A\n"),
+            (2, "a\nb", "@@ -1,1 +1,1 @@\n-zzz\n+A\n"),
+            (3, None, None),
+        ],
+        "id long, base string, patch string",
+    )
+    rows = {r.id: r for r in apply_patch(df, "id", "base", "patch").collect()}
+    assert rows[1].ok and rows[1].patched == "A\nb"
+    assert not rows[2].ok and rows[2].patched == "a\nb"
+    assert rows[3].ok and rows[3].patched == ""  # null-safe, not a lost row
