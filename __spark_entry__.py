@@ -3869,6 +3869,105 @@ def q_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_conflict_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unresolved-merge contamination gate: balanced diff3 conflict
+    # block (d%6), torn open-only block (d%8 — unbalanced), and
+    # DECOYS (20-char ===== divider, =======x, six-char >>>>>>) that
+    # must never fire; oracle replays the same anchored regexes
+    from pii_spark.quality import conflict_marker_gate
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(d % 6 == 0, F.lit(
+            "\n<<<<<<< HEAD\nours line\n||||||| base\norig line\n"
+            "=======\ntheirs line\n>>>>>>> feature\n")).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit(
+            "\n<<<<<<< HEAD\ntorn conflict no close\n")).otherwise(F.lit("")),
+        F.when(d % 10 == 0, F.lit(
+            "\n====================\n=======x\n>>>>>> short\n")
+            ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("c"))
+    return conflict_marker_gate(docs, ["doc_id"], "c").orderBy("doc_id")
+
+
+_CONFLICT_CORPUS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 6 = 0
+                   THEN chr(10) || '<<<<<<< HEAD' || chr(10)
+                        || 'ours line' || chr(10) || '||||||| base'
+                        || chr(10) || 'orig line' || chr(10) || '======='
+                        || chr(10) || 'theirs line' || chr(10)
+                        || '>>>>>>> feature' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 8 = 0
+                   THEN chr(10) || '<<<<<<< HEAD' || chr(10)
+                        || 'torn conflict no close' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 10 = 0
+                   THEN chr(10) || '====================' || chr(10)
+                        || '=======x' || chr(10) || '>>>>>> short'
+                        || chr(10)
+                   ELSE '' END AS c
+    FROM documents
+"""
+
+
+def q_commit_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conventional Commits census: five header types cycling d%6 plus
+    # a non-conforming 'Update stuff' arm that must land in __other__;
+    # scope on d%4, header ! on d%9, BREAKING CHANGE footer on d%11
+    from pii_spark.quality import commit_msg_census
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    ctype = (
+        F.when(d % 6 == 0, F.lit("feat"))
+        .when(d % 6 == 1, F.lit("fix"))
+        .when(d % 6 == 2, F.lit("docs"))
+        .when(d % 6 == 3, F.lit("chore"))
+        .when(d % 6 == 4, F.lit("refactor"))
+    )
+    header = F.when(
+        d % 6 < 5,
+        F.concat(
+            ctype,
+            F.when(d % 4 == 0, F.lit("(core)")).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit("!")).otherwise(F.lit("")),
+            F.lit(": add thing "), ds,
+        ),
+    ).otherwise(F.concat(F.lit("Update stuff "), ds))
+    msg = F.concat(
+        header,
+        F.lit("\n\nlonger body text here"),
+        F.when(d % 11 == 0,
+               F.lit("\nBREAKING CHANGE: api drop")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(msg.alias("msg"))
+    return commit_msg_census(docs, [], "msg").orderBy("ctype")
+
+
+_COMMITMSG_CORPUS_SQL = """
+    SELECT CASE WHEN doc_id % 6 < 5
+                THEN CASE doc_id % 6
+                          WHEN 0 THEN 'feat' WHEN 1 THEN 'fix'
+                          WHEN 2 THEN 'docs' WHEN 3 THEN 'chore'
+                          ELSE 'refactor' END
+                     || CASE WHEN doc_id % 4 = 0 THEN '(core)'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0 THEN '!' ELSE '' END
+                     || ': add thing ' || CAST(doc_id AS VARCHAR)
+                ELSE 'Update stuff ' || CAST(doc_id AS VARCHAR) END
+           || chr(10) || chr(10) || 'longer body text here'
+           || CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || 'BREAKING CHANGE: api drop'
+                   ELSE '' END AS msg
+    FROM documents
+"""
+
+
 def _diffsec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commit patches with PLANTED side-attributed secrets: added-side
     # email (d%3) and AWS key (d%4), removed-side phone (d%5) and a
@@ -6606,6 +6705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats": q_diff_stats,
         "diff_secret_scan": q_diff_secret_scan,
         "apply_patch": q_apply_patch,
+        "conflict_markers": q_conflict_markers,
+        "commit_msgs": q_commit_msgs,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -6680,6 +6781,8 @@ def oracle_sql() -> dict[str, str]:
         triangle_census_oracle_sql,
     )
     from pii_spark.quality import (
+        commit_msg_oracle_sql,
+        conflict_marker_oracle_sql,
         encoding_audit_oracle_sql,
         mad_outlier_oracle_sql,
         special_token_oracle_sql,
@@ -9641,6 +9744,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(plist) AS BIGINT) AS n_lines
             FROM e ORDER BY doc_id
         """,
+        # conflict markers: regex replay over the verbatim-mirrored
+        # splice corpus (decoys must produce zero rows of their own)
+        "conflict_markers": conflict_marker_oracle_sql(
+            "doc_id", "c", _CONFLICT_CORPUS_SQL
+        ) + " ORDER BY doc_id",
+        # conventional-commit census: same header regex group
+        # extracts, same first-line/footer probes
+        "commit_msgs": commit_msg_oracle_sql(
+            "msg", _COMMITMSG_CORPUS_SQL
+        ) + " ORDER BY ctype",
         # RFC 9309 opt-out: expected allow/deny + winning rule stated
         # closed-form — site1's specific trainbot group suppresses the
         # * group entirely; longest prefix wins; allow beats disallow

@@ -169,6 +169,8 @@ def main() -> None:
         "diff_stats",
         "diff_secret_scan",
         "apply_patch",
+        "conflict_markers",
+        "commit_msgs",
         "audio_features",
         "video_frames",
         "image_resize",
