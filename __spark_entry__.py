@@ -1717,6 +1717,41 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", "bal_bucket")
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution-leak audit the k/l gates miss: per (nation-bucket,
+    # $5000 balance bracket) class, exact-integer TVD of the market-
+    # segment distribution vs the table-wide one, threshold t = 1/5
+    # compared cross-multiplied — no float can flip a verdict
+    from pii_spark.privacy import generalize_numeric, t_closeness_classes
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    df = c.select(
+        (F.col("c_nationkey") % 5).cast("long").alias("nat_b"),
+        generalize_numeric(cents, width=500_000, shift=100_000).alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return t_closeness_classes(
+        df, ["nat_b", "bal_bucket"], "seg", t_num=1, t_den=5
+    ).orderBy("nat_b", "bal_bucket")
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ε-DP histogram release: per-nation customer counts plus
+    # deterministic two-sided-geometric noise (ε=0.5, seed "r5") —
+    # reproducible across retries, exactly replayable by the oracle
+    from pii_spark.privacy import dp_noisy_counts
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nation")
+    )
+    return dp_noisy_counts(
+        c, ["nation"], epsilon=0.5, seed="r5"
+    ).orderBy("nation")
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robust anomaly census: per-event-type median/MAD over integer
     # cents, 5-MAD outlier rule, everything nearest-rank exact
@@ -6707,6 +6742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_patch": q_apply_patch,
         "conflict_markers": q_conflict_markers,
         "commit_msgs": q_commit_msgs,
+        "t_closeness": q_t_closeness,
+        "dp_counts": q_dp_counts,
         "vocab_topk": q_vocab_topk,
         "repetition_ratios": q_repetition_ratios,
         "source_overlap": q_source_overlap,
@@ -6769,7 +6806,11 @@ def oracle_sql() -> dict[str, str]:
         theil_sen_oracle_sql,
     )
     from pii_spark.affinity import affinity_topk_oracle_sql
-    from pii_spark.privacy import k_anonymity_classes_oracle_sql
+    from pii_spark.privacy import (
+        dp_noisy_counts_oracle_sql,
+        k_anonymity_classes_oracle_sql,
+        t_closeness_oracle_sql,
+    )
     from pii_spark.curation import range_boundaries_oracle_sql
     from pii_spark.diagnostics import (
         key_skew_oracle_sql,
@@ -7504,6 +7545,28 @@ def oracle_sql() -> dict[str, str]:
             k=5,
             sensitive_sql="c_mktsegment",
         ),
+        # t-closeness: the oracle materializes the FULL classes ×
+        # support cross product (opposite formulation to Spark's
+        # absent-mass rearrangement) — all integer, t = 1/5
+        "t_closeness": t_closeness_oracle_sql(
+            quasi_sql=[
+                "CAST(c_nationkey % 5 AS BIGINT) AS nat_b",
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                " // 500000 AS bal_bucket",
+            ],
+            sensitive_sql="c_mktsegment",
+            t_num=1,
+            t_den=5,
+            rows_sql="SELECT * FROM customer",
+        ) + " ORDER BY nat_b, bal_bucket",
+        # ε-DP counts: identical md5 keying + integer inverse-CDF
+        # threshold table — the noise replays exactly
+        "dp_counts": dp_noisy_counts_oracle_sql(
+            group_sql=["CAST(c_nationkey AS BIGINT) AS nation"],
+            epsilon=0.5,
+            seed="r5",
+            rows_sql="SELECT * FROM customer",
+        ) + " ORDER BY nation",
         "deobfuscated_detect": f"""
             WITH corpus AS (
                 SELECT doc_id, text || CASE

@@ -171,6 +171,8 @@ def main() -> None:
         "apply_patch",
         "conflict_markers",
         "commit_msgs",
+        "t_closeness",
+        "dp_counts",
         "audio_features",
         "video_frames",
         "image_resize",

@@ -143,3 +143,240 @@ def k_anonymity_classes_oracle_sql(
         FROM classes
         ORDER BY {', '.join(quasi_names)}
     """
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+def t_closeness_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE'07): per equivalence class,
+    the total-variation distance between the class's sensitive-value
+    distribution and the table-wide one.  A class can pass k-anonymity
+    AND l-diversity yet still leak (99% of its members share one
+    value); t-closeness caps that skew.
+
+    All arithmetic is EXACT-INTEGER: TVD = Σ_s |N·n_cs − n_c·n_s| /
+    (2·n_c·N), emitted as ``tvd_num`` / ``tvd_den`` plus ``fails_t``
+    (threshold ``t = t_num/t_den`` compared cross-multiplied), so no
+    engine's float rounding can flip a verdict.  Values absent from a
+    class contribute Σ_absent n_c·n_s = n_c·N − Σ_present n_c·n_s,
+    folded in as ``|N·n_cs − n_c·n_s| − n_c·n_s`` per PRESENT term
+    plus one ``n_c·N`` — the plan never builds the classes × values
+    cross product.
+
+    Scale shape: one (quasi, sensitive)-keyed aggregate, one
+    quasi-keyed rollup (same key prefix — AQE reuses the exchange),
+    and a BROADCAST of the per-value global counts (|support| rows).
+    At 10^12 rows the products approach int64 — move ``tvd_num`` to
+    decimal(38,0) there (int64 overflows loudly under ANSI mode, not
+    silently wrong).
+    """
+    sens = F.col(sensitive_col)
+    cv = df.groupBy(*quasi_cols, sens.alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    glob = df.groupBy(sens.alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    total = df.count()  # one scalar — the audit is a release gate
+    n_c = cv.groupBy(*quasi_cols).agg(
+        F.sum("n_cs").cast("long").alias("class_size")
+    )
+    terms = cv.join(F.broadcast(glob), "__s").join(n_c, quasi_cols).select(
+        *quasi_cols,
+        "class_size",
+        (
+            F.abs(
+                F.lit(total) * F.col("n_cs")
+                - F.col("class_size") * F.col("n_s")
+            )
+            - F.col("class_size") * F.col("n_s")
+        ).alias("term"),
+    )
+    den = (F.lit(2) * F.col("class_size") * F.lit(total)).cast("long")
+    return (
+        terms.groupBy(*quasi_cols, "class_size")
+        .agg(F.sum("term").alias("__sum_term"))
+        .withColumn(
+            "tvd_num",
+            (F.col("__sum_term") + F.col("class_size") * F.lit(total))
+            .cast("long"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "tvd_num",
+            den.alias("tvd_den"),
+            (
+                F.col("tvd_num") * F.lit(int(t_den)) > F.lit(int(t_num)) * den
+            ).alias("fails_t"),
+        )
+    )
+
+
+def t_closeness_oracle_sql(
+    quasi_sql: list[str],
+    sensitive_sql: str,
+    t_num: int,
+    t_den: int,
+    rows_sql: str,
+) -> str:
+    """DuckDB replay of :func:`t_closeness_classes` via the OPPOSITE
+    formulation — an explicit classes × full-support cross join with
+    absent values materialized as n_cs = 0 — so a rearrangement bug on
+    the Spark side cannot cancel out."""
+    quasi_names = [q.split(" AS ")[-1].strip() for q in quasi_sql]
+    qn = ", ".join(quasi_names)
+    return f"""
+        WITH rows_in AS (
+            SELECT {', '.join(quasi_sql)}, {sensitive_sql} AS s
+            FROM ({rows_sql})
+        ),
+        cls AS (
+            SELECT {qn}, s, CAST(count(*) AS BIGINT) AS n_cs
+            FROM rows_in GROUP BY ALL
+        ),
+        ctot AS (
+            SELECT {qn}, CAST(sum(n_cs) AS BIGINT) AS class_size
+            FROM cls GROUP BY ALL
+        ),
+        g AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS n_s
+            FROM rows_in GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_in),
+        full_ AS (
+            SELECT ctot.*, g.s, g.n_s, tot.n,
+                   coalesce(cls.n_cs, 0) AS n_cs
+            FROM ctot CROSS JOIN g CROSS JOIN tot
+            LEFT JOIN cls USING ({qn}, s)
+        )
+        SELECT {qn}, class_size,
+               CAST(sum(abs(n * n_cs - class_size * n_s)) AS BIGINT)
+                   AS tvd_num,
+               CAST(2 * class_size * max(n) AS BIGINT) AS tvd_den,
+               sum(abs(n * n_cs - class_size * n_s)) * {int(t_den)}
+                   > {int(t_num)} * 2 * class_size * max(n) AS fails_t
+        FROM full_ GROUP BY {qn}, class_size
+    """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private counts (deterministic, replayable noise)
+# ---------------------------------------------------------------------------
+
+def dgeom_thresholds(epsilon: float, max_noise: int) -> list[tuple[int, int]]:
+    """Inverse-CDF table for the two-sided geometric ("discrete
+    Laplace") distribution P(k) ∝ exp(-ε·|k|), truncated at ±
+    ``max_noise`` and renormalized, discretized to 48-bit integer
+    cumulative thresholds.  Computed ONCE at plan-build time; both
+    engines then sample with pure integer comparisons — no runtime
+    ``ln``/``exp`` whose last-ulp behavior could differ.  Truncation
+    tail mass is exp(-ε·K)·2/(1+exp(-ε)) — pick K so it is ≪ 1/2^48
+    of your row count."""
+    import math
+
+    a = math.exp(-float(epsilon))
+    ks = list(range(-int(max_noise), int(max_noise) + 1))
+    weights = [a ** abs(k) for k in ks]
+    total = sum(weights)
+    out: list[tuple[int, int]] = []
+    acc = 0.0
+    for k, w in zip(ks, weights):
+        acc += w / total
+        out.append((min(int(round(acc * (1 << 48))), 1 << 48), k))
+    out[-1] = (1 << 48, ks[-1])
+    return out
+
+
+def _dp_uniform48(key: Column) -> Column:
+    """48-bit uniform from md5(key): both engines hash identically and
+    parse the same 12 hex digits (Spark ``conv``; DuckDB ``0x`` cast)."""
+    return F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    seed: str,
+    max_noise: int = 40,
+) -> DataFrame:
+    """ε-DP group counts via the geometric mechanism (Ghosh-Roughgarden-
+    Sundararajan, STOC'09): exact per-group count plus two-sided
+    geometric noise, clamped at zero (post-processing preserves DP).
+    The noise draw is DETERMINISTIC given (group key, seed) — a 48-bit
+    uniform from md5, pushed through the integer inverse-CDF table —
+    so releases are reproducible, idempotent across pipeline retries
+    (the same snapshot re-released yields the same table, spending ONE
+    privacy budget), and exactly replayable by the DuckDB oracle.
+    Emits ``group_cols + noisy_count`` only — never the true count.
+
+    Scale shape: one group-keyed aggregate with map-side partials;
+    noise is a md5 + literal CASE chain per OUTPUT group row, fused
+    into the aggregate's result projection.
+    """
+    thresholds = dgeom_thresholds(epsilon, max_noise)
+    key = F.concat_ws(
+        "\x1f",
+        *[F.col(c).cast("string") for c in group_cols],
+        F.lit(seed),
+    )
+    v = _dp_uniform48(key)
+    noise = F.lit(thresholds[-1][1])
+    expr = None
+    for t, k in thresholds:
+        cond = v < F.lit(t)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    noise = expr.otherwise(F.lit(thresholds[-1][1]))
+    counted = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return counted.select(
+        *group_cols,
+        F.greatest(F.lit(0).cast("long"),
+                   (F.col("__n") + noise).cast("long"))
+        .alias("noisy_count"),
+    )
+
+
+def dp_noisy_counts_oracle_sql(
+    group_sql: list[str],
+    epsilon: float,
+    seed: str,
+    rows_sql: str,
+    max_noise: int = 40,
+) -> str:
+    """DuckDB replay of :func:`dp_noisy_counts` — same md5 keying
+    (``chr(31)`` joiner), same 48-bit hex parse, same integer
+    threshold table from :func:`dgeom_thresholds`."""
+    names = [g.split(" AS ")[-1].strip() for g in group_sql]
+    key = " || chr(31) || ".join(
+        [f"CAST({n} AS VARCHAR)" for n in names] + [f"'{seed}'"]
+    )
+    cases = " ".join(
+        f"WHEN v < {t} THEN {k}"
+        for t, k in dgeom_thresholds(epsilon, max_noise)
+    )
+    return f"""
+        WITH rows_in AS (SELECT {', '.join(group_sql)} FROM ({rows_sql})),
+        counted AS (
+            SELECT {', '.join(names)}, CAST(count(*) AS BIGINT) AS n
+            FROM rows_in GROUP BY ALL
+        ),
+        keyed AS (
+            SELECT *, TRY_CAST(
+                       '0x' || substr(md5({key}), 1, 12) AS BIGINT) AS v
+            FROM counted
+        )
+        SELECT {', '.join(names)},
+               greatest(0, n + CASE {cases} ELSE 0 END)::BIGINT
+                   AS noisy_count
+        FROM keyed
+    """

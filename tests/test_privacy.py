@@ -73,3 +73,61 @@ def test_generalize_numeric_exact_boundaries(spark):
     ]
     # shifted domain: 0, 99999, 100000, 349999, 350000, 1099999
     assert got == [0, 0, 0, 1, 1, 4]
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_exact_integer_tvd(spark):
+    from pii_spark.privacy import t_closeness_classes
+
+    # class A: [x,x,x,y] -> TVD vs global {x:3,y:3}/6 = 0.25
+    # class B: [y,y]     -> TVD = 0.5 (x absent from the class)
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+         ("B", "y"), ("B", "y")],
+        "cls string, s string",
+    )
+    rows = {r.cls: r for r in
+            t_closeness_classes(df, ["cls"], "s", t_num=2, t_den=5).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a.tvd_num, a.tvd_den) == (12, 48)   # 0.25
+    assert (b.tvd_num, b.tvd_den) == (12, 24)   # 0.5
+    assert not a.fails_t and b.fails_t          # t = 0.4
+
+
+# ---------------------------------------------------------------------------
+# DP noisy counts
+# ---------------------------------------------------------------------------
+
+def test_dp_noisy_counts_deterministic_and_seed_sensitive(spark):
+    from pii_spark.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(700)], "g long")
+    r1 = {r.g: r.noisy_count
+          for r in dp_noisy_counts(df, ["g"], 0.5, "seedA").collect()}
+    r2 = {r.g: r.noisy_count
+          for r in dp_noisy_counts(df, ["g"], 0.5, "seedA").collect()}
+    r3 = {r.g: r.noisy_count
+          for r in dp_noisy_counts(df, ["g"], 0.5, "seedB").collect()}
+    assert r1 == r2                       # same seed -> same release
+    assert r1 != r3                       # different seed -> different draw
+    # noise is bounded by the truncation and centred: every group is
+    # within max_noise of the true count 100
+    assert all(abs(v - 100) <= 40 for v in r1.values())
+    assert all(v >= 0 for v in r1.values())
+
+
+def test_dgeom_thresholds_symmetric_and_normalized():
+    from pii_spark.privacy import dgeom_thresholds
+
+    t = dgeom_thresholds(0.5, 40)
+    assert len(t) == 81 and t[-1][0] == 1 << 48
+    ks = [k for _, k in t]
+    assert ks == list(range(-40, 41))
+    # mass symmetric around 0: P(X <= -1) == P(X >= 1) within rounding
+    below = t[39][0]                      # cumulative through k=-1
+    above = (1 << 48) - t[40][0]          # mass strictly after k=0
+    assert abs(below - above) <= 2
