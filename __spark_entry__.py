@@ -451,6 +451,18 @@ _RESIZE_SRC = (
     " + (((i % 5) * (doc_id % 8 + 8)) // 5))"
 )
 
+def _DHASH_PX(idx: str) -> str:
+    """Pixel value of the dHash fixture field at flat index ``idx``
+    (a SQL subexpression), as one DuckDB expression: cluster sets the
+    quadratic gradient term, variant bumps i%37<vr pixels by 8."""
+    return (
+        f"(((doc_id % 40) * 31 + {idx} * 7"
+        f" + ((doc_id % 40 % 7 + 1) * {idx} * {idx}) % 64"
+        f" + CASE WHEN {idx} % 37 < (doc_id // 40) % 4 THEN 8 ELSE 0 END)"
+        " % 256)"
+    )
+
+
 #: planted shared blocks for substring_dedup — both ≥ the 40-char
 #: threshold so every planted copy must be cut from every carrier
 _SUB_S1 = " QQ-SHARED-BOILERPLATE-BLOCK-ALPHA-0123456789-COPYME-ALPHA-END-QQ"
@@ -3255,6 +3267,77 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.image_features(M.resize_images(media, out_h=6, out_w=5))
         .select("media_id", "height", "width", "sum_pixels")
         .orderBy("media_id")
+    )
+
+
+def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared fixture for the dHash queries: 500 real grayscale payloads
+    # (BMP / interlaced GIF / PGM by doc_id%3) over a 16x18 closed-form
+    # field with PLANTED near-dup structure — cluster = doc_id%40 sets
+    # the gradient shape ((cl%7+1)*i^2 term), variant = (doc_id//40)%4
+    # bumps the pixels where i%37 < variant by +8, so same-cluster
+    # variants are a few gradient flips apart while the pixel value at
+    # every index stays one SQL expression the oracle can replay
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pii_spark import multimodal as M
+
+    @pandas_udf("binary")
+    def image_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            cl, vr = d % 40, (d // 40) % 4
+            i = np.arange(16 * 18, dtype=np.int64)
+            px = (
+                (cl * 31 + i * 7 + ((cl % 7 + 1) * i * i) % 64
+                 + np.where(i % 37 < vr, 8, 0)) % 256
+            ).astype(np.uint8).reshape(16, 18)
+            if d % 3 == 0:
+                out.append(M.encode_bmp(px))
+            elif d % 3 == 1:
+                out.append(M.encode_gif(px, interlace=True))
+            else:
+                out.append(M.encode_pgm(px))
+        return pd.Series(out)
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        image_payload(F.col("doc_id")).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual difference-hash over DECODED pixels: decode (three real
+    # codecs) -> nearest-neighbor 8x9 resample -> horizontal-gradient
+    # bits packed into two 32-bit halves.  The oracle replays the whole
+    # chain arithmetically (pixel formula -> sampled grid -> strict->
+    # comparisons -> bit packing), so a decode, resample-index, or
+    # packing bug changes the hash values
+    from pii_spark import multimodal as M
+
+    return (
+        M.image_dhash(_dhash_media(spark, sf_dir))
+        .orderBy("media_id")
+    )
+
+
+def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual near-dup pairing: 16-bit-banded candidate join over the
+    # dHash signatures, exact popcount filter at hamming<=3 — recall is
+    # EXACT by pigeonhole (4 bands), so the brute-force n^2 oracle must
+    # match row-for-row.  Same-cluster variant pairs and brightness-
+    # shifted cross-cluster twins (dHash's documented invariance) both
+    # surface; payloads never shuffle, only 16-byte signatures do
+    from pii_spark import multimodal as M
+
+    return (
+        M.dhash_near_dup(M.image_dhash(_dhash_media(spark, sf_dir)), max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("media_a", "media_b")
     )
 
 
@@ -6717,6 +6800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
+        "image_dhash": q_image_dhash,
+        "dhash_near_dup": q_dhash_near_dup,
         "audio_frame_energy": q_audio_frame_energy,
         "video_temporal_diff": q_video_temporal_diff,
         "license_detect": q_license_detect,
@@ -9266,6 +9351,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (doc_id * 31 + {_RESIZE_SRC} * 7) % 256
                         END)) AS BIGINT) AS sum_pixels
             FROM documents ORDER BY media_id
+        """,
+        # dHash replayed arithmetically end-to-end: bit k compares the
+        # sampled pixels at flat index 36*(k//8)+2*(k%8) and +2 (the
+        # exact 8x9 nearest-neighbor grid over the 16x18 field), pixel
+        # value = (cl*31 + i*7 + ((cl%7+1)*i*i)%64 + 8*[i%37<vr]) % 256
+        # with cl = doc_id%40, vr = (doc_id//40)%4; halves packed LSB-
+        # first so both engines stay in non-negative int64
+        "image_dhash": f"""
+            WITH bits AS (
+                SELECT doc_id AS media_id,
+                       list_transform(range(0, 64), k ->
+                            CASE WHEN {_DHASH_PX('(36*(k//8) + 2*(k%8) + 2)')}
+                                    > {_DHASH_PX('(36*(k//8) + 2*(k%8))')}
+                                 THEN 1::BIGINT ELSE 0::BIGINT END) AS b
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(list_sum(list_transform(range(0, 32),
+                        k -> b[k + 33] * (1::BIGINT << k))) AS BIGINT)
+                       AS dhash_hi,
+                   CAST(list_sum(list_transform(range(0, 32),
+                        k -> b[k + 1] * (1::BIGINT << k))) AS BIGINT)
+                       AS dhash_lo
+            FROM bits ORDER BY media_id
+        """,
+        # brute-force n^2 pairing over the same replayed hashes: the
+        # Spark side's 4x16-bit banding has EXACT recall at hamming<=3
+        # (pigeonhole), so full enumeration must match row-for-row
+        "dhash_near_dup": f"""
+            WITH bits AS (
+                SELECT doc_id AS media_id,
+                       list_transform(range(0, 64), k ->
+                            CASE WHEN {_DHASH_PX('(36*(k//8) + 2*(k%8) + 2)')}
+                                    > {_DHASH_PX('(36*(k//8) + 2*(k%8))')}
+                                 THEN 1::BIGINT ELSE 0::BIGINT END) AS b
+                FROM documents
+            ),
+            hashes AS (
+                SELECT media_id,
+                       CAST(list_sum(list_transform(range(0, 32),
+                            k -> b[k + 33] * (1::BIGINT << k))) AS BIGINT)
+                           AS hi,
+                       CAST(list_sum(list_transform(range(0, 32),
+                            k -> b[k + 1] * (1::BIGINT << k))) AS BIGINT)
+                           AS lo
+                FROM bits
+            )
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+            FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+            ORDER BY media_a, media_b
         """,
         # frame-level Σs² replayed arithmetically: ceil(n/1024) frames,
         # partial tail kept with its true length

@@ -176,6 +176,8 @@ def main() -> None:
         "audio_features",
         "video_frames",
         "image_resize",
+        "image_dhash",
+        "dhash_near_dup",
         "audio_frame_energy",
         "video_temporal_diff",
         "quality_pipeline",

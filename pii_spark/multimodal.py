@@ -2168,3 +2168,137 @@ def video_frame_diffs(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=VIDEO_DIFF_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame:
+    """Perceptual difference-hash over the DECODED pixels: decode →
+    nearest-neighbor resize to (hash_h, hash_w+1) with the same index
+    map as ``resize_images`` (``ys = r*h // hash_h``, ``xs = c*w //
+    (hash_w+1)``) → one bit per horizontal gradient
+    (``resized[r, c+1] > resized[r, c]``), packed row-major into two
+    32-bit halves so the signature survives int64 engines without
+    sign games (bit k = r*hash_w + c; k < 32 → ``dhash_lo`` bit k,
+    else ``dhash_hi`` bit k−32).  dHash is the standard crawled-image
+    near-dup key (resize-, re-encode- and brightness-shift-invariant
+    for monotone shifts); decode + hash fuse into ONE ``mapInPandas``
+    pass, and downstream pairing touches only the 16-byte signatures —
+    the payloads never shuffle."""
+    if hash_h * hash_w != 64:
+        raise ValueError("dhash is a 64-bit signature: hash_h*hash_w must be 64")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                px = decode_image(data, meta).astype(np.int64)
+                ys = np.arange(hash_h) * px.shape[0] // hash_h
+                xs = np.arange(hash_w + 1) * px.shape[1] // (hash_w + 1)
+                g = px[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).ravel().astype(np.int64)  # row-major
+                k = np.arange(64, dtype=np.int64)
+                lo = int(((bits[:32]) << k[:32]).sum())
+                hi = int(((bits[32:]) << k[:32]).sum())
+                rows.append((int(mid), hi, lo))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    return df.mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 3, band_cap: int | None = None
+) -> DataFrame:
+    """Hamming-banded pairing over dHash signatures: split the 64-bit
+    hash into four 16-bit bands; images sharing ANY band become
+    candidates (pigeonhole: hamming ≤ 3 < 4 bands ⇒ at least one band
+    equal, so recall is EXACT for ``max_hamming ≤ 3``); candidates are
+    then filtered by the true popcount distance.  All JVM-side
+    (``shiftright``/``&``/``bit_count``/``^``) — no Python after the
+    hash stage.  Scale shape: the join is per-band hash-partitioned on
+    16-bit band values; a viral image duplicated m times produces one
+    m-row bucket → m²/2 candidate pairs, so ``band_cap`` (like the
+    MinHash hot-bucket cap) drops buckets larger than the cap with a
+    window count — recall loss is confined to super-viral classes and
+    the cap is recorded in the plan, never silent.
+
+    The signature frame is eagerly materialized (localCheckpoint)
+    before the self-join: without it each join side re-derives the
+    hashes from source — i.e. DECODES EVERY IMAGE TWICE (Catalyst has
+    no cross-branch reuse except identical exchanges)."""
+    from pii_spark.dedup import _materialize
+
+    h = _materialize(
+        hashes.select("media_id", "dhash_hi", "dhash_lo"), True
+    )
+    mask = F.lit(0xFFFF)
+    banded = h.select(
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.shiftright("dhash_hi", 16).bitwiseAND(mask).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.col("dhash_hi").bitwiseAND(mask).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_idx"),
+                    F.shiftright("dhash_lo", 16).bitwiseAND(mask).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_idx"),
+                    F.col("dhash_lo").bitwiseAND(mask).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select(
+        "media_id", "dhash_hi", "dhash_lo",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    if band_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= band_cap)
+            .drop("_bucket_n")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(
+                    F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair sharing several bands must emit once
+    )
+    return pairs

@@ -228,3 +228,63 @@ def test_video_frame_diffs_too_few_frames_empty(spark):
     )
     # sampled frames: just [0] → no consecutive pair
     assert M.video_frame_diffs(df, every_n=2).count() == 0
+
+
+def test_image_dhash_matches_numpy_reference(spark):
+    # real PNG payloads; the operator's decode→8×9 resample→gradient
+    # bits must equal an independent numpy recomputation, incl. the
+    # LSB-first two-half packing
+    import numpy as np
+
+    rows, want = [], {}
+    for d in range(6):
+        px = M.synth_gray(d, 16, 18)
+        rows.append((d, "image", M.encode_png(px), None))
+        g = px.astype(np.int64)[np.ix_(np.arange(8) * 2, np.arange(9) * 2)]
+        bits = (g[:, 1:] > g[:, :-1]).ravel().astype(np.int64)
+        k = np.arange(32)
+        want[d] = (int((bits[32:] << k).sum()), int((bits[:32] << k).sum()))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo)
+           for r in M.image_dhash(media).collect()}
+    assert got == want
+    for hi, lo in got.values():  # halves stay in unsigned-32 range
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_image_dhash_rejects_bad_geometry():
+    import pandas as pd  # noqa: F401  (signature parity with callers)
+
+    with pytest.raises(ValueError, match="64"):
+        M.image_dhash(None, hash_h=7, hash_w=8)
+
+
+def test_dhash_near_dup_exact_recall_and_band_cap(spark):
+    # identical payloads pair at hamming 0; a one-bit corruption of the
+    # same image still pairs (hamming<=3 exact recall); an unrelated
+    # gradient pattern does not.  band_cap=1 drops every bucket the
+    # viral triple shares, leaving no pairs — the cap is observable.
+    import numpy as np
+
+    base = M.synth_gray(3, 16, 18)
+    tweaked = base.copy()
+    # synth_gray rises +14 between sampled neighbors; −20 inverts the
+    # left comparison (one bit) while the right one stays positive
+    tweaked[0, 2] = (int(tweaked[0, 2]) - 20) % 256
+    other = (np.arange(16 * 18, dtype=np.int64) % 2 * 255).astype(
+        np.uint8).reshape(16, 18)  # alternating field: all-ones dhash
+    rows = [
+        (1, "image", M.encode_png(base), None),
+        (2, "image", M.encode_png(base), None),
+        (3, "image", M.encode_png(tweaked), None),
+        (4, "image", M.encode_png(other), None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    hashes = M.image_dhash(media)
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in M.dhash_near_dup(hashes, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+    capped = M.dhash_near_dup(hashes, max_hamming=3, band_cap=1).collect()
+    assert capped == []
