@@ -630,6 +630,248 @@ def _bpe_learn_oracle_sql(k: int = 10) -> str:
     return "".join(parts)
 
 
+def q_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WordPiece tokenizer training (Schuster & Nakajima 2012 likelihood
+    # criterion): 10 merge rounds over the same lowercase word stream
+    # as bpe_learn, but the argmax is count(lr)/(count(l)*count(r)) —
+    # so the learned trajectory DIVERGES from BPE's count argmax and
+    # certifies the scoring, not just pair counting.  Output carries
+    # the exact integer triple (n, cl, cr) behind every pick; the
+    # oracle replays all rounds in chained CTEs with HUGEINT
+    # cross-multiplied comparisons (no floats anywhere).
+    from pii_spark.quality import wordpiece_learn
+
+    docs = _docs(spark, sf_dir).select(
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0), " "
+        ).alias("t")
+    ).filter(F.col("t") != "")
+    merges, _ = wordpiece_learn(docs, "t", n_merges=10, min_count=2)
+    rows = [
+        (i + 1, l, r, n, cl, cr) for i, (l, r, n, cl, cr) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, lhs string, rhs string, n long, cl long, cr long",
+    ).orderBy("merge_rank")
+
+
+def _wordpiece_learn_oracle_sql(k: int = 10) -> str:
+    """Chained-CTE replay of k WordPiece merge rounds: per round the
+    pair AND symbol counts come from the current segmentation, the
+    argmax is picked by an exact NOT-EXISTS comparator
+    (``b.n·a.cl·a.cr > a.n·b.cl·b.cr`` in HUGEINT — the ratio compare
+    without division), ties on smallest (l, r); merging appends the
+    right symbol sans its ## continuation prefix.  All CTEs
+    MATERIALIZED for the same exponential-inlining reason as the
+    bpe_learn oracle."""
+    parts = [
+        """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(t, ' ')) AS w FROM (
+                SELECT array_to_string(
+                    regexp_extract_all(text, '[a-z]+'), ' ') AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+        seg0 AS MATERIALIZED (
+            SELECT cnt,
+                   '<' || substr(w, 1, 1) || '>'
+                   || CASE WHEN length(w) > 1
+                           THEN '<##' || array_to_string(
+                                    str_split(substr(w, 2), ''), '><##')
+                                || '>'
+                           ELSE '' END AS seg
+            FROM wc
+        )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+        syms{i} AS MATERIALIZED (
+            SELECT cnt,
+                   str_split(substr(seg, 2, length(seg) - 2), '><') AS syms
+            FROM seg{i - 1}
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT syms[j] AS l, syms[j+1] AS r, sum(cnt) AS n
+            FROM syms{i}, UNNEST(range(1, len(syms))) AS u(j)
+            GROUP BY 1, 2
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT syms[j] AS sym, sum(cnt) AS sc2
+            FROM syms{i}, UNNEST(range(1, len(syms) + 1)) AS u(j)
+            GROUP BY 1
+        ),
+        sc{i} AS MATERIALIZED (
+            SELECT p.l, p.r, CAST(p.n AS BIGINT) AS n,
+                   CAST(sl.sc2 AS BIGINT) AS cl,
+                   CAST(sr.sc2 AS BIGINT) AS cr
+            FROM p{i} p
+            JOIN s{i} sl ON sl.sym = p.l
+            JOIN s{i} sr ON sr.sym = p.r
+            WHERE p.n >= 2
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT l, r, n, cl, cr FROM sc{i} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sc{i} b
+                WHERE b.n::HUGEINT * a.cl * a.cr > a.n::HUGEINT * b.cl * b.cr
+                   OR (b.n::HUGEINT * a.cl * a.cr
+                           = a.n::HUGEINT * b.cl * b.cr
+                       AND (b.l < a.l OR (b.l = a.l AND b.r < a.r)))
+            )
+        ),
+        seg{i} AS MATERIALIZED (
+            SELECT cnt,
+                   replace(seg,
+                           '<' || (SELECT l FROM m{i}) || '><'
+                               || (SELECT r FROM m{i}) || '>',
+                           '<' || (SELECT l || CASE WHEN r LIKE '##%'
+                                                    THEN substr(r, 3)
+                                                    ELSE r END
+                                   FROM m{i}) || '>') AS seg
+            FROM seg{i - 1}
+        )"""
+        )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, n, cl, cr FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, n, cl, cr
+        FROM ({sel}) ORDER BY merge_rank"""
+    )
+    return "".join(parts)
+
+
+def q_wordpiece_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train-then-encode round trip: the vocab is the observed alphabet
+    # (word-initial chars as roots, interior chars as ##-continuations)
+    # plus the 10 learned merge results; the SAME corpus is then
+    # encoded greedily with it.  Every char/position class observed in
+    # training is in the vocab, so no [UNK] can fire and the token
+    # stream is fully determined by the learned trajectory — the
+    # oracle recomputes the vocab from its own replayed merge chain
+    # and walks the same greedy cursor, so a divergence in EITHER
+    # stage breaks the per-doc hash
+    from pii_spark.quality import wordpiece_encode, wordpiece_learn
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0), " "
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    merges, _ = wordpiece_learn(docs, "t", n_merges=10, min_count=2)
+
+    words = docs.select(F.explode(F.split("t", " ")).alias("w"))
+    alpha = words.select(
+        F.explode(
+            F.concat(
+                F.array(F.substring("w", 1, 1)),
+                F.transform(
+                    F.sequence(F.lit(2), F.length("w")),
+                    lambda i: F.concat(F.lit("##"), F.col("w").substr(i, F.lit(1))),
+                ),
+            )
+        ).alias("piece")
+    ).distinct().collect()  # O(alphabet) rows — ~2×26 here
+    vocab = {r["piece"] for r in alpha}
+    for l, r, _, _, _ in merges:
+        vocab.add(l + (r[2:] if r.startswith("##") else r))
+    roots = sorted(p for p in vocab if not p.startswith("##"))
+    conts = sorted(p[2:] for p in vocab if p.startswith("##"))
+
+    out = wordpiece_encode(docs, "t", roots, conts)
+    return out.select(
+        "doc_id",
+        F.size("wp_tokens").cast("long").alias("n_wp"),
+        F.sha2(F.array_join("wp_tokens", " "), 256).alias("tok_sha"),
+    ).orderBy("doc_id")
+
+
+def _wordpiece_train_encode_oracle_sql(k: int = 10) -> str:
+    """Compose the wordpiece_learn replay with the greedy encode walk:
+    the vocab CTE unions seg0's symbols (the observed alphabet) with
+    each round's merged result, pos_match resolves the longest
+    root/continuation match per (word, position) via correlated max
+    over that vocab, and the recursive walk + per-doc rejoin mirror
+    the fixed-vocab encode oracle."""
+    learn = _wordpiece_learn_oracle_sql(k)
+    head, _, _ = learn.rpartition("SELECT CAST(merge_rank AS BIGINT)")
+    head = head.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    merged_expr = (
+        "l || CASE WHEN r LIKE '##%%' THEN substr(r, 3) ELSE r END"
+        .replace("%%", "%")
+    )
+    vocab_union = "\n            UNION ".join(
+        f"SELECT {merged_expr} AS piece FROM m{i}" for i in range(1, k + 1)
+    )
+    return f"""{head},
+        vocab AS MATERIALIZED (
+            SELECT DISTINCT syms[j] AS piece
+            FROM (SELECT str_split(substr(seg, 2, length(seg) - 2), '><')
+                      AS syms FROM seg0),
+                 UNNEST(range(1, len(syms) + 1)) AS u(j)
+            UNION
+            {vocab_union}
+        ),
+        pos_match AS MATERIALIZED (
+            SELECT w AS word, u.pos,
+                   (SELECT max(length(v.piece)) FROM vocab v
+                     WHERE v.piece NOT LIKE '##%'
+                       AND v.piece = substr(w, u.pos, length(v.piece)))
+                       AS root_len,
+                   (SELECT max(length(v.piece) - 2) FROM vocab v
+                     WHERE v.piece LIKE '##%'
+                       AND substr(v.piece, 3)
+                               = substr(w, u.pos, length(v.piece) - 2))
+                       AS cont_len
+            FROM wc, UNNEST(range(1, length(w) + 1)) AS u(pos)
+        ),
+        walk AS (
+            SELECT w AS word, 1 AS pos, '' AS acc FROM wc
+            UNION ALL
+            SELECT s.word,
+                   CASE WHEN s.m IS NULL THEN length(s.word) + 1
+                        ELSE s.pos + s.m END AS pos,
+                   CASE WHEN s.m IS NULL THEN '[UNK]'
+                        WHEN s.acc = '' THEN substr(s.word, s.pos, s.m)
+                        ELSE s.acc || ' ' || '##'
+                             || substr(s.word, s.pos, s.m) END AS acc
+            FROM (
+                SELECT wk.word, wk.pos, wk.acc,
+                       CASE WHEN wk.pos = 1 THEN pm.root_len
+                            ELSE pm.cont_len END AS m
+                FROM walk wk
+                JOIN pos_match pm ON pm.word = wk.word AND pm.pos = wk.pos
+                WHERE wk.pos <= length(wk.word)
+            ) s
+        ),
+        fin AS (
+            SELECT word, string_split(acc, ' ') AS toks
+            FROM walk WHERE pos > length(word)
+        ),
+        darr AS (
+            SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS arr
+            FROM documents
+        ),
+        seq AS (
+            SELECT d.doc_id, u.i, f.toks
+            FROM darr d, UNNEST(range(1, len(d.arr) + 1)) AS u(i)
+            JOIN fin f ON f.word = d.arr[u.i]
+        )
+        SELECT doc_id,
+               CAST(sum(len(toks)) AS BIGINT) AS n_wp,
+               sha256(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i))
+                   AS tok_sha
+        FROM seq GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic global shuffle + shard assignment: reproducible
     # training-epoch permutation — shard via sha-bucket mod, position
@@ -950,6 +1192,109 @@ def _bpe_encode_oracle_sql() -> str:
         )
         SELECT doc_id,
                CAST(sum(len(toks)) AS BIGINT) AS n_bpe,
+               sha256(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i))
+                   AS tok_sha
+        FROM seq GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+#: Fixed WordPiece vocabulary for the encode query (word-initial roots
+#: and ##-continuations stored unprefixed).  Multi-char pieces overlap
+#: by prefix ("st"/"str"/"stream", "tab"/"table", "ol" vs "o",
+#: "umn"/"ta") so longest-match-first is load-bearing, and 'q' is
+#: absent from both tables so "query" exercises the whole-word [UNK]
+#: collapse.
+_WP_ROOTS = sorted(set("abcdefghijklmnoprstuvwy")
+                   | {"co", "st", "str", "stream", "tab", "table"})
+_WP_CONTS = sorted(set("abcdefghijklmnoprstuvwy")
+                   | {"able", "der", "lumn", "ol", "ream", "ta", "umn"})
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WordPiece inference (greedy longest-match-first, BERT semantics):
+    # per-doc token count, [UNK] count, and sha over the space-joined
+    # stream — a single wrong match length, a missing ## prefix, or a
+    # partial-word emit on match failure breaks the hash
+    from pii_spark.quality import wordpiece_encode
+
+    docs = _docs(spark, sf_dir)
+    out = wordpiece_encode(docs, "text", _WP_ROOTS, _WP_CONTS)
+    return out.select(
+        "doc_id",
+        F.size("wp_tokens").cast("long").alias("n_wp"),
+        F.size(F.filter("wp_tokens", lambda t: t == F.lit("[UNK]")))
+        .cast("long").alias("n_unk"),
+        F.sha2(F.array_join("wp_tokens", " "), 256).alias("tok_sha"),
+    ).orderBy("doc_id")
+
+
+def _wordpiece_encode_oracle_sql() -> str:
+    """WordPiece replayed relationally: per (distinct word, position)
+    the longest root/continuation match is precomputed with
+    list_filter over the literal vocab, then a recursive CTE walks the
+    greedy cursor — no match at any position collapses the word to
+    [UNK] (cursor jumps past the end with the sentinel token), exactly
+    the operator's published semantics."""
+    roots = "[" + ", ".join(f"'{p}'" for p in _WP_ROOTS) + "]"
+    conts = "[" + ", ".join(f"'{p}'" for p in _WP_CONTS) + "]"
+    maxp = max(len(p) for p in _WP_ROOTS + _WP_CONTS)
+    return f"""
+        WITH RECURSIVE w AS (
+            SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ),
+        pos_match AS (
+            SELECT word, u.pos,
+                   list_aggregate(list_filter(range(1, {maxp} + 1),
+                        L -> u.pos + L - 1 <= length(word)
+                             AND list_contains({roots},
+                                               substr(word, u.pos, L))),
+                        'max') AS root_len,
+                   list_aggregate(list_filter(range(1, {maxp} + 1),
+                        L -> u.pos + L - 1 <= length(word)
+                             AND list_contains({conts},
+                                               substr(word, u.pos, L))),
+                        'max') AS cont_len
+            FROM w, UNNEST(range(1, length(word) + 1)) AS u(pos)
+            WHERE word <> ''
+        ),
+        walk AS (
+            SELECT word, 1 AS pos, '' AS acc FROM w WHERE word <> ''
+            UNION ALL
+            SELECT s.word,
+                   CASE WHEN s.m IS NULL THEN length(s.word) + 1
+                        ELSE s.pos + s.m END AS pos,
+                   CASE WHEN s.m IS NULL THEN '[UNK]'
+                        WHEN s.acc = '' THEN substr(s.word, s.pos, s.m)
+                        ELSE s.acc || ' ' || '##'
+                             || substr(s.word, s.pos, s.m) END AS acc
+            FROM (
+                SELECT wk.word, wk.pos, wk.acc,
+                       CASE WHEN wk.pos = 1 THEN pm.root_len
+                            ELSE pm.cont_len END AS m
+                FROM walk wk
+                JOIN pos_match pm ON pm.word = wk.word AND pm.pos = wk.pos
+                WHERE wk.pos <= length(wk.word)
+            ) s
+        ),
+        fin AS (
+            SELECT word, string_split(acc, ' ') AS toks
+            FROM walk WHERE pos > length(word)
+        ),
+        darr AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        seq AS (
+            SELECT d.doc_id, u.i, f.toks
+            FROM darr d, UNNEST(range(1, len(d.arr) + 1)) AS u(i)
+            JOIN fin f ON f.word = d.arr[u.i]
+        )
+        SELECT doc_id,
+               CAST(sum(len(toks)) AS BIGINT) AS n_wp,
+               CAST(sum(len(list_filter(toks, t -> t = '[UNK]')))
+                   AS BIGINT) AS n_unk,
                sha256(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i))
                    AS tok_sha
         FROM seq GROUP BY doc_id ORDER BY doc_id
@@ -6664,6 +7009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
+        "wordpiece_learn": q_wordpiece_learn,
+        "wordpiece_train_encode": q_wordpiece_train_encode,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -6704,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
+        "wordpiece_encode": q_wordpiece_encode,
         "minhash_incremental": q_minhash_incremental,
         "snapshot_diff": q_snapshot_diff,
         "importance_weights": q_importance_weights,
@@ -7931,6 +8279,8 @@ def oracle_sql() -> dict[str, str]:
         # 10-round greedy merge replay; see _bpe_learn_oracle_sql for
         # why wrapped-token replace() IS the greedy merge
         "bpe_learn": _bpe_learn_oracle_sql(10),
+        "wordpiece_learn": _wordpiece_learn_oracle_sql(10),
+        "wordpiece_train_encode": _wordpiece_train_encode_oracle_sql(10),
         "bpe_pair_counts": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -8046,6 +8396,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "wordpiece_encode": _wordpiece_encode_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),

@@ -216,6 +216,9 @@ def main() -> None:
         "substring_dedup_incremental",
         "bpe_pair_counts",
         "bpe_learn",
+        "wordpiece_encode",
+        "wordpiece_learn",
+        "wordpiece_train_encode",
         "sessions_presplit",
         "corpus_shuffle",
         "temperature_sample",
