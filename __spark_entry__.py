@@ -872,6 +872,108 @@ def _wordpiece_train_encode_oracle_sql(k: int = 10) -> str:
     """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the published Gopher rule bank over a corpus decorated so every
+    # rule fires somewhere: doc_id%7 picks a corruption (1: '#' spam →
+    # symbol ratio; 2: bullet-prefixed lines; 3: ellipsis-ended lines;
+    # 4: 16-char gibberish words → mean length; 5: 5-word stub → word
+    # count; 6: digit words → alpha ratio) or, for %7==0, appends the
+    # stop words the raw word-soup corpus lacks.  Thresholds compare
+    # cross-multiplied INTEGERS, so the oracle replays every flag
+    # exactly — no float epsilon anywhere
+    from pii_spark.quality import gopher_rules
+
+    d = F.col("doc_id")
+    t = F.col("text")
+    decorated = (
+        F.when(d % 7 == 0, F.concat(t, F.lit(" the of and that")))
+        .when(d % 7 == 1, F.concat(t, F.expr("repeat(' #', 20)")))
+        .when(d % 7 == 2,
+              F.concat(F.lit("• "), F.regexp_replace(t, " ", "\n• ")))
+        .when(d % 7 == 3,
+              F.concat(F.regexp_replace(t, " ", "...\n"), F.lit("...")))
+        .when(d % 7 == 4, F.expr("repeat('zzzzzzzzzzzzzzzz ', 60)"))
+        .when(d % 7 == 5, F.lit("only five words here now"))
+        .otherwise(F.expr("repeat('12345 ', 80)"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", decorated.alias("content"))
+    flags = ["g_word_count", "g_mean_word_len", "g_symbol_ratio",
+             "g_bullet", "g_ellipsis", "g_alpha_words", "g_stopwords"]
+    return (
+        gopher_rules(docs, "content")
+        .select("doc_id", "n_words", "n_lines", *flags, "gopher_keep")
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_ORACLE = """
+    WITH dec AS (
+        SELECT doc_id,
+               CASE doc_id % 7
+                   WHEN 0 THEN text || ' the of and that'
+                   WHEN 1 THEN text || repeat(' #', 20)
+                   WHEN 2 THEN '• ' || replace(text, ' ', chr(10) || '• ')
+                   WHEN 3 THEN replace(text, ' ', '...' || chr(10)) || '...'
+                   WHEN 4 THEN repeat('zzzzzzzzzzzzzzzz ', 60)
+                   WHEN 5 THEN 'only five words here now'
+                   ELSE repeat('12345 ', 80)
+               END AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                           x -> x <> '') AS toks,
+               string_split(t, chr(10)) AS lines,
+               length(t) - length(replace(t, '#', '')) AS n_hash,
+               (length(t) - length(replace(t, '…', '')))
+                   + (length(t) - length(replace(t, '...', ''))) // 3
+                   AS n_ell
+        FROM dec
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               len(lines) AS n_lines,
+               coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                   AS total_chars,
+               n_hash, n_ell,
+               len(list_filter(lines,
+                   l -> regexp_matches(ltrim(l), '^[•\\-*]'))) AS n_bullet,
+               len(list_filter(lines,
+                   l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                   AS n_ell_end,
+               len(list_filter(toks,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_distinct(list_filter(toks,
+                   x -> list_contains(['the','be','to','of','and','that',
+                                       'have','with'], lower(x)))))
+                   AS n_stop
+        FROM feats
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           (n_words < 50 OR n_words > 100000) AS g_word_count,
+           (total_chars < 3 * n_words OR total_chars > 10 * n_words)
+               AS g_mean_word_len,
+           (10 * n_hash > n_words OR 10 * n_ell > n_words)
+               AS g_symbol_ratio,
+           (10 * n_bullet > 9 * n_lines) AS g_bullet,
+           (10 * n_ell_end > 3 * n_lines) AS g_ellipsis,
+           (5 * n_alpha < 4 * n_words) AS g_alpha_words,
+           (n_stop < 2) AS g_stopwords,
+           NOT (n_words < 50 OR n_words > 100000
+                OR total_chars < 3 * n_words OR total_chars > 10 * n_words
+                OR 10 * n_hash > n_words OR 10 * n_ell > n_words
+                OR 10 * n_bullet > 9 * n_lines
+                OR 10 * n_ell_end > 3 * n_lines
+                OR 5 * n_alpha < 4 * n_words
+                OR n_stop < 2) AS gopher_keep
+    FROM m ORDER BY doc_id
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic global shuffle + shard assignment: reproducible
     # training-epoch permutation — shard via sha-bucket mod, position
@@ -7011,6 +7113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "wordpiece_learn": q_wordpiece_learn,
         "wordpiece_train_encode": q_wordpiece_train_encode,
+        "gopher_rules": q_gopher_rules,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -8281,6 +8384,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle_sql(10),
         "wordpiece_learn": _wordpiece_learn_oracle_sql(10),
         "wordpiece_train_encode": _wordpiece_train_encode_oracle_sql(10),
+        "gopher_rules": _GOPHER_ORACLE,
         "bpe_pair_counts": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

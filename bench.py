@@ -181,6 +181,7 @@ def main() -> None:
         "audio_frame_energy",
         "video_temporal_diff",
         "quality_pipeline",
+        "gopher_rules",
         "near_dup_clusters",
         "boilerplate_removal",
         "embedding_near_dup",
