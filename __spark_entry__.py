@@ -974,6 +974,154 @@ _GOPHER_ORACLE = """
 """
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the published C4 cleaning rules over a corpus given sentence
+    # structure by terminating each ' table' occurrence ('. ' + line
+    # break) — docs without 'table' collapse to zero kept lines and
+    # fire the few-sentences page drop; doc_id%5 branches plant the
+    # lorem-ipsum page drop, the '{' page drop, sub-3-word lines, and
+    # a javascript-mentioning line.  kept_sha certifies the retained
+    # TEXT, not just the counters
+    from pii_spark.curation import c4_filters
+
+    d, t = F.col("doc_id"), F.col("text")
+    suffix = (
+        F.when(d % 5 == 1, F.lit("\nlorem ipsum dolor sit amet."))
+        .when(d % 5 == 2, F.lit("\nvar x = { a: b }."))
+        .when(d % 5 == 3, F.lit("\nso.\nno.\nok."))
+        .when(d % 5 == 4, F.lit("\nthis line mentions javascript clearly."))
+        .otherwise(F.lit(""))
+    )
+    decorated = F.concat(F.regexp_replace(t, " table", " table.\n"), suffix)
+    docs = _docs(spark, sf_dir).select("doc_id", decorated.alias("content"))
+    return (
+        c4_filters(docs, "doc_id", "content")
+        .select(
+            "doc_id", "n_lines", "n_lines_kept", "n_sentences",
+            "c4_lorem", "c4_brace", "c4_few_sentences", "c4_keep",
+            "kept_sha",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_C4_FILTERS_ORACLE = """
+    WITH dec AS (
+        SELECT doc_id,
+               replace(text, ' table', ' table.' || chr(10))
+               || CASE doc_id % 5
+                      WHEN 1 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                      WHEN 2 THEN chr(10) || 'var x = { a: b }.'
+                      WHEN 3 THEN chr(10) || 'so.' || chr(10) || 'no.'
+                                  || chr(10) || 'ok.'
+                      WHEN 4 THEN chr(10)
+                                  || 'this line mentions javascript clearly.'
+                      ELSE '' END AS t
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, t,
+               string_split(t, chr(10)) AS lines,
+               list_filter(string_split(t, chr(10)), ln ->
+                   regexp_matches(rtrim(ln), '[.!?\"]$')
+                   AND len(list_filter(
+                           regexp_split_to_array(trim(ln), '[ \t]+'),
+                           w -> w <> '')) >= 3
+                   AND NOT contains(lower(ln), 'javascript')) AS kept
+        FROM dec
+    ),
+    f AS (
+        SELECT doc_id,
+               len(lines) AS n_lines, len(kept) AS n_lines_kept,
+               coalesce(array_to_string(kept, chr(10)), '') AS kt,
+               contains(lower(t), 'lorem ipsum') AS c4_lorem,
+               contains(t, '{') AS c4_brace
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+               AS BIGINT) AS n_sentences,
+           c4_lorem, c4_brace,
+           (length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g')) < 5)
+               AS c4_few_sentences,
+           (NOT c4_lorem AND NOT c4_brace
+            AND NOT (length(kt)
+                     - length(regexp_replace(kt, '[.!?]', '', 'g')) < 5))
+               AS c4_keep,
+           sha256(kt) AS kept_sha
+    FROM f ORDER BY doc_id
+"""
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4's three-sentence-span exact dedup: every word becomes a
+    # sentence ('. '-join), so word trigrams shared across the Zipf
+    # vocabulary collide heavily and the first-occurrence-wins removal
+    # does real work; kept_sha certifies the rebuilt document text.
+    # Span TEXT never shuffles — only (id, start, xxhash64) triples do
+    from pii_spark.curation import c4_span_dedup
+
+    t2 = F.concat(F.regexp_replace(F.col("text"), " ", ". "), F.lit("."))
+    docs = _docs(spark, sf_dir).select("doc_id", t2.alias("content"))
+    return (
+        c4_span_dedup(docs, "doc_id", "content")
+        .orderBy("doc_id")
+    )
+
+
+_C4_SPAN_ORACLE = """
+    WITH dec AS (
+        SELECT doc_id, replace(text, ' ', '. ') || '.' AS t FROM documents
+    ),
+    sd AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_split_to_array(t, '[.!?]'), s -> trim(s)),
+                   s -> s <> '') AS sents
+        FROM dec
+    ),
+    sp AS (
+        SELECT doc_id, u.st AS start,
+               array_to_string(sents[u.st + 1 : u.st + 3], ' ') AS sptext
+        FROM sd, UNNEST(range(0, len(sents) - 2)) AS u(st)
+        WHERE len(sents) >= 3
+    ),
+    rn AS (
+        SELECT doc_id, start,
+               row_number() OVER (PARTITION BY sptext
+                                  ORDER BY doc_id, start) AS r
+        FROM sp
+    ),
+    rem AS (
+        SELECT DISTINCT doc_id, start + u.k AS idx
+        FROM rn, UNNEST(range(0, 3)) AS u(k) WHERE r > 1
+    ),
+    sr AS (
+        SELECT doc_id, u.i - 1 AS idx, sents[u.i] AS s
+        FROM sd, UNNEST(range(1, len(sents) + 1)) AS u(i)
+    ),
+    kp AS (
+        SELECT sr.doc_id, sr.idx, sr.s
+        FROM sr LEFT JOIN rem
+            ON rem.doc_id = sr.doc_id AND rem.idx = sr.idx
+        WHERE rem.doc_id IS NULL
+    ),
+    rb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(s, ' ' ORDER BY idx) AS kt
+        FROM kp GROUP BY doc_id
+    )
+    SELECT sd.doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(len(sents) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed,
+           sha256(coalesce(rb.kt, '')) AS kept_sha
+    FROM sd LEFT JOIN rb ON rb.doc_id = sd.doc_id
+    ORDER BY sd.doc_id
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic global shuffle + shard assignment: reproducible
     # training-epoch permutation — shard via sha-bucket mod, position
@@ -7114,6 +7262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_learn": q_wordpiece_learn,
         "wordpiece_train_encode": q_wordpiece_train_encode,
         "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
+        "c4_span_dedup": q_c4_span_dedup,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -8385,6 +8535,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_learn": _wordpiece_learn_oracle_sql(10),
         "wordpiece_train_encode": _wordpiece_train_encode_oracle_sql(10),
         "gopher_rules": _GOPHER_ORACLE,
+        "c4_filters": _C4_FILTERS_ORACLE,
+        "c4_span_dedup": _C4_SPAN_ORACLE,
         "bpe_pair_counts": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -182,6 +182,8 @@ def main() -> None:
         "video_temporal_diff",
         "quality_pipeline",
         "gopher_rules",
+        "c4_filters",
+        "c4_span_dedup",
         "near_dup_clusters",
         "boilerplate_removal",
         "embedding_near_dup",

@@ -2252,3 +2252,163 @@ def domain_blocklist_oracle_sql(
                len(__hits) > 0 AS blocked
         FROM sufs
     """
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", §2.2)
+# ---------------------------------------------------------------------------
+
+#: Terminal punctuation accepted at end-of-line by the C4 line filter.
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+) -> DataFrame:
+    """The published C4 cleaning rules as one JVM-side pass: LINE
+    retention (keep only lines that end in terminal punctuation, have
+    ≥ ``min_line_words`` words, and do not mention "javascript") plus
+    the PAGE drops ("lorem ipsum", a ``{`` brace, fewer than
+    ``min_sentences`` sentences after line filtering — sentence count
+    = terminal-punct chars in the retained lines).
+
+    Emits integer evidence (``n_lines``, ``n_lines_kept``,
+    ``n_sentences``), one boolean per page rule, the combined
+    ``c4_keep``, and ``kept_sha`` = sha256 of the retained text (the
+    per-row content invariant an oracle re-verifies).
+
+    Scale shape: split/filter/aggregate expressions only — zero
+    shuffles, zero Python, rides the scan in WholeStageCodegen."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+
+    def line_kept(ln: Column) -> Column:
+        words = F.size(F.filter(F.split(F.trim(ln), r"[ \t]+"),
+                                lambda w: w != F.lit("")))
+        return (
+            F.rtrim(ln).rlike(C4_TERMINAL_RE)
+            & (words >= min_line_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, line_kept)
+    kept_text = F.array_join(kept_lines, "\n")
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, r"[.!?]", "")
+    )
+    out = (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_lines_kept", F.size(kept_lines).cast("long"))
+        .withColumn("n_sentences", n_sentences.cast("long"))
+        .withColumn("c4_lorem", F.lower(t).contains("lorem ipsum"))
+        .withColumn("c4_brace", t.contains("{"))
+        .withColumn("c4_few_sentences", n_sentences < min_sentences)
+        .withColumn("kept_sha", F.sha2(kept_text, 256))
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("c4_lorem") & ~F.col("c4_brace") & ~F.col("c4_few_sentences"),
+    )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 3,
+) -> DataFrame:
+    """C4's signature exact dedup: of any ``span``-sentence window
+    occurring more than once in the corpus, keep only the FIRST
+    occurrence (smallest ``(id, start)``) and delete the sentences of
+    every other occurrence from their documents — one pass, no
+    iteration, exactly the published rule.
+
+    Sentences are the non-empty trimmed segments between ``[.!?]``
+    terminators.  Returns one row per input doc: ``n_sentences``,
+    ``n_removed`` and ``kept_sha`` (sha256 of the surviving sentences
+    joined by ``" "`` in original order).
+
+    Scale shape: docs explode to ``n_sent − span + 1`` span rows of
+    (id, start, xxhash64) — the TEXT of a span never shuffles, only
+    its 8-byte hash; the winner per span hash is one hash aggregate
+    (min struct); losers join back and explode to removed sentence
+    indices; the rebuild is a left-anti join + per-doc sort-aggregate.
+    Three shuffles total, all on compact keys, each map-side
+    combining."""
+    i = F.col(id_col)
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    base = df.select(i.alias("_id"), sents.alias("_sents")).localCheckpoint(
+        eager=True
+    )  # consumed by spans AND the rebuild — don't re-derive from source
+
+    n = F.size("_sents")
+    span_arr = F.when(
+        n >= span,
+        F.transform(
+            F.sequence(F.lit(0), n - span),
+            lambda st: F.struct(
+                st.alias("start"),
+                F.xxhash64(
+                    F.array_join(F.slice("_sents", st + 1, span), " ")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:bigint>>"))
+    spans = base.select("_id", F.explode(span_arr).alias("sp")).select(
+        "_id", F.col("sp.start").alias("start"), F.col("sp.h").alias("h")
+    )
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct("_id", "start")).alias("w")
+    )
+    losers = (
+        spans.join(winners, "h")
+        .filter(
+            (F.col("_id") != F.col("w._id")) | (F.col("start") != F.col("w.start"))
+        )
+        .select("_id", "start")
+    )
+    removed = (
+        losers.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + span - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    sent_rows = base.select(
+        "_id", F.posexplode("_sents").alias("idx", "s")
+    )
+    kept = sent_rows.join(removed, ["_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("_id", F.size("_sents").cast("long").alias("n_sentences"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_sentences",
+            (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.sha2(F.coalesce(F.col("kept_text"), F.lit("")), 256).alias(
+                "kept_sha"
+            ),
+        )
+    )

@@ -921,3 +921,53 @@ def test_robots_gate_semantics(spark):
                     .withColumn("path", F.lit("/private/ok/a")),
                 rules, "crawler").collect()}
     assert got2 == {0: (True, "/private/ok")}
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    from pii_spark.curation import c4_filters
+
+    rows = [
+        (0, "good line stays here.\nno punct line\nshort.\n"
+            "this one mentions JavaScript sadly.\nanother good line kept!"),
+        (1, "lorem ipsum dolor sit amet.\nmore good text here."),
+        (2, "fine sentence one. fine two. fine { three."),
+        (3, "one good sentence only here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r.doc_id: r for r in c4_filters(df, "doc_id", "content",
+                                           min_sentences=2).collect()}
+    # doc 0: 5 lines, kept = the 2 good ones (no-punct, <3 words, and
+    # javascript lines all dropped); 2 terminators → keep
+    assert (got[0].n_lines, got[0].n_lines_kept, got[0].n_sentences) == (5, 2, 2)
+    assert got[0].c4_keep
+    assert got[1].c4_lorem and not got[1].c4_keep
+    assert got[2].c4_brace and not got[2].c4_keep
+    assert got[3].c4_few_sentences and not got[3].c4_keep
+    import hashlib
+    want = "good line stays here.\nanother good line kept!"
+    assert got[0].kept_sha == hashlib.sha256(want.encode()).hexdigest()
+
+
+def test_c4_span_dedup_first_occurrence_wins(spark):
+    from pii_spark.curation import c4_span_dedup
+
+    rows = [
+        (1, "a. b. c. d."),            # owns span (a,b,c) and (b,c,d)
+        (2, "x. a. b. c. y."),         # repeats (a,b,c) → loses b..? no:
+                                       # its copy at start=1 covers a,b,c
+        (3, "p. q. r."),               # unique span, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r.doc_id: r for r in c4_span_dedup(df, "doc_id", "content").collect()}
+    assert (got[1].n_sentences, got[1].n_removed) == (4, 0)
+    # doc 2 loses exactly its a,b,c copy; x and y survive
+    assert (got[2].n_sentences, got[2].n_removed) == (5, 3)
+    assert (got[3].n_sentences, got[3].n_removed) == (3, 0)
+    import hashlib
+    assert got[2].kept_sha == hashlib.sha256(b"x y").hexdigest()
+    # doc with all sentences removed hashes the empty string
+    df2 = spark.createDataFrame(
+        [(1, "a. b. c."), (2, "a. b. c.")], "doc_id long, content string")
+    g2 = {r.doc_id: r for r in c4_span_dedup(df2, "doc_id", "content").collect()}
+    assert g2[2].n_removed == 3
+    assert g2[2].kept_sha == hashlib.sha256(b"").hexdigest()
