@@ -2421,6 +2421,40 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(e, k=5).orderBy("node")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synchronous LPA communities over the same sparse co-purchase
+    # slice as k_core, 4 fixed rounds, min-label tie-breaks — the
+    # deterministic form of the otherwise-randomized algorithm, so the
+    # chained-CTE oracle replays every adoption exactly
+    from pii_spark.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).filter(F.col("l_orderkey") % 9 == 0)
+    a, b = li.alias("x"), li.alias("y")
+    e = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return (
+        label_propagation(e, n_rounds=4)
+        .select("node", F.col("label").cast("long").alias("label"))
+        .orderBy("node")
+    )
+
+
+_LPA_EDGES_SQL = """
+    SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                    greatest(x.l_partkey, y.l_partkey) AS b
+    FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    WHERE x.l_orderkey % 9 = 0
+"""
+
+
 def q_dead_code_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dead-code census: per-repo call-graph reachability from each
     # repo's entrypoint, run over ALL repos in ONE distributed frontier
@@ -7356,6 +7390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history": q_user_state_history,
         "triangle_census": q_triangle_census,
         "k_core": q_k_core,
+        "label_propagation": q_label_propagation,
         "dead_code_share": q_dead_code_share,
         "key_skew_audit": q_key_skew_audit,
         "range_partition_cuts": q_range_partition_cuts,
@@ -7504,6 +7539,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.graph import (
         k_core_oracle_sql,
+        label_propagation_oracle_sql,
         reachable_multi_oracle_sql,
         triangle_census_oracle_sql,
     )
@@ -8181,6 +8217,9 @@ def oracle_sql() -> dict[str, str]:
             " AND x.l_partkey < y.l_partkey"
             " WHERE x.l_orderkey % 9 = 0",
             k=5, rounds=12,
+        ),
+        "label_propagation": label_propagation_oracle_sql(
+            _LPA_EDGES_SQL, n_rounds=4
         ),
         "dead_code_share": f"""
             WITH funcs AS (

@@ -264,6 +264,7 @@ def main() -> None:
         "user_state_history",
         "triangle_census",
         "k_core",
+        "label_propagation",
         "key_skew_audit",
         "range_partition_cuts",
         "referential_audit",

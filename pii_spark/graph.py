@@ -750,3 +750,106 @@ def short_cycles_oracle_sql(edges_sql: str, max_len: int = 3) -> str:
         FROM ({union})
         ORDER BY cycle_len, n1, n2, n3
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007) with DETERMINISTIC tie-breaks: labels start as the
+    node id; each round every node adopts the label most frequent
+    among its neighbors, ties broken by the smallest label.  The
+    asynchronous/randomized variants of LPA are irreproducible by
+    design — the synchronous minimum-tie form is what a corpus
+    pipeline can actually re-verify, and a FIXED round count (like the
+    k_core oracle's replay) makes the output a pure function of the
+    edge set.
+
+    Distributed shape: per round one join of the directed edge list
+    against the (node, label) frame + two hash aggregates (neighbor-
+    label count, then per-node argmax via ``min(struct(-cnt, label))``
+    — no window, map-side combining).  State is one row per node;
+    ``checkpoint_every`` truncates lineage each round for the same
+    quadratic-replay reason documented on :func:`k_core`.
+
+    Returns ``(node, label)`` for every edge endpoint (isolated nodes
+    don't exist in an edge list)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = both.select("node").distinct().withColumn("label", F.col("node"))
+    for i in range(n_rounds):
+        nl = both.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+            ),
+            "nbr",
+        )
+        cnt = nl.groupBy("node", "nbr_label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = cnt.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"), F.col("nbr_label").alias("lb")
+                )
+            ).alias("m")
+        ).select("node", F.col("m.lb").alias("label"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, n_rounds: int) -> str:
+    """Chained-CTE replay of ``n_rounds`` synchronous LPA rounds over
+    the edge set produced by ``edges_sql`` (columns ``a < b``,
+    deduplicated): per round a neighbor-label count and a
+    row_number argmax ordered (count DESC, label ASC) — the same
+    minimum-tie adoption the operator computes with min(struct).
+    MATERIALIZED throughout (each round referenced by the next)."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        dir AS MATERIALIZED (
+            SELECT a AS node, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT node, node AS label FROM dir
+        )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        l{i} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM (
+                    SELECT d.node, l.label, count(*) AS c
+                    FROM dir d JOIN l{i - 1} l ON l.node = d.nbr
+                    GROUP BY d.node, l.label
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, label FROM l{n_rounds} ORDER BY node"""
+    )
+    return "".join(parts)

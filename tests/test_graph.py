@@ -265,3 +265,33 @@ def test_reachable_multi_checkpoint_cadence_invariant(spark):
             assert ("g1", "d", 3) in got and ("g2", "z", 2) in got
         else:
             assert got == want, f"cadence {cadence} diverged"
+
+
+def test_label_propagation_two_cliques(spark):
+    from pii_spark.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge: LPA must converge
+    # to the min node id of each clique and the bridge must not merge
+    # them (each side's internal neighbors outvote the single bridge)
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from pii_spark.graph import label_propagation
+
+    # node 2 sees neighbors {1, 3} once each after round 1 — the tie
+    # must go to the smaller label, deterministically
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_rounds=1).collect()}
+    assert got[2] == 1
+    # direction/duplication invariance: reversed + duplicated edges
+    df2 = spark.createDataFrame(
+        [(2, 1), (3, 2), (1, 2)], "src long, dst long")
+    got2 = {r.node: r.label
+            for r in label_propagation(df2, n_rounds=1).collect()}
+    assert got2 == got
