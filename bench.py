@@ -142,6 +142,10 @@ def main() -> None:
 
     bench_queries = [
         "detect_by_pattern",
+        "fp_suppression",
+        "comment_pii",
+        "secret_lifetime",
+        "repo_fork_overlap",
         "scrub_email_partial",
         "dedup_exact",
         "dedup_window",

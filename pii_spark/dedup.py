@@ -2398,3 +2398,114 @@ def dup_cluster_histogram_oracle_sql(content_sql: str, rows_sql: str) -> str:
         FROM sizes GROUP BY 1
         ORDER BY cluster_size
     """
+
+
+def repo_containment(
+    df: DataFrame,
+    repo_col: str,
+    sha_col: str,
+    min_shared: int = 2,
+    fanout_cap: int = 1000,
+) -> DataFrame:
+    """Repo-level fork/vendor detection by file-sha containment: for
+    every repo pair sharing >= ``min_shared`` identical file contents,
+    ``shared / min(|A|, |B|)`` — 1.0 means the smaller repo is a full
+    subset (a fork or a vendored copy) even when the larger side has
+    diverged.  This is :func:`repo_function_overlap`'s whole-file
+    cousin: function-grain catches copied code, sha-grain catches
+    copied REPOS, which is what inflates a crawled code corpus first
+    (the Stack's fork-collapse step is the public precedent).
+
+    Scale shape: an inverted index keyed on sha — the join input is
+    ``(sha, repo)`` pairs, never content; shas carried by more than
+    ``fanout_cap`` repos are dropped BEFORE the pair explosion (a
+    LICENSE or empty __init__.py sha appears in millions of repos and
+    says nothing about forking — and would alone generate O(cap²)
+    pairs), so the worst sha costs C(cap, 2) pairs, not C(n_repos, 2).
+    Everything is hash aggregates with map-side partials plus one
+    sha-keyed self-join; repo sizes broadcast when small.
+    """
+    files = df.select(
+        F.col(repo_col).alias("repo"), F.col(sha_col).alias("sha")
+    ).distinct()
+    cold_shas = (
+        files.groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("fanout"))
+        .filter(F.col("fanout") <= int(fanout_cap))
+        .select("sha")
+    )
+    cold = files.join(cold_shas, "sha")
+    # sizes over the SAME capped universe: a hot sha carries no fork
+    # signal in the numerator, so it must not dilute the denominator
+    # either — a repo that is a subset modulo LICENSE files scores 1.0
+    sizes = cold.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    a = cold.select("sha", F.col("repo").alias("repo_a"))
+    b = cold.select("sha", F.col("repo").alias("repo_b"))
+    shared = (
+        a.join(b, "sha")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.select(
+        F.col("repo").alias("repo_a"), F.col("n_files").alias("na")
+    )
+    sb = sizes.select(
+        F.col("repo").alias("repo_b"), F.col("n_files").alias("nb")
+    )
+    return (
+        shared.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("na"), F.col("nb"))
+                * 10000
+            )
+            .cast("long")
+            .alias("cont_x10000"),
+        )
+    )
+
+
+def repo_containment_oracle_sql(
+    files_sql: str,
+    min_shared: int = 2,
+    fanout_cap: int = 1000,
+) -> str:
+    """DuckDB replay of :func:`repo_containment` over ``files_sql``
+    (columns ``repo, sha``; need not be distinct)."""
+    return f"""
+        WITH files AS (SELECT DISTINCT repo, sha FROM ({files_sql})),
+        cold AS (
+            SELECT f.repo, f.sha FROM files f
+            JOIN (
+                SELECT sha FROM files GROUP BY sha
+                HAVING count(*) <= {int(fanout_cap)}
+            ) k ON f.sha = k.sha
+        ),
+        sizes AS (
+            SELECT repo, CAST(count(*) AS BIGINT) AS n_files
+            FROM cold GROUP BY repo
+        ),
+        shared AS (
+            SELECT a.repo AS repo_a, b.repo AS repo_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM cold a JOIN cold b
+                ON a.sha = b.sha AND a.repo < b.repo
+            GROUP BY 1, 2
+            HAVING count(*) >= {int(min_shared)}
+        )
+        SELECT repo_a, repo_b, n_shared,
+               CAST(round(n_shared::DOUBLE / least(sa.n_files, sb.n_files)
+                    * 10000) AS BIGINT) AS cont_x10000
+        FROM shared
+        JOIN sizes sa ON shared.repo_a = sa.repo
+        JOIN sizes sb ON shared.repo_b = sb.repo
+        ORDER BY repo_a, repo_b
+    """

@@ -1009,3 +1009,63 @@ def test_short_cycles_no_cartesian(spark):
     p = plan(short_cycles(e, "src", "dst"))
     assert count_python_nodes(p) == 0
     assert "CartesianProduct" not in p  # all hops are equi-joins
+
+
+def test_suppress_findings_pure_projection(spark):
+    # the allowlist is a CASE chain fused into the scan: no new
+    # exchange, no Python
+    from pii_spark.detect import AllowRule, suppress_findings
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("email").alias("pattern"),
+        F.col("text").alias("value"),
+        F.lit("src/a.py").alias("path"),
+    )
+    rules = [
+        AllowRule("ex", pattern="email", value_re=r"@example\.com$"),
+        AllowRule("tp", path_re=r"(^|/)tests?/"),
+    ]
+    out = suppress_findings(df, rules, path_col="path")
+    p0, p = plan(df), plan(out)
+    assert p.count("Exchange") == p0.count("Exchange")
+    assert count_python_nodes(p) == 0
+
+
+def test_comment_pii_one_aggregate_no_python(spark):
+    from pii_spark.detect import comment_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content"), F.lit("hash").alias("family")
+    )
+    p = plan(comment_pii(docs, "content", "family", {"email": "[a-z]+@[a-z.]+"}))
+    assert count_python_nodes(p) == 0
+    # one partial + one final hash aggregate, nothing else
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+    assert "Window" not in p
+
+
+def test_secret_lifetime_no_python_no_window(spark):
+    from pii_spark.detect import secret_lifetime
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 5).alias("repo"),
+        (F.col("doc_id") % 7).alias("seq"),
+        F.col("text").alias("content"),
+    )
+    p = plan(secret_lifetime(docs, "repo", "seq", "content", ["AKIA[0-9A-Z]{16}"]))
+    assert count_python_nodes(p) == 0
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_repo_containment_no_nested_loop(spark):
+    from pii_spark.dedup import repo_containment
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 7).alias("repo"),
+        (F.col("doc_id") % 97).cast("string").alias("sha"),
+    )
+    p = plan(repo_containment(docs, "repo", "sha"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert count_python_nodes(p) == 0
