@@ -6000,6 +6000,73 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi-lite domain-mixture reweighting over lang domains with
+    # per-row loss = char length; 6 integer-exact multiplicative
+    # rounds, full trajectory (the bpe_learn convention)
+    from pii_spark.curation import doremi_weights
+
+    df = _docs(spark, sf_dir).select(
+        "lang", F.length("text").alias("loss")
+    )
+    return doremi_weights(df, "lang", "loss", n_rounds=6).orderBy(
+        "round", "domain"
+    )
+
+
+def q_incremental_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # changed-only quality re-scoring: docs with doc_id%3=0 are
+    # "already committed" (verdicts from the same gate), the batch
+    # re-ingests everything; only new shas pay the scoring pass.
+    # d%11 docs truncated to 50 chars (too-short), d%13 docs get a
+    # 450-char line appended (long-line)
+    from pii_spark.quality import length_gate_score, rescore_incremental
+
+    d = F.col("doc_id")
+    content = (
+        F.when(d % 11 == 0, F.substring(F.col("text"), 1, 50))
+        .when(
+            d % 13 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.repeat(F.lit("z"), 450)),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select(d.alias("doc_id"), content.alias("content"))
+    committed = (
+        length_gate_score(
+            corpus.filter(d % 3 == 0).select(
+                F.sha2(F.col("content"), 256).alias("sha"), "content"
+            ),
+            "content",
+        )
+        .select("sha", "keep", "reason")
+        .dropDuplicates(["sha"])
+    )
+    return rescore_incremental(
+        corpus.select("content"), committed, "content", length_gate_score
+    ).orderBy("sha")
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-lang OOV share under the corpus' own global top-50 token
+    # vocabulary (count desc, token asc — total-ordered so the vocab
+    # is engine-exact)
+    from pii_spark.quality import oov_rate
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(50)
+        .select("token")
+    )
+    return oov_rate(docs, ["lang"], "text", vocab).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -7420,6 +7487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
         "repo_fork_overlap": q_repo_fork_overlap,
+        "doremi_weights": q_doremi_weights,
+        "incremental_rescore": q_incremental_rescore,
+        "oov_rate": q_oov_rate,
         "deobfuscated_detect": q_deobfuscated_detect,
         "detect_luhn": q_detect_luhn,
         "scrub_email_partial": q_scrub_email_partial,
@@ -7662,6 +7732,10 @@ def oracle_sql() -> dict[str, str]:
         suppress_findings_case_sql,
     )
     from pii_spark.dedup import repo_containment_oracle_sql
+    from pii_spark.curation import doremi_oracle_sql
+    from pii_spark.quality import LENGTH_GATE_CASE_SQL
+
+    _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
     from pii_spark.events import (
         ab_conversion_oracle_sql,
@@ -8524,6 +8598,64 @@ def oracle_sql() -> dict[str, str]:
             """,
             [AWS_RE],
         ),
+        "doremi_weights": doremi_oracle_sql(
+            "SELECT lang AS domain, (sum(length(text)) * 1000) // count(*)"
+            " AS loss FROM documents GROUP BY lang",
+            n_rounds=6,
+        ),
+        "incremental_rescore": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 50)
+                            WHEN doc_id % 13 = 0
+                                THEN text || chr(10) || repeat('z', 450)
+                            ELSE text END AS content
+                FROM documents
+            ),
+            committed AS (
+                SELECT DISTINCT sha256(content) AS sha,
+                       {_LENGTH_GATE_SQL} AS reason
+                FROM corpus WHERE doc_id % 3 = 0
+            ),
+            keyed AS (
+                SELECT DISTINCT sha256(content) AS sha, content FROM corpus
+            ),
+            fresh AS (
+                SELECT k.sha, {_LENGTH_GATE_SQL} AS reason
+                FROM keyed k
+                LEFT JOIN committed c ON k.sha = c.sha
+                WHERE c.sha IS NULL
+            )
+            SELECT sha, reason = 'kept' AS keep, reason, 'cached' AS src
+            FROM committed
+            UNION ALL
+            SELECT sha, reason = 'kept' AS keep, reason, 'fresh' AS src
+            FROM fresh
+            ORDER BY sha
+        """,
+        "oov_rate": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+            vocab AS (
+                SELECT token FROM tok2 GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 50
+            ),
+            per AS (
+                SELECT lang, count(*) AS n_tokens,
+                       sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                                THEN 1 ELSE 0 END) AS n_oov
+                FROM tok2 GROUP BY lang
+            )
+            SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   CAST((n_oov * 10000) // n_tokens AS BIGINT) AS oov_x10000
+            FROM per ORDER BY lang
+        """,
         "repo_fork_overlap": repo_containment_oracle_sql(
             """
             SELECT CAST(doc_id % 7 AS BIGINT) AS repo,

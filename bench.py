@@ -146,6 +146,9 @@ def main() -> None:
         "comment_pii",
         "secret_lifetime",
         "repo_fork_overlap",
+        "doremi_weights",
+        "incremental_rescore",
+        "oov_rate",
         "scrub_email_partial",
         "dedup_exact",
         "dedup_window",

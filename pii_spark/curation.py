@@ -2412,3 +2412,114 @@ def c4_span_dedup(
             ),
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    n_rounds: int = 5,
+    scale: int = 1_000_000,
+    loss_scale: int = 1000,
+) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429) via multiplicative weights in EXACT INTEGER
+    arithmetic, so the full trajectory replays bit-identically in any
+    engine (the ``t_closeness`` integer-TVD precedent): per-row losses
+    aggregate to a per-domain mean loss ``(Σloss·loss_scale) div n``,
+    then each round computes the weighted baseline
+    ``base = (Σ w·loss) div (Σ w)``, the clipped excess
+    ``max(loss − base, 0)``, and the update
+    ``w ← (w·(scale + excess)) div scale`` — domains losing more than
+    the current mixture average gain weight, exactly DoReMi's
+    group-DRO signal with the exp() replaced by its first-order
+    integer form (all operands non-negative, so Spark's
+    truncate-toward-zero ``div`` and DuckDB's floor ``//`` agree).
+
+    Emits the full ``(round, domain, base, excess, w)`` trajectory
+    like :func:`pii_spark.quality.bpe_learn` emits its merge rounds.
+
+    Scale shape: ONE corpus-wide aggregate produces the domain table;
+    every round after that touches |domains| rows — a 1-row weighted-
+    mean aggregate cross-joined back (the bounded-crossJoin idiom) and
+    one projection, lineage cut per round.  Driver traffic and
+    per-round cost are independent of corpus size.
+    """
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.expr(
+            f"(sum({loss_col}) * {int(loss_scale)}) div count(*)"
+        ).alias("loss")
+    )
+    state = dom.withColumn(
+        "w", F.lit(int(scale)).cast("long")
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for t in range(1, int(n_rounds) + 1):
+        tot = state.agg(F.expr("sum(w * loss) div sum(w)").alias("base"))
+        nxt = (
+            state.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "excess",
+                F.greatest(
+                    F.col("loss") - F.col("base"), F.lit(0).cast("long")
+                ),
+            )
+            .withColumn(
+                "w", F.expr(f"(w * ({int(scale)} + excess)) div {int(scale)}")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            nxt.select(
+                F.lit(t).cast("long").alias("round"),
+                "domain",
+                "base",
+                "excess",
+                "w",
+            )
+        )
+        state = nxt.select("domain", "loss", "w")
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def doremi_oracle_sql(
+    domain_loss_sql: str,
+    n_rounds: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`doremi_weights` given a
+    ``SELECT domain, loss`` (loss already BIGINT mean-scaled)."""
+    parts = [
+        f"""
+        WITH d0 AS MATERIALIZED (
+            SELECT domain, CAST(loss AS BIGINT) AS loss,
+                   CAST({int(scale)} AS BIGINT) AS w
+            FROM ({domain_loss_sql})
+        )"""
+    ]
+    for t in range(1, int(n_rounds) + 1):
+        parts.append(
+            f""",
+        b{t} AS MATERIALIZED (
+            SELECT CAST(sum(w * loss) // sum(w) AS BIGINT) AS base
+            FROM d{t - 1}
+        ),
+        d{t} AS MATERIALIZED (
+            SELECT domain, loss, b{t}.base AS base,
+                   CAST(greatest(loss - b{t}.base, 0) AS BIGINT) AS excess,
+                   CAST((w * ({int(scale)} + greatest(loss - b{t}.base, 0)))
+                        // {int(scale)} AS BIGINT) AS w
+            FROM d{t - 1}, b{t}
+        )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, domain, base, excess, w "
+        f"FROM d{t}"
+        for t in range(1, int(n_rounds) + 1)
+    )
+    parts.append(f"""
+        SELECT * FROM ({sel}) ORDER BY round, domain""")
+    return "".join(parts)

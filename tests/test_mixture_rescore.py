@@ -1,0 +1,60 @@
+"""doremi_weights / rescore_incremental / oov_rate."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from pii_spark.curation import doremi_weights
+from pii_spark.quality import length_gate_score, oov_rate, rescore_incremental
+
+
+def test_doremi_integer_trajectory(spark):
+    df = spark.createDataFrame(
+        [("A", 100), ("B", 200), ("C", 300)], "domain string, loss long"
+    )
+    out = doremi_weights(df, "domain", "loss", n_rounds=2)
+    got = {(r.round, r.domain): (r.base, r.excess, r.w) for r in out.collect()}
+    # round 1: base = (1e5+2e5+3e5)/3 = 200000; only C exceeds
+    assert got[(1, "A")] == (200000, 0, 1_000_000)
+    assert got[(1, "B")] == (200000, 0, 1_000_000)
+    assert got[(1, "C")] == (200000, 100000, 1_100_000)
+    # round 2: base = (1e11 + 2e11 + 3.3e11) // 3.1e6 = 203225
+    assert got[(2, "C")] == (203225, 96775, 1_206_452)
+    assert got[(2, "A")] == (203225, 0, 1_000_000)
+
+
+def test_rescore_incremental_cache_hit(spark):
+    long_line = "x" * 500
+    fresh_short = "tiny"
+    cached_content = "c" * 250
+    sha_cached = hashlib.sha256(cached_content.encode()).hexdigest()
+    committed = spark.createDataFrame(
+        [(sha_cached, True, "kept")], "sha string, keep boolean, reason string"
+    )
+    batch = spark.createDataFrame(
+        [(cached_content,), (fresh_short,), (long_line,), (long_line,)],
+        "content string",
+    )
+    out = rescore_incremental(
+        batch, committed, "content", lambda d: length_gate_score(d)
+    )
+    got = {r.sha: (r.reason, r.src) for r in out.collect()}
+    assert len(got) == 3  # dup long_line collapsed by sha
+    assert got[sha_cached] == ("kept", "cached")
+    assert got[hashlib.sha256(fresh_short.encode()).hexdigest()] == (
+        "too-short", "fresh")
+    assert got[hashlib.sha256(long_line.encode()).hexdigest()] == (
+        "long-line", "fresh")
+
+
+def test_oov_rate_counts(spark):
+    docs = spark.createDataFrame(
+        [("py", "a b c a"), ("go", "a x y")], "lang string, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    got = {
+        r.lang: (r.n_tokens, r.n_oov, r.oov_x10000)
+        for r in oov_rate(docs, ["lang"], "text", vocab).collect()
+    }
+    assert got["py"] == (4, 1, 2500)
+    assert got["go"] == (3, 2, 6666)

@@ -1069,3 +1069,43 @@ def test_repo_containment_no_nested_loop(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert count_python_nodes(p) == 0
+
+
+def test_doremi_rounds_are_domain_sized(spark):
+    # per-round work must be a 1-row aggregate + broadcast, never a
+    # corpus-sized cartesian
+    from pii_spark.curation import doremi_weights
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.length("text").alias("loss")
+    )
+    p = plan(doremi_weights(df, "lang", "loss", n_rounds=2))
+    assert "CartesianProduct" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_rescore_incremental_anti_join_no_python(spark):
+    from pii_spark.quality import length_gate_score, rescore_incremental
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    committed = spark.createDataFrame(
+        [("x", True, "kept")], "sha string, keep boolean, reason string"
+    )
+    p = plan(
+        rescore_incremental(docs, committed, "content", length_gate_score)
+    )
+    assert "LeftAnti" in p
+    assert count_python_nodes(p) == 0
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    from pii_spark.quality import oov_rate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = spark.createDataFrame([("the",), ("a",)], "token string")
+    p = plan(oov_rate(docs, ["lang"], "text", vocab))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # corpus never shuffles on token
+    assert count_python_nodes(p) == 0
