@@ -6067,6 +6067,94 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(docs, ["lang"], "text", vocab).orderBy("lang")
 
 
+_HOT_JUNCTION = "#" * 64
+
+#: 60 shared tokens + a doc-unique tail token: every planted doc
+#: survives exact dedup yet pairs with every other at J = 53/61 ≈ 0.87
+#: — a full clique, so 1-hop neighbor-min equals the component min and
+#: the oracle needs no recursive CC
+_NEAR_LINEAGE_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " * 5
+)
+
+
+def q_shard_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-shard stitching: every d%10=0 doc gets a doc-specific
+    # 64-char junction suffix and a continuation doc (id+1e6) starting
+    # with it; d%7=0 docs carry a hot 64-char '#' prefix and d%9=0 a
+    # hot suffix — the boilerplate junction the fanout cap must drop
+    from pii_spark.dedup import shard_stitch
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    jx = F.substring(F.repeat(F.concat(ds, F.lit("/")), 40), 1, 64)
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        d.alias("id"),
+        F.concat(
+            F.when(d % 7 == 0, F.lit(_HOT_JUNCTION)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 10 == 0, jx)
+            .when(d % 9 == 0, F.lit(_HOT_JUNCTION))
+            .otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    cont = docs.filter(d % 10 == 0).select(
+        (d + 1_000_000).alias("id"),
+        F.concat(jx, F.lit(" continued "), F.col("text")).alias("content"),
+    )
+    return shard_stitch(
+        base.unionByName(cont), "id", "content", k=64, fanout_cap=50
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drop provenance across the funnel: d%50=7 docs are 3-way exact
+    # dups; d%50=1 docs are a pairwise near-dup clique (unique tails,
+    # shared 60-token head); near candidates restricted to the planted
+    # slice so the pair graph is the documented clique
+    from pii_spark.dedup import dedup_lineage, prefix_jaccard_pairs
+
+    d = F.col("doc_id")
+    content = (
+        F.when(
+            d % 50 == 7,
+            F.concat(
+                F.lit("exact duplicate payload block "), (d % 3).cast("string")
+            ),
+        )
+        .when(d % 50 == 1, F.concat(F.lit(_NEAR_LINEAGE_TEXT), d.cast("string")))
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        d.alias("doc_id"), content.alias("content")
+    )
+
+    def near_fn(surv: DataFrame) -> DataFrame:
+        return prefix_jaccard_pairs(
+            surv.filter(F.col("id") % 50 == 1), "id", "content",
+            n=5, t_x100=80,
+        )
+
+    return dedup_lineage(
+        corpus, "doc_id", "content", near_pairs_fn=near_fn
+    ).orderBy("id")
+
+
+def q_cl_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recursive (c,l)-diversity over nation classes with market
+    # segment as the sensitive attribute, c = 3/2, l = 3
+    from pii_spark.privacy import recursive_cl_diversity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return recursive_cl_diversity(
+        cust, ["nation"], "seg", l=3, c_num=3, c_den=2
+    ).orderBy("nation")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -7490,6 +7578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
         "oov_rate": q_oov_rate,
+        "shard_stitch": q_shard_stitch,
+        "dedup_lineage": q_dedup_lineage,
+        "cl_diversity": q_cl_diversity,
         "deobfuscated_detect": q_deobfuscated_detect,
         "detect_luhn": q_detect_luhn,
         "scrub_email_partial": q_scrub_email_partial,
@@ -7731,7 +7822,11 @@ def oracle_sql() -> dict[str, str]:
         secret_lifetime_oracle_sql,
         suppress_findings_case_sql,
     )
-    from pii_spark.dedup import repo_containment_oracle_sql
+    from pii_spark.dedup import (
+        repo_containment_oracle_sql,
+        shard_stitch_oracle_sql,
+    )
+    from pii_spark.privacy import recursive_cl_oracle_sql
     from pii_spark.curation import doremi_oracle_sql
     from pii_spark.quality import LENGTH_GATE_CASE_SQL
 
@@ -8656,6 +8751,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_oov * 10000) // n_tokens AS BIGINT) AS oov_x10000
             FROM per ORDER BY lang
         """,
+        "shard_stitch": shard_stitch_oracle_sql(
+            f"""
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 7 = 0 THEN '{_HOT_JUNCTION}'
+                        ELSE '' END
+                   || text ||
+                   CASE WHEN doc_id % 10 = 0
+                            THEN substr(repeat(doc_id::VARCHAR || '/', 40), 1, 64)
+                        WHEN doc_id % 9 = 0 THEN '{_HOT_JUNCTION}'
+                        ELSE '' END AS content
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substr(repeat(doc_id::VARCHAR || '/', 40), 1, 64)
+                   || ' continued ' || text
+            FROM documents WHERE doc_id % 10 = 0
+            """,
+            k=64, fanout_cap=50,
+        ),
+        "dedup_lineage": rf"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 7
+                                THEN 'exact duplicate payload block '
+                                     || (doc_id % 3)::VARCHAR
+                            WHEN doc_id % 50 = 1
+                                THEN '{_NEAR_LINEAGE_TEXT}'
+                                     || doc_id::VARCHAR
+                            ELSE text END AS content
+                FROM documents
+            ),
+            ke AS (
+                SELECT sha256(content) AS sha, min(doc_id) AS keeper
+                FROM corpus GROUP BY 1
+            ),
+            j AS (
+                SELECT doc_id AS id, keeper, content
+                FROM corpus JOIN ke ON sha256(content) = ke.sha
+            ),
+            exact_drops AS (
+                SELECT id, 'exact' AS stage, keeper FROM j WHERE id <> keeper
+            ),
+            surv AS (SELECT id, content FROM j WHERE id = keeper),
+            planted AS (SELECT id, content FROM surv WHERE id % 50 = 1),
+            toks AS (
+                SELECT id, regexp_split_to_array(trim(content), '\s+') AS w
+                FROM planted
+            ),
+            sh AS (
+                SELECT DISTINCT id, u.s FROM toks,
+                UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))
+                       END) AS u(s)
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS da, b.id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            npairs AS (
+                SELECT da, db FROM inter
+                JOIN sizes sa ON sa.id = da
+                JOIN sizes sb ON sb.id = db
+                WHERE ni * 100 >= 80 * (sa.n + sb.n - ni)
+            ),
+            nbr AS (
+                SELECT da AS node, db AS nbr FROM npairs
+                UNION ALL SELECT db, da FROM npairs
+            ),
+            nmin AS (SELECT node, min(nbr) AS mn FROM nbr GROUP BY node),
+            -- planted docs form a CLIQUE by construction, so the
+            -- 1-hop neighbor-min IS the component min
+            near_drops AS (
+                SELECT p.id, 'near' AS stage,
+                       least(p.id, coalesce(mn, p.id)) AS keeper
+                FROM planted p LEFT JOIN nmin ON nmin.node = p.id
+                WHERE least(p.id, coalesce(mn, p.id)) < p.id
+            ),
+            kept AS (
+                SELECT id FROM surv
+                WHERE id NOT IN (SELECT id FROM near_drops)
+            )
+            SELECT id, stage, keeper FROM exact_drops
+            UNION ALL SELECT id, stage, keeper FROM near_drops
+            UNION ALL SELECT id, 'kept' AS stage, id AS keeper FROM kept
+            ORDER BY id
+        """,
+        "cl_diversity": recursive_cl_oracle_sql(
+            "SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment"
+            " FROM customer",
+            ["nation"], "c_mktsegment", l=3, c_num=3, c_den=2,
+        ),
         "repo_fork_overlap": repo_containment_oracle_sql(
             """
             SELECT CAST(doc_id % 7 AS BIGINT) AS repo,

@@ -149,6 +149,9 @@ def main() -> None:
         "doremi_weights",
         "incremental_rescore",
         "oov_rate",
+        "shard_stitch",
+        "dedup_lineage",
+        "cl_diversity",
         "scrub_email_partial",
         "dedup_exact",
         "dedup_window",

@@ -2509,3 +2509,141 @@ def repo_containment_oracle_sql(
         JOIN sizes sb ON shared.repo_b = sb.repo
         ORDER BY repo_a, repo_b
     """
+
+
+def shard_stitch(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 64,
+    fanout_cap: int = 50,
+) -> DataFrame:
+    """Cross-shard document stitching: a crawl splitter that cut one
+    document across shard boundaries leaves doc A's LAST ``k`` chars
+    equal to doc B's FIRST ``k`` — this finds those junctions so the
+    halves can be rejoined (or the fragment dropped) instead of
+    polluting dedup and quality stats with two half-documents.
+    Returns ``(doc_a, doc_b, junction_sha)``: A's suffix continues
+    into B.
+
+    Junction strings carried by more than ``fanout_cap`` docs on
+    either side are dropped BEFORE the join — a boilerplate footer
+    (license tail, "generated by" banner) is a suffix of millions of
+    docs and a prefix of none of their true continuations; letting it
+    through costs O(cap²) false pairs per junction string (the same
+    hot-key amputation as :func:`repo_containment`).
+
+    Scale shape: the exchange carries ``(id, k-char junction)`` only —
+    content never shuffles; two hash aggregates for the caps, one
+    equi-join on the junction.  Docs shorter than ``k`` cannot span a
+    shard cut and are filtered in the scan.
+    """
+    c = F.col(content_col)
+    eligible = df.filter(F.length(c) >= int(k)).select(
+        F.col(id_col).alias("id"),
+        F.expr(f"right({content_col}, {int(k)})").alias("suf"),
+        F.expr(f"left({content_col}, {int(k)})").alias("pre"),
+    )
+    suf = eligible.select(F.col("id").alias("doc_a"), F.col("suf").alias("j"))
+    pre = eligible.select(F.col("id").alias("doc_b"), F.col("pre").alias("j"))
+    cold_suf = (
+        suf.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= int(fanout_cap)).select("j")
+    )
+    cold_pre = (
+        pre.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= int(fanout_cap)).select("j")
+    )
+    cold = cold_suf.join(cold_pre, "j")
+    return (
+        suf.join(cold, "j")
+        .join(pre, "j")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.sha2(F.col("j"), 256).alias("junction_sha"))
+    )
+
+
+def shard_stitch_oracle_sql(
+    docs_sql: str,
+    k: int = 64,
+    fanout_cap: int = 50,
+) -> str:
+    """DuckDB replay of :func:`shard_stitch` over ``docs_sql``
+    (columns ``id, content``)."""
+    return f"""
+        WITH docs AS (
+            SELECT id, content FROM ({docs_sql})
+            WHERE length(content) >= {int(k)}
+        ),
+        suf AS (SELECT id AS doc_a, right(content, {int(k)}) AS j FROM docs),
+        pre AS (SELECT id AS doc_b, left(content, {int(k)}) AS j FROM docs),
+        cold AS (
+            SELECT j FROM suf GROUP BY j HAVING count(*) <= {int(fanout_cap)}
+            INTERSECT
+            SELECT j FROM pre GROUP BY j HAVING count(*) <= {int(fanout_cap)}
+        )
+        SELECT doc_a, doc_b, sha256(suf.j) AS junction_sha
+        FROM suf JOIN cold USING (j) JOIN pre USING (j)
+        WHERE doc_a <> doc_b
+        ORDER BY doc_a, doc_b
+    """
+
+
+def dedup_lineage(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    near_pairs_fn=None,
+    cc_max_iter: int = 25,
+) -> DataFrame:
+    """Per-document drop PROVENANCE across the dedup funnel — the
+    audit table a curated corpus release needs ("why is my file
+    gone?", "which keeper absorbed it?"): stage 1 collapses exact
+    sha256 groups to their minimum id; stage 2 (optional) runs
+    ``near_pairs_fn`` over the exact SURVIVORS (a frame of
+    ``id, content``) to produce near-duplicate candidate pairs
+    ``(doc_a, doc_b)``, resolves them to components via
+    :func:`connected_components`, and drops non-minimum members.
+    Output: one row per input document, ``(id, stage, keeper)`` with
+    stage in ``{'exact', 'near', 'kept'}``; keepers reference the doc
+    that absorbed the drop (themselves when kept).
+
+    Scale shape: stage 1 is the zero-width sha-keyed aggregate of
+    :func:`dedup_exact` plus one co-partitioned join back; stage 2
+    costs whatever the injected pair generator costs (use
+    :func:`prefix_jaccard_pairs` / :func:`minhash_lsh_pairs` — both
+    bucketed) plus CC over the PAIR graph only.  Content never joins
+    anything after the sha projection except inside ``near_pairs_fn``.
+    """
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).alias("content"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+    )
+    ke = keyed.groupBy("sha").agg(F.min("id").alias("keeper"))
+    j = keyed.join(ke, "sha")
+    exact_drops = j.filter(F.col("id") != F.col("keeper")).select(
+        "id", F.lit("exact").alias("stage"), "keeper"
+    )
+    survivors = j.filter(F.col("id") == F.col("keeper")).select(
+        "id", "content"
+    )
+    out = exact_drops
+    kept = survivors.select("id")
+    if near_pairs_fn is not None:
+        pairs = near_pairs_fn(survivors).select("doc_a", "doc_b")
+        cc = connected_components(
+            pairs, "doc_a", "doc_b", max_iter=cc_max_iter
+        )
+        near_drops = cc.filter(F.col("doc") != F.col("component")).select(
+            F.col("doc").alias("id"),
+            F.lit("near").alias("stage"),
+            F.col("component").alias("keeper"),
+        )
+        out = out.unionByName(near_drops)
+        kept = kept.join(near_drops.select("id"), "id", "left_anti")
+    return out.unionByName(
+        kept.select(
+            "id", F.lit("kept").alias("stage"), F.col("id").alias("keeper")
+        )
+    )

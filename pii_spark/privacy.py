@@ -25,7 +25,7 @@ agree bit-for-bit at every negative/boundary value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def generalize_numeric(
@@ -379,4 +379,89 @@ def dp_noisy_counts_oracle_sql(
                greatest(0, n + CASE {cases} ELSE 0 END)::BIGINT
                    AS noisy_count
         FROM keyed
+    """
+
+
+def recursive_cl_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    c_num: int = 2,
+    c_den: int = 1,
+) -> DataFrame:
+    """Recursive (c, l)-diversity (Machanavajjhala et al., "l-Diversity:
+    Privacy Beyond k-Anonymity", ICDE 2006 §4.2): an equivalence class
+    with sensitive-value counts r₁ ≥ r₂ ≥ … ≥ r_m satisfies it when
+    r₁ < c·(r_l + r_{l+1} + … + r_m) — the most common sensitive value
+    must not dominate even after an adversary eliminates the l−2 next
+    most common.  Distinct-l (``k_anonymity_classes.l_distinct``)
+    counts values; this bounds their SKEW, which is what actually
+    leaks ("90% of this class has the same diagnosis").  The check is
+    cross-multiplied (``r₁·c_den < c_num·tail``) so any rational c is
+    integer-exact; count ties are broken by sensitive value so the
+    rank order — and therefore the verdict — is engine-reproducible.
+
+    Output per class: quasi cols, ``class_size``, ``n_values``,
+    ``r1``, ``tail`` (= Σ_{i≥l} r_i, 0 when m < l) and ``diverse``.
+
+    Scale shape: one (quasi, sensitive)-keyed count with map-side
+    partials, a window over the (small) per-class value lists, one
+    final per-class aggregate — the window partitions by quasi tuple,
+    so no global sort.
+    """
+    counts = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("r"))
+    w = Window.partitionBy(*quasi_cols).orderBy(
+        F.desc("r"), F.asc("_sv")
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    per = ranked.groupBy(*quasi_cols).agg(
+        F.sum("r").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max(F.when(F.col("rk") == 1, F.col("r"))).cast("long").alias("r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") >= int(l), F.col("r"))), F.lit(0)
+        ).cast("long").alias("tail"),
+    )
+    return per.withColumn(
+        "diverse",
+        (F.col("r1") * int(c_den)) < (int(c_num) * F.col("tail")),
+    )
+
+
+def recursive_cl_oracle_sql(
+    rows_sql: str,
+    quasi_cols: list[str],
+    sensitive_sql: str,
+    l: int = 3,
+    c_num: int = 2,
+    c_den: int = 1,
+) -> str:
+    """DuckDB replay of :func:`recursive_cl_diversity`."""
+    qs = ", ".join(quasi_cols)
+    return f"""
+        WITH counts AS (
+            SELECT {qs}, {sensitive_sql} AS sv, count(*) AS r
+            FROM ({rows_sql}) GROUP BY {qs}, sv
+        ),
+        ranked AS (
+            SELECT {qs}, r,
+                   row_number() OVER (PARTITION BY {qs}
+                                      ORDER BY r DESC, sv ASC) AS rk
+            FROM counts
+        ),
+        per AS (
+            SELECT {qs},
+                   CAST(sum(r) AS BIGINT) AS class_size,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(max(CASE WHEN rk = 1 THEN r END) AS BIGINT) AS r1,
+                   CAST(coalesce(sum(CASE WHEN rk >= {int(l)} THEN r END), 0)
+                        AS BIGINT) AS tail
+            FROM ranked GROUP BY {qs}
+        )
+        SELECT {qs}, class_size, n_values, r1, tail,
+               (r1 * {int(c_den)}) < ({int(c_num)} * tail) AS diverse
+        FROM per ORDER BY {qs}
     """

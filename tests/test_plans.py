@@ -1109,3 +1109,27 @@ def test_oov_rate_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p  # corpus never shuffles on token
     assert count_python_nodes(p) == 0
+
+
+def test_shard_stitch_junctions_only_no_python(spark):
+    from pii_spark.dedup import shard_stitch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    p = plan(shard_stitch(docs, "id", "content", k=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert count_python_nodes(p) == 0
+
+
+def test_cl_diversity_partitioned_window_no_python(spark):
+    from pii_spark.privacy import recursive_cl_diversity
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("seg")
+    )
+    p = plan(recursive_cl_diversity(cust, ["nation"], "seg"))
+    assert count_python_nodes(p) == 0
+    # window partitions by the quasi tuple: no global (single-partition) sort
+    assert "Exchange SinglePartition" not in p

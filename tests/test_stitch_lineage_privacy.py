@@ -1,0 +1,67 @@
+"""shard_stitch / dedup_lineage / recursive_cl_diversity."""
+
+import pyspark.sql.functions as F
+
+from pii_spark.dedup import dedup_lineage, shard_stitch
+from pii_spark.privacy import recursive_cl_diversity
+
+
+def test_shard_stitch_finds_junction_and_caps_hot(spark):
+    J = "JUNCTION"  # k=8
+    H = "HOTHOTHO"
+    rows = [
+        (1, "aaaa body one " + J),          # suffix J
+        (2, J + " continued body two"),     # prefix J
+        (3, "unrelated content here"),
+    ]
+    # hot junction: 3 docs end with H, 3 start with H -> cap 2 drops it
+    rows += [(10 + i, "xx filler yy " + H) for i in range(3)]
+    rows += [(20 + i, H + " some continuation") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {(r.doc_a, r.doc_b) for r in
+           shard_stitch(df, "id", "content", k=8, fanout_cap=2).collect()}
+    assert got == {(1, 2)}
+    # raise the cap: the 3x3 hot pairs appear
+    got2 = {(r.doc_a, r.doc_b) for r in
+            shard_stitch(df, "id", "content", k=8, fanout_cap=5).collect()}
+    assert (1, 2) in got2 and len(got2) == 1 + 9
+
+
+def test_dedup_lineage_stage_priority(spark):
+    rows = [(1, "dup"), (2, "dup"), (3, "n3"), (4, "n4"), (5, "n5")]
+    df = spark.createDataFrame(rows, "id long, content string")
+
+    def near_fn(surv):
+        ids = {r.id for r in surv.select("id").collect()}
+        assert ids == {1, 3, 4, 5}  # exact survivors only
+        return spark.createDataFrame(
+            [(3, 4), (4, 5)], "doc_a long, doc_b long"
+        )
+
+    got = {r.id: (r.stage, r.keeper) for r in
+           dedup_lineage(df, "id", "content", near_pairs_fn=near_fn).collect()}
+    assert got == {
+        1: ("kept", 1), 2: ("exact", 1),
+        3: ("kept", 3), 4: ("near", 3), 5: ("near", 3),
+    }
+
+
+def test_recursive_cl_diversity_skew_bound(spark):
+    rows = (
+        [("X", "a")] * 5 + [("X", "b")] * 2 + [("X", "c")]
+        + [("Y", "a")] * 2 + [("Y", "b")] * 2
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r.q: (r.class_size, r.n_values, r.r1, r.tail, r.diverse)
+           for r in recursive_cl_diversity(
+               df, ["q"], "s", l=2, c_num=1, c_den=1).collect()}
+    # X: r=[5,2,1], tail=3, 5 < 3 false; Y: r=[2,2], tail=2, 2 < 2 false
+    assert got["X"] == (8, 3, 5, 3, False)
+    assert got["Y"] == (4, 2, 2, 2, False)
+    got2 = {r.q: r.diverse for r in recursive_cl_diversity(
+        df, ["q"], "s", l=2, c_num=2, c_den=1).collect()}
+    assert got2 == {"X": True, "Y": True}  # 5<6, 2<4
+    # m < l: tail is 0, never diverse
+    one = spark.createDataFrame([("Z", "a")] * 4, "q string, s string")
+    r = recursive_cl_diversity(one, ["q"], "s", l=2).collect()[0]
+    assert (r.r1, r.tail, r.diverse) == (4, 0, False)
