@@ -152,6 +152,8 @@ def main() -> None:
         "shard_stitch",
         "dedup_lineage",
         "cl_diversity",
+        "base64_secret_scan",
+        "zonemap_skip",
         "scrub_email_partial",
         "dedup_exact",
         "dedup_window",

@@ -1155,3 +1155,146 @@ def secret_lifetime_oracle_sql(
         FROM per JOIN head ON per.repo = head.repo
         ORDER BY per.repo, secret_sha
     """
+
+
+#: decoded-payload bytes allowed by the printable-ASCII gate (hex
+#: transcription, byte-aligned by the anchored pair grouping):
+#: tab/LF/CR + 0x20-0x7E
+_ASCII_HEX_RE = (
+    r"^((09)|(0A)|(0D)|(2[0-9A-F])|(3[0-9A-F])|(4[0-9A-F])"
+    r"|(5[0-9A-F])|(6[0-9A-F])|(7[0-9A-E]))*$"
+)
+
+
+def _b64_run_re(min_run: int) -> str:
+    """Padding-aware run regex: every match is a VALID base64 length
+    (≡ 0 mod 4, padding included), so no engine ever feeds a truncated
+    run to its decoder (DuckDB's from_base64 hard-errors on bad
+    lengths, and its optimizer may reorder a length-gate conjunct
+    after the decode — the regex makes the gate unbypassable)."""
+    groups = max(int(min_run) // 4 - 1, 1)
+    return (
+        rf"(?:[A-Za-z0-9+/]{{4}}){{{groups},}}"
+        rf"(?:[A-Za-z0-9+/]{{4}}|[A-Za-z0-9+/]{{3}}=|[A-Za-z0-9+/]{{2}}==)"
+    )
+
+
+def base64_secret_scan(
+    df: DataFrame,
+    content_col: str,
+    pattern_regexes: dict[str, str],
+    min_run: int = 24,
+) -> DataFrame:
+    """Secrets hidden INSIDE base64 blobs — the leak channel a plain
+    regex bank never sees (a key pasted into a base64-encoded config,
+    kubeconfig, or .npmrc survives every surface scan; the reference
+    scans only raw text, ``internal/detector/engine.go:168-216``).
+    Pipeline: extract base64-looking runs (≥ ``min_run`` chars,
+    length ≡ 0 mod 4), decode, keep only payloads that are printable
+    ASCII (+tab/LF/CR) — validated on the HEX transcription with a
+    byte-aligned anchored regex, so no engine ever has to represent
+    invalid UTF-8 — then count each pattern's hits inside the decoded
+    payloads.  Returns one ``(pattern, n_matches)`` row per pattern
+    plus a ``('__payloads__', n)`` accounting row.
+
+    Scale shape: extraction/decode/validation all fuse into the scan
+    (JVM ``regexp_extract_all``/``unbase64``/``hex``); only matching
+    runs survive past the first projection; ONE hash aggregate.
+    """
+    runs = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(content_col), F.lit(_b64_run_re(min_run)), F.lit(0)
+            )
+        ).alias("run")
+    ).filter(F.length("run") % 4 == 0)
+    dec = (
+        runs.withColumn("bin", F.unbase64(F.col("run")))
+        .filter(F.hex(F.col("bin")).rlike(_ASCII_HEX_RE))
+        .select(F.decode(F.col("bin"), "UTF-8").alias("payload"))
+    )
+    names = list(pattern_regexes)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_payloads")]
+    for n in names:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.regexp_extract_all(
+                            F.col("payload"),
+                            F.lit(pattern_regexes[n]),
+                            F.lit(0),
+                        )
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"m__{n}")
+        )
+    row = dec.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            F.struct(
+                F.lit("__payloads__").alias("pattern"),
+                F.col("__n_payloads").alias("n_matches"),
+            ),
+            *[
+                F.struct(
+                    F.lit(n).alias("pattern"),
+                    F.col(f"`m__{n}`").alias("n_matches"),
+                )
+                for n in names
+            ],
+        )
+    ).alias("r")
+    return row.select(stacked).select("r.pattern", "r.n_matches")
+
+
+def base64_secret_scan_oracle_sql(
+    rows_sql: str,
+    content_sql: str,
+    pattern_regexes: dict[str, str],
+    min_run: int = 24,
+) -> str:
+    """DuckDB replay of :func:`base64_secret_scan` (the length gate
+    runs in an earlier CTE than ``from_base64``, which errors on
+    non-multiple-of-4 input; the ASCII gate guarantees the final
+    blob→VARCHAR cast never sees invalid UTF-8)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    selects = ["CAST(count(*) AS BIGINT) AS n_payloads"]
+    for n in pattern_regexes:
+        selects.append(
+            f"CAST(coalesce(sum(len(regexp_extract_all(payload, "
+            f"'{q(pattern_regexes[n])}'))), 0) AS BIGINT)"
+            f" AS m_{n.replace('-', '_')}"
+        )
+    unpivot = " UNION ALL ".join(
+        [
+            "SELECT '__payloads__' AS pattern, n_payloads AS n_matches "
+            "FROM agg"
+        ]
+        + [
+            f"SELECT '{q(n)}' AS pattern, m_{n.replace('-', '_')} FROM agg"
+            for n in pattern_regexes
+        ]
+    )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        runs AS (
+            SELECT unnest(regexp_extract_all({content_sql},
+                '{_b64_run_re(min_run)}')) AS run
+            FROM rows0
+        ),
+        sized AS (SELECT run FROM runs WHERE length(run) % 4 = 0),
+        valid AS (
+            SELECT run FROM sized
+            WHERE regexp_matches(hex(from_base64(run)), '{_ASCII_HEX_RE}')
+        ),
+        pay AS (SELECT CAST(from_base64(run) AS VARCHAR) AS payload FROM valid),
+        agg AS (SELECT {", ".join(selects)} FROM pay)
+        SELECT pattern, n_matches FROM ({unpivot}) ORDER BY pattern
+    """

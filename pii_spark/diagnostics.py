@@ -685,3 +685,114 @@ def trimmed_mean_oracle_sql(
                     * 100 // max(n - 2 * k) AS BIGINT) AS mean_x100
         FROM gated GROUP BY g ORDER BY {group_name}
     """
+
+
+def zonemap_skip(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    val_col: str,
+    ranges: list[tuple[int, int]],
+) -> DataFrame:
+    """File-skipping effectiveness of a physical LAYOUT: Parquet/
+    Iceberg readers prune a file when its (min, max) zone map for the
+    predicate column misses the query range, so the same rows sorted
+    into range files skip almost everything while a hash layout scans
+    every file.  ``layouts`` maps a layout name to a Column assigning
+    each row its file id under that layout; for every (layout, query
+    range) this reports total files, files whose zone map intersects
+    (= must be scanned), the rows actually selected, and the skip rate
+    — the number that justifies a z-order/sort-by-write before a 100 TB
+    table is queried ten thousand times.
+
+    Scale shape: one pass per layout to build the per-file zone maps
+    (hash aggregate, map-side partials — the zone-map table is |files|
+    rows, microscopic next to the data), then the range evaluation
+    runs on zone maps only; selected-row counts come from one
+    conditional aggregate over the same scan.  Nothing is ever joined
+    row-to-row.
+    """
+    out = None
+    v = F.col(val_col)
+    for name, file_col in layouts.items():
+        zones = df.select(file_col.alias("f"), v.alias("v")).groupBy(
+            "f"
+        ).agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for q_lo, q_hi in ranges:
+            row = zones.agg(
+                F.lit(name).alias("layout"),
+                F.lit(int(q_lo)).cast("long").alias("q_lo"),
+                F.lit(int(q_hi)).cast("long").alias("q_hi"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(
+                    (
+                        (F.col("hi") >= int(q_lo))
+                        & (F.col("lo") <= int(q_hi))
+                    ).cast("int")
+                )
+                .cast("long")
+                .alias("n_scan"),
+            )
+            out = row if out is None else out.unionByName(row)
+    sel = None
+    for q_lo, q_hi in ranges:
+        s = df.agg(
+            F.lit(int(q_lo)).cast("long").alias("q_lo"),
+            F.sum(((v >= int(q_lo)) & (v <= int(q_hi))).cast("int"))
+            .cast("long")
+            .alias("n_sel"),
+        )
+        sel = s if sel is None else sel.unionByName(s)
+    return (
+        out.join(sel, "q_lo")
+        .withColumn(
+            "skip_x10000",
+            F.expr("((n_files - n_scan) * 10000) div n_files"),
+        )
+        .select(
+            "layout", "q_lo", "q_hi", "n_files", "n_scan", "n_sel",
+            "skip_x10000",
+        )
+    )
+
+
+def zonemap_skip_oracle_sql(
+    rows_sql: str,
+    layout_cases: dict[str, str],
+    val_sql: str,
+    ranges: list[tuple[int, int]],
+) -> str:
+    """DuckDB replay of :func:`zonemap_skip` (``layout_cases``: layout
+    name → SQL expression for the file id over ``rows_sql``)."""
+    branches = []
+    for name, fexpr in layout_cases.items():
+        for q_lo, q_hi in ranges:
+            branches.append(f"""
+            SELECT '{name}' AS layout, CAST({int(q_lo)} AS BIGINT) AS q_lo,
+                   CAST({int(q_hi)} AS BIGINT) AS q_hi,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN hi >= {int(q_lo)} AND lo <= {int(q_hi)}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_scan
+            FROM (
+                SELECT {fexpr} AS f, min({val_sql}) AS lo, max({val_sql}) AS hi
+                FROM rows0 GROUP BY 1
+            )""")
+    sels = " UNION ALL ".join(
+        f"""SELECT CAST({int(q_lo)} AS BIGINT) AS q_lo,
+            CAST(sum(CASE WHEN {val_sql} BETWEEN {int(q_lo)} AND {int(q_hi)}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+            FROM rows0"""
+        for q_lo, q_hi in ranges
+    )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        zs AS ({" UNION ALL ".join(branches)}),
+        sel AS ({sels})
+        SELECT layout, zs.q_lo, q_hi, n_files, n_scan, n_sel,
+               ((n_files - n_scan) * 10000) // n_files AS skip_x10000
+        FROM zs JOIN sel ON zs.q_lo = sel.q_lo
+        ORDER BY layout, zs.q_lo
+    """

@@ -1133,3 +1133,26 @@ def test_cl_diversity_partitioned_window_no_python(spark):
     assert count_python_nodes(p) == 0
     # window partitions by the quasi tuple: no global (single-partition) sort
     assert "Exchange SinglePartition" not in p
+
+
+def test_base64_secret_scan_fused_no_python(spark):
+    from pii_spark.detect import base64_secret_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(base64_secret_scan(docs, "content", {"aws": "AKIA[0-9A-Z]{16}"}))
+    assert count_python_nodes(p) == 0
+    # extraction/decode/gate fuse into the scan: one partial+final agg
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_zonemap_skip_zone_tables_only(spark):
+    from pii_spark.diagnostics import zonemap_skip
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_partkey").cast("long").alias("v")
+    )
+    p = plan(zonemap_skip(li, {"r": F.expr("v div 100")}, "v", [(1, 200)]))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p
