@@ -6204,6 +6204,32 @@ def q_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fpe_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # format-preserving tokenization of customer phone digits: masked
+    # value keeps length/digit-ness, decrypt round-trips; the oracle
+    # replays all 4 Feistel rounds AND the inverse chain
+    from pii_spark.masking import fpe_mask_col
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # synthetic 12-digit account number (the testdata customer table
+    # has no phone column): key * big-prime mod 10^12, zero-padded
+    v = F.lpad(
+        (
+            (F.col("c_custkey").cast("long") * 1_000_003)
+            % 1_000_000_000_000
+        ).cast("string"),
+        12,
+        "0",
+    )
+    masked = fpe_mask_col(v, "corpus-key")
+    rt = fpe_mask_col(masked, "corpus-key", decrypt=True)
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        masked.alias("masked"),
+        (rt == v).alias("roundtrip_ok"),
+    ).orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: quality-filter + scrub the sf0.001 documents-derived
     corpus; returns the keep/drop × findings summary."""
@@ -7632,6 +7658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl_diversity": q_cl_diversity,
         "base64_secret_scan": q_base64_secret_scan,
         "zonemap_skip": q_zonemap_skip,
+        "fpe_mask": q_fpe_mask,
         "deobfuscated_detect": q_deobfuscated_detect,
         "detect_luhn": q_detect_luhn,
         "scrub_email_partial": q_scrub_email_partial,
@@ -7875,6 +7902,7 @@ def oracle_sql() -> dict[str, str]:
         suppress_findings_case_sql,
     )
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
+    from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
         repo_containment_oracle_sql,
         shard_stitch_oracle_sql,
@@ -8893,6 +8921,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT id, 'kept' AS stage, id AS keeper FROM kept
             ORDER BY id
         """,
+        "fpe_mask": fpe_mask_oracle_sql(
+            "SELECT CAST(c_custkey AS BIGINT) AS id,"
+            " lpad(((CAST(c_custkey AS BIGINT) * 1000003)"
+            " % 1000000000000)::VARCHAR, 12, '0') AS v FROM customer",
+            "id", "v", "corpus-key",
+        ),
         "base64_secret_scan": base64_secret_scan_oracle_sql(
             f"""
             SELECT text || CASE

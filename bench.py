@@ -154,6 +154,7 @@ def main() -> None:
         "cl_diversity",
         "base64_secret_scan",
         "zonemap_skip",
+        "fpe_mask",
         "scrub_email_partial",
         "dedup_exact",
         "dedup_window",

@@ -140,3 +140,151 @@ def masking_column(col, strategy: MaskingStrategy):
         parts.append(col.substr(n - F.lit(l - 1), F.lit(l)))
     partial = F.concat(*parts)
     return F.when(F.lit(f + l) >= n, fully_masked).otherwise(partial)
+
+
+# ---------------------------------------------------------------------------
+# format-preserving tokenization (Feistel over the decimal domain)
+# ---------------------------------------------------------------------------
+#
+# The reference's hash/tokenize masks (redactor.go:189-198) destroy the
+# value's FORMAT — a tokenized card number no longer parses as a card
+# number, so downstream schema validation, test fixtures, and joins on
+# the masked column all break.  fpe_mask_col keeps length and
+# digit-ness while remaining deterministic per (value, key) AND
+# invertible with the key: an FF1-style alternating Feistel network
+# (NIST SP 800-38G describes the construction; this is the
+# non-certified sha256-round-function analogue) over digit strings of
+# length 2..18.  Each half is <= 9 digits, so all modular arithmetic
+# stays in exact BIGINT range in any engine — the whole transform (and
+# its inverse) replays in SQL.
+
+from pyspark.sql import Column, functions as F
+
+
+def _fpe_round_h(x: Column, key: str, r: int) -> Column:
+    """32-bit round value: first 8 sha256 hex chars of 'half:key:round'
+    as an integer (conv is the Spark mirror of the oracle's nibble
+    lookups)."""
+    msg = F.concat(x, F.lit(f":{key}:{r}"))
+    return F.conv(F.substring(F.sha2(msg, 256), 1, 8), 16, 10).cast("long")
+
+
+def fpe_mask_col(
+    value: Column, key: str, rounds: int = 4, decrypt: bool = False
+) -> Column:
+    """Format-preserving mask of an all-digit string column (length
+    2..18); other values pass through unchanged.  ``decrypt=True``
+    inverts the permutation (same key) — modular subtraction in
+    reverse round order.
+
+    Scale shape: pure Column expressions (sha2/conv/substr/lpad fused
+    into the scan), zero Python, zero state — the "vault" of a
+    tokenization service replaced by arithmetic.
+    """
+    ln = F.length(value)
+    u = F.floor(ln / 2).cast("int")
+    v = (ln - u).cast("int")
+    mod_u = F.pow(F.lit(10.0), u.cast("double")).cast("long")
+    mod_v = F.pow(F.lit(10.0), v.cast("double")).cast("long")
+    a = value.substr(F.lit(1), u)
+    b = value.substr(u + 1, v)
+    order = range(int(rounds), 0, -1) if decrypt else range(1, int(rounds) + 1)
+    for r in order:
+        if r % 2 == 1:
+            h = _fpe_round_h(a, key, r) % mod_v
+            bi = b.cast("long")
+            nb = (bi - h + mod_v) % mod_v if decrypt else (bi + h) % mod_v
+            # dynamic-width zero-pad: render 18-wide, take the last v
+            b = F.lpad(nb.cast("string"), 18, "0").substr(F.lit(19) - v, v)
+        else:
+            h = _fpe_round_h(b, key, r) % mod_u
+            ai = a.cast("long")
+            na = (ai - h + mod_u) % mod_u if decrypt else (ai + h) % mod_u
+            a = F.lpad(na.cast("string"), 18, "0").substr(F.lit(19) - u, u)
+    masked = F.concat(a, b)
+    eligible = value.rlike(r"^\d{2,18}$")
+    return F.when(eligible, masked).otherwise(value)
+
+
+def _fpe_hex_int_sql(msg_sql: str) -> str:
+    """DuckDB mirror of conv(substring(sha2(msg,256),1,8),16,10):
+    strpos nibble lookups over the first 8 hex chars."""
+    hx = f"sha256({msg_sql})"
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', {hx}[{i}]) - 1) * "
+            f"{16 ** (8 - i)}::BIGINT"
+            for i in range(1, 9)
+        )
+        + ")"
+    )
+
+
+def fpe_mask_oracle_sql(
+    rows_sql: str,
+    id_sql: str,
+    digits_sql: str,
+    key: str,
+    rounds: int = 4,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`fpe_mask_col` PLUS the
+    decrypt round-trip: returns ``id, masked, roundtrip_ok`` per row
+    (eligibility gate included)."""
+
+    def step(tbl: str, r: int, decrypt: bool) -> str:
+        if r % 2 == 1:
+            h = _fpe_hex_int_sql(f"a || ':{key}:{r}'")
+            op = (
+                f"(CAST(b AS BIGINT) - ({h}) % mv + mv) % mv"
+                if decrypt
+                else f"(CAST(b AS BIGINT) + ({h})) % mv"
+            )
+            return (
+                f"SELECT id, orig, a, "
+                f"right(lpad(CAST({op} AS VARCHAR), 18, '0'), v) AS b, "
+                f"u, v, mu, mv FROM {tbl}"
+            )
+        h = _fpe_hex_int_sql(f"b || ':{key}:{r}'")
+        op = (
+            f"(CAST(a AS BIGINT) - ({h}) % mu + mu) % mu"
+            if decrypt
+            else f"(CAST(a AS BIGINT) + ({h})) % mu"
+        )
+        return (
+            f"SELECT id, orig, "
+            f"right(lpad(CAST({op} AS VARCHAR), 18, '0'), u) AS a, "
+            f"b, u, v, mu, mv FROM {tbl}"
+        )
+
+    parts = [
+        f"""
+        WITH rows0 AS ({rows_sql}),
+        f0 AS (
+            SELECT {id_sql} AS id, {digits_sql} AS orig,
+                   substr({digits_sql}, 1, CAST(length({digits_sql}) // 2 AS INT)) AS a,
+                   substr({digits_sql}, CAST(length({digits_sql}) // 2 AS INT) + 1) AS b,
+                   CAST(length({digits_sql}) // 2 AS INT) AS u,
+                   CAST(length({digits_sql}) - length({digits_sql}) // 2 AS INT) AS v,
+                   CAST(power(10, length({digits_sql}) // 2) AS BIGINT) AS mu,
+                   CAST(power(10, length({digits_sql}) - length({digits_sql}) // 2)
+                        AS BIGINT) AS mv
+            FROM rows0
+            WHERE regexp_matches({digits_sql}, '^[0-9]{{2,18}}$')
+        )"""
+    ]
+    n = int(rounds)
+    for r in range(1, n + 1):
+        parts.append(f", f{r} AS ({step(f'f{r - 1}', r, False)})")
+    # decrypt chain seeded from the masked halves
+    parts.append(
+        f", g{n + 1} AS (SELECT id, orig, a, b, u, v, mu, mv FROM f{n})"
+    )
+    for r in range(n, 0, -1):
+        parts.append(f", g{r} AS ({step(f'g{r + 1}', r, True)})")
+    parts.append(f"""
+        SELECT f.id, f.a || f.b AS masked,
+               (g.a || g.b) = f.orig AS roundtrip_ok
+        FROM f{n} f JOIN g1 g ON f.id = g.id
+        ORDER BY f.id""")
+    return "".join(parts)

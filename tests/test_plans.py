@@ -1156,3 +1156,14 @@ def test_zonemap_skip_zone_tables_only(spark):
     p = plan(zonemap_skip(li, {"r": F.expr("v div 100")}, "v", [(1, 200)]))
     assert count_python_nodes(p) == 0
     assert "CartesianProduct" not in p
+
+
+def test_fpe_mask_pure_expressions(spark):
+    from pii_spark.masking import fpe_mask_col
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("v")
+    )
+    p = plan(cust.select(fpe_mask_col(F.col("v"), "k").alias("m")))
+    assert count_python_nodes(p) == 0
+    assert "Exchange" not in p  # map-only: fused into the scan
