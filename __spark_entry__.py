@@ -6221,12 +6221,19 @@ def q_fpe_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         12,
         "0",
     )
-    masked = fpe_mask_col(v, "corpus-key")
-    rt = fpe_mask_col(masked, "corpus-key", decrypt=True)
-    return cust.select(
+    # stage the masked column behind an exchange: a Feistel round
+    # references BOTH prior halves, so nesting decrypt(mask(x)) as one
+    # expression grows the tree ~phi^(2*rounds) and blows whole-stage
+    # codegen (measured 25 s vs ~1 s staged); the barrier keeps each
+    # side at 4 rounds over leaf columns
+    staged = cust.select(
         F.col("c_custkey").cast("long").alias("id"),
-        masked.alias("masked"),
-        (rt == v).alias("roundtrip_ok"),
+        v.alias("v"),
+        fpe_mask_col(v, "corpus-key").alias("masked"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("id"))
+    rt = fpe_mask_col(F.col("masked"), "corpus-key", decrypt=True)
+    return staged.select(
+        "id", "masked", (rt == F.col("v")).alias("roundtrip_ok")
     ).orderBy("id")
 
 

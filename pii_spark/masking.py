@@ -180,6 +180,15 @@ def fpe_mask_col(
     Scale shape: pure Column expressions (sha2/conv/substr/lpad fused
     into the scan), zero Python, zero state — the "vault" of a
     tokenization service replaced by arithmetic.
+
+    Composition warning: each round references BOTH prior halves, so
+    the expression tree grows ~φ^rounds; nesting
+    ``fpe_mask_col(fpe_mask_col(x), decrypt=True)`` as ONE expression
+    doubles the depth and blows whole-stage codegen (measured 25 s →
+    2 s at sf0.1).  When composing mask+decrypt, stage the masked
+    value as a materialized column (any exchange is a projection
+    barrier) so each side stays ``rounds`` deep over leaf columns —
+    see ``q_fpe_mask`` in ``__spark_entry__.py``.
     """
     ln = F.length(value)
     u = F.floor(ln / 2).cast("int")
