@@ -153,6 +153,8 @@ def main() -> None:
         "dedup_lineage",
         "cl_diversity",
         "base64_secret_scan",
+        "hex_secret_scan",
+        "dedup_ablation",
         "zonemap_skip",
         "fpe_mask",
         "scrub_email_partial",

@@ -1449,6 +1449,72 @@ def prefix_jaccard_pairs(
     )
 
 
+def dedup_threshold_ablation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    thresholds_x100: tuple[int, ...] = (60, 70, 80, 90),
+    materialize: bool = True,
+) -> DataFrame:
+    """Threshold-sensitivity sweep for exact n-gram-Jaccard dedup: the
+    pairwise overlap is computed ONCE at the loosest threshold
+    (:func:`prefix_jaccard_pairs` candidate rule, exact verification),
+    then every threshold in the sweep is evaluated over the cached
+    ``(inter, uni)`` pair rows — a k-threshold ablation costs one extra
+    explode + hash aggregate, not k dedup runs.  This is the knob-tuning
+    query a corpus curator runs before committing a dedup pass: "how
+    many documents does each threshold delete?"
+
+    Per threshold (integer-exact cross-multiplied gate
+    ``inter·100 ≥ t·uni``) the row reports ``n_pairs`` (qualifying
+    pairs), ``n_dropped`` (docs with a qualifying pair to a smaller id
+    — the keep-first pair-dominance rule, the LSH-dedup convention;
+    chain-insensitive, so it is a deterministic upper bound on
+    sequential-greedy deletions) and ``n_survivors``.
+
+    Scale shape: the sweep adds no corpus-sized work — pairs explode
+    ×k thresholds (pairs ≪ docs after prefix filtering), one hash
+    aggregate keyed on threshold, plus a 1-row corpus count
+    cross-joined onto the k-row result.
+    """
+    ts = sorted({int(t) for t in thresholds_x100})
+    if not ts or ts[0] < 1 or ts[-1] > 100:
+        raise ValueError(f"thresholds_x100 must be within [1,100]: {ts}")
+    pairs = prefix_jaccard_pairs(
+        df, id_col, text_col, n=n, t_x100=ts[0], materialize=materialize
+    ).select("doc_a", "doc_b", "inter", "uni")
+    pairs = _materialize(pairs, materialize)  # one sweep input, k gates
+    qual = pairs.select(
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("t_x100"),
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+    ).filter(F.col("inter") * 100 >= F.col("t_x100") * F.col("uni"))
+    agg = qual.groupBy("t_x100").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("long").alias("n_dropped"),
+    )
+    ths = df.sparkSession.createDataFrame(
+        [(t,) for t in ts], "t_x100 INT"
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        ths.join(agg, "t_x100", "left")
+        .crossJoin(tot)  # 1-row aggregate
+        .select(
+            "t_x100",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_survivors"),
+        )
+        .orderBy("t_x100")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact cross-document substring dedup (anchor + extension)
 # ---------------------------------------------------------------------------

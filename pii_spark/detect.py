@@ -1213,6 +1213,16 @@ def base64_secret_scan(
         .filter(F.hex(F.col("bin")).rlike(_ASCII_HEX_RE))
         .select(F.decode(F.col("bin"), "UTF-8").alias("payload"))
     )
+    return _payload_pattern_counts(dec, pattern_regexes)
+
+
+def _payload_pattern_counts(
+    dec: DataFrame, pattern_regexes: dict[str, str]
+) -> DataFrame:
+    """Shared tail of the embedded-secret scans: count each pattern's
+    hits across all decoded ``payload`` rows in ONE hash aggregate,
+    then unpivot to ``(pattern, n_matches)`` rows plus the
+    ``('__payloads__', n)`` accounting row."""
     names = list(pattern_regexes)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n_payloads")]
     for n in names:
@@ -1262,6 +1272,32 @@ def base64_secret_scan_oracle_sql(
     non-multiple-of-4 input; the ASCII gate guarantees the final
     blob→VARCHAR cast never sees invalid UTF-8)."""
 
+    selects, unpivot = _payload_counts_tail_sql(pattern_regexes)
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        runs AS (
+            SELECT unnest(regexp_extract_all({content_sql},
+                '{_b64_run_re(min_run)}')) AS run
+            FROM rows0
+        ),
+        sized AS (SELECT run FROM runs WHERE length(run) % 4 = 0),
+        valid AS (
+            SELECT run FROM sized
+            WHERE regexp_matches(hex(from_base64(run)), '{_ASCII_HEX_RE}')
+        ),
+        pay AS (SELECT CAST(from_base64(run) AS VARCHAR) AS payload FROM valid),
+        agg AS (SELECT {", ".join(selects)} FROM pay)
+        SELECT pattern, n_matches FROM ({unpivot}) ORDER BY pattern
+    """
+
+
+def _payload_counts_tail_sql(
+    pattern_regexes: dict[str, str],
+) -> tuple[list[str], str]:
+    """SQL twin of :func:`_payload_pattern_counts`: the ``agg`` select
+    list and the unpivot UNION chain shared by every embedded-secret
+    oracle."""
+
     def q(s: str) -> str:
         return s.replace("'", "''")
 
@@ -1282,19 +1318,77 @@ def base64_secret_scan_oracle_sql(
             for n in pattern_regexes
         ]
     )
+    return selects, unpivot
+
+
+def _hex_run_re(min_run: int) -> str:
+    """Hex-run regex built from byte pairs, so every match has even
+    length by construction — neither engine ever feeds an odd-length
+    (truncated) transcription to its decoder.  A trailing odd nibble
+    of a maximal run is simply left unmatched, identically in Java
+    regex and RE2 (leftmost match, greedy pair repetition)."""
+    pairs = max(int(min_run) // 2, 1)
+    return rf"(?:[0-9A-Fa-f]{{2}}){{{pairs},}}"
+
+
+def hex_secret_scan(
+    df: DataFrame,
+    content_col: str,
+    pattern_regexes: dict[str, str],
+    min_run: int = 32,
+) -> DataFrame:
+    """Secrets hidden inside HEX blobs — the sibling leak channel of
+    :func:`base64_secret_scan` (keys pasted as hex into fixtures,
+    ``xxd`` dumps, protocol captures; the reference scans raw text
+    only, ``internal/detector/engine.go:168-216``).  Pipeline: extract
+    hex runs (≥ ``min_run`` chars, even length by the pair-grouped
+    regex), gate on printable ASCII directly on the UPPERCASED run —
+    the run *is* the payload's hex transcription, so no decode happens
+    before validation and no engine ever represents invalid UTF-8 —
+    then decode and count each pattern's hits inside the payloads.
+    Same output contract as the base64 scan: one ``(pattern,
+    n_matches)`` row per pattern plus ``('__payloads__', n)``.
+
+    Scale shape: extraction/gate/decode fuse into the scan (JVM
+    ``regexp_extract_all``/``rlike``/``unhex``); only gated runs are
+    decoded; ONE hash aggregate (shared tail
+    :func:`_payload_pattern_counts`).
+    """
+    runs = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(content_col), F.lit(_hex_run_re(min_run)), F.lit(0)
+            )
+        ).alias("run")
+    )
+    dec = runs.filter(F.upper(F.col("run")).rlike(_ASCII_HEX_RE)).select(
+        F.decode(F.unhex(F.col("run")), "UTF-8").alias("payload")
+    )
+    return _payload_pattern_counts(dec, pattern_regexes)
+
+
+def hex_secret_scan_oracle_sql(
+    rows_sql: str,
+    content_sql: str,
+    pattern_regexes: dict[str, str],
+    min_run: int = 32,
+) -> str:
+    """DuckDB replay of :func:`hex_secret_scan` (the ASCII gate runs
+    on the uppercased run text itself, so ``from_hex`` only ever sees
+    validated printable-ASCII transcriptions)."""
+    selects, unpivot = _payload_counts_tail_sql(pattern_regexes)
     return f"""
         WITH rows0 AS ({rows_sql}),
         runs AS (
             SELECT unnest(regexp_extract_all({content_sql},
-                '{_b64_run_re(min_run)}')) AS run
+                '{_hex_run_re(min_run)}')) AS run
             FROM rows0
         ),
-        sized AS (SELECT run FROM runs WHERE length(run) % 4 = 0),
         valid AS (
-            SELECT run FROM sized
-            WHERE regexp_matches(hex(from_base64(run)), '{_ASCII_HEX_RE}')
+            SELECT run FROM runs
+            WHERE regexp_matches(upper(run), '{_ASCII_HEX_RE}')
         ),
-        pay AS (SELECT CAST(from_base64(run) AS VARCHAR) AS payload FROM valid),
+        pay AS (SELECT CAST(from_hex(run) AS VARCHAR) AS payload FROM valid),
         agg AS (SELECT {", ".join(selects)} FROM pay)
         SELECT pattern, n_matches FROM ({unpivot}) ORDER BY pattern
     """

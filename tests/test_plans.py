@@ -1147,6 +1147,32 @@ def test_base64_secret_scan_fused_no_python(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
 
 
+def test_hex_secret_scan_fused_no_python(spark):
+    from pii_spark.detect import hex_secret_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(hex_secret_scan(docs, "content", {"aws": "AKIA[0-9A-Z]{16}"}))
+    assert count_python_nodes(p) == 0
+    # extraction/gate/decode fuse into the scan: one partial+final agg
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_dedup_ablation_no_python_no_cartesian(spark):
+    from pii_spark.dedup import dedup_threshold_ablation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(
+        dedup_threshold_ablation(
+            docs, "doc_id", "text", thresholds_x100=(60, 80), materialize=False
+        )
+    )
+    assert count_python_nodes(p) == 0
+    # the only unkeyed join is the 1-row corpus-count broadcast
+    assert "CartesianProduct" not in p
+
+
 def test_zonemap_skip_zone_tables_only(spark):
     from pii_spark.diagnostics import zonemap_skip
 
