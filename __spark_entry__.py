@@ -87,13 +87,10 @@ _NEARDUP_CASE = (
     "(doc_id % 3)::VARCHAR ELSE text END"
 )
 
-def _overlap_ctes(corpus_case: str) -> str:
-    """Shared CTE chain: corpus → 5-gram shingles → pair intersection
-    counts (``inter``: da, db, ni) + per-doc set sizes (``sizes``).
-    ONE copy feeds every exact set-overlap oracle (Jaccard AND
-    containment) — a fix to the shingle construction cannot silently
-    diverge between them.  (No leading WITH — callers prepend WITH /
-    WITH RECURSIVE as needed.)"""
+def _shingle_ctes(corpus_case: str) -> str:
+    """CTE chain ``corpus → toks → sh(doc_id, s)``: distinct 5-gram
+    word shingles per doc, the SQL twin of ``dedup.shingles_col`` (one
+    whole-text shingle for docs under 5 words).  (No leading WITH.)"""
     return f"""corpus AS (SELECT doc_id, {corpus_case} AS t FROM documents),
             toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM corpus
@@ -104,7 +101,17 @@ def _overlap_ctes(corpus_case: str) -> str:
                             ELSE list_transform(range(1, len(w) - 3),
                                                 i -> array_to_string(w[i:i+4], ' '))
                        END) AS u(s)
-            ),
+            )"""
+
+
+def _overlap_ctes(corpus_case: str) -> str:
+    """Shared CTE chain: corpus → 5-gram shingles → pair intersection
+    counts (``inter``: da, db, ni) + per-doc set sizes (``sizes``).
+    ONE copy feeds every exact set-overlap oracle (Jaccard AND
+    containment) — a fix to the shingle construction cannot silently
+    diverge between them.  (No leading WITH — callers prepend WITH /
+    WITH RECURSIVE as needed.)"""
+    return f"""{_shingle_ctes(corpus_case)},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
@@ -6246,6 +6253,16 @@ def q_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured MinHash-LSH band/row tuning curve over the planted
+    # near-dup clusters: one 128-hash portable signature, four configs
+    # slicing it; recall exposes LSH's real false negatives per config
+    corpus = _neardup_corpus(spark, sf_dir)
+    return dedup.minhash_tuning_grid(
+        corpus, "doc_id", "text3", grid=((8, 16), (16, 8), (32, 4), (64, 2))
+    )
+
+
 def q_fpe_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # format-preserving tokenization of customer phone digits: masked
     # value keeps length/digit-ness, decrypt round-trips; the oracle
@@ -7708,6 +7725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_secret_scan": q_base64_secret_scan,
         "hex_secret_scan": q_hex_secret_scan,
         "dedup_ablation": q_dedup_ablation,
+        "lsh_tuning": q_lsh_tuning,
         "zonemap_skip": q_zonemap_skip,
         "fpe_mask": q_fpe_mask,
         "deobfuscated_detect": q_deobfuscated_detect,
@@ -7956,6 +7974,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
+        minhash_tuning_oracle_sql,
         repo_containment_oracle_sql,
         shard_stitch_oracle_sql,
     )
@@ -9004,6 +9023,10 @@ def oracle_sql() -> dict[str, str]:
             """,
             "content",
             {"aws-access-key": AWS_RE, "email": EMAIL_RE},
+        ),
+        "lsh_tuning": minhash_tuning_oracle_sql(
+            _shingle_ctes(_NEARDUP_CASE),
+            grid=((8, 16), (16, 8), (32, 4), (64, 2)),
         ),
         "dedup_ablation": f"""
             WITH {_overlap_ctes(_NEARDUP_CASE)},

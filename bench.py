@@ -155,6 +155,7 @@ def main() -> None:
         "base64_secret_scan",
         "hex_secret_scan",
         "dedup_ablation",
+        "lsh_tuning",
         "zonemap_skip",
         "fpe_mask",
         "scrub_email_partial",

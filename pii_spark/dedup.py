@@ -1515,6 +1515,242 @@ def dedup_threshold_ablation(
     )
 
 
+#: modulus of the portable MinHash permutation family (Mersenne prime
+#: 2³¹−1): base hashes are 32-bit (< 2³²), reduced mod p before the
+#: multiply, so aj·h < 2⁶² never overflows BIGINT in either engine
+_LSH_PRIME = (1 << 31) - 1
+
+
+def _lsh_perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (aj, bj) multiply-add permutation constants — plain
+    integer literals, so the DuckDB oracle interpolates the SAME values
+    (Knuth multiplicative constant / odd stride; quality is irrelevant
+    to correctness, identity across engines is what matters)."""
+    a = [(j * 2654435761 + 1) % _LSH_PRIME or 1 for j in range(num_hashes)]
+    b = [(j * 40503 + 17) % _LSH_PRIME for j in range(num_hashes)]
+    return a, b
+
+
+def minhash_tuning_grid(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    grid: tuple[tuple[int, int], ...] = ((64, 2), (32, 4), (16, 8), (8, 16)),
+    shingle_n: int = 5,
+    t_x100: int = 80,
+    materialize: bool = True,
+) -> DataFrame:
+    """MinHash-LSH parameter tuning curve, MEASURED (not the analytic
+    ``1-(1-j^r)^b`` formula): for every ``(bands, rows_per_band)``
+    config in the grid, the actual candidate-pair set its banding
+    produces, scored against exact-Jaccard ground truth — n_candidates,
+    n_true (pairs with J ≥ t), tp, and integer-exact
+    recall/precision ×10000.  This is the knob-tuning query run before
+    committing an LSH dedup config: it exposes LSH's real false
+    negatives, which the verified-output queries
+    (:func:`minhash_lsh_pairs`) by construction never show.
+
+    ONE signature computation (``max(b·r)`` hashes, portable
+    sha256-based permutations — :func:`_lsh_perm_constants` — so a
+    DuckDB oracle replays every minimum, band key, candidate pair and
+    therefore every miss bit-for-bit); each config SLICES that
+    signature (``j < b·r``), re-bands, and self-joins its buckets.
+
+    Scale shape: shingle explode → (doc, j)-keyed min (map-side
+    partial agg) happens once; per config the self-join shuffles
+    O(n·bands) narrow band-key rows; ground truth is the exact shingle
+    pair join, gated integer-exactly — at 100 TB you run the grid on a
+    deterministic sample (``hash_sample``) rather than the full
+    corpus, which changes nothing structurally.
+    """
+    num_hashes = max(b * r for b, r in grid)
+    a_c, b_c = _lsh_perm_constants(num_hashes)
+    spark = df.sparkSession
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    sh = _materialize(sh, materialize)  # feeds signatures AND truth
+    hm = (
+        F.conv(F.substring(F.sha2(F.col("s"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % _LSH_PRIME
+    )
+    perms = F.broadcast(
+        spark.createDataFrame(
+            [(j, a_c[j], b_c[j]) for j in range(num_hashes)],
+            "j INT, aj LONG, bj LONG",
+        )
+    )
+    sigs = (
+        sh.select("doc", hm.alias("hm"))
+        .crossJoin(perms)  # 128-row broadcast fan-out
+        .groupBy("doc", "j")
+        .agg(F.min((F.col("aj") * F.col("hm") + F.col("bj")) % _LSH_PRIME).alias("minh"))
+    )
+    sigs = _materialize(sigs, materialize)  # sliced by every config
+    # exact ground truth: shingle-join pair overlap, integer gate
+    left = sh.select(F.col("doc").alias("doc_a"), "s")
+    right = sh.select(F.col("doc").alias("doc_b"), "s")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    truth = (
+        left.join(right, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("ni") * 100 >= t_x100 * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    truth = _materialize(truth, materialize)  # joined by every config
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+
+    per_config = []
+    for bnd, r in grid:
+        keys = (
+            sigs.filter(F.col("j") < bnd * r)
+            .withColumn("band", F.floor(F.col("j") / r))
+            .groupBy("doc", "band")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "minh"))),
+                        lambda x: x.getField("minh").cast("string"),
+                    ),
+                    "-",
+                ).alias("key")
+            )
+        )
+        cand = (
+            keys.alias("x")
+            .join(
+                keys.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .distinct()
+        )
+        scored = cand.join(
+            truth.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("tp"),
+        )
+        per_config.append(
+            scored.select(
+                F.lit(bnd).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "tp",
+            )
+        )
+    res = per_config[0]
+    for p in per_config[1:]:
+        res = res.union(p)
+    guard = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"{num} * 10000 div {den}")
+    ).cast("long")
+    return (
+        res.crossJoin(n_true)  # 1-row aggregate
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            F.col("n_true").cast("long").alias("n_true"),
+            "tp",
+            guard("tp", "n_true").alias("recall_x10000"),
+            guard("tp", "n_candidates").alias("precision_x10000"),
+        )
+        .orderBy("bands", "rows_per_band")
+    )
+
+
+def minhash_tuning_oracle_sql(
+    shingle_ctes: str,
+    grid: tuple[tuple[int, int], ...] = ((64, 2), (32, 4), (16, 8), (8, 16)),
+    t_x100: int = 80,
+) -> str:
+    """DuckDB replay of :func:`minhash_tuning_grid`.  ``shingle_ctes``
+    must define a CTE ``sh(doc_id, s)`` of DISTINCT per-doc shingles
+    (no leading WITH).  Every permutation minimum, band key and
+    candidate pair is recomputed from the same sha256 nibble ladder and
+    the same (aj, bj) literals, so even LSH's misses replay exactly."""
+    num_hashes = max(b * r for b, r in grid)
+    a_c, b_c = _lsh_perm_constants(num_hashes)
+    p = _LSH_PRIME
+    # first-8-hex-chars of sha256(s) as BIGINT via nibble ladder
+    ladder = " + ".join(
+        f"(strpos('0123456789abcdef', sha256(s)[{i}]) - 1) * "
+        f"{16 ** (8 - i)}::BIGINT"
+        for i in range(1, 9)
+    )
+    cfg_ctes, cfg_unions = [], []
+    for bnd, r in grid:
+        tag = f"{bnd}_{r}"
+        cfg_ctes.append(
+            f"""k_{tag} AS (
+                SELECT doc_id, j // {r} AS band,
+                       string_agg(CAST(minh AS VARCHAR), '-' ORDER BY j) AS key
+                FROM minh WHERE j < {bnd * r} GROUP BY 1, 2
+            ),
+            c_{tag} AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM k_{tag} x JOIN k_{tag} y
+                  ON x.band = y.band AND x.key = y.key
+                 AND x.doc_id < y.doc_id
+            ),
+            s_{tag} AS (
+                SELECT {bnd} AS bands, {r} AS rows_per_band,
+                       CAST(count(*) AS BIGINT) AS n_candidates,
+                       CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+                                         THEN 1 END), 0) AS BIGINT) AS tp
+                FROM c_{tag} c
+                LEFT JOIN truth t
+                  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+            )"""
+        )
+        cfg_unions.append(f"SELECT * FROM s_{tag}")
+    return f"""
+        WITH {shingle_ctes},
+        sh_h AS (SELECT doc_id, ({ladder}) % {p} AS hm FROM sh),
+        perm AS (
+            SELECT i AS j, a_l[i + 1] AS aj, b_l[i + 1] AS bj
+            FROM (SELECT unnest(range({num_hashes})) AS i),
+                 (SELECT {a_c} AS a_l, {b_c} AS b_l)
+        ),
+        minh AS (
+            SELECT doc_id, j, min((aj * hm + bj) % {p}) AS minh
+            FROM sh_h CROSS JOIN perm GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            GROUP BY 1, 2, sa.n, sb.n
+            HAVING count(*) * 100 >= {t_x100} * (sa.n + sb.n - count(*))
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        {", ".join(cfg_ctes)}
+        SELECT bands, rows_per_band, n_candidates, n_true, tp,
+               CASE WHEN n_true > 0
+                    THEN tp * 10000 // n_true END AS recall_x10000,
+               CASE WHEN n_candidates > 0
+                    THEN tp * 10000 // n_candidates END AS precision_x10000
+        FROM ({" UNION ALL ".join(cfg_unions)}) CROSS JOIN tot
+        ORDER BY bands, rows_per_band
+    """
+
+
 # ---------------------------------------------------------------------------
 # exact cross-document substring dedup (anchor + extension)
 # ---------------------------------------------------------------------------

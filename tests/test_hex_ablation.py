@@ -68,3 +68,29 @@ def test_dedup_threshold_ablation_rejects_bad_thresholds(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup_threshold_ablation(df, "doc_id", "text", thresholds_x100=(0, 80))
+
+
+def test_minhash_tuning_grid_recall_curve(spark):
+    from pii_spark.dedup import minhash_tuning_grid
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base), (3, base + " mu"),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "unrelated words entirely different content here now ok yes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.bands, r.rows_per_band): r
+        for r in minhash_tuning_grid(
+            df, "doc_id", "text", grid=((32, 4), (8, 16)), t_x100=70
+        ).collect()
+    }
+    # exact copies (1,2) always collide: every config has >= 1 candidate
+    assert all(r.n_candidates >= 1 for r in out.values())
+    # ground truth is config-independent
+    n_true = {r.n_true for r in out.values()}
+    assert len(n_true) == 1
+    # more bands / fewer rows never lowers recall on the same corpus
+    assert (out[(32, 4)].recall_x10000 or 0) >= (out[(8, 16)].recall_x10000 or 0)
+    # tp never exceeds either denominator
+    for r in out.values():
+        assert r.tp <= r.n_true and r.tp <= r.n_candidates

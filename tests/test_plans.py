@@ -1173,6 +1173,20 @@ def test_dedup_ablation_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def test_minhash_tuning_grid_no_python_one_signature(spark):
+    from pii_spark.dedup import minhash_tuning_grid
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(
+        minhash_tuning_grid(
+            docs, "doc_id", "text", grid=((16, 8), (8, 16)), materialize=False
+        )
+    )
+    assert count_python_nodes(p) == 0
+    # the 128-row permutation fan-out is a broadcast, never a shuffle
+    assert "CartesianProduct" not in p
+
+
 def test_zonemap_skip_zone_tables_only(spark):
     from pii_spark.diagnostics import zonemap_skip
 
