@@ -2277,6 +2277,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query", "rank")
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-based retrieval evaluation, integer-exact: BM25@10 scored
+    # against AND-containment relevance judgments — per query n_rel,
+    # hits@10, first-relevant rank, reciprocal rank and P@10 (x10000)
+    from pii_spark.retrieval import bm25_topk, retrieval_eval, term_qrels
+
+    docs = _docs(spark, sf_dir)
+    ranked = bm25_topk(spark, docs, "doc_id", "text", _BM25_QUERIES, k=10)
+    qrels = term_qrels(spark, docs, "doc_id", "text", _BM25_QUERIES, min_tf=3)
+    return retrieval_eval(ranked, qrels, k=10)
+
+
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -7726,6 +7738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_secret_scan": q_hex_secret_scan,
         "dedup_ablation": q_dedup_ablation,
         "lsh_tuning": q_lsh_tuning,
+        "retrieval_eval": q_retrieval_eval,
         "zonemap_skip": q_zonemap_skip,
         "fpe_mask": q_fpe_mask,
         "deobfuscated_detect": q_deobfuscated_detect,
@@ -8023,7 +8036,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.temporal import scd2_oracle_sql
     from pii_spark.linkage import fuzzy_best_match_oracle_sql
-    from pii_spark.retrieval import bm25_oracle_sql, mmr_oracle_sql
+    from pii_spark.retrieval import (
+        bm25_oracle_sql,
+        mmr_oracle_sql,
+        retrieval_eval_oracle_sql,
+    )
     from pii_spark.dedup import comment_insensitive_oracle_sql
     from pii_spark.quality import brace_nesting_oracle_sql
     from pii_spark.quality import (
@@ -8616,6 +8633,9 @@ def oracle_sql() -> dict[str, str]:
             tiebreak_sql="c_custkey",
         ),
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
+        "retrieval_eval": retrieval_eval_oracle_sql(
+            _BM25_QUERIES, k=10, min_tf=3
+        ),
         "fuzzy_match": fuzzy_best_match_oracle_sql(
             probes_sql=(
                 "SELECT s_suppkey AS pid, " + _MANGLE_DUCK + " AS ptext"

@@ -156,6 +156,7 @@ def main() -> None:
         "hex_secret_scan",
         "dedup_ablation",
         "lsh_tuning",
+        "retrieval_eval",
         "zonemap_skip",
         "fpe_mask",
         "scrub_email_partial",

@@ -787,3 +787,143 @@ def token_pmi_oracle_sql(
         ORDER BY lift_x10000 DESC, a, b
         LIMIT {k}
     """
+
+
+def term_qrels(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    min_tf: int = 1,
+) -> DataFrame:
+    """AND-semantics relevance judgments ``(query, doc)``: a document
+    is relevant to a query iff EVERY query term appears at least
+    ``min_tf`` times in its token stream — conjunctive ground truth
+    that correlates with, but is not defined by, BM25's disjunctive
+    tf scoring (same tokenizer as :func:`bm25_topk`).  ``min_tf > 1``
+    keeps judgments selective on corpora whose whole vocabulary is
+    common words.
+
+    Scale shape: one tokenize pass, one broadcast of the (tiny) query
+    table, row-local ``forall`` over per-term counts — no shuffle."""
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, sorted(set(ts))) for q, ts in queries.items()],
+            "query STRING, terms ARRAY<STRING>",
+        )
+    )
+    tk = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    return (
+        docs.select(F.col(id_col).alias("doc"), tk.alias("tk"))
+        .crossJoin(qdf)  # |queries|-row broadcast fan-out
+        .filter(
+            F.forall(
+                "terms",
+                lambda t: F.size(F.filter("tk", lambda x: x == t)) >= min_tf,
+            )
+        )
+        .select("query", "doc")
+    )
+
+
+def retrieval_eval(ranked: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Rank-based retrieval evaluation, integer-exact: score a TOTAL-
+    ordered ranking (``ranked``: query, rank, doc — e.g.
+    :func:`bm25_topk` output truncated at depth ``k``) against
+    relevance judgments (``qrels``: query, doc).  Per query:
+
+    - ``n_rel`` — judged-relevant docs (recall denominator),
+    - ``hits_at_k`` — relevant docs retrieved at rank ≤ k,
+    - ``first_rel_rank`` — rank of the first relevant result (NULL if
+      none retrieved),
+    - ``rr_x10000`` — reciprocal rank ×10000, floor (0 if none): the
+      per-query MRR contribution,
+    - ``p_at_k_x10000`` — precision@k ×10000, floor.
+
+    Ranks are integers and every ratio is a floor division, so the
+    DuckDB oracle matches bit-for-bit — no float DCG that differs in
+    the last ulp between engines.
+
+    Scale shape: qrels aggregate + a (query, doc)-keyed join of two
+    already-small frames (ranked is queries·k rows); corpus-sized work
+    happened upstream in the ranker."""
+    spine = qrels.groupBy("query").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(qrels, ["query", "doc"])
+        .groupBy("query")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits_at_k"),
+            F.min("rank").cast("long").alias("first_rel_rank"),
+        )
+    )
+    return (
+        spine.join(hits, "query", "left")
+        .select(
+            "query",
+            "n_rel",
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("10000 div first_rel_rank"), F.lit(0)
+            ).cast("long").alias("rr_x10000"),
+            F.coalesce(
+                F.expr(f"hits_at_k * 10000 div {k}"), F.lit(0)
+            ).cast("long").alias("p_at_k_x10000"),
+        )
+        .orderBy("query")
+    )
+
+
+def retrieval_eval_oracle_sql(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    min_tf: int = 1,
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+    docs_sql: str = "SELECT doc_id AS doc, text FROM documents",
+) -> str:
+    """DuckDB replay of :func:`retrieval_eval` over
+    :func:`bm25_topk`(depth ``k``) and :func:`term_qrels` — the same
+    BM25 CTE chain, AND-containment qrels via per-term counts (every
+    query term matched, each ≥ ``min_tf``), floor-division metrics."""
+    return f"""
+        WITH {_bm25_ctes(queries, k1_x1000, b_x1000, docs_sql)},
+        qn AS (SELECT query, count(*) AS nt FROM qs GROUP BY query),
+        tfq AS (
+            SELECT toks.doc, toks.t, count(*) AS c
+            FROM toks JOIN (SELECT DISTINCT t FROM qs) u ON u.t = toks.t
+            GROUP BY toks.doc, toks.t
+        ),
+        rel AS (
+            SELECT qs.query, tfq.doc
+            FROM qs JOIN tfq ON tfq.t = qs.t
+            JOIN qn ON qn.query = qs.query
+            GROUP BY qs.query, tfq.doc, qn.nt
+            HAVING count(*) = qn.nt AND min(tfq.c) >= {min_tf}
+        ),
+        spine AS (
+            SELECT query, CAST(count(*) AS BIGINT) AS n_rel
+            FROM rel GROUP BY query
+        ),
+        hits AS (
+            SELECT r.query,
+                   CAST(count(*) AS BIGINT) AS hits_at_k,
+                   CAST(min(r.rank) AS BIGINT) AS first_rel_rank
+            FROM ranked r JOIN rel ON rel.query = r.query AND rel.doc = r.doc
+            WHERE r.rank <= {k}
+            GROUP BY r.query
+        )
+        SELECT spine.query, n_rel,
+               CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+               first_rel_rank,
+               CAST(coalesce(10000 // first_rel_rank, 0) AS BIGINT)
+                   AS rr_x10000,
+               CAST(coalesce(hits_at_k * 10000 // {k}, 0) AS BIGINT)
+                   AS p_at_k_x10000
+        FROM spine LEFT JOIN hits ON hits.query = spine.query
+        ORDER BY spine.query
+    """

@@ -1187,6 +1187,16 @@ def test_minhash_tuning_grid_no_python_one_signature(spark):
     assert "CartesianProduct" not in p
 
 
+def test_term_qrels_broadcast_no_shuffle(spark):
+    from pii_spark.retrieval import term_qrels
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(term_qrels(spark, docs, "doc_id", "text", {"q": ["join"]}))
+    assert count_python_nodes(p) == 0
+    # row-local containment over a broadcast query table: no exchange
+    assert "Exchange hashpartitioning" not in p
+
+
 def test_zonemap_skip_zone_tables_only(spark):
     from pii_spark.diagnostics import zonemap_skip
 

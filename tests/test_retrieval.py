@@ -296,3 +296,41 @@ def test_token_pmi_skip2_catches_gapped_pair(spark):
     pairs = {(r["a"], r["b"]) for r in out}
     assert ("aa", "bb") in pairs  # distance 2
     assert ("aa", "xx") in pairs  # distance 1
+
+
+def test_retrieval_eval_metrics_exact(spark):
+    from pii_spark.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", 1, 10), ("q1", 2, 11), ("q1", 3, 12),
+         ("q2", 1, 20), ("q2", 2, 21),
+         ("q3", 1, 30)],
+        "query string, rank int, doc long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 12), ("q1", 99),   # first hit at rank 2
+         ("q2", 77),                            # nothing retrieved
+         ("q3", 30)],                           # perfect
+        "query string, doc long",
+    )
+    out = {r.query: r for r in retrieval_eval(ranked, qrels, k=3).collect()}
+    assert (out["q1"].n_rel, out["q1"].hits_at_k, out["q1"].first_rel_rank,
+            out["q1"].rr_x10000, out["q1"].p_at_k_x10000) == (3, 2, 2, 5000, 6666)
+    assert (out["q2"].hits_at_k, out["q2"].first_rel_rank,
+            out["q2"].rr_x10000, out["q2"].p_at_k_x10000) == (0, None, 0, 0)
+    assert (out["q3"].first_rel_rank, out["q3"].rr_x10000) == (1, 10000)
+
+
+def test_term_qrels_min_tf(spark):
+    from pii_spark.retrieval import term_qrels
+
+    docs = spark.createDataFrame(
+        [(1, "join join hash hash"),    # both >= 2
+         (2, "join hash hash"),          # join only once
+         (3, "join join join")],         # no hash
+        "doc_id long, text string",
+    )
+    got = {(r.query, r.doc) for r in term_qrels(
+        spark, docs, "doc_id", "text", {"q": ["join", "hash"]}, min_tf=2
+    ).collect()}
+    assert got == {("q", 1)}
