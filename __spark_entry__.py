@@ -7721,9 +7721,22 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated Kneser-Ney bigram estimation over the documents
+    # corpus (the KenLM-style offline pass behind the perplexity gate);
+    # probabilities as exact-integer rationals, top-500 bigram types
+    # under the total order (count desc, v, w)
+    from pii_spark.quality import kneser_ney_bigram
+
+    return kneser_ney_bigram(
+        _docs(spark, sf_dir), "text", discount_x100=75, top_k=500
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
+        "kneser_ney_lm": q_kneser_ney_lm,
         "fp_suppression": q_fp_suppression,
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
@@ -7993,7 +8006,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.privacy import recursive_cl_oracle_sql
     from pii_spark.curation import doremi_oracle_sql
-    from pii_spark.quality import LENGTH_GATE_CASE_SQL
+    from pii_spark.quality import LENGTH_GATE_CASE_SQL, kneser_ney_oracle_sql
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
@@ -8864,6 +8877,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             """,
             [AWS_RE],
+        ),
+        "kneser_ney_lm": kneser_ney_oracle_sql(
+            "text", "SELECT text FROM documents", discount_x100=75, top_k=500
         ),
         "doremi_weights": doremi_oracle_sql(
             "SELECT lang AS domain, (sum(length(text)) * 1000) // count(*)"

@@ -236,6 +236,7 @@ def main() -> None:
         "substring_dedup_incremental",
         "bpe_pair_counts",
         "bpe_learn",
+        "kneser_ney_lm",
         "wordpiece_encode",
         "wordpiece_learn",
         "wordpiece_train_encode",

@@ -1217,3 +1217,20 @@ def test_fpe_mask_pure_expressions(spark):
     p = plan(cust.select(fpe_mask_col(F.col("v"), "k").alias("m")))
     assert count_python_nodes(p) == 0
     assert "Exchange" not in p  # map-only: fused into the scan
+
+
+def test_kneser_ney_topk_no_global_sort_and_pruned_scan(spark):
+    from pii_spark.quality import kneser_ney_bigram
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = kneser_ney_bigram(docs, "text", top_k=500)
+    p = plan(df)
+    # top-k is TakeOrderedAndProject, never a global sort shuffle
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    # the bigram-type table was materialized ONCE (localCheckpoint):
+    # the final plan contains ZERO parquet re-scans of the corpus —
+    # without the valve, column pruning de-shapes the four branches'
+    # exchanges and the executed plan scans the corpus 4x (measured)
+    assert "Scan parquet" not in p
+    assert "ExistingRDD" in p
