@@ -7721,6 +7721,51 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: edges for q_topo_pack: within group g = doc_id % 4, rank r = doc_id
+#: div 4; every r >= 1 imports r div 2 (a log-depth dependency tree),
+#: doc_id % 7 == 0 adds an EXTERNAL import (target not a node — must be
+#: dropped), and docs 120 <-> 124 (g=0, r=30/31) form a planted import
+#: cycle whose dependents (r=60..63 in g=0) must cascade to layer -1
+_TOPO_EDGES_SQL = """
+    SELECT doc_id % 4 AS graph, doc_id AS src,
+           ((doc_id // 4) // 2) * 4 + doc_id % 4 AS dst
+    FROM documents WHERE doc_id // 4 >= 1
+    UNION ALL
+    SELECT doc_id % 4, doc_id, 10000000 + doc_id
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 0, 120, 124 UNION ALL SELECT 0, 124, 120
+"""
+
+
+def q_topo_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dependency-first repo-context packing: Kahn layers over 4
+    # synthetic import graphs (log-depth tree + planted cycle +
+    # external imports), then 4000-char prefix-budget windows
+    from pii_spark.curation import topo_pack
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    files = docs.select(
+        (d % 4).alias("graph"), d.alias("node"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    r = F.expr("doc_id div 4")
+    tree = docs.filter(r >= 1).select(
+        (d % 4).alias("graph"), d.alias("src"),
+        (F.expr("(doc_id div 4) div 2") * 4 + d % 4).alias("dst"),
+    )
+    external = docs.filter(d % 7 == 0).select(
+        (d % 4).alias("graph"), d.alias("src"),
+        (d + 10_000_000).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [(0, 120, 124), (0, 124, 120)], "graph long, src long, dst long"
+    )
+    edges = tree.unionByName(external).unionByName(cyc)
+    return topo_pack(files, edges, budget=4000).orderBy("graph", "pos")
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram estimation over the documents
     # corpus (the KenLM-style offline pass behind the perplexity gate);
@@ -7737,6 +7782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
         "kneser_ney_lm": q_kneser_ney_lm,
+        "topo_pack": q_topo_pack,
         "fp_suppression": q_fp_suppression,
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
@@ -8005,7 +8051,7 @@ def oracle_sql() -> dict[str, str]:
         shard_stitch_oracle_sql,
     )
     from pii_spark.privacy import recursive_cl_oracle_sql
-    from pii_spark.curation import doremi_oracle_sql
+    from pii_spark.curation import doremi_oracle_sql, topo_pack_oracle_sql
     from pii_spark.quality import LENGTH_GATE_CASE_SQL, kneser_ney_oracle_sql
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
@@ -8881,6 +8927,13 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_lm": kneser_ney_oracle_sql(
             "text", "SELECT text FROM documents", discount_x100=75, top_k=500
         ),
+        "topo_pack": topo_pack_oracle_sql(
+            "SELECT doc_id % 4 AS graph, doc_id AS node,"
+            " n_chars AS size FROM documents",
+            _TOPO_EDGES_SQL,
+            budget=4000,
+            n_rounds=16,
+        ) + " ORDER BY graph, pos",
         "doremi_weights": doremi_oracle_sql(
             "SELECT lang AS domain, (sum(length(text)) * 1000) // count(*)"
             " AS loss FROM documents GROUP BY lang",

@@ -237,6 +237,7 @@ def main() -> None:
         "bpe_pair_counts",
         "bpe_learn",
         "kneser_ney_lm",
+        "topo_pack",
         "wordpiece_encode",
         "wordpiece_learn",
         "wordpiece_train_encode",

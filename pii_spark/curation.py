@@ -2523,3 +2523,113 @@ def doremi_oracle_sql(
     parts.append(f"""
         SELECT * FROM ({sel}) ORDER BY round, domain""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# dependency-first repo-context packing (topological order + char budget)
+# ---------------------------------------------------------------------------
+
+
+def topo_pack(
+    files: DataFrame,
+    edges: DataFrame,
+    graph_col: str = "graph",
+    node_col: str = "node",
+    size_col: str = "size",
+    src: str = "src",
+    dst: str = "dst",
+    budget: int = 4000,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Repo-context packing in DEPENDENCY-FIRST order: files of each
+    repo are laid out so that everything a file imports precedes it
+    (Kahn layer via :func:`pii_spark.graph.topo_layers`, ties broken by
+    node id), then the per-repo byte stream is cut into fixed
+    ``budget``-char context windows — ``pack_id`` = the window a file's
+    FIRST char lands in (prefix-budget assignment; the greedy best-fit
+    variant is :func:`pack_greedy`, this one is windowable and
+    SQL-exact).  Cycle-tainted files (layer -1: on an import cycle or
+    downstream of one) sort LAST within the repo — they still pack, but
+    never before their resolvable dependencies.  This is the repo-level
+    training-context layout code LLMs want: definitions before uses
+    inside every window stripe.
+
+    Scale shape: the layering loop is the co-partitioned peeling
+    documented on ``topo_layers``; the packing itself is one window
+    per repo key (sort within repo partitions — repos are assumed
+    ≪ executor memory each; a mega-repo outlier shows up in
+    ``key_skew_audit`` first).  Output: (graph, node, layer, pos,
+    pack_id), one row per file.
+    """
+    from pii_spark.graph import topo_layers
+
+    g, n = F.col(graph_col), F.col(node_col)
+    nodes = files.select(g.alias(graph_col), n.alias(node_col))
+    layers = topo_layers(
+        edges,
+        nodes,
+        graph_col=graph_col,
+        node_col=node_col,
+        src=src,
+        dst=dst,
+        max_rounds=max_rounds,
+    )
+    joined = files.select(
+        g.alias(graph_col), n.alias(node_col), F.col(size_col).alias("__sz")
+    ).join(layers, [graph_col, node_col])
+    okey = F.when(F.col("layer") == -1, F.lit(2_147_483_647)).otherwise(
+        F.col("layer")
+    )
+    w = Window.partitionBy(graph_col).orderBy(okey, F.col(node_col))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        joined.withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn("__cum", F.sum("__sz").over(wsum))
+        .withColumn(
+            "pack_id",
+            F.expr(f"(__cum - __sz) div {int(budget)}").cast("long"),
+        )
+        .select(graph_col, node_col, "layer", "pos", "pack_id")
+    )
+
+
+def topo_pack_oracle_sql(
+    files_sql: str,
+    edges_sql: str,
+    budget: int = 4000,
+    n_rounds: int = 16,
+    graph_name: str = "graph",
+    node_name: str = "node",
+) -> str:
+    """DuckDB replay of :func:`topo_pack`: the chained-CTE Kahn rounds
+    from :func:`pii_spark.graph.topo_layers_oracle_sql` wrapped in the
+    same dependency-first window.  ``files_sql`` must yield
+    ``(graph, node, size)``."""
+    from pii_spark.graph import topo_layers_oracle_sql
+
+    lay = topo_layers_oracle_sql(
+        edges_sql,
+        f"SELECT graph, node FROM ({files_sql})",
+        n_rounds=n_rounds,
+    )
+    return f"""
+        WITH __f AS (SELECT graph, node, size FROM ({files_sql})),
+        __lay AS (SELECT * FROM ({lay})),
+        __j AS (
+            SELECT f.graph, f.node, f.size, l.layer,
+                   CASE WHEN l.layer = -1 THEN 2147483647
+                        ELSE l.layer END AS okey
+            FROM __f f
+            JOIN __lay l ON l.graph = f.graph AND l.node = f.node
+        )
+        SELECT graph AS {graph_name}, node AS {node_name},
+               CAST(layer AS BIGINT) AS layer,
+               CAST(row_number() OVER w AS BIGINT) AS pos,
+               CAST((sum(size) OVER w - size) // {int(budget)} AS BIGINT)
+                   AS pack_id
+        FROM __j
+        WINDOW w AS (
+            PARTITION BY graph ORDER BY okey, node
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """

@@ -853,3 +853,174 @@ def label_propagation_oracle_sql(edges_sql: str, n_rounds: int) -> str:
         SELECT node, label FROM l{n_rounds} ORDER BY node"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# many-graph topological (Kahn) layering — dependency-first ordering
+# ---------------------------------------------------------------------------
+
+
+def topo_layers(
+    edges: DataFrame,
+    nodes: DataFrame,
+    graph_col: str = "graph",
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    broadcast_max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Kahn layering over MANY independent dependency graphs at once:
+    ``edges`` is ``(graph, src, dst)`` meaning *src depends on dst*
+    (src imports dst, so dst must come first), ``nodes`` is
+    ``(graph, node)``, and the result is ``(graph, node, layer)`` where
+    layer 0 = no dependencies, layer r = everything it depends on
+    settled in rounds < r (i.e. the longest dependency chain under the
+    node), and layer **-1** = the node sits on a dependency cycle or
+    depends (transitively) on one — Kahn peeling never reaches it.
+    This is the dependency-first file order a repo-context packer wants
+    (imports before importers), run for a million repos as ONE
+    distributed loop (the :func:`reachable_multi` shape, peeling
+    instead of expanding).
+
+    Dependencies on nodes NOT in ``nodes`` are external (stdlib /
+    third-party imports): satisfied by definition, dropped up front by
+    semi-joining both endpoints to the node table.  Self-loops are
+    cycles of length 1.
+
+    Scale shape: every join keys on the ``(graph, node)`` composite, so
+    graphs co-partition and never interact.  Each round = one anti-join
+    finding dependency-free nodes + two anti-joins shrinking the
+    unsettled/edge tables; per-round work is proportional to the
+    REMAINING edge set, not the corpus, with the settled batch
+    broadcast while it fits (``broadcast_max_rows``).  Every per-round
+    frame is eager-checkpointed — each is referenced twice the next
+    round, the k_core/reachable_multi lineage valve — and the loop
+    stops at the first round that settles nothing (true fixpoint:
+    everything still unsettled is cycle-tainted), costing one bounded
+    driver count per round.  Rounds = the deepest dependency chain in
+    the corpus, not the graph count.
+    """
+    nd = (
+        nodes.select(
+            F.col(graph_col).alias("g"), F.col(node_col).alias("n")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nd_s = nd.select(F.col("g"), F.col("n").alias("s"))
+    nd_t = nd.select(F.col("g"), F.col("n").alias("t"))
+    rem = (
+        edges.select(
+            F.col(graph_col).alias("g"),
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+        )
+        .join(nd_s, ["g", "s"], "left_semi")
+        .join(nd_t, ["g", "t"], "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    unsettled = nd
+    settled_parts: list[DataFrame] = []
+    r = 0
+    while r < max_rounds:
+        now = (
+            unsettled.join(
+                rem.select(F.col("g"), F.col("s").alias("n")),
+                ["g", "n"],
+                "left_anti",
+            )
+            .withColumn("layer", F.lit(r).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = now.count()
+        if n_now == 0:
+            break
+        settled_parts.append(now)
+        now_side = now.select("g", "n")
+        if n_now <= broadcast_max_rows:
+            now_side = F.broadcast(now_side)
+        unsettled = unsettled.join(
+            now_side, ["g", "n"], "left_anti"
+        ).localCheckpoint(eager=True)
+        rem = rem.join(
+            now_side.select(F.col("g"), F.col("n").alias("t")),
+            ["g", "t"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        r += 1
+    out = unsettled.withColumn("layer", F.lit(-1).cast("long"))
+    for part in settled_parts:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("g").alias(graph_col),
+        F.col("n").alias(node_col),
+        "layer",
+    )
+
+
+def topo_layers_oracle_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    n_rounds: int = 16,
+    graph_name: str = "graph",
+    node_name: str = "node",
+) -> str:
+    """DuckDB replay of :func:`topo_layers` as chained CTEs (the
+    bpe_learn/k_core convention): ``s_r`` = nodes whose every
+    (node-internal) dependency is in ``s_{r-1}`` — cumulative, so
+    layer = the first round a node appears in; nodes absent from every
+    round are cycle-tainted (-1).  ``n_rounds`` must be ≥ the deepest
+    dependency chain in the fixture (the Spark side iterates to the
+    true fixpoint; extra oracle rounds settle nothing and are
+    harmless)."""
+    parts = [
+        f"""
+        WITH __tp_nd AS (
+            SELECT DISTINCT graph AS g, node AS n FROM ({nodes_sql})
+        ),
+        __tp_e AS (
+            SELECT DISTINCT e.graph AS g, e.src AS s, e.dst AS t
+            FROM ({edges_sql}) e
+            JOIN __tp_nd a ON a.g = e.graph AND a.n = e.src
+            JOIN __tp_nd b ON b.g = e.graph AND b.n = e.dst
+        ),
+        s0 AS (
+            SELECT nd.g, nd.n FROM __tp_nd nd
+            WHERE NOT EXISTS (
+                SELECT 1 FROM __tp_e e WHERE e.g = nd.g AND e.s = nd.n
+            )
+        )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        s{r} AS (
+            SELECT nd.g, nd.n FROM __tp_nd nd
+            WHERE NOT EXISTS (
+                SELECT 1 FROM __tp_e e
+                WHERE e.g = nd.g AND e.s = nd.n
+                  AND NOT EXISTS (
+                      SELECT 1 FROM s{r - 1} p
+                      WHERE p.g = e.g AND p.n = e.t
+                  )
+            )
+        )"""
+        )
+    rounds_union = "\n            UNION ALL\n            ".join(
+        f"SELECT g, n, {r} AS r FROM s{r}" for r in range(n_rounds + 1)
+    )
+    parts.append(
+        f""",
+        __tp_first AS (
+            SELECT g, n, min(r) AS layer FROM (
+            {rounds_union}
+            ) GROUP BY g, n
+        )
+        SELECT nd.g AS {graph_name}, nd.n AS {node_name},
+               CAST(coalesce(f.layer, -1) AS BIGINT) AS layer
+        FROM __tp_nd nd
+        LEFT JOIN __tp_first f ON f.g = nd.g AND f.n = nd.n"""
+    )
+    return "".join(parts)

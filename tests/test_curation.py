@@ -971,3 +971,26 @@ def test_c4_span_dedup_first_occurrence_wins(spark):
     g2 = {r.doc_id: r for r in c4_span_dedup(df2, "doc_id", "content").collect()}
     assert g2[2].n_removed == 3
     assert g2[2].kept_sha == hashlib.sha256(b"").hexdigest()
+
+
+def test_topo_pack_dependency_first_and_budget_windows(spark):
+    from pii_spark.curation import topo_pack
+
+    # one repo: 3 imports 1 and 2; 9 on a self-loop cycle; sizes force
+    # a window cut inside the layer-0 run
+    files = spark.createDataFrame(
+        [("r", 1, 60), ("r", 2, 50), ("r", 3, 30), ("r", 9, 10)],
+        "graph string, node long, size long",
+    )
+    edges = spark.createDataFrame(
+        [("r", 3, 1), ("r", 3, 2), ("r", 9, 9)],
+        "graph string, src long, dst long",
+    )
+    rows = {r.node: r for r in topo_pack(
+        files, edges, budget=100
+    ).collect()}
+    # dependency-first: 1, 2 (layer 0) before 3 (layer 1); cycle 9 last
+    assert [rows[n].pos for n in (1, 2, 3, 9)] == [1, 2, 3, 4]
+    assert [rows[n].layer for n in (1, 2, 3, 9)] == [0, 0, 1, -1]
+    # prefix-budget windows: first chars land at 0, 60, 110, 140
+    assert [rows[n].pack_id for n in (1, 2, 3, 9)] == [0, 0, 1, 1]

@@ -295,3 +295,62 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     got2 = {r.node: r.label
             for r in label_propagation(df2, n_rounds=1).collect()}
     assert got2 == got
+
+
+def test_topo_layers_kahn_cycle_and_external(spark):
+    from pii_spark.graph import topo_layers
+
+    # g=A: 1<-2<-3 chain (2 imports 1, 3 imports 2), 4 free;
+    #      5<->6 cycle, 7 imports 5 (cycle-tainted cascade)
+    # g=B: same node ids, different topology (1 imports 2) — graphs
+    #      must not interact
+    edges = spark.createDataFrame(
+        [
+            ("A", 2, 1), ("A", 3, 2), ("A", 5, 6), ("A", 6, 5),
+            ("A", 7, 5),
+            ("A", 1, 999),   # external import: target not a node
+            ("B", 1, 2),
+        ],
+        "graph string, src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [("A", n) for n in (1, 2, 3, 4, 5, 6, 7)] + [("B", 1), ("B", 2)],
+        "graph string, node long",
+    )
+    got = {(r.graph, r.node): r.layer
+           for r in topo_layers(edges, nodes).collect()}
+    assert got == {
+        ("A", 1): 0, ("A", 2): 1, ("A", 3): 2, ("A", 4): 0,
+        ("A", 5): -1, ("A", 6): -1, ("A", 7): -1,
+        ("B", 2): 0, ("B", 1): 1,
+    }
+
+
+def test_topo_layers_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from pii_spark.graph import topo_layers, topo_layers_oracle_sql
+
+    edges = [("A", 2, 1), ("A", 3, 2), ("A", 5, 6), ("A", 6, 5),
+             ("A", 7, 5), ("A", 1, 999), ("B", 1, 2)]
+    nodes = [("A", n) for n in range(1, 8)] + [("B", 1), ("B", 2)]
+    got = sorted(
+        (r.graph, r.node, r.layer)
+        for r in topo_layers(
+            spark.createDataFrame(edges, "graph string, src long, dst long"),
+            spark.createDataFrame(nodes, "graph string, node long"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    e_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"('{g}', {s}, {t})" for g, s, t in edges
+    ) + ") AS e(graph, src, dst)"
+    n_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"('{g}', {n})" for g, n in nodes
+    ) + ") AS n(graph, node)"
+    want = sorted(
+        tuple(r) for r in con.execute(
+            topo_layers_oracle_sql(e_sql, n_sql, n_rounds=5)
+        ).fetchall()
+    )
+    assert got == want
