@@ -7766,6 +7766,37 @@ def q_topo_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topo_pack(files, edges, budget=4000).orderBy("graph", "pos")
 
 
+#: def/class blocks spliced for q_docstring_coverage (constants so the
+#: Spark fixture and the oracle interpolate the SAME strings): a
+#: documented def, a bare def, a '''-documented class, a mid-line decoy
+#: (must NOT match the ^-anchored header), and a mixed pair
+_DS_DOCUMENTED = '\ndef load_cfg(path):\n    """Read config."""\n    return path\n'
+_DS_BARE = "\ndef main():\n    return 0\n"
+_DS_CLASS = "\nclass Worker:\n    '''Pool worker.'''\n    pass\n"
+_DS_DECOY = "\nx = 'def fake(): pass'  # not a header\ndef broken(\n"
+_DS_MIXED = '\ndef a():\n    """A."""\n    pass\ndef b():\n    return 1\n'
+
+
+def q_docstring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-lang def/class docstring coverage with planted blocks:
+    # documented / bare / class-''' / mid-line decoy / mixed pair
+    from pii_spark.quality import docstring_coverage
+
+    d = F.col("doc_id")
+    splice = (
+        F.when(d % 6 == 0, F.lit(_DS_DOCUMENTED))
+        .when(d % 6 == 1, F.lit(_DS_BARE))
+        .when(d % 6 == 2, F.lit(_DS_CLASS))
+        .when(d % 6 == 3, F.lit(_DS_DECOY))
+        .when(d % 6 == 4, F.lit(_DS_MIXED))
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "lang", F.concat(F.col("text"), splice).alias("content")
+    )
+    return docstring_coverage(corpus, "content", ["lang"]).orderBy("lang")
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram estimation over the documents
     # corpus (the KenLM-style offline pass behind the perplexity gate);
@@ -7783,6 +7814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_by_pattern": q_detect_by_pattern,
         "kneser_ney_lm": q_kneser_ney_lm,
         "topo_pack": q_topo_pack,
+        "docstring_coverage": q_docstring_coverage,
         "fp_suppression": q_fp_suppression,
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
@@ -8052,7 +8084,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.privacy import recursive_cl_oracle_sql
     from pii_spark.curation import doremi_oracle_sql, topo_pack_oracle_sql
-    from pii_spark.quality import LENGTH_GATE_CASE_SQL, kneser_ney_oracle_sql
+    from pii_spark.quality import (
+        LENGTH_GATE_CASE_SQL,
+        docstring_coverage_oracle_sql,
+        kneser_ney_oracle_sql,
+    )
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
@@ -8927,6 +8963,21 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_lm": kneser_ney_oracle_sql(
             "text", "SELECT text FROM documents", discount_x100=75, top_k=500
         ),
+        "docstring_coverage": docstring_coverage_oracle_sql(
+            "content",
+            "lang",
+            "lang",
+            "SELECT lang, text || CASE doc_id % 6 "
+            + " ".join(
+                f"WHEN {i} THEN '{s}'"
+                for i, s in enumerate(
+                    x.replace("'", "''").replace("\n", "' || chr(10) || '")
+                    for x in (_DS_DOCUMENTED, _DS_BARE, _DS_CLASS,
+                              _DS_DECOY, _DS_MIXED)
+                )
+            )
+            + " ELSE '' END AS content FROM documents",
+        ) + " ORDER BY lang",
         "topo_pack": topo_pack_oracle_sql(
             "SELECT doc_id % 4 AS graph, doc_id AS node,"
             " n_chars AS size FROM documents",

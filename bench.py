@@ -238,6 +238,7 @@ def main() -> None:
         "bpe_learn",
         "kneser_ney_lm",
         "topo_pack",
+        "docstring_coverage",
         "wordpiece_encode",
         "wordpiece_learn",
         "wordpiece_train_encode",
