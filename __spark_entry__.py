@@ -7777,6 +7777,24 @@ _DS_DECOY = "\nx = 'def fake(): pass'  # not a header\ndef broken(\n"
 _DS_MIXED = '\ndef a():\n    """A."""\n    pass\ndef b():\n    return 1\n'
 
 
+def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train the KN bigram model on even doc_ids, gate the odd half per
+    # lang: low = oov or p < 1/1000 (integer cross-multiplied)
+    from pii_spark.quality import kneser_ney_score
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    return kneser_ney_score(
+        docs.filter(d % 2 == 0),
+        docs.filter(d % 2 == 1).select("lang", "text"),
+        ["lang"],
+        "text",
+        discount_x100=75,
+        thresh_num=1,
+        thresh_den=1000,
+    ).orderBy("lang")
+
+
 def q_docstring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-lang def/class docstring coverage with planted blocks:
     # documented / bare / class-''' / mid-line decoy / mixed pair
@@ -7815,6 +7833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_lm": q_kneser_ney_lm,
         "topo_pack": q_topo_pack,
         "docstring_coverage": q_docstring_coverage,
+        "kneser_ney_score": q_kneser_ney_score,
         "fp_suppression": q_fp_suppression,
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
@@ -8088,6 +8107,7 @@ def oracle_sql() -> dict[str, str]:
         LENGTH_GATE_CASE_SQL,
         docstring_coverage_oracle_sql,
         kneser_ney_oracle_sql,
+        kneser_ney_score_oracle_sql,
     )
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
@@ -8963,6 +8983,17 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_lm": kneser_ney_oracle_sql(
             "text", "SELECT text FROM documents", discount_x100=75, top_k=500
         ),
+        "kneser_ney_score": kneser_ney_score_oracle_sql(
+            "text",
+            "SELECT text FROM documents WHERE doc_id % 2 = 0",
+            "text",
+            "lang",
+            "lang",
+            "SELECT lang, text FROM documents WHERE doc_id % 2 = 1",
+            discount_x100=75,
+            thresh_num=1,
+            thresh_den=1000,
+        ) + " ORDER BY lang",
         "docstring_coverage": docstring_coverage_oracle_sql(
             "content",
             "lang",

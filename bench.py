@@ -237,6 +237,7 @@ def main() -> None:
         "bpe_pair_counts",
         "bpe_learn",
         "kneser_ney_lm",
+        "kneser_ney_score",
         "topo_pack",
         "docstring_coverage",
         "wordpiece_encode",
