@@ -889,17 +889,21 @@ def topo_layers(
     cycles of length 1.
 
     Scale shape: every join keys on the ``(graph, node)`` composite, so
-    graphs co-partition and never interact.  Each round = one anti-join
-    finding dependency-free nodes + two anti-joins shrinking the
-    unsettled/edge tables; per-round work is proportional to the
-    REMAINING edge set, not the corpus, with the settled batch
-    broadcast while it fits (``broadcast_max_rows``).  Every per-round
-    frame is eager-checkpointed — each is referenced twice the next
-    round, the k_core/reachable_multi lineage valve — and the loop
-    stops at the first round that settles nothing (true fixpoint:
-    everything still unsettled is cycle-tainted), costing one bounded
-    driver count per round.  Rounds = the deepest dependency chain in
-    the corpus, not the graph count.
+    graphs co-partition and never interact.  After round 0 (nodes with
+    no dependencies at all, one anti-join against the edge table), a
+    node can only settle in the round it loses its LAST edge — so each
+    round touches only the edges satisfied by the just-settled batch,
+    not the node table: ONE flagged left-join splits the remaining
+    edges into removed/kept (a single materialization; the settled
+    batch is broadcast while it fits ``broadcast_max_rows``), and the
+    next batch = the removed edges' sources that no longer appear as a
+    source.  Two checkpointed jobs per round (the
+    k_core/reachable_multi lineage valve — every frame is referenced
+    twice the next round), per-round work proportional to the ACTIVE
+    frontier's edges, loop stops at the first round that settles
+    nothing (true fixpoint: everything never settled is
+    cycle-tainted).  Rounds = the deepest dependency chain in the
+    corpus, not the graph count.
     """
     nd = (
         nodes.select(
@@ -921,12 +925,39 @@ def topo_layers(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    unsettled = nd
+    # round 0: every node with no outgoing dependency edge
+    now = (
+        nd.join(
+            rem.select(F.col("g"), F.col("s").alias("n")),
+            ["g", "n"],
+            "left_anti",
+        )
+        .withColumn("layer", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_now = now.count()
     settled_parts: list[DataFrame] = []
     r = 0
-    while r < max_rounds:
+    while n_now > 0 and r < max_rounds:
+        settled_parts.append(now)
+        r += 1
+        now_t = now.select(F.col("g"), F.col("n").alias("t"))
+        if n_now <= broadcast_max_rows:
+            now_t = F.broadcast(now_t)
+        # one materialization splits the edge table: edges whose target
+        # just settled are REMOVED (their sources are the only possible
+        # next-round candidates); the rest carry forward
+        flagged = rem.join(
+            now_t.withColumn("__hit", F.lit(1)), ["g", "t"], "left"
+        ).localCheckpoint(eager=True)
+        rem = flagged.filter(F.col("__hit").isNull()).select("g", "s", "t")
+        candidates = (
+            flagged.filter(F.col("__hit").isNotNull())
+            .select(F.col("g"), F.col("s").alias("n"))
+            .distinct()
+        )
         now = (
-            unsettled.join(
+            candidates.join(
                 rem.select(F.col("g"), F.col("s").alias("n")),
                 ["g", "n"],
                 "left_anti",
@@ -935,24 +966,16 @@ def topo_layers(
             .localCheckpoint(eager=True)
         )
         n_now = now.count()
-        if n_now == 0:
-            break
-        settled_parts.append(now)
-        now_side = now.select("g", "n")
-        if n_now <= broadcast_max_rows:
-            now_side = F.broadcast(now_side)
-        unsettled = unsettled.join(
-            now_side, ["g", "n"], "left_anti"
-        ).localCheckpoint(eager=True)
-        rem = rem.join(
-            now_side.select(F.col("g"), F.col("n").alias("t")),
-            ["g", "t"],
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        r += 1
-    out = unsettled.withColumn("layer", F.lit(-1).cast("long"))
+    settled = None
     for part in settled_parts:
-        out = out.unionByName(part)
+        s = part.select("g", "n", "layer")
+        settled = s if settled is None else settled.unionByName(s)
+    if settled is None:
+        out = nd.withColumn("layer", F.lit(-1).cast("long"))
+    else:
+        out = nd.join(settled, ["g", "n"], "left").withColumn(
+            "layer", F.coalesce(F.col("layer"), F.lit(-1).cast("long"))
+        )
     return out.select(
         F.col("g").alias(graph_col),
         F.col("n").alias(node_col),
