@@ -7827,9 +7827,52 @@ def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail: per-language KN bigram model trained on
+    # even doc_ids, odd half scored and cut into perplexity terciles
+    from pii_spark.quality import ccnet_bucket
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    return ccnet_bucket(
+        docs.filter(d % 2 == 0),
+        docs.filter(d % 2 == 1).select("lang", "doc_id", "text"),
+        "lang",
+        "doc_id",
+        "text",
+        discount_x100=75,
+        thresh_num=1,
+        thresh_den=1000,
+        n_buckets=3,
+    ).orderBy("lang", "doc_id")
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft dedup: near-dup clusters down-weighted to 1/cluster_size
+    # instead of dropped; singletons keep the full weight
+    corpus = _neardup_corpus(spark, sf_dir)
+    return dedup.soft_dedup_weights(
+        corpus, "doc_id", "text3", num_hashes=128, bands=32,
+        verify_threshold=0.8,
+    ).orderBy("doc_id")
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UniMax budget allocation over per-language char capacities:
+    # ascending water-filling fold, epoch cap 2, exact floor division
+    from pii_spark.curation import unimax_allocation
+
+    return unimax_allocation(
+        _docs(spark, sf_dir), "lang", "n_chars", budget=200_000, max_epochs=2
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_by_pattern": q_detect_by_pattern,
+        "ccnet_buckets": q_ccnet_buckets,
+        "unimax_mix": q_unimax_mix,
+        "soft_dedup": q_soft_dedup,
         "kneser_ney_lm": q_kneser_ney_lm,
         "topo_pack": q_topo_pack,
         "docstring_coverage": q_docstring_coverage,
@@ -8102,9 +8145,14 @@ def oracle_sql() -> dict[str, str]:
         shard_stitch_oracle_sql,
     )
     from pii_spark.privacy import recursive_cl_oracle_sql
-    from pii_spark.curation import doremi_oracle_sql, topo_pack_oracle_sql
+    from pii_spark.curation import (
+        doremi_oracle_sql,
+        topo_pack_oracle_sql,
+        unimax_oracle_sql,
+    )
     from pii_spark.quality import (
         LENGTH_GATE_CASE_SQL,
+        ccnet_bucket_oracle_sql,
         docstring_coverage_oracle_sql,
         kneser_ney_oracle_sql,
         kneser_ney_score_oracle_sql,
@@ -8983,6 +9031,47 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_lm": kneser_ney_oracle_sql(
             "text", "SELECT text FROM documents", discount_x100=75, top_k=500
         ),
+        "soft_dedup": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            cc(doc, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc
+            ),
+            comp AS (SELECT doc, min(lbl) AS component FROM cc GROUP BY doc),
+            szs AS (SELECT component, count(*) AS csize
+                    FROM comp GROUP BY component)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster,
+                   coalesce(s.csize, 1)::BIGINT AS csize,
+                   (1000000 // coalesce(s.csize, 1))::BIGINT
+                       AS weight_x1000000
+            FROM documents d
+            LEFT JOIN comp c ON c.doc = d.doc_id
+            LEFT JOIN szs s ON s.component = c.component
+            ORDER BY d.doc_id
+        """,
+        "unimax_mix": unimax_oracle_sql(
+            "SELECT lang, n_chars FROM documents",
+            "lang",
+            "n_chars",
+            budget=200_000,
+            max_epochs=2,
+        ) + " ORDER BY lang",
+        "ccnet_buckets": ccnet_bucket_oracle_sql(
+            "SELECT lang, text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT lang, doc_id, text FROM documents WHERE doc_id % 2 = 1",
+            "lang",
+            "doc_id",
+            "text",
+            discount_x100=75,
+            thresh_num=1,
+            thresh_den=1000,
+            n_buckets=3,
+        ) + " ORDER BY lang, doc_id",
         "kneser_ney_score": kneser_ney_score_oracle_sql(
             "text",
             "SELECT text FROM documents WHERE doc_id % 2 = 0",

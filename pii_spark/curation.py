@@ -2633,3 +2633,112 @@ def topo_pack_oracle_sql(
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         )
     """
+
+
+def unimax_allocation(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    max_epochs: int,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., ICLR 2023): distribute
+    a total training ``budget`` across languages so that no language
+    repeats more than ``max_epochs`` times and the remainder is shared
+    as uniformly as possible.  Languages are visited in ASCENDING order
+    of capacity ``c = Σ size_col`` (ties broken by key); language i of
+    the n-i+1 remaining gets
+
+        alloc_i = min(c_i · max_epochs,  remaining_budget div (n-i+1))
+
+    with exact integer floor division throughout — small low-resource
+    languages saturate their epoch cap first, and every budget unit
+    they cannot absorb flows to the bigger languages behind them.  The
+    output carries ``epochs_x1000 = alloc·1000 div capacity`` so the
+    effective repeat factor is auditable per language.
+
+    Scale shape: one map-side-partial hash aggregate reduces the corpus
+    to ONE ROW PER LANGUAGE; only that O(#langs) table ever reaches the
+    driver (the bounded-collect pattern of ``bpe_learn``'s argmax and
+    the k-means centroids — driver traffic is independent of corpus
+    size).  The sequential water-filling fold is inherently ordered, so
+    it runs as plain exact-integer Python over those few rows and the
+    result returns as a ``createDataFrame`` — broadcast-joinable
+    against the corpus for the actual resampling pass.  The DuckDB
+    oracle replays the fold as a recursive CTE, floor division and
+    tie-breaks identical.
+    """
+    b = int(budget)
+    e = int(max_epochs)
+    if b < 0:
+        raise ValueError(f"budget must be >= 0, got {b}")
+    if e <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {e}")
+    caps = (
+        df.groupBy(key_col)
+        .agg(F.sum(F.col(size_col)).cast("long").alias("capacity"))
+        .filter(F.col("capacity") > 0)
+        .orderBy(F.asc("capacity"), F.asc(key_col))
+        .collect()  # bounded: one row per language
+    )
+    rows = []
+    rem = b
+    n = len(caps)
+    for i, r in enumerate(caps):
+        cap_u = r["capacity"] * e
+        alloc = min(cap_u, rem // (n - i))
+        rem -= alloc
+        rows.append(
+            (
+                r[key_col],
+                r["capacity"],
+                cap_u,
+                alloc,
+                (alloc * 1000) // r["capacity"],
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        f"{key_col} string, capacity long, cap_u long, "
+        "alloc long, epochs_x1000 long",
+    )
+
+
+def unimax_oracle_sql(
+    rows_sql: str,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    max_epochs: int,
+) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — the water-filling
+    fold as a recursive CTE walking languages in (capacity, key) order,
+    same floor divisions, same epoch cap."""
+    b = int(budget)
+    e = int(max_epochs)
+    return f"""
+        WITH RECURSIVE caps AS (
+            SELECT {key_col} AS k, sum({size_col})::BIGINT AS capacity,
+                   row_number() OVER (
+                       ORDER BY sum({size_col}), {key_col}
+                   ) AS rn,
+                   count(*) OVER () AS n
+            FROM ({rows_sql}) GROUP BY {key_col}
+            HAVING sum({size_col}) > 0
+        ),
+        rec(rn, alloc, rem) AS (
+            SELECT 0, 0::BIGINT, {b}::BIGINT
+            UNION ALL
+            SELECT c.rn,
+                   least(c.capacity * {e}, r.rem // (c.n - c.rn + 1)),
+                   r.rem
+                   - least(c.capacity * {e}, r.rem // (c.n - c.rn + 1))
+            FROM rec r JOIN caps c ON c.rn = r.rn + 1
+        )
+        SELECT c.k AS {key_col}, c.capacity,
+               (c.capacity * {e})::BIGINT AS cap_u,
+               r.alloc::BIGINT AS alloc,
+               ((r.alloc * 1000) // c.capacity)::BIGINT AS epochs_x1000
+        FROM rec r JOIN caps c USING (rn) WHERE r.rn >= 1
+    """

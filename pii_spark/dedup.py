@@ -2949,3 +2949,67 @@ def dedup_lineage(
             "id", F.lit("kept").alias("stage"), F.col("id").alias("keeper")
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep
+    every document and down-weight each near-dup cluster so the cluster
+    as a whole contributes one document's worth of training mass —
+    ``weight = scale div cluster_size`` per member (SoftDeDup /
+    frequency-aware sampling; cf. Abbas et al. SemDeDup's discussion of
+    duplication-aware reweighting).  Documents in no cluster keep the
+    full weight ``scale``.  Exact integers throughout: the weight is a
+    floor division of ``scale``, so the oracle replays it bit-for-bit.
+
+    Output: ``(id, cluster, csize, weight_xSCALE)`` — ``cluster`` is
+    the component's minimum doc id (self for singletons).
+
+    Scale shape: the pair stage is the banded MinHash-LSH path
+    (:func:`minhash_lsh_pairs` — O(n·bands) shuffle, hot buckets
+    cappable), clusters come from the diameter-independent star CC
+    (:func:`connected_components`), cluster sizes are one hash
+    aggregate over (doc, component) rows, and the weights join back to
+    the corpus on the id — a broadcast join while the clustered subset
+    fits (near-dup members are a small fraction of a deduped corpus).
+    Nothing here rescans text after the pair stage.
+    """
+    s = int(scale)
+    if s <= 0:
+        raise ValueError(f"scale must be > 0, got {s}")
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        verify_threshold=verify_threshold,
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    labeled = comp.join(sizes, "component").select(
+        F.col("doc").alias("__id"), "component", "csize"
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(labeled, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+            F.coalesce(F.col("csize"), F.lit(1)).cast("long").alias("csize"),
+            F.expr(
+                f"{s} div coalesce(csize, 1)"
+            ).cast("long").alias(f"weight_x{s}"),
+        )
+    )

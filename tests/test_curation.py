@@ -994,3 +994,35 @@ def test_topo_pack_dependency_first_and_budget_windows(spark):
     assert [rows[n].layer for n in (1, 2, 3, 9)] == [0, 0, 1, -1]
     # prefix-budget windows: first chars land at 0, 60, 110, 140
     assert [rows[n].pack_id for n in (1, 2, 3, 9)] == [0, 0, 1, 1]
+
+
+def test_unimax_allocation_waterfill_exact(spark):
+    import pytest
+
+    from pii_spark.curation import unimax_allocation
+
+    # capacities: a=10, b=100, c=1000; epochs=3 -> caps 30/300/3000;
+    # budget 600: a gets min(30, 600//3)=30; b min(300, 570//2)=285;
+    # c min(3000, 285)=285; hand-checked fold
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 100), ("c", 1000)], "lang string, sz long"
+    )
+    got = {r.lang: r for r in unimax_allocation(
+        df, "lang", "sz", budget=600, max_epochs=3
+    ).collect()}
+    assert (got["a"].alloc, got["b"].alloc, got["c"].alloc) == (30, 285, 285)
+    assert got["a"].epochs_x1000 == 3000       # saturated the epoch cap
+    assert got["b"].epochs_x1000 == 2850
+    assert got["c"].epochs_x1000 == 285
+    # oversized budget: everyone saturates, surplus goes unallocated
+    got2 = {r.lang: r for r in unimax_allocation(
+        df, "lang", "sz", budget=10**9, max_epochs=2
+    ).collect()}
+    assert all(got2[k].alloc == got2[k].cap_u for k in ("a", "b", "c"))
+    # zero-capacity rows drop; guards raise
+    df0 = spark.createDataFrame([("z", 0)], "lang string, sz long")
+    assert unimax_allocation(df0, "lang", "sz", 10, 1).count() == 0
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "lang", "sz", budget=-1, max_epochs=1)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "lang", "sz", budget=1, max_epochs=0)

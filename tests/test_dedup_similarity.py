@@ -1514,3 +1514,34 @@ def test_type2_clone_census_unknown_family_passthrough(spark):
                 zip(exp.t2_sha, exp.n_files, exp.n_t1_shas, exp.keep_id,
                     exp.rename_only)}
     assert got_shas == exp_shas
+
+
+def test_soft_dedup_weights_cluster_and_singleton(spark):
+    import pytest
+
+    from pii_spark.dedup import soft_dedup_weights
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, shared),
+        (2, shared),
+        (3, shared + " tail variant"),
+        (10, "completely different content about databases and planes "
+             "with many unrelated words spread across the document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in soft_dedup_weights(
+        df, "doc_id", "text", num_hashes=64, bands=16,
+        verify_threshold=0.8,
+    ).collect()}
+    assert len(got) == 4                      # every doc kept
+    assert got[1].cluster == got[2].cluster == 1
+    assert got[1].csize == got[2].csize
+    assert got[1].csize >= 2
+    # cluster mass sums to ~scale: csize * weight <= scale < csize*(w+1)
+    w, c = got[1].weight_x1000000, got[1].csize
+    assert w * c <= 1_000_000 < (w + 1) * c
+    assert got[10].cluster == 10 and got[10].csize == 1
+    assert got[10].weight_x1000000 == 1_000_000
+    with pytest.raises(ValueError):
+        soft_dedup_weights(df, "doc_id", "text", scale=0)
