@@ -7847,6 +7847,25 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_shard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Merkle-style corpus fingerprint: per-shard sha256 chain + root
+    from pii_spark.diagnostics import shard_fingerprints
+
+    return shard_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", n_shards=16
+    ).orderBy("shard")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-size proportional sample: Hamilton quotas per language,
+    # in-stratum draw by the portable (md5(id), id) order
+    from pii_spark.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), ["lang"], "doc_id", total_n=100
+    ).orderBy("lang", "doc_id")
+
+
 def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # soft dedup: near-dup clusters down-weighted to 1/cluster_size
     # instead of dropped; singletons keep the full weight
@@ -7873,6 +7892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "unimax_mix": q_unimax_mix,
         "soft_dedup": q_soft_dedup,
+        "stratified_sample": q_stratified_sample,
+        "shard_fingerprint": q_shard_fingerprint,
         "kneser_ney_lm": q_kneser_ney_lm,
         "topo_pack": q_topo_pack,
         "docstring_coverage": q_docstring_coverage,
@@ -8147,6 +8168,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.privacy import recursive_cl_oracle_sql
     from pii_spark.curation import (
         doremi_oracle_sql,
+        stratified_sample_oracle_sql,
         topo_pack_oracle_sql,
         unimax_oracle_sql,
     )
@@ -8159,6 +8181,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
+    from pii_spark.diagnostics import shard_fingerprints_oracle_sql
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
     from pii_spark.events import (
         ab_conversion_oracle_sql,
@@ -9054,6 +9077,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN szs s ON s.component = c.component
             ORDER BY d.doc_id
         """,
+        "shard_fingerprint": shard_fingerprints_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            "doc_id",
+            "text",
+            n_shards=16,
+        ) + " ORDER BY shard",
+        "stratified_sample": stratified_sample_oracle_sql(
+            "SELECT lang, doc_id FROM documents",
+            ["lang"],
+            "doc_id",
+            total_n=100,
+        ) + " ORDER BY lang, doc_id",
         "unimax_mix": unimax_oracle_sql(
             "SELECT lang, n_chars FROM documents",
             "lang",

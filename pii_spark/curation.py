@@ -2742,3 +2742,114 @@ def unimax_oracle_sql(
                ((r.alloc * 1000) // c.capacity)::BIGINT AS epochs_x1000
         FROM rec r JOIN caps c USING (rn) WHERE r.rn >= 1
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Exact-size stratified sample: draw ``total_n`` rows overall,
+    apportioned across strata PROPORTIONALLY by the largest-remainder
+    (Hamilton) method — ``base_k = total_n·n_k div N`` per stratum,
+    then the ``total_n - Σ base_k`` leftover seats go to the strata
+    with the largest fractional remainders ``total_n·n_k mod N`` (ties
+    broken by stratum key ascending).  Within each stratum the sample
+    is the first ``quota_k`` rows under the deterministic pseudo-random
+    order ``(md5(id), id)`` — the portable-hash convention
+    (``cdc_dedup``'s md5 mode), so membership is engine-independent and
+    the DuckDB oracle replays the draw exactly.  Unlike Bernoulli
+    ``sample()``, the output size is exactly ``total_n`` (when N ≥
+    total_n) and per-stratum proportions are off by at most one row.
+
+    Scale shape: stratum counts are one map-side-partial aggregate; the
+    quota table is #strata rows, seat assignment is a window over THAT
+    table (never the corpus); the draw itself is one row_number window
+    per stratum — a single exchange on the stratum key, skew-bounded by
+    the largest stratum — and a broadcast join of the quota table back
+    onto the ranked rows.
+    """
+    t = int(total_n)
+    if t < 0:
+        raise ValueError(f"total_n must be >= 0, got {t}")
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k")
+    )
+    w_all = Window.partitionBy()
+    w_seat = Window.partitionBy().orderBy(
+        F.desc("rem"), *[F.asc(k) for k in key_cols]
+    )
+    quotas = (
+        counts.withColumn("n_total", F.sum("n_k").over(w_all))
+        .withColumn("base", F.expr(f"({t} * n_k) div n_total"))
+        .withColumn("rem", F.expr(f"({t} * n_k) % n_total"))
+        .withColumn("n_base", F.sum("base").over(w_all))
+        .withColumn("seat_rank", F.row_number().over(w_seat))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + (F.col("seat_rank") <= t - F.col("n_base")).cast("long"),
+        )
+        .select(*key_cols, "n_k", "quota")
+    )
+    w_draw = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(*key_cols, id_col).withColumn(
+        "rk", F.row_number().over(w_draw)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), key_cols)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(*key_cols, id_col, "n_k", "quota")
+    )
+
+
+def stratified_sample_oracle_sql(
+    rows_sql: str,
+    key_cols: list[str],
+    id_col: str,
+    total_n: int,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — same Hamilton quotas,
+    same (md5(id), id) in-stratum draw order."""
+    t = int(total_n)
+    ks = ", ".join(key_cols)
+    k_asc = ", ".join(f"{k} ASC" for k in key_cols)
+    return f"""
+        WITH rows_in AS ({rows_sql}),
+        counts AS (
+            SELECT {ks}, count(*)::BIGINT AS n_k FROM rows_in GROUP BY {ks}
+        ),
+        based AS (
+            SELECT {ks}, n_k,
+                   ({t} * n_k) // (sum(n_k) OVER ()) AS base,
+                   ({t} * n_k) % (sum(n_k) OVER ()) AS rem
+            FROM counts
+        ),
+        quotas AS (
+            SELECT {ks}, n_k, base,
+                   row_number() OVER (ORDER BY rem DESC, {k_asc})
+                       AS seat_rank,
+                   sum(base) OVER () AS n_base
+            FROM based
+        ),
+        q2 AS (
+            SELECT {ks}, n_k,
+                   (base + CASE WHEN seat_rank <= {t} - n_base
+                                THEN 1 ELSE 0 END)::BIGINT AS quota
+            FROM quotas
+        ),
+        ranked AS (
+            SELECT {ks}, {id_col},
+                   row_number() OVER (
+                       PARTITION BY {ks}
+                       ORDER BY md5({id_col}::VARCHAR), {id_col}
+                   ) AS rk
+            FROM rows_in
+        )
+        SELECT r.{ks.replace(', ', ', r.')}, r.{id_col}, q.n_k, q.quota
+        FROM ranked r JOIN q2 q USING ({ks})
+        WHERE r.rk <= q.quota
+    """

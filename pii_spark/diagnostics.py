@@ -796,3 +796,99 @@ def zonemap_skip_oracle_sql(
         FROM zs JOIN sel ON zs.q_lo = sel.q_lo
         ORDER BY layout, zs.q_lo
     """
+
+
+def shard_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Merkle-style corpus fingerprint: a content digest per shard plus
+    one root digest, so two corpus snapshots (or the same snapshot read
+    on two clusters) can be compared shard-by-shard without moving any
+    text.  Leaf = ``sha256(text)``; shard ``id mod n_shards`` digests
+    the concatenation of its leaves in ascending id order; the root
+    digests the shard digests in shard order.  A divergent root pins
+    the blame to exact shards in one pass — the reproducibility check a
+    resumable 10¹²-row pipeline runs after every backfill, and the
+    per-row ``content sha256`` invariant this repo's north rule names,
+    lifted to whole-corpus scope.
+
+    Scale shape: text is hashed AT THE SCAN (32-byte leaves are all
+    that shuffles); each shard's ordered concat is one hash aggregate
+    keyed on the shard id — ``sort_array(collect_list)`` holds 32-byte
+    digests, so memory per shard is 32·(rows/shards) bytes; size
+    ``n_shards`` so that stays executor-resident (65k shards at 10¹²
+    rows ≈ 0.5 GB/shard).  The root folds ``n_shards`` rows — one
+    1-row broadcast crossJoin carries it onto the output.
+    """
+    ns = int(n_shards)
+    if ns <= 0:
+        raise ValueError(f"n_shards must be > 0, got {ns}")
+    leaves = df.select(
+        (F.col(id_col) % ns).cast("long").alias("shard"),
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("leaf"),
+    )
+    shards = leaves.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__id", "leaf"))
+                    ),
+                    lambda s: s["leaf"],
+                ),
+                "",
+            ),
+            256,
+        ).alias("shard_sha"),
+    )
+    root = shards.select(
+        F.struct("shard", "shard_sha").alias("s")
+    ).agg(
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda s: s["shard_sha"]
+                ),
+                "",
+            ),
+            256,
+        ).alias("root_sha")
+    )
+    return shards.crossJoin(F.broadcast(root)).select(
+        "shard", "n_docs", "shard_sha", "root_sha"
+    )
+
+
+def shard_fingerprints_oracle_sql(
+    rows_sql: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> str:
+    """DuckDB twin of :func:`shard_fingerprints` — same leaf digests,
+    same id-ordered concatenation per shard, same root fold."""
+    ns = int(n_shards)
+    return f"""
+        WITH leaves AS (
+            SELECT ({id_col} % {ns})::BIGINT AS shard, {id_col} AS id,
+                   sha256({text_col}) AS leaf
+            FROM ({rows_sql})
+        ),
+        shards AS (
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sha256(string_agg(leaf, '' ORDER BY id)) AS shard_sha
+            FROM leaves GROUP BY shard
+        ),
+        root AS (
+            SELECT sha256(string_agg(shard_sha, '' ORDER BY shard))
+                       AS root_sha
+            FROM shards
+        )
+        SELECT shard, n_docs, shard_sha, root_sha
+        FROM shards CROSS JOIN root
+    """

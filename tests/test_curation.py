@@ -1026,3 +1026,27 @@ def test_unimax_allocation_waterfill_exact(spark):
         unimax_allocation(df, "lang", "sz", budget=-1, max_epochs=1)
     with pytest.raises(ValueError):
         unimax_allocation(df, "lang", "sz", budget=1, max_epochs=0)
+
+
+def test_stratified_sample_exact_quotas(spark):
+    import pytest
+
+    from pii_spark.curation import stratified_sample
+
+    # 60/30/10 split, total_n=7 -> exact shares 4.2/2.1/0.7; bases
+    # 4/2/0, remainders .2/.1/.7 -> the one leftover seat goes to c
+    rows = [("a", i) for i in range(60)] + [("b", 100 + i) for i in range(30)] \
+        + [("c", 200 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_sample(df, ["lang"], "doc_id", total_n=7).collect()
+    assert len(out) == 7
+    from collections import Counter
+    per = Counter(r.lang for r in out)
+    assert (per["a"], per["b"], per["c"]) == (4, 2, 1)
+    # deterministic: a second draw selects the identical ids
+    out2 = stratified_sample(df, ["lang"], "doc_id", total_n=7).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+    # total_n = N degenerates to the full corpus
+    assert stratified_sample(df, ["lang"], "doc_id", 100).count() == 100
+    with pytest.raises(ValueError):
+        stratified_sample(df, ["lang"], "doc_id", total_n=-1)

@@ -58,3 +58,35 @@ def test_overlapping_across_patterns_all_kept():
     assert {"database-connection", "email"} <= {d.pattern for d in dets}
     spans = sorted((d.start, d.end) for d in dets)
     assert spans[0][1] > spans[1][0]  # genuinely overlapping
+
+
+def test_shard_fingerprints_pin_divergence_to_shard(spark):
+    import pytest
+
+    from pii_spark.diagnostics import shard_fingerprints
+
+    rows = [(i, f"content of document {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.shard: r for r in shard_fingerprints(
+        df, "doc_id", "text", n_shards=4
+    ).collect()}
+    assert len(base) == 4
+    assert len({r.root_sha for r in base.values()}) == 1
+    # input order must not matter: same rows, reversed
+    again = {r.shard: r for r in shard_fingerprints(
+        spark.createDataFrame(rows[::-1], "doc_id long, text string"),
+        "doc_id", "text", n_shards=4,
+    ).collect()}
+    assert {s: r.shard_sha for s, r in base.items()} == \
+        {s: r.shard_sha for s, r in again.items()}
+    # mutate one doc (id 6 -> shard 2): exactly that shard diverges
+    rows2 = [(i, t if i != 6 else t + "!") for i, t in rows]
+    mut = {r.shard: r for r in shard_fingerprints(
+        spark.createDataFrame(rows2, "doc_id long, text string"),
+        "doc_id", "text", n_shards=4,
+    ).collect()}
+    diff = [s for s in base if base[s].shard_sha != mut[s].shard_sha]
+    assert diff == [2]
+    assert base[0].root_sha != mut[0].root_sha
+    with pytest.raises(ValueError):
+        shard_fingerprints(df, "doc_id", "text", n_shards=0)
