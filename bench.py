@@ -370,6 +370,11 @@ def main() -> None:
         "domain_blocklist",
         "deobfuscated_detect",
         "dead_code_share",
+        "ccnet_buckets",
+        "unimax_mix",
+        "soft_dedup",
+        "stratified_sample",
+        "shard_fingerprint",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

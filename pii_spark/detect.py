@@ -1392,3 +1392,81 @@ def hex_secret_scan_oracle_sql(
         agg AS (SELECT {", ".join(selects)} FROM pay)
         SELECT pattern, n_matches FROM ({unpivot}) ORDER BY pattern
     """
+
+
+def secret_reuse(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    secret_regexes: list[str],
+) -> DataFrame:
+    """Cross-repo secret propagation census: for every secret token in
+    the corpus, how many DISTINCT repositories carry it and how many
+    files — the blast-radius view of a leaked credential
+    (:func:`secret_lifetime` answers "how long was it live in one
+    repo"; this answers "where else did it spread" — a CI key pasted
+    into five repos is one rotation but five exposures).  Secret
+    values never leave the cluster un-hashed: the output keys on
+    ``sha2(token, 256)``; ``reused`` flags n_repos > 1.
+
+    Scale shape: extraction fuses into the scan (JVM
+    ``regexp_extract_all``, same front-end as ``secret_lifetime``);
+    the exchange carries only matching ``(repo, sha)`` pairs, deduped
+    per (repo, sha) map-side before the per-sha rollup — two hash
+    aggregates, the second over ≤ one row per (repo, secret).  No
+    windows, no Python, no text after the scan.
+    """
+    arrs = [
+        F.regexp_extract_all(F.col(content_col), F.lit(rx), F.lit(0))
+        for rx in secret_regexes
+    ]
+    hits = df.select(
+        F.col(repo_col).alias("repo"),
+        F.explode(F.concat(*arrs) if len(arrs) > 1 else arrs[0]).alias(
+            "tok"
+        ),
+    ).select("repo", F.sha2(F.col("tok"), 256).alias("secret_sha"))
+    per_repo = hits.groupBy("secret_sha", "repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    return per_repo.groupBy("secret_sha").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repos"),
+        F.sum("n_files").cast("long").alias("n_hits"),
+        F.min("repo").alias("first_repo"),
+    ).withColumn("reused", F.col("n_repos") > 1)
+
+
+def secret_reuse_oracle_sql(
+    rows_sql: str,
+    secret_regexes: list[str],
+    repo_sql: str = "repo",
+    content_sql: str = "content",
+) -> str:
+    """DuckDB replay of :func:`secret_reuse` — same extraction, same
+    sha keying, same two-level rollup."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    ext = " UNION ALL ".join(
+        f"SELECT {repo_sql} AS repo, "
+        f"unnest(regexp_extract_all({content_sql}, '{q(rx)}')) AS tok "
+        f"FROM rows0"
+        for rx in secret_regexes
+    )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        hits AS (
+            SELECT repo, sha256(tok) AS secret_sha FROM ({ext})
+        ),
+        per_repo AS (
+            SELECT secret_sha, repo, count(*)::BIGINT AS n_files
+            FROM hits GROUP BY secret_sha, repo
+        )
+        SELECT secret_sha,
+               count(*)::BIGINT AS n_repos,
+               sum(n_files)::BIGINT AS n_hits,
+               min(repo) AS first_repo,
+               count(*) > 1 AS reused
+        FROM per_repo GROUP BY secret_sha
+    """

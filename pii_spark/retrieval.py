@@ -927,3 +927,222 @@ def retrieval_eval_oracle_sql(
         FROM spine LEFT JOIN hits ON hits.query = spine.query
         ORDER BY spine.query
     """
+
+
+def ql_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per named query under an add-one-smoothed
+    query-likelihood score — the lexical ranker that complements BM25
+    in rank fusion (different normalization, different tie structure).
+    Per query term t in document d of length ``dl``:
+
+        contrib_x1e6 = (tf(t,d) + 1) · 10⁶ div (dl + |Q_terms|)
+
+    summed over the query's DISTINCT terms (add-one smoothing over the
+    query vocabulary keeps zero-tf terms from vetoing the document, the
+    standard QL move, in exact integer form).  Only documents matching
+    ≥1 term are scored.  Output ``query, rank, doc, score_x1e6`` with
+    rank 1-based by (score desc, doc asc) — a total order, same
+    contract as :func:`bm25_topk`.
+
+    Scale shape: identical to :func:`bm25_topk` — tokenize once, keep
+    only query-vocabulary postings row-wise (no corpus-wide explode),
+    dl rides the matched rows; the per-query top-k is a window over
+    scored candidates only.
+    """
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, t, len(set(ts))) for q, ts in queries.items()
+             for t in sorted(set(ts))],
+            ["query", "t", "nq"],
+        )
+    )
+    tk = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    base = docs.select(F.col(id_col).alias("doc"), tk.alias("tk")).select(
+        "doc",
+        F.size("tk").alias("dl"),
+        F.filter("tk", lambda x: x.isin(terms)).alias("qtk"),
+    )
+    tf = (
+        base.filter(F.size("qtk") > 0)
+        .select("doc", "dl", F.explode("qtk").alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = (
+        tf.join(qdf, "t")
+        .groupBy("query", "doc")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.max("nq").alias("nq"),
+            F.sum(
+                F.expr("(tf + 1) * 1000000")
+            ).alias("_matched_num"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    # matched terms contribute (tf+1); the query's unmatched terms
+    # contribute (0+1) each — add them without ever scoring them
+    score = F.expr(
+        "(_matched_num + (nq - n_matched) * 1000000) div (dl + nq)"
+    ).cast("long")
+    w = Window.partitionBy("query").orderBy(
+        F.col("score_x1e6").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("score_x1e6", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", "doc", "score_x1e6")
+    )
+
+
+def ql_oracle_sql(
+    id_sql: str,
+    text_sql: str,
+    rows_sql: str,
+    queries: dict[str, list[str]],
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ql_topk` — same postings, same add-one
+    arithmetic and floor-division order, same total rank order."""
+    qrows = ", ".join(
+        f"('{q}', '{t}', {len(set(ts))})"
+        for q, ts in queries.items()
+        for t in sorted(set(ts))
+    )
+    return f"""
+        WITH qdf(query, t, nq) AS (VALUES {qrows}),
+        toks AS (
+            SELECT {id_sql} AS doc,
+                   regexp_extract_all(lower({text_sql}), '[a-z]+') AS tk
+            FROM ({rows_sql})
+        ),
+        tf AS (
+            SELECT doc, len(tk) AS dl, u.t, count(*) AS tf
+            FROM toks, UNNEST(tk) AS u(t)
+            WHERE u.t IN (SELECT DISTINCT t FROM qdf)
+            GROUP BY doc, len(tk), u.t
+        ),
+        scored AS (
+            SELECT q.query, tf.doc,
+                   (sum((tf.tf + 1) * 1000000)
+                    + (max(q.nq) - count(*)) * 1000000)
+                   // (max(tf.dl) + max(q.nq)) AS score_x1e6
+            FROM tf JOIN qdf q USING (t)
+            GROUP BY q.query, tf.doc
+        ),
+        ranked AS (
+            SELECT query, doc, score_x1e6,
+                   row_number() OVER (PARTITION BY query
+                       ORDER BY score_x1e6 DESC, doc) AS rank
+            FROM scored
+        )
+        SELECT query, CAST(rank AS BIGINT) AS rank, doc,
+               CAST(score_x1e6 AS BIGINT) AS score_x1e6
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def rrf_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    ranked lists ``(query, rank, doc)``: per appearance,
+    ``contrib = 10⁶ div (k_const + rank)`` (floored — exact, so the
+    oracle replays ties bit-for-bit); a document absent from one list
+    contributes 0 from it.  Output ``query, fused_rank, doc, rank_a,
+    rank_b, rrf_x1e6`` (absent ranks surface as 0), fused_rank 1-based
+    by (rrf desc, doc asc), truncated to ``k``.
+
+    Scale shape: both inputs are already top-k-per-query tables (tiny
+    relative to the corpus); the fuse is one full-outer join on
+    (query, doc) and one window per query over ≤ 2k rows — the corpus
+    is never touched.
+    """
+    kc = int(k_const)
+    if kc <= 0:
+        raise ValueError(f"k_const must be > 0, got {kc}")
+    a = ranked_a.select(
+        "query", F.col("doc").alias("doc_a"), F.col("rank").alias("rank_a")
+    )
+    b = ranked_b.select(
+        "query", F.col("doc").alias("doc_b"), F.col("rank").alias("rank_b")
+    )
+    joined = a.join(
+        b,
+        (a["query"] == b["query"]) & (a["doc_a"] == b["doc_b"]),
+        "full_outer",
+    ).select(
+        F.coalesce(a["query"], b["query"]).alias("query"),
+        F.coalesce(a["doc_a"], b["doc_b"]).alias("doc"),
+        F.coalesce(a["rank_a"], F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce(b["rank_b"], F.lit(0)).cast("long").alias("rank_b"),
+    )
+    rrf = (
+        F.when(F.col("rank_a") > 0, F.expr(f"1000000 div ({kc} + rank_a)"))
+        .otherwise(F.lit(0))
+        + F.when(F.col("rank_b") > 0, F.expr(f"1000000 div ({kc} + rank_b)"))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("doc").asc()
+    )
+    return (
+        joined.withColumn("rrf_x1e6", rrf)
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= int(k))
+        .select("query", "fused_rank", "doc", "rank_a", "rank_b", "rrf_x1e6")
+    )
+
+
+def rrf_oracle_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k_const: int = 60,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`rrf_fusion` over two ``(query, rank,
+    doc)`` subqueries."""
+    kc = int(k_const)
+    return f"""
+        WITH a AS ({ranked_a_sql}), b AS ({ranked_b_sql}),
+        joined AS (
+            SELECT coalesce(a.query, b.query) AS query,
+                   coalesce(a.doc, b.doc) AS doc,
+                   coalesce(a.rank, 0) AS rank_a,
+                   coalesce(b.rank, 0) AS rank_b
+            FROM a FULL OUTER JOIN b
+              ON a.query = b.query AND a.doc = b.doc
+        ),
+        fused AS (
+            SELECT query, doc, rank_a, rank_b,
+                   (CASE WHEN rank_a > 0
+                         THEN 1000000 // ({kc} + rank_a) ELSE 0 END
+                    + CASE WHEN rank_b > 0
+                           THEN 1000000 // ({kc} + rank_b) ELSE 0 END)
+                       AS rrf_x1e6,
+                   row_number() OVER (PARTITION BY query ORDER BY
+                       (CASE WHEN rank_a > 0
+                             THEN 1000000 // ({kc} + rank_a) ELSE 0 END
+                        + CASE WHEN rank_b > 0
+                              THEN 1000000 // ({kc} + rank_b) ELSE 0 END)
+                       DESC, doc) AS fused_rank
+            FROM joined
+        )
+        SELECT query, CAST(fused_rank AS BIGINT) AS fused_rank, doc,
+               CAST(rank_a AS BIGINT) AS rank_a,
+               CAST(rank_b AS BIGINT) AS rank_b,
+               CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+        FROM fused WHERE fused_rank <= {k}
+    """

@@ -121,3 +121,25 @@ def test_repo_containment_fork_and_cap(spark):
         for r in repo_containment(df, "repo", "sha", min_shared=2, fanout_cap=100).collect()
     }
     assert out2[("rA", "rB")] == 4 and out2[("rA", "rC")] == 2
+
+
+def test_secret_reuse_blast_radius(spark):
+    from pii_spark.detect import secret_reuse
+
+    shared = "AKIA" + "A" * 16
+    own = "AKIA" + "B" * 16
+    rows = [
+        ("r1", f"x {shared} y"),
+        ("r2", f"z {shared} w {shared}"),   # two hits, one repo
+        ("r3", f"only {own}"),
+        ("r4", "no secrets here"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    out = {r.first_repo: r for r in secret_reuse(
+        df, "repo", "content", [r"AKIA[0-9A-Z]{16}"]
+    ).collect()}
+    assert len(out) == 2
+    sh = out["r1"]
+    assert (sh.n_repos, sh.n_hits, sh.reused) == (2, 3, True)
+    ow = out["r3"]
+    assert (ow.n_repos, ow.n_hits, ow.reused) == (1, 1, False)

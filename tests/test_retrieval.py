@@ -334,3 +334,45 @@ def test_term_qrels_min_tf(spark):
         spark, docs, "doc_id", "text", {"q": ["join", "hash"]}, min_tf=2
     ).collect()}
     assert got == {("q", 1)}
+
+
+def test_ql_topk_add_one_arithmetic(spark):
+    from pii_spark.retrieval import ql_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat"), (3, "bird bird bird")],
+        "doc_id long, text string",
+    )
+    # query {cat, dog}: doc1 dl=3 -> ((2+1)+(1+1))*1e6 // (3+2) = 1_000_000
+    #                   doc2 dl=1 -> ((1+1)+(0+1))*1e6 // (1+2) = 1_000_000
+    #                   doc3: no match, absent
+    out = ql_topk(
+        spark, docs, "doc_id", "text", {"q": ["cat", "dog"]}, k=5
+    ).collect()
+    got = {r.doc: (r.rank, r.score_x1e6) for r in out}
+    assert set(got) == {1, 2}
+    assert got[1][1] == 1_000_000 and got[2][1] == 1_000_000
+    assert got[1][0] == 1 and got[2][0] == 2   # tie broken by doc asc
+
+
+def test_rrf_fusion_floored_and_absent_ranks(spark):
+    import pytest
+
+    from pii_spark.retrieval import rrf_fusion
+
+    a = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 11)], "query string, rank long, doc long"
+    )
+    b = spark.createDataFrame(
+        [("q", 1, 11), ("q", 2, 12)], "query string, rank long, doc long"
+    )
+    out = {r.doc: r for r in rrf_fusion(a, b, k_const=60, k=10).collect()}
+    # doc 11: rank 2 in a, rank 1 in b -> 1e6//62 + 1e6//61 = 16129+16393
+    assert out[11].rrf_x1e6 == 1_000_000 // 62 + 1_000_000 // 61
+    assert out[11].fused_rank == 1
+    # doc 10 only in a (rank 1), doc 12 only in b (rank 2)
+    assert out[10].rank_b == 0 and out[10].rrf_x1e6 == 1_000_000 // 61
+    assert out[12].rank_a == 0 and out[12].rrf_x1e6 == 1_000_000 // 62
+    assert out[10].fused_rank == 2 and out[12].fused_rank == 3
+    with pytest.raises(ValueError):
+        rrf_fusion(a, b, k_const=0)
