@@ -6019,6 +6019,46 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def q_fingerprint_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental additive fingerprint: commit docs with d%3!=0, fold
+    # in the d%3==0 batch WITHOUT re-reading committed text; the oracle
+    # recomputes from scratch over the union, proving the XOR algebra
+    from pii_spark.diagnostics import (
+        additive_fingerprint_update,
+        additive_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    committed = additive_fingerprints(
+        docs.filter(d % 3 != 0), "doc_id", "text", n_shards=8
+    )
+    return additive_fingerprint_update(
+        committed, docs.filter(d % 3 == 0), "doc_id", "text", n_shards=8
+    ).orderBy("shard")
+
+
+def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truncated-recrawl detection: group g = doc_id%7 has a canonical
+    # long body (planted on d%40==23) and its 90-char truncation
+    # (d%40==3); exact-prefix pairs bucket on the first 32 chars
+    d = F.col("doc_id")
+    g = (d % 7).cast("string")
+    long_body = F.concat(
+        F.lit("PREFIX BODY "), g, F.lit(" "),
+        F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4),
+    )
+    text2 = (
+        F.when(d % 40 == 23, long_body)
+        .when(d % 40 == 3, F.substring(long_body, 1, 90))
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", text2.alias("text2"))
+    return dedup.prefix_containment_pairs(
+        corpus, "doc_id", "text2", min_prefix_len=32
+    ).orderBy("short_id", "long_id")
+
+
 def q_secret_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-repo secret propagation: a shared CI key planted in repos
     # 0-2 (doc_id%13), per-repo keys elsewhere on d%4==1 — blast radius
@@ -7950,6 +7990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
         "secret_reuse": q_secret_reuse,
+        "prefix_containment": q_prefix_containment,
+        "fingerprint_update": q_fingerprint_update,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8231,7 +8273,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
-    from pii_spark.diagnostics import shard_fingerprints_oracle_sql
+    from pii_spark.diagnostics import (
+        additive_fingerprints_oracle_sql,
+        shard_fingerprints_oracle_sql,
+    )
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
     from pii_spark.events import (
         ab_conversion_oracle_sql,
@@ -8279,7 +8324,10 @@ def oracle_sql() -> dict[str, str]:
         retrieval_eval_oracle_sql,
         rrf_oracle_sql,
     )
-    from pii_spark.dedup import comment_insensitive_oracle_sql
+    from pii_spark.dedup import (
+        comment_insensitive_oracle_sql,
+        prefix_containment_oracle_sql,
+    )
     from pii_spark.quality import brace_nesting_oracle_sql
     from pii_spark.quality import (
         branch_density_oracle_sql,
@@ -9101,6 +9149,31 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "fingerprint_update": additive_fingerprints_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            "doc_id",
+            "text",
+            n_shards=8,
+        ) + " ORDER BY shard",
+        "prefix_containment": prefix_containment_oracle_sql(
+            """SELECT doc_id,
+                      CASE
+                        WHEN doc_id % 40 = 23 THEN
+                          'PREFIX BODY ' || (doc_id % 7)::VARCHAR || ' '
+                          || repeat('lorem ipsum dolor sit amet'
+                                    || ' consectetur adipiscing elit ', 4)
+                        WHEN doc_id % 40 = 3 THEN
+                          substr('PREFIX BODY ' || (doc_id % 7)::VARCHAR
+                                 || ' '
+                                 || repeat('lorem ipsum dolor sit amet'
+                                           || ' consectetur adipiscing'
+                                           || ' elit ', 4), 1, 90)
+                        ELSE text END AS text2
+               FROM documents""",
+            "doc_id",
+            "text2",
+            min_prefix_len=32,
+        ) + " ORDER BY short_id, long_id",
         "secret_reuse": secret_reuse_oracle_sql(
             """SELECT (doc_id % 13)::VARCHAR AS repo,
                       text

@@ -3013,3 +3013,85 @@ def soft_dedup_weights(
             ).cast("long").alias(f"weight_x{s}"),
         )
     )
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_prefix_len: int = 32,
+) -> DataFrame:
+    """Exact-prefix containment: pairs where one document is a strict
+    PREFIX of another — the signature of truncated re-crawls and
+    interrupted fetches (the WARC-unpack path flags in-record
+    truncation; this catches the cross-snapshot case where both the
+    truncated and the complete fetch survived into the corpus).  Only
+    documents with at least ``min_prefix_len`` characters participate
+    (shorter ones are noise at corpus scale — a 5-char fragment
+    "prefixes" half the corpus); equal-text pairs are exact duplicates,
+    ``dedup_exact``'s job, and are excluded here by requiring strictly
+    smaller length (equal-length ties by id are never prefixes of each
+    other unless equal text).
+
+    Scale shape: the candidate key is the first ``min_prefix_len``
+    characters — any qualifying pair MUST agree on it (the shorter doc
+    is ≥ ``min_prefix_len`` chars, all of them shared), so the join is
+    a hash bucket join on a fixed-width key, never all-pairs; text
+    rides the bucket join only for candidate verification, and the
+    verify is one ``startswith`` per candidate.  Hot buckets =
+    boilerplate-headed files; the key is cheap to lengthen if a corpus
+    concentrates there.
+    """
+    mpl = int(min_prefix_len)
+    if mpl < 1:
+        raise ValueError(f"min_prefix_len must be >= 1, got {mpl}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("long").alias("ln"),
+    ).filter(F.col("ln") >= mpl)
+    keyed = base.withColumn("k", F.substring("t", 1, mpl))
+    a = keyed.select(
+        F.col("id").alias("short_id"), F.col("t").alias("ta"),
+        F.col("ln").alias("len_short"), "k",
+    )
+    b = keyed.select(
+        F.col("id").alias("long_id"), F.col("t").alias("tb"),
+        F.col("ln").alias("len_long"), "k",
+    )
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("len_short") < F.col("len_long"))
+            & F.col("tb").startswith(F.col("ta"))
+        )
+        .select("short_id", "long_id", "len_short", "len_long")
+    )
+
+
+def prefix_containment_oracle_sql(
+    rows_sql: str,
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+    min_prefix_len: int = 32,
+) -> str:
+    """DuckDB replay of :func:`prefix_containment_pairs`.  The oracle
+    verifies by direct ``starts_with`` over the length-filtered corpus
+    — complete by the same argument the bucket key is (every
+    qualifying pair agrees on its first ``min_prefix_len`` chars), so
+    brute force and the bucketed plan must return identical rows."""
+    mpl = int(min_prefix_len)
+    return f"""
+        WITH base AS (
+            SELECT {id_sql} AS id, {text_sql} AS t,
+                   length({text_sql})::BIGINT AS ln
+            FROM ({rows_sql})
+            WHERE length({text_sql}) >= {mpl}
+        )
+        SELECT a.id AS short_id, b.id AS long_id,
+               a.ln AS len_short, b.ln AS len_long
+        FROM base a JOIN base b
+          ON substr(a.t, 1, {mpl}) = substr(b.t, 1, {mpl})
+         AND a.ln < b.ln
+         AND starts_with(b.t, a.t)
+    """

@@ -892,3 +892,112 @@ def shard_fingerprints_oracle_sql(
         SELECT shard, n_docs, shard_sha, root_sha
         FROM shards CROSS JOIN root
     """
+
+
+def _leaf_int(text_col: str):
+    """60-bit portable leaf: first 15 hex chars of md5(text) as a
+    BIGINT — both engines parse it identically, headroom under 2^63."""
+    return F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def additive_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Order-independent per-shard corpus fingerprint: ``fp =
+    bit_xor`` over 60-bit md5-prefix leaves, plus the doc count.
+    The incremental twin of :func:`shard_fingerprints`: because XOR is
+    commutative and self-inverse, appending a batch updates a shard in
+    O(batch) — ``fp' = fp XOR fp(batch)`` — without re-reading the
+    committed text (:func:`additive_fingerprint_update`), which is the
+    after-every-append drift alarm a 10¹²-row snapshot store can
+    afford to run.  Trade-off, stated plainly: XOR is blind to
+    even-multiplicity changes (adding the SAME text twice cancels;
+    swapping two docs between shards of equal leaf cancels), so pair
+    it with ``n_docs`` (catches count changes) and fall back to the
+    Merkle :func:`shard_fingerprints` when a shard alarms or for
+    periodic deep audits.
+
+    Scale shape: leaves hash at the scan; the aggregate is one
+    map-side-partial ``bit_xor``/count keyed on the shard id — 16
+    bytes per shard moves, nothing collects.
+    """
+    ns = int(n_shards)
+    if ns <= 0:
+        raise ValueError(f"n_shards must be > 0, got {ns}")
+    return (
+        df.select(
+            (F.col(id_col) % ns).cast("long").alias("shard"),
+            _leaf_int(text_col).alias("leaf"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("bit_xor(leaf)").cast("long").alias("fp"),
+        )
+    )
+
+
+def additive_fingerprint_update(
+    committed: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Fold an append batch into committed additive fingerprints
+    WITHOUT re-reading committed text: per shard, ``fp' = fp XOR
+    fp(batch)`` and ``n_docs' = n_docs + n(batch)``.  ``committed`` is
+    the ``(shard, n_docs, fp)`` output of
+    :func:`additive_fingerprints`; shards the batch never touches pass
+    through unchanged, shards new in the batch appear with their batch
+    fingerprint.  By XOR algebra the result is IDENTICAL to a full
+    recompute over committed ∪ batch — which is exactly what the
+    oracle does, so the equivalence is machine-checked, not asserted.
+
+    Scale shape: the committed side is ``n_shards`` rows; the batch
+    pays one scan + one shard-keyed aggregate; the merge is a
+    broadcast full-outer join of two shard tables.
+    """
+    b = additive_fingerprints(batch, id_col, text_col, n_shards).select(
+        "shard",
+        F.col("n_docs").alias("b_docs"),
+        F.col("fp").alias("b_fp"),
+    )
+    c = committed.select("shard", "n_docs", "fp")
+    return c.join(F.broadcast(b), "shard", "full_outer").select(
+        "shard",
+        (F.coalesce(F.col("n_docs"), F.lit(0))
+         + F.coalesce(F.col("b_docs"), F.lit(0))).cast("long")
+        .alias("n_docs"),
+        (
+            F.coalesce(F.col("fp"), F.lit(0)).bitwiseXOR(
+                F.coalesce(F.col("b_fp"), F.lit(0))
+            )
+        ).cast("long").alias("fp"),
+    )
+
+
+def additive_fingerprints_oracle_sql(
+    rows_sql: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> str:
+    """DuckDB twin of :func:`additive_fingerprints` — a FULL recompute;
+    when the Spark side answers via
+    :func:`additive_fingerprint_update`, matching this oracle PROVES
+    the incremental fold equals the from-scratch fingerprint."""
+    ns = int(n_shards)
+    return f"""
+        SELECT ({id_col} % {ns})::BIGINT AS shard,
+               count(*)::BIGINT AS n_docs,
+               bit_xor(('0x' || substr(md5({text_col}), 1, 15))::BIGINT)
+                   ::BIGINT AS fp
+        FROM ({rows_sql})
+        GROUP BY shard
+    """

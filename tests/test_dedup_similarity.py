@@ -1545,3 +1545,30 @@ def test_soft_dedup_weights_cluster_and_singleton(spark):
     assert got[10].weight_x1000000 == 1_000_000
     with pytest.raises(ValueError):
         soft_dedup_weights(df, "doc_id", "text", scale=0)
+
+
+def test_prefix_containment_pairs(spark):
+    import pytest
+
+    from pii_spark.dedup import prefix_containment_pairs
+
+    base = "A" * 40 + " the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),                 # full fetch
+        (2, base[:80]),            # truncated re-crawl -> prefix of 1
+        (3, base[:80]),            # identical truncation: equal texts
+                                   # are NOT prefix pairs (dedup_exact's
+                                   # job), but both prefix doc 1
+        (4, "B" * 100),            # unrelated
+        (5, "short"),              # below min_prefix_len: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.short_id, r.long_id)
+        for r in prefix_containment_pairs(
+            df, "doc_id", "text", min_prefix_len=32
+        ).collect()
+    )
+    assert got == [(2, 1), (3, 1)]
+    with pytest.raises(ValueError):
+        prefix_containment_pairs(df, "doc_id", "text", min_prefix_len=0)

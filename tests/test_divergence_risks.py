@@ -90,3 +90,46 @@ def test_shard_fingerprints_pin_divergence_to_shard(spark):
     assert base[0].root_sha != mut[0].root_sha
     with pytest.raises(ValueError):
         shard_fingerprints(df, "doc_id", "text", n_shards=0)
+
+
+def test_additive_fingerprint_incremental_equals_full(spark):
+    import pytest
+
+    from pii_spark.diagnostics import (
+        additive_fingerprint_update,
+        additive_fingerprints,
+    )
+
+    rows = [(i, f"doc {i} body") for i in range(30)]
+    full_df = spark.createDataFrame(rows, "doc_id long, text string")
+    committed = additive_fingerprints(
+        spark.createDataFrame(rows[:20], "doc_id long, text string"),
+        "doc_id", "text", n_shards=4,
+    )
+    updated = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprint_update(
+        committed,
+        spark.createDataFrame(rows[20:], "doc_id long, text string"),
+        "doc_id", "text", n_shards=4,
+    ).collect()}
+    full = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprints(
+        full_df, "doc_id", "text", n_shards=4
+    ).collect()}
+    assert updated == full
+    # shard untouched by a batch passes through unchanged
+    batch_one = spark.createDataFrame([(8, "new!")], "doc_id long, text string")
+    upd2 = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprint_update(
+        committed, batch_one, "doc_id", "text", n_shards=4
+    ).collect()}
+    base = {r.shard: (r.n_docs, r.fp) for r in committed.collect()}
+    assert upd2[1] == base[1] and upd2[0] != base[0]
+    # documented blindness: appending the same text twice cancels the
+    # fp delta but n_docs still alarms
+    twice = spark.createDataFrame(
+        [(4, "dup"), (8, "dup")], "doc_id long, text string"
+    )
+    upd3 = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprint_update(
+        committed, twice, "doc_id", "text", n_shards=4
+    ).collect()}
+    assert upd3[0][1] == base[0][1] and upd3[0][0] == base[0][0] + 2
+    with pytest.raises(ValueError):
+        additive_fingerprints(full_df, "doc_id", "text", n_shards=0)
