@@ -6019,6 +6019,57 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def q_column_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-level PII scan: which COLUMNS of a structured table carry
+    # PII — planted contact/phone fields vs free text, per-(column,
+    # pattern) hit rates
+    from pii_spark.detect import column_pii_profile
+
+    d = F.col("doc_id")
+    frame = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("user"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("@example.com")).otherwise(F.lit("")),
+        ).alias("contact"),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("010-"),
+                F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad(((d * 13) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("n/a")).alias("phone_field"),
+        F.col("text").alias("notes"),
+    )
+    return column_pii_profile(
+        frame,
+        ["contact", "phone_field", "notes"],
+        _COLPROF_PATTERNS,
+    ).orderBy("col_name", "pattern")
+
+
+_COLPROF_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone-kr": r"010-[0-9]{4}-[0-9]{4}",
+    "digit-run": r"[0-9]{4,}",
+}
+
+
+def q_lpt_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compaction planning: 37 size-skewed groups (char mass per
+    # doc_id%37) LPT-packed into 8 output bins; makespan auditable via
+    # load_after
+    from pii_spark.diagnostics import lpt_assign
+
+    groups = (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 37).cast("long").alias("grp"))
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    return lpt_assign(groups, ["grp"], "bytes", n_bins=8).orderBy("grp")
+
+
 def q_fingerprint_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental additive fingerprint: commit docs with d%3!=0, fold
     # in the d%3==0 batch WITHOUT re-reading committed text; the oracle
@@ -7992,6 +8043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_reuse": q_secret_reuse,
         "prefix_containment": q_prefix_containment,
         "fingerprint_update": q_fingerprint_update,
+        "lpt_partition_plan": q_lpt_partition_plan,
+        "column_pii_profile": q_column_pii_profile,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8247,6 +8300,7 @@ def oracle_sql() -> dict[str, str]:
         hex_secret_scan_oracle_sql,
         comment_pii_oracle_sql,
         secret_lifetime_oracle_sql,
+        column_pii_profile_oracle_sql,
         secret_reuse_oracle_sql,
         suppress_findings_case_sql,
     )
@@ -8275,6 +8329,7 @@ def oracle_sql() -> dict[str, str]:
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
     from pii_spark.diagnostics import (
         additive_fingerprints_oracle_sql,
+        lpt_assign_oracle_sql,
         shard_fingerprints_oracle_sql,
     )
     from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
@@ -9149,6 +9204,31 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "column_pii_profile": column_pii_profile_oracle_sql(
+            """SELECT 'user' || doc_id::VARCHAR
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN '@example.com' ELSE '' END AS contact,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN '010-'
+                                || lpad(((doc_id * 7) % 10000)::VARCHAR,
+                                        4, '0')
+                                || '-'
+                                || lpad(((doc_id * 13) % 10000)::VARCHAR,
+                                        4, '0')
+                           ELSE 'n/a' END AS phone_field,
+                      text AS notes
+               FROM documents""",
+            ["contact", "phone_field", "notes"],
+            _COLPROF_PATTERNS,
+        ) + " ORDER BY col_name, pattern",
+        "lpt_partition_plan": lpt_assign_oracle_sql(
+            """SELECT (doc_id % 37)::BIGINT AS grp,
+                      sum(n_chars)::BIGINT AS bytes
+               FROM documents GROUP BY 1""",
+            ["grp"],
+            "bytes",
+            n_bins=8,
+        ) + " ORDER BY grp",
         "fingerprint_update": additive_fingerprints_oracle_sql(
             "SELECT doc_id, text FROM documents",
             "doc_id",

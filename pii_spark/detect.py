@@ -1470,3 +1470,91 @@ def secret_reuse_oracle_sql(
                count(*) > 1 AS reused
         FROM per_repo GROUP BY secret_sha
     """
+
+
+def column_pii_profile(
+    df: DataFrame,
+    columns: list[str],
+    patterns: dict[str, str],
+) -> DataFrame:
+    """Schema-level PII scanner: for every (column, pattern) pair, the
+    share of non-null values matching — the table-profiling pass that
+    decides WHICH columns of a structured table need the scrub engine
+    at all (the reference points its bank at known text fields; at a
+    lakehouse with thousands of tables you first have to find them).
+    Output: ``col_name, pattern, n_values, n_hits, hit_x10000``.
+
+    Patterns must live in the RE2 ∩ Java-regex subset (the
+    ``evasion.py`` convention) so the DuckDB oracle replays the exact
+    match set.
+
+    Scale shape: the unpivot is a row-local ``stack`` (no shuffle,
+    width × rows stays one scan); every regex evaluates JVM-side in
+    the same stage; the only exchange is the final hash aggregate on
+    (column, pattern) — ≤ width·|patterns| groups.  For a 10¹²-row
+    table you run this on a ``hash_sample`` slice first; rates, not
+    row ids, are the product.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    pairs = ", ".join(f"'{c}', cast({c} AS string)" for c in columns)
+    stacked = df.selectExpr(
+        f"stack({len(columns)}, {pairs}) AS (col_name, value)"
+    ).filter(F.col("value").isNotNull())
+    per_col = [
+        stacked.select(
+            "col_name",
+            F.lit(name).alias("pattern"),
+            F.col("value").rlike(rx).cast("int").alias("hit"),
+        )
+        for name, rx in sorted(patterns.items())
+    ]
+    un = per_col[0]
+    for p in per_col[1:]:
+        un = un.unionByName(p)
+    return (
+        un.groupBy("col_name", "pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("hit").cast("long").alias("n_hits"),
+        )
+        .withColumn("hit_x10000", F.expr("(n_hits * 10000) div n_values"))
+    )
+
+
+def column_pii_profile_oracle_sql(
+    rows_sql: str,
+    columns: list[str],
+    patterns: dict[str, str],
+) -> str:
+    """DuckDB replay of :func:`column_pii_profile` — same unpivot,
+    same partial-match regex semantics."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c}::VARCHAR AS value FROM rows0"
+        for c in columns
+    )
+    pats = ", ".join(
+        f"('{q(n)}', '{q(rx)}')" for n, rx in sorted(patterns.items())
+    )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        stacked AS (
+            SELECT * FROM ({stacked}) WHERE value IS NOT NULL
+        ),
+        pats(pattern, rx) AS (VALUES {pats})
+        SELECT col_name, pattern,
+               count(*)::BIGINT AS n_values,
+               sum(CASE WHEN regexp_matches(value, rx)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+               ((sum(CASE WHEN regexp_matches(value, rx)
+                          THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT
+                   AS hit_x10000
+        FROM stacked CROSS JOIN pats
+        GROUP BY col_name, pattern
+    """

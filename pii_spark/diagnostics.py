@@ -1001,3 +1001,97 @@ def additive_fingerprints_oracle_sql(
         FROM ({rows_sql})
         GROUP BY shard
     """
+
+
+def lpt_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    size_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Longest-processing-time bin assignment: pack keyed workloads
+    (file-compaction groups, skewed shuffle keys, per-repo task costs)
+    into ``n_bins`` executors/output files, visiting keys in DESCENDING
+    size order (ties by key ascending) and always placing into the
+    currently least-loaded bin (ties to the lowest bin id).  Graham's
+    classic 4/3-approximation of makespan — the planning step behind
+    "compact these 10k small files into 32 outputs without one output
+    ballooning".  Output: per key, its ``bin`` plus the bin's load
+    AFTER placement (``load_after``), so the plan's makespan is
+    ``max(load_after)`` and every intermediate decision is auditable.
+
+    Scale shape: the fold is inherently sequential, but its INPUT is
+    the per-key size table — in every real use that table is already an
+    aggregate (files per compaction group, rows per salt bucket), 10³–
+    10⁵ rows, not the corpus.  The corpus-sized reduction to that table
+    is the caller's one hash aggregate; this operator collects the
+    small table (the bounded-collect pattern: driver traffic scales
+    with #keys, never rows) and replays the greedy in exact integer
+    Python; the DuckDB oracle replays it as a recursive CTE carrying
+    the bin-load list.
+    """
+    nb = int(n_bins)
+    if nb <= 0:
+        raise ValueError(f"n_bins must be > 0, got {nb}")
+    rows = (
+        df.select(*key_cols, F.col(size_col).cast("long").alias("__sz"))
+        .orderBy(F.desc("__sz"), *[F.asc(k) for k in key_cols])
+        .collect()  # bounded: one row per key (pre-aggregated input)
+    )
+    loads = [0] * nb
+    out = []
+    for r in rows:
+        b = loads.index(min(loads))
+        loads[b] += r["__sz"]
+        out.append(
+            tuple(r[k] for k in key_cols)
+            + (r["__sz"], b, loads[b])
+        )
+    spark = df.sparkSession
+    schema_keys = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in key_cols
+    )
+    return spark.createDataFrame(
+        out, f"{schema_keys}, size long, bin long, load_after long"
+    )
+
+
+def lpt_assign_oracle_sql(
+    rows_sql: str,
+    key_cols: list[str],
+    size_col: str,
+    n_bins: int,
+) -> str:
+    """DuckDB twin of :func:`lpt_assign` — the greedy fold as a
+    recursive CTE whose state is the bin-load list; same descending
+    size order, same least-loaded/lowest-id tie-break."""
+    nb = int(n_bins)
+    ks = ", ".join(key_cols)
+    k_asc = ", ".join(f"{k} ASC" for k in key_cols)
+    return f"""
+        WITH RECURSIVE ordered AS (
+            SELECT {ks}, {size_col}::BIGINT AS sz,
+                   row_number() OVER (
+                       ORDER BY {size_col} DESC, {k_asc}
+                   ) AS rn
+            FROM ({rows_sql})
+        ),
+        rec(rn, bin, load_after, loads) AS (
+            SELECT 0, 0::BIGINT, 0::BIGINT,
+                   list_transform(range({nb}), x -> 0::BIGINT)
+            UNION ALL
+            SELECT o.rn,
+                   (list_position(r.loads, list_min(r.loads)) - 1)::BIGINT,
+                   (list_min(r.loads) + o.sz)::BIGINT,
+                   list_transform(
+                       range(1, {nb} + 1),
+                       i -> CASE WHEN i = list_position(r.loads,
+                                                        list_min(r.loads))
+                                 THEN r.loads[i] + o.sz
+                                 ELSE r.loads[i] END)
+            FROM rec r JOIN ordered o ON o.rn = r.rn + 1
+        )
+        SELECT o.{ks.replace(', ', ', o.')}, o.sz AS size,
+               r.bin, r.load_after
+        FROM rec r JOIN ordered o USING (rn) WHERE r.rn >= 1
+    """

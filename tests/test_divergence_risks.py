@@ -133,3 +133,31 @@ def test_additive_fingerprint_incremental_equals_full(spark):
     assert upd3[0][1] == base[0][1] and upd3[0][0] == base[0][0] + 2
     with pytest.raises(ValueError):
         additive_fingerprints(full_df, "doc_id", "text", n_shards=0)
+
+
+def test_lpt_assign_greedy_makespan(spark):
+    import pytest
+
+    from pii_spark.diagnostics import lpt_assign
+
+    # sizes 7,5,4,3,2 into 2 bins: LPT -> b0:7, b1:5, b1:5+4=9? no —
+    # least-loaded: 7->b0, 5->b1, 4->b1(5<7? no: loads 7,5 -> b1),
+    # wait: after 7->b0,5->b1 loads (7,5); 4 -> b1 (5) -> 9; 3 -> b0
+    # (7) -> 10; 2 -> b1 (9) -> 11?? recompute: loads (7,5): 4->b1=9;
+    # (7,9): 3->b0=10; (10,9): 2->b1=11. makespan 11.
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 5), ("c", 4), ("d", 3), ("e", 2)],
+        "k string, sz long",
+    )
+    got = {r.k: r for r in lpt_assign(df, ["k"], "sz", n_bins=2).collect()}
+    assert (got["a"].bin, got["b"].bin, got["c"].bin) == (0, 1, 1)
+    assert (got["d"].bin, got["e"].bin) == (0, 1)
+    assert max(r.load_after for r in got.values()) == 11
+    # ties in size break by key asc; ties in load break to lowest bin
+    df2 = spark.createDataFrame(
+        [("x", 5), ("w", 5)], "k string, sz long"
+    )
+    got2 = {r.k: r.bin for r in lpt_assign(df2, ["k"], "sz", 3).collect()}
+    assert got2 == {"w": 0, "x": 1}
+    with pytest.raises(ValueError):
+        lpt_assign(df, ["k"], "sz", n_bins=0)

@@ -143,3 +143,32 @@ def test_secret_reuse_blast_radius(spark):
     assert (sh.n_repos, sh.n_hits, sh.reused) == (2, 3, True)
     ow = out["r3"]
     assert (ow.n_repos, ow.n_hits, ow.reused) == (1, 1, False)
+
+
+def test_column_pii_profile_rates(spark):
+    import pytest
+
+    from pii_spark.detect import column_pii_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a@b.com", "x", None),
+            ("plain", "a@b.co", "1234"),
+            (None, "y", "no"),
+        ],
+        "c1 string, c2 string, c3 string",
+    )
+    out = {(r.col_name, r.pattern): r for r in column_pii_profile(
+        df, ["c1", "c2", "c3"],
+        {"email": r"[A-Za-z0-9]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"},
+    ).collect()}
+    # nulls excluded from n_values; partial-match semantics
+    assert out[("c1", "email")].n_values == 2
+    assert out[("c1", "email")].n_hits == 1
+    assert out[("c1", "email")].hit_x10000 == 5000
+    assert out[("c2", "email")].n_hits == 1
+    assert out[("c3", "email")].n_hits == 0
+    with pytest.raises(ValueError):
+        column_pii_profile(df, [], {"e": "x"})
+    with pytest.raises(ValueError):
+        column_pii_profile(df, ["c1"], {})
