@@ -6019,6 +6019,38 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold-free ranking quality per language: planted label
+    # (d%3==0) vs a score that partially separates it (n_chars + 15
+    # bonus for positives) — midrank-exact Mann-Whitney AUC
+    from pii_spark.quality import classifier_auc
+
+    d = F.col("doc_id")
+    scored = _docs(spark, sf_dir).select(
+        "lang",
+        (F.col("n_chars") + F.when(d % 3 == 0, 15).otherwise(0))
+        .cast("long").alias("score"),
+        (d % 3 == 0).cast("int").alias("label"),
+    )
+    return classifier_auc(scored, ["lang"], "score", "label").orderBy("lang")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution drift alarm between two corpus halves: odd docs'
+    # length distribution shifted by doc_id%10 — exact two-sample KS
+    from pii_spark.quality import ks_drift
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    a = docs.filter(d % 2 == 0).select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    b = docs.filter(d % 2 == 1).select(
+        "lang", (F.col("n_chars") + d % 10).cast("long").alias("v")
+    )
+    return ks_drift(a, b, ["lang"], "v").orderBy("lang")
+
+
 def q_column_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema-level PII scan: which COLUMNS of a structured table carry
     # PII — planted contact/phone fields vs free text, per-(column,
@@ -8045,6 +8077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_update": q_fingerprint_update,
         "lpt_partition_plan": q_lpt_partition_plan,
         "column_pii_profile": q_column_pii_profile,
+        "classifier_auc": q_classifier_auc,
+        "ks_drift": q_ks_drift,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8321,6 +8355,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import (
         LENGTH_GATE_CASE_SQL,
         ccnet_bucket_oracle_sql,
+        classifier_auc_oracle_sql,
+        ks_drift_oracle_sql,
         docstring_coverage_oracle_sql,
         kneser_ney_oracle_sql,
         kneser_ney_score_oracle_sql,
@@ -9204,6 +9240,24 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "classifier_auc": classifier_auc_oracle_sql(
+            """SELECT lang,
+                      (n_chars + CASE WHEN doc_id % 3 = 0
+                                      THEN 15 ELSE 0 END)::BIGINT AS score,
+                      doc_id % 3 = 0 AS label
+               FROM documents""",
+            ["lang"],
+            "score",
+            "label",
+        ) + " ORDER BY lang",
+        "ks_drift": ks_drift_oracle_sql(
+            "SELECT lang, n_chars::BIGINT AS v FROM documents"
+            " WHERE doc_id % 2 = 0",
+            "SELECT lang, (n_chars + doc_id % 10)::BIGINT AS v"
+            " FROM documents WHERE doc_id % 2 = 1",
+            ["lang"],
+            "v",
+        ) + " ORDER BY lang",
         "column_pii_profile": column_pii_profile_oracle_sql(
             """SELECT 'user' || doc_id::VARCHAR
                       || CASE WHEN doc_id % 3 = 0
