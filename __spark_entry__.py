@@ -6019,6 +6019,28 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def q_toxic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-keyword toxicity tuning view: three bank keywords planted at
+    # different rates (d%11, d%17 twice-in-doc, d%23), per-lang census
+    from pii_spark.quality import toxicity_keyword_census
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0, F.lit(" KILL YOURSELF ")).otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.lit(" gas the x gas the y ")).otherwise(F.lit("")),
+        F.when(d % 23 == 0,
+               F.lit(" subhuman filth. ")).otherwise(F.lit("")),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "lang", "doc_id", content.alias("content")
+    )
+    return toxicity_keyword_census(
+        corpus, ["lang"], "doc_id", "content"
+    ).orderBy("lang", "keyword")
+
+
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-free ranking quality per language: planted label
     # (d%3==0) vs a score that partially separates it (n_chars + 15
@@ -6165,6 +6187,24 @@ def q_secret_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return secret_reuse(base, "repo", "content", [AWS_RE]).orderBy(
         "secret_sha"
     )
+
+
+def q_fork_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fork-family collapse over the repo_fork_overlap fixture: cluster
+    # repos at containment >= 0.5, keep the largest repo per family
+    d = F.col("doc_id")
+    sha = (
+        F.when(d % 2 == 0, F.lit("hot-init"))
+        .when((d % 3 == 0) & (d % 7 < 4), F.concat(F.lit("v"), (d % 10).cast("string")))
+        .otherwise(F.concat(F.lit("u"), d.cast("string")))
+    )
+    base = _docs(spark, sf_dir).select(
+        (d % 7).cast("long").alias("repo"), sha.alias("sha")
+    )
+    return dedup.fork_cluster_survivors(
+        base, "repo", "sha", min_cont_x10000=5000, min_shared=3,
+        fanout_cap=6,
+    ).orderBy("repo")
 
 
 def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8073,12 +8113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_pii": q_comment_pii,
         "secret_lifetime": q_secret_lifetime,
         "secret_reuse": q_secret_reuse,
+        "fork_survivors": q_fork_survivors,
         "prefix_containment": q_prefix_containment,
         "fingerprint_update": q_fingerprint_update,
         "lpt_partition_plan": q_lpt_partition_plan,
         "column_pii_profile": q_column_pii_profile,
         "classifier_auc": q_classifier_auc,
         "ks_drift": q_ks_drift,
+        "toxic_census": q_toxic_census,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8341,6 +8383,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
+        fork_survivors_oracle_sql,
         minhash_tuning_oracle_sql,
         repo_containment_oracle_sql,
         shard_stitch_oracle_sql,
@@ -8356,6 +8399,7 @@ def oracle_sql() -> dict[str, str]:
         LENGTH_GATE_CASE_SQL,
         ccnet_bucket_oracle_sql,
         classifier_auc_oracle_sql,
+        toxicity_census_oracle_sql,
         ks_drift_oracle_sql,
         docstring_coverage_oracle_sql,
         kneser_ney_oracle_sql,
@@ -9240,6 +9284,22 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "toxic_census": toxicity_census_oracle_sql(
+            """SELECT lang, doc_id,
+                      text
+                      || CASE WHEN doc_id % 11 = 0
+                              THEN ' KILL YOURSELF ' ELSE '' END
+                      || CASE WHEN doc_id % 17 = 0
+                              THEN ' gas the x gas the y ' ELSE '' END
+                      || CASE WHEN doc_id % 23 = 0
+                              THEN ' subhuman filth. ' ELSE '' END
+                          AS content
+               FROM documents""",
+            "lang",
+            "lang",
+            "doc_id",
+            "content",
+        ) + " ORDER BY lang, keyword",
         "classifier_auc": classifier_auc_oracle_sql(
             """SELECT lang,
                       (n_chars + CASE WHEN doc_id % 3 = 0
@@ -9645,6 +9705,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM customer",
             ["nation"], "c_mktsegment", l=3, c_num=3, c_den=2,
         ),
+        "fork_survivors": fork_survivors_oracle_sql(
+            """
+            SELECT CAST(doc_id % 7 AS BIGINT) AS repo,
+                   CASE WHEN doc_id % 2 = 0 THEN 'hot-init'
+                        WHEN doc_id % 3 = 0 AND doc_id % 7 < 4
+                            THEN 'v' || (doc_id % 10)::VARCHAR
+                        ELSE 'u' || doc_id::VARCHAR END AS sha
+            FROM documents
+            """,
+            min_cont_x10000=5000, min_shared=3, fanout_cap=6,
+        ) + " ORDER BY repo",
         "repo_fork_overlap": repo_containment_oracle_sql(
             """
             SELECT CAST(doc_id % 7 AS BIGINT) AS repo,

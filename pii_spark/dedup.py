@@ -3095,3 +3095,113 @@ def prefix_containment_oracle_sql(
          AND a.ln < b.ln
          AND starts_with(b.t, a.t)
     """
+
+
+def fork_cluster_survivors(
+    df: DataFrame,
+    repo_col: str,
+    sha_col: str,
+    min_cont_x10000: int = 5000,
+    min_shared: int = 2,
+    fanout_cap: int = 1000,
+) -> DataFrame:
+    """Repo-level dedup decision: cluster repos whose file-sha
+    containment (:func:`repo_containment`) reaches
+    ``min_cont_x10000``, then keep ONE representative per fork family
+    — the repo with the most distinct files (ties to the smallest repo
+    id), the Stack's fork-collapse policy.  Every repo appears in the
+    output: singletons are their own cluster and survive.  Output:
+    ``repo, cluster, n_files, survivor``.
+
+    Scale shape: the pair stage inherits ``repo_containment``'s
+    inverted-index plan (sha-keyed join, ``fanout_cap`` bounding the
+    hot-sha explosion); clusters come from the diameter-independent
+    star CC over REPO-COUNT-sized input; the survivor pick is one
+    max-struct aggregate per cluster (no window over members), and the
+    singleton fill-in is a broadcast left join of the cluster table
+    back onto the repo list.
+    """
+    pairs = repo_containment(
+        df, repo_col, sha_col, min_shared=min_shared, fanout_cap=fanout_cap
+    ).filter(F.col("cont_x10000") >= int(min_cont_x10000))
+    comp = connected_components(pairs, id_a="repo_a", id_b="repo_b")
+    n_files = (
+        df.select(F.col(repo_col).alias("repo"), F.col(sha_col).alias("sha"))
+        .distinct()
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+    labeled = comp.select(F.col("doc").alias("repo"), "component").join(
+        n_files, "repo"
+    )
+    # survivor per component: max files, ties to the smallest repo id
+    # (one row_number window per cluster — members per cluster are few)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_files"), F.asc("repo")
+    )
+    clustered = labeled.withColumn("__rk", F.row_number().over(w)).select(
+        "repo",
+        F.col("component").alias("cluster"),
+        "n_files",
+        (F.col("__rk") == 1).alias("survivor"),
+    )
+    singles = (
+        n_files.join(clustered.select("repo"), "repo", "left_anti")
+        .select(
+            "repo",
+            F.col("repo").alias("cluster"),
+            "n_files",
+            F.lit(True).alias("survivor"),
+        )
+    )
+    return clustered.unionByName(singles)
+
+
+def fork_survivors_oracle_sql(
+    files_sql: str,
+    min_cont_x10000: int = 5000,
+    min_shared: int = 2,
+    fanout_cap: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`fork_cluster_survivors` — composes the
+    :func:`repo_containment_oracle_sql` pair stage with the recursive
+    min-label closure and the same (n_files desc, repo asc) survivor
+    order."""
+    pairs_sql = repo_containment_oracle_sql(
+        files_sql, min_shared=min_shared, fanout_cap=fanout_cap
+    )
+    t = int(min_cont_x10000)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        strong AS (
+            SELECT repo_a, repo_b FROM pairs WHERE cont_x10000 >= {t}
+        ),
+        edges AS (
+            SELECT repo_a AS src, repo_b AS dst FROM strong
+            UNION SELECT repo_b, repo_a FROM strong
+        ),
+        cc(r, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.r
+        ),
+        comp AS (SELECT r AS repo, min(lbl) AS cluster FROM cc GROUP BY r),
+        nf AS (
+            SELECT repo, count(*)::BIGINT AS n_files
+            FROM (SELECT DISTINCT repo, sha FROM ({files_sql}))
+            GROUP BY repo
+        ),
+        clustered AS (
+            SELECT c.repo, c.cluster, nf.n_files,
+                   row_number() OVER (
+                       PARTITION BY c.cluster
+                       ORDER BY nf.n_files DESC, c.repo
+                   ) = 1 AS survivor
+            FROM comp c JOIN nf USING (repo)
+        )
+        SELECT repo, cluster, n_files, survivor FROM clustered
+        UNION ALL
+        SELECT nf.repo, nf.repo AS cluster, nf.n_files, TRUE AS survivor
+        FROM nf
+        WHERE nf.repo NOT IN (SELECT repo FROM comp)
+    """

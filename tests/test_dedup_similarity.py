@@ -1572,3 +1572,32 @@ def test_prefix_containment_pairs(spark):
     assert got == [(2, 1), (3, 1)]
     with pytest.raises(ValueError):
         prefix_containment_pairs(df, "doc_id", "text", min_prefix_len=0)
+
+
+def test_fork_cluster_survivors(spark):
+    from pii_spark.dedup import fork_cluster_survivors
+
+    # repos A ⊂ B (A fully vendored into B, B bigger), C standalone
+    rows = (
+        [("A", f"s{i}") for i in range(4)]
+        + [("B", f"s{i}") for i in range(4)]
+        + [("B", f"b{i}") for i in range(3)]
+        + [("C", f"c{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "repo string, sha string")
+    got = {r.repo: r for r in fork_cluster_survivors(
+        df, "repo", "sha", min_cont_x10000=8000, min_shared=2
+    ).collect()}
+    assert len(got) == 3
+    assert got["A"].cluster == got["B"].cluster
+    assert not got["A"].survivor and got["B"].survivor   # B has 7 files
+    assert got["C"].survivor and got["C"].cluster == "C"  # singleton
+    # ties in n_files go to the smallest repo id
+    df2 = spark.createDataFrame(
+        [("X", "s1"), ("X", "s2"), ("Y", "s1"), ("Y", "s2")],
+        "repo string, sha string",
+    )
+    got2 = {r.repo: r.survivor for r in fork_cluster_survivors(
+        df2, "repo", "sha", min_cont_x10000=5000, min_shared=2
+    ).collect()}
+    assert got2 == {"X": True, "Y": False}
