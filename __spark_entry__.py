@@ -6019,6 +6019,60 @@ def q_repo_fork_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+_DCP_BLOCK_A = 'def parse_row(x):\n    \"\"\"Parse one row.\"\"\"\n    return x\n'
+_DCP_BLOCK_B = ('class K:\n    def run(self, n):\n'
+                '        \"\"\"Run n times fast.\n        more\"\"\"\n'
+                '        pass\n')
+_DCP_BLOCK_C = 'def bare(y):\n    return y\n'
+
+
+def q_doc_code_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CodeSearchNet-style (docstring, function) mining: documented
+    # defs planted at d%6 in {0,2}, a bare def (no pair) at d%6==4
+    from pii_spark.quality import doc_code_pairs
+
+    d = F.col("doc_id")
+    splice = (
+        F.when(d % 6 == 0, F.lit(_DCP_BLOCK_A))
+        .when(d % 6 == 2, F.lit(_DCP_BLOCK_B))
+        .when(d % 6 == 4, F.lit(_DCP_BLOCK_C))
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "lang", F.concat(F.col("text"), F.lit("\n"), splice).alias("content")
+    )
+    return doc_code_pairs(corpus, ["lang"], "content").orderBy(
+        "lang", "func_name", "doc_head"
+    )
+
+
+def q_copyright_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # attribution manifest: two holders planted across repos (d%9), a
+    # year-range notice (d%15), per-(repo, holder) span + counts
+    from pii_spark.curation import copyright_holders
+
+    d = F.col("doc_id")
+    notice = (
+        F.when(
+            d % 9 == 0,
+            F.concat(
+                F.lit("// Copyright (c) 20"),
+                F.lpad((10 + d % 10).cast("string"), 2, "0"),
+                F.lit(" Example Corp\n"),
+            ),
+        )
+        .when(d % 15 == 0, F.lit("# Copyright (c) 2015-2021 Jane Dev\n"))
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        (d % 5).cast("long").alias("repo"),
+        F.concat(notice, F.col("text")).alias("content"),
+    )
+    return copyright_holders(corpus, "repo", "content").orderBy(
+        "repo", "holder"
+    )
+
+
 def q_toxic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-keyword toxicity tuning view: three bank keywords planted at
     # different rates (d%11, d%17 twice-in-doc, d%23), per-lang census
@@ -8121,6 +8175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
+        "doc_code_pairs": q_doc_code_pairs,
+        "copyright_holders": q_copyright_holders,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8369,6 +8425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+
 def oracle_sql() -> dict[str, str]:
     from pii_spark.evasion import deobfuscate_sql as _deobfuscate_sql
     from pii_spark.detect import (
@@ -8390,6 +8450,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.privacy import recursive_cl_oracle_sql
     from pii_spark.curation import (
+        copyright_holders_oracle_sql,
         doremi_oracle_sql,
         stratified_sample_oracle_sql,
         topo_pack_oracle_sql,
@@ -8399,6 +8460,7 @@ def oracle_sql() -> dict[str, str]:
         LENGTH_GATE_CASE_SQL,
         ccnet_bucket_oracle_sql,
         classifier_auc_oracle_sql,
+        doc_code_pairs_oracle_sql,
         toxicity_census_oracle_sql,
         ks_drift_oracle_sql,
         docstring_coverage_oracle_sql,
@@ -9284,6 +9346,35 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "doc_code_pairs": doc_code_pairs_oracle_sql(
+            "SELECT lang, text || chr(10) || CASE doc_id % 6 "
+            + " ".join(
+                f"WHEN {i} THEN '{s}'"
+                for i, s in (
+                    (0, _sqlq(_DCP_BLOCK_A)),
+                    (2, _sqlq(_DCP_BLOCK_B)),
+                    (4, _sqlq(_DCP_BLOCK_C)),
+                )
+            )
+            + " ELSE '' END AS content FROM documents",
+            "lang",
+            "lang",
+            "content",
+        ) + " ORDER BY lang, func_name, doc_head",
+        "copyright_holders": copyright_holders_oracle_sql(
+            """SELECT (doc_id % 5)::BIGINT AS repo,
+                      CASE WHEN doc_id % 9 = 0
+                           THEN '// Copyright (c) 20'
+                                || lpad((10 + doc_id % 10)::VARCHAR, 2, '0')
+                                || ' Example Corp' || chr(10)
+                           WHEN doc_id % 15 = 0
+                           THEN '# Copyright (c) 2015-2021 Jane Dev'
+                                || chr(10)
+                           ELSE '' END || text AS content
+               FROM documents""",
+            "repo",
+            "content",
+        ) + " ORDER BY repo, holder",
         "toxic_census": toxicity_census_oracle_sql(
             """SELECT lang, doc_id,
                       text

@@ -2853,3 +2853,112 @@ def stratified_sample_oracle_sql(
         FROM ranked r JOIN q2 q USING ({ks})
         WHERE r.rk <= q.quota
     """
+
+
+_COPYRIGHT_RE = (
+    r"(?m)^[\t /#*-]*Copyright \(c\) "
+    r"[0-9]{4}(?:-[0-9]{4})? [A-Z][A-Za-z0-9 .,&-]*"
+)
+
+
+def copyright_holders(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Attribution manifest: per (repo, copyright holder), how many
+    files carry the notice and the earliest/latest year claimed — the
+    NOTICE-file input a permissively-licensed code release must ship
+    (license gating says you MAY redistribute; attribution is what the
+    license demands in return).  Notices are matched line-anchored
+    (``Copyright (c) YYYY[-YYYY] Holder``), the year span and holder
+    parsed from the matched text with follow-up ``regexp_extract`` —
+    all JVM-side, same RE2 ∩ Java patterns in the oracle.
+
+    Scale shape: extraction fuses into the scan; only matched notice
+    strings (rare) shuffle into one (repo, holder) hash aggregate.
+    """
+    hits = df.select(
+        F.col(repo_col).alias("repo"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(content_col), F.lit(_COPYRIGHT_RE), F.lit(0)
+            )
+        ).alias("notice"),
+    )
+    parsed = hits.select(
+        "repo",
+        F.regexp_extract(
+            F.col("notice"), r"Copyright \(c\) ([0-9]{4})", 1
+        ).cast("long").alias("year_from"),
+        F.when(
+            F.regexp_extract(
+                F.col("notice"),
+                r"Copyright \(c\) [0-9]{4}-([0-9]{4})",
+                1,
+            ) != "",
+            F.regexp_extract(
+                F.col("notice"),
+                r"Copyright \(c\) [0-9]{4}-([0-9]{4})",
+                1,
+            ).cast("long"),
+        ).otherwise(
+            F.regexp_extract(
+                F.col("notice"), r"Copyright \(c\) ([0-9]{4})", 1
+            ).cast("long")
+        ).alias("year_to"),
+        F.trim(
+            F.regexp_extract(
+                F.col("notice"),
+                r"Copyright \(c\) [0-9]{4}(?:-[0-9]{4})? (.*)",
+                1,
+            )
+        ).alias("holder"),
+    )
+    return parsed.groupBy("repo", "holder").agg(
+        F.count(F.lit(1)).cast("long").alias("n_notices"),
+        F.min("year_from").cast("long").alias("year_min"),
+        F.max("year_to").cast("long").alias("year_max"),
+    )
+
+
+def copyright_holders_oracle_sql(
+    rows_sql: str,
+    repo_sql: str = "repo",
+    content_sql: str = "content",
+) -> str:
+    """DuckDB twin of :func:`copyright_holders` — same line-anchored
+    notice pattern and follow-up extracts."""
+    rx = _COPYRIGHT_RE.replace("'", "''")
+    return f"""
+        WITH hits AS (
+            SELECT {repo_sql} AS repo,
+                   unnest(regexp_extract_all({content_sql}, '{rx}'))
+                       AS notice
+            FROM ({rows_sql})
+        ),
+        parsed AS (
+            SELECT repo,
+                   regexp_extract(notice,
+                       'Copyright \\(c\\) ([0-9]{{4}})', 1)::BIGINT
+                       AS year_from,
+                   CASE WHEN regexp_extract(notice,
+                            'Copyright \\(c\\) [0-9]{{4}}-([0-9]{{4}})',
+                            1) <> ''
+                        THEN regexp_extract(notice,
+                            'Copyright \\(c\\) [0-9]{{4}}-([0-9]{{4}})',
+                            1)::BIGINT
+                        ELSE regexp_extract(notice,
+                            'Copyright \\(c\\) ([0-9]{{4}})', 1)::BIGINT
+                   END AS year_to,
+                   trim(regexp_extract(notice,
+                       'Copyright \\(c\\) [0-9]{{4}}(?:-[0-9]{{4}})? (.*)',
+                       1)) AS holder
+            FROM hits
+        )
+        SELECT repo, holder,
+               count(*)::BIGINT AS n_notices,
+               min(year_from)::BIGINT AS year_min,
+               max(year_to)::BIGINT AS year_max
+        FROM parsed GROUP BY repo, holder
+    """

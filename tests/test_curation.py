@@ -1050,3 +1050,23 @@ def test_stratified_sample_exact_quotas(spark):
     assert stratified_sample(df, ["lang"], "doc_id", 100).count() == 100
     with pytest.raises(ValueError):
         stratified_sample(df, ["lang"], "doc_id", total_n=-1)
+
+
+def test_copyright_holders_manifest(spark):
+    from pii_spark.curation import copyright_holders
+
+    rows = [
+        ("r1", "// Copyright (c) 2019 Acme Inc\ncode"),
+        ("r1", "# Copyright (c) 2015-2021 Acme Inc\nmore"),
+        ("r1", "/* Copyright (c) 2020 Jane Dev */\n"),
+        ("r2", "no notice"),
+        ("r2", "mentions copyright law but no notice line"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {(r.repo, r.holder): r for r in copyright_holders(
+        df, "repo", "content"
+    ).collect()}
+    acme = got[("r1", "Acme Inc")]
+    assert (acme.n_notices, acme.year_min, acme.year_max) == (2, 2015, 2021)
+    assert ("r1", "Jane Dev") in got
+    assert not any(repo == "r2" for repo, _ in got)
