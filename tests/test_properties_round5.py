@@ -1,0 +1,187 @@
+"""Property-based tests (hypothesis) for the round-5 operator tranche:
+each checks the Spark operator against an independent pure-Python
+re-derivation on random inputs, plus the algebraic invariants that a
+unit fixture cannot cover (AUC's monotone-transform invariance, KS
+symmetry, Hamilton quota exactness, LPT greedy equality)."""
+
+from fractions import Fraction
+from hashlib import md5
+
+from hypothesis import given, settings, strategies as st
+
+
+def test_stratified_sample_fuzz_hamilton_quotas(spark):
+    from pii_spark.curation import stratified_sample
+
+    @given(
+        st.lists(st.integers(1, 12), min_size=1, max_size=5),
+        st.integers(0, 20),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(sizes, total_n):
+        rows = [
+            (f"s{si}", si * 100 + i)
+            for si, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        out = stratified_sample(df, ["lang"], "doc_id", total_n).collect()
+        n_total = sum(sizes)
+        if total_n <= n_total:
+            assert len(out) == total_n
+        # python Hamilton reference
+        base = {f"s{i}": (total_n * n) // n_total
+                for i, n in enumerate(sizes)}
+        rem = {f"s{i}": (total_n * n) % n_total
+               for i, n in enumerate(sizes)}
+        seats = total_n - sum(base.values())
+        order = sorted(base, key=lambda k: (-rem[k], k))
+        for k in order[:seats]:
+            base[k] += 1
+        from collections import Counter
+        per = Counter(r.lang for r in out)
+        # when total_n > N a stratum's quota oversubscribes; the draw
+        # caps at the stratum size (documented graceful degradation)
+        capped = {
+            f"s{i}": min(base[f"s{i}"], n) for i, n in enumerate(sizes)
+        }
+        want = {k: v for k, v in capped.items() if v > 0}
+        assert dict(per) == want
+        # membership is the md5 draw: re-deriving picks the same ids
+        for si, n in enumerate(sizes):
+            key = f"s{si}"
+            ids = [si * 100 + i for i in range(n)]
+            drawn = sorted(
+                ids, key=lambda x: (md5(str(x).encode()).hexdigest(), x)
+            )[: capped.get(key, 0)]
+            got_ids = sorted(r.doc_id for r in out if r.lang == key)
+            assert got_ids == sorted(drawn)
+
+    check()
+
+
+def test_lpt_assign_fuzz_matches_python_greedy(spark):
+    from pii_spark.diagnostics import lpt_assign
+
+    @given(
+        st.lists(st.integers(0, 50), min_size=1, max_size=10),
+        st.integers(1, 4),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(sizes, n_bins):
+        rows = [(f"k{i:02d}", s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "k string, sz long")
+        got = {r.k: (r.bin, r.load_after) for r in lpt_assign(
+            df, ["k"], "sz", n_bins
+        ).collect()}
+        loads = [0] * n_bins
+        want = {}
+        for k, s in sorted(rows, key=lambda r: (-r[1], r[0])):
+            b = loads.index(min(loads))
+            loads[b] += s
+            want[k] = (b, loads[b])
+        assert got == want
+        assert sum(s for _, s in rows) == sum(loads)
+
+    check()
+
+
+def test_classifier_auc_fuzz_pairwise_and_monotone(spark):
+    from pii_spark.quality import classifier_auc
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 1)),
+            min_size=2,
+            max_size=14,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(pairs):
+        rows = [("g", s, l) for s, l in pairs]
+        df = spark.createDataFrame(rows, "g string, score long, label int")
+        row = classifier_auc(df, ["g"], "score", "label").collect()[0]
+        pos = [s for s, l in pairs if l == 1]
+        neg = [s for s, l in pairs if l == 0]
+        if not pos or not neg:
+            assert row.auc_x10000 is None
+            return
+        # brute-force pairwise AUC with half-credit ties
+        wins = sum(
+            1 if p > n else 0 for p in pos for n in neg
+        )
+        ties = sum(1 for p in pos for n in neg if p == n)
+        want = (Fraction(wins) + Fraction(ties, 2)) / (len(pos) * len(neg))
+        assert row.auc_x10000 == int(want * 10000)
+        # strictly monotone transform of scores leaves AUC unchanged
+        df2 = spark.createDataFrame(
+            [("g", 5 * s + 3, l) for s, l in pairs],
+            "g string, score long, label int",
+        )
+        row2 = classifier_auc(df2, ["g"], "score", "label").collect()[0]
+        assert row2.auc_x10000 == row.auc_x10000
+
+    check()
+
+
+def test_ks_drift_fuzz_brute_force_and_symmetry(spark):
+    from pii_spark.quality import ks_drift
+
+    @given(
+        st.lists(st.integers(0, 8), min_size=1, max_size=12),
+        st.lists(st.integers(0, 8), min_size=1, max_size=12),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(xs, ys):
+        mk = lambda vals: spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v long"
+        )
+        d_ab = ks_drift(mk(xs), mk(ys), ["g"], "v").collect()[0].d_x10000
+        d_ba = ks_drift(mk(ys), mk(xs), ["g"], "v").collect()[0].d_x10000
+        assert d_ab == d_ba                      # symmetric
+        na, nb = len(xs), len(ys)
+        support = sorted(set(xs) | set(ys))
+        d = max(
+            abs(
+                sum(1 for x in xs if x <= v) * nb
+                - sum(1 for y in ys if y <= v) * na
+            )
+            for v in support
+        )
+        assert d_ab == (d * 10000) // (na * nb)
+        assert 0 <= d_ab <= 10000
+
+    check()
+
+
+def test_additive_fingerprint_fuzz_batch_split_invariance(spark):
+    from pii_spark.diagnostics import (
+        additive_fingerprint_update,
+        additive_fingerprints,
+    )
+
+    doc = st.text(alphabet="abcxyz", min_size=0, max_size=6)
+
+    @given(st.lists(doc, min_size=1, max_size=10), st.integers(0, 10))
+    @settings(max_examples=10, deadline=None)
+    def check(texts, cut):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        cut = min(cut, len(rows))
+        full = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprints(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", n_shards=3,
+        ).collect()}
+        if cut == 0 or cut == len(rows):
+            return
+        committed = additive_fingerprints(
+            spark.createDataFrame(rows[:cut], "doc_id long, text string"),
+            "doc_id", "text", n_shards=3,
+        )
+        inc = {r.shard: (r.n_docs, r.fp) for r in additive_fingerprint_update(
+            committed,
+            spark.createDataFrame(rows[cut:], "doc_id long, text string"),
+            "doc_id", "text", n_shards=3,
+        ).collect()}
+        assert inc == full
+
+    check()
