@@ -375,6 +375,19 @@ def main() -> None:
         "soft_dedup",
         "stratified_sample",
         "shard_fingerprint",
+        "ql_search",
+        "rrf_fusion",
+        "secret_reuse",
+        "fork_survivors",
+        "prefix_containment",
+        "fingerprint_update",
+        "lpt_partition_plan",
+        "column_pii_profile",
+        "classifier_auc",
+        "ks_drift",
+        "toxic_census",
+        "doc_code_pairs",
+        "copyright_holders",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
