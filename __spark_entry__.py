@@ -6026,6 +6026,38 @@ _DCP_BLOCK_B = ('class K:\n    def run(self, n):\n'
 _DCP_BLOCK_C = 'def bare(y):\n    return y\n'
 
 
+def q_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup contamination ACROSS splits: the planted near-dup family
+    # straddles a doc_id-keyed 80/10/10 split; verified MinHash pairs
+    # rolled per unordered split pair
+    from pii_spark.curation import split_leakage_neardup
+
+    d = F.col("doc_id")
+    corpus = _neardup_corpus(spark, sf_dir).withColumn(
+        "split",
+        F.when(d % 10 < 8, F.lit("train"))
+        .when(d % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return split_leakage_neardup(
+        corpus, "doc_id", "text3", "split",
+        num_hashes=128, bands=32, verify_threshold=0.8,
+    ).orderBy("split_a", "split_b")
+
+
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UniMax allocation made actionable: per-doc repeat counts — full
+    # epochs for everyone, the mod-remainder admits an md5-ordered
+    # prefix one extra copy
+    from pii_spark.curation import epoch_expand, unimax_allocation
+
+    docs = _docs(spark, sf_dir)
+    alloc = unimax_allocation(docs, "lang", "n_chars", 200_000, 2)
+    return epoch_expand(docs, alloc, "lang", "doc_id", "n_chars").orderBy(
+        "lang", "doc_id"
+    )
+
+
 def q_doc_code_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CodeSearchNet-style (docstring, function) mining: documented
     # defs planted at d%6 in {0,2}, a bare def (no pair) at d%6==4
@@ -8177,6 +8209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxic_census": q_toxic_census,
         "doc_code_pairs": q_doc_code_pairs,
         "copyright_holders": q_copyright_holders,
+        "split_leakage_neardup": q_split_leakage_neardup,
+        "epoch_expand": q_epoch_expand,
         "repo_fork_overlap": q_repo_fork_overlap,
         "doremi_weights": q_doremi_weights,
         "incremental_rescore": q_incremental_rescore,
@@ -8452,6 +8486,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.curation import (
         copyright_holders_oracle_sql,
         doremi_oracle_sql,
+        epoch_expand_oracle_sql,
         stratified_sample_oracle_sql,
         topo_pack_oracle_sql,
         unimax_oracle_sql,
@@ -9346,6 +9381,38 @@ def oracle_sql() -> dict[str, str]:
             "content", "family",
             {"email": EMAIL_RE, "aws-access-key": AWS_RE},
         ),
+        "split_leakage_neardup": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+            pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 8 THEN 'train'
+                            WHEN doc_id % 10 = 8 THEN 'val'
+                            ELSE 'test' END AS s
+                FROM documents
+            )
+            SELECT least(a.s, b.s) AS split_a,
+                   greatest(a.s, b.s) AS split_b,
+                   count(*)::BIGINT AS n_pairs,
+                   least(a.s, b.s) <> greatest(a.s, b.s) AS leaking
+            FROM pairs
+            JOIN sp a ON a.doc_id = pairs.doc_a
+            JOIN sp b ON b.doc_id = pairs.doc_b
+            GROUP BY 1, 2 ORDER BY split_a, split_b
+        """,
+        "epoch_expand": epoch_expand_oracle_sql(
+            "SELECT lang, doc_id, n_chars FROM documents",
+            unimax_oracle_sql(
+                "SELECT lang, n_chars FROM documents",
+                "lang",
+                "n_chars",
+                budget=200_000,
+                max_epochs=2,
+            ),
+            "lang",
+            "doc_id",
+            "n_chars",
+        ) + " ORDER BY lang, doc_id",
         "doc_code_pairs": doc_code_pairs_oracle_sql(
             "SELECT lang, text || chr(10) || CASE doc_id % 6 "
             + " ".join(

@@ -2962,3 +2962,156 @@ def copyright_holders_oracle_sql(
                max(year_to)::BIGINT AS year_max
         FROM parsed GROUP BY repo, holder
     """
+
+
+def split_leakage_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """NEAR-duplicate split leakage: exact-content leakage
+    (:func:`split_leakage_audit`) misses the re-crawled page whose
+    footer changed — this probes the same MinHash-LSH pair stage the
+    dedup path uses and counts verified pairs that STRADDLE splits,
+    per (split_a, split_b) with split names ordered so each unordered
+    pair appears once.  A nonzero (train, test) row is the eval-set
+    contamination a leaderboard run regrets; the per-pair count says
+    how much.
+
+    Scale shape: inherits :func:`pii_spark.dedup.minhash_lsh_pairs`'s
+    O(n·bands) shuffle; the split lookup joins the (id, split) table
+    (8 + split bytes per row) onto pair endpoints — broadcast while it
+    fits — and the rollup is ≤ |splits|² groups.
+    """
+    from pii_spark.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        verify_threshold=verify_threshold,
+    )
+    splits = df.select(
+        F.col(id_col).alias("__id"), F.col(split_col).alias("__s")
+    )
+    labeled = (
+        pairs.join(
+            splits.withColumnRenamed("__s", "s_a"),
+            pairs["doc_a"] == splits["__id"],
+        )
+        .drop("__id")
+        .join(
+            splits.withColumnRenamed("__s", "s_b"),
+            pairs["doc_b"] == splits["__id"],
+        )
+        .drop("__id")
+    )
+    return (
+        labeled.select(
+            F.least(F.col("s_a"), F.col("s_b")).alias("split_a"),
+            F.greatest(F.col("s_a"), F.col("s_b")).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaking", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def epoch_expand(
+    df: DataFrame,
+    alloc: DataFrame,
+    key_col: str,
+    id_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Turn a per-language budget allocation (``alloc``: the
+    ``(key, capacity, alloc)`` output of :func:`unimax_allocation`)
+    into per-document repeat counts: every document gets
+    ``alloc div capacity`` full epochs, and the remaining
+    ``alloc mod capacity`` budget admits a deterministic prefix of the
+    language's documents — in the portable ``(md5(id), id)`` draw
+    order (:func:`stratified_sample`'s convention) — one extra copy
+    each, a document counting as admitted while the budget is not yet
+    exhausted BEFORE it (``cum_before < remainder``).  Output:
+    ``key, id, size, n_copies`` for documents with ``n_copies > 0``.
+
+    Scale shape: the alloc table is one row per language (broadcast);
+    the draw is one row_number + running-sum window per language —
+    a single exchange on the key — and no row is ever materialized
+    more than once here (downstream training readers expand
+    ``n_copies``; materializing 3× the corpus is their choice, not
+    this plan's).
+    """
+    a = F.broadcast(
+        alloc.select(
+            F.col(key_col).alias("__k"),
+            F.col("capacity").alias("__cap"),
+            F.col("alloc").alias("__alloc"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    sized = (
+        df.select(
+            key_col, id_col, F.col(size_col).cast("long").alias("size")
+        )
+        .withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("size").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .join(a, F.col(key_col) == F.col("__k"))
+    )
+    n_copies = (
+        F.expr("__alloc div __cap")
+        + (F.col("__cum_before") < F.expr("__alloc % __cap")).cast("long")
+    ).cast("long")
+    return (
+        sized.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(key_col, id_col, "size", "n_copies")
+    )
+
+
+def epoch_expand_oracle_sql(
+    rows_sql: str,
+    alloc_sql: str,
+    key_col: str,
+    id_col: str,
+    size_col: str,
+) -> str:
+    """DuckDB twin of :func:`epoch_expand` — same md5 draw order, same
+    cum-before admission rule."""
+    return f"""
+        WITH alloc AS ({alloc_sql}),
+        sized AS (
+            SELECT {key_col}, {id_col}, {size_col}::BIGINT AS size,
+                   coalesce(sum({size_col}) OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY md5({id_col}::VARCHAR), {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM ({rows_sql})
+        )
+        SELECT s.{key_col}, s.{id_col}, s.size,
+               (a.alloc // a.capacity
+                + CASE WHEN s.cum_before < a.alloc % a.capacity
+                       THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM sized s JOIN alloc a USING ({key_col})
+        WHERE a.alloc // a.capacity
+              + CASE WHEN s.cum_before < a.alloc % a.capacity
+                     THEN 1 ELSE 0 END > 0
+    """

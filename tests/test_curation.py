@@ -1070,3 +1070,41 @@ def test_copyright_holders_manifest(spark):
     assert (acme.n_notices, acme.year_min, acme.year_max) == (2, 2015, 2021)
     assert ("r1", "Jane Dev") in got
     assert not any(repo == "r2" for repo, _ in got)
+
+
+def test_split_leakage_neardup_straddle(spark):
+    from pii_spark.curation import split_leakage_neardup
+
+    blk = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, blk, "train"),
+        (2, blk + " tail", "test"),       # near-dup straddling splits
+        (3, blk + " tail2", "train"),     # near-dup inside train
+        (4, "unrelated words entirely different content here " * 3,
+         "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {(r.split_a, r.split_b): r for r in split_leakage_neardup(
+        df, "doc_id", "text", "split", num_hashes=64, bands=16
+    ).collect()}
+    assert got[("test", "train")].leaking
+    assert got[("test", "train")].n_pairs >= 1
+    assert not got[("train", "train")].leaking
+
+
+def test_epoch_expand_budget_accounting(spark):
+    from pii_spark.curation import epoch_expand, unimax_allocation
+
+    # one lang, capacity 10 docs x 3 chars = 30; budget 75, epochs 99
+    # -> alloc 75: full = 2 epochs, remainder 15 admits the first 5
+    # draw-ordered docs one extra copy
+    rows = [("x", i, 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, sz long")
+    alloc = unimax_allocation(df, "lang", "sz", budget=75, max_epochs=99)
+    out = epoch_expand(df, alloc, "lang", "doc_id", "sz").collect()
+    assert len(out) == 10
+    copies = sorted(r.n_copies for r in out)
+    assert copies == [2] * 5 + [3] * 5
+    # total expanded mass never exceeds the allocation (partial-doc
+    # admission can overshoot by at most one doc's size)
+    assert sum(r.n_copies * r.size for r in out) <= 75 + 3
