@@ -6539,6 +6539,21 @@ def q_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-bit MinHash: 128-hash signatures collapsed to 16 bytes/doc;
+    # bit-agreement Jaccard estimates over all planted-family pairs
+    corpus = _neardup_corpus(spark, sf_dir)
+    fam = corpus.filter(F.col("doc_id") % 50 == 1).select("doc_id")
+    pairs = (
+        fam.select(F.col("doc_id").alias("doc_a"))
+        .join(fam.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return dedup.bbit_minhash_estimate(
+        corpus, pairs, "doc_id", "text3", num_hashes=128
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured MinHash-LSH band/row tuning curve over the planted
     # near-dup clusters: one 128-hash portable signature, four configs
@@ -8222,6 +8237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_secret_scan": q_hex_secret_scan,
         "dedup_ablation": q_dedup_ablation,
         "lsh_tuning": q_lsh_tuning,
+        "bbit_minhash": q_bbit_minhash,
         "retrieval_eval": q_retrieval_eval,
         "zonemap_skip": q_zonemap_skip,
         "fpe_mask": q_fpe_mask,
@@ -8477,6 +8493,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
+        bbit_minhash_oracle_sql,
         fork_survivors_oracle_sql,
         minhash_tuning_oracle_sql,
         repo_containment_oracle_sql,
@@ -9821,6 +9838,14 @@ def oracle_sql() -> dict[str, str]:
             "content",
             {"aws-access-key": AWS_RE, "email": EMAIL_RE},
         ),
+        "bbit_minhash": bbit_minhash_oracle_sql(
+            _shingle_ctes(_NEARDUP_CASE),
+            """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM documents a JOIN documents b
+                 ON a.doc_id % 50 = 1 AND b.doc_id % 50 = 1
+                AND a.doc_id < b.doc_id""",
+            num_hashes=128,
+        ) + " ORDER BY doc_a, doc_b",
         "lsh_tuning": minhash_tuning_oracle_sql(
             _shingle_ctes(_NEARDUP_CASE),
             grid=((8, 16), (16, 8), (32, 4), (64, 2)),

@@ -3205,3 +3205,133 @@ def fork_survivors_oracle_sql(
         FROM nf
         WHERE nf.repo NOT IN (SELECT repo FROM comp)
     """
+
+
+def bbit_minhash_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """1-bit MinHash similarity estimation (Li & König, CACM 2011):
+    store only the LOWEST BIT of each permutation minimum — 128 hashes
+    collapse from 1 KB to 16 bytes per document, the signature-memory
+    move that keeps a 10¹²-doc sketch table executor-resident — and
+    estimate Jaccard from bit agreement: ``E[agree/H] = (1+J)/2``, so
+    ``Ĵ_x10000 = (2·agree·10000) div H − 10000`` (negative values are
+    estimator noise around J≈0 and are emitted raw, not clamped; the
+    caller's threshold handles them).  Scores caller-supplied candidate
+    ``pairs`` — in production the LSH bucket stage; here whatever the
+    fixture plants.
+
+    Uses the SAME portable sha256-nibble permutations as
+    :func:`minhash_tuning_grid`, so the DuckDB oracle replays every
+    minimum, every bit and every estimate exactly.
+
+    Scale shape: one shingle explode → (doc, j)-keyed min aggregate
+    (map-side partial), bits packed per doc into an H-element array;
+    pairs then join TWO 16-byte-payload rows each and compare
+    JVM-side (``zip_with``) — no text, no full signatures move.
+    """
+    a_c, b_c = _lsh_perm_constants(num_hashes)
+    spark = df.sparkSession
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    hm = (
+        F.conv(F.substring(F.sha2(F.col("s"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % _LSH_PRIME
+    )
+    perms = F.broadcast(
+        spark.createDataFrame(
+            [(j, a_c[j], b_c[j]) for j in range(num_hashes)],
+            "j INT, aj LONG, bj LONG",
+        )
+    )
+    bits = (
+        sh.select("doc", hm.alias("hm"))
+        .crossJoin(perms)
+        .groupBy("doc", "j")
+        .agg(
+            (
+                F.min((F.col("aj") * F.col("hm") + F.col("bj")) % _LSH_PRIME)
+                % 2
+            ).alias("bit")
+        )
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "bit"))),
+                lambda x: x["bit"],
+            ).alias("bits")
+        )
+    )
+    ba = bits.select(F.col("doc").alias("doc_a"), F.col("bits").alias("ba"))
+    bb = bits.select(F.col("doc").alias("doc_b"), F.col("bits").alias("bb"))
+    joined = pairs.join(ba, "doc_a").join(bb, "doc_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("ba"), F.col("bb"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    ).cast("long")
+    h = int(num_hashes)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.lit(h).cast("long").alias("n_hashes"),
+        agree.alias("agree"),
+    ).withColumn(
+        "est_x10000",
+        F.expr(f"(2 * agree * 10000) div {h} - 10000").cast("long"),
+    )
+
+
+def bbit_minhash_oracle_sql(
+    shingle_ctes: str,
+    pairs_sql: str,
+    num_hashes: int = 128,
+) -> str:
+    """DuckDB twin of :func:`bbit_minhash_estimate` — same nibble
+    ladder, same permutation literals, same bit agreement arithmetic.
+    ``shingle_ctes`` must define ``sh(doc_id, s)`` (no leading WITH)."""
+    a_c, b_c = _lsh_perm_constants(num_hashes)
+    p = _LSH_PRIME
+    h = int(num_hashes)
+    ladder = " + ".join(
+        f"(strpos('0123456789abcdef', sha256(s)[{i}]) - 1) * "
+        f"{16 ** (8 - i)}::BIGINT"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH {shingle_ctes},
+        sh_h AS (SELECT doc_id, ({ladder}) % {p} AS hm FROM sh),
+        perm AS (
+            SELECT i AS j, a_l[i + 1] AS aj, b_l[i + 1] AS bj
+            FROM (SELECT unnest(range({h})) AS i),
+                 (SELECT {a_c} AS a_l, {b_c} AS b_l)
+        ),
+        bits AS (
+            SELECT doc_id, j, min((aj * hm + bj) % {p}) % 2 AS bit
+            FROM sh_h CROSS JOIN perm GROUP BY 1, 2
+        ),
+        agree AS (
+            SELECT p.doc_a, p.doc_b,
+                   sum(CASE WHEN x.bit = y.bit THEN 1 ELSE 0 END)::BIGINT
+                       AS agree
+            FROM ({pairs_sql}) p
+            JOIN bits x ON x.doc_id = p.doc_a
+            JOIN bits y ON y.doc_id = p.doc_b AND y.j = x.j
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, {h}::BIGINT AS n_hashes, agree,
+               ((2 * agree * 10000) // {h} - 10000)::BIGINT AS est_x10000
+        FROM agree
+    """

@@ -1601,3 +1601,26 @@ def test_fork_cluster_survivors(spark):
         df2, "repo", "sha", min_cont_x10000=5000, min_shared=2
     ).collect()}
     assert got2 == {"X": True, "Y": False}
+
+
+def test_bbit_minhash_estimator_ends_of_scale(spark):
+    from pii_spark.dedup import bbit_minhash_estimate
+
+    same = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "entirely different content with no shared shingles at all " \
+            "covering databases airplanes and music theory notes " * 3
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, other)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc_a, r.doc_b): r for r in bbit_minhash_estimate(
+        df, pairs, "doc_id", "text", num_hashes=128
+    ).collect()}
+    # identical docs: identical signatures -> all bits agree -> J=1
+    assert got[(1, 2)].agree == 128
+    assert got[(1, 2)].est_x10000 == 10000
+    # disjoint docs: bits agree ~half the time -> estimate near 0
+    # (128 fair coins: P(|agree-64|>24) < 2e-5)
+    assert abs(got[(1, 3)].est_x10000) < 4000
