@@ -2417,6 +2417,25 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(pairs, "doc_a", "doc_b")
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # co-dependency candidates on a synthetic import graph: a 23-cycle
+    # (src = d%23, dst = (7d+3)%23, 7 coprime to 23) plus hub chords
+    # from node 0 (d%5 -> 0 for d%31==0); distance-2 pairs and
+    # hub-bridged pairs rank by common neighbors + attachment
+    from pii_spark.graph import link_prediction
+
+    d = F.col("doc_id")
+    edges = _docs(spark, sf_dir).select(
+        F.when(d % 31 == 0, (d % 5 + 1).cast("long"))
+        .otherwise((d % 23).cast("long")).alias("src"),
+        F.when(d % 31 == 0, F.lit(0).cast("long"))
+        .otherwise(((d * 7 + 3) % 23).cast("long")).alias("dst"),
+    )
+    return link_prediction(edges, "src", "dst", min_common=1).orderBy(
+        "node_a", "node_b"
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-core decomposition (iterative peeling to fixpoint) of a sparse
     # co-purchase slice: parts sharing an order, orders % 9 == 0 only —
@@ -8354,6 +8373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "user_state_history": q_user_state_history,
         "triangle_census": q_triangle_census,
+        "link_prediction": q_link_prediction,
         "k_core": q_k_core,
         "label_propagation": q_label_propagation,
         "dead_code_share": q_dead_code_share,
@@ -8526,7 +8546,11 @@ def oracle_sql() -> dict[str, str]:
         lpt_assign_oracle_sql,
         shard_fingerprints_oracle_sql,
     )
-    from pii_spark.graph import bfs_layers_oracle_sql, pagerank_oracle_sql
+    from pii_spark.graph import (
+        bfs_layers_oracle_sql,
+        link_prediction_oracle_sql,
+        pagerank_oracle_sql,
+    )
     from pii_spark.events import (
         ab_conversion_oracle_sql,
         burst_buckets_oracle_sql,
@@ -9846,6 +9870,15 @@ def oracle_sql() -> dict[str, str]:
                 AND a.doc_id < b.doc_id""",
             num_hashes=128,
         ) + " ORDER BY doc_a, doc_b",
+        "link_prediction": link_prediction_oracle_sql(
+            """SELECT CASE WHEN doc_id % 31 = 0
+                           THEN (doc_id % 5 + 1)::BIGINT
+                           ELSE (doc_id % 23)::BIGINT END AS src,
+                      CASE WHEN doc_id % 31 = 0 THEN 0::BIGINT
+                           ELSE ((doc_id * 7 + 3) % 23)::BIGINT END AS dst
+               FROM documents""",
+            min_common=1,
+        ) + " ORDER BY node_a, node_b",
         "lsh_tuning": minhash_tuning_oracle_sql(
             _shingle_ctes(_NEARDUP_CASE),
             grid=((8, 16), (16, 8), (32, 4), (64, 2)),

@@ -1047,3 +1047,101 @@ def topo_layers_oracle_sql(
         LEFT JOIN __tp_first f ON f.g = nd.g AND f.n = nd.n"""
     )
     return "".join(parts)
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction scores over an undirected graph: for every
+    NON-adjacent node pair with at least ``min_common`` common
+    neighbors, the common-neighbor count and the
+    preferential-attachment product ``deg_a · deg_b`` — the two
+    classic integer-exact predictors (Liben-Nowell & Kleinberg, CIKM
+    2003; Adamic-Adar's log weighting is deliberately omitted to stay
+    float-free).  In a code corpus this ranks "repos that share many
+    import neighbors but no edge yet" — co-dependency candidates —
+    and in a crawl graph, likely-missing links.
+
+    Scale shape: the input symmetrizes once; candidate pairs come from
+    the wedge join (both endpoints adjacent to a shared middle node) —
+    Σ deg(m)² over middle nodes, the same budget ``triangle_census``
+    pays, NOT all-pairs; hubs above any fanout budget should be capped
+    upstream (``repo_containment``'s ``fanout_cap`` move).  Known
+    edges leave via one left-anti join; degrees broadcast.
+    """
+    mc = int(min_common)
+    if mc < 1:
+        raise ValueError(f"min_common must be >= 1, got {mc}")
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # wedges: (x, m), (m, y) with x < y  =>  candidate (x, y) via m
+    left = und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    right = und.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    cand = (
+        left.join(right, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= mc)
+    )
+    non_adj = cand.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    da = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_b"))
+    return (
+        non_adj.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pa"),
+        )
+    )
+
+
+def link_prediction_oracle_sql(
+    edges_sql: str,
+    min_common: int = 1,
+) -> str:
+    """DuckDB twin of :func:`link_prediction` over an ``edges_sql``
+    with columns ``src, dst``."""
+    mc = int(min_common)
+    return f"""
+        WITH e0 AS (
+            SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
+        ),
+        und AS (
+            SELECT DISTINCT a, b
+            FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        ),
+        deg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
+        cand AS (
+            SELECT l.a AS x, r.b AS y, count(*)::BIGINT AS common
+            FROM und l JOIN und r ON l.b = r.a AND l.a < r.b
+            GROUP BY 1, 2
+            HAVING count(*) >= {mc}
+        ),
+        non_adj AS (
+            SELECT c.* FROM cand c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und u WHERE u.a = c.x AND u.b = c.y
+            )
+        )
+        SELECT n.x AS node_a, n.y AS node_b, n.common,
+               (da.deg * db.deg)::BIGINT AS pa
+        FROM non_adj n
+        JOIN deg da ON da.a = n.x
+        JOIN deg db ON db.a = n.y
+    """

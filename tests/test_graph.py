@@ -354,3 +354,29 @@ def test_topo_layers_oracle_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_link_prediction_square_graph(spark):
+    import pytest
+
+    from pii_spark.graph import link_prediction
+
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) are non-adjacent
+    # with 2 common neighbors each; all degrees are 2 -> pa = 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r.node_a, r.node_b): (r.common, r.pa) for r in link_prediction(
+        edges, "src", "dst", min_common=2
+    ).collect()}
+    assert got == {(1, 3): (2, 4), (2, 4): (2, 4)}
+    # adding the chord 1-3 removes it from candidates (adjacent now)
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    got2 = {(r.node_a, r.node_b) for r in link_prediction(
+        edges2, "src", "dst", min_common=2
+    ).collect()}
+    assert (1, 3) not in got2 and (2, 4) in got2
+    with pytest.raises(ValueError):
+        link_prediction(edges, "src", "dst", min_common=0)
