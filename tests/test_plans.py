@@ -1234,3 +1234,119 @@ def test_kneser_ney_topk_no_global_sort_and_pruned_scan(spark):
     # exchanges and the executed plan scans the corpus 4x (measured)
     assert "Scan parquet" not in p
     assert "ExistingRDD" in p
+
+
+def test_secret_reuse_fused_no_python(spark):
+    from pii_spark.detect import secret_reuse
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 5).cast("string").alias("repo"),
+        F.col("text").alias("content"),
+    )
+    p = plan(secret_reuse(docs, "repo", "content", ["AKIA[0-9A-Z]{16}"]))
+    assert count_python_nodes(p) == 0
+    assert "Window" not in p and "CartesianProduct" not in p
+
+
+def test_column_pii_profile_single_scan_no_python(spark):
+    from pii_spark.detect import column_pii_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("c1"), F.col("lang").alias("c2")
+    )
+    p = plan(column_pii_profile(docs, ["c1", "c2"],
+                                {"email": "[a-z]+@[a-z]+"}))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p
+
+
+def test_ccnet_bucket_joins_keyed_on_lang(spark):
+    from pii_spark.quality import ccnet_bucket
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = F.col("doc_id")
+    out = ccnet_bucket(
+        docs.filter(d % 2 == 0),
+        docs.filter(d % 2 == 1).select("lang", "doc_id", "text"),
+        "lang", "doc_id", "text",
+    )
+    p = plan(out)
+    assert count_python_nodes(p) == 0
+    # per-language model: no cross join anywhere (totals join on lang)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_soft_dedup_weight_join_no_text_after_pairs(spark):
+    from pii_spark.dedup import soft_dedup_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(soft_dedup_weights(docs, "doc_id", "text", num_hashes=32,
+                                bands=8))
+    assert "CartesianProduct" not in p
+    # the final weight join projects ids/counts only — the corpus text
+    # column must appear solely under the pair stage's scans
+    assert p.count("ReadSchema: struct<doc_id:bigint>") >= 1
+
+
+def test_shard_fingerprints_single_exchange(spark):
+    from pii_spark.diagnostics import shard_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(shard_fingerprints(docs, "doc_id", "text", n_shards=8))
+    assert count_python_nodes(p) == 0
+    # text is hashed at the scan: no column wider than the 32-byte leaf
+    # survives past the first aggregate; root joins via broadcast
+    assert "BroadcastExchange" in p
+    assert "Window" not in p
+
+
+def test_stratified_sample_quota_broadcast(spark):
+    from pii_spark.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(stratified_sample(docs, ["lang"], "doc_id", 100))
+    assert count_python_nodes(p) == 0
+    assert "BroadcastHashJoin" in p     # quota table broadcast
+    # scan pruned to the two referenced columns
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+
+
+def test_classifier_auc_and_ks_no_corpus_sort(spark):
+    from pii_spark.quality import classifier_auc, ks_drift
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select("lang", F.col("n_chars").alias("score"),
+                         (F.col("doc_id") % 3 == 0).cast("int").alias("y"))
+    p = plan(classifier_auc(scored, ["lang"], "score", "y"))
+    assert count_python_nodes(p) == 0
+    # the window sorts the per-(lang, score) COUNT table, after a
+    # partial_count aggregate — the corpus rows never range-shuffle
+    assert "Exchange rangepartitioning" not in p
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("lang", F.col("n_chars").alias("v"))
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("lang", F.col("n_chars").alias("v"))
+    p2 = plan(ks_drift(a, b, ["lang"], "v"))
+    assert count_python_nodes(p2) == 0
+    assert "Exchange rangepartitioning" not in p2
+
+
+def test_link_prediction_no_cartesian(spark):
+    from pii_spark.graph import link_prediction
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = docs.select((F.col("doc_id") % 23).alias("src"),
+                        ((F.col("doc_id") * 7 + 3) % 23).alias("dst"))
+    p = plan(link_prediction(edges, "src", "dst"))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_bbit_minhash_pairs_join_bits_only(spark):
+    from pii_spark.dedup import bbit_minhash_estimate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = docs.select((F.col("doc_id")).alias("doc_a"),
+                        (F.col("doc_id") + 1).alias("doc_b"))
+    p = plan(bbit_minhash_estimate(docs, pairs, "doc_id", "text",
+                                   num_hashes=32))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p
