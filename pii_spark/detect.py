@@ -1499,7 +1499,11 @@ def column_pii_profile(
         raise ValueError("columns must be non-empty")
     if not patterns:
         raise ValueError("patterns must be non-empty")
-    pairs = ", ".join(f"'{c}', cast({c} AS string)" for c in columns)
+    if any("`" in c or "'" in c for c in columns):
+        raise ValueError(f"column names may not contain ` or ': {columns}")
+    # backtick-quote identifiers: dotted/spaced column names must hit
+    # the column, not parse as paths (the domain_blocklist_gate lesson)
+    pairs = ", ".join(f"'{c}', cast(`{c}` AS string)" for c in columns)
     stacked = df.selectExpr(
         f"stack({len(columns)}, {pairs}) AS (col_name, value)"
     ).filter(F.col("value").isNotNull())

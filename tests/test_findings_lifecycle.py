@@ -172,3 +172,19 @@ def test_column_pii_profile_rates(spark):
         column_pii_profile(df, [], {"e": "x"})
     with pytest.raises(ValueError):
         column_pii_profile(df, ["c1"], {})
+
+
+def test_column_pii_profile_quoted_identifiers(spark):
+    import pytest
+
+    from pii_spark.detect import column_pii_profile
+
+    df = spark.createDataFrame(
+        [("a@b.co",)], "c string"
+    ).withColumnRenamed("c", "weird.col name")
+    out = column_pii_profile(
+        df, ["weird.col name"], {"email": "[a-z]+@[a-z]+"}
+    ).collect()
+    assert out[0].col_name == "weird.col name" and out[0].n_hits == 1
+    with pytest.raises(ValueError):
+        column_pii_profile(df, ["bad`tick"], {"e": "x"})
