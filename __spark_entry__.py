@@ -6146,6 +6146,16 @@ def q_toxic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "keyword")
 
 
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantile bucketing without sorting corpus rows: type-1 cuts at
+    # 25/50/75 over per-lang n_chars count tables, comparison-assigned
+    from pii_spark.curation import quantile_cut_assign
+
+    return quantile_cut_assign(
+        _docs(spark, sf_dir), ["lang"], "n_chars", [25, 50, 75]
+    ).orderBy("lang", "bucket")
+
+
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-free ranking quality per language: planted label
     # (d%3==0) vs a score that partially separates it (n_chars + 15
@@ -8241,6 +8251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
+        "quantile_gate": q_quantile_gate,
         "doc_code_pairs": q_doc_code_pairs,
         "copyright_holders": q_copyright_holders,
         "split_leakage_neardup": q_split_leakage_neardup,
@@ -8524,6 +8535,7 @@ def oracle_sql() -> dict[str, str]:
         copyright_holders_oracle_sql,
         doremi_oracle_sql,
         epoch_expand_oracle_sql,
+        quantile_cut_oracle_sql,
         stratified_sample_oracle_sql,
         topo_pack_oracle_sql,
         unimax_oracle_sql,
@@ -9483,6 +9495,12 @@ def oracle_sql() -> dict[str, str]:
             "repo",
             "content",
         ) + " ORDER BY repo, holder",
+        "quantile_gate": quantile_cut_oracle_sql(
+            "SELECT lang, n_chars FROM documents",
+            ["lang"],
+            "n_chars",
+            [25, 50, 75],
+        ) + " ORDER BY lang, bucket",
         "toxic_census": toxicity_census_oracle_sql(
             """SELECT lang, doc_id,
                       text

@@ -3115,3 +3115,136 @@ def epoch_expand_oracle_sql(
               + CASE WHEN s.cum_before < a.alloc % a.capacity
                      THEN 1 ELSE 0 END > 0
     """
+
+
+def quantile_cut_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    probs_x100: list[int],
+) -> DataFrame:
+    """Quantile bucketing WITHOUT sorting corpus rows — the scale path
+    :func:`pii_spark.quality.ccnet_bucket`'s docstring promises for
+    extreme per-key cardinality.  Cuts are exact inverse-ECDF (type-1)
+    quantiles derived from the per-(key, value) COUNT table: cut(p) =
+    the smallest value whose cumulative count reaches
+    ``ceil(p·n/100)``; rows then bucket by COMPARISON against the
+    broadcast cut list (bucket b = number of cuts ≤ value, so bucket 0
+    is below every cut).  Output per (key, bucket): ``n_rows, lo, hi``
+    (observed value range) plus the bucket's governing ``cut`` (NULL
+    for the top bucket).
+
+    Exactness: ntile and this disagree only in HOW ties split — ntile
+    balances group sizes by splitting equal values across buckets;
+    quantile cuts keep equal values together (sizes then deviate by
+    the tie mass).  Both are deterministic; this one never materializes
+    a per-row rank, which is what makes it the 10¹²-row plan.
+
+    Scale shape: one hash aggregate to (key, value) counts, one window
+    cumsum over DISTINCT values per key, a #keys·#probs cut table
+    broadcast back, and one comparison-bucketed aggregate.  No corpus
+    sort, no per-row window.
+    """
+    ps = sorted(int(p) for p in probs_x100)
+    if not ps or ps[0] <= 0 or ps[-1] >= 100:
+        raise ValueError(
+            f"probs_x100 must be within (0, 100), got {probs_x100}"
+        )
+    counts = df.groupBy(*key_cols, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    cuts = None
+    for i, p in enumerate(ps):
+        # ceil(p*n/100) = (p*n + 99) div 100
+        ci = (
+            cum.filter(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100")
+            )
+            .groupBy(*key_cols)
+            .agg(F.min("v").alias("cut"))
+            .withColumn("cut_idx", F.lit(i).cast("long"))
+        )
+        cuts = ci if cuts is None else cuts.unionByName(ci)
+    ktbl = F.broadcast(cuts)
+    # bucket each DISTINCT value (count table, not corpus rows): the
+    # bucket id is how many cuts the value exceeds
+    bucket = (
+        counts.join(ktbl, key_cols)
+        .withColumn("__above", (F.col("v") > F.col("cut")).cast("long"))
+        .groupBy(*key_cols, "v")
+        .agg(
+            F.max("c").alias("c"),  # identical across the cut fan-out
+            F.sum("__above").cast("long").alias("bucket"),
+        )
+    )
+    cut_of_bucket = cuts.select(
+        *key_cols,
+        F.col("cut_idx").alias("bucket"),
+        F.col("cut"),
+    )
+    return (
+        bucket.groupBy(*key_cols, "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .join(cut_of_bucket, [*key_cols, "bucket"], "left")
+    )
+
+
+def quantile_cut_oracle_sql(
+    rows_sql: str,
+    key_cols: list[str],
+    value_sql: str,
+    probs_x100: list[int],
+) -> str:
+    """DuckDB twin of :func:`quantile_cut_assign` — same type-1 cuts
+    from the count table, same comparison bucketing."""
+    ps = sorted(int(p) for p in probs_x100)
+    ks = ", ".join(key_cols)
+    cut_selects = " UNION ALL ".join(
+        f"""SELECT {ks}, {i} AS cut_idx, min(v) AS cut
+            FROM cum WHERE cum >= ({p} * n + 99) // 100
+            GROUP BY {ks}"""
+        for i, p in enumerate(ps)
+    )
+    return f"""
+        WITH counts AS (
+            SELECT {ks}, {value_sql} AS v, count(*)::BIGINT AS c
+            FROM ({rows_sql}) GROUP BY {ks}, {value_sql}
+        ),
+        cum AS (
+            SELECT {ks}, v, c,
+                   sum(c) OVER (PARTITION BY {ks} ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY {ks}) AS n
+            FROM counts
+        ),
+        cuts AS ({cut_selects}),
+        bucketed AS (
+            SELECT c.{ks.replace(', ', ', c.')}, c.v, max(c.c) AS c,
+                   sum(CASE WHEN c.v > k.cut THEN 1 ELSE 0 END)::BIGINT
+                       AS bucket
+            FROM counts c JOIN cuts k USING ({ks})
+            GROUP BY c.{ks.replace(', ', ', c.')}, c.v
+        ),
+        rolled AS (
+            SELECT {ks}, bucket, sum(c)::BIGINT AS n_rows,
+                   min(v) AS lo, max(v) AS hi
+            FROM bucketed GROUP BY {ks}, bucket
+        )
+        SELECT {', '.join(f'r.{c} AS {c}' for c in key_cols)},
+               r.bucket, r.n_rows, r.lo, r.hi, k.cut
+        FROM rolled r LEFT JOIN cuts k
+          ON {' AND '.join(f'k.{c} = r.{c}' for c in key_cols)}
+         AND k.cut_idx = r.bucket
+    """

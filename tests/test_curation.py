@@ -1108,3 +1108,32 @@ def test_epoch_expand_budget_accounting(spark):
     # total expanded mass never exceeds the allocation (partial-doc
     # admission can overshoot by at most one doc's size)
     assert sum(r.n_copies * r.size for r in out) <= 75 + 3
+
+
+def test_quantile_cut_assign_type1_semantics(spark):
+    import pytest
+
+    from pii_spark.curation import quantile_cut_assign
+
+    # values 1..10, one row each: median cut = smallest v with
+    # cum >= ceil(50*10/100)=5 -> 5; p25 -> ceil(2.5)=3 -> 3
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)], "g string, v long"
+    )
+    got = {r.bucket: r for r in quantile_cut_assign(
+        df, ["g"], "v", [25, 50, 75]
+    ).collect()}
+    assert (got[0].cut, got[1].cut, got[2].cut) == (3, 5, 8)
+    assert got[3].cut is None                       # top bucket
+    assert (got[0].n_rows, got[0].lo, got[0].hi) == (3, 1, 3)
+    assert (got[3].n_rows, got[3].lo, got[3].hi) == (2, 9, 10)
+    # heavy ties stay together (unlike ntile): all-sevens is one bucket
+    ties = spark.createDataFrame(
+        [("t", 7)] * 8, "g string, v long"
+    )
+    got2 = quantile_cut_assign(ties, ["g"], "v", [50]).collect()
+    assert len(got2) == 1 and got2[0].n_rows == 8
+    with pytest.raises(ValueError):
+        quantile_cut_assign(df, ["g"], "v", [0, 50])
+    with pytest.raises(ValueError):
+        quantile_cut_assign(df, ["g"], "v", [])
