@@ -4272,6 +4272,31 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deletion-aware incremental dedup: committed = d%4==1, tombstoned
+    # = d%8==1 (half the committed set erased) — re-ingest admits
+    # never-committed AND committed-then-deleted content
+    from pii_spark.dedup import dedup_incremental_tombstoned
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    seen = docs.filter(d % 4 == 1).select(
+        F.sha2(F.col("text"), 256).alias("__h")
+    )
+    dead = docs.filter(d % 8 == 1).select(
+        F.sha2(F.col("text"), 256).alias("__h")
+    )
+    out = dedup_incremental_tombstoned(docs, seen, dead, "text")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental (subtractive) dedup: the committed corpus snapshot is
     # every doc with doc_id%4==1; the "recrawled" batch is the full
@@ -8252,6 +8277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
         "quantile_gate": q_quantile_gate,
+        "dedup_tombstoned": q_dedup_tombstoned,
         "doc_code_pairs": q_doc_code_pairs,
         "copyright_holders": q_copyright_holders,
         "split_leakage_neardup": q_split_leakage_neardup,
@@ -9495,6 +9521,24 @@ def oracle_sql() -> dict[str, str]:
             "repo",
             "content",
         ) + " ORDER BY repo, holder",
+        "dedup_tombstoned": """
+            WITH seen AS (
+                SELECT DISTINCT sha256(text) AS h FROM documents
+                WHERE doc_id % 4 = 1
+            ),
+            dead AS (
+                SELECT DISTINCT sha256(text) AS h FROM documents
+                WHERE doc_id % 8 = 1
+            ),
+            live AS (
+                SELECT h FROM seen WHERE h NOT IN (SELECT h FROM dead)
+            )
+            SELECT lang, count(*)::BIGINT AS n_admitted,
+                   sum(doc_id)::BIGINT AS sum_doc_id
+            FROM documents
+            WHERE sha256(text) NOT IN (SELECT h FROM live)
+            GROUP BY lang ORDER BY lang
+        """,
         "quantile_gate": quantile_cut_oracle_sql(
             "SELECT lang, n_chars FROM documents",
             ["lang"],

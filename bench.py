@@ -388,6 +388,12 @@ def main() -> None:
         "toxic_census",
         "doc_code_pairs",
         "copyright_holders",
+        "split_leakage_neardup",
+        "epoch_expand",
+        "bbit_minhash",
+        "link_prediction",
+        "quantile_gate",
+        "fork_survivors",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -3335,3 +3335,36 @@ def bbit_minhash_oracle_sql(
                ((2 * agree * 10000) // {h} - 10000)::BIGINT AS est_x10000
         FROM agree
     """
+
+
+def dedup_incremental_tombstoned(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    tombstones: DataFrame,
+    content_col: str,
+    hash_col: str = "__h",
+) -> DataFrame:
+    """Deletion-aware incremental dedup: a snapshot store with GDPR
+    erasures or retention-expiry DELETE commits must NOT keep
+    suppressing re-ingested content whose committed copy was removed —
+    :func:`dedup_incremental` treats the seen-set as append-only, which
+    silently turns every tombstoned document into a permanent
+    blocklist entry.  Here the effective seen-set is
+    ``seen_hashes ∖ tombstones`` (both narrow 64-hex tables, the
+    snapshot layer's hash/tombstone manifests), so a new row is
+    admitted when its content hash was never committed OR was
+    committed and later deleted.
+
+    Scale shape: one anti-join shrinks the seen side by the tombstone
+    table (both hash-only — text never moves), then the same
+    broadcast-able anti-join as :func:`dedup_incremental`.  With both
+    manifests bucketed on the hash, zero exchanges.
+    """
+    seen = seen_hashes.select(F.col(hash_col).alias("__h")).distinct()
+    dead = tombstones.select(F.col(hash_col).alias("__h")).distinct()
+    live = seen.join(dead, "__h", "left_anti")
+    return (
+        new_df.withColumn("__h", F.sha2(F.col(content_col), 256))
+        .join(live, "__h", "left_anti")
+        .drop("__h")
+    )

@@ -1624,3 +1624,30 @@ def test_bbit_minhash_estimator_ends_of_scale(spark):
     # disjoint docs: bits agree ~half the time -> estimate near 0
     # (128 fair coins: P(|agree-64|>24) < 2e-5)
     assert abs(got[(1, 3)].est_x10000) < 4000
+
+
+def test_dedup_incremental_tombstoned_readmits_deleted(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.dedup import dedup_incremental_tombstoned
+
+    batch = spark.createDataFrame(
+        [(1, "committed live"), (2, "committed then erased"), (3, "new")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("committed live",), ("committed then erased",)], "t string"
+    ).select(F.sha2(F.col("t"), 256).alias("__h"))
+    dead = spark.createDataFrame(
+        [("committed then erased",)], "t string"
+    ).select(F.sha2(F.col("t"), 256).alias("__h"))
+    got = sorted(r.doc_id for r in dedup_incremental_tombstoned(
+        batch, seen, dead, "text"
+    ).collect())
+    # live committed content suppressed; erased content re-admitted
+    assert got == [2, 3]
+    # empty tombstone set degrades to plain incremental dedup
+    got2 = sorted(r.doc_id for r in dedup_incremental_tombstoned(
+        batch, seen, dead.limit(0), "text"
+    ).collect())
+    assert got2 == [3]
