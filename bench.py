@@ -393,7 +393,7 @@ def main() -> None:
         "bbit_minhash",
         "link_prediction",
         "quantile_gate",
-        "fork_survivors",
+        "dedup_tombstoned",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
