@@ -6181,6 +6181,40 @@ def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "bucket")
 
 
+#: nav/footer boilerplate block shared by the jusText fixture and its
+#: oracle — link-dense, so context-free ``bad`` on both engines.
+_JUSTEXT_NAV = (
+    '<ul><li><a href="/home">Home page</a></li>'
+    '<li><a href="/about">About us team</a></li></ul>'
+)
+
+
+def q_justext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # jusText boilerplate removal over synthesized HTML: every doc gets
+    # link-dense nav blocks (bad), a stopword-spliced long paragraph
+    # (good; dropped when doc_id%3==0 so the context pass sees both a
+    # good-flanked and a bad-flanked world), a medium ' la '-spliced
+    # paragraph (neargood -> resolved by neighbours), and a short tag
+    # line (short -> needs good on BOTH sides, so always bad here).
+    from pii_spark.curation import justext_blocks
+
+    d = F.col("doc_id")
+    body = F.replace(
+        F.substring("text", 1, 240), F.lit(" "), F.lit(" the of and ")
+    )
+    mid = F.replace(F.substring("text", 11, 90), F.lit(" "), F.lit(" la "))
+    html = F.concat(
+        F.lit(_JUSTEXT_NAV),
+        F.when(d % 3 != 0, F.concat(F.lit("<p>"), body, F.lit("</p>")))
+        .otherwise(F.lit("")),
+        F.lit("<p>"), mid, F.lit("</p>"),
+        F.lit("<p>tag "), F.col("lang"), F.lit(" page</p>"),
+        F.lit(_JUSTEXT_NAV),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return justext_blocks(corpus, "doc_id", "html").orderBy("doc_id")
+
+
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-free ranking quality per language: planted label
     # (d%3==0) vs a score that partially separates it (n_chars + 15
@@ -8277,6 +8311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
         "quantile_gate": q_quantile_gate,
+        "justext_boilerplate": q_justext_boilerplate,
         "dedup_tombstoned": q_dedup_tombstoned,
         "doc_code_pairs": q_doc_code_pairs,
         "copyright_holders": q_copyright_holders,
@@ -8561,6 +8596,7 @@ def oracle_sql() -> dict[str, str]:
         copyright_holders_oracle_sql,
         doremi_oracle_sql,
         epoch_expand_oracle_sql,
+        justext_oracle_sql,
         quantile_cut_oracle_sql,
         stratified_sample_oracle_sql,
         topo_pack_oracle_sql,
@@ -9545,6 +9581,20 @@ def oracle_sql() -> dict[str, str]:
             "n_chars",
             [25, 50, 75],
         ) + " ORDER BY lang, bucket",
+        "justext_boilerplate": justext_oracle_sql(
+            f"""SELECT doc_id,
+                       '{_JUSTEXT_NAV}'
+                       || CASE WHEN doc_id % 3 <> 0
+                               THEN '<p>' || replace(substr(text, 1, 240),
+                                                     ' ', ' the of and ')
+                                    || '</p>'
+                               ELSE '' END
+                       || '<p>' || replace(substr(text, 11, 90),
+                                           ' ', ' la ') || '</p>'
+                       || '<p>tag ' || lang || ' page</p>'
+                       || '{_JUSTEXT_NAV}' AS html
+                FROM documents"""
+        ),
         "toxic_census": toxicity_census_oracle_sql(
             """SELECT lang, doc_id,
                       text

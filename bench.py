@@ -394,6 +394,7 @@ def main() -> None:
         "link_prediction",
         "quantile_gate",
         "dedup_tombstoned",
+        "justext_boilerplate",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1137,3 +1137,54 @@ def test_quantile_cut_assign_type1_semantics(spark):
         quantile_cut_assign(df, ["g"], "v", [0, 50])
     with pytest.raises(ValueError):
         quantile_cut_assign(df, ["g"], "v", [])
+
+
+def test_justext_blocks_classification(spark):
+    from pii_spark.curation import justext_blocks
+
+    nav = ('<ul><li><a href="/h">Home page</a></li>'
+           '<li><a href="/a">About us</a></li></ul>')
+    good = "<p>" + ("word the of and " * 20) + "ending</p>"
+    near = "<p>" + ("mix la word " * 8) + "</p>"
+    short = "<p>tiny the block</p>"
+    df = spark.createDataFrame(
+        [
+            # nav(bad) good near(->good) short(->bad: next is bad) nav(bad)
+            (1, nav + good + near + short + nav),
+            # no good neighbour anywhere -> neargood resolves bad
+            (2, nav + near + nav),
+            # empty blocks vanish entirely (doc emits no row)
+            (3, "<p></p><div></div>"),
+            # short flanked by good on BOTH sides -> kept
+            (4, good + short + good),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in justext_blocks(df, "doc_id", "html").collect()}
+
+    assert 3 not in out
+    r1 = out[1]
+    # each nav splits at <li> into two link-dense blocks -> 4 bad
+    assert (r1.n_good_cf, r1.n_neargood_cf, r1.n_short_cf, r1.n_bad_cf) \
+        == (1, 1, 1, 4)
+    assert r1.n_kept == 2                    # good + promoted neargood
+    r2 = out[2]
+    assert r2.n_kept == 0
+    # sha256("") for a doc with nothing kept
+    assert r2.main_sha == ("e3b0c44298fc1c149afbf4c8996fb9"
+                           "2427ae41e4649b934ca495991b7852b855")
+    r4 = out[4]
+    assert r4.n_kept == 3                    # short promoted between goods
+    assert r4.kept_chars > 0
+
+
+def test_justext_blocks_link_density_gate(spark):
+    from pii_spark.curation import justext_blocks
+
+    # long, stopword-dense, but >20% of chars inside anchors -> bad
+    linky = ("<p>" + ("the of and " * 10)
+             + '<a href="/x">' + ("the of and " * 10) + "</a></p>")
+    df = spark.createDataFrame([(1, linky)], "doc_id long, html string")
+    row = justext_blocks(df, "doc_id", "html").collect()[0]
+    assert row.n_bad_cf == row.n_blocks
+    assert row.n_kept == 0

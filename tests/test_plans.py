@@ -1350,3 +1350,17 @@ def test_bbit_minhash_pairs_join_bits_only(spark):
                                    num_hashes=32))
     assert count_python_nodes(p) == 0
     assert "CartesianProduct" not in p
+
+
+def test_justext_single_exchange_no_python(spark):
+    from pii_spark.curation import justext_blocks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
+    )
+    p = plan(justext_blocks(docs, "doc_id", "html"))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p
+    # split -> posexplode -> two windows -> groupBy all key on the doc
+    # id: ONE hash exchange feeds the window pass and the aggregation
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
