@@ -6181,6 +6181,25 @@ def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "bucket")
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # post-hoc calibration of a binned quality score per language: a
+    # planted label whose per-bin rate trends up with the bin but is
+    # noisy (n_chars varies within a bin), so PAVA genuinely pools
+    # adjacent violators; fit_x1e6 is the monotone P(keep|bin) grid
+    from pii_spark.quality import isotonic_calibrate
+
+    d = F.col("doc_id")
+    scored = _docs(spark, sf_dir).select(
+        "lang",
+        (d % 12).cast("long").alias("bin"),
+        ((d * 13 + F.col("n_chars")) % 24 < d % 12 + 4)
+        .cast("int").alias("label"),
+    )
+    return isotonic_calibrate(scored, ["lang"], "bin", "label").orderBy(
+        "lang", "bin"
+    )
+
+
 #: nav/footer boilerplate block shared by the jusText fixture and its
 #: oracle — link-dense, so context-free ``bad`` on both engines.
 _JUSTEXT_NAV = (
@@ -8308,6 +8327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpt_partition_plan": q_lpt_partition_plan,
         "column_pii_profile": q_column_pii_profile,
         "classifier_auc": q_classifier_auc,
+        "isotonic_calibration": q_isotonic_calibration,
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
         "quantile_gate": q_quantile_gate,
@@ -8606,6 +8626,7 @@ def oracle_sql() -> dict[str, str]:
         LENGTH_GATE_CASE_SQL,
         ccnet_bucket_oracle_sql,
         classifier_auc_oracle_sql,
+        isotonic_oracle_sql,
         doc_code_pairs_oracle_sql,
         toxicity_census_oracle_sql,
         ks_drift_oracle_sql,
@@ -9621,6 +9642,17 @@ def oracle_sql() -> dict[str, str]:
             "score",
             "label",
         ) + " ORDER BY lang",
+        "isotonic_calibration": isotonic_oracle_sql(
+            """SELECT lang,
+                      (doc_id % 12)::BIGINT AS bin,
+                      CASE WHEN (doc_id * 13 + n_chars) % 24
+                                < doc_id % 12 + 4
+                           THEN 1 ELSE 0 END AS label
+               FROM documents""",
+            ["lang"],
+            "bin",
+            "label",
+        ) + " ORDER BY lang, bin",
         "ks_drift": ks_drift_oracle_sql(
             "SELECT lang, n_chars::BIGINT AS v FROM documents"
             " WHERE doc_id % 2 = 0",

@@ -395,6 +395,7 @@ def main() -> None:
         "quantile_gate",
         "dedup_tombstoned",
         "justext_boilerplate",
+        "isotonic_calibration",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1364,3 +1364,22 @@ def test_justext_single_exchange_no_python(spark):
     # split -> posexplode -> two windows -> groupBy all key on the doc
     # id: ONE hash exchange feeds the window pass and the aggregation
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_isotonic_calibrate_histogram_first(spark):
+    from pii_spark.quality import isotonic_calibrate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "lang",
+        (F.col("n_chars") % 16).cast("long").alias("bin"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    p = plan(isotonic_calibrate(scored, ["lang"], "bin", "label"))
+    assert count_python_nodes(p) == 0
+    # corpus rows hit ONE hash aggregate (with map-side partial) down to
+    # the (key, bin) histogram; the B^2 pair build and windows run on
+    # histogram-sized inputs only — never a corpus-wide range shuffle
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p

@@ -185,3 +185,54 @@ def test_additive_fingerprint_fuzz_batch_split_invariance(spark):
         assert inc == full
 
     check()
+
+
+def test_isotonic_calibrate_fuzz_matches_python_pava(spark):
+    # minimax-identity implementation vs the classic stack-based PAVA:
+    # identical floored x1e6 fits on random histograms, and the fitted
+    # curve is monotone nondecreasing per key group
+    from pii_spark.quality import isotonic_calibrate
+
+    def pava_fit(ns, ps):
+        blocks = []  # [n_bins_covered, weight, pos_sum]
+        for n, p in zip(ns, ps):
+            blocks.append([1, n, p])
+            # pool while the left block's rate >= the right's
+            while (
+                len(blocks) > 1
+                and blocks[-2][2] * blocks[-1][1]
+                >= blocks[-1][2] * blocks[-2][1]
+            ):
+                c, n2, p2 = blocks.pop()
+                blocks[-1][0] += c
+                blocks[-1][1] += n2
+                blocks[-1][2] += p2
+        fits = []
+        for c, n, p in blocks:
+            fits.extend([p * 1000000 // n] * c)
+        return fits
+
+    @given(
+        st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1)),
+                 min_size=1, max_size=30)
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            [("g", b, l) for b, l in rows], "g string, bin long, label int"
+        )
+        got = sorted(
+            isotonic_calibrate(df, ["g"], "bin", "label").collect(),
+            key=lambda r: r.bin,
+        )
+        bins = sorted({b for b, _ in rows})
+        ns = [sum(1 for b, _ in rows if b == x) for x in bins]
+        ps = [sum(l for b, l in rows if b == x) for x in bins]
+        want = pava_fit(ns, ps)
+        assert [r.bin for r in got] == bins
+        assert [r.n for r in got] == ns
+        assert [r.n_pos for r in got] == ps
+        assert [r.fit_x1e6 for r in got] == want
+        assert all(a.fit_x1e6 <= b.fit_x1e6 for a, b in zip(got, got[1:]))
+
+    check()
