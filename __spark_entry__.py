@@ -475,6 +475,44 @@ def _DHASH_PX(idx: str) -> str:
 _SUB_S1 = " QQ-SHARED-BOILERPLATE-BLOCK-ALPHA-0123456789-COPYME-ALPHA-END-QQ"
 _SUB_S2 = " ZZ-LICENSE-HEADER-SHARED-SEGMENT-BETA-ABCDEFGHIJKLMNOP-BETA-END-ZZ"
 
+#: planted benchmark items for decontaminate_spans — distinctive
+#: strings ≥ the 25-gram length, spliced into some corpus docs
+_DECON_E1 = ("Q: what is the airspeed velocity of an unladen swallow"
+             " A: an African or a European one")
+_DECON_E2 = ("benchmark item 774: translate zz-qux into goblin pidgin"
+             " verbatim and show your work")
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-level eval decontamination: two benchmark items planted at
+    # doc edges (E1 appended on %7, prepended on %13; E2 appended on
+    # %11 — a %77 doc carries adjacent E1+E2 spans that must merge);
+    # the leaked spans are cut, the rest of each doc survives
+    # byte-identically (sha invariant vs the oracle's char-by-char
+    # rebuild from by-TEXT grams — the engine's xxhash64 is not
+    # trusted)
+    from pii_spark.dedup import decontaminate_spans
+
+    d = F.col("doc_id")
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(d % 13 == 0, F.lit(_DECON_E1)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(_DECON_E1)).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(_DECON_E2)).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    bench = spark.createDataFrame([(_DECON_E1,), (_DECON_E2,)], "q string")
+    out = decontaminate_spans(
+        corpus, bench, "doc_id", "t", bench_text_col="q", k=25
+    )
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # character-granular EXACT substring dedup (Lee et al. ExactSubstr):
@@ -6200,6 +6238,25 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability table + ECE per language: an integer score in
+    # [0, 100] whose per-bin keep rate tracks the score imperfectly
+    # (planted label threshold wobbles with doc_id), so gaps are
+    # nonzero and the ECE rollup is exercised
+    from pii_spark.quality import calibration_error
+
+    d = F.col("doc_id")
+    scored = _docs(spark, sf_dir).select(
+        "lang",
+        ((d * 37 + F.col("n_chars")) % 101).cast("long").alias("score"),
+        ((d * 37 + F.col("n_chars")) % 101 > (40 + d % 21))
+        .cast("int").alias("label"),
+    )
+    return calibration_error(
+        scored, ["lang"], "score", "label", score_max=100, n_bins=10
+    ).orderBy("lang", "bin")
+
+
 #: nav/footer boilerplate block shared by the jusText fixture and its
 #: oracle — link-dense, so context-free ``bad`` on both engines.
 _JUSTEXT_NAV = (
@@ -8328,6 +8385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_pii_profile": q_column_pii_profile,
         "classifier_auc": q_classifier_auc,
         "isotonic_calibration": q_isotonic_calibration,
+        "calibration_error": q_calibration_error,
         "ks_drift": q_ks_drift,
         "toxic_census": q_toxic_census,
         "quantile_gate": q_quantile_gate,
@@ -8376,6 +8434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": q_c4_span_dedup,
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
+        "decontaminate_spans": q_decontaminate_spans,
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "temperature_sample": q_temperature_sample,
         "code_stats": q_code_stats,
@@ -8625,6 +8684,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import (
         LENGTH_GATE_CASE_SQL,
         ccnet_bucket_oracle_sql,
+        calibration_error_oracle_sql,
         classifier_auc_oracle_sql,
         isotonic_oracle_sql,
         doc_code_pairs_oracle_sql,
@@ -9653,6 +9713,19 @@ def oracle_sql() -> dict[str, str]:
             "bin",
             "label",
         ) + " ORDER BY lang, bin",
+        "calibration_error": calibration_error_oracle_sql(
+            """SELECT lang,
+                      (doc_id * 37 + n_chars) % 101 AS score,
+                      CASE WHEN (doc_id * 37 + n_chars) % 101
+                                > 40 + doc_id % 21
+                           THEN 1 ELSE 0 END AS label
+               FROM documents""",
+            ["lang"],
+            "score",
+            "label",
+            score_max=100,
+            n_bins=10,
+        ) + " ORDER BY lang, bin",
         "ks_drift": ks_drift_oracle_sql(
             "SELECT lang, n_chars::BIGINT AS v FROM documents"
             " WHERE doc_id % 2 = 0",
@@ -10254,6 +10327,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
             FROM corpus co LEFT JOIN rebuilt r USING (doc_id)
             WHERE co.doc_id % 4 >= 2
+            ORDER BY co.doc_id
+        """,
+        # decontamination replayed literally by TEXT: benchmark 25-gram
+        # set → covered corpus char positions → char-by-char rebuild;
+        # the engine's broadcast xxhash64 probe must reproduce it
+        # bit-for-bit, merged adjacent E1+E2 spans included
+        "decontaminate_spans": f"""
+            WITH corpus AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN '{_DECON_E1}' ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 7 = 0 THEN '{_DECON_E1}' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN '{_DECON_E2}' ELSE '' END
+                           AS t
+                FROM documents
+            ),
+            bench AS (SELECT q FROM (VALUES ('{_DECON_E1}'), ('{_DECON_E2}')) b(q)),
+            bg AS (
+                SELECT DISTINCT substr(q, i, 25) AS g
+                FROM bench, UNNEST(range(1, length(q) - 25 + 2)) AS u(i)
+            ),
+            occ AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i, substr(t, i, 25) AS g
+                    FROM corpus, UNNEST(range(1, length(t) - 25 + 2)) AS u(i)
+                    WHERE length(t) >= 25
+                ) JOIN bg USING (g)
+            ),
+            pos AS MATERIALIZED (
+                SELECT DISTINCT doc_id, j
+                FROM occ, UNNEST(range(i, i + 25)) AS v(j)
+            ),
+            chars AS MATERIALIZED (
+                SELECT doc_id, j, substr(t, j, 1) AS ch
+                FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(j)
+            ),
+            rebuilt AS (
+                SELECT c.doc_id,
+                       coalesce(string_agg(ch, '' ORDER BY j)
+                                FILTER (WHERE p.j IS NULL), '') AS clean,
+                       count(p.j) AS n_removed
+                FROM chars c LEFT JOIN pos p USING (doc_id, j)
+                GROUP BY c.doc_id
+            )
+            SELECT co.doc_id,
+                   sha256(coalesce(r.clean, '')) AS clean_sha256,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM corpus co LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY co.doc_id
         """,
         # the exhaustive definition replayed literally: 40-gram multiset

@@ -396,6 +396,8 @@ def main() -> None:
         "dedup_tombstoned",
         "justext_boilerplate",
         "isotonic_calibration",
+        "calibration_error",
+        "decontaminate_spans",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1117,6 +1117,76 @@ def contamination_check(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 25,
+    out_col: str | None = None,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Surgical decontamination: CUT every character span of a training
+    doc that exactly matches a benchmark/eval k-gram, instead of
+    dropping the whole doc (:func:`contamination_check` is the
+    flag-level gate; this is the span-level scrub — the Lee et al.
+    ACL'22 / standard eval-decontamination treatment that keeps the
+    99% of a long file that is NOT the leaked eval question).
+
+    Mechanics: every benchmark character k-gram hash forms the probe
+    set (DISTINCT, tiny — eval sets are MBs); every doc position whose
+    k-gram hash is in the set becomes the interval ``[pos, pos+k)``;
+    overlapping intervals merge (so a leaked span of length L ≥ k is
+    removed exactly, covered by its L-k+1 constituent grams); the kept
+    text is rebuilt around the merged cuts.
+
+    Scale shape: the probe set broadcasts, so the corpus-side gram
+    stream is generated AND filtered map-side — zero corpus shuffle;
+    only the (rare) hit intervals move, 24 bytes each.  The cut
+    reuses :func:`_substring_cut`'s single Arrow pass (interval side
+    is the small side of the join).  Docs shorter than ``k`` and docs
+    with no hits pass through unchanged.  Linear in corpus size at
+    any scale; benchmark size only affects the broadcast.
+
+    ``hash_fn=F.md5`` switches to the portable-hash mode the DuckDB
+    oracle replays gram-by-gram (same contract as
+    :func:`contamination_check`).  Output: ``(id, out_col, n_removed)``.
+    """
+    bcol = bench_text_col or text_col
+    out = out_col or "clean_text"
+
+    empty_t = "array<long>" if hash_fn is F.xxhash64 else "array<string>"
+
+    def grams(col: str):
+        # guard: sequence(1, cnt) runs DESCENDING when cnt < 1 — a
+        # doc shorter than k has no k-grams, full stop
+        cnt = F.length(F.col(col)) - F.lit(k - 1)
+        return F.when(cnt <= 0, F.array().cast(empty_t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: hash_fn(F.substring(F.col(col), i, k)),
+            )
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(bcol)).alias("gh")).distinct()
+    )
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(grams(text_col)).alias("pos", "gh"),
+        )
+        .join(F.broadcast(bench_grams), "gh")
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("start"),
+            (F.col("pos") + k).cast("long").alias("end"),
+        )
+    )
+    return _substring_cut(docs, id_col, text_col, hits, out)
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span removal (exact substring dedup, line-granular)
 # ---------------------------------------------------------------------------

@@ -1383,3 +1383,49 @@ def test_isotonic_calibrate_histogram_first(spark):
     assert "Exchange rangepartitioning" not in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_calibration_error_histogram_first(spark):
+    from pii_spark.quality import calibration_error
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "lang",
+        (F.col("n_chars") % 101).cast("long").alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    p = plan(calibration_error(scored, ["lang"], "score", "label", 100, 10))
+    assert count_python_nodes(p) == 0
+    # corpus collapses to G x n_bins in one hash aggregate; the ECE
+    # window runs on histogram rows only
+    assert "Exchange rangepartitioning" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_decontaminate_spans_broadcast_probe_no_corpus_shuffle(spark):
+    from pii_spark.dedup import decontaminate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("t")
+    )
+    bench = spark.createDataFrame(
+        [("planted benchmark eval sentence for plan test",)], "q string"
+    )
+    p = plan(decontaminate_spans(docs, bench, "doc_id", "t",
+                                 bench_text_col="q", k=25))
+    # the benchmark gram set broadcasts, so the corpus gram stream is
+    # filtered map-side — the probe is a BroadcastHashJoin and the
+    # corpus text never range- or gram-shuffles; only hit intervals
+    # (24-byte rows) reach the per-doc aggregate, and the one Python
+    # node is the Arrow interval-cut pass
+    # the gram probe is the BroadcastHashJoin; the only other join is
+    # _substring_cut's doc-id-keyed left join of corpus vs (tiny)
+    # per-doc intervals, which AQE broadcasts at runtime
+    assert "BroadcastHashJoin" in p
+    assert "Exchange rangepartitioning" not in p
+    # allowed exchanges: the benchmark-side gram distinct (gh — bounded
+    # by benchmark size) and the per-doc interval/cut keys; the corpus
+    # gram stream itself never shuffles
+    exch = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
+    assert all(a.startswith(("doc#", "_id#", "gh#")) for a in exch), exch
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1

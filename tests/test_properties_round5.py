@@ -236,3 +236,87 @@ def test_isotonic_calibrate_fuzz_matches_python_pava(spark):
         assert all(a.fit_x1e6 <= b.fit_x1e6 for a, b in zip(got, got[1:]))
 
     check()
+
+
+def test_calibration_error_fuzz_matches_python(spark):
+    # floored-grid reliability table + ECE vs a direct pure-Python
+    # re-derivation on random (score, label) samples
+    from pii_spark.quality import calibration_error
+
+    SMAX, NB = 20, 4
+
+    @given(
+        st.lists(st.tuples(st.integers(0, SMAX), st.integers(0, 1)),
+                 min_size=1, max_size=40)
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            [("g", s, l) for s, l in rows], "g string, score long, label int"
+        )
+        got = sorted(
+            calibration_error(df, ["g"], "score", "label", SMAX, NB)
+            .collect(),
+            key=lambda r: r.bin,
+        )
+        hist = {}
+        for s, l in rows:
+            b = s * NB // (SMAX + 1)
+            n, p, ss = hist.get(b, (0, 0, 0))
+            hist[b] = (n + 1, p + l, ss + s)
+        want = {}
+        for b, (n, p, ss) in hist.items():
+            acc = p * 1000000 // n
+            conf = ss * 1000000 // (n * SMAX)
+            want[b] = (n, p, acc, conf, abs(acc - conf))
+        wg = sum(g * n for n, _, _, _, g in want.values())
+        wn = sum(n for n, _, _, _, _ in want.values())
+        ece = wg // wn
+        assert [r.bin for r in got] == sorted(want)
+        for r in got:
+            n, p, acc, conf, gap = want[r.bin]
+            assert (r.n, r.n_pos, r.acc_x1e6, r.conf_x1e6, r.gap_x1e6) \
+                == (n, p, acc, conf, gap)
+            assert r.ece_x1e6 == ece
+
+    check()
+
+
+def test_decontaminate_spans_fuzz_matches_python(spark):
+    # random corpora + random benchmark strings vs a brute-force
+    # pure-Python re-derivation of the k-gram cover cut (note: a cut
+    # seam CAN form a fresh benchmark gram from newly-adjacent chars —
+    # single-pass semantics on both engines, so no gram-free claim)
+    from pii_spark.dedup import decontaminate_spans
+
+    K = 4
+    doc_t = st.text(alphabet="abcXY ", min_size=0, max_size=24)
+
+    @given(
+        st.lists(doc_t, min_size=1, max_size=6),
+        st.lists(st.text(alphabet="abcXY ", min_size=K, max_size=10),
+                 min_size=1, max_size=3),
+    )
+    @settings(max_examples=20, deadline=None)
+    def check(texts, bench_strs):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, t string"
+        )
+        bench = spark.createDataFrame([(b,) for b in bench_strs], "q string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in decontaminate_spans(
+                docs, bench, "doc_id", "t", bench_text_col="q", k=K
+            ).collect()
+        }
+        grams = {b[i:i + K] for b in bench_strs
+                 for i in range(len(b) - K + 1)}
+        for i, t in enumerate(texts):
+            covered = set()
+            for j in range(max(len(t) - K + 1, 0)):
+                if t[j:j + K] in grams:
+                    covered.update(range(j, j + K))
+            clean = "".join(c for j, c in enumerate(t) if j not in covered)
+            assert got[i] == (clean, len(covered)), (t, got[i], clean)
+
+    check()
