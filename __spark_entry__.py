@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1261,14 +1263,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_assign_ctes(
-    src_sql: str, k: int = 8, n_iter: int = 2, scale: int = 1000
+    src_sql: str, k: int = 8, n_iter: int = 2, scale: int = 1000,
+    prefix: str = "",
 ) -> str:
     """Unrolled Lloyd iterations in DuckDB: quantize → (assign, update)
     × n_iter → final ``assign(vec_id, cluster, dist)`` CTE.  Same init
     (k lowest vec_ids), same lowest-cid tie-break, same floor(Σ/n)
     centroid update — integer math end to end, so the comparison is
     exact.  ``src_sql`` must yield (vec_id, emb) with emb DOUBLE[].
-    No leading WITH; callers prepend it."""
+    No leading WITH; callers prepend it.  ``prefix`` renames every CTE
+    (``q`` → ``{prefix}q`` …) so several chains — e.g. the m subspace
+    quantizers of a product quantizer — can coexist in one WITH."""
     sql = f"""q AS (
             SELECT vec_id,
                    list_transform(emb,
@@ -1322,6 +1327,14 @@ def _kmeans_assign_ctes(
                                             ORDER BY dist, cid) AS rn
                   FROM fin) WHERE rn = 1
         )"""
+    if prefix:
+        names = ["q", "qd", "fin", "assign"] + [
+            f"{stem}{t}"
+            for t in range(0, n_iter + 1)
+            for stem in ("c", "d", "a", "cn")
+        ]
+        for nm in sorted(names, key=len, reverse=True):
+            sql = re.sub(rf"\b{nm}\b", f"{prefix}{nm}", sql)
     return sql
 
 
@@ -1330,6 +1343,75 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, scale: int = 1000) -> str:
         "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings", k, n_iter, scale
     )
     return f"WITH {ctes} SELECT vec_id, cluster, dist FROM assign ORDER BY vec_id"
+
+
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization ANN: 4 subspace codebooks (k=8, 2 Lloyd
+    # rounds each, exact-integer training), one-pass encode to 4 codes
+    # per vector, then asymmetric-distance top-10 for vec 7's own
+    # embedding as the query — the oracle replays all 4 quantizer
+    # histories, the encode argmins, the LUT, and the final top-k
+    from pii_spark.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    books = pq_codebooks(emb, "embedding", "vec_id", m=4, k=8, n_iter=2)
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    codes = pq_encode(emb, "embedding", "vec_id", books)
+    return pq_adc_topk(codes, "vec_id", books, list(q), topk=10)
+
+
+def _pq_oracle_sql(
+    m: int = 4, dsub: int = 16, k: int = 8, n_iter: int = 2,
+    scale: int = 1000, query_id: int = 7, topk: int = 10,
+) -> str:
+    """Full PQ-ADC replay: m prefixed Lloyd chains over sliced
+    embeddings, per-subspace query LUTs against the FINAL centroids,
+    per-vector score = Σ_s lut_s[code_s], deterministic (dist, id)
+    top-k."""
+    d = m * dsub
+    chains = ",\n        ".join(
+        _kmeans_assign_ctes(
+            f"SELECT vec_id, embedding[{s * dsub + 1}:{(s + 1) * dsub}]"
+            f"::DOUBLE[] AS emb FROM embeddings",
+            k, n_iter, scale, prefix=f"s{s}_",
+        )
+        for s in range(m)
+    )
+    qfull = f"""qfull AS (
+            SELECT i, CAST(floor(embedding[i] * {scale}) AS BIGINT) AS x
+            FROM embeddings, UNNEST(range(1, {d + 1})) AS u(i)
+            WHERE vec_id = {query_id}
+        )"""
+    luts = ",\n        ".join(
+        f"""lut{s} AS (
+            SELECT c.cid, sum((qx.x - c.cx) * (qx.x - c.cx)) AS ld
+            FROM s{s}_c{n_iter} c
+            JOIN (SELECT i - {s * dsub} AS i, x FROM qfull
+                  WHERE i BETWEEN {s * dsub + 1} AND {(s + 1) * dsub}) qx
+              USING (i)
+            GROUP BY c.cid
+        )"""
+        for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN s{s}_assign a{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = "\n            ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = a{s}.cluster" for s in range(m)
+    )
+    score = " + ".join(f"l{s}.ld" for s in range(m))
+    return f"""
+        WITH {chains},
+        {qfull},
+        {luts}
+        SELECT a0.vec_id, CAST({score} AS BIGINT) AS adc_dist
+        FROM s0_assign a0
+            {joins}
+            {lut_joins}
+        ORDER BY adc_dist, a0.vec_id LIMIT {topk}
+    """
 
 
 def _semdedup_oracle_sql() -> str:
@@ -8471,6 +8553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
+        "pq_adc_search": q_pq_adc_search,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
@@ -10577,6 +10660,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l ORDER BY doc_id
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "pq_adc_search": _pq_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "wordpiece_encode": _wordpiece_encode_oracle_sql(),

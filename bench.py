@@ -398,6 +398,7 @@ def main() -> None:
         "isotonic_calibration",
         "calibration_error",
         "decontaminate_spans",
+        "pq_adc_search",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

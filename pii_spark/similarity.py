@@ -858,3 +858,208 @@ def label_centroid_similarity_oracle_sql(
         JOIN norms nb ON nb.label = p.label_b
         ORDER BY label_a, label_b
     """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> list[np.ndarray]:
+    """Learn the ``m`` per-subspace codebooks of a product quantizer
+    (Jégou, Douze & Schmid, TPAMI 2011): each d-dim vector is split
+    into ``m`` contiguous d/m-dim subvectors and each subspace gets
+    its own k-centroid quantizer — compressing a vector to ``m`` small
+    codes (m bytes at k ≤ 256) while distances remain computable from
+    per-subspace lookup tables.  The memory play at 10¹²-vector scale:
+    a 64-dim float corpus (256 B/vec) becomes m=4 bytes/vec, and the
+    whole index fits where the raw vectors never would.
+
+    All ``m`` quantizers train FUSED — one quantize+persist of the
+    corpus, then per Lloyd round ONE ``mapInPandas`` pass that folds
+    every partition into (subspace, code → count, per-dim sum)
+    partials for all subspaces at once; the driver combines
+    ``partitions × m × k`` tiny rows and rebroadcasts the m×k×(d/m)
+    codebook tensor.  Vectors never shuffle; driver traffic per round
+    is O(m·k·d/m) = O(k·d), independent of corpus size.  Semantics
+    are bit-identical to running :func:`kmeans_quantized` per
+    subspace slice (same floor(x·scale) int64 quantization, exact
+    integer distances, lowest-code tie-breaks, floor(Σ/n) updates,
+    same k-lowest-id init, empty codes keep their previous centroid)
+    — which is exactly what the DuckDB oracle replays, one prefixed
+    Lloyd chain per subspace.
+
+    Returns ``m`` int64 arrays of shape (k, d/m).
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_codebooks: empty input")
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    init = np.stack(
+        [np.floor(np.asarray(r[0], dtype=np.float64) * float(scale))
+         for r in init_rows]
+    ).astype(np.int64)                       # (k, d)
+    books = np.ascontiguousarray(
+        init.reshape(k, m, dsub).transpose(1, 0, 2)
+    )                                        # (m, k, dsub)
+
+    def _quant(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"qv": list(_quantize_batch(pdf[vec_col], scale))}
+                )
+
+    quant = df.select(vec_col).mapInPandas(_quant, "qv array<long>").persist()
+    for _ in range(n_iter):
+        bc = sc.broadcast(books)
+
+        def partials(batches, _m=m, _k=k, _dsub=dsub):
+            b = bc.value                     # (m, k, dsub)
+            counts = np.zeros((_m, _k), dtype=np.int64)
+            sums = np.zeros((_m, _k, _dsub), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+                )
+                sub = q.reshape(len(q), _m, _dsub)
+                diff = sub[:, :, None, :] - b[None, :, :, :]
+                dist = (diff * diff).sum(axis=3)          # (n, m, k)
+                codes = dist.argmin(axis=2)               # ties -> lowest
+                for s in range(_m):
+                    np.add.at(counts[s], codes[:, s], 1)
+                    np.add.at(sums[s], codes[:, s], sub[:, s, :])
+            out = [
+                (s, c, int(counts[s, c]), sums[s, c].tolist())
+                for s in range(_m)
+                for c in range(_k)
+                if counts[s, c]
+            ]
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["s", "cid", "n", "sv"]
+                )
+
+        rows = quant.mapInPandas(
+            partials, "s int, cid int, n long, sv array<long>"
+        ).collect()
+        counts = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros((m, k, dsub), dtype=np.int64)
+        for r in rows:
+            counts[r.s, r.cid] += r.n
+            sums[r.s, r.cid] += np.asarray(r.sv, dtype=np.int64)
+        new = books.copy()                   # empty code keeps centroid
+        nz = counts > 0
+        # floor(int/int) via one IEEE division — exact at these
+        # magnitudes; matches the oracle's floor(s::DOUBLE / n)
+        new[nz] = np.floor(
+            sums[nz].astype(np.float64) / counts[nz][:, None]
+        ).astype(np.int64)
+        books = new
+        bc.destroy()
+    quant.unpersist()
+    return [books[s] for s in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    books: list[np.ndarray],
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every vector to its ``m`` PQ codes in ONE Arrow pass:
+    quantize to int64, then per subspace the argmin over the k
+    codebook rows (exact integer distances; ties break to the lowest
+    code, matching the trainer and the oracle).  No shuffle — the
+    codes column is born narrow (m ints) right where the vectors
+    live, which is the point: downstream ADC scans never touch the
+    raw embedding column again.
+    """
+    m = len(books)
+    dsub = books[0].shape[1]
+    bk = np.stack(books)  # (m, k, dsub) int64
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _quantize_batch(pdf[vec_col], scale)  # (n, d)
+            n = q.shape[0]
+            sub = q.reshape(n, m, dsub)
+            # (n, m, k) exact int64 squared distances
+            diff = sub[:, :, None, :] - bk[None, :, :, :]
+            dist = (diff * diff).sum(axis=3)
+            codes = dist.argmin(axis=2).astype(np.int32)  # first-min tie
+            yield pd.DataFrame(
+                {"_id": pdf[id_col].values, "codes": list(codes)}
+            )
+
+    out = df.select(F.col(id_col).alias(id_col), F.col(vec_col))
+    res = out.mapInPandas(
+        enc, f"_id long, codes array<int>"
+    )
+    return res.withColumnRenamed("_id", id_col)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    books: list[np.ndarray],
+    query: list[float],
+    topk: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    UN-encoded — its exact distance to every codebook centroid forms
+    an m×k lookup table (computed once, driver-side, tiny), and each
+    corpus row's approximate distance is ``Σ_s lut[s][code_s]`` — m
+    int64 adds per row, evaluated as a codegen'd JVM ``aggregate``
+    over the literal LUT.  No Python in the scan, no shuffle before
+    the top-k (a k-row TakeOrdered).  This is why PQ wins at scale:
+    the scan reads m ints/row instead of d floats and does m adds
+    instead of d multiply-adds.
+    """
+    m = len(books)
+    qv = np.floor(np.asarray(query, dtype=np.float64) * float(scale)).astype(
+        np.int64
+    )
+    dsub = books[0].shape[1]
+    lut = []
+    for s in range(m):
+        qs = qv[s * dsub:(s + 1) * dsub]
+        diff = books[s] - qs[None, :]
+        lut.append((diff * diff).sum(axis=1))  # (k,)
+    lut_lit = F.array(*[
+        F.array(*[F.lit(int(v)) for v in row]) for row in lut
+    ])
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(lut_lit, s),
+            F.element_at(F.col("codes"), s) + F.lit(1),
+        ),
+    )
+    return (
+        codes_df.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )

@@ -1429,3 +1429,18 @@ def test_decontaminate_spans_broadcast_probe_no_corpus_shuffle(spark):
     exch = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
     assert all(a.startswith(("doc#", "_id#", "gh#")) for a in exch), exch
     assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1
+
+
+def test_pq_adc_scan_is_jvm_take_ordered(spark):
+    from pii_spark.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(emb, "embedding", "vec_id", m=4, k=8, n_iter=1)
+    codes = pq_encode(emb, "embedding", "vec_id", books)
+    p = plan(pq_adc_topk(codes, "vec_id", books, [0.1] * 64, topk=10))
+    # the ADC scoring scan is pure JVM (the literal LUT aggregate);
+    # the only Python node is the upstream one-pass encode, and the
+    # top-k is a TakeOrdered — no corpus sort, no shuffle
+    assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p

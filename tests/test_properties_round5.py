@@ -320,3 +320,34 @@ def test_decontaminate_spans_fuzz_matches_python(spark):
             assert got[i] == (clean, len(covered)), (t, got[i], clean)
 
     check()
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    # the ADC identity: sum of per-subspace LUT entries == exact
+    # squared distance between the quantized query and the vector
+    # RECONSTRUCTED from its codebook centroids — checks the JVM
+    # aggregate expression, the encode argmin, and the LUT together
+    import numpy as np
+
+    from pii_spark.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    rng_rows = [
+        (i, [(((i * 37 + j * 11) % 200) - 100) / 100.0 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rng_rows, "vec_id long, v array<double>")
+    books = pq_codebooks(emb, "v", "vec_id", m=2, k=4, n_iter=2)
+    codes_df = pq_encode(emb, "v", "vec_id", books)
+    query = rng_rows[3][1]
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_topk(codes_df, "vec_id", books, query, topk=40)
+        .collect()
+    }
+    qv = np.floor(np.asarray(query) * 1000.0).astype(np.int64)
+    codes = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+    assert len(got) == 40
+    for vid, cs in codes.items():
+        recon = np.concatenate([books[s][cs[s]] for s in range(2)])
+        want = int(((qv - recon) ** 2).sum())
+        assert got[vid] == want, (vid, got[vid], want)
