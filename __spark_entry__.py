@@ -2386,6 +2386,21 @@ _BM25_QUERIES = {
 }
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive hard-negative mining: per anchor (doc_id%250==3),
+    # the top-5 highest-Jaccard corpus docs UNDER the near-dup cap —
+    # organic 5-gram overlap in the synthetic corpus supplies the
+    # candidates, the x1e6 floor grid makes ranking engine-exact
+    from pii_spark.retrieval import hard_negatives
+
+    docs = _docs(spark, sf_dir)
+    anchors = docs.filter(F.col("doc_id") % 250 == 3).select("doc_id")
+    return hard_negatives(
+        docs, "doc_id", "text", anchors,
+        n=5, min_shared=1, jaccard_max_x1e6=500_000, topk=5,
+    ).orderBy("anchor", "rank")
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexical similarity search: integer-exact BM25 top-5 per query
     # (rational idf surrogate + fixed floor-division order — the SQL
@@ -8600,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_percentiles": q_lang_token_percentiles,
         "zorder_layout": q_zorder_layout,
         "bm25_search": q_bm25_search,
+        "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "copurchase_topk": q_copurchase_topk,
@@ -9430,6 +9446,37 @@ def oracle_sql() -> dict[str, str]:
             tiebreak_sql="c_custkey",
         ),
         "bm25_search": bm25_oracle_sql(_BM25_QUERIES, k=5),
+        "hard_negatives": f"""
+            WITH {_shingle_ctes("text")},
+            sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+            anch AS (SELECT doc_id AS a, s FROM sh WHERE doc_id % 250 = 3),
+            cand AS (
+                SELECT an.a, shc.doc_id AS doc, count(*) AS shared
+                FROM sh shc JOIN anch an
+                  ON shc.s = an.s AND shc.doc_id != an.a
+                GROUP BY 1, 2 HAVING count(*) >= 1
+            ),
+            scored AS (
+                SELECT c.a, c.doc, c.shared,
+                       c.shared * 1000000
+                           // (sa.nsh + sb.nsh - c.shared) AS jac_x1e6
+                FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.a
+                JOIN sizes sb ON sb.doc_id = c.doc
+            ),
+            ranked AS (
+                SELECT a, doc, shared, jac_x1e6,
+                       row_number() OVER (PARTITION BY a
+                                          ORDER BY jac_x1e6 DESC, doc)
+                           AS rnk
+                FROM scored WHERE jac_x1e6 <= 500000
+            )
+            SELECT a AS anchor, CAST(rnk AS INTEGER) AS rank,
+                   doc AS negative, CAST(shared AS BIGINT) AS shared,
+                   CAST(jac_x1e6 AS BIGINT) AS jac_x1e6
+            FROM ranked WHERE rnk <= 5
+            ORDER BY anchor, rank
+        """,
         "ql_search": ql_oracle_sql(
             "doc_id", "text", "SELECT doc_id, text FROM documents",
             _BM25_QUERIES, k=5,

@@ -399,6 +399,7 @@ def main() -> None:
         "calibration_error",
         "decontaminate_spans",
         "pq_adc_search",
+        "hard_negatives",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1146,3 +1146,74 @@ def rrf_oracle_sql(
                CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
         FROM fused WHERE fused_rank <= {k}
     """
+
+
+def hard_negatives(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchors: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    jaccard_max_x1e6: int = 500_000,
+    topk: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor document,
+    the corpus documents with the HIGHEST lexical overlap that are
+    still not near-duplicates — the negatives an embedding-model
+    trainer wants (random negatives are trivially easy; near-dups are
+    false negatives).  Similarity is exact distinct word-``n``-gram
+    Jaccard; candidates need ``shared >= min_shared`` shingles and
+    ``jaccard <= jaccard_max_x1e6`` (above the cap the pair is a
+    near-dup/positive, not a negative), ranked hardest-first by
+    (jaccard desc, doc asc), top-``k`` per anchor.
+
+    Scale shape: the anchor set is the per-batch training slice —
+    small by construction — so its shingle rows BROADCAST and the
+    corpus shingle stream is probed map-side: no corpus self-join,
+    no shuffle of corpus shingles (the classic all-pairs trap this
+    avoids).  Per-doc set sizes ride one hash aggregate; the only
+    corpus-keyed shuffle is the candidate↔sizes join on the doc id,
+    and candidate cardinality is bounded by anchors × matched docs.
+    Jaccard lands on the x1e6 grid via BIGINT floor division — the
+    DuckDB twin replays it exactly.
+    """
+    from pii_spark.dedup import shingles_col
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    aid = anchors.select(F.col(anchors.columns[0]).alias("a"))
+    anch_sh = sh.join(
+        F.broadcast(aid), sh["doc"] == aid["a"]
+    ).select("a", "s")
+    cand = (
+        sh.join(F.broadcast(anch_sh), "s")
+        .filter(F.col("doc") != F.col("a"))
+        .groupBy("a", "doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    scored = (
+        cand.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed(
+            "nsh", "na"), "a")
+        .join(sizes.withColumnRenamed("nsh", "nb"), "doc")
+        .withColumn(
+            "jac_x1e6",
+            F.expr("shared * 1000000 div (na + nb - shared)"),
+        )
+        .filter(F.col("jac_x1e6") <= jaccard_max_x1e6)
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.desc("jac_x1e6"), F.asc("doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("a").alias("anchor"), "rank",
+            F.col("doc").alias("negative"), "shared", "jac_x1e6",
+        )
+    )

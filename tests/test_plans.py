@@ -1444,3 +1444,19 @@ def test_pq_adc_scan_is_jvm_take_ordered(spark):
     assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_hard_negatives_anchor_broadcast_probe(spark):
+    from pii_spark.retrieval import hard_negatives
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    anchors = docs.filter(F.col("doc_id") % 250 == 3).select("doc_id")
+    p = plan(hard_negatives(docs, "doc_id", "text", anchors))
+    assert count_python_nodes(p) == 0
+    # the anchor shingle rows broadcast (two BroadcastHashJoins: anchor
+    # id pick + corpus probe) — the corpus shingle stream is filtered
+    # map-side, never self-joined via a shuffle on the shingle key
+    assert p.count("BroadcastHashJoin") >= 2
+    exch = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
+    assert all(a.split("#")[0] in ("doc", "a") for a in exch), exch
+    assert "Exchange rangepartitioning" not in p

@@ -351,3 +351,55 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         recon = np.concatenate([books[s][cs[s]] for s in range(2)])
         want = int(((qv - recon) ** 2).sum())
         assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_hard_negatives_fuzz_matches_python(spark):
+    # brute-force python re-derivation: distinct word 5-gram jaccard
+    # vs every other doc, near-dup cap applied, hardest-first ranking
+    from pii_spark.retrieval import hard_negatives
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc_t = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @given(st.lists(doc_t, min_size=2, max_size=7), st.integers(0, 6))
+    @settings(max_examples=15, deadline=None)
+    def check(texts, anchor_i):
+        anchor_i = anchor_i % len(texts)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, t string"
+        )
+        anchors = spark.createDataFrame([(anchor_i,)], "doc_id long")
+        got = [
+            (r.rank, r.negative, r.shared, r.jac_x1e6)
+            for r in hard_negatives(
+                docs, "doc_id", "t", anchors,
+                n=5, min_shared=1, jaccard_max_x1e6=500_000, topk=3,
+            ).orderBy("rank").collect()
+        ]
+
+        def shset(t):
+            w = t.strip().split() if t.strip() else []
+            if not w:
+                return set()
+            if len(w) < 5:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+        a = shset(texts[anchor_i])
+        cands = []
+        for j, t in enumerate(texts):
+            if j == anchor_i:
+                continue
+            b = shset(t)
+            shared = len(a & b)
+            if shared < 1:
+                continue
+            jac = shared * 1000000 // (len(a) + len(b) - shared)
+            if jac <= 500_000:
+                cands.append((j, shared, jac))
+        cands.sort(key=lambda c: (-c[2], c[0]))
+        want = [(r + 1, j, s, jac)
+                for r, (j, s, jac) in enumerate(cands[:3])]
+        assert got == want, (texts, anchor_i, got, want)
+
+    check()
