@@ -89,6 +89,15 @@ _NEARDUP_CASE = (
     "(doc_id % 3)::VARCHAR ELSE text END"
 )
 
+#: scrub_propagation corpus: the near-dup corpus with a planted email
+#: appended on every third cluster member (%150==1) and scattered
+#: singletons (%97==5)
+_PROP_CASE = (
+    f"CASE WHEN doc_id % 150 = 1 OR doc_id % 97 = 5 "
+    f"THEN ({_NEARDUP_CASE}) || ' leak' || (doc_id % 9)::VARCHAR "
+    f"|| '@example.com' ELSE ({_NEARDUP_CASE}) END"
+)
+
 def _shingle_ctes(corpus_case: str) -> str:
     """CTE chain ``corpus → toks → sh(doc_id, s)``: distinct 5-gram
     word shingles per doc, the SQL twin of ``dedup.shingles_col`` (one
@@ -3487,6 +3496,43 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("component")
+    )
+
+
+def q_scrub_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup-aware PII propagation: planted emails on every third
+    # member of the near-dup cluster (%150==1) and on scattered
+    # singletons (%97==5); cluster members WITHOUT their own email
+    # inherit the taint, singletons never do.  Threshold 0.7 keeps the
+    # email-extended variants comfortably inside the cluster.
+    from pii_spark.dedup import (
+        connected_components,
+        finding_propagation,
+        minhash_lsh_pairs,
+    )
+
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" leak"), (d % 9).cast("string"), F.lit("@example.com")
+    )
+    corpus = _neardup_corpus(spark, sf_dir).withColumn(
+        "t4",
+        F.when((d % 150 == 1) | (d % 97 == 5),
+               F.concat(F.col("text3"), email)).otherwise(F.col("text3")),
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "t4", num_hashes=128, bands=32,
+        verify_threshold=0.7,
+    )
+    comp = connected_components(pairs)
+    own = corpus.select(
+        "doc_id",
+        F.size(F.expr(
+            "regexp_extract_all(t4, 'leak[0-9]+@example[.]com', 0)"
+        )).alias("n_own"),
+    )
+    return finding_propagation(own, comp, "doc_id", "n_own").orderBy(
+        "doc_id"
     )
 
 
@@ -8648,6 +8694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "scrub_propagation": q_scrub_propagation,
         "boilerplate_removal": q_boilerplate_removal,
         "hash_sample": q_hash_sample,
         "lang_quota": q_lang_quota,
@@ -11621,6 +11668,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same pair graph as minhash_near_dup (oracle soundness argued
         # there); components via a recursive min-label CTE
+        # CC at jac>=0.7 over the email-extended corpus, then findings
+        # roll up per component; singletons coalesce to themselves
+        "scrub_propagation": f"""
+            WITH RECURSIVE {_overlap_ctes(_PROP_CASE)},
+            jp AS (
+                SELECT da, db FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+                WHERE ni / (sa.n + sb.n - ni) >= 0.7
+            ),
+            edges AS (SELECT da AS src, db AS dst FROM jp
+                      UNION SELECT db, da FROM jp),
+            cc(doc, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc
+            ),
+            comp AS (SELECT doc, min(lbl) AS component FROM cc GROUP BY doc),
+            own AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, 'leak[0-9]+@example[.]com'))
+                           ::BIGINT AS n_own
+                FROM corpus
+            ),
+            joined AS (
+                SELECT o.doc_id, coalesce(c.component, o.doc_id) AS component,
+                       o.n_own
+                FROM own o LEFT JOIN comp c ON c.doc = o.doc_id
+            ),
+            agg AS (
+                SELECT component, sum(n_own)::BIGINT AS n_cluster
+                FROM joined GROUP BY component
+            )
+            SELECT j.doc_id, j.component, j.n_own, a.n_cluster,
+                   (j.n_own = 0 AND a.n_cluster > 0) AS inherited
+            FROM joined j JOIN agg a USING (component)
+            ORDER BY j.doc_id
+        """,
         "near_dup_clusters": f"""
             WITH RECURSIVE {_JACCARD_PAIRS_CTES},
             pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.8),

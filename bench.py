@@ -400,6 +400,7 @@ def main() -> None:
         "decontaminate_spans",
         "pq_adc_search",
         "hard_negatives",
+        "scrub_propagation",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

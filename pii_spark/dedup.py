@@ -3438,3 +3438,48 @@ def dedup_incremental_tombstoned(
         .join(live, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def finding_propagation(
+    docs_findings: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Cluster-level finding propagation: one member's PII finding
+    taints its whole near-duplicate cluster — the conservative policy
+    a redaction pipeline needs, because a near-dup of a leaky doc
+    almost certainly carries the same leak in a form the regex missed
+    (reflowed, truncated, OCR-mangled).  Scrub/drop decisions made on
+    one copy propagate to every copy.
+
+    Inputs: ``docs_findings`` = (id, n_own findings) for EVERY doc;
+    ``components`` = (doc, component) from
+    :func:`connected_components` — docs absent there (singletons)
+    become their own component.  Output per doc:
+    ``(id, component, n_own, n_cluster, inherited)`` where
+    ``inherited`` marks docs with no finding of their own inside a
+    tainted cluster — exactly the rows the propagation adds over
+    per-doc detection.
+
+    Scale shape: one left join on the doc id, one component-keyed hash
+    aggregate (components ≤ docs, typically ≪), one join back on the
+    component key.  No text moves — only (id, component, count)
+    triples.
+    """
+    base = docs_findings.select(
+        F.col(id_col).alias("_id"),
+        F.col(n_col).cast("long").alias("n_own"),
+    )
+    comp = components.select(F.col("doc").alias("_id"), "component")
+    j = base.join(comp, "_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("_id"))
+    )
+    agg = j.groupBy("component").agg(F.sum("n_own").alias("n_cluster"))
+    return j.join(agg, "component").select(
+        F.col("_id").alias(id_col),
+        "component",
+        "n_own",
+        "n_cluster",
+        ((F.col("n_own") == 0) & (F.col("n_cluster") > 0)).alias("inherited"),
+    )

@@ -1460,3 +1460,18 @@ def test_hard_negatives_anchor_broadcast_probe(spark):
     exch = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
     assert all(a.split("#")[0] in ("doc", "a") for a in exch), exch
     assert "Exchange rangepartitioning" not in p
+
+
+def test_finding_propagation_no_text_movement(spark):
+    from pii_spark.dedup import finding_propagation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    own = docs.select("doc_id", (F.col("doc_id") % 7 == 0)
+                      .cast("long").alias("n_own"))
+    comp = docs.select(F.col("doc_id").alias("doc"),
+                       (F.col("doc_id") % 10).alias("component"))
+    p = plan(finding_propagation(own, comp, "doc_id", "n_own"))
+    assert count_python_nodes(p) == 0
+    # only (id, component, count) triples shuffle — never text
+    assert "text" not in p.split("== Physical Plan ==")[-1].split("ReadSchema")[0]
+    assert "Exchange rangepartitioning" not in p

@@ -403,3 +403,59 @@ def test_hard_negatives_fuzz_matches_python(spark):
         assert got == want, (texts, anchor_i, got, want)
 
     check()
+
+
+def test_finding_propagation_fuzz_union_find(spark):
+    # random pair graphs + finding counts vs a python union-find:
+    # min-label components, cluster sums, inherited only for clean
+    # members of tainted clusters; singletons are their own component
+    from pii_spark.dedup import connected_components, finding_propagation
+
+    @given(
+        st.integers(2, 8),
+        st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                 max_size=10),
+        st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(n, edges, counts):
+        edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_py = {i: find(i) for i in range(n)}
+        sums = {}
+        for i in range(n):
+            sums[comp_py[i]] = sums.get(comp_py[i], 0) + counts[i]
+
+        own = spark.createDataFrame(
+            [(i, counts[i]) for i in range(n)], "doc_id long, n_own long"
+        )
+        if edges:
+            pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            comp = connected_components(pairs)
+        else:
+            comp = spark.createDataFrame([], "doc long, component long")
+        got = {
+            r.doc_id: (r.component, r.n_own, r.n_cluster, r.inherited)
+            for r in finding_propagation(own, comp, "doc_id", "n_own")
+            .collect()
+        }
+        assert len(got) == n
+        for i in range(n):
+            c = comp_py[i]
+            assert got[i] == (
+                c, counts[i], sums[c],
+                counts[i] == 0 and sums[c] > 0,
+            ), (i, got[i])
+
+    check()
