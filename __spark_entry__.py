@@ -1257,6 +1257,37 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rendezvous (HRW) shard routing + reshard movement audit: per doc
+    # its shard under 8 and under 9 shards; only docs whose new shard
+    # 8 wins the md5 race move (expected 1/9 — vs ~8/9 for hash%S)
+    from pii_spark.diagnostics import rendezvous_movement
+
+    return rendezvous_movement(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8, 9
+    ).orderBy("doc_id")
+
+
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # margin-based translation-pair mining over quantized embeddings:
+    # src batch = vec_id%25==3, targets = the rest; keep only matches
+    # clearing an absolute cos² floor AND beating the runner-up by a
+    # margin — all on the exact x1e4 integer grid
+    from pii_spark.similarity import bitext_margin_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 100) AS BIGINT))"
+        ).alias("qv"),
+    )
+    src = emb.filter(F.col("vec_id") % 25 == 3)
+    tgt = emb.filter(F.col("vec_id") % 25 != 3)
+    return bitext_margin_topk(
+        src, tgt, "vec_id", "qv", min_cos2_x1e4=500, min_gap_x1e4=100
+    ).orderBy("src_id")
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup-stage clustering: integer-quantized Lloyd k-means
     # (k=8, 2 update rounds, floor(x*1000) quantization) — exact int64
@@ -8615,6 +8646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "kmeans_clusters": q_kmeans_clusters,
         "pq_adc_search": q_pq_adc_search,
+        "shard_routing": q_shard_routing,
+        "bitext_margin": q_bitext_margin,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
@@ -8843,6 +8876,7 @@ def oracle_sql() -> dict[str, str]:
 
     _LENGTH_GATE_SQL = LENGTH_GATE_CASE_SQL.format(c="content")
     from pii_spark.diagnostics import (
+        rendezvous_oracle_sql,
         additive_fingerprints_oracle_sql,
         lpt_assign_oracle_sql,
         shard_fingerprints_oracle_sql,
@@ -10755,6 +10789,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "pq_adc_search": _pq_oracle_sql(),
+        "shard_routing": "SELECT _id AS doc_id, shard_from, shard_to, moved"
+        " FROM (" + rendezvous_oracle_sql(
+            "SELECT doc_id FROM documents", "doc_id", 8, 9
+        ) + ") ORDER BY doc_id",
+        "bitext_margin": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 100) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            s AS (SELECT vec_id AS src_id, v FROM q WHERE vec_id % 25 = 3),
+            t AS (SELECT vec_id AS tgt_id, v FROM q WHERE vec_id % 25 != 3),
+            p AS (
+                SELECT src_id, tgt_id,
+                       CAST(list_dot_product(s.v, t.v) AS BIGINT) AS ab,
+                       CAST(list_dot_product(s.v, s.v) AS BIGINT) AS aa,
+                       CAST(list_dot_product(t.v, t.v) AS BIGINT) AS bb
+                FROM s, t
+            ),
+            sc AS (
+                SELECT src_id, tgt_id,
+                       ab * ab * 10000 // (aa * bb) AS cos2
+                FROM p WHERE ab > 0 AND aa > 0 AND bb > 0
+            ),
+            r AS (
+                SELECT src_id, tgt_id, cos2,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY cos2 DESC, tgt_id) AS rn
+                FROM sc
+            ),
+            best AS (SELECT src_id, tgt_id AS match_id,
+                            CAST(cos2 AS BIGINT) AS best_x1e4
+                     FROM r WHERE rn = 1),
+            sec AS (SELECT src_id, CAST(cos2 AS BIGINT) AS second_x1e4
+                    FROM r WHERE rn = 2)
+            SELECT b.src_id, b.match_id, b.best_x1e4,
+                   coalesce(s2.second_x1e4, 0) AS second_x1e4
+            FROM best b LEFT JOIN sec s2 USING (src_id)
+            WHERE b.best_x1e4 >= 500
+              AND b.best_x1e4 - coalesce(s2.second_x1e4, 0) >= 100
+            ORDER BY b.src_id
+        """,
         "semdedup": _semdedup_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "wordpiece_encode": _wordpiece_encode_oracle_sql(),

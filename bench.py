@@ -401,6 +401,8 @@ def main() -> None:
         "pq_adc_search",
         "hard_negatives",
         "scrub_propagation",
+        "shard_routing",
+        "bitext_margin",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1095,3 +1095,90 @@ def lpt_assign_oracle_sql(
                r.bin, r.load_after
         FROM rec r JOIN ordered o USING (rn) WHERE r.rn >= 1
     """
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard routing (Thaler &
+    Ravishankar 1998): each doc goes to the shard whose
+    ``md5(id ':' shard)`` digest is lexicographically greatest.  The
+    property a 10¹²-row ingest layer wants: when the shard count
+    changes S → S', ONLY the docs whose new shard wins move
+    (expected fraction 1 − S/S' on grow) — unlike ``hash(id) % S``,
+    which reshuffles almost everything.
+
+    Scale shape: the argmax over shards is a single codegen'd JVM
+    expression — ``array_max`` over a ``transform`` of
+    struct(digest, -shard) rows — zero shuffle, zero Python, no
+    explode (the S candidates never materialize as rows).  md5 (hex,
+    compares identically everywhere) keeps the DuckDB twin exact;
+    ties break to the LOWEST shard via the negated shard field.
+    """
+    s = int(n_shards)
+    if s <= 0:
+        raise ValueError("rendezvous_assign: n_shards must be > 0")
+    idc = F.col(id_col).cast("string")
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(s - 1)),
+        lambda sh: F.struct(
+            F.md5(F.concat(idc, F.lit(":"), sh.cast("string"))).alias("h"),
+            (-sh).alias("ns"),
+        ),
+    )
+    best = F.array_max(cand)
+    return df.withColumn(out_col, (-best["ns"]).cast("int"))
+
+
+def rendezvous_movement(
+    df: DataFrame,
+    id_col: str,
+    n_from: int,
+    n_to: int,
+) -> DataFrame:
+    """Reshard movement audit: per-doc rendezvous shard under
+    ``n_from`` and ``n_to`` shards plus a ``moved`` flag — the
+    operational proof that a reshard is minimal-movement (for
+    S → S+1, theory says E[moved] = 1/(S+1); ``hash % S`` would move
+    ≈ 1 − 1/S).  One projection, still zero shuffle.
+    """
+    a = rendezvous_assign(df, id_col, n_from, out_col="shard_from")
+    b = rendezvous_assign(a, id_col, n_to, out_col="shard_to")
+    return b.withColumn(
+        "moved", (F.col("shard_from") != F.col("shard_to")).cast("int")
+    )
+
+
+def rendezvous_oracle_sql(
+    rows_sql: str,
+    id_sql: str,
+    n_from: int,
+    n_to: int,
+) -> str:
+    """DuckDB twin of :func:`rendezvous_movement`: the same
+    md5(id ':' shard) argmax, replayed via a row_number over the
+    generated shard candidates (max digest, ties to lowest shard)."""
+
+    def pick(n: int, out: str) -> str:
+        return f"""(
+            SELECT _id, CAST(sh AS INTEGER) AS {out} FROM (
+                SELECT _id, sh,
+                       row_number() OVER (
+                           PARTITION BY _id
+                           ORDER BY md5(_id::VARCHAR || ':' || sh::VARCHAR)
+                                    DESC, sh ASC) AS rn
+                FROM base, UNNEST(range(0, {n})) AS u(sh)
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH base AS (SELECT {id_sql} AS _id FROM ({rows_sql})),
+        a AS {pick(int(n_from), "shard_from")},
+        b AS {pick(int(n_to), "shard_to")}
+        SELECT a._id, a.shard_from, b.shard_to,
+               CASE WHEN a.shard_from != b.shard_to THEN 1 ELSE 0 END AS moved
+        FROM a JOIN b USING (_id)
+    """

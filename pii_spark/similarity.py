@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
@@ -1062,4 +1062,98 @@ def pq_adc_topk(
         codes_df.select(F.col(id_col), score.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(topk)
+    )
+
+
+def bitext_margin_topk(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos2_x1e4: int = 2500,
+    min_gap_x1e4: int = 500,
+) -> DataFrame:
+    """Margin-based bitext/translation-pair mining (Artetxe & Schwenk,
+    ACL'19 margin criterion, rational-exact form): for every source
+    doc, the best target doc by cosine — kept only when (a) the match
+    clears an absolute similarity floor and (b) it BEATS the runner-up
+    by a margin, which is what separates a real translation pair from
+    a topic cluster where everything is mildly similar.
+
+    All-integer: vectors are int64 (hashed count vectors or quantized
+    embeddings); the ranking key is ``cos² = (a·b)²·10⁴ div (a·a)(b·b)``
+    on a floored x1e4 grid, ties to the lowest target id — exact on
+    any engine, no float anywhere.  int64 bounds require
+    ``(a·a), (b·b) ≤ ~9.6e6`` (≈3k-token hashed count vectors); a
+    JVM-side ``raise_error`` gate trips loudly beyond it rather than
+    silently wrapping.
+
+    Scale shape: the source side is the mining batch — small by
+    construction — so its (id, vector) rows BROADCAST and the
+    src×tgt score stream is generated map-side over the target scan
+    (dot products are codegen'd ``zip_with``/``aggregate``, no UDF,
+    no shuffle to build pairs).  Only scored pair rows reach the
+    per-source top-2 window.  Like :func:`int_cosine_pairs`, the
+    exact tier is meant for a BLOCKED candidate set at 10¹² scale —
+    LSH-bucket or cluster the target side first and feed the blocks.
+    """
+    CAP = 9_600_000
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    s_side = F.broadcast(
+        src.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("_vs")
+        )
+    )
+    t_side = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_vt")
+    )
+    guard = F.when(
+        (dot(F.col("_vs"), F.col("_vs")) > CAP)
+        | (dot(F.col("_vt"), F.col("_vt")) > CAP),
+        F.raise_error(F.lit(
+            "bitext_margin_topk: vector norm exceeds the int64-exact "
+            "bound (a.a or b.b > 9.6e6) — quantize or shorten inputs"
+        )),
+    )
+    pairs = (
+        t_side.join(s_side)
+        .withColumn("_g", guard)
+        .withColumn("_ab", dot(F.col("_vs"), F.col("_vt")))
+        .withColumn("_aa", dot(F.col("_vs"), F.col("_vs")))
+        .withColumn("_bb", dot(F.col("_vt"), F.col("_vt")))
+        .filter((F.col("_ab") > 0) & (F.col("_aa") > 0) & (F.col("_bb") > 0))
+        .withColumn(
+            "cos2_x1e4",
+            F.expr("_ab * _ab * 10000 div (_aa * _bb)"),
+        )
+        .drop("_vs", "_vt", "_g")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos2_x1e4"), F.asc("tgt_id")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    best = ranked.filter(F.col("rn") == 1).select(
+        "src_id", F.col("tgt_id").alias("match_id"),
+        F.col("cos2_x1e4").alias("best_x1e4"),
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "src_id", F.col("cos2_x1e4").alias("second_x1e4")
+    )
+    return (
+        best.join(second, "src_id", "left")
+        .withColumn("second_x1e4", F.coalesce("second_x1e4", F.lit(0)))
+        .filter(
+            (F.col("best_x1e4") >= min_cos2_x1e4)
+            & (F.col("best_x1e4") - F.col("second_x1e4") >= min_gap_x1e4)
+        )
+        .select("src_id", "match_id", "best_x1e4", "second_x1e4")
     )

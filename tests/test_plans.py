@@ -1475,3 +1475,33 @@ def test_finding_propagation_no_text_movement(spark):
     # only (id, component, count) triples shuffle — never text
     assert "text" not in p.split("== Physical Plan ==")[-1].split("ReadSchema")[0]
     assert "Exchange rangepartitioning" not in p
+
+
+def test_rendezvous_zero_shuffle(spark):
+    from pii_spark.diagnostics import rendezvous_movement
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    p = plan(rendezvous_movement(docs, "doc_id", 8, 9))
+    assert count_python_nodes(p) == 0
+    # the S-candidate argmax is one codegen'd expression per row —
+    # no explode, no exchange of any kind
+    assert "Exchange" not in p and "Generate" not in p
+
+
+def test_bitext_margin_src_broadcast(spark):
+    from pii_spark.similarity import bitext_margin_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x*100) AS BIGINT))")
+        .alias("qv"),
+    )
+    src = emb.filter(F.col("vec_id") % 25 == 3)
+    tgt = emb.filter(F.col("vec_id") % 25 != 3)
+    p = plan(bitext_margin_topk(src, tgt, "vec_id", "qv"))
+    assert count_python_nodes(p) == 0
+    # the source batch broadcasts; the score stream is generated
+    # map-side over the target scan (BroadcastNestedLoopJoin is the
+    # expected physical form of the broadcast cross pair build)
+    assert "BroadcastExchange" in p
+    assert "Exchange rangepartitioning" not in p

@@ -459,3 +459,85 @@ def test_finding_propagation_fuzz_union_find(spark):
             ), (i, got[i])
 
     check()
+
+
+def test_rendezvous_fuzz_matches_python_and_minimal_movement(spark):
+    # HRW assignment vs a pure-python md5 argmax, plus the property
+    # that makes rendezvous worth using: growing S -> S+1 moves a doc
+    # ONLY to the new shard (never between old shards)
+    from pii_spark.diagnostics import rendezvous_movement
+
+    @given(st.lists(st.integers(0, 10**6), min_size=1, max_size=12,
+                    unique=True),
+           st.integers(1, 6))
+    @settings(max_examples=15, deadline=None)
+    def check(ids, s_from):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r.doc_id: (r.shard_from, r.shard_to, r.moved)
+            for r in rendezvous_movement(
+                df, "doc_id", s_from, s_from + 1
+            ).collect()
+        }
+
+        def hrw(i, s):
+            return max(
+                range(s),
+                key=lambda sh: (
+                    md5(f"{i}:{sh}".encode()).hexdigest(), -sh
+                ),
+            )
+
+        for i in ids:
+            a, b = hrw(i, s_from), hrw(i, s_from + 1)
+            assert got[i] == (a, b, int(a != b)), (i, got[i], (a, b))
+            if a != b:
+                assert b == s_from   # movement only INTO the new shard
+
+    check()
+
+
+def test_bitext_margin_fuzz_matches_python(spark):
+    # brute-force python re-derivation of the floored-cos2 ranking,
+    # runner-up margin, and absolute floor
+    from pii_spark.similarity import bitext_margin_topk
+
+    vec = st.lists(st.integers(-3, 3), min_size=4, max_size=4)
+
+    @given(st.lists(vec, min_size=1, max_size=3),
+           st.lists(vec, min_size=1, max_size=6))
+    @settings(max_examples=15, deadline=None)
+    def check(svs, tvs):
+        src = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(svs)], "vec_id long, v array<long>"
+        )
+        tgt = spark.createDataFrame(
+            [(100 + i, v) for i, v in enumerate(tvs)],
+            "vec_id long, v array<long>",
+        )
+        got = {
+            r.src_id: (r.match_id, r.best_x1e4, r.second_x1e4)
+            for r in bitext_margin_topk(
+                src, tgt, "vec_id", "v",
+                min_cos2_x1e4=1000, min_gap_x1e4=300,
+            ).collect()
+        }
+        want = {}
+        for i, a in enumerate(svs):
+            aa = sum(x * x for x in a)
+            scored = []
+            for j, b in enumerate(tvs):
+                bb = sum(x * x for x in b)
+                ab = sum(x * y for x, y in zip(a, b))
+                if ab > 0 and aa > 0 and bb > 0:
+                    scored.append((ab * ab * 10000 // (aa * bb), 100 + j))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            if not scored:
+                continue
+            best, second = scored[0], (scored[1] if len(scored) > 1
+                                       else (0, None))
+            if best[0] >= 1000 and best[0] - second[0] >= 300:
+                want[i] = (best[1], best[0], second[0])
+        assert got == want, (svs, tvs, got, want)
+
+    check()
