@@ -1257,6 +1257,35 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_license_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # copyleft exposure through transitive deps: 37 repos, two planted
+    # dependency-edge families, GPL on repo%5==0 — a permissive repo
+    # that transitively reaches GPL is exposed
+    from pii_spark.graph import license_blast_radius
+
+    r = F.col("repo")
+    repos = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 37).alias("repo"))
+        .distinct()
+    )
+    edges = (
+        repos.filter(r % 3 != 0)
+        .select(r.alias("src"), ((r * 2 + 1) % 37).alias("dst"))
+        .unionByName(
+            repos.filter(r % 4 == 1)
+            .select(r.alias("src"), ((r * 5 + 2) % 37).alias("dst"))
+        )
+    )
+    lic = repos.select(
+        "repo",
+        F.when(r % 5 == 0, F.lit("GPL-3.0"))
+        .when(r % 7 == 1, F.lit("Apache-2.0"))
+        .otherwise(F.lit("MIT")).alias("license"),
+    )
+    return license_blast_radius(edges, lic, ["GPL-3.0"]).orderBy("repo")
+
+
 def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rendezvous (HRW) shard routing + reshard movement audit: per doc
     # its shard under 8 and under 9 shards; only docs whose new shard
@@ -8648,6 +8677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_search": q_pq_adc_search,
         "shard_routing": q_shard_routing,
         "bitext_margin": q_bitext_margin,
+        "license_blast_radius": q_license_blast_radius,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
@@ -10789,6 +10819,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "pq_adc_search": _pq_oracle_sql(),
+        "license_blast_radius": """
+            WITH RECURSIVE repos AS (
+                SELECT DISTINCT doc_id % 37 AS repo FROM documents
+            ),
+            edges AS (
+                SELECT repo AS src, (repo * 2 + 1) % 37 AS dst
+                FROM repos WHERE repo % 3 != 0
+                UNION ALL
+                SELECT repo, (repo * 5 + 2) % 37
+                FROM repos WHERE repo % 4 = 1
+            ),
+            lic AS (
+                SELECT repo,
+                       CASE WHEN repo % 5 = 0 THEN 'GPL-3.0'
+                            WHEN repo % 7 = 1 THEN 'Apache-2.0'
+                            ELSE 'MIT' END AS license
+                FROM repos
+            ),
+            reach(root, node) AS (
+                SELECT repo, repo FROM repos
+                UNION
+                SELECT reach.root, e.dst
+                FROM reach JOIN edges e ON e.src = reach.node
+            ),
+            agg AS (
+                SELECT root, count(*)::BIGINT AS n_reachable,
+                       sum(CASE WHEN l.license = 'GPL-3.0'
+                                THEN 1 ELSE 0 END)::BIGINT AS n_copyleft
+                FROM reach LEFT JOIN lic l ON l.repo = reach.node
+                GROUP BY root
+            )
+            SELECT l.repo, l.license, a.n_reachable, a.n_copyleft,
+                   a.n_copyleft > 0 AS exposed
+            FROM lic l JOIN agg a ON a.root = l.repo
+            ORDER BY l.repo
+        """,
         "shard_routing": "SELECT _id AS doc_id, shard_from, shard_to, moved"
         " FROM (" + rendezvous_oracle_sql(
             "SELECT doc_id FROM documents", "doc_id", 8, 9

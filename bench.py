@@ -403,6 +403,7 @@ def main() -> None:
         "scrub_propagation",
         "shard_routing",
         "bitext_margin",
+        "license_blast_radius",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
@@ -496,7 +497,23 @@ def main() -> None:
     # because the 149-entry dict alone exceeds it — no amount of progress-bar
     # suppression can fix a line that is structurally too long).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
+    record_path = os.path.join(here, "BENCH", "last_run.json")
+    if only and os.path.exists(record_path):
+        # a BENCH_ONLY spot-run MERGES into the last full-sweep record
+        # instead of clobbering 260+ committed query timings with a
+        # 3-entry map (the envelope keeps the full sweep's provenance;
+        # only the re-timed queries update)
+        try:
+            with open(record_path) as f:
+                prior = json.load(f)
+            merged_q = {**prior.get("queries", {}), **timings}
+            merged_s = {**prior.get("spread", {}), **spreads}
+            envelope = {**prior, **{k: envelope[k] for k in
+                        ("sentinel_start", "sentinel_end") if k in envelope}}
+            timings, spreads = merged_q, merged_s
+        except (ValueError, OSError):
+            pass
+    with open(record_path, "w") as f:
         json.dump({**envelope, "queries": timings, "spread": spreads}, f,
                   indent=1)
 

@@ -1145,3 +1145,181 @@ def link_prediction_oracle_sql(
         JOIN deg da ON da.a = n.x
         JOIN deg db ON db.a = n.y
     """
+
+
+def reach_from_roots(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    root_col: str = "root",
+    max_iter: int = 100,
+    checkpoint_every: int = 1,
+    broadcast_max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Multi-source reachability over ONE shared graph: ``roots`` is
+    ``(root, node)`` start pairs (typically each repo as its own
+    root), the result is every ``(root, node)`` reachable — i.e. the
+    transitive closure restricted to the requested roots.  The
+    :func:`reachable_multi` frontier discipline on a shared edge
+    table: edges are NEVER replicated per root (the naive closure
+    join); only the live ``(root, node)`` frontier pairs exist, and
+    each round is one join of the frontier against the edge table on
+    the 8-byte node key.
+
+    Scale shape: per-round work ∝ current global frontier × average
+    out-degree; output size IS the closure (bounded by what the
+    caller asked to materialize).  Frontier eager-checkpointed per
+    round — it feeds both the expansion and the visited anti-join —
+    and the visited set is a union of checkpointed frontiers (flat
+    lineage).  Frontier sides under ``broadcast_max_rows`` broadcast,
+    making small rounds map-only over the partitioned edge table.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).distinct()
+    frontier = (
+        roots.select(
+            F.col(root_col).alias("r"), F.col("node").alias("n")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    n_front = frontier.count()
+    depth = 0
+    while n_front > 0 and depth < max_iter:
+        depth += 1
+        f_side = frontier.select(
+            F.col("r").alias("fr"), F.col("n").alias("fn")
+        )
+        if n_front <= broadcast_max_rows:
+            f_side = F.broadcast(f_side)
+        step = (
+            f_side.join(e, F.col("fn") == F.col("s"))
+            .select(F.col("fr").alias("r"), F.col("t").alias("n"))
+            .distinct()
+        )
+        v_side = visited.select(
+            F.col("r").alias("vr"), F.col("n").alias("vn")
+        )
+        frontier = step.join(
+            v_side,
+            (F.col("r") == F.col("vr")) & (F.col("n") == F.col("vn")),
+            "left_anti",
+        )
+        if checkpoint_every:
+            frontier = frontier.localCheckpoint(eager=True)
+        n_front = frontier.count()
+        visited = visited.unionByName(frontier)
+    return visited.select(F.col("r").alias(root_col), F.col("n").alias("node"))
+
+
+def license_blast_radius(
+    edges: DataFrame,
+    repo_licenses: DataFrame,
+    copyleft: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    repo_col: str = "repo",
+    license_col: str = "license",
+) -> DataFrame:
+    """Compliance blast radius through the dependency graph: for every
+    repo, how many of its TRANSITIVE dependencies exist, how many
+    carry a copyleft license, and whether the repo is therefore
+    exposed — the audit a code-corpus curator runs before labeling a
+    repo "permissively usable" (a permissive repo that transitively
+    vendors GPL code is not).
+
+    Composition: :func:`transitive_closure_doubling` (⌈log₂ diameter⌉
+    rounds — dep chains can be deep and every repo is a root, the
+    regime where per-hop frontier rounds lose), restricted to licensed
+    roots, self-pairs added for isolated repos, then one join against
+    the (repo → license) table and a per-root rollup.
+    The license table is repo-cardinality — broadcast — so the only
+    data-sized work is the closure itself.
+
+    Output: ``(repo, license, n_reachable, n_copyleft, exposed)``.
+    """
+    tc = transitive_closure_doubling(edges, src=src, dst=dst)
+    own_pairs = repo_licenses.select(
+        F.col(repo_col).alias("root"), F.col(repo_col).alias("node")
+    )
+    closure = (
+        tc.select(F.col(src).alias("root"), F.col(dst).alias("node"))
+        .join(own_pairs.select("root").distinct(), "root")
+        .unionByName(own_pairs)
+        .distinct()
+    )
+    lic = F.broadcast(
+        repo_licenses.select(
+            F.col(repo_col).alias("node"),
+            F.col(license_col).alias("_lic"),
+        )
+    )
+    cl = F.col("_lic").isin(copyleft).cast("long")
+    agg = (
+        closure.join(lic, "node", "left")
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum(F.coalesce(cl, F.lit(0))).cast("long").alias("n_copyleft"),
+        )
+    )
+    own = repo_licenses.select(
+        F.col(repo_col).alias("root"), F.col(license_col).alias("license")
+    )
+    return own.join(agg, "root").select(
+        F.col("root").alias(repo_col), "license", "n_reachable",
+        "n_copyleft", (F.col("n_copyleft") > 0).alias("exposed"),
+    )
+
+
+def transitive_closure_doubling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Reflexive-transitive closure by path doubling: R₁ = E ∪ I,
+    R₂ₖ = Rₖ ∪ (Rₖ ∘ Rₖ) — after r rounds every path of length ≤ 2^r
+    is present, so convergence takes ⌈log₂ diameter⌉ rounds instead of
+    the frontier loop's one-round-per-hop.  The right closure engine
+    when the diameter is deep or unknown and the CLOSURE ITSELF is the
+    requested output (dependency audits, ancestry rollups): per-round
+    cost is one self-join of the closure-so-far — which on dense
+    graphs is the closure's own quadratic size, so when only a few
+    roots matter or reach sets are huge, :func:`reach_from_roots`'s
+    per-root frontier is the better trade (both are round-bounded and
+    checkpointed; pick by output size vs diameter).
+
+    Returns distinct ``(src, dst)`` pairs including self-pairs.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    nodes = e.select("a").unionByName(
+        e.select(F.col("b").alias("a"))
+    ).distinct()
+    r = (
+        e.unionByName(nodes.select("a", F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = r.count()
+    for i in range(max_rounds):
+        left = r.select(F.col("a"), F.col("b").alias("m"))
+        right = r.select(F.col("a").alias("m"), F.col("b").alias("c"))
+        r2 = (
+            left.join(right, "m")
+            .select("a", F.col("c").alias("b"))
+            .unionByName(r)
+            .distinct()
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            r2 = r2.localCheckpoint(eager=True)
+        n2 = r2.count()
+        r = r2
+        if n2 == n:
+            break
+        n = n2
+    return r.select(F.col("a").alias(src), F.col("b").alias(dst))

@@ -541,3 +541,50 @@ def test_bitext_margin_fuzz_matches_python(spark):
         assert got == want, (svs, tvs, got, want)
 
     check()
+
+
+def test_license_blast_radius_fuzz_python_closure(spark):
+    # random dep graphs + license maps vs a pure-python BFS closure
+    from pii_spark.graph import license_blast_radius
+
+    @given(
+        st.integers(2, 7),
+        st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                 max_size=12),
+        st.lists(st.sampled_from(["MIT", "GPL", "APL"]),
+                 min_size=7, max_size=7),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(n, raw_edges, lics):
+        edges = sorted({(a % n, b % n) for a, b in raw_edges})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        e_df = spark.createDataFrame(
+            edges or [(0, 0)], "src long, dst long"
+        )
+        if not edges:
+            e_df = e_df.filter("src != src")
+        l_df = spark.createDataFrame(
+            [(i, lics[i]) for i in range(n)], "repo long, license string"
+        )
+        got = {
+            r.repo: (r.license, r.n_reachable, r.n_copyleft, r.exposed)
+            for r in license_blast_radius(e_df, l_df, ["GPL"]).collect()
+        }
+        for root in range(n):
+            seen = {root}
+            stack = [root]
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            ncl = sum(1 for v in seen if v < n and lics[v] == "GPL")
+            # nodes outside the license table still count as reachable
+            assert got[root] == (
+                lics[root], len(seen), ncl, ncl > 0
+            ), (root, got[root], seen)
+
+    check()
