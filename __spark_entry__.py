@@ -2415,6 +2415,29 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank from a 7-domain seed set over the same
+    # deterministic link graph — the seed-proximity ranking a curated
+    # crawl uses to expand a known-good corpus
+    from pii_spark.graph import personalized_pagerank
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        (d % 191).alias("src"), ((d * d + 1) % 211).alias("dst")
+    ).unionByName(
+        docs.select(
+            ((d * 3) % 191).alias("src"), ((d * 13 + 5) % 211).alias("dst")
+        )
+    )
+    seeds = spark.range(7).select((F.col("id") * 23 % 191).alias("node"))
+    return (
+        personalized_pagerank(edges, seeds, iters=5)
+        .select(F.col("node").cast("long"), F.col("rank").cast("long"))
+        .orderBy("node")
+    )
+
+
 def q_lang_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact nearest-rank percentiles (p25/p50/p75/p90) of whitespace
     # token counts per language — one shuffle, no sketch, engine-exact
@@ -8678,6 +8701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_routing": q_shard_routing,
         "bitext_margin": q_bitext_margin,
         "license_blast_radius": q_license_blast_radius,
+        "seed_expansion": q_seed_expansion,
         "semdedup": q_semdedup,
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
@@ -8915,6 +8939,7 @@ def oracle_sql() -> dict[str, str]:
         bfs_layers_oracle_sql,
         link_prediction_oracle_sql,
         pagerank_oracle_sql,
+        personalized_pagerank_oracle_sql,
     )
     from pii_spark.events import (
         ab_conversion_oracle_sql,
@@ -11022,6 +11047,12 @@ def oracle_sql() -> dict[str, str]:
         # chained-CTE replay of the 5 integer PageRank iterations over
         # the identical doc-derived edge list (see pii_spark/graph.py)
         "domain_pagerank": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iters=5),
+        "seed_expansion": personalized_pagerank_oracle_sql(
+            _PAGERANK_EDGES_SQL,
+            "SELECT (r * 23) % 191 AS node"
+            " FROM (SELECT unnest(range(0, 7)) AS r)",
+            iters=5,
+        ),
         # nearest-rank percentile replay: row_number over the same
         # (value, doc_id) total order, value at ceil(p/100*n)
         "lang_token_percentiles": """

@@ -404,6 +404,7 @@ def main() -> None:
         "shard_routing",
         "bitext_margin",
         "license_blast_radius",
+        "seed_expansion",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1323,3 +1323,156 @@ def transitive_closure_doubling(
             break
         n = n2
     return r.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    mass: int = 10**12,
+    damping: int = 85,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Integer-exact PERSONALIZED PageRank: teleport mass returns to
+    the seed set instead of the uniform prior — the random-walk
+    neighborhood-expansion primitive of seed-based data curation
+    (rank every doc/domain by proximity to a small known-good set,
+    then keep the high-rank tail; the "webgraph expansion" step of
+    curated-crawl pipelines).  Same exact-BIGINT discipline as
+    :func:`pagerank`: rank_i = [i∈S]·((100−d)·(mass div |S|)) div 100
+    + (d·(inc_i + [i∈S]·(dangling div |S|))) div 100 — dangling mass
+    teleports back to the seeds too, so everything is replayable as
+    chained SQL CTEs.
+
+    Seeds outside the edge set are ignored (they have no walk
+    neighborhood); raises if none remain.  Scale shape identical to
+    :func:`pagerank`: per round one join+agg over edges plus a
+    broadcast 1-row dangling aggregate, rank state one (node, long)
+    row per vertex, eager-checkpointed between rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node")
+        .cache()
+    )
+    ns = s.count()
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed intersects the graph's nodes"
+        )
+    flagged = nodes.join(
+        F.broadcast(s.withColumn("__seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"))
+    base_s = ((100 - damping) * (mass // ns)) // 100
+    ranks = flagged.select(
+        "node",
+        (F.col("__seed") * F.lit(mass // ns)).cast("long").alias("rank"),
+    )
+    for i in range(iters):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "outdeg")
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
+        )
+        contrib = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .withColumn("contrib", F.expr("rank div outdeg"))
+            .select(F.col("node").alias("src"), "contrib")
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            flagged.join(incoming, flagged["node"] == incoming["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.col("__seed") * F.lit(base_s)
+                    + F.expr(
+                        f"({damping} * (coalesce(inc, 0)"
+                        f" + __seed * (__dang div {ns}))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        last = i == iters - 1
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and not last:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 5,
+    mass: int = 10**12,
+    damping: int = 85,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`personalized_pagerank` —
+    same BIGINT floor arithmetic, same seed-restricted teleport and
+    dangling redistribution."""
+    d = damping
+    parts = [
+        f"WITH raw_edges AS ({edges_sql})",
+        "edges AS (SELECT DISTINCT src, dst FROM raw_edges"
+        " WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql})"
+        " WHERE node IN (SELECT node FROM nodes))",
+        "sn AS (SELECT count(*) AS ns FROM seeds)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges"
+        " GROUP BY src)",
+        "flagged AS (SELECT n.node,"
+        " CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed"
+        " FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+        f"r0 AS (SELECT node, CAST(seed * (SELECT {mass} // ns FROM sn)"
+        " AS BIGINT) AS rank FROM flagged)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"dang{i} AS (SELECT CAST(COALESCE(sum(r.rank), 0) AS BIGINT)"
+            f" AS dm FROM {p} r LEFT JOIN outdeg o ON r.node = o.src"
+            " WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"inc{i} AS (SELECT e.dst AS node,"
+            " CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inc"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT f.node,"
+            f" f.seed * (SELECT ((100 - {d}) * ({mass} // sn.ns)) // 100"
+            " FROM sn)"
+            f" + ({d} * (COALESCE(i.inc, 0)"
+            f" + f.seed * (SELECT dang{i}.dm // sn.ns FROM dang{i}, sn)))"
+            f" // 100 AS rank"
+            f" FROM flagged f LEFT JOIN inc{i} i ON f.node = i.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+        " ORDER BY node"
+    )

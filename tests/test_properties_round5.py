@@ -588,3 +588,40 @@ def test_license_blast_radius_fuzz_python_closure(spark):
             ), (root, got[root], seen)
 
     check()
+
+
+def test_personalized_pagerank_properties(spark):
+    # (a) with seeds == ALL nodes, PPR degenerates to standard
+    # pagerank (identical integer ranks, same floor arithmetic);
+    # (b) a node unreachable from the seeds keeps rank 0;
+    # (c) total mass is conserved up to floor-division dust
+    from pii_spark.graph import pagerank, personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    all_nodes = spark.createDataFrame([(i,) for i in range(5)],
+                                      "node long")
+    pr = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+    ppr_all = {r.node: r.rank for r in personalized_pagerank(
+        e, all_nodes, iters=3).collect()}
+    assert pr == ppr_all
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ppr = {r.node: r.rank for r in personalized_pagerank(
+        e, seeds, iters=3).collect()}
+    # 3 and 4 are unreachable from seed 0 -> zero rank
+    assert ppr[3] == 0 and ppr[4] == 0
+    assert ppr[0] > 0 and ppr[1] > 0 and ppr[2] > 0
+    total = sum(ppr.values())
+    assert 0.99 * 10**12 <= total <= 10**12
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    import pytest as _pytest
+
+    from pii_spark.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, seeds, iters=1)
