@@ -3083,6 +3083,41 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical distinct-count rollup via sketch MERGE: per-lang
+    # HLL registers, per-lang estimates + exacts, then ONE corpus row
+    # from max-merged registers — no second pass over the data; the
+    # merged sketch is bit-identical to building globally (pinned by
+    # test_hll_merge_lossless)
+    from pii_spark.quality import (
+        hll_estimate_grouped,
+        hll_merge_registers,
+        hll_registers_grouped,
+    )
+
+    sh = _docs(spark, sf_dir).select(
+        "lang", F.explode(dedup.shingles_col(F.col("text"), 5)).alias("s")
+    )
+    regs = hll_registers_grouped(sh, "lang", F.col("s"))
+    per = hll_estimate_grouped(regs)
+    merged = hll_estimate_grouped(
+        hll_merge_registers(regs).select(
+            F.lit("*all*").alias("g"), "bucket", "m"
+        )
+    )
+    ex = sh.groupBy("lang").agg(
+        F.countDistinct("s").cast("long").alias("exact_distinct")
+    ).select(F.col("lang").alias("g"), "exact_distinct")
+    ex_all = sh.agg(
+        F.countDistinct("s").cast("long").alias("exact_distinct")
+    ).select(F.lit("*all*").alias("g"), "exact_distinct")
+    return (
+        per.unionByName(merged)
+        .join(ex.unionByName(ex_all), "g")
+        .orderBy("g")
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog distinct-shingle estimate vs the exact count: 256
     # integer registers from sha bits (rank via bin-length, portable),
@@ -3149,6 +3184,67 @@ def _hll_oracle_sql() -> str:
                CAST(round(({a}::DOUBLE * 562949953421312.0::DOUBLE)
                           / s_num::DOUBLE) AS BIGINT) AS est
         FROM fin
+    """
+
+
+def _hll_rollup_oracle_sql() -> str:
+    from pii_spark.quality import HLL_ALPHA_256
+
+    a = repr(HLL_ALPHA_256 * 65536.0)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        shd AS (
+            SELECT DISTINCT doc_id, lang, u.s FROM toks,
+            UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w) - 3),
+                                            i -> array_to_string(w[i:i+4], ' '))
+                   END) AS u(s)
+        ),
+        sh AS (SELECT lang, s FROM shd),
+        br AS (
+            SELECT lang, {_hex_int_sql("s || 'hll'", 2)} AS bucket,
+                   {_hex_int_sql("s || 'hll'", 14)}
+                       % 281474976710656 AS wv
+            FROM sh
+        ),
+        rr AS (
+            SELECT lang, bucket,
+                   CASE WHEN wv = 0 THEN 49
+                        ELSE 49 - length(bin(wv)) END AS rho
+            FROM br
+        ),
+        regs AS (SELECT lang AS g, bucket, max(rho) AS m
+                 FROM rr GROUP BY 1, 2),
+        allregs AS (SELECT '*all*' AS g, bucket, max(m) AS m
+                    FROM regs GROUP BY bucket),
+        uregs AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+        agg AS (
+            SELECT g, sum((1::BIGINT << (49 - m))) AS s_present,
+                   count(*) AS n_buckets
+            FROM uregs GROUP BY g
+        ),
+        fin AS (
+            SELECT g,
+                   CAST(s_present + (256 - n_buckets) * (1::BIGINT << 49)
+                        AS BIGINT) AS s_num,
+                   n_buckets
+            FROM agg
+        ),
+        ex AS (
+            SELECT lang AS g, count(DISTINCT s)::BIGINT AS exact_distinct
+            FROM sh GROUP BY lang
+            UNION ALL
+            SELECT '*all*', count(DISTINCT s)::BIGINT FROM sh
+        )
+        SELECT f.g, f.s_num, CAST(f.n_buckets AS BIGINT) AS n_buckets,
+               CAST(round(({a}::DOUBLE * 562949953421312.0::DOUBLE)
+                          / f.s_num::DOUBLE) AS BIGINT) AS est,
+               e.exact_distinct
+        FROM fin f JOIN ex e USING (g) ORDER BY f.g
     """
 
 
@@ -8712,6 +8808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fence_extract": q_fence_extract,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "hll_rollup": q_hll_rollup,
         "bpe_fertility": q_bpe_fertility,
         "text_stats": q_text_stats,
         "hashed_vector_pairs": q_hashed_vector_pairs,
@@ -10927,6 +11024,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle_sql(),
         "wordpiece_encode": _wordpiece_encode_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "hll_rollup": _hll_rollup_oracle_sql(),
         "bpe_fertility": _bpe_fertility_oracle_sql(),
         "text_stats": _text_stats_oracle_sql(),
         "revenue_rollup": """

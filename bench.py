@@ -405,6 +405,7 @@ def main() -> None:
         "bitext_margin",
         "license_blast_radius",
         "seed_expansion",
+        "hll_rollup",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

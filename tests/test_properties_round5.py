@@ -625,3 +625,37 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     with _pytest.raises(ValueError):
         personalized_pagerank(e, seeds, iters=1)
+
+
+def test_hll_merge_lossless(spark):
+    # the merge property itself, bit-for-bit: max-merging per-group
+    # registers equals the sketch built over the union directly —
+    # for random splits of random key sets
+    from pii_spark.quality import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+        hll_registers_grouped,
+    )
+    from pyspark.sql import functions as SF
+
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5),
+                    min_size=1, max_size=25),
+           st.integers(2, 4))
+    @settings(max_examples=10, deadline=None)
+    def check(keys, n_groups):
+        rows = [(f"g{i % n_groups}", k) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        merged = {
+            (r.bucket, r.m)
+            for r in hll_merge_registers(
+                hll_registers_grouped(df, "g", SF.col("k"))
+            ).collect()
+        }
+        direct = {
+            (r.bucket, r.m)
+            for r in hll_registers(df, SF.col("k")).collect()
+        }
+        assert merged == direct
+
+    check()
