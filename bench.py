@@ -406,6 +406,9 @@ def main() -> None:
         "license_blast_radius",
         "seed_expansion",
         "hll_rollup",
+        "kcenter_coreset",
+        "jwt_scan",
+        "pem_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1562,3 +1562,256 @@ def column_pii_profile_oracle_sql(
         FROM stacked CROSS JOIN pats
         GROUP BY col_name, pattern
     """
+
+
+# ---------------------------------------------------------------------------
+# structured-token scans: JWT and PEM blocks
+# ---------------------------------------------------------------------------
+
+#: JWT shape: three base64url segments, header always '{"' -> 'eyJ'
+_JWT_RE = r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}"
+
+
+def jwt_scan(df: DataFrame, content_col: str, now_ts: int) -> DataFrame:
+    """Decode-and-classify scan for JSON Web Tokens — the structured
+    bearer-credential leak a flat regex bank reports only as an opaque
+    blob (the reference's ``jwt-token`` rule stops at the surface
+    match, ``internal/detector/builtin.go``; decoding the claims is
+    what tells an auditor WHICH identity leaked and whether the token
+    is still live).  Pipeline: extract 3-segment base64url runs,
+    decode header+payload (base64url → base64 via translate+pad; a
+    printable-ASCII gate on the hex transcription keeps invalid UTF-8
+    out of both engines), pull ``alg``/``sub``/``email``/``exp``
+    claims, classify live-vs-expired against ``now_ts``.
+
+    Returns one row per ``(alg, has_email, expired)`` class with token
+    count, distinct leaked subjects, and the exp-claim span.
+    Malformed headers (undecodable or non-JSON) class as
+    ``alg='invalid'``.
+
+    Scale shape: extraction/decode/claim-pull all fuse into the scan
+    (JVM ``regexp_extract_all``/``unbase64``/``get_json_object`` —
+    zero Python); output is one hash aggregate over a handful of
+    classes.
+    """
+
+    def b64url_str(seg: Column) -> Column:
+        s = F.translate(seg, "-_", "+/")
+        pad = (
+            F.when(F.length(s) % 4 == 2, F.lit("=="))
+            .when(F.length(s) % 4 == 3, F.lit("="))
+            .otherwise(F.lit(""))
+        )
+        bin_ = F.unbase64(F.concat(s, pad))
+        return F.when(
+            F.hex(bin_).rlike(_ASCII_HEX_RE), F.decode(bin_, "UTF-8")
+        )
+
+    toks = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(content_col), F.lit(_JWT_RE), F.lit(0)
+                )
+            ).alias("tok")
+        )
+        .select(F.split(F.col("tok"), r"\.").alias("seg"))
+        .filter(
+            (F.length(F.element_at("seg", 1)) % 4 != 1)
+            & (F.length(F.element_at("seg", 2)) % 4 != 1)
+        )
+        .select(
+            b64url_str(F.element_at("seg", 1)).alias("hdr"),
+            b64url_str(F.element_at("seg", 2)).alias("pay"),
+        )
+    )
+    claims = toks.select(
+        F.coalesce(
+            F.get_json_object("hdr", "$.alg"), F.lit("invalid")
+        ).alias("alg"),
+        F.get_json_object("pay", "$.sub").alias("sub"),
+        F.get_json_object("pay", "$.email").alias("email"),
+        F.get_json_object("pay", "$.exp").cast("long").alias("exp"),
+    )
+    return claims.groupBy(
+        "alg",
+        F.col("email").isNotNull().alias("has_email"),
+        F.coalesce(F.col("exp") < F.lit(int(now_ts)), F.lit(False)).alias(
+            "expired"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("sub").cast("long").alias("n_subjects"),
+        F.coalesce(F.min("exp"), F.lit(-1)).cast("long").alias("min_exp"),
+        F.coalesce(F.max("exp"), F.lit(-1)).cast("long").alias("max_exp"),
+    )
+
+
+def jwt_scan_oracle_sql(rows_sql: str, content_sql: str, now_ts: int) -> str:
+    """DuckDB replay of :func:`jwt_scan` — same regex (RE2∩Java), same
+    translate+pad base64url decode, same ASCII gate on the hex
+    transcription, same lazy ``json_valid`` guard (DuckDB's
+    ``json_extract_string`` raises on malformed JSON where Spark's
+    ``get_json_object`` returns NULL, so the CASE gate restores NULL
+    semantics)."""
+
+    def dec(seg: str) -> str:
+        s = f"translate({seg}, '-_', '+/')"
+        padded = (
+            f"{s} || CASE length({s}) % 4 WHEN 2 THEN '==' "
+            f"WHEN 3 THEN '=' ELSE '' END"
+        )
+        # decode(), not CAST(... AS VARCHAR): DuckDB's blob->varchar
+        # cast escapes non-alphanumerics ('"' -> '\x22') instead of
+        # reinterpreting bytes; decode() is the strict UTF-8 read (the
+        # ASCII gate guarantees it never sees invalid UTF-8)
+        return (
+            f"CASE WHEN regexp_matches(hex(from_base64({padded})),"
+            f" '{_ASCII_HEX_RE}')"
+            f" THEN decode(from_base64({padded})) END"
+        )
+
+    def js(src: str, key: str) -> str:
+        return (
+            f"CASE WHEN {src} IS NOT NULL AND json_valid({src})"
+            f" THEN json_extract_string({src}, '$.{key}') END"
+        )
+
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        toks AS (
+            SELECT unnest(regexp_extract_all({content_sql},
+                '{_JWT_RE}')) AS tok
+            FROM rows0
+        ),
+        segs AS (
+            SELECT string_split(tok, '.') AS seg FROM toks
+            WHERE length(string_split(tok, '.')[1]) % 4 != 1
+              AND length(string_split(tok, '.')[2]) % 4 != 1
+        ),
+        dec AS (
+            SELECT {dec("seg[1]")} AS hdr, {dec("seg[2]")} AS pay
+            FROM segs
+        ),
+        claims AS (
+            SELECT coalesce({js("hdr", "alg")}, 'invalid') AS alg,
+                   {js("pay", "sub")} AS sub,
+                   {js("pay", "email")} AS email,
+                   TRY_CAST({js("pay", "exp")} AS BIGINT) AS exp
+            FROM dec
+        )
+        SELECT alg,
+               email IS NOT NULL AS has_email,
+               coalesce(exp < {int(now_ts)}, FALSE) AS expired,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT sub) AS BIGINT) AS n_subjects,
+               CAST(coalesce(min(exp), -1) AS BIGINT) AS min_exp,
+               CAST(coalesce(max(exp), -1) AS BIGINT) AS max_exp
+        FROM claims
+        GROUP BY 1, 2, 3
+    """
+
+
+#: PEM block: label line + body (base64 charset has no '-', so the
+#: body class [^-]* cannot cross the END marker; no backreference, so
+#: the same pattern runs under RE2 and Java regex)
+_PEM_RE = r"-----BEGIN ([A-Z ]+)-----\n([^-]*)\n-----END [A-Z ]+-----"
+
+
+def pem_census(df: DataFrame, content_col: str) -> DataFrame:
+    """Census of PEM-armored key/certificate blocks: label, validity
+    of the base64 body, and decoded DER payload size — private-key
+    material classed ``critical`` (the reference's pattern bank has no
+    multi-line armored-block rule; its scan is line-oriented,
+    ``internal/detector/engine.go``).  Validity = base64 charset with
+    ``={0,2}`` tail and length ≡ 0 (mod 4); DER bytes are computed
+    arithmetically from the run length minus padding, so no decode is
+    needed for sizing.
+
+    Scale shape: one ``regexp_extract_all`` per label/body group fused
+    into the scan, one hash aggregate over the label domain; the body
+    text itself never shuffles (only its length survives projection).
+    """
+    lb = F.regexp_extract_all(F.col(content_col), F.lit(_PEM_RE), F.lit(1))
+    bb = F.regexp_extract_all(F.col(content_col), F.lit(_PEM_RE), F.lit(2))
+    blocks = (
+        df.select(lb.alias("labels"), bb.alias("bodies"))
+        .select(F.posexplode("labels").alias("pos", "label"), "bodies")
+        .select(
+            "label",
+            F.regexp_replace(
+                F.element_at("bodies", F.col("pos") + 1), "\n", ""
+            ).alias("body"),
+        )
+    )
+    body_ok = (
+        F.col("body").rlike(r"^[A-Za-z0-9+/]+={0,2}$")
+        & (F.length("body") % 4 == 0)
+    )
+    pads = F.length("body") - F.length(F.regexp_replace("body", "=", ""))
+    der = (F.length("body") / 4 * 3).cast("long") - pads
+    # severity is a pure function of the group key, so it attaches
+    # AFTER the aggregate — a string max() inside agg() would force the
+    # whole pass onto SortAggregate (strings have no mutable hash-agg
+    # buffer), turning one hash pass into sort+sort
+    return (
+        blocks.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(~body_ok, 1).otherwise(0)).cast("long").alias(
+                "n_invalid"
+            ),
+            F.sum(F.when(body_ok, der).otherwise(0)).cast("long").alias(
+                "der_bytes"
+            ),
+        )
+        .select(
+            "label",
+            F.when(F.col("label").contains("PRIVATE KEY"), "critical")
+            .otherwise("info")
+            .alias("severity"),
+            "n_blocks",
+            "n_invalid",
+            "der_bytes",
+        )
+    )
+
+
+def pem_census_oracle_sql(rows_sql: str, content_sql: str) -> str:
+    """DuckDB replay of :func:`pem_census` — positional unnest of the
+    two capture-group lists via range subscripts, then the same
+    charset/length arithmetic."""
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        ext AS (
+            SELECT regexp_extract_all({content_sql}, '{_PEM_RE}', 1)
+                       AS labels,
+                   regexp_extract_all({content_sql}, '{_PEM_RE}', 2)
+                       AS bodies
+            FROM rows0
+        ),
+        blocks AS (
+            SELECT labels[i] AS label,
+                   replace(bodies[i], chr(10), '') AS body
+            FROM ext, unnest(range(1, len(labels) + 1)) AS u(i)
+        ),
+        cls AS (
+            SELECT label, body,
+                   regexp_matches(body, '^[A-Za-z0-9+/]+={{0,2}}$')
+                       AND length(body) % 4 = 0 AS body_ok,
+                   length(body) // 4 * 3
+                       - (length(body)
+                          - length(replace(body, '=', ''))) AS der
+            FROM blocks
+        )
+        SELECT label,
+               CASE WHEN label LIKE '%PRIVATE KEY%' THEN 'critical'
+                    ELSE 'info' END AS severity,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN NOT body_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_invalid,
+               CAST(sum(CASE WHEN body_ok THEN der ELSE 0 END) AS BIGINT)
+                   AS der_bytes
+        FROM cls
+        GROUP BY label
+    """

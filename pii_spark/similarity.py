@@ -1157,3 +1157,79 @@ def bitext_margin_topk(
         )
         .select("src_id", "match_id", "best_x1e4", "second_x1e4")
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    coreset / data-pruning primitive: pick ``k`` maximally-spread
+    exemplars whose covering radius 2-approximates the optimum.  A
+    training-data curator uses it to prune a near-duplicate-heavy
+    corpus down to diverse representatives (the reference engine has no
+    embedding surface at all; this extends its dedup story the way
+    SemDeDup extends sha-dedup).
+
+    ``vec_col`` must already be integer-quantized (``array<long>``,
+    e.g. ``floor(x*100)``): every distance is an exact int64 squared
+    Euclidean, so the selection order, each selected point's distance
+    to the prior centers (``radius2``), and the final covering radius
+    replay bit-for-bit in an independent SQL engine — no float argmax
+    races.
+
+    Scale shape: each round is ONE map-side distance fold against a
+    broadcast-literal center followed by a 1-row ``TakeOrdered``
+    argmax — driver traffic O(k·dim) total, independent of corpus
+    size; the corpus itself never shuffles.  A ``localCheckpoint``
+    valve every ``checkpoint_every`` rounds stops the k-deep
+    ``least(...)`` lineage from growing superlinearly (the k_core /
+    pagerank pattern).  Returns rows
+    ``(sel_order, id, radius2)``: orders ``0..k-1`` are the selected
+    exemplars (order 0 is the min-id seed with radius2=0), and a final
+    row ``(k, -1, r2)`` carries the covering radius achieved.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    spark = df.sparkSession
+
+    def d2(col: Column, center: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
+        return F.aggregate(
+            F.zip_with(col, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    seed = base.orderBy("_id").limit(1).collect()[0]
+    picked = [(0, seed["_id"], 0)]
+    cur = base.withColumn("_mind", d2(F.col("_v"), seed["_v"]))
+    for rnd in range(1, k):
+        far = (
+            cur.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()
+        )
+        if not far:
+            break
+        far = far[0]
+        picked.append((rnd, far["_id"], far["_mind"]))
+        cur = cur.withColumn(
+            "_mind", F.least(F.col("_mind"), d2(F.col("_v"), far["_v"]))
+        )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    radius = cur.agg(F.max("_mind").alias("r")).collect()[0]["r"] or 0
+    picked.append((k, -1, int(radius)))
+    return spark.createDataFrame(
+        [(int(o), int(i), int(r)) for o, i, r in picked],
+        "sel_order bigint, id bigint, radius2 bigint",
+    )

@@ -1505,3 +1505,57 @@ def test_bitext_margin_src_broadcast(spark):
     # expected physical form of the broadcast cross pair build)
     assert "BroadcastExchange" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_jwt_scan_jvm_only_single_agg(spark):
+    from pii_spark.detect import jwt_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(jwt_scan(docs, "content", 1_700_000_000))
+    # extraction/base64/JSON claim pull must all stay JVM-side; the agg
+    # tower is exactly the countDistinct rewrite (4 HashAggregate
+    # nodes, one exchange pair) — no extra passes over the corpus
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 4
+    assert "Sort " not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_pem_census_jvm_only(spark):
+    from pii_spark.detect import pem_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(pem_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    # one partial+final hash aggregate; only label + arithmetic
+    # aggregates cross the exchange, never the body text
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_kcenter_round_is_takeordered_argmax(spark):
+    # pins the physical form of kcenter_select's per-round argmax (the
+    # operator collects it row-by-row internally, so the gate rebuilds
+    # one round's plan exactly as kcenter_select issues it: distance
+    # fold against a literal center + orderBy/limit 1)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x*100) AS BIGINT))")
+        .alias("qv"),
+    )
+    center = [0] * 64
+    lit = F.array(*[F.lit(c).cast("long") for c in center])
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    p = plan(
+        emb.withColumn("_mind", d2)
+        .orderBy(F.desc("_mind"), F.asc("vec_id"))
+        .limit(1)
+    )
+    assert "TakeOrderedAndProject" in p
+    assert count_python_nodes(p) == 0
