@@ -7031,6 +7031,70 @@ def q_base64_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch Reading Ease + FK grade per language on the exact x1000
+    # integer grid (vowel-group syllable proxy, [.!?]+ sentences)
+    from pii_spark.quality import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir), "text", "lang").orderBy(
+        "lang"
+    )
+
+
+def q_markdown_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # markdown structure profile per source: planted md block on d%3=0
+    # (headings h1-h3, two links, one fence pair, two table rows, one
+    # quote; every even doc_id adds an h3)
+    from pii_spark.quality import markdown_census
+
+    d = F.col("doc_id")
+    md = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("\n# T"), d.cast("string"),
+            F.lit("\n## S1\nsee [l](http://e/"), d.cast("string"),
+            F.lit(
+                ") and [m](u)\n```\ncode\n```\n| a | b |\n| 1 | 2 |\n"
+                "> note\n"
+            ),
+            F.when(d % 2 == 0, F.lit("### deep\n")).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    corpus = _docs(spark, sf_dir).select(
+        "source", F.concat(F.col("text"), md).alias("content")
+    )
+    return markdown_census(corpus, "content", "source").orderBy("source")
+
+
+_MD_FIXTURE_SQL = """
+    SELECT source, text || CASE WHEN doc_id % 3 = 0 THEN
+        chr(10) || '# T' || doc_id
+        || chr(10) || '## S1' || chr(10) || 'see [l](http://e/'
+        || doc_id || ') and [m](u)' || chr(10) || '```'
+        || chr(10) || 'code' || chr(10) || '```'
+        || chr(10) || '| a | b |' || chr(10) || '| 1 | 2 |'
+        || chr(10) || '> note' || chr(10)
+        || CASE WHEN doc_id % 2 = 0 THEN '### deep' || chr(10)
+                ELSE '' END
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weight-proportional sample without replacement: k=50 smallest
+    # sha-uniform/weight priorities over the documents table, weights =
+    # n_chars — one TakeOrdered, zero shuffle
+    from pii_spark.curation import priority_sample
+
+    out = priority_sample(
+        _docs(spark, sf_dir), F.col("doc_id"), F.col("n_chars"), k=50
+    )
+    return out.select(
+        "doc_id", "lang", "weight_used", "priority"
+    ).orderBy("priority", "doc_id")
+
+
 #: JWT fixture constants (Spark fixture and oracle interpolate the SAME
 #: strings): base64url headers {"alg":"HS256"/"RS256","typ":"JWT"}, a
 #: constant fake signature, and a corrupt token whose segments decode to
@@ -8934,6 +8998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_secret_scan": q_base64_secret_scan,
         "jwt_scan": q_jwt_scan,
         "pem_census": q_pem_census,
+        "readability": q_readability,
+        "markdown_census": q_markdown_census,
+        "priority_sample": q_priority_sample,
         "hex_secret_scan": q_hex_secret_scan,
         "dedup_ablation": q_dedup_ablation,
         "lsh_tuning": q_lsh_tuning,
@@ -9203,6 +9270,11 @@ def oracle_sql() -> dict[str, str]:
         secret_reuse_oracle_sql,
         suppress_findings_case_sql,
     )
+    from pii_spark.quality import (
+        markdown_census_oracle_sql,
+        readability_oracle_sql,
+    )
+    from pii_spark.curation import priority_sample_sha_sql
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
@@ -10631,6 +10703,33 @@ def oracle_sql() -> dict[str, str]:
         "jwt_scan": "SELECT * FROM ("
         + jwt_scan_oracle_sql(_JWT_FIXTURE_SQL, "content", _JWT_NOW)
         + ") ORDER BY alg, has_email, expired",
+        "readability": "SELECT g AS lang, n_docs, avg_fre_x1000,"
+        " avg_fkgl_x1000, n_easy FROM ("
+        + readability_oracle_sql(
+            "SELECT lang, text FROM documents", "text", "lang"
+        )
+        + ") ORDER BY g",
+        "markdown_census": "SELECT g AS source, n_docs, n_with_md, h1,"
+        " h2, h3, links, table_rows, quotes, fences FROM ("
+        + markdown_census_oracle_sql(_MD_FIXTURE_SQL, "content", "source")
+        + ") ORDER BY g",
+        "priority_sample": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       greatest(CAST(n_chars AS BIGINT), 1) AS w,
+                       {priority_sample_sha_sql("doc_id", "psamp")}
+                           * 10000 AS num
+                FROM documents
+            ),
+            sel AS (
+                SELECT doc_id, lang, w AS weight_used,
+                       num // w AS priority
+                FROM b ORDER BY priority, doc_id LIMIT 50
+            )
+            SELECT doc_id, lang, weight_used,
+                   CAST(priority AS BIGINT) AS priority
+            FROM sel ORDER BY priority, doc_id
+        """,
         "pem_census": "SELECT * FROM ("
         + pem_census_oracle_sql(_PEM_FIXTURE_SQL, "content")
         + ") ORDER BY label",

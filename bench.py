@@ -409,6 +409,9 @@ def main() -> None:
         "kcenter_coreset",
         "jwt_scan",
         "pem_census",
+        "readability",
+        "markdown_census",
+        "priority_sample",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -3534,3 +3534,75 @@ def justext_oracle_sql(
                    chr(10) ORDER BY pos), '')) AS main_sha
         FROM fin GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+
+def priority_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "psamp",
+    u_scale: int = 10_000,
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement via priority
+    sampling (Duffield/Lund/Thorup, JACM 2007): each row draws a
+    deterministic uniform from sha256(key‖salt) and gets priority
+    ``u/weight``; the k smallest priorities win, so heavy rows win
+    more often — the one-pass weighted counterpart of
+    :func:`hash_sample` (builds weight-faithful eval slices or debug
+    subsets from a token-weighted corpus without a shuffle).
+
+    The priority is carried as the exact integer
+    ``floor(u48 · u_scale / weight)`` (u48 = first 12 sha hex chars =
+    48 bits, so the scaled numerator tops out near 2^62 — no int64
+    overflow), ``key`` as tie-break: membership is engine-,
+    partitioning- and run-independent, and the oracle replays it from
+    the same sha bytes.  Weights clamp to ≥ 1.
+
+    Scale shape: one fused projection (sha + integer arithmetic) and
+    ONE TakeOrdered top-k — no global sort, no corpus shuffle; the
+    driver receives exactly k rows.
+    """
+    if k < 1:
+        raise ValueError("priority_sample: k must be >= 1")
+    u48 = F.conv(
+        F.substring(
+            F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(weight.cast("long"), F.lit(1).cast("long"))
+    num = u48 * F.lit(int(u_scale))
+    # positive-exact floor division outside the double range: strip the
+    # remainder, then divide in DECIMAL(38,0)
+    pri = (
+        (num - num % w).cast("decimal(38,0)") / w.cast("decimal(38,0)")
+    ).cast("long")
+    return (
+        df.withColumn("_w", w)
+        .withColumn("_pri", pri)
+        .orderBy(F.asc("_pri"), key.asc())
+        .limit(int(k))
+        .withColumnRenamed("_w", "weight_used")
+        .withColumnRenamed("_pri", "priority")
+    )
+
+
+def priority_sample_sha_sql(key_sql: str, salt: str) -> str:
+    """DuckDB expression for the same 48-bit sha-derived uniform
+    (mirror of ``conv(substring(sha2(key||salt,256),1,12),16,10)``)."""
+    hx = f"sha256(CAST({key_sql} AS VARCHAR) || '{salt}')"
+    nib = "strpos('0123456789abcdef', {h}[{i}]) - 1"
+    return (
+        "("
+        + " + ".join(
+            f"({nib.format(h=hx, i=i)}) * {16 ** (12 - i)}::BIGINT"
+            for i in range(1, 13)
+        )
+        + ")"
+    )

@@ -1559,3 +1559,40 @@ def test_kcenter_round_is_takeordered_argmax(spark):
     )
     assert "TakeOrderedAndProject" in p
     assert count_python_nodes(p) == 0
+
+
+def test_readability_single_agg_no_python(spark):
+    from pii_spark.quality import readability_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(readability_scores(docs, "text", "lang"))
+    assert count_python_nodes(p) == 0
+    # one partial+final hash aggregate; the scan reads only text+lang
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+    assert "ReadSchema: struct<text:string,lang:string>" in p \
+        or "ReadSchema: struct<lang:string,text:string>" in p
+
+
+def test_markdown_census_single_agg_no_python(spark):
+    from pii_spark.quality import markdown_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", F.col("text").alias("content")
+    )
+    p = plan(markdown_census(docs, "content", "source"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_priority_sample_is_takeordered(spark):
+    from pii_spark.curation import priority_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(
+        priority_sample(docs, F.col("doc_id"), F.col("n_chars"), k=50)
+    )
+    # weighted top-k must compile to TakeOrderedAndProject (no global
+    # sort, no exchange of the corpus)
+    assert "TakeOrderedAndProject" in p
+    assert count_python_nodes(p) == 0
+    assert "Exchange rangepartitioning" not in p
