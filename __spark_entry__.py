@@ -7031,6 +7031,67 @@ def q_base64_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern")
 
 
+def q_function_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # McCabe-proxy census over synthesized functions whose decision
+    # points scale with doc_id (d%6 if+and pairs, d%4 fors): cx =
+    # 1 + 2·(d%6) + (d%4), capped at 10 — buckets 1..10 all populated
+    from pii_spark.quality import function_complexity
+
+    d = F.col("doc_id")
+    code = F.concat(
+        F.lit("def fn"), (d % 13).cast("string"), F.lit("():\n"),
+        F.repeat(F.lit("    if a and b:\n        x = 1\n"),
+                 (d % 6).cast("int")),
+        F.repeat(F.lit("    for i in y:\n        x += i\n"),
+                 (d % 4).cast("int")),
+        F.lit("    return x\n\ndef solo():\n    return 1\n"),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 23).cast("string")).alias("repo"),
+        d.alias("file_id"),
+        code.alias("content"),
+    )
+    return function_complexity(
+        corpus, "repo", "file_id", "content"
+    ).orderBy("complexity")
+
+
+_CX_CORPUS_SQL = """
+    SELECT 'r' || (doc_id % 23) AS repo, doc_id AS file_id,
+           'def fn' || (doc_id % 13) || '():' || chr(10)
+           || repeat('    if a and b:' || chr(10)
+                     || '        x = 1' || chr(10),
+                     CAST(doc_id % 6 AS INTEGER))
+           || repeat('    for i in y:' || chr(10)
+                     || '        x += i' || chr(10),
+                     CAST(doc_id % 4 AS INTEGER))
+           || '    return x' || chr(10) || chr(10)
+           || 'def solo():' || chr(10) || '    return 1' || chr(10)
+               AS content
+    FROM documents
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hub-mixing structure of the sparse co-purchase graph (same slice
+    # as k_core): exact int64 power sums, floor x1e6 coefficient
+    from pii_spark.graph import degree_assortativity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).filter(F.col("l_orderkey") % 9 == 0)
+    a, b = li.alias("x"), li.alias("y")
+    e = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").cast("long").alias("src"),
+        F.col("y.l_partkey").cast("long").alias("dst"),
+    )
+    return degree_assortativity(e)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flesch Reading Ease + FK grade per language on the exact x1000
     # integer grid (vowel-group syllable proxy, [.!?]+ sentences)
@@ -9001,6 +9062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "markdown_census": q_markdown_census,
         "priority_sample": q_priority_sample,
+        "function_complexity": q_function_complexity,
+        "degree_assortativity": q_degree_assortativity,
         "hex_secret_scan": q_hex_secret_scan,
         "dedup_ablation": q_dedup_ablation,
         "lsh_tuning": q_lsh_tuning,
@@ -9271,10 +9334,12 @@ def oracle_sql() -> dict[str, str]:
         suppress_findings_case_sql,
     )
     from pii_spark.quality import (
+        function_complexity_oracle_sql,
         markdown_census_oracle_sql,
         readability_oracle_sql,
     )
     from pii_spark.curation import priority_sample_sha_sql
+    from pii_spark.graph import degree_assortativity_oracle_sql
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
     from pii_spark.dedup import (
@@ -10713,6 +10778,19 @@ def oracle_sql() -> dict[str, str]:
         " h2, h3, links, table_rows, quotes, fences FROM ("
         + markdown_census_oracle_sql(_MD_FIXTURE_SQL, "content", "source")
         + ") ORDER BY g",
+        "function_complexity": "SELECT * FROM ("
+        + function_complexity_oracle_sql(
+            "repo", "content", _CX_CORPUS_SQL
+        )
+        + ") ORDER BY complexity",
+        "degree_assortativity": degree_assortativity_oracle_sql(
+            "SELECT CAST(x.l_partkey AS BIGINT) AS src,"
+            " CAST(y.l_partkey AS BIGINT) AS dst"
+            " FROM lineitem x JOIN lineitem y"
+            " ON x.l_orderkey = y.l_orderkey"
+            " AND x.l_partkey < y.l_partkey"
+            " WHERE x.l_orderkey % 9 = 0"
+        ),
         "priority_sample": f"""
             WITH b AS (
                 SELECT doc_id, lang,

@@ -412,6 +412,8 @@ def main() -> None:
         "readability",
         "markdown_census",
         "priority_sample",
+        "function_complexity",
+        "degree_assortativity",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -36,7 +36,7 @@ truncates it with localCheckpoint for long runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def pagerank(
@@ -1476,3 +1476,117 @@ def personalized_pagerank_oracle_sql(
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
         " ORDER BY node"
     )
+
+
+def _fdiv_exact(num: Column, den: Column) -> Column:
+    """Floor division matching DuckDB ``//`` on negatives, exact past
+    the double range (positive-remainder strip + DECIMAL(38,0)
+    divide)."""
+    pm = ((num % den) + den) % den
+    return (
+        (num - pm).cast("decimal(38,0)") / den.cast("decimal(38,0)")
+    ).cast("long")
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph, computed entirely in exact int64 power sums so the value
+    replays bit-for-bit: with M edges and endpoint degrees (j, k),
+
+        r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) − (Σ(j+k))²)
+
+    Positive r ⇒ hubs link to hubs (a dependency graph whose core
+    libraries import each other, a crawl whose big domains interlink);
+    negative ⇒ hub-leaf structure.  Emits ONE row: ``m_edges``, the
+    three power sums, and ``r_x1e6`` (floor; 0 when the denominator
+    degenerates, e.g. a regular graph).
+
+    Scale shape: canonicalize+distinct is one exchange of 16-byte
+    edge rows; degrees are one count per endpoint (map-side partial);
+    attaching (j, k) is two fixed-width hash joins (AQE handles the
+    skewed-hub side); the final fold is one 1-row aggregate.  Exact
+    within int64 for M·Σ(j²+k²) < 2⁶³ — holds through billions of
+    edges with degrees into the tens of thousands; beyond that,
+    pre-bucket degrees.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "j"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "k"), "b")
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    num = (
+        F.lit(4).cast("long") * F.col("m_edges") * F.col("s_jk")
+        - F.col("s_sum") * F.col("s_sum")
+    )
+    den = (
+        F.lit(2).cast("long") * F.col("m_edges") * F.col("s_sq")
+        - F.col("s_sum") * F.col("s_sum")
+    )
+    return agg.select(
+        "m_edges",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        F.when(den != 0, _fdiv_exact(F.lit(1_000_000).cast("long") * num, den))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r_x1e6"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`degree_assortativity` — same canonical
+    edge set, same power sums, same floor division (``//`` floors
+    negatives in DuckDB; the Spark side uses the positive-remainder
+    form to match)."""
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src != dst
+        ),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY n
+        ),
+        ed AS (
+            SELECT da.d AS j, db.d AS k
+            FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                   CAST(sum(j * k) AS BIGINT) AS s_jk,
+                   CAST(sum(j + k) AS BIGINT) AS s_sum,
+                   CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+            FROM ed
+        )
+        SELECT m_edges, s_jk, s_sum, s_sq,
+               CAST(CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum != 0
+                    THEN (1000000 * (4 * m_edges * s_jk - s_sum * s_sum))
+                         // (2 * m_edges * s_sq - s_sum * s_sum)
+                    ELSE 0 END AS BIGINT) AS r_x1e6
+        FROM agg
+    """

@@ -1596,3 +1596,37 @@ def test_priority_sample_is_takeordered(spark):
     assert "TakeOrderedAndProject" in p
     assert count_python_nodes(p) == 0
     assert "Exchange rangepartitioning" not in p
+
+
+def test_function_complexity_no_body_past_exchange(spark):
+    from pii_spark.quality import function_complexity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("r0").alias("repo"),
+        F.col("doc_id").alias("file_id"),
+        F.col("text").alias("content"),
+    )
+    p = plan(function_complexity(docs, "repo", "file_id", "content"))
+    assert count_python_nodes(p) == 0
+    # the countDistinct(repo) rewrite: 4 agg nodes, and the exchange
+    # carries only (complexity, n_lines, repo) — no body column
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 4
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all("body" not in ln for ln in ex_lines)
+
+
+def test_degree_assortativity_single_row_fold(spark):
+    from pii_spark.graph import degree_assortativity
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    p = plan(degree_assortativity(li))
+    assert count_python_nodes(p) == 0
+    # no cartesian anywhere; degree attach is hash joins
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p \
+        or "ShuffledHashJoin" in p

@@ -902,3 +902,92 @@ def test_markdown_census_unit(spark):
         r.n_docs, r.n_with_md, r.h1, r.h2, r.h3, r.links,
         r.table_rows, r.quotes, r.fences,
     ) == (2, 1, 1, 1, 1, 2, 2, 1, 1)
+
+
+def test_degree_assortativity_fuzz_matches_networkx_formula(spark):
+    from pii_spark.graph import degree_assortativity
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(raw):
+        edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        if not edges:
+            return
+        df = spark.createDataFrame(list(raw), "src long, dst long")
+        r = degree_assortativity(df).collect()[0]
+        from collections import Counter
+
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        m = len(edges)
+        s_jk = sum(deg[a] * deg[b] for a, b in edges)
+        s_sum = sum(deg[a] + deg[b] for a, b in edges)
+        s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+        assert (r.m_edges, r.s_jk, r.s_sum, r.s_sq) == (m, s_jk, s_sum, s_sq)
+        num = 4 * m * s_jk - s_sum * s_sum
+        den = 2 * m * s_sq - s_sum * s_sum
+        assert r.r_x1e6 == (1_000_000 * num // den if den != 0 else 0)
+        # a star graph is maximally disassortative; a clique regular
+        # (den==0 -> 0); bounds: |r| <= 1 whenever defined
+        if den != 0:
+            assert -1_000_000 <= r.r_x1e6 <= 1_000_000
+
+    check()
+
+
+def test_function_complexity_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import _COMPLEXITY_RES, function_complexity
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 3)),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(2, 10),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(funcs, cap):
+        rows = []
+        for i, (n_if, n_for) in enumerate(funcs):
+            body = (
+                f"def fn{i}():\n"
+                + "    if a and b:\n        x = 1\n" * n_if
+                + "    for i in y:\n        x += i\n" * n_for
+                + "    return x\n"
+            )
+            rows.append((f"r{i % 3}", i, body))
+        df = spark.createDataFrame(
+            rows, "repo string, file_id long, content string"
+        )
+        got = {
+            r.complexity: (r.n_funcs, r.n_lines, r.n_repos)
+            for r in function_complexity(
+                df, "repo", "file_id", "content", cap=cap
+            ).collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, 0, set()])
+        pat = _re.compile(_COMPLEXITY_RES["python"])
+        for (repo, _i, body) in rows:
+            b = body.rstrip()
+            cx = min(1 + len(pat.findall(b)), cap)
+            want[cx][0] += 1
+            want[cx][1] += len(b.split("\n"))
+            want[cx][2].add(repo)
+        assert got == {
+            k: (v[0], v[1], len(v[2])) for k, v in want.items()
+        }
+
+    check()
