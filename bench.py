@@ -414,6 +414,10 @@ def main() -> None:
         "priority_sample",
         "function_complexity",
         "degree_assortativity",
+        "matryoshka_recall",
+        "histogram_rollup",
+        "config_secret_census",
+        "pii_position_profile",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1815,3 +1815,230 @@ def pem_census_oracle_sql(rows_sql: str, content_sql: str) -> str:
         FROM cls
         GROUP BY label
     """
+
+
+# ---------------------------------------------------------------------------
+# config-file credential census and positional PII profile
+# ---------------------------------------------------------------------------
+
+#: key = value / key: value lines (INI/YAML/dotenv shapes); group 1 =
+#: key, group 2 = rest-of-line value ([^\n]* needs no $ anchor)
+_CONFIG_KV_RE = (
+    r"(?m)^[ \t]*([A-Za-z_][A-Za-z0-9_.-]*)[ \t]*[:=][ \t]*([^\n]*)"
+)
+
+#: sensitive-key classes, checked in order (first match wins)
+_SENSITIVE_KEY_CLASSES = (
+    ("password", r"passwd|password|pwd"),
+    ("secret", r"secret"),
+    ("token", r"token"),
+    ("apikey", r"api_?key"),
+    ("private", r"private"),
+)
+
+#: values that are placeholders, not live credentials: empty, env/
+#: template refs (${..}, {{..}}, <..>, $VAR), and the classic dummies
+_PLACEHOLDER_VALUE_RE = (
+    r"^(?:|\$\{[^}]*\}|\{\{[^}]*\}\}|<[^>]*>|\$[A-Z_]+"
+    r"|(?i:changeme|todo|xxx+|placeholder|dummy|example|none|null))[ \t]*$"
+)
+
+
+def config_secret_census(df: DataFrame, content_col: str) -> DataFrame:
+    """Census of credential-shaped ``key = value`` config lines: how
+    many sensitive keys (password/secret/token/apikey/private) carry a
+    LIVE value versus a placeholder (env refs, template slots,
+    ``changeme`` dummies) — the structured complement of the regex
+    bank: a checked-in ``db_password=hunter2`` leaks even though no
+    token pattern fires (the reference's ``password`` rule,
+    ``internal/detector/builtin.go``, matches only a handful of
+    assignment spellings and ignores placeholder-ness).
+
+    Emits per key class: total lines, placeholder count, live count
+    (``n_total = n_placeholder + n_live``).
+
+    Scale shape: the two-group ``regexp_extract_all`` and both
+    classifications fuse into the scan; only (class, bool) pairs reach
+    the ONE hash aggregate — key names and values never shuffle.
+    """
+    keys = F.regexp_extract_all(
+        F.col(content_col), F.lit(_CONFIG_KV_RE), F.lit(1)
+    )
+    vals = F.regexp_extract_all(
+        F.col(content_col), F.lit(_CONFIG_KV_RE), F.lit(2)
+    )
+    kv = (
+        df.select(keys.alias("ks"), vals.alias("vs"))
+        .select(F.posexplode("ks").alias("pos", "key"), "vs")
+        .select(
+            F.lower("key").alias("key"),
+            F.element_at("vs", F.col("pos") + 1).alias("val"),
+        )
+    )
+    cls = None
+    for name, pat in _SENSITIVE_KEY_CLASSES:
+        cond = F.col("key").rlike(pat)
+        cls = F.when(cond, name) if cls is None else cls.when(cond, name)
+    kv = kv.select(
+        cls.alias("key_class"),
+        F.col("val").rlike(_PLACEHOLDER_VALUE_RE).alias("is_ph"),
+    ).filter(F.col("key_class").isNotNull())
+    return (
+        kv.groupBy("key_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("is_ph"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_placeholder"),
+            F.sum(F.when(~F.col("is_ph"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+        )
+    )
+
+
+def config_secret_census_oracle_sql(rows_sql: str, content_sql: str) -> str:
+    """DuckDB replay of :func:`config_secret_census` — same patterns
+    (RE2∩Java by construction), same first-match-wins key classes."""
+    branches = " ".join(
+        f"WHEN regexp_matches(key, '{pat}') THEN '{name}'"
+        for name, pat in _SENSITIVE_KEY_CLASSES
+    )
+    ph = _PLACEHOLDER_VALUE_RE.replace("'", "''")
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        ext AS (
+            SELECT regexp_extract_all({content_sql},
+                       '{_CONFIG_KV_RE}', 1) AS ks,
+                   regexp_extract_all({content_sql},
+                       '{_CONFIG_KV_RE}', 2) AS vs
+            FROM rows0
+        ),
+        kv AS (
+            SELECT lower(ks[i]) AS key, vs[i] AS val
+            FROM ext, unnest(range(1, len(ks) + 1)) AS u(i)
+        ),
+        cls AS (
+            SELECT CASE {branches} END AS key_class,
+                   regexp_matches(val, '{ph}') AS is_ph
+            FROM kv
+        )
+        SELECT key_class,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN is_ph THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_placeholder,
+               CAST(sum(CASE WHEN NOT is_ph THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_live
+        FROM cls WHERE key_class IS NOT NULL
+        GROUP BY key_class
+    """
+
+
+def pii_position_profile(
+    df: DataFrame,
+    content_col: str,
+    pattern_regexes: dict[str, str],
+    n_slices: int = 10,
+) -> DataFrame:
+    """WHERE in documents PII lives: match counts per position decile
+    (slice i covers chars ``[i·L/n, (i+1)·L/n)``) — headers and
+    footers (contact blocks, license boilerplate, sig lines) carry
+    systematically different PII than body text, and the profile
+    tells a scrubber where to spend bounded-budget passes.  A match
+    straddling a slice boundary is dropped by BOTH engines (same
+    regex, same substring), so counts are exactly comparable.
+
+    Emits ``(slice_idx, pattern, n_matches)``.
+
+    Scale shape: the slice explode is map-side (n fixed-width
+    substring rows per doc, no exchange of full text — each slice
+    carries ~1/n of the doc); counts collapse in ONE hash aggregate
+    over the (slice, pattern) domain.
+    """
+    names = list(pattern_regexes)
+    L = F.length(F.col(content_col))
+    sl = df.select(
+        F.col(content_col).alias("_t"),
+        L.alias("_l"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_slices) - 1))
+        ).alias("slice_idx"),
+    ).select(
+        "slice_idx",
+        # integer `div`, not `/`+cast: Spark casts doubles by
+        # truncation but DuckDB CAST(double AS INT) rounds — floor
+        # division sidesteps the divergence (all operands non-negative)
+        F.expr(
+            f"substring(_t, CAST(slice_idx * _l div {int(n_slices)} AS INT)"
+            f" + 1, CAST((slice_idx + 1) * _l div {int(n_slices)} AS INT)"
+            f" - CAST(slice_idx * _l div {int(n_slices)} AS INT))"
+        ).alias("seg"),
+    )
+    counts = [
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("seg"), F.lit(pattern_regexes[n]), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias(f"m__{n}")
+        for n in names
+    ]
+    row = sl.groupBy("slice_idx").agg(*counts)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("pattern"),
+                    F.col(f"`m__{n}`").alias("n_matches"),
+                )
+                for n in names
+            ]
+        )
+    ).alias("r")
+    return row.select("slice_idx", stacked).select(
+        "slice_idx", "r.pattern", "r.n_matches"
+    )
+
+
+def pii_position_profile_oracle_sql(
+    rows_sql: str,
+    content_sql: str,
+    pattern_regexes: dict[str, str],
+    n_slices: int = 10,
+) -> str:
+    """DuckDB replay of :func:`pii_position_profile` — same integer
+    slice arithmetic (truncating division on non-negative values),
+    same per-slice regex counts."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    counts = ", ".join(
+        f"CAST(sum(len(regexp_extract_all(seg, '{q(p)}'))) AS BIGINT)"
+        f" AS m_{i}"
+        for i, p in enumerate(pattern_regexes.values())
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT slice_idx, '{q(n)}' AS pattern, m_{i} AS n_matches"
+        f" FROM agg"
+        for i, n in enumerate(pattern_regexes)
+    )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        sl AS (
+            SELECT i AS slice_idx,
+                   substr({content_sql},
+                          CAST(i * length({content_sql})
+                               // {int(n_slices)} AS INTEGER) + 1,
+                          CAST((i + 1) * length({content_sql})
+                               // {int(n_slices)} AS INTEGER)
+                          - CAST(i * length({content_sql})
+                                 // {int(n_slices)} AS INTEGER)) AS seg
+            FROM rows0, unnest(range(0, {int(n_slices)})) AS u(i)
+        ),
+        agg AS (SELECT slice_idx, {counts} FROM sl GROUP BY slice_idx)
+        SELECT slice_idx, pattern, n_matches FROM ({unpivot})
+    """

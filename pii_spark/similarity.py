@@ -1233,3 +1233,145 @@ def kcenter_select(
         [(int(o), int(i), int(r)) for o, i, r in picked],
         "sel_order bigint, id bigint, radius2 bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka prefix-dimension recall evaluation
+# ---------------------------------------------------------------------------
+
+def matryoshka_recall(
+    df: DataFrame,
+    id_col: str,
+    qvec_col: str,
+    dims: list[int],
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of prefix-truncated embeddings against the full-dim
+    ground truth — the evaluation behind Matryoshka-style dimension
+    reduction (Kusupati et al., NeurIPS 2022): if the first d
+    coordinates rank neighbors almost as well as all of them, the ANN
+    index can store d floats instead of D and re-rank the tail.
+    ``dims`` must list the FULL dimension first; rows matching
+    ``query_pred`` become queries, everything else is a target.
+
+    All scores are exact int64 dot products over the integer-quantized
+    ``qvec_col`` (``array<long>``), ties broken by target id, so the
+    per-dim top-k sets — and therefore recall — replay bit-for-bit.
+    Emits one row per prefix dim: query count, summed overlap with the
+    full-dim top-k, and ``recall_x1e4``.
+
+    Scale shape: the query batch broadcasts (sampled queries — the
+    honest eval shape; never all-pairs); ONE pass over the target scan
+    computes every prefix dot via slices of the same array; per-query
+    top-k is a window over q·|dims| fixed-width score rows (no text,
+    no vectors past the projection); overlap is a self-join on the
+    (query, target) key of k-row sets.
+    """
+    if not dims or any(d <= 0 for d in dims):
+        raise ValueError("matryoshka_recall: dims must be positive")
+    full = dims[0]
+    q = F.broadcast(
+        df.filter(query_pred).select(
+            F.col(id_col).alias("qid"), F.col(qvec_col).alias("_vq")
+        )
+    )
+    t = df.filter(~query_pred).select(
+        F.col(id_col).alias("tid"), F.col(qvec_col).alias("_vt")
+    )
+
+    def pdot(d: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_vq"), 1, d),
+                F.slice(F.col("_vt"), 1, d),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scores = t.join(q).select(
+        "qid",
+        "tid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).cast("long").alias("dim"),
+                        pdot(int(d)).alias("dot"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "tid", "s.dim", "s.dot")
+    w = Window.partitionBy("qid", "dim").orderBy(
+        F.desc("dot"), F.asc("tid")
+    )
+    topk = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= int(k)
+    )
+    truth = topk.filter(F.col("dim") == full).select("qid", "tid")
+    hits = (
+        topk.join(truth, ["qid", "tid"])
+        .groupBy("dim")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("overlap"),
+        )
+    )
+    return hits.select(
+        "dim",
+        "n_queries",
+        "overlap",
+        (
+            (F.lit(10_000).cast("long") * F.col("overlap"))
+            / (F.lit(int(k)) * F.col("n_queries"))
+        )
+        .cast("long")
+        .alias("recall_x1e4"),
+    )
+
+
+def matryoshka_recall_oracle_sql(
+    rows_sql: str, dims: list[int], k: int = 5
+) -> str:
+    """DuckDB replay of :func:`matryoshka_recall` over a rows CTE with
+    (qid nullable, tid nullable, v BIGINT[]) split — same integer
+    prefix dots, same (dot DESC, tid) ranking, same overlap join.
+    ``rows_sql`` must yield columns ``id, v, is_query``."""
+    full = dims[0]
+    dim_rows = " UNION ALL ".join(f"SELECT {int(d)} AS dim" for d in dims)
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        q AS (SELECT id AS qid, v AS vq FROM rows0 WHERE is_query),
+        t AS (SELECT id AS tid, v AS vt FROM rows0 WHERE NOT is_query),
+        dimsx AS ({dim_rows}),
+        scores AS (
+            SELECT qid, tid, dim,
+                   CAST(list_sum(list_transform(range(1, dim + 1),
+                       i -> vq[i] * vt[i])) AS BIGINT) AS dot
+            FROM q, t, dimsx
+        ),
+        ranked AS (
+            SELECT qid, tid, dim,
+                   row_number() OVER (PARTITION BY qid, dim
+                                      ORDER BY dot DESC, tid) AS rn
+            FROM scores
+        ),
+        topk AS (SELECT qid, tid, dim FROM ranked WHERE rn <= {int(k)}),
+        truth AS (SELECT qid, tid FROM topk WHERE dim = {full}),
+        hits AS (
+            SELECT k.dim,
+                   CAST(count(DISTINCT k.qid) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS overlap
+            FROM topk k JOIN truth tr
+              ON tr.qid = k.qid AND tr.tid = k.tid
+            GROUP BY k.dim
+        )
+        SELECT dim, n_queries, overlap,
+               CAST(10000 * overlap // ({int(k)} * n_queries) AS BIGINT)
+                   AS recall_x1e4
+        FROM hits
+    """

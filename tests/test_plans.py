@@ -1630,3 +1630,68 @@ def test_degree_assortativity_single_row_fold(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p \
         or "ShuffledHashJoin" in p
+
+
+def test_matryoshka_query_batch_broadcasts(spark):
+    from pii_spark.similarity import matryoshka_recall
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x*100) AS BIGINT))")
+        .alias("qv"),
+    )
+    p = plan(
+        matryoshka_recall(
+            emb, "vec_id", "qv", [64, 16], F.col("vec_id") % 50 == 7, k=5
+        )
+    )
+    assert count_python_nodes(p) == 0
+    # queries broadcast; all prefix dots ride one pass over the target
+    # scan (BroadcastNestedLoopJoin is the cross-pair build)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_histogram_rollup_sketch_sized_exchange(spark):
+    from pii_spark.quality import histogram_rollup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(histogram_rollup(docs, "lang", "n_chars", width=100))
+    assert count_python_nodes(p) == 0
+    # the corpus scan+aggregate ran ONCE into the sketch checkpoint;
+    # everything in this plan (merge arm, windows, final fold) reads
+    # the materialized O(groups × buckets) sketch rows — a parquet
+    # scan here would mean the union arms re-scan the corpus
+    assert "Scan parquet" not in p
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p, re.M)) == 2
+
+
+def test_config_secret_census_jvm_only(spark):
+    from pii_spark.detect import config_secret_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(config_secret_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_pii_position_profile_no_text_past_exchange(spark):
+    from pii_spark.detect import pii_position_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(
+        pii_position_profile(docs, "content", {"email": r"[a-z]+@[a-z.]+"})
+    )
+    assert count_python_nodes(p) == 0
+    # per-slice counts aggregate map-side; the exchange carries only
+    # (slice_idx, partial counts)
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all("seg" not in ln and "content" not in ln
+                            for ln in ex_lines)

@@ -991,3 +991,140 @@ def test_function_complexity_fuzz_matches_python(spark):
         }
 
     check()
+
+
+def test_matryoshka_recall_fuzz_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.similarity import matryoshka_recall
+
+    @given(
+        st.lists(
+            st.lists(st.integers(-9, 9), min_size=8, max_size=8),
+            min_size=4,
+            max_size=16,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(vecs):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, qv array<bigint>")
+        dims, k = [8, 3], 2
+        got = {
+            r.dim: (r.n_queries, r.overlap, r.recall_x1e4)
+            for r in matryoshka_recall(
+                df, "vec_id", "qv", dims, F.col("vec_id") % 4 == 0, k=k
+            ).collect()
+        }
+        qs = [(i, v) for i, v in rows if i % 4 == 0]
+        ts = [(i, v) for i, v in rows if i % 4 != 0]
+
+        def topk(qv, d):
+            sc = sorted(
+                ts,
+                key=lambda t: (-sum(a * b for a, b in zip(qv[:d], t[1][:d])), t[0]),
+            )
+            return {t[0] for t in sc[:k]}
+
+        want = {}
+        for d in dims:
+            ov = sum(len(topk(qv, d) & topk(qv, 8)) for _, qv in qs)
+            want[d] = (len(qs), ov, 10_000 * ov // (k * len(qs)))
+        # full dim always has recall 1
+        assert want[8][2] == 10_000
+        assert got == want
+
+    check()
+
+
+def test_histogram_rollup_fuzz_merge_lossless(spark):
+    from pii_spark.quality import histogram_rollup
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 400)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "lang string, v long")
+        out = {
+            r.g: (r.n, r.p50_lo, r.p90_lo)
+            for r in histogram_rollup(df, "lang", "v", width=50).collect()
+        }
+
+        def pct(vals, p):
+            # bucket-sketch percentile: first bucket whose cumulative
+            # count reaches ceil(n*p/100)
+            from collections import Counter
+
+            h = Counter(v // 50 for v in vals)
+            target = (len(vals) * p + 99) // 100
+            cum = 0
+            for b in sorted(h):
+                cum += h[b]
+                if cum >= target:
+                    return b * 50
+            raise AssertionError
+
+        groups = {g for g, _ in rows}
+        for g in groups:
+            vals = [v for gg, v in rows if gg == g]
+            assert out[g] == (len(vals), pct(vals, 50), pct(vals, 90))
+        allv = [v for _, v in rows]
+        # the merged corpus row equals the histogram built from scratch
+        # on the union — the losslessness that makes the sketch a
+        # sketch
+        assert out["*all*"] == (len(allv), pct(allv, 50), pct(allv, 90))
+
+    check()
+
+
+def test_config_secret_census_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.detect import (
+        _CONFIG_KV_RE,
+        _PLACEHOLDER_VALUE_RE,
+        _SENSITIVE_KEY_CLASSES,
+        config_secret_census,
+    )
+
+    key_st = st.sampled_from(
+        ["db_password", "api_key", "secret", "auth_token", "private_id",
+         "username", "host", "PASSWD", "My.Token"]
+    )
+    val_st = st.sampled_from(
+        ["hunter2", "${ENV}", "changeme", "<slot>", "", "ghp_abc123",
+         "{{ tmpl }}", "xxx", "s3cr3t!"]
+    )
+
+    @given(st.lists(st.tuples(key_st, val_st), min_size=1, max_size=15))
+    @settings(max_examples=12, deadline=None)
+    def check(pairs):
+        content = "\n".join(f"{k} = {v}" for k, v in pairs)
+        df = spark.createDataFrame([(0, content)], "i long, content string")
+        got = {
+            r.key_class: (r.n_total, r.n_placeholder, r.n_live)
+            for r in config_secret_census(df, "content").collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, 0, 0])
+        for m in _re.finditer(_CONFIG_KV_RE, content):
+            key, val = m.group(1).lower(), m.group(2)
+            cls = next(
+                (n for n, p in _SENSITIVE_KEY_CLASSES
+                 if _re.search(p, key)),
+                None,
+            )
+            if cls is None:
+                continue
+            ph = bool(_re.search(_PLACEHOLDER_VALUE_RE, val))
+            want[cls][0] += 1
+            want[cls][1 if ph else 2] += 1
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    check()
