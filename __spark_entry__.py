@@ -7031,6 +7031,54 @@ def q_base64_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern")
 
 
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary-growth curve without re-scan: per-shard (doc_id%8)
+    # HLL registers merged progressively per prefix; exact column from
+    # the min-shard trick (one distinct aggregate + cumulative window)
+    from pii_spark.quality import heaps_curve
+
+    toks = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return heaps_curve(toks, F.col("tok"), F.col("shard"), 8).orderBy(
+        "prefix_k"
+    )
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label embedding-centroid drift between snapshots (vec_id
+    # parity): exact integer per-dim means, drift2 replays bit-for-bit
+    from pii_spark.similarity import centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").alias("lbl"),
+        (F.col("vec_id") % 2).alias("snap"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 100) AS BIGINT))"
+        ).alias("qv"),
+    )
+    return centroid_drift(emb, "lbl", "qv", F.col("snap")).orderBy("lbl")
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planner-style semi-join cardinality from merged HLL sketches:
+    # distinct lineitem partkeys (orders%3) vs even part keys —
+    # inclusion-exclusion on sketch rows, exacts as the verification
+    # columns
+    from pii_spark.quality import join_cardinality_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") % 2 == 0
+    )
+    return join_cardinality_sketch(
+        li, pt, F.col("l_partkey"), F.col("p_partkey")
+    )
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix-dimension recall@5 at dims 64/16/4 (full dim first =
     # ground truth): exact int64 prefix dots, queries = vec_id%50==7
@@ -9165,6 +9213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "function_complexity": q_function_complexity,
         "degree_assortativity": q_degree_assortativity,
+        "heaps_curve": q_heaps_curve,
+        "centroid_drift": q_centroid_drift,
+        "join_cardinality": q_join_cardinality,
         "matryoshka_recall": q_matryoshka_recall,
         "histogram_rollup": q_histogram_rollup,
         "config_secret_census": q_config_secret_census,
@@ -9442,11 +9493,16 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.quality import (
         function_complexity_oracle_sql,
+        heaps_curve_oracle_sql,
         histogram_rollup_oracle_sql,
+        join_cardinality_oracle_sql,
         markdown_census_oracle_sql,
         readability_oracle_sql,
     )
-    from pii_spark.similarity import matryoshka_recall_oracle_sql
+    from pii_spark.similarity import (
+        centroid_drift_oracle_sql,
+        matryoshka_recall_oracle_sql,
+    )
     from pii_spark.curation import priority_sample_sha_sql
     from pii_spark.graph import degree_assortativity_oracle_sql
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
@@ -10887,6 +10943,25 @@ def oracle_sql() -> dict[str, str]:
         " h2, h3, links, table_rows, quotes, fences FROM ("
         + markdown_census_oracle_sql(_MD_FIXTURE_SQL, "content", "source")
         + ") ORDER BY g",
+        "heaps_curve": "SELECT * FROM ("
+        + heaps_curve_oracle_sql(
+            "SELECT u.tok AS tok, CAST(doc_id % 8 AS INTEGER) AS shard"
+            " FROM documents,"
+            " unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)",
+            8,
+        )
+        + ") ORDER BY prefix_k",
+        "centroid_drift": "SELECT * FROM ("
+        + centroid_drift_oracle_sql(
+            "SELECT label AS lbl, CAST(vec_id % 2 AS INTEGER) AS snap,"
+            " list_transform(embedding::DOUBLE[],"
+            " x -> CAST(floor(x * 100) AS BIGINT)) AS v FROM embeddings"
+        )
+        + ") ORDER BY lbl",
+        "join_cardinality": join_cardinality_oracle_sql(
+            "SELECT l_partkey FROM lineitem WHERE l_orderkey % 3 = 0",
+            "SELECT p_partkey FROM part WHERE p_partkey % 2 = 0",
+        ),
         "matryoshka_recall": "SELECT * FROM ("
         + matryoshka_recall_oracle_sql(
             "SELECT vec_id AS id,"

@@ -418,6 +418,9 @@ def main() -> None:
         "histogram_rollup",
         "config_secret_census",
         "pii_position_profile",
+        "join_cardinality",
+        "heaps_curve",
+        "centroid_drift",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

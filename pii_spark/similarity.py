@@ -1375,3 +1375,110 @@ def matryoshka_recall_oracle_sql(
                    AS recall_x1e4
         FROM hits
     """
+
+
+def _floor_div_col(num: Column, den: Column) -> Column:
+    """Floor division matching DuckDB ``//`` on negatives, exact past
+    the double range (positive-remainder strip, DECIMAL(38,0)
+    divide)."""
+    pm = ((num % den) + den) % den
+    return (
+        (num - pm).cast("decimal(38,0)") / den.cast("decimal(38,0)")
+    ).cast("long")
+
+
+def centroid_drift(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    snapshot_col: Column,
+) -> DataFrame:
+    """Per-label embedding-centroid drift between two snapshots — the
+    semantic-drift monitor for a continuously refreshed corpus: when a
+    label's centroid moves, the content under that label changed
+    meaning (topic shift, poisoning, pipeline regression), which
+    per-count drift metrics (`value_drift`) cannot see.
+
+    ``snapshot_col`` must be 0/1.  Vectors are integer-quantized
+    (``array<long>``); per-dim means are exact floor divisions of the
+    int sums, so ``drift2`` = Σ_d (mean0[d] − mean1[d])² replays
+    bit-for-bit.  Emits per label: both counts and ``drift2``.
+
+    Scale shape: ``posexplode`` multiplies rows ×dim MAP-SIDE and the
+    (label, snapshot, dim) partial aggregate collapses them before the
+    exchange — the shuffle carries ≤ labels × 2 × dim fixed-width
+    rows, never vectors; the drift fold runs on that sketch.
+    """
+    dims = (
+        df.select(
+            F.col(label_col).alias("lbl"),
+            snapshot_col.cast("int").alias("snap"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("lbl", "snap", "dim")
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    means = dims.select(
+        "lbl",
+        "dim",
+        F.when(F.col("snap") == 0, _floor_div_col(F.col("s"), F.col("c")))
+        .alias("m0"),
+        F.when(F.col("snap") == 1, _floor_div_col(F.col("s"), F.col("c")))
+        .alias("m1"),
+        F.when(F.col("snap") == 0, F.col("c")).alias("c0"),
+        F.when(F.col("snap") == 1, F.col("c")).alias("c1"),
+    ).groupBy("lbl", "dim").agg(
+        F.max("m0").alias("m0"),
+        F.max("m1").alias("m1"),
+        F.max("c0").alias("c0"),
+        F.max("c1").alias("c1"),
+    )
+    d = F.coalesce("m0", F.lit(0)) - F.coalesce("m1", F.lit(0))
+    return (
+        means.groupBy("lbl")
+        .agg(
+            F.max("c0").cast("long").alias("n0"),
+            F.max("c1").cast("long").alias("n1"),
+            F.sum(d * d).cast("long").alias("drift2"),
+        )
+        .filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+    )
+
+
+def centroid_drift_oracle_sql(rows_sql: str) -> str:
+    """DuckDB replay of :func:`centroid_drift` over a CTE yielding
+    ``(lbl, snap, v BIGINT[])`` — same per-dim integer sums, same
+    positive-remainder floor means, same drift fold."""
+    fd = "((s - ((s % c + c) % c)) // c)"
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        dims AS (
+            SELECT lbl, snap, u.i AS dim, v[u.i] AS x
+            FROM rows0, unnest(range(1, len(v) + 1)) AS u(i)
+        ),
+        agg AS (
+            SELECT lbl, snap, dim,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM dims GROUP BY 1, 2, 3
+        ),
+        means AS (
+            SELECT lbl, dim,
+                   max(CASE WHEN snap = 0 THEN {fd} END) AS m0,
+                   max(CASE WHEN snap = 1 THEN {fd} END) AS m1,
+                   max(CASE WHEN snap = 0 THEN c END) AS c0,
+                   max(CASE WHEN snap = 1 THEN c END) AS c1
+            FROM agg GROUP BY 1, 2
+        )
+        SELECT lbl,
+               CAST(max(c0) AS BIGINT) AS n0,
+               CAST(max(c1) AS BIGINT) AS n1,
+               CAST(sum((coalesce(m0, 0) - coalesce(m1, 0))
+                        * (coalesce(m0, 0) - coalesce(m1, 0)))
+                    AS BIGINT) AS drift2
+        FROM means GROUP BY lbl
+        HAVING max(c0) IS NOT NULL AND max(c1) IS NOT NULL
+    """

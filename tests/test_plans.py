@@ -1695,3 +1695,60 @@ def test_pii_position_profile_no_text_past_exchange(spark):
     ]
     assert ex_lines and all("seg" not in ln and "content" not in ln
                             for ln in ex_lines)
+
+
+def test_join_cardinality_sketch_rows_only_merge(spark):
+    from pii_spark.quality import join_cardinality_sketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    p = plan(
+        join_cardinality_sketch(li, pt, F.col("l_partkey"),
+                                F.col("p_partkey"))
+    )
+    assert count_python_nodes(p) == 0
+    # register build must partial-aggregate map-side: every exchange
+    # carries either (s/g, bucket) sketch keys or the distinct-key
+    # column of the exact verification branch — never raw table rows
+    assert "CartesianProduct" not in p
+
+
+def test_heaps_curve_register_sized_merge(spark):
+    from pii_spark.quality import heaps_curve
+
+    toks = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    p = plan(heaps_curve(toks, F.col("tok"), F.col("shard"), 8))
+    assert count_python_nodes(p) == 0
+    # the prefix explosion must run on register rows (post-aggregate):
+    # the Generate's argument list carries (bucket, m), never the token
+    # column
+    gen_lines = [
+        ln for ln in p.splitlines()
+        if "explode(sequence" in ln and "Arguments:" in ln
+    ]
+    assert gen_lines and all(
+        "bucket" in ln and "tok" not in ln for ln in gen_lines
+    )
+
+
+def test_centroid_drift_dim_rows_only_exchange(spark):
+    from pii_spark.similarity import centroid_drift
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("label").alias("lbl"),
+        (F.col("vec_id") % 2).alias("snap"),
+        F.expr("transform(embedding, x -> CAST(floor(x*100) AS BIGINT))")
+        .alias("qv"),
+    )
+    p = plan(centroid_drift(emb, "lbl", "qv", F.col("snap")))
+    assert count_python_nodes(p) == 0
+    # the posexplode partial-aggregates map-side: no exchange carries
+    # the vector column
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all("qv" not in ln for ln in ex_lines)

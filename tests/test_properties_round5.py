@@ -1128,3 +1128,111 @@ def test_config_secret_census_fuzz_matches_python(spark):
         assert got == {k: tuple(v) for k, v in want.items()}
 
     check()
+
+
+def test_join_cardinality_sketch_properties(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.quality import join_cardinality_sketch
+
+    a = spark.range(0, 400).select(F.col("id").alias("ka"))
+    b = spark.range(300, 600).select(F.col("id").alias("kb"))
+    r = join_cardinality_sketch(a, b, F.col("ka"), F.col("kb")).collect()[0]
+    assert (r.exact_a, r.exact_b, r.exact_inter) == (400, 300, 100)
+    # per-side sketch error: 256 registers -> sigma ~6.5%; 4 sigma
+    assert abs(r.est_a - 400) <= 0.26 * 400
+    assert abs(r.est_b - 300) <= 0.26 * 300
+    # union merge is lossless: the merged-register estimate equals the
+    # sketch built over the concatenated key stream
+    u = spark.range(0, 600).select(F.col("id").alias("k"))
+    ru = join_cardinality_sketch(u, u, F.col("k"), F.col("k")).collect()[0]
+    assert r.est_union == ru.est_a
+    # inclusion-exclusion stays in-range (can clamp at 0 but never
+    # exceeds the smaller side by more than sketch noise)
+    assert r.est_inter <= min(r.est_a, r.est_b) * 2
+
+
+def test_heaps_curve_fuzz_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.quality import heaps_curve
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.text(alphabet="abcde", min_size=1, max_size=3),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "shard int, tok string")
+        got = {
+            r.prefix_k: (r.n_tokens, r.distinct_exact)
+            for r in heaps_curve(
+                df, F.col("tok"), F.col("shard"), 4
+            ).collect()
+        }
+        for k in range(4):
+            pre = [(s, t) for s, t in rows if s <= k]
+            assert got[k] == (len(pre), len({t for _, t in pre}))
+        # monotone growth, both columns
+        for k in range(1, 4):
+            assert got[k][0] >= got[k - 1][0]
+            assert got[k][1] >= got[k - 1][1]
+
+    check()
+
+
+def test_centroid_drift_fuzz_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.similarity import centroid_drift
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.integers(0, 1),
+                st.lists(st.integers(-20, 20), min_size=3, max_size=3),
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            rows, "lbl string, snap int, qv array<bigint>"
+        )
+        got = {
+            r.lbl: (r.n0, r.n1, r.drift2)
+            for r in centroid_drift(df, "lbl", "qv", F.col("snap"))
+            .collect()
+        }
+        from collections import defaultdict
+
+        by = defaultdict(lambda: {0: [], 1: []})
+        for lbl, snap, v in rows:
+            by[lbl][snap].append(v)
+        want = {}
+        for lbl, snaps in by.items():
+            if not snaps[0] or not snaps[1]:
+                continue
+            m = {}
+            for s in (0, 1):
+                vs = snaps[s]
+                m[s] = [
+                    sum(v[d] for v in vs) // len(vs) for d in range(3)
+                ]  # python // floors like the operator
+            want[lbl] = (
+                len(snaps[0]),
+                len(snaps[1]),
+                sum((a - b) ** 2 for a, b in zip(m[0], m[1])),
+            )
+        assert got == want
+
+    check()
