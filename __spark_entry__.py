@@ -7031,6 +7031,94 @@ def q_base64_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern")
 
 
+#: code-switch fixture snippets — marker-dense one-language blocks
+#: (each instance clears the per-slice vote floor on its own)
+_CS_PY = "def f(x):\n    return x\nimport os\nelif = None\n"
+_CS_GO = "func main() {\n x := 1\n defer f()\n}\npackage main\n"
+_CS_JAVA = "public class A {\n System.out.println();\n}\n@Override\n"
+_CS_JS = "const a = 1\nconsole.log(a)\nlet b = 2\nrequire('x')\n"
+
+
+def q_code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixed-language docs: d%4=0 pure python, 1 python+go halves,
+    # 2 java+js halves, 3 word salad (nothing classifiable) —
+    # histogram over distinct slice votes
+    from pii_spark.quality import code_switch_profile
+
+    d = F.col("doc_id")
+    content = (
+        F.when(d % 4 == 0, F.repeat(F.lit(_CS_PY), 4))
+        .when(
+            d % 4 == 1,
+            F.concat(F.repeat(F.lit(_CS_PY), 2), F.repeat(F.lit(_CS_GO), 2)),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.repeat(F.lit(_CS_JAVA), 2), F.repeat(F.lit(_CS_JS), 2)
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select(content.alias("content"))
+    return code_switch_profile(corpus, "content").orderBy("n_langs")
+
+
+def _cs_fixture_sql() -> str:
+    return f"""
+        SELECT CASE
+            WHEN doc_id % 4 = 0 THEN repeat({_sql_str(_CS_PY)}, 4)
+            WHEN doc_id % 4 = 1 THEN repeat({_sql_str(_CS_PY)}, 2)
+                 || repeat({_sql_str(_CS_GO)}, 2)
+            WHEN doc_id % 4 = 2 THEN repeat({_sql_str(_CS_JAVA)}, 2)
+                 || repeat({_sql_str(_CS_JS)}, 2)
+            ELSE text END AS content
+        FROM documents
+    """
+
+
+def q_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # freshness signals: ISO dates planted valid (d%5=0), invalid
+    # month/day (d%5=1), epoch seconds (d%5=2)
+    from pii_spark.quality import date_extraction_census
+
+    d = F.col("doc_id")
+    splice = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" updated 20"),
+                F.lpad((d % 25).cast("string"), 2, "0"),
+                F.lit("-0"), ((d % 9) + 1).cast("string"),
+                F.lit("-1"), (d % 9).cast("string"),
+            ),
+        )
+        .when(d % 5 == 1, F.lit(" bad 2024-13-40 date"))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit(" ts=17000"), F.lpad((d % 9999).cast("string"), 5, "0")),
+        )
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), splice).alias("content")
+    )
+    return date_extraction_census(corpus, "content").orderBy("kind")
+
+
+_DATE_FIXTURE_SQL = """
+    SELECT text || CASE
+        WHEN doc_id % 5 = 0 THEN ' updated 20'
+            || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+            || '-0' || (doc_id % 9 + 1) || '-1' || (doc_id % 9)
+        WHEN doc_id % 5 = 1 THEN ' bad 2024-13-40 date'
+        WHEN doc_id % 5 = 2 THEN ' ts=17000'
+            || lpad(CAST(doc_id % 9999 AS VARCHAR), 5, '0')
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
 def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary-growth curve without re-scan: per-shard (doc_id%8)
     # HLL registers merged progressively per prefix; exact column from
@@ -9213,6 +9301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "function_complexity": q_function_complexity,
         "degree_assortativity": q_degree_assortativity,
+        "code_switch_profile": q_code_switch_profile,
+        "date_extraction": q_date_extraction,
         "heaps_curve": q_heaps_curve,
         "centroid_drift": q_centroid_drift,
         "join_cardinality": q_join_cardinality,
@@ -9492,6 +9582,8 @@ def oracle_sql() -> dict[str, str]:
         suppress_findings_case_sql,
     )
     from pii_spark.quality import (
+        code_switch_oracle_sql,
+        date_extraction_oracle_sql,
         function_complexity_oracle_sql,
         heaps_curve_oracle_sql,
         histogram_rollup_oracle_sql,
@@ -10943,6 +11035,12 @@ def oracle_sql() -> dict[str, str]:
         " h2, h3, links, table_rows, quotes, fences FROM ("
         + markdown_census_oracle_sql(_MD_FIXTURE_SQL, "content", "source")
         + ") ORDER BY g",
+        "code_switch_profile": "SELECT * FROM ("
+        + code_switch_oracle_sql(_cs_fixture_sql(), "content")
+        + ") ORDER BY n_langs",
+        "date_extraction": "SELECT * FROM ("
+        + date_extraction_oracle_sql(_DATE_FIXTURE_SQL, "content")
+        + ") ORDER BY kind",
         "heaps_curve": "SELECT * FROM ("
         + heaps_curve_oracle_sql(
             "SELECT u.tok AS tok, CAST(doc_id % 8 AS INTEGER) AS shard"

@@ -421,6 +421,8 @@ def main() -> None:
         "join_cardinality",
         "heaps_curve",
         "centroid_drift",
+        "code_switch_profile",
+        "date_extraction",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

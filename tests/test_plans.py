@@ -1752,3 +1752,32 @@ def test_centroid_drift_dim_rows_only_exchange(spark):
         if "Arguments: hashpartitioning" in ln
     ]
     assert ex_lines and all("qv" not in ln for ln in ex_lines)
+
+
+def test_code_switch_profile_one_wide_projection(spark):
+    from pii_spark.quality import code_switch_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(code_switch_profile(docs, "content"))
+    assert count_python_nodes(p) == 0
+    # all slice×lang counters fuse into the scan-side projection; the
+    # exchange carries only the n_langs key
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all("content" not in ln for ln in ex_lines)
+
+
+def test_date_extraction_two_fixed_rows(spark):
+    from pii_spark.quality import date_extraction_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(date_extraction_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    assert "CartesianProduct" not in p

@@ -1236,3 +1236,74 @@ def test_centroid_drift_fuzz_matches_python(spark):
         assert got == want
 
     check()
+
+
+def test_code_switch_profile_units(spark):
+    from pii_spark.quality import code_switch_profile
+
+    py = "def f(x):\n    return x\nimport os\n"
+    go = "func main() {\n x := 1\n defer f()\n}\npackage main\n"
+    docs = [
+        (0, py * 4),            # pure python -> 1
+        (1, py * 2 + go * 2),   # switched -> 2
+        (2, "zz qq ww ee " * 8)  # salad -> 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    got = {
+        r.n_langs: r.n_docs
+        for r in code_switch_profile(df, "content").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_date_extraction_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import (
+        _EPOCH_RE,
+        _ISO_DATE_RE,
+        date_extraction_census,
+    )
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1800, 2200),
+                st.integers(0, 19),
+                st.integers(0, 39),
+            ),
+            min_size=0,
+            max_size=10,
+        ),
+        st.lists(st.integers(1_500_000_000, 1_799_999_999),
+                 min_size=0, max_size=6),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(dates, epochs):
+        text = " ".join(
+            [f"on {y:04d}-{m:02d}-{d:02d} x" for y, m, d in dates]
+            + [f"ts {e} y" for e in epochs]
+        )
+        df = spark.createDataFrame([(0, text)], "i long, content string")
+        got = {
+            r.kind: (r.n_total, r.n_valid, r.min_year, r.max_year)
+            for r in date_extraction_census(df, "content").collect()
+        }
+        iso = _re.findall(_ISO_DATE_RE, text)
+        valid = [
+            int(y) for y, m, d in iso
+            if 1900 <= int(y) <= 2100 and 1 <= int(m) <= 12
+            and 1 <= int(d) <= 31
+        ]
+        eps = [1970 + int(t) // 31557600
+               for t in _re.findall(_EPOCH_RE, text)]
+        assert got["iso"] == (
+            len(iso), len(valid),
+            min(valid) if valid else -1, max(valid) if valid else -1,
+        )
+        assert got["epoch"] == (
+            len(eps), len(eps),
+            min(eps) if eps else -1, max(eps) if eps else -1,
+        )
+
+    check()
