@@ -423,6 +423,8 @@ def main() -> None:
         "centroid_drift",
         "code_switch_profile",
         "date_extraction",
+        "trigger_selectivity",
+        "centroid_outliers",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -2042,3 +2042,174 @@ def pii_position_profile_oracle_sql(
         agg AS (SELECT slice_idx, {counts} FROM sl GROUP BY slice_idx)
         SELECT slice_idx, pattern, n_matches FROM ({unpivot})
     """
+
+
+# ---------------------------------------------------------------------------
+# trigger-selectivity audit
+# ---------------------------------------------------------------------------
+
+def trigger_selectivity(
+    df: DataFrame, content_col: str, pattern_names: list[str]
+) -> DataFrame:
+    """Does each trigger pre-filter earn its keep?  For every pattern:
+    how many docs its cheap trigger admits, how many its full rule
+    bank actually matches, and the gap — the measurement behind the
+    ``_TRIGGERS`` table's design comments (a trigger admitting 95% of
+    docs buys nothing; one admitting 2% with no false negatives makes
+    the full regex nearly free).  Per pattern:
+
+    - ``n_trigger``: docs passing the trigger (None ⇒ all docs),
+    - ``n_match``: docs matched by ANY of the pattern's rules,
+    - ``admit_x1e4``: trigger admission rate ×1e4,
+    - ``waste_x1e4``: share of admitted docs with no match ×1e4.
+
+    The trigger-soundness invariant (no false negatives: every matched
+    doc passes its trigger) is checked inline — a violation raises at
+    aggregation time rather than silently under-counting.
+
+    Scale shape: all trigger + rule tests for every pattern fuse into
+    one wide scan projection (JVM ``contains``/``rlike``); ONE 1-row
+    aggregate; the unpivot runs on that single row.
+    """
+    from .patterns import BUILTIN_PATTERNS
+
+    cols = {}
+    for name in pattern_names:
+        if name not in BUILTIN_PATTERNS:
+            raise ValueError(f"trigger_selectivity: unknown pattern {name!r}")
+        trig = _TRIGGERS.get(name)
+        c = F.col(content_col)
+        if trig is None:
+            t = F.lit(True)
+        elif trig[0] == "lit":
+            t = c.contains(trig[1])
+        elif trig[0] == "re":
+            t = c.rlike(trig[1])
+        else:  # lowlit
+            low = F.lower(c)
+            t = None
+            for s in trig[1]:
+                tt = low.contains(s)
+                t = tt if t is None else t | tt
+        m = None
+        for rule in BUILTIN_PATTERNS[name].patterns:
+            mm = c.rlike(rule.regex)
+            m = mm if m is None else m | mm
+        cols[name] = (t, m)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_docs")]
+    for name, (t, m) in cols.items():
+        aggs.append(
+            F.sum(F.when(t, 1).otherwise(0)).cast("long").alias(f"t__{name}")
+        )
+        aggs.append(
+            F.sum(F.when(m, 1).otherwise(0)).cast("long").alias(f"m__{name}")
+        )
+        # soundness: a match outside the trigger set would mean the
+        # pre-filter drops real findings — fail loudly
+        aggs.append(
+            F.sum(F.when(m & ~t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"v__{name}")
+        )
+    row = df.agg(*aggs)
+    for name in cols:
+        row = row.withColumn(
+            f"v__{name}",
+            F.when(
+                F.col(f"`v__{name}`") > 0,
+                F.raise_error(
+                    F.lit(
+                        f"trigger_selectivity: pattern {name} matched "
+                        "outside its trigger set (unsound pre-filter)"
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("pattern"),
+                    F.col(f"`t__{name}`").alias("n_trigger"),
+                    # + v (always 0 when sound) keeps the raise_error
+                    # soundness check alive through column pruning
+                    (F.col(f"`m__{name}`") + F.col(f"`v__{name}`"))
+                    .alias("n_match"),
+                )
+                for name in cols
+            ]
+        )
+    ).alias("r")
+    out = row.select(F.col("__n_docs").alias("n_docs"), stacked).select(
+        "n_docs", "r.pattern", "r.n_trigger", "r.n_match"
+    )
+    return out.select(
+        "pattern",
+        "n_docs",
+        "n_trigger",
+        "n_match",
+        (F.lit(10_000) * F.col("n_trigger") / F.col("n_docs"))
+        .cast("long")
+        .alias("admit_x1e4"),
+        (
+            F.lit(10_000)
+            * (F.col("n_trigger") - F.col("n_match"))
+            / F.greatest(F.col("n_trigger"), F.lit(1))
+        )
+        .cast("long")
+        .alias("waste_x1e4"),
+    )
+
+
+def trigger_selectivity_oracle_sql(
+    rows_sql: str, content_sql: str, pattern_names: list[str]
+) -> str:
+    """DuckDB replay of :func:`trigger_selectivity` — same trigger
+    expressions (contains/regexp/lowered any-of) and rule ORs."""
+    from .patterns import BUILTIN_PATTERNS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    sel = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    stack = []
+    for name in pattern_names:
+        trig = _TRIGGERS.get(name)
+        if trig is None:
+            t = "TRUE"
+        elif trig[0] == "lit":
+            t = f"contains(c, '{q(trig[1])}')"
+        elif trig[0] == "re":
+            t = f"regexp_matches(c, '{q(trig[1])}')"
+        else:
+            t = " OR ".join(
+                f"contains(lower(c), '{q(s)}')" for s in trig[1]
+            )
+        m = " OR ".join(
+            f"regexp_matches(c, '{q(r.regex)}')"
+            for r in BUILTIN_PATTERNS[name].patterns
+        )
+        nm = name.replace("-", "_")
+        sel.append(
+            f"CAST(sum(CASE WHEN {t} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS t_{nm}"
+        )
+        sel.append(
+            f"CAST(sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS m_{nm}"
+        )
+        stack.append(
+            f"SELECT '{q(name)}' AS pattern, n_docs, t_{nm} AS n_trigger,"
+            f" m_{nm} AS n_match FROM agg"
+        )
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        base AS (SELECT {content_sql} AS c FROM rows0),
+        agg AS (SELECT {", ".join(sel)} FROM base),
+        st AS ({" UNION ALL ".join(stack)})
+        SELECT pattern, n_docs, n_trigger, n_match,
+               CAST(10000 * n_trigger // n_docs AS BIGINT) AS admit_x1e4,
+               CAST(10000 * (n_trigger - n_match)
+                    // greatest(n_trigger, 1) AS BIGINT) AS waste_x1e4
+        FROM st
+    """

@@ -1313,13 +1313,21 @@ def matryoshka_recall(
         F.col("rn") <= int(k)
     )
     truth = topk.filter(F.col("dim") == full).select("qid", "tid")
-    hits = (
+    # count queries from the FULL top-k set, not post-join: a query
+    # whose prefix top-k overlaps the truth zero times must still be in
+    # the denominator (caught by the hypothesis fuzz)
+    nq = topk.groupBy("dim").agg(
+        F.countDistinct("qid").cast("long").alias("n_queries")
+    )
+    ov = (
         topk.join(truth, ["qid", "tid"])
         .groupBy("dim")
-        .agg(
-            F.countDistinct("qid").cast("long").alias("n_queries"),
-            F.count(F.lit(1)).cast("long").alias("overlap"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    hits = nq.join(ov, "dim", "left").select(
+        "dim",
+        "n_queries",
+        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
     )
     return hits.select(
         "dim",
@@ -1362,13 +1370,20 @@ def matryoshka_recall_oracle_sql(
         ),
         topk AS (SELECT qid, tid, dim FROM ranked WHERE rn <= {int(k)}),
         truth AS (SELECT qid, tid FROM topk WHERE dim = {full}),
-        hits AS (
-            SELECT k.dim,
-                   CAST(count(DISTINCT k.qid) AS BIGINT) AS n_queries,
-                   CAST(count(*) AS BIGINT) AS overlap
+        nq AS (
+            SELECT dim, CAST(count(DISTINCT qid) AS BIGINT) AS n_queries
+            FROM topk GROUP BY dim
+        ),
+        ov AS (
+            SELECT k.dim, CAST(count(*) AS BIGINT) AS overlap
             FROM topk k JOIN truth tr
               ON tr.qid = k.qid AND tr.tid = k.tid
             GROUP BY k.dim
+        ),
+        hits AS (
+            SELECT nq.dim, nq.n_queries,
+                   CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap
+            FROM nq LEFT JOIN ov ON ov.dim = nq.dim
         )
         SELECT dim, n_queries, overlap,
                CAST(10000 * overlap // ({int(k)} * n_queries) AS BIGINT)
@@ -1481,4 +1496,122 @@ def centroid_drift_oracle_sql(rows_sql: str) -> str:
                     AS BIGINT) AS drift2
         FROM means GROUP BY lbl
         HAVING max(c0) IS NOT NULL AND max(c1) IS NOT NULL
+    """
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    thresh_x100: int = 400,
+) -> DataFrame:
+    """Per-label embedding outlier census — the data-pruning signal
+    SemDeDup's prototype papers call "distance to class centroid":
+    points far from their label's centroid are mislabeled, noisy or
+    adversarial, and a curator drops or re-routes them.  A point is an
+    outlier when ``d² · 100 > thresh_x100 · mean(d²)`` for its label —
+    the mean-relative test keeps the whole computation in exact int64
+    (cross-multiplied, no division), so counts replay bit-for-bit.
+
+    Emits per label: ``n, n_outliers, sum_d2, max_d2``.
+
+    Scale shape: two passes.  Pass 1 folds per-label integer centroid
+    means via map-side ``posexplode`` partials (the `centroid_drift`
+    shape — the exchange carries labels × dim fixed-width rows).
+    Pass 2 broadcasts the tiny centroid table, computes each point's
+    d² in one ``zip_with`` fold, and aggregates per label; the
+    threshold test is applied INSIDE the same aggregate via the
+    cross-multiplied form, so no third pass.
+    """
+    dims = (
+        df.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("lbl", "dim")
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    cent = dims.groupBy("lbl").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s", "c"))
+            ),
+            lambda t: _floor_div_col(t["s"], t["c"]),
+        ).alias("cv")
+    )
+    pts = df.select(
+        F.col(label_col).alias("lbl"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(cent), "lbl")
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = pts.select("lbl", d2.alias("d2"))
+    # the outlier test needs the label's (n, Σd²): one window over the
+    # fixed-width (lbl, d2) rows — never an array of all distances (a
+    # collect_list here would buffer a label's whole point set)
+    wl = Window.partitionBy("lbl")
+    flagged = per.withColumn(
+        "_is_out",
+        F.col("d2") * F.lit(100).cast("long")
+        * F.count(F.lit(1)).over(wl)
+        > F.lit(int(thresh_x100)) * F.sum("d2").over(wl),
+    )
+    return flagged.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_is_out"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+        F.max("d2").cast("long").alias("max_d2"),
+    )
+
+
+def centroid_outliers_oracle_sql(
+    rows_sql: str, thresh_x100: int = 400
+) -> str:
+    """DuckDB replay of :func:`centroid_outliers` over a CTE yielding
+    ``(lbl, v BIGINT[])`` — same integer centroid means, same
+    cross-multiplied threshold."""
+    fd = "((s - ((s % c + c) % c)) // c)"
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        dims AS (
+            SELECT lbl, u.i AS dim, v[u.i] AS x
+            FROM rows0, unnest(range(1, len(v) + 1)) AS u(i)
+        ),
+        agg0 AS (
+            SELECT lbl, dim, CAST(sum(x) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM dims GROUP BY 1, 2
+        ),
+        cent AS (
+            SELECT lbl, list({fd} ORDER BY dim) AS cv
+            FROM agg0 GROUP BY lbl
+        ),
+        pd AS (
+            SELECT r.lbl,
+                   CAST(list_sum(list_transform(
+                       range(1, len(r.v) + 1),
+                       i -> (r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])))
+                       AS BIGINT) AS d2
+            FROM rows0 r JOIN cent c ON c.lbl = r.lbl
+        ),
+        st AS (
+            SELECT lbl, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d2) AS BIGINT) AS sum_d2,
+                   CAST(max(d2) AS BIGINT) AS max_d2
+            FROM pd GROUP BY lbl
+        )
+        SELECT s.lbl, s.n,
+               CAST((SELECT count(*) FROM pd p
+                     WHERE p.lbl = s.lbl
+                       AND p.d2 * 100 * s.n > {int(thresh_x100)}
+                           * s.sum_d2) AS BIGINT) AS n_outliers,
+               s.sum_d2, s.max_d2
+        FROM st s
     """

@@ -1781,3 +1781,31 @@ def test_date_extraction_two_fixed_rows(spark):
     p = plan(date_extraction_census(docs, "content"))
     assert count_python_nodes(p) == 0
     assert "CartesianProduct" not in p
+
+
+def test_trigger_selectivity_one_pass_one_row(spark):
+    from pii_spark.detect import trigger_selectivity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(trigger_selectivity(docs, "content", ["email", "jwt"]))
+    assert count_python_nodes(p) == 0
+    # every trigger and rule test folds into ONE scan + 1-row agg
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_centroid_outliers_broadcast_centroids(spark):
+    from pii_spark.similarity import centroid_outliers
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("label").alias("lbl"),
+        F.expr("transform(embedding, x -> CAST(floor(x*100) AS BIGINT))")
+        .alias("qv"),
+    )
+    p = plan(centroid_outliers(emb, "lbl", "qv"))
+    assert count_python_nodes(p) == 0
+    # the tiny centroid table broadcasts back onto the point scan
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

