@@ -7031,6 +7031,124 @@ def q_base64_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern")
 
 
+_STREAM_Q_COUNTER = [0]
+
+
+def _run_stream_to_table(spark: SparkSession, stream_df: DataFrame) -> DataFrame:
+    """Run a streaming DataFrame to completion under
+    ``Trigger.AvailableNow`` into a memory sink and return the sink
+    table — the harness that lets the driver's rows+schema+hash oracle
+    gate STREAMING operators, not just their batch approximations.
+    One batch (single input file), then the final watermark-driven
+    flush; the query name is counter-unique within the session."""
+    _STREAM_Q_COUNTER[0] += 1
+    name = f"stream_parity_{_STREAM_Q_COUNTER[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def _stream_events_source(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    path = tempfile.mkdtemp(prefix="pii_stream_src_")
+    # ONE file => ONE micro-batch under AvailableNow: the parity
+    # contract below (dedup state never evicted mid-run) depends on it
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    return ev, spark.readStream.schema(ev.schema).parquet(path)
+
+
+def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2/U5 upgraded from pass[T] to the full rows+schema+hash gate:
+    # run the REAL streaming dedup (withWatermark +
+    # dropDuplicatesWithinWatermark) to completion under AvailableNow;
+    # with all data in one micro-batch the surviving set is exactly the
+    # distinct key set, which the oracle recomputes independently
+    from pii_spark.streaming import streaming_dedup
+
+    _ev, stream = _stream_events_source(spark, sf_dir)
+    ded = streaming_dedup(
+        stream, ["user_id", "event_type"], "ts", "5 minutes"
+    )
+    out = _run_stream_to_table(spark, ded)
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+        .orderBy("event_type")
+    )
+
+
+def q_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T-family session_window parity under the full oracle gate:
+    # streaming gap-sessions (merge at diff <= gap, emit when
+    # session_end <= max_ts - watermark — both boundary rules pinned by
+    # probe and mirrored in the SQL) vs an independent lag/cumsum
+    # batch re-derivation
+    from pii_spark.streaming import sessionize_stream
+
+    _ev, stream = _stream_events_source(spark, sf_dir)
+    sess = sessionize_stream(
+        stream, ["user_id"], "ts", gap="10 minutes", watermark="30 minutes"
+    )
+    out = _run_stream_to_table(spark, sess)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "start_s")
+
+
+#: all arithmetic in exact MICROSECONDS (epoch_us): DuckDB's epoch()
+#: returns a double whose BIGINT cast ROUNDS sub-second fractions where
+#: Spark's timestamp->long cast floors, and the watermark cut must
+#: compare at full event-time precision; display columns floor to
+#: seconds via // 1000000 (matching Spark's cast)
+_STREAM_SESSIONS_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    lagd AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        IS NULL
+                    OR us - lag(us) OVER (
+                           PARTITION BY user_id ORDER BY us) > 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagd
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(min(us) // 1000000 AS BIGINT) AS start_s,
+               CAST((max(us) + 600000000) // 1000000 AS BIGINT) AS end_s,
+               max(us) + 600000000 AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, start_s, end_s, n_events FROM agg
+    WHERE end_us <= (SELECT max(us) - 1800000000 FROM ev)
+    ORDER BY user_id, start_s
+"""
+
+
 _TRIG_PATTERNS = [
     "email", "aws-access-key", "github-token", "phone-us", "jwt",
     "database-connection",
@@ -9378,6 +9496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "function_complexity": q_function_complexity,
         "degree_assortativity": q_degree_assortativity,
+        "streaming_dedup_parity": q_streaming_dedup_parity,
+        "streaming_sessions_parity": q_streaming_sessions_parity,
         "trigger_selectivity": q_trigger_selectivity,
         "centroid_outliers": q_centroid_outliers,
         "code_switch_profile": q_code_switch_profile,
@@ -11116,6 +11236,12 @@ def oracle_sql() -> dict[str, str]:
         " h2, h3, links, table_rows, quotes, fences FROM ("
         + markdown_census_oracle_sql(_MD_FIXTURE_SQL, "content", "source")
         + ") ORDER BY g",
+        "streaming_dedup_parity": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_survivors
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "streaming_sessions_parity": _STREAM_SESSIONS_ORACLE,
         "trigger_selectivity": "SELECT * FROM ("
         + trigger_selectivity_oracle_sql(
             _trig_fixture_sql(), "content", _TRIG_PATTERNS

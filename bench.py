@@ -425,6 +425,8 @@ def main() -> None:
         "date_extraction",
         "trigger_selectivity",
         "centroid_outliers",
+        "streaming_dedup_parity",
+        "streaming_sessions_parity",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

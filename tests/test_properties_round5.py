@@ -1380,3 +1380,41 @@ def test_centroid_outliers_fuzz_matches_python(spark):
         assert got == want
 
     check()
+
+
+def test_session_window_boundary_semantics_pinned(spark):
+    # pins the two boundary rules the streaming_sessions_parity oracle
+    # encodes: (1) a window whose end EQUALS the final watermark is
+    # emitted (end <= watermark), (2) events exactly `gap` apart merge
+    # into one session (diff <= gap stays, only > gap splits)
+    import datetime
+    import tempfile
+
+    from pii_spark.streaming import sessionize_stream
+
+    T0 = datetime.datetime(2025, 1, 1)
+
+    def t(m):
+        return T0 + datetime.timedelta(minutes=m)
+
+    rows = [("A", t(0)), ("B", t(0)), ("B", t(10)), ("Z", t(40))]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    path = tempfile.mkdtemp(prefix="pii_bnd_")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    sess = sessionize_stream(
+        stream, ["user_id"], "ts", gap="10 minutes", watermark="30 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("bnd_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    out = spark.table("bnd_pin").collect()
+    # watermark lands at t(10): A's window [0, 10) has end == watermark
+    # -> emitted; B's merged window ends t(20) -> still open; Z open
+    assert [(r.user_id, r.n_events) for r in out] == [("A", 1)]
