@@ -7149,6 +7149,111 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+def q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-frontier triage: integer URL spam score census over
+    # synthesized hosts (deep subdomains d%4=1, digit farms d%4=2,
+    # punycode d%7=0, spam TLDs d%3=0, hyphen runs d%5=0)
+    from pii_spark.curation import url_spam_score
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(
+        F.when(d % 7 == 0, F.lit("xn--")).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.concat(F.lit("a."), ds, F.lit(".b.")))
+        .when(d % 4 == 2, F.concat(F.lit("d"), ds, ds, F.lit("9.")))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("my-shop-site")).otherwise(F.lit("site")),
+        F.lit("."),
+        F.when(d % 3 == 0, F.lit("xyz")).otherwise(F.lit("org")),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), ds).alias("url")
+    )
+    return url_spam_score(corpus, "url").orderBy("score")
+
+
+_URL_SPAM_FIXTURE_SQL = """
+    SELECT 'https://'
+        || CASE WHEN doc_id % 7 = 0 THEN 'xn--' ELSE '' END
+        || CASE WHEN doc_id % 4 = 1 THEN 'a.' || doc_id || '.b.'
+                WHEN doc_id % 4 = 2 THEN 'd' || doc_id || doc_id || '9.'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN 'my-shop-site' ELSE 'site' END
+        || '.'
+        || CASE WHEN doc_id % 3 = 0 THEN 'xyz' ELSE 'org' END
+        || '/p/' || doc_id AS url
+    FROM documents
+"""
+
+
+def q_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # governance: does dedup skew the language mix?  planted dup rate
+    # differs by lang (doc_id%10<3 collapses to one body per lang)
+    from pii_spark.curation import dedup_bias_audit
+
+    d = F.col("doc_id")
+    corpus = _docs(spark, sf_dir).select(
+        "lang",
+        F.sha2(
+            F.when(
+                d % 10 < 3,
+                F.concat(F.lit("boilerplate-"), F.col("lang")),
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("body_sha"),
+    )
+    return dedup_bias_audit(corpus, F.col("body_sha"), "lang").orderBy("g")
+
+
+_BIAS_FIXTURE_SQL = """
+    SELECT lang,
+           sha256(CASE WHEN doc_id % 10 < 3
+                       THEN 'boilerplate-' || lang
+                       ELSE text END) AS body_sha
+    FROM documents
+"""
+
+
+def q_streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the third streaming-parity gate: watermarked tumbling-window
+    # counts under AvailableNow append mode — emitted windows are
+    # exactly those whose end <= final watermark (same boundary rule
+    # the session probe pinned), mirrored in epoch_us integers
+    _ev, stream = _stream_events_source(spark, sf_dir)
+    win = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    out = _run_stream_to_table(spark, win)
+    return out.orderBy("win_start_s", "event_type")
+
+
+_STREAM_WINDOW_ORACLE = """
+    WITH ev AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, us // 3600000000 AS bucket FROM ev
+    ),
+    agg AS (
+        SELECT bucket, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    )
+    SELECT CAST(bucket * 3600 AS BIGINT) AS win_start_s, event_type, n
+    FROM agg
+    WHERE (bucket + 1) * 3600000000
+          <= (SELECT max(us) - 1800000000 FROM ev)
+    ORDER BY win_start_s, event_type
+"""
+
+
 _TRIG_PATTERNS = [
     "email", "aws-access-key", "github-token", "phone-us", "jwt",
     "database-connection",
@@ -9497,6 +9602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_complexity": q_function_complexity,
         "degree_assortativity": q_degree_assortativity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
+        "streaming_window_parity": q_streaming_window_parity,
+        "url_spam_score": q_url_spam_score,
+        "dedup_bias_audit": q_dedup_bias_audit,
         "streaming_sessions_parity": q_streaming_sessions_parity,
         "trigger_selectivity": q_trigger_selectivity,
         "centroid_outliers": q_centroid_outliers,
@@ -9796,7 +9904,11 @@ def oracle_sql() -> dict[str, str]:
         centroid_outliers_oracle_sql,
         matryoshka_recall_oracle_sql,
     )
-    from pii_spark.curation import priority_sample_sha_sql
+    from pii_spark.curation import (
+        dedup_bias_audit_oracle_sql,
+        priority_sample_sha_sql,
+        url_spam_score_oracle_sql,
+    )
     from pii_spark.graph import degree_assortativity_oracle_sql
     from pii_spark.diagnostics import zonemap_skip_oracle_sql
     from pii_spark.masking import fpe_mask_oracle_sql
@@ -11242,6 +11354,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "streaming_sessions_parity": _STREAM_SESSIONS_ORACLE,
+        "streaming_window_parity": _STREAM_WINDOW_ORACLE,
+        "url_spam_score": "SELECT * FROM ("
+        + url_spam_score_oracle_sql(_URL_SPAM_FIXTURE_SQL, "url")
+        + ") ORDER BY score",
+        "dedup_bias_audit": "SELECT * FROM ("
+        + dedup_bias_audit_oracle_sql(
+            _BIAS_FIXTURE_SQL, "body_sha", "lang"
+        )
+        + ") ORDER BY g",
         "trigger_selectivity": "SELECT * FROM ("
         + trigger_selectivity_oracle_sql(
             _trig_fixture_sql(), "content", _TRIG_PATTERNS

@@ -427,6 +427,9 @@ def main() -> None:
         "centroid_outliers",
         "streaming_dedup_parity",
         "streaming_sessions_parity",
+        "streaming_window_parity",
+        "url_spam_score",
+        "dedup_bias_audit",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

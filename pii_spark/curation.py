@@ -3606,3 +3606,186 @@ def priority_sample_sha_sql(key_sql: str, salt: str) -> str:
         )
         + ")"
     )
+
+
+#: TLDs disproportionately represented in link-spam crawls (a fixture
+#: list, not a judgment — the operator takes any set)
+SPAM_TLDS = ("tk", "ml", "ga", "cf", "gq", "top", "xyz", "click")
+
+
+def url_spam_score(
+    df: DataFrame,
+    url_col: str,
+    spam_tlds: tuple[str, ...] = SPAM_TLDS,
+) -> DataFrame:
+    """Rule-based URL spam scoring census — the crawl-frontier triage
+    signal (SEO farms and parked domains cluster on deep subdomains,
+    digit-heavy hosts, punycode and giveaway TLDs; a crawler demotes
+    them before fetching).  All-integer score so buckets replay
+    exactly:
+
+    - +2 per subdomain level beyond registrable (host dots − 1),
+    - +3 if digits make up > 30% of the host (cross-multiplied),
+    - +4 for punycode (``xn--``),
+    - +3 for a spam-listed TLD,
+    - +1 per hyphen in the host.
+
+    Emits per capped score bucket (0..10): ``n_urls, n_punycode,
+    n_spam_tld``.
+
+    Scale shape: host parse + every feature fuse into the scan (one
+    ``regexp_extract`` + integer ops); ONE hash aggregate over 11
+    buckets.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1)
+    )
+    dots = F.length(host) - F.length(F.regexp_replace(host, r"\.", ""))
+    digits = F.length(host) - F.length(
+        F.regexp_replace(host, r"[0-9]", "")
+    )
+    hyphens = F.length(host) - F.length(F.regexp_replace(host, "-", ""))
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    is_puny = host.contains("xn--")
+    is_spam_tld = tld.isin(*spam_tlds)
+    score = (
+        F.greatest(dots - 1, F.lit(0)) * 2
+        + F.when(digits * 10 > F.length(host) * 3, 3).otherwise(0)
+        + F.when(is_puny, 4).otherwise(0)
+        + F.when(is_spam_tld, 3).otherwise(0)
+        + hyphens
+    )
+    return (
+        df.select(
+            F.least(score, F.lit(10)).cast("long").alias("score"),
+            is_puny.alias("p"),
+            is_spam_tld.alias("s"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("p"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_punycode"),
+            F.sum(F.when(F.col("s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spam_tld"),
+        )
+    )
+
+
+def url_spam_score_oracle_sql(
+    rows_sql: str,
+    url_sql: str,
+    spam_tlds: tuple[str, ...] = SPAM_TLDS,
+) -> str:
+    """DuckDB replay of :func:`url_spam_score` — same host parse and
+    integer feature weights."""
+    tl = ", ".join(f"'{t}'" for t in spam_tlds)
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        h AS (
+            SELECT lower(regexp_extract({url_sql},
+                       '^[a-z]+://([^/:?#]+)', 1)) AS host
+            FROM rows0
+        ),
+        f AS (
+            SELECT host,
+                   length(host) - length(replace(host, '.', '')) AS dots,
+                   length(host)
+                       - length(regexp_replace(host, '[0-9]', '', 'g'))
+                       AS digits,
+                   length(host) - length(replace(host, '-', ''))
+                       AS hyphens,
+                   regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+                   contains(host, 'xn--') AS p
+            FROM h
+        ),
+        sc AS (
+            SELECT greatest(dots - 1, 0) * 2
+                   + CASE WHEN digits * 10 > length(host) * 3
+                          THEN 3 ELSE 0 END
+                   + CASE WHEN p THEN 4 ELSE 0 END
+                   + CASE WHEN tld IN ({tl}) THEN 3 ELSE 0 END
+                   + hyphens AS score0,
+                   p, tld IN ({tl}) AS s
+            FROM f
+        )
+        SELECT CAST(least(score0, 10) AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_punycode,
+               CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spam_tld
+        FROM sc GROUP BY 1
+    """
+
+
+def dedup_bias_audit(
+    df: DataFrame, key: Column, group_col: str
+) -> DataFrame:
+    """Does deduplication skew the corpus mix?  Exact dedup keeps one
+    survivor per ``key``; if duplicates concentrate in one group
+    (mirrored sources, template-heavy languages), the post-dedup group
+    shares silently drift — the governance number a datasheet should
+    carry next to the dedup rate.  Per group:
+
+    - ``n_before / n_after`` row counts,
+    - ``share_ratio_x1e4`` = (after-share / before-share) ×1e4, exact
+      via cross-multiplication: ``n_after·total_before·10⁴ //
+      (n_before·total_after)`` — 10000 means the group kept its share,
+      below means dedup hit it harder than average.
+
+    Scale shape: ``n_after`` is one distinct-count per (group, key) —
+    two hash aggregates with map-side partials; totals ride a 1-row
+    broadcast; no second scan, no text movement (key should already be
+    a hash/sha column).
+    """
+    per = (
+        df.select(F.col(group_col).alias("g"), key.alias("k"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.countDistinct("k").cast("long").alias("n_after"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_before").cast("long").alias("tb"),
+        F.sum("n_after").cast("long").alias("ta"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    num = F.col("n_after") * F.col("tb") * F.lit(10_000).cast("long")
+    den = F.col("n_before") * F.col("ta")
+    # positive-exact floor division beyond the double range (numerator
+    # is count x count x 1e4)
+    ratio = (
+        (num - num % den).cast("decimal(38,0)")
+        / den.cast("decimal(38,0)")
+    ).cast("long")
+    return j.select("g", "n_before", "n_after",
+                    ratio.alias("share_ratio_x1e4"))
+
+
+def dedup_bias_audit_oracle_sql(
+    rows_sql: str, key_sql: str, group_sql: str
+) -> str:
+    """DuckDB replay of :func:`dedup_bias_audit` — same distinct
+    counts, same cross-multiplied exact ratio."""
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        per AS (
+            SELECT {group_sql} AS g,
+                   CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(count(DISTINCT {key_sql}) AS BIGINT) AS n_after
+            FROM rows0 GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                   CAST(sum(n_after) AS BIGINT) AS ta
+            FROM per
+        )
+        SELECT g, n_before, n_after,
+               CAST(n_after * tb * 10000 // (n_before * ta) AS BIGINT)
+                   AS share_ratio_x1e4
+        FROM per, tot
+    """

@@ -1809,3 +1809,28 @@ def test_centroid_outliers_broadcast_centroids(spark):
     # the tiny centroid table broadcasts back onto the point scan
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_url_spam_score_single_agg(spark):
+    from pii_spark.curation import url_spam_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("https://h"), F.col("doc_id").cast("string"),
+                 F.lit(".org/p")).alias("url")
+    )
+    p = plan(url_spam_score(docs, "url"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_dedup_bias_audit_two_aggs_broadcast_totals(spark):
+    from pii_spark.curation import dedup_bias_audit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    p = plan(dedup_bias_audit(docs, F.col("sha"), "lang"))
+    assert count_python_nodes(p) == 0
+    # totals ride a broadcast nested loop against the tiny per-group
+    # table; no cartesian of data rows
+    assert "BroadcastNestedLoopJoin" in p

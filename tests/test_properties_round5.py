@@ -1418,3 +1418,97 @@ def test_session_window_boundary_semantics_pinned(spark):
     # watermark lands at t(10): A's window [0, 10) has end == watermark
     # -> emitted; B's merged window ends t(20) -> still open; Z open
     assert [(r.user_id, r.n_events) for r in out] == [("A", 1)]
+
+
+def test_url_spam_score_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.curation import SPAM_TLDS, url_spam_score
+
+    host_st = st.from_regex(
+        r"[a-z0-9-]{1,6}(\.[a-z0-9-]{1,6}){0,3}\.(xyz|org|com|tk)",
+        fullmatch=True,
+    )
+
+    @given(st.lists(host_st, min_size=1, max_size=15), st.booleans())
+    @settings(max_examples=12, deadline=None)
+    def check(hosts, puny):
+        urls = [
+            ("https://" + ("xn--" if puny and i % 2 == 0 else "") + h
+             + "/x") for i, h in enumerate(hosts)
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got = {
+            r.score: (r.n_urls, r.n_punycode, r.n_spam_tld)
+            for r in url_spam_score(df, "url").collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, 0, 0])
+        for u in urls:
+            host = _re.match(r"^[a-z]+://([^/:?#]+)", u).group(1).lower()
+            dots = host.count(".")
+            digits = sum(c.isdigit() for c in host)
+            hyphens = host.count("-")
+            m = _re.search(r"\.([a-z0-9-]+)$", host)
+            tld = m.group(1) if m else ""
+            p = "xn--" in host
+            s = tld in SPAM_TLDS
+            score = (
+                max(dots - 1, 0) * 2
+                + (3 if digits * 10 > len(host) * 3 else 0)
+                + (4 if p else 0)
+                + (3 if s else 0)
+                + hyphens
+            )
+            b = min(score, 10)
+            want[b][0] += 1
+            want[b][1] += p
+            want[b][2] += s
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    check()
+
+
+def test_dedup_bias_audit_fuzz_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.curation import dedup_bias_audit
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]), st.integers(0, 6)
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "g string, k long")
+        got = {
+            r.g: (r.n_before, r.n_after, r.share_ratio_x1e4)
+            for r in dedup_bias_audit(df, F.col("k"), "g").collect()
+        }
+        from collections import defaultdict
+
+        per = defaultdict(lambda: [0, set()])
+        for g, k in rows:
+            per[g][0] += 1
+            per[g][1].add(k)
+        tb = sum(v[0] for v in per.values())
+        ta = sum(len(v[1]) for v in per.values())
+        want = {
+            g: (n, len(ks), len(ks) * tb * 10_000 // (n * ta))
+            for g, (n, ks) in per.items()
+        }
+        assert got == want
+        # weighted mean of ratios is 1 (shares sum to 1 on both sides)
+        assert sum(
+            len(ks) * 1 for _, ks in per.values()
+        ) == ta
+
+    check()
