@@ -7149,6 +7149,122 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sidecar schema evolution between snapshots (doc_id parity):
+    # "v2" only in snap 1 (added), "legacy" only in snap 0 (removed),
+    # url/lang/score kept; every 13th record malformed (contributes
+    # no keys, identically via the lazy validity gate)
+    from pii_spark.metadata import json_schema_drift
+
+    d = F.col("doc_id")
+    j = F.concat(
+        F.lit('{"url":"u'), d.cast("string"),
+        F.lit('","lang":"'), F.col("lang"), F.lit('"'),
+        F.when(d % 5 != 0,
+               F.concat(F.lit(',"score":'), (d % 100).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 1, F.lit(',"v2":1')).otherwise(F.lit("")),
+        F.when((d % 2 == 0) & (d % 3 == 0), F.lit(',"legacy":0'))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    j = F.when(d % 13 == 0, F.substring(j, 1, 9)).otherwise(j)
+    corpus = _docs(spark, sf_dir).select(
+        j.alias("sidecar"), (d % 2).alias("snap")
+    )
+    return json_schema_drift(corpus, "sidecar", F.col("snap")).orderBy(
+        "key"
+    )
+
+
+_JSON_DRIFT_FIXTURE_SQL = """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN substr(j, 1, 9) ELSE j END
+               AS sidecar,
+           CAST(doc_id % 2 AS INTEGER) AS snap
+    FROM (
+        SELECT doc_id,
+               '{"url":"u' || doc_id || '","lang":"' || lang || '"'
+               || CASE WHEN doc_id % 5 != 0
+                       THEN ',"score":' || (doc_id % 100) ELSE '' END
+               || CASE WHEN doc_id % 2 = 1 THEN ',"v2":1' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+                       THEN ',"legacy":0' ELSE '' END
+               || '}' AS j
+        FROM documents
+    )
+"""
+
+
+def q_md_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tabular-payload census: planted markdown tables (d%3=0) with
+    # int/float/date/str cells; line-based, no block regex
+    from pii_spark.quality import md_table_census
+
+    d = F.col("doc_id")
+    tbl = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("\n| h1 | h2 |\n| --- | --- |\n| 1 | 2.5 |\n"
+                  "| 2024-01-02 | x"),
+            d.cast("string"),
+            F.lit(" |\n"),
+        ),
+    ).otherwise(F.lit(""))
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), tbl).alias("content")
+    )
+    return md_table_census(corpus, "content").orderBy("kind")
+
+
+_MD_TABLE_FIXTURE_SQL = """
+    SELECT text || CASE WHEN doc_id % 3 = 0 THEN
+        chr(10) || '| h1 | h2 |'
+        || chr(10) || '| --- | --- |'
+        || chr(10) || '| 1 | 2.5 |'
+        || chr(10) || '| 2024-01-02 | x' || doc_id || ' |' || chr(10)
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
+def q_anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inbound-anchor census per target domain: planted anchors with
+    # text (d%4=0) and empty image links (d%4=1)
+    from pii_spark.quality import anchor_text_census
+
+    d = F.col("doc_id")
+    a = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<a href="https://d'), (d % 7).cast("string"),
+                F.lit('.example.org/p">read this '),
+                d.cast("string"), F.lit("</a>"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.lit('<a class="img" href="https://img.example.net/i"></a>'),
+        )
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), F.lit(" "), a).alias("content")
+    )
+    return anchor_text_census(corpus, "content").orderBy("domain")
+
+
+_ANCHOR_FIXTURE_SQL = """
+    SELECT text || ' ' || CASE
+        WHEN doc_id % 4 = 0 THEN '<a href="https://d' || (doc_id % 7)
+            || '.example.org/p">read this ' || doc_id || '</a>'
+        WHEN doc_id % 4 = 1
+            THEN '<a class="img" href="https://img.example.net/i"></a>'
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
 def q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl-frontier triage: integer URL spam score census over
     # synthesized hosts (deep subdomains d%4=1, digit farms d%4=2,
@@ -9605,6 +9721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_parity": q_streaming_window_parity,
         "url_spam_score": q_url_spam_score,
         "dedup_bias_audit": q_dedup_bias_audit,
+        "json_schema_drift": q_json_schema_drift,
+        "md_table_census": q_md_table_census,
+        "anchor_text_census": q_anchor_text_census,
         "streaming_sessions_parity": q_streaming_sessions_parity,
         "trigger_selectivity": q_trigger_selectivity,
         "centroid_outliers": q_centroid_outliers,
@@ -9890,8 +10009,10 @@ def oracle_sql() -> dict[str, str]:
         suppress_findings_case_sql,
     )
     from pii_spark.quality import (
+        anchor_text_census_oracle_sql,
         code_switch_oracle_sql,
         date_extraction_oracle_sql,
+        md_table_census_oracle_sql,
         function_complexity_oracle_sql,
         heaps_curve_oracle_sql,
         histogram_rollup_oracle_sql,
@@ -10086,6 +10207,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.metadata import (
         json_key_census_oracle_sql,
         metadata_rollup_oracle_sql,
+        json_schema_drift_oracle_sql,
         record_unpack_oracle_sql,
     )
     from pii_spark.quality import (
@@ -11355,6 +11477,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_sessions_parity": _STREAM_SESSIONS_ORACLE,
         "streaming_window_parity": _STREAM_WINDOW_ORACLE,
+        "json_schema_drift": "SELECT * FROM ("
+        + json_schema_drift_oracle_sql(
+            _JSON_DRIFT_FIXTURE_SQL, "sidecar", "snap"
+        )
+        + ") ORDER BY key",
+        "md_table_census": "SELECT * FROM ("
+        + md_table_census_oracle_sql(_MD_TABLE_FIXTURE_SQL, "content")
+        + ") ORDER BY kind",
+        "anchor_text_census": "SELECT * FROM ("
+        + anchor_text_census_oracle_sql(_ANCHOR_FIXTURE_SQL, "content")
+        + ") ORDER BY domain",
         "url_spam_score": "SELECT * FROM ("
         + url_spam_score_oracle_sql(_URL_SPAM_FIXTURE_SQL, "url")
         + ") ORDER BY score",

@@ -430,6 +430,9 @@ def main() -> None:
         "streaming_window_parity",
         "url_spam_score",
         "dedup_bias_audit",
+        "json_schema_drift",
+        "md_table_census",
+        "anchor_text_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

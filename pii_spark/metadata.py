@@ -794,3 +794,74 @@ def apply_patch(
                 rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(fn, schema=schema)
+
+
+def json_schema_drift(
+    df: DataFrame, json_col: str, snap_col: Column
+) -> DataFrame:
+    """Schema evolution of semi-structured sidecars between two
+    snapshots: per top-level key, presence counts in snapshot 0 vs 1
+    and a status — ``added`` (new in 1), ``removed`` (gone from 1),
+    ``kept`` — the drift report a pipeline owner reads before a
+    sidecar-consuming job breaks on a renamed field.  Malformed JSON
+    rows contribute no keys (identically in both engines via a lazy
+    validity gate).
+
+    Scale shape: ``json_object_keys`` + explode fuse into the scan;
+    the exchange carries (key, snap) pairs; one hash aggregate over
+    the key domain.
+    """
+    keys = (
+        df.select(
+            snap_col.cast("int").alias("snap"),
+            F.explode(
+                F.json_object_keys(F.col(json_col))
+            ).alias("key"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+    )
+    status = (
+        F.when(F.col("n0") == 0, "added")
+        .when(F.col("n1") == 0, "removed")
+        .otherwise("kept")
+    )
+    return keys.select("key", "n0", "n1", status.alias("status"))
+
+
+def json_schema_drift_oracle_sql(
+    rows_sql: str, json_sql: str, snap_sql: str
+) -> str:
+    """DuckDB replay of :func:`json_schema_drift` — json_keys under a
+    lazy json_valid gate (DuckDB raises on malformed where Spark's
+    json_object_keys returns NULL)."""
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        ks AS (
+            SELECT CAST({snap_sql} AS INTEGER) AS snap,
+                   unnest(CASE WHEN json_valid({json_sql})
+                               THEN json_keys({json_sql})
+                               ELSE [] END) AS key
+            FROM rows0
+        ),
+        agg AS (
+            SELECT key,
+                   CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1
+            FROM ks GROUP BY key
+        )
+        SELECT key, n0, n1,
+               CASE WHEN n0 = 0 THEN 'added'
+                    WHEN n1 = 0 THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM agg
+    """

@@ -1834,3 +1834,31 @@ def test_dedup_bias_audit_two_aggs_broadcast_totals(spark):
     # totals ride a broadcast nested loop against the tiny per-group
     # table; no cartesian of data rows
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_json_schema_drift_single_agg(spark):
+    from pii_spark.metadata import json_schema_drift
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit('{"a":1}').alias("j"), (F.col("doc_id") % 2).alias("snap")
+    )
+    p = plan(json_schema_drift(docs, "j", F.col("snap")))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_anchor_text_census_no_text_past_exchange(spark):
+    from pii_spark.quality import anchor_text_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(anchor_text_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all(
+        "txt" not in ln and "content" not in ln for ln in ex_lines
+    )

@@ -1512,3 +1512,81 @@ def test_dedup_bias_audit_fuzz_matches_python(spark):
         ) == ta
 
     check()
+
+
+def test_json_schema_drift_units(spark):
+    from pyspark.sql import functions as F
+
+    from pii_spark.metadata import json_schema_drift
+
+    rows = [
+        (0, '{"a":1,"legacy":2}'),
+        (0, '{"a":1}'),
+        (1, '{"a":1,"v2":3}'),
+        (1, 'not json at all'),
+    ]
+    df = spark.createDataFrame(rows, "snap int, j string")
+    got = {
+        r.key: (r.n0, r.n1, r.status)
+        for r in json_schema_drift(df, "j", F.col("snap")).collect()
+    }
+    assert got == {
+        "a": (2, 1, "kept"),
+        "legacy": (1, 0, "removed"),
+        "v2": (0, 1, "added"),
+    }
+
+
+def test_md_table_census_units(spark):
+    from pii_spark.quality import md_table_census
+
+    content = (
+        "prose line\n"
+        "| h1 | h2 |\n"
+        "| --- | --- |\n"
+        "| 1 | 2.5 |\n"
+        "| 2024-01-02 | xyz |\n"
+        "more prose"
+    )
+    df = spark.createDataFrame([(0, content)], "i long, content string")
+    got = {r.kind: r.n for r in md_table_census(df, "content").collect()}
+    assert got == {
+        "__tables__": 1,
+        "__rows__": 3,   # header + 2 data rows (sep excluded)
+        "other": 3,      # h1, h2, xyz
+        "int": 1,
+        "float": 1,
+        "date": 1,
+    }
+
+
+def test_anchor_text_census_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import _ANCHOR_RE, anchor_text_census
+
+    dom_st = st.sampled_from(["a.org", "b.net", "c.io"])
+    txt_st = st.sampled_from(["read", "more info", ""])
+
+    @given(st.lists(st.tuples(dom_st, txt_st), min_size=1, max_size=12))
+    @settings(max_examples=12, deadline=None)
+    def check(links):
+        content = " ".join(
+            f'<a href="https://{d}/p">{t}</a>' for d, t in links
+        )
+        df = spark.createDataFrame([(0, content)], "i long, content string")
+        got = {
+            r.domain: (r.n_links, r.n_empty, r.text_chars)
+            for r in anchor_text_census(df, "content").collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, 0, 0])
+        for href, txt in _re.findall(_ANCHOR_RE, content):
+            dom = _re.match(r"^[a-z]+://([^/:?#]+)", href).group(1)
+            want[dom][0] += 1
+            want[dom][1] += txt.strip() == ""
+            want[dom][2] += len(txt.strip())
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    check()
