@@ -7149,6 +7149,118 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+def q_log_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Drain-lite log-template mining: planted log lines (d%3=0 request
+    # logs with ip/ts/latency slots, d%3=1 worker logs with hex ids)
+    # collapse to two templates; word-salad lines stay below min_count
+    from pii_spark.quality import log_template_census
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    logline = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("2024-01-02 10:1"), (d % 10).cast("string"),
+                F.lit(":05 GET /api/v1/item served to 10.0."),
+                (d % 250).cast("string"), F.lit(".9 in "),
+                (d % 900).cast("string"), F.lit("ms"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("worker "), F.lpad(F.lower(F.hex(d)), 12, "0"),
+                F.lit(" finished batch "), ds,
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.col("text"), F.lit("\n"), logline).alias("content")
+    )
+    return log_template_census(corpus, "content", min_count=5).orderBy(
+        "tpl_sha"
+    )
+
+
+_LOG_TPL_FIXTURE_SQL = """
+    SELECT text || chr(10) || CASE
+        WHEN doc_id % 3 = 0 THEN '2024-01-02 10:1' || (doc_id % 10)
+            || ':05 GET /api/v1/item served to 10.0.' || (doc_id % 250)
+            || '.9 in ' || (doc_id % 900) || 'ms'
+        WHEN doc_id % 3 = 1 THEN 'worker '
+            || lpad(lower(hex(doc_id)), 12, '0')
+            || ' finished batch ' || doc_id
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
+_NAME_DICT = [
+    "alice", "bob", "carol", "mallory", "trent", "peggy", "sybil",
+]
+
+
+def q_name_dictionary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dictionary-PII at join scale: broadcast name list semi-joined
+    # against the token stream (names planted in emails and prose by
+    # residue — the localpart tokenizes out, so 'alice@x.io' hits)
+    from pii_spark.quality import name_dictionary_scan
+
+    d = F.col("doc_id")
+    splice = (
+        F.when(d % 5 == 0, F.lit(" contact alice@example.org"))
+        .when(d % 5 == 1, F.lit(" reviewed by Bob and Carol"))
+        .when(d % 5 == 2, F.lit(" mallory attempted access"))
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), splice).alias("content")
+    )
+    return name_dictionary_scan(
+        corpus, "doc_id", "content", _NAME_DICT
+    ).orderBy("name")
+
+
+_NAME_FIXTURE_SQL = """
+    SELECT doc_id, text || CASE
+        WHEN doc_id % 5 = 0 THEN ' contact alice@example.org'
+        WHEN doc_id % 5 = 1 THEN ' reviewed by Bob and Carol'
+        WHEN doc_id % 5 = 2 THEN ' mallory attempted access'
+        ELSE '' END AS content
+    FROM documents
+"""
+
+
+def q_parallel_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-structure bitext candidates: groups of 4 docs share a path,
+    # lang segment cycles en/fr/de/ko -> 6 unordered lang pairs per key
+    from pii_spark.curation import parallel_url_pairs
+
+    d = F.col("doc_id")
+    langs = F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("ko"))
+    url = F.concat(
+        F.lit("https://site"),
+        (F.floor(d / 4) % 5).cast("long").cast("string"), F.lit(".org/"),
+        F.element_at(langs, (d % 4 + 1).cast("int")),
+        F.lit("/docs/p"), F.floor(d / 4).cast("long").cast("string"),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return parallel_url_pairs(corpus, "doc_id", "url").orderBy(
+        "lang_a", "lang_b"
+    )
+
+
+_PURL_FIXTURE_SQL = """
+    SELECT doc_id,
+           'https://site' || ((doc_id // 4) % 5) || '.org/'
+           || ['en', 'fr', 'de', 'ko'][CAST(doc_id % 4 AS INTEGER) + 1]
+           || '/docs/p' || CAST(doc_id // 4 AS VARCHAR) AS url
+    FROM documents
+"""
+
+
 def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sidecar schema evolution between snapshots (doc_id parity):
     # "v2" only in snap 1 (added), "legacy" only in snap 0 (removed),
@@ -9722,6 +9834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam_score": q_url_spam_score,
         "dedup_bias_audit": q_dedup_bias_audit,
         "json_schema_drift": q_json_schema_drift,
+        "log_template_census": q_log_template_census,
+        "name_dictionary_scan": q_name_dictionary_scan,
+        "parallel_url_pairs": q_parallel_url_pairs,
         "md_table_census": q_md_table_census,
         "anchor_text_census": q_anchor_text_census,
         "streaming_sessions_parity": q_streaming_sessions_parity,
@@ -10012,7 +10127,9 @@ def oracle_sql() -> dict[str, str]:
         anchor_text_census_oracle_sql,
         code_switch_oracle_sql,
         date_extraction_oracle_sql,
+        log_template_oracle_sql,
         md_table_census_oracle_sql,
+        name_dictionary_oracle_sql,
         function_complexity_oracle_sql,
         heaps_curve_oracle_sql,
         histogram_rollup_oracle_sql,
@@ -10027,6 +10144,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.curation import (
         dedup_bias_audit_oracle_sql,
+        parallel_url_pairs_oracle_sql,
         priority_sample_sha_sql,
         url_spam_score_oracle_sql,
     )
@@ -11477,6 +11595,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_sessions_parity": _STREAM_SESSIONS_ORACLE,
         "streaming_window_parity": _STREAM_WINDOW_ORACLE,
+        "log_template_census": "SELECT * FROM ("
+        + log_template_oracle_sql(
+            _LOG_TPL_FIXTURE_SQL, "content", min_count=5
+        )
+        + ") ORDER BY tpl_sha",
+        "name_dictionary_scan": "SELECT * FROM ("
+        + name_dictionary_oracle_sql(
+            _NAME_FIXTURE_SQL, "content", "doc_id", _NAME_DICT
+        )
+        + ") ORDER BY name",
+        "parallel_url_pairs": "SELECT * FROM ("
+        + parallel_url_pairs_oracle_sql(_PURL_FIXTURE_SQL, "doc_id", "url")
+        + ") ORDER BY lang_a, lang_b",
         "json_schema_drift": "SELECT * FROM ("
         + json_schema_drift_oracle_sql(
             _JSON_DRIFT_FIXTURE_SQL, "sidecar", "snap"

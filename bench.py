@@ -433,6 +433,9 @@ def main() -> None:
         "json_schema_drift",
         "md_table_census",
         "anchor_text_census",
+        "log_template_census",
+        "name_dictionary_scan",
+        "parallel_url_pairs",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -3789,3 +3789,95 @@ def dedup_bias_audit_oracle_sql(
                    AS share_ratio_x1e4
         FROM per, tot
     """
+
+
+def parallel_url_pairs(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    lang_segs: tuple[str, ...] = ("en", "fr", "de", "ko"),
+    hot_cap: int = 20,
+) -> DataFrame:
+    """URL-structure bitext mining (the WMT/ParaCrawl first pass):
+    pages whose URLs differ ONLY in a language path segment
+    (``/en/docs/x`` vs ``/fr/docs/x``) are translation candidates —
+    found by joining on the URL with its language segment slotted out,
+    long before any embedding similarity runs (compare
+    ``similarity.bitext_margin_topk``, the content-based second pass).
+
+    The language is the first matching path segment; the join key
+    replaces mid-path ``/{lang}/`` and trailing ``/{lang}`` with a
+    slot (two global replaces — no lookaround, RE2∩Java-safe).  Keys
+    fanning out past ``hot_cap`` docs are dropped (aggregator pages
+    and soft-404 templates explode quadratically; same policy as the
+    LSH band join).  Emits per (lang_a, lang_b): candidate pair count
+    and distinct key count.
+
+    Scale shape: parse + key build fuse into the scan; the self-join
+    shuffles only (key-sha, lang, id) fixed-width rows; Σ min(r,cap)²
+    bounds the pair fan-out.
+    """
+    seg = "|".join(lang_segs)
+    url = F.col(url_col)
+    lang = F.regexp_extract(url, f"/({seg})(/|$)", 1)
+    key = F.regexp_replace(
+        F.regexp_replace(url, f"/(?:{seg})/", "/_/"),
+        f"/(?:{seg})$",
+        "/_",
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            lang.alias("lang"),
+            F.sha2(key, 256).alias("k"),
+        )
+        .filter(F.col("lang") != "")
+    )
+    fan = base.groupBy("k").agg(F.count(F.lit(1)).alias("_n"))
+    keep = base.join(
+        fan.filter(F.col("_n") <= int(hot_cap)).select("k"), "k"
+    )
+    a = keep.select("k", F.col("lang").alias("lang_a"),
+                    F.col("id").alias("id_a"))
+    b = keep.select("k", F.col("lang").alias("lang_b"),
+                    F.col("id").alias("id_b"))
+    pairs = a.join(b, "k").filter(F.col("lang_a") < F.col("lang_b"))
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("k").cast("long").alias("n_keys"),
+    )
+
+
+def parallel_url_pairs_oracle_sql(
+    rows_sql: str,
+    id_sql: str,
+    url_sql: str,
+    lang_segs: tuple[str, ...] = ("en", "fr", "de", "ko"),
+    hot_cap: int = 20,
+) -> str:
+    """DuckDB replay of :func:`parallel_url_pairs` — same two-step
+    slotting, same hot-key cap, same pair census."""
+    seg = "|".join(lang_segs)
+    return f"""
+        WITH rows0 AS ({rows_sql}),
+        base AS (
+            SELECT {id_sql} AS id,
+                   regexp_extract({url_sql}, '/({seg})(/|$)', 1) AS lang,
+                   sha256(regexp_replace(regexp_replace({url_sql},
+                       '/(?:{seg})/', '/_/', 'g'),
+                       '/(?:{seg})$', '/_')) AS k
+            FROM rows0
+        ),
+        keep AS (
+            SELECT * FROM base
+            WHERE lang != '' AND k IN (
+                SELECT k FROM base WHERE lang != ''
+                GROUP BY k HAVING count(*) <= {int(hot_cap)}
+            )
+        )
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT a.k) AS BIGINT) AS n_keys
+        FROM keep a JOIN keep b ON a.k = b.k AND a.lang < b.lang
+        GROUP BY 1, 2
+    """

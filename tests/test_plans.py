@@ -1862,3 +1862,47 @@ def test_anchor_text_census_no_text_past_exchange(spark):
     assert ex_lines and all(
         "txt" not in ln and "content" not in ln for ln in ex_lines
     )
+
+
+def test_log_template_census_template_travels_hashed(spark):
+    from pii_spark.quality import log_template_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(log_template_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_name_dictionary_scan_broadcast_no_token_shuffle(spark):
+    from pii_spark.quality import name_dictionary_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    p = plan(
+        name_dictionary_scan(docs, "doc_id", "content", ["alice", "bob"])
+    )
+    assert count_python_nodes(p) == 0
+    # the dictionary must broadcast; the token stream joins map-side
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_parallel_url_pairs_fixed_width_join(spark):
+    from pii_spark.curation import parallel_url_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://s.org/en/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    p = plan(parallel_url_pairs(docs, "doc_id", "url"))
+    assert count_python_nodes(p) == 0
+    # the self-join shuffles only (k, lang, id) — no url column crosses
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all("url" not in ln for ln in ex_lines)

@@ -1590,3 +1590,135 @@ def test_anchor_text_census_fuzz_matches_python(spark):
         assert got == {k: tuple(v) for k, v in want.items()}
 
     check()
+
+
+def test_log_template_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import _LOG_SHAPE_STEPS, log_template_census
+
+    line_st = st.sampled_from([
+        "GET /api/{} served to 10.0.{}.9 in {}ms",
+        "worker {:08x} finished batch {}",
+        "cache miss for key {} at {}",
+    ])
+
+    @given(
+        st.lists(
+            st.tuples(line_st, st.integers(0, 99), st.integers(0, 99),
+                      st.integers(0, 99)),
+            min_size=2,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        lines = []
+        for tpl, a, b, c in rows:
+            try:
+                lines.append(tpl.format(a, b, c))
+            except IndexError:
+                lines.append(tpl.format(a, b))
+        df = spark.createDataFrame(
+            [(0, "\n".join(lines))], "i long, content string"
+        )
+        got = {
+            r.template: r.n_lines
+            for r in log_template_census(df, "content", min_count=1)
+            .collect()
+        }
+        from collections import Counter
+
+        def shape(ln):
+            t = ln.strip()
+            for pat, slot in _LOG_SHAPE_STEPS:
+                t = _re.sub(pat, slot, t)
+            return t
+
+        want = Counter(shape(l) for l in lines if l.strip())
+        assert got == dict(want)
+
+    check()
+
+
+def test_name_dictionary_scan_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import name_dictionary_scan
+
+    names = ["alice", "bob", "carol"]
+    word_st = st.sampled_from(
+        ["alice", "Bob", "dave", "CAROL", "alicein", "bob2", "x"]
+    )
+
+    @given(st.lists(st.lists(word_st, min_size=1, max_size=8),
+                    min_size=1, max_size=6))
+    @settings(max_examples=10, deadline=None)
+    def check(docs):
+        rows = [(i, " ".join(ws) + f" alice@x{i}.io" if i % 2 == 0
+                 else " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        got = {
+            r.name: (r.n_hits, r.n_docs)
+            for r in name_dictionary_scan(
+                df, "doc_id", "content", names
+            ).collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, set()])
+        for i, content in rows:
+            for tok in _re.split(r"[^a-z0-9]+", content.lower()):
+                if tok in names:
+                    want[tok][0] += 1
+                    want[tok][1].add(i)
+        assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
+        # 'bob2' and 'alicein' must never hit (token-exact, not substring)
+        assert "bob2" not in got and "alicein" not in got
+
+    check()
+
+
+def test_parallel_url_pairs_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.curation import parallel_url_pairs
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),                   # path group
+                st.sampled_from(["en", "fr", "de"]),  # lang
+            ),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        urls = [
+            (i, f"https://s.org/{lang}/docs/p{g}")
+            for i, (g, lang) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        got = {
+            (r.lang_a, r.lang_b): (r.n_pairs, r.n_keys)
+            for r in parallel_url_pairs(df, "doc_id", "url").collect()
+        }
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for _i, (g, lang) in enumerate(rows):
+            by[g].append(lang)
+        want = defaultdict(lambda: [0, set()])
+        for g, langs in by.items():
+            for i in range(len(langs)):
+                for j in range(len(langs)):
+                    a, b = langs[i], langs[j]
+                    if a < b:
+                        want[(a, b)][0] += 1
+                        want[(a, b)][1].add(g)
+        assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
+
+    check()
