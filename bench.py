@@ -436,6 +436,9 @@ def main() -> None:
         "log_template_census",
         "name_dictionary_scan",
         "parallel_url_pairs",
+        "streaming_join_parity",
+        "spdx_policy_eval",
+        "finding_context_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1906,3 +1906,27 @@ def test_parallel_url_pairs_fixed_width_join(spark):
         if "Arguments: hashpartitioning" in ln
     ]
     assert ex_lines and all("url" not in ln for ln in ex_lines)
+
+
+def test_spdx_policy_eval_jvm_quantifiers(spark):
+    from pii_spark.quality import spdx_policy_eval
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.lit("MIT OR GPL-3.0").alias("e")
+    )
+    p = plan(spdx_policy_eval(docs, "e", ["MIT"]))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 4
+
+
+def test_finding_context_census_hash_agg(spark):
+    from pii_spark.quality import finding_context_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(
+        finding_context_census(docs, "content", r"AKIA[0-9A-Z]{16}")
+    )
+    assert count_python_nodes(p) == 0
+    assert "SortAggregate" not in p
