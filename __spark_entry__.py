@@ -7445,6 +7445,89 @@ _ANCHOR_FIXTURE_SQL = """
 """
 
 
+def q_streaming_rate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 itself under the oracle gate: the REAL applyInPandasWithState
+    # token bucket (capacity 60, refill rate/60 = 1 token/sec) run to
+    # completion under AvailableNow.  Timestamps are day-truncated in
+    # the fixture, so every refill is an exact integer (delta seconds x
+    # 1.0) and same-day events per channel (~65/day > capacity) overdraw the bucket —
+    # both allowed and blocked paths exercised; the oracle replays the
+    # per-channel fold as a recursive CTE over integer state
+    import tempfile
+
+    from pii_spark.streaming import token_bucket_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("channel"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    path = tempfile.mkdtemp(prefix="pii_rate_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    gated = token_bucket_stream(
+        stream, rate_per_min=60, channel_col="channel",
+        id_col="event_id", ts_col="ts",
+    )
+    out = _run_stream_to_table(spark, gated)
+    return (
+        out.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_allowed"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .orderBy("channel")
+    )
+
+
+#: recursive-CTE replay of the token-bucket fold: integer state
+#: (capacity 60, +1 token per elapsed second, -1 per allowed event),
+#: events ordered (ts, event_id) per channel exactly as the stream's
+#: mergesort orders them
+_STREAM_RATE_ORACLE = """
+    WITH RECURSIVE ev AS (
+        SELECT event_type AS channel,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    // 1000000 AS BIGINT) AS tsec,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY date_trunc('day', CAST(ts AS TIMESTAMP)),
+                            event_id
+               ) AS rn
+        FROM events
+    ),
+    fold(channel, rn, tsec, tokens, allowed) AS (
+        SELECT channel, rn, tsec,
+               60 - 1 AS tokens, TRUE AS allowed
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.channel, e.rn, e.tsec,
+               CASE WHEN least(60, f.tokens
+                         + greatest(e.tsec - f.tsec, 0)) >= 1
+                    THEN least(60, f.tokens
+                         + greatest(e.tsec - f.tsec, 0)) - 1
+                    ELSE least(60, f.tokens
+                         + greatest(e.tsec - f.tsec, 0)) END,
+               least(60, f.tokens + greatest(e.tsec - f.tsec, 0)) >= 1
+        FROM fold f JOIN ev e
+          ON e.channel = f.channel AND e.rn = f.rn + 1
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+           CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked
+    FROM fold GROUP BY channel ORDER BY channel
+"""
+
+
 def q_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fourth streaming-parity gate: STREAM-STREAM inner join with
     # watermarks + a time-range condition (click -> purchase by the
@@ -9953,6 +10036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_window_parity": q_streaming_window_parity,
         "streaming_join_parity": q_streaming_join_parity,
+        "streaming_rate_parity": q_streaming_rate_parity,
         "url_spam_score": q_url_spam_score,
         "dedup_bias_audit": q_dedup_bias_audit,
         "json_schema_drift": q_json_schema_drift,
@@ -11722,6 +11806,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions_parity": _STREAM_SESSIONS_ORACLE,
         "streaming_window_parity": _STREAM_WINDOW_ORACLE,
         "streaming_join_parity": _STREAM_JOIN_ORACLE,
+        "streaming_rate_parity": _STREAM_RATE_ORACLE,
         "spdx_policy_eval": "SELECT * FROM ("
         + spdx_policy_oracle_sql(
             _SPDX_FIXTURE_SQL, "license_expr", _SPDX_ALLOWED

@@ -437,6 +437,7 @@ def main() -> None:
         "name_dictionary_scan",
         "parallel_url_pairs",
         "streaming_join_parity",
+        "streaming_rate_parity",
         "spdx_policy_eval",
         "finding_context_census",
     ]
