@@ -1,0 +1,161 @@
+"""Two-parallelism scaling evidence for a SHUFFLE-BOUND operator.
+
+The headline scaling row (BENCH/scaling.py) measures the map-heavy
+quality+scrub pipeline, whose scaling is dominated by per-row CPU.  A
+skeptic can ask whether the shuffle-bound half of the engine — the
+dedup/join family whose exchanges dominate at 100 TB — scales too.
+This harness runs MinHash+LSH near-dup detection (shingle -> 128
+minhashes -> 32-band bucket join -> exact-Jaccard verify: two wide
+exchanges plus a self-join) on the identical materialized corpus at
+``local[8]`` and ``local[32]``, taskset-pinned, one warm pass then the
+median of five (SHUF_SCALING_PASSES to trim for large corpora).
+
+Usage::
+
+    python BENCH/shuffle_scaling.py prepare
+    python BENCH/shuffle_scaling.py 8|32   # one JSON line
+    python BENCH/shuffle_scaling.py        # prepare + both + summary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(os.environ.get("SHUF_SCALING_REPS", "8"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_DIR = os.environ.get(
+    "SHUF_SCALING_CORPUS_DIR", "/tmp/pii_spark_shuffle_corpus"
+)
+PARTITIONS = 128
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    from pii_spark.pipeline import default_spark_conf
+
+    spark = (
+        default_spark_conf(
+            SparkSession.builder.master(f"local[{cpus}]").appName(
+                f"shuffle-scaling-{cpus}"
+            ),
+            # IDENTICAL plan at both parallelism levels: partition count
+            # fixed at 128 (only the core count varies, as on a real
+            # cluster resize)
+            shuffle_partitions=128,
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prepare() -> None:
+    from pyspark.sql import functions as F
+
+    spark = _session(32)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    # planted near-dup families: every rep of doc_id%10<2 shares the
+    # base text with a one-token suffix tweak -> cross-rep candidates
+    corpus = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(F.col("text"), F.lit(" v"),
+                         (F.col("rep") % 3).cast("string")),
+            ).otherwise(
+                F.concat(F.col("text"), F.lit(" u"),
+                         (F.col("doc_id") * REPS + F.col("rep"))
+                         .cast("string"))
+            ).alias("text3"),
+        )
+    )
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    corpus.repartition(PARTITIONS, F.col("doc_id")).write.parquet(CORPUS_DIR)
+    n = spark.read.parquet(CORPUS_DIR).count()
+    print(json.dumps({"prepared": n}), flush=True)
+    spark.stop()
+
+
+def run(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pii_spark import dedup
+
+    spark = _session(cpus)
+    corpus = spark.read.parquet(CORPUS_DIR)
+    n = corpus.count()
+
+    cap = os.environ.get("SHUF_SCALING_CAP")
+
+    def job():
+        pairs = dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text3", num_hashes=128, bands=32,
+            verify_threshold=0.8,
+            hot_bucket_cap=int(cap) if cap else None,
+        )
+        pairs.write.format("noop").mode("overwrite").save()
+
+    job()  # warm: JIT + page cache
+    times = []
+    for _ in range(int(os.environ.get("SHUF_SCALING_PASSES", "5"))):
+        t0 = time.time()
+        job()
+        times.append(round(time.time() - t0, 2))
+    times.sort()
+    med = times[len(times) // 2]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": n,
+                "walls": times,
+                "median_sec": med,
+                "docs_per_sec": round(n / med, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "prepare":
+        prepare()
+        return
+    if len(sys.argv) > 1:
+        run(int(sys.argv[1]))
+        return
+    subprocess.run(
+        [sys.executable, __file__, "prepare"], check=True
+    )
+    outs = {}
+    for cpus, mask in ((8, "0-7"), (32, "0-31")):
+        r = subprocess.run(
+            ["taskset", "-c", mask, sys.executable, __file__, str(cpus)],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        outs[cpus] = json.loads(line)
+        print(line, flush=True)
+    eff = outs[32]["docs_per_sec"] / outs[8]["docs_per_sec"] / 4
+    print(json.dumps({"scaling_efficiency": round(eff, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

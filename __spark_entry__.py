@@ -7149,6 +7149,66 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+def q_common_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc boilerplate share decile histogram: d%10<3 docs carry a
+    # shared 8-word header whose shingles exceed the df threshold
+    from pii_spark.dedup import common_shingle_share
+
+    d = F.col("doc_id")
+    content = F.when(
+        d % 10 < 3,
+        F.concat(
+            F.lit(
+                "shared license header boilerplate words one two three "
+            ),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return common_shingle_share(
+        corpus, "doc_id", "content", n=5, df_threshold=3
+    ).orderBy("share_decile")
+
+
+_CSS_ORACLE_SQL = """
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 < 3
+                    THEN 'shared license header boilerplate words one '
+                         || 'two three ' || text
+                    ELSE text END AS content
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(content), '\\s+') AS w
+        FROM corpus
+    ),
+    shd AS (
+        SELECT DISTINCT doc_id, sha256(u.s) AS sh FROM toks,
+        UNNEST(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 3),
+                                        i -> array_to_string(w[i:i+4], ' '))
+               END) AS u(s)
+    ),
+    dfreq AS (
+        SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shd GROUP BY sh
+    ),
+    per AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN d.df > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS common
+        FROM shd s JOIN dfreq d ON d.sh = s.sh
+        GROUP BY s.doc_id
+    )
+    SELECT CAST(least(common * 10 // total, 9) AS BIGINT)
+               AS share_decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 _SPDX_ALLOWED = ["MIT", "Apache-2.0", "BSD-3-Clause"]
 
 
@@ -10040,6 +10100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam_score": q_url_spam_score,
         "dedup_bias_audit": q_dedup_bias_audit,
         "json_schema_drift": q_json_schema_drift,
+        "common_shingle_share": q_common_shingle_share,
         "spdx_policy_eval": q_spdx_policy_eval,
         "finding_context_census": q_finding_context_census,
         "log_template_census": q_log_template_census,
@@ -11807,6 +11868,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window_parity": _STREAM_WINDOW_ORACLE,
         "streaming_join_parity": _STREAM_JOIN_ORACLE,
         "streaming_rate_parity": _STREAM_RATE_ORACLE,
+        "common_shingle_share": _CSS_ORACLE_SQL,
         "spdx_policy_eval": "SELECT * FROM ("
         + spdx_policy_oracle_sql(
             _SPDX_FIXTURE_SQL, "license_expr", _SPDX_ALLOWED

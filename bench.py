@@ -440,6 +440,7 @@ def main() -> None:
         "streaming_rate_parity",
         "spdx_policy_eval",
         "finding_context_census",
+        "common_shingle_share",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

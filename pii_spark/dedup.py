@@ -3483,3 +3483,59 @@ def finding_propagation(
         "n_cluster",
         ((F.col("n_own") == 0) & (F.col("n_cluster") > 0)).alias("inherited"),
     )
+
+
+def common_shingle_share(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    df_threshold: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    word ``n``-gram shingles that occur in more than ``df_threshold``
+    documents, histogrammed in deciles — the per-doc view the corpus-
+    level dup histogram cannot give (a doc that is 80% license header
+    and 20% novel prose scores 8, and a curator trims rather than
+    drops it).
+
+    Emits ``(share_decile, n_docs)`` with decile =
+    ``floor(10·common/total)`` clamped to 9 — all-integer, so the
+    histogram replays exactly.
+
+    Scale shape: one distinct-(doc, shingle) projection feeds BOTH the
+    shingle document-frequency aggregate and the join back (shingle
+    sha only — text never shuffles); the per-doc fold and the decile
+    census are two further fixed-width aggregates.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .select("doc", F.sha2(F.col("s"), 256).alias("sh"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("df") > int(df_threshold), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("common"),
+        )
+    )
+    decile = F.least(
+        (F.col("common") * 10 / F.col("total")).cast("long"), F.lit(9)
+    )
+    return (
+        per.select(decile.alias("share_decile"))
+        .groupBy("share_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

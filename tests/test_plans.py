@@ -1930,3 +1930,19 @@ def test_finding_context_census_hash_agg(spark):
     )
     assert count_python_nodes(p) == 0
     assert "SortAggregate" not in p
+
+
+def test_common_shingle_share_sha_only_shuffle(spark):
+    from pii_spark.dedup import common_shingle_share
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(common_shingle_share(docs, "doc_id", "text"))
+    assert count_python_nodes(p) == 0
+    # the shingle text itself never crosses an exchange — only its sha
+    ex_lines = [
+        ln for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_lines and all(
+        "text" not in ln and ", s#" not in ln for ln in ex_lines
+    )

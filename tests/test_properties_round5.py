@@ -1789,3 +1789,45 @@ def test_finding_context_census_units(spark):
     assert len(out) == 1 and out[0].n == 2
     # context is same-line only (the newline bound held)
     assert "\n" not in out[0].context
+
+
+def test_common_shingle_share_fuzz_matches_python(spark):
+    from pii_spark.dedup import common_shingle_share
+
+    word_st = st.sampled_from(list("abcdefg"))
+    doc_st = st.lists(word_st, min_size=1, max_size=12).map(" ".join)
+
+    @given(st.lists(doc_st, min_size=1, max_size=12), st.integers(1, 4))
+    @settings(max_examples=10, deadline=None)
+    def check(docs, thr):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, t string"
+        )
+        got = {
+            r.share_decile: r.n_docs
+            for r in common_shingle_share(
+                df, "doc_id", "t", n=5, df_threshold=thr
+            ).collect()
+        }
+
+        def shingles(t):
+            w = t.strip().split()
+            if len(w) < 5:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+        from collections import Counter, defaultdict
+
+        dfreq = Counter()
+        per = {}
+        for i, t in enumerate(docs):
+            per[i] = shingles(t)
+            for s in per[i]:
+                dfreq[s] += 1
+        want = defaultdict(int)
+        for i, sh in per.items():
+            common = sum(1 for s in sh if dfreq[s] > thr)
+            want[min(common * 10 // len(sh), 9)] += 1
+        assert got == dict(want)
+
+    check()
