@@ -7149,6 +7149,44 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+def q_csv_dialect_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-on-read triage: planted CSV payloads (comma d%5=0 with
+    # quotes, semicolon d%5=1, tab d%5=2, pipe d%5=3) vs prose
+    from pii_spark.quality import csv_dialect_census
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    body = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('id,name,"note"\n1,a,"x"\n2,b,'), ds),
+        )
+        .when(d % 5 == 1, F.concat(F.lit("id;name;v\n1;a;"), ds))
+        .when(d % 5 == 2, F.concat(F.lit("id\tname\n1\t"), ds))
+        .when(d % 5 == 3, F.concat(F.lit("id|name|x|y\n1|a|b|"), ds))
+        .otherwise(F.col("text"))
+    )
+    corpus = _docs(spark, sf_dir).select(body.alias("content"))
+    return csv_dialect_census(corpus, "content").orderBy(
+        "delim", "col_bucket"
+    )
+
+
+_CSV_FIXTURE_SQL = """
+    SELECT CASE
+        WHEN doc_id % 5 = 0 THEN 'id,name,"note"' || chr(10)
+            || '1,a,"x"' || chr(10) || '2,b,' || doc_id
+        WHEN doc_id % 5 = 1 THEN 'id;name;v' || chr(10) || '1;a;'
+            || doc_id
+        WHEN doc_id % 5 = 2 THEN 'id' || chr(9) || 'name' || chr(10)
+            || '1' || chr(9) || doc_id
+        WHEN doc_id % 5 = 3 THEN 'id|name|x|y' || chr(10) || '1|a|b|'
+            || doc_id
+        ELSE text END AS content
+    FROM documents
+"""
+
+
 def q_common_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc boilerplate share decile histogram: d%10<3 docs carry a
     # shared 8-word header whose shingles exceed the df threshold
@@ -10101,6 +10139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bias_audit": q_dedup_bias_audit,
         "json_schema_drift": q_json_schema_drift,
         "common_shingle_share": q_common_shingle_share,
+        "csv_dialect_census": q_csv_dialect_census,
         "spdx_policy_eval": q_spdx_policy_eval,
         "finding_context_census": q_finding_context_census,
         "log_template_census": q_log_template_census,
@@ -10395,6 +10434,7 @@ def oracle_sql() -> dict[str, str]:
     from pii_spark.quality import (
         anchor_text_census_oracle_sql,
         code_switch_oracle_sql,
+        csv_dialect_oracle_sql,
         date_extraction_oracle_sql,
         finding_context_oracle_sql,
         log_template_oracle_sql,
@@ -11869,6 +11909,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join_parity": _STREAM_JOIN_ORACLE,
         "streaming_rate_parity": _STREAM_RATE_ORACLE,
         "common_shingle_share": _CSS_ORACLE_SQL,
+        "csv_dialect_census": "SELECT * FROM ("
+        + csv_dialect_oracle_sql(_CSV_FIXTURE_SQL, "content")
+        + ") ORDER BY delim, col_bucket",
         "spdx_policy_eval": "SELECT * FROM ("
         + spdx_policy_oracle_sql(
             _SPDX_FIXTURE_SQL, "license_expr", _SPDX_ALLOWED

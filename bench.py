@@ -441,6 +441,7 @@ def main() -> None:
         "spdx_policy_eval",
         "finding_context_census",
         "common_shingle_share",
+        "csv_dialect_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1946,3 +1946,14 @@ def test_common_shingle_share_sha_only_shuffle(spark):
     assert ex_lines and all(
         "text" not in ln and ", s#" not in ln for ln in ex_lines
     )
+
+
+def test_csv_dialect_census_single_agg(spark):
+    from pii_spark.quality import csv_dialect_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(csv_dialect_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2

@@ -1831,3 +1831,59 @@ def test_common_shingle_share_fuzz_matches_python(spark):
         assert got == dict(want)
 
     check()
+
+
+def test_csv_dialect_census_fuzz_matches_python(spark):
+    from pii_spark.quality import _CSV_DELIMS, csv_dialect_census
+
+    names = {",": "comma", ";": "semicolon", "\t": "tab", "|": "pipe"}
+    cell_st = st.sampled_from(["a", "b1", '"q"', "x"])
+    delim_st = st.sampled_from(list(_CSV_DELIMS))
+
+    @given(
+        st.lists(
+            st.tuples(
+                delim_st,
+                st.integers(1, 6),   # columns
+                st.integers(1, 4),   # rows
+                st.booleans(),       # prose instead
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(specs):
+        docs = []
+        for d, ncol, nrow, prose in specs:
+            if prose:
+                docs.append("plain prose words only here")
+            else:
+                row = d.join(["a"] * ncol)
+                docs.append("\n".join([row] * nrow))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "i long, content string"
+        )
+        got = {
+            (r.delim, r.col_bucket): (r.n_docs, r.n_quoted)
+            for r in csv_dialect_census(df, "content").collect()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, 0])
+        for t in docs:
+            counts = {d: t.count(d) for d in _CSV_DELIMS}
+            if max(counts.values()) == 0:
+                key = ("none", 0)
+            else:
+                best = max(counts.values())
+                pick = next(
+                    d for d in _CSV_DELIMS if counts[d] == best
+                )
+                first = t.split("\n", 1)[0]
+                key = (names[pick], min(first.count(pick) + 1, 8))
+            want[key][0] += 1
+            want[key][1] += '"' in t
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    check()
