@@ -7149,6 +7149,22 @@ _STREAM_SESSIONS_ORACLE = """
 """
 
 
+_IPF_SHARES = {
+    "de": 150_000, "en": 400_000, "es": 150_000, "fr": 150_000,
+    "zh": 150_000,
+}
+
+
+def q_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-marginal mixture balancing (raking): equal source shares x a
+    # 40%-en target lang mix, 3 exact fixed-point sweeps
+    from pii_spark.curation import ipf_balance
+
+    return ipf_balance(
+        _docs(spark, sf_dir), "source", "lang", _IPF_SHARES, rounds=3
+    ).orderBy("row_g", "col_g")
+
+
 def q_csv_dialect_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema-on-read triage: planted CSV payloads (comma d%5=0 with
     # quotes, semicolon d%5=1, tab d%5=2, pipe d%5=3) vs prose
@@ -10140,6 +10156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_drift": q_json_schema_drift,
         "common_shingle_share": q_common_shingle_share,
         "csv_dialect_census": q_csv_dialect_census,
+        "ipf_balance": q_ipf_balance,
         "spdx_policy_eval": q_spdx_policy_eval,
         "finding_context_census": q_finding_context_census,
         "log_template_census": q_log_template_census,
@@ -10455,6 +10472,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pii_spark.curation import (
         dedup_bias_audit_oracle_sql,
+        ipf_balance_oracle_sql,
         parallel_url_pairs_oracle_sql,
         priority_sample_sha_sql,
         url_spam_score_oracle_sql,
@@ -11912,6 +11930,12 @@ def oracle_sql() -> dict[str, str]:
         "csv_dialect_census": "SELECT * FROM ("
         + csv_dialect_oracle_sql(_CSV_FIXTURE_SQL, "content")
         + ") ORDER BY delim, col_bucket",
+        "ipf_balance": "SELECT * FROM ("
+        + ipf_balance_oracle_sql(
+            "SELECT source, lang FROM documents", "source", "lang",
+            _IPF_SHARES, rounds=3,
+        )
+        + ") ORDER BY row_g, col_g",
         "spdx_policy_eval": "SELECT * FROM ("
         + spdx_policy_oracle_sql(
             _SPDX_FIXTURE_SQL, "license_expr", _SPDX_ALLOWED

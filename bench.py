@@ -442,6 +442,7 @@ def main() -> None:
         "finding_context_census",
         "common_shingle_share",
         "csv_dialect_census",
+        "ipf_balance",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -3881,3 +3881,141 @@ def parallel_url_pairs_oracle_sql(
         FROM keep a JOIN keep b ON a.k = b.k AND a.lang < b.lang
         GROUP BY 1, 2
     """
+
+
+def _fdiv_dec(num: Column, den: Column) -> Column:
+    """Positive-exact floor division via DECIMAL(38,0) (numerators here
+    exceed the double-exact range)."""
+    return (
+        (num - num % den).cast("decimal(38,0)")
+        / den.cast("decimal(38,0)")
+    ).cast("long")
+
+
+def ipf_balance(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    col_shares_x1e6: dict[str, int],
+    rounds: int = 3,
+) -> DataFrame:
+    """Mixture balancing via iterative proportional fitting (raking):
+    per-(row, col) sampling weights that simultaneously pull every row
+    group toward an equal share AND the column groups toward a target
+    mix (``col_shares_x1e6``, parts-per-million) — the two-marginal
+    generalization of the one-axis quota samplers
+    (:func:`lang_quota` et al.): balancing languages alone can silently
+    concentrate a language's quota in one source; IPF balances both.
+
+    Weights are x1e6 fixed-point integers and every scale step is a
+    positive-remainder floor division, so the full k-round trajectory
+    replays bit-for-bit in SQL.  Emits per cell: ``row_g, col_g, n,
+    w_x1e6`` after ``rounds`` row+column sweeps.
+
+    Scale shape: ONE pass over the data builds the (row, col, n) cell
+    table; every IPF sweep thereafter is two aggregates + two joins
+    over the tiny cell domain (groups², corpus-size-independent), with
+    a localCheckpoint per round as the lineage valve.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("row_g"), F.col(col_col).alias("col_g"))
+        .groupBy("row_g", "col_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("w", F.lit(1_000_000).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    total = df.count()
+    n_rows = cells.select("row_g").distinct().count()
+    row_target = total // n_rows  # equal-share row marginal
+    col_items = sorted(col_shares_x1e6.items())
+    col_target = F.create_map(
+        *[x for k, v in col_items
+          for x in (F.lit(k), F.lit(int(total * v) // 1_000_000))]
+    )
+    for _ in range(int(rounds)):
+        rm = cells.groupBy("row_g").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("_rm")
+        )
+        cells = (
+            cells.join(rm, "row_g")
+            .withColumn(
+                "w",
+                _fdiv_dec(
+                    F.col("w") * F.lit(int(row_target)).cast("long")
+                    * F.lit(1_000_000).cast("long"),
+                    F.col("_rm"),
+                ),
+            )
+            .drop("_rm")
+        )
+        cm = cells.groupBy("col_g").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("_cm")
+        )
+        cells = (
+            cells.join(cm, "col_g")
+            .withColumn(
+                "w",
+                _fdiv_dec(
+                    F.col("w")
+                    * col_target[F.col("col_g")].cast("long")
+                    * F.lit(1_000_000).cast("long"),
+                    F.col("_cm"),
+                ),
+            )
+            .drop("_cm")
+            .localCheckpoint(eager=False)
+        )
+    return cells.select("row_g", "col_g", "n", F.col("w").alias("w_x1e6"))
+
+
+def ipf_balance_oracle_sql(
+    rows_sql: str,
+    row_sql: str,
+    col_sql: str,
+    col_shares_x1e6: dict[str, int],
+    rounds: int = 3,
+) -> str:
+    """DuckDB replay of :func:`ipf_balance` — chained CTEs, one pair
+    per sweep, same fixed-point floor divisions."""
+    fd = "(({n} - ({n}) % ({d})) // ({d}))"
+    tgt = " ".join(
+        f"WHEN c.col_g = '{k}' THEN (SELECT total FROM tot)"
+        f" * {int(v)} // 1000000"
+        for k, v in sorted(col_shares_x1e6.items())
+    )
+    ctes = [
+        f"base AS (SELECT {row_sql} AS row_g, {col_sql} AS col_g"
+        f" FROM ({rows_sql}))",
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM base)",
+        "nr AS (SELECT CAST(count(DISTINCT row_g) AS BIGINT) AS k"
+        " FROM base)",
+        "c0 AS (SELECT row_g, col_g, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(1000000 AS BIGINT) AS w FROM base GROUP BY 1, 2)",
+    ]
+    prev = "c0"
+    for r in range(int(rounds)):
+        rnum = (
+            "c.w * ((SELECT total FROM tot) // (SELECT k FROM nr))"
+            " * 1000000"
+        )
+        ctes.append(
+            f"r{r} AS (SELECT c.row_g, c.col_g, c.n,"
+            f" {fd.format(n=rnum, d='m._rm')} AS w"
+            f" FROM {prev} c JOIN (SELECT row_g,"
+            f" CAST(sum(n * w) AS BIGINT) AS _rm FROM {prev}"
+            f" GROUP BY row_g) m ON m.row_g = c.row_g)"
+        )
+        cnum = f"c.w * (CASE {tgt} END) * 1000000"
+        ctes.append(
+            f"s{r} AS (SELECT c.row_g, c.col_g, c.n,"
+            f" {fd.format(n=cnum, d='m._cm')} AS w"
+            f" FROM r{r} c JOIN (SELECT col_g,"
+            f" CAST(sum(n * w) AS BIGINT) AS _cm FROM r{r}"
+            f" GROUP BY col_g) m ON m.col_g = c.col_g)"
+        )
+        prev = f"s{r}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT row_g, col_g, n, CAST(w AS BIGINT) AS w_x1e6"
+        f" FROM {prev}"
+    )

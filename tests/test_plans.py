@@ -1957,3 +1957,18 @@ def test_csv_dialect_census_single_agg(spark):
     p = plan(csv_dialect_census(docs, "content"))
     assert count_python_nodes(p) == 0
     assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_ipf_balance_cell_domain_only(spark):
+    from pii_spark.curation import ipf_balance
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(
+        ipf_balance(docs, "source", "lang",
+                    {"de": 200_000, "en": 200_000, "es": 200_000,
+                     "fr": 200_000, "zh": 200_000}, rounds=2)
+    )
+    assert count_python_nodes(p) == 0
+    # after the one corpus aggregate (checkpointed), every sweep runs
+    # on cell rows: no parquet scan survives in the final plan
+    assert "Scan parquet" not in p

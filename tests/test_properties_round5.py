@@ -1887,3 +1887,60 @@ def test_csv_dialect_census_fuzz_matches_python(spark):
         assert got == {k: tuple(v) for k, v in want.items()}
 
     check()
+
+
+def test_ipf_balance_fuzz_matches_python_and_converges(spark):
+    from pii_spark.curation import ipf_balance
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s0", "s1", "s2"]),
+                st.sampled_from(["en", "fr"]),
+            ),
+            min_size=6,
+            max_size=40,
+        ).filter(
+            lambda rows: len({r for r, _ in rows}) >= 2
+            and len({c for _, c in rows}) == 2
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        shares = {"en": 600_000, "fr": 400_000}
+        df = spark.createDataFrame(rows, "src string, lang string")
+        got = {
+            (r.row_g, r.col_g): (r.n, r.w_x1e6)
+            for r in ipf_balance(df, "src", "lang", shares, rounds=2)
+            .collect()
+        }
+        # python replay with identical integer floors
+        from collections import Counter
+
+        n = Counter(rows)
+        total = len(rows)
+        nrows = len({r for r, _ in rows})
+        row_t = total // nrows
+        col_t = {k: total * v // 1_000_000 for k, v in shares.items()}
+        w = {c: 1_000_000 for c in n}
+        for _ in range(2):
+            rm = Counter()
+            for (r, c), cnt in n.items():
+                rm[r] += cnt * w[(r, c)]
+            for (r, c) in w:
+                w[(r, c)] = w[(r, c)] * row_t * 1_000_000 // rm[r]
+            cm = Counter()
+            for (r, c), cnt in n.items():
+                cm[c] += cnt * w[(r, c)]
+            for (r, c) in w:
+                w[(r, c)] = w[(r, c)] * col_t[c] * 1_000_000 // cm[c]
+        assert got == {k: (n[k], w[k]) for k in n}
+        # convergence direction: after the col sweep the weighted col
+        # masses match the targets to rounding
+        cm = Counter()
+        for (r, c), cnt in n.items():
+            cm[c] += cnt * w[(r, c)]
+        for c, t in col_t.items():
+            assert abs(cm[c] - t * 1_000_000) <= 1_000_000 * len(w)
+
+    check()
