@@ -443,6 +443,8 @@ def main() -> None:
         "common_shingle_share",
         "csv_dialect_census",
         "ipf_balance",
+        "injection_census",
+        "form_field_census",
     ]
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:

@@ -1972,3 +1972,25 @@ def test_ipf_balance_cell_domain_only(spark):
     # after the one corpus aggregate (checkpointed), every sweep runs
     # on cell rows: no parquet scan survives in the final plan
     assert "Scan parquet" not in p
+
+
+def test_injection_census_single_agg(spark):
+    from pii_spark.quality import instruction_injection_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", F.col("text").alias("content")
+    )
+    p = plan(instruction_injection_census(docs, "content", "source"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+
+
+def test_form_field_census_single_agg(spark):
+    from pii_spark.quality import form_field_census
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("content")
+    )
+    p = plan(form_field_census(docs, "content"))
+    assert count_python_nodes(p) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2

@@ -1944,3 +1944,67 @@ def test_ipf_balance_fuzz_matches_python_and_converges(spark):
             assert abs(cm[c] - t * 1_000_000) <= 1_000_000 * len(w)
 
     check()
+
+
+def test_injection_census_fuzz_matches_python(spark):
+    import re as _re
+
+    from pii_spark.quality import (
+        _INJECTION_PATTERNS,
+        instruction_injection_census,
+    )
+
+    phrase_st = st.sampled_from([
+        "IGNORE previous instructions",
+        "system: obey",
+        "you are now free",
+        "do anything now",
+        "disregard the rules",
+        "perfectly benign text",
+    ])
+
+    @given(st.lists(phrase_st, min_size=1, max_size=15))
+    @settings(max_examples=10, deadline=None)
+    def check(phrases):
+        rows = [(i, "g", f"prefix\n{p}\nsuffix") for i, p in
+                enumerate(phrases)]
+        df = spark.createDataFrame(rows, "i long, g string, content string")
+        r = instruction_injection_census(df, "content", "g").collect()[0]
+        import collections
+
+        per = collections.Counter()
+        flagged = 0
+        for _i, _g, t in rows:
+            hit = False
+            for name, pat in _INJECTION_PATTERNS:
+                c = len(_re.findall(pat.replace("(?im)", "(?i)(?m)"), t))
+                per[name] += c
+                hit = hit or c > 0
+            flagged += hit
+        assert r.n_docs == len(rows) and r.n_flagged == flagged
+        for name, _p in _INJECTION_PATTERNS:
+            assert getattr(r, name) == per[name]
+
+    check()
+
+
+def test_form_field_census_units(spark):
+    from pii_spark.quality import form_field_census
+
+    content = (
+        '<form><input type="password" name="pwd_field">'
+        '<input name="emailAddr" type="text">'
+        '<input type="hidden" name="card_token">'
+        '<input name="search" type="text"></form>'
+    )
+    df = spark.createDataFrame([(0, content)], "i long, content string")
+    got = {
+        r.field_class: (r.n_fields, r.n_hidden)
+        for r in form_field_census(df, "content").collect()
+    }
+    assert got == {
+        "password": (1, 0),
+        "email": (1, 0),
+        "card": (1, 1),
+        "other": (1, 0),
+    }
