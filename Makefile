@@ -46,3 +46,6 @@ verify:           ## spark-submit end-to-end drive vs the independent oracle
 curate:           ## full curation-chain drive (dedup → quality → mixture)
 	rm -f /tmp/pii_spark.zip && zip -qr /tmp/pii_spark.zip pii_spark
 	spark-submit --master 'local[8]' --py-files /tmp/pii_spark.zip examples/curate_corpus.py
+
+shuffle-scale:    ## shuffle-bound (MinHash+LSH) N vs 4N evidence → BENCH/BASELINE.md
+	python BENCH/shuffle_scaling.py
